@@ -1,0 +1,60 @@
+"""Table catalog for the driver-generated test datasets.
+
+``/root/testdata/sf*/`` holds a TPC-H-ish star schema plus stream/LLM
+tables (``TESTDATA.md``). At 100 TB these would be partitioned
+(fact tables by date) and bucketed (join keys); locally they are
+single parquet files — the loading path is identical
+(``spark.read.parquet``), and Catalyst handles predicate pushdown /
+column pruning either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to always broadcast (KB–MB scale even
+#: at high SF; region/nation are constant-size like the reference's
+#: literal category dicts, SURVEY.md §2.5).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Lazy — no IO until an action runs."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (nanosAsLong conf): convert to
+        # a microsecond timestamp with exact integer division — double
+        # division would lose precision at ~1.7e18 ns epochs.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,428 @@
+"""Dashboard analytic query surface (SURVEY.md §2.7 A4-A13 + flagship).
+
+The reference delegates all analytics to Power BI over its star
+schema (``assets/New BI SC.jpg``); this module answers the same
+query shapes natively in Spark over the driver's TPC-H-ish proxy
+tables (FIXTURES.md §B mapping: orders/lineitem ↔ POS orders/line
+items, part.p_type ↔ category, o_orderpriority ↔ payment method,
+o_orderstatus ↔ order channel, events.ts ↔ payment time-of-day).
+
+Scale notes (100 TB):
+- Dim joins (region/nation/part/supplier) are explicit
+  ``F.broadcast`` — no shuffle on the fact side.
+- Single-pass aggregations over lineitem shuffle once on the group
+  keys; Catalyst plants partial (map-side) aggs automatically.
+- Two-level "per-transaction then overall" aggs (A5-A7) shuffle on
+  l_orderkey; at scale the fact table would be bucketed by order key
+  making the first agg shuffle-free.
+- Share-of-total queries compute the denominator with a single-row
+  broadcast-join cross (constant fold), not a window over the whole
+  table, so no single-partition window bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import register
+from ._common import SQL_REVENUE_DEC, dec, revenue_dec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: net sales by region through the full star schema (J2 + A4/A11).
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = f"""
+SELECT r.r_name AS region_name,
+       CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) AS net_sales,
+       COUNT(*) AS line_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region_name
+"""
+
+
+@register("star_net_sales_by_region", oracle=FLAGSHIP_ORACLE)
+def star_net_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELT star-schema resolution (SURVEY.md J2, ref README.md:91
+    ``update_final_fact_sales``) + Net Sales KPI (A4): the fact table
+    resolves its dimensions via chained *broadcast* left joins — the
+    Spark-native form of the reference's in-database dim lookup. The
+    only shuffle is the final groupBy on region name (5 groups)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region")
+
+    return (
+        lineitem.select("l_orderkey", revenue_dec().alias("rev"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.sum("rev").cast("double").alias("net_sales"),
+            F.count(F.lit(1)).alias("line_items"),
+        )
+        .orderBy("region_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — Net Sales (global KPI card).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a4_net_sales",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) AS net_sales,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_sales,
+           COUNT(*) AS line_items
+    FROM lineitem
+    """,
+)
+def a4_net_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: single-row KPI — all-map-side partial agg, one tiny shuffle."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.sum(revenue_dec()).cast("double").alias("net_sales"),
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("gross_sales"),
+        F.count(F.lit(1)).alias("line_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 — per-transaction averages (two-level aggregation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a5_avg_order_quantity",
+    oracle="""
+    SELECT CAST(SUM(ord_qty) AS DOUBLE) / COUNT(*) AS avg_order_quantity,
+           COUNT(*) AS n_orders
+    FROM (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ord_qty
+        FROM lineitem GROUP BY l_orderkey
+    )
+    """,
+)
+def a5_avg_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (dashboard 'Avg Order Quantity per Transaction'): inner agg
+    shuffles on l_orderkey (bucket the fact table by order key at
+    scale to eliminate it); outer agg is a scalar reduce."""
+    per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).alias("ord_qty"))
+    )
+    return per_order.agg(
+        (F.sum("ord_qty").cast("double") / F.count(F.lit(1))).alias("avg_order_quantity"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "a6_avg_order_amount",
+    oracle=f"""
+    SELECT CAST(SUM(ord_rev) AS DOUBLE) / COUNT(*) AS avg_order_amount,
+           COUNT(*) AS n_orders
+    FROM (
+        SELECT l_orderkey, SUM({SQL_REVENUE_DEC}) AS ord_rev
+        FROM lineitem GROUP BY l_orderkey
+    )
+    """,
+)
+def a6_avg_order_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: same two-level shape over revenue."""
+    per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(revenue_dec()).alias("ord_rev"))
+    )
+    return per_order.agg(
+        (F.sum("ord_rev").cast("double") / F.count(F.lit(1))).alias("avg_order_amount"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — discount share KPI (exact aggregates, one final division).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a7_discount_share",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * 100.0
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS discount_pct,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount_given
+    FROM lineitem
+    """,
+)
+def a7_discount_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 ('Total Discount Given %'): numerator and denominator are
+    exact decimal sums; the percentage is one final double division —
+    order-independent by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.sum(dec(F.col("l_extendedprice")) * dec(F.col("l_discount"))).cast("double")
+    gross = F.sum(dec(F.col("l_extendedprice"))).cast("double")
+    return li.agg(
+        (disc * F.lit(100.0) / gross).alias("discount_pct"),
+        disc.alias("discount_given"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — frequency ranking (payment-method proxy: o_orderpriority).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a8_payment_method_freq",
+    oracle="""
+    SELECT o_orderpriority AS payment_method, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY n_orders DESC, payment_method
+    """,
+)
+def a8_payment_method_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 ('Frequently Used Payment Method'): hash agg + sort on a
+    handful of groups."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("payment_method"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "payment_method")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — store performance by hour (events.ts carries time-of-day).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a9_performance_by_hour",
+    oracle="""
+    SELECT hour(ts) AS hour_of_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY hour(ts) ORDER BY hour_of_day
+    """,
+)
+def a9_performance_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 ('Store Performance by Hour', F19 hour bucket): group on a
+    derived time bucket — 24 groups, trivially shuffled."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — preference share donuts (share-of-total without a global window).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a10_preference_share",
+    oracle="""
+    SELECT l_returnflag AS preference,
+           COUNT(*) AS n_items,
+           CAST(COUNT(*) AS DOUBLE) * 100.0
+             / (SELECT COUNT(*) FROM lineitem) AS share_pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY preference
+    """,
+)
+def a10_preference_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (Size/Sweetness/... donut shares): the denominator is a
+    1-row aggregate cross-joined (auto-broadcast) onto the group rows
+    — avoids an ``over ()`` window that would funnel all rows through
+    one partition at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        li.groupBy(F.col("l_returnflag").alias("preference"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "preference",
+            "n_items",
+            (F.col("n_items").cast("double") * 100.0 / F.col("_total")).alias("share_pct"),
+        )
+        .orderBy("preference")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — category performance with share of total.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a11_category_performance",
+    oracle=f"""
+    WITH per_type AS (
+        SELECT p.p_type AS category,
+               SUM({SQL_REVENUE_DEC}) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type
+    )
+    SELECT category,
+           CAST(rev AS DOUBLE) AS category_sales,
+           CAST(rev AS DOUBLE) * 100.0
+             / (SELECT CAST(SUM(rev) AS DOUBLE) FROM per_type) AS share_pct
+    FROM per_type ORDER BY category
+    """,
+)
+def a11_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 ('Category & Sub-Category performance'): broadcast dim join
+    (part ↔ dim_product, SURVEY.md M1/J1) then small agg + broadcast
+    total."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", revenue_dec().alias("rev"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    per_type = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("category"))
+        .agg(F.sum("rev").alias("rev"))
+    )
+    total = per_type.agg(F.sum("rev").cast("double").alias("_total"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "category",
+            F.col("rev").cast("double").alias("category_sales"),
+            (F.col("rev").cast("double") * 100.0 / F.col("_total")).alias("share_pct"),
+        )
+        .orderBy("category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — order-channel split (o_orderstatus ↔ Dine-in/Takeaway).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a12_channel_split",
+    oracle="""
+    SELECT o_orderstatus AS order_type,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM orders GROUP BY o_orderstatus ORDER BY order_type
+    """,
+)
+def a12_channel_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("order_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
+        )
+        .orderBy("order_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 — slicer-filtered aggregation (date-part predicates, F19).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a13_sliced_monthly_sales",
+    oracle="""
+    SELECT month(o_orderdate) AS month_number,
+           dayofweek(o_orderdate) + 1 AS day_of_week,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM orders
+    WHERE weekofyear(o_orderdate) <= 26 AND month(o_orderdate) IN (1, 2, 3)
+    GROUP BY month(o_orderdate), dayofweek(o_orderdate) + 1
+    ORDER BY month_number, day_of_week
+    """,
+)
+def a13_sliced_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (week/day-of-week/month slicers): date-part predicates +
+    grouped agg. Note Spark dayofweek is 1..7 (Sun=1) while DuckDB's
+    is 0..6 — oracle compensates. At scale these predicates prune a
+    date-partitioned fact table before any scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.weekofyear("o_orderdate") <= 26) & F.month("o_orderdate").isin(1, 2, 3))
+        .groupBy(
+            F.month("o_orderdate").alias("month_number"),
+            F.dayofweek("o_orderdate").alias("day_of_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
+        )
+        .orderBy("month_number", "day_of_week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per category (SURVEY.md §2.7 "natural v2 dashboard query").
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_parts_per_type",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT p.p_type AS category, p.p_name AS part_name,
+               CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) AS part_sales,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.p_type
+                   ORDER BY CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) DESC, p.p_name
+               ) AS rank_in_type
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type, p.p_name
+    )
+    SELECT category, part_name, part_sales, rank_in_type
+    FROM ranked WHERE rank_in_type <= 3
+    ORDER BY category, rank_in_type
+    """,
+)
+def topk_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each type: agg first (shrinks the
+    data to one row per (type, part)), then a per-type window over the
+    small aggregate — the window never sees fact-table volume.
+    Deterministic tie-break on part_name keeps both engines aligned."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", revenue_dec().alias("rev"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_name")
+    per_part = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("category"), F.col("p_name").alias("part_name"))
+        .agg(F.sum("rev").cast("double").alias("part_sales"))
+    )
+    w = Window.partitionBy("category").orderBy(F.desc("part_sales"), F.asc("part_name"))
+    return (
+        per_part.withColumn("rank_in_type", F.row_number().over(w))
+        .filter(F.col("rank_in_type") <= 3)
+        .orderBy("category", "rank_in_type")
+    )

@@ -1,0 +1,50 @@
+"""Query + oracle registry.
+
+Every operator the engine claims (SURVEY.md §2) registers here:
+a named PySpark query ``(spark, sf_dir) -> DataFrame`` and, when
+SQL-expressible, a matching ANSI-SQL string the DuckDB oracle runs on
+the same parquet tables. ``__spark_entry__.py`` exposes these to the
+driver's differential harness.
+
+Column-name contract: the driver sorts columns by name before value
+hashing, so each Spark query aliases every computed column to exactly
+the name used in its oracle SQL.
+
+Float-determinism contract: money-style aggregates accumulate in
+DECIMAL(18,2) (exact, order-independent) and cast the final value
+back to DOUBLE, so Spark's parallel partial aggregation and DuckDB's
+serial sum produce bit-identical results at any scale/partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query and (optionally) its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_queries() -> None:
+    """Import every module that registers queries (idempotent)."""
+    # Imports are side-effecting registrations; keep inside the
+    # function so callers control when registration happens.
+    from .plans import dashboard  # noqa: F401

@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference executes eagerly in a single pandas process
+(``/root/reference/main.py:434-441``); this engine instead declares
+lazy DataFrame plans and lets Catalyst/Tungsten execute them. The
+session defaults below are chosen for correctness-at-scale:
+
+- **AQE on** — runtime re-planning (shuffle coalescing, skew-join
+  splitting, dynamic broadcast) is the main defense against skewed
+  keys at 100 TB.
+- **UTC session timezone** — deterministic timestamp semantics across
+  engines (the DuckDB oracle reads parquet timestamps naively).
+- **shuffle partitions** sized from the env (local test = 32; a real
+  cluster would set this to ~2-3x total cores, or rely on AQE
+  coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (region/nation/product dims) should always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet scans: keep row-group pruning + vectorized reader on.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
+    # read as long and convert (catalog.table does the exact integer
+    # ns→µs conversion).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "amante-spark-engine") -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism. If a session
+    already exists (e.g. the driver handed us one), returns it with
+    runtime-settable confs applied.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return configure(active)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+    )
+    for k, v in DEFAULT_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to an existing session."""
+    for k, v in DEFAULT_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static confs (e.g. arrow flag on some builds) — best effort.
+            pass
+    return spark
