@@ -50,9 +50,10 @@ def title_case(col: Column) -> Column:
 
 def strip_thousands_and_coerce(col: Column) -> Column:
     """F15 (ref main.py:389-393): drop thousands separators then
-    numeric-coerce; a failed cast yields null exactly like
-    ``pd.to_numeric(errors='coerce')``."""
-    return F.regexp_replace(col.cast("string"), ",", "").cast("double")
+    numeric-coerce; ``try_cast`` yields null on a failed parse exactly
+    like ``pd.to_numeric(errors='coerce')`` (plain cast would throw
+    under Spark's default ANSI mode)."""
+    return F.regexp_replace(col.cast("string"), ",", "").try_cast("double")
 
 
 def scrub_nan_inf(col: Column) -> Column:

@@ -1,0 +1,152 @@
+"""Registry queries for the POS transform kernel + validation split.
+
+The oracle SQL is *generated* from the same constants the Spark
+kernel uses (fixture rows, regex vocabulary, dim data) — so the whole
+reference-parity kernel (E1-E2, P1-P6, F1-F18, M1-M2, P7) is
+differentially checked end-to-end by the driver's DuckDB harness,
+not just unit-tested.
+
+DuckDB-vs-Spark function mapping pinned here:
+- ``initcap`` ≡ split-on-space + per-word upper(first)||rest (DuckDB
+  1.0 has no initcap).
+- ``regexp_replace`` needs the ``'g'`` flag in DuckDB (Spark/pandas
+  replace all occurrences by default).
+- ``try_cast`` ≡ ``TRY_CAST`` (pandas ``errors='coerce'``).
+- pandas ``+`` string concat ≡ ``||`` (null-propagating); NOT the
+  ``concat()`` function, which skips nulls in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.validate import validation_split
+from ..registry import register
+from . import dims, pos_fixture
+from .pos_kernel import (
+    FF_FLAVOR_PATTERN,
+    FF_TARGET_PATTERN,
+    QTY_PATTERN,
+    SIZE_PATTERN,
+    SPICE_PATTERN,
+    SUGAR_PATTERN,
+    TARGET_FLAVOR_PATTERN,
+    TARGET_MASK_PATTERN,
+    VARIATION_PATTERN,
+    transform_pos,
+)
+
+
+def _title(expr: str) -> str:
+    """DuckDB equivalent of Spark initcap."""
+    return (
+        f"array_to_string(list_transform(string_split(lower({expr}), ' '), "
+        "w -> upper(w[1]) || w[2:]), ' ')"
+    )
+
+
+def _xn(expr: str, pattern: str) -> str:
+    """regexp_extract with pandas null-on-miss semantics."""
+    return f"NULLIF(regexp_extract({expr}, '{pattern}', 1), '')"
+
+
+def _kernel_cte() -> str:
+    """The full kernel as a DuckDB CTE chain ending in view ``fact``."""
+    tok = "product_token"
+    clean_target = (
+        f"(CASE WHEN {_title(_xn(tok, TARGET_MASK_PATTERN))} = 'Cookie' THEN 'Cookies' "
+        f"ELSE {_title(_xn(tok, TARGET_MASK_PATTERN))} END) || ' - ' || "
+        f"trim(regexp_replace({_xn(tok, TARGET_FLAVOR_PATTERN)}, '(?i)\\s*Cookie', '', 'g'))"
+    )
+    clean_nontarget = (
+        f"trim(regexp_replace(regexp_replace({tok}, '{QTY_PATTERN.replace('(', '').replace(')', '')}', '', 'g'),"
+        " '\\s*\\(.*\\)', '', 'g'))"
+    )
+    clean_item = (
+        f"CASE WHEN regexp_matches({tok}, '{TARGET_MASK_PATTERN}') "
+        f"THEN {clean_target} ELSE {clean_nontarget} END"
+    )
+    corrections = clean_item
+    for wrong, right in dims.CORRECTIONS:
+        w = wrong.replace("'", "''")
+        r = right.replace("'", "''")
+        corrections = f"CASE WHEN ({corrections}) = '{w}' THEN '{r}' ELSE ({corrections}) END"
+
+    return f"""
+WITH raw_rows AS (SELECT * FROM {pos_fixture.values_sql()}),
+tokens AS (
+    SELECT *, unnest(string_split(products, ',')) AS product_token
+    FROM raw_rows WHERE order_id IS NOT NULL
+),
+tokens_ne AS (SELECT * FROM tokens WHERE product_token <> ''),
+extracted AS (
+    SELECT *,
+        {_title(_xn(tok, SIZE_PATTERN))} AS size,
+        {_title(_xn(tok, VARIATION_PATTERN))} AS variation,
+        CASE WHEN regexp_matches({tok}, '{FF_TARGET_PATTERN}')
+             THEN {_title(_xn(tok, FF_FLAVOR_PATTERN))} END AS flavor,
+        {_title(_xn(tok, SUGAR_PATTERN))} AS sugar_level,
+        {_title(_xn(tok, SPICE_PATTERN))} AS spice_level,
+        COALESCE(TRY_CAST({_xn(tok, QTY_PATTERN)} AS DOUBLE), 1.0) AS quantity,
+        {corrections} AS clean_item,
+        CASE WHEN COALESCE(cash, '-') IN ('0.00', '0') THEN 'Free/Voucher/Discounted'
+             WHEN COALESCE(cash, '-') <> '-' THEN 'Cash'
+             WHEN COALESCE(gcash, '-') <> '-' THEN 'Gcash'
+             ELSE 'Credit / Debit' END AS payment_type
+    FROM tokens_ne
+),
+dim_product AS (SELECT * FROM (VALUES {dims.values_clause(dims.PRODUCT_SUBCATEGORY)})
+                AS d(item, dim_sub_category)),
+dim_subcat AS (SELECT * FROM (VALUES {dims.values_clause(dims.SUBCATEGORY_CATEGORY)})
+               AS d(sc, dim_category)),
+fact AS (
+    SELECT e.order_id,
+           {_title("e.clean_item")} AS items,
+           COALESCE(d1.dim_sub_category, 'Uncategorized') AS sub_category,
+           COALESCE(d2.dim_category, 'Uncategorized') AS category,
+           e.flavor, e.variation, e.size, e.quantity, e.spice_level, e.sugar_level,
+           TRY_CAST(replace(e.product_amount, ',', '') AS DOUBLE) AS total_order_amount,
+           TRY_CAST(replace(e.received_amount, ',', '') AS DOUBLE) AS received_amount,
+           e.payment_time, e.payment_type,
+           e.order_type
+    FROM extracted e
+    LEFT JOIN dim_product d1 ON e.clean_item = d1.item
+    LEFT JOIN dim_subcat d2 ON d1.dim_sub_category = d2.sc
+    WHERE e.clean_item IS NOT NULL
+)
+"""
+
+
+VALID_SQL = (
+    "items IS NOT NULL AND (quantity IS NULL OR quantity >= 0) "
+    "AND (total_order_amount IS NULL OR total_order_amount >= 0) "
+    "AND (received_amount IS NULL OR received_amount >= 0)"
+)
+
+
+@register("pos_kernel_fact", oracle=_kernel_cte() + "SELECT * FROM fact")
+def pos_kernel_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entire reference transform kernel on the branch-coverage
+    fixture. sf_dir unused — the kernel's input is the POS sheet, not
+    the TPC-H proxies."""
+    return transform_pos(pos_fixture.raw_pos_df(spark), spark)
+
+
+@register(
+    "pos_validation_clean",
+    oracle=_kernel_cte() + f"SELECT * FROM fact WHERE {VALID_SQL}",
+)
+def pos_validation_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 clean side of the validation split."""
+    clean, _ = validation_split(transform_pos(pos_fixture.raw_pos_df(spark), spark))
+    return clean
+
+
+@register(
+    "pos_validation_quarantine",
+    oracle=_kernel_cte() + f"SELECT * FROM fact WHERE NOT ({VALID_SQL})",
+)
+def pos_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 quarantine side (ref README.md:113-119)."""
+    _, quarantine = validation_split(transform_pos(pos_fixture.raw_pos_df(spark), spark))
+    return quarantine
