@@ -48,4 +48,5 @@ def load_all_queries() -> None:
     # Imports are side-effecting registrations; keep inside the
     # function so callers control when registration happens.
     from .plans import dashboard  # noqa: F401
+    from .plans import parity_ops  # noqa: F401
     from .plans import pos_kernel_query  # noqa: F401
