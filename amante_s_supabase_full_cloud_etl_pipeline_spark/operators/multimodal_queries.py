@@ -1,0 +1,60 @@
+"""Registry queries for multimodal column plumbing.
+
+The metadata path (binary length/md5/typing) is oracle-checked; the
+mapInPandas feature kernel is rows-only (Arrow/pandas execution has
+no DuckDB equivalent) with its numeric output pinned in
+tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import register
+from .multimodal import attach_media_meta, documents_as_media, extract_features
+
+
+@register(
+    "multimodal_media_meta",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           COUNT(*) AS n_blobs,
+           SUM(strlen(text)) AS total_bytes,
+           COUNT(DISTINCT md5(text)) AS distinct_contents
+    FROM documents
+    GROUP BY 1 ORDER BY media_type
+    """,
+)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (length/md5/typed columns) —
+    no decode, pure JVM expressions over blobs."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    media = attach_media_meta(documents_as_media(docs))
+    return (
+        media.groupBy(F.col("media_meta.media_type").alias("media_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("media_meta.byte_length").alias("total_bytes"),
+            F.countDistinct("media_meta.content_md5").alias("distinct_contents"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@register("multimodal_feature_extract")  # rows-only: mapInPandas kernel
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over media blobs
+    (deterministic stand-in kernel; real decode is a marked STUB)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(docs))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_length",
+        F.round(F.element_at("feature", 1), 4).alias("byte_mean"),
+        F.round(F.element_at("feature", 2), 4).alias("byte_std"),
+    ).orderBy("doc_id")

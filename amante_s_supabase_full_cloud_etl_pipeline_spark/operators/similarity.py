@@ -1,0 +1,188 @@
+"""Embedding similarity search (charter extension, SURVEY.md §2.10):
+brute-force cosine top-k baseline + random-hyperplane LSH bucketing
+as the scale path.
+
+Scale design:
+- Brute force is the *correctness baseline*: broadcast the (few)
+  query vectors, one map pass over the corpus computing cosine via
+  array expressions (zip_with/aggregate — JVM, no Python), then a
+  per-query top-k via window over the small filtered candidate set.
+  At 100 TB this is a full scan — exactly what you fall back to when
+  recall must be 1.0.
+- LSH: H fixed hyperplanes → H sign bits → bucket id. Probing only
+  the query's bucket turns top-k into a partition-pruned lookup
+  (recall < 1, tunable via multi-probe). Hyperplanes are derived
+  deterministically from a seed so signatures are reproducible
+  across runs/engines.
+- IVF analog: k-means coarse centroids would replace the hyperplane
+  code path; bucketing/probing plumbing is identical, so the LSH
+  variant stands in for both locally.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double — sequential fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be tiny (it is broadcast); the corpus
+    is scanned once. Scores are rounded before ranking so the
+    ordering is reproducible across engines; ties break on corpus id.
+    Returns (query_id, neighbor_id, score, rank).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG —
+    reproducible everywhere, no numpy RNG state concerns)."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            # Box–Muller-free symmetric variate is enough for signs.
+            vec.append((state / float(1 << 31)) * 2.0 - 1.0)
+        n = math.sqrt(sum(v * v for v in vec)) or 1.0
+        planes.append([v / n for v in vec])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit j = [vec · plane_j > 0]."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+    One equi-join on bucket id replaces the cross join — the plan a
+    1000-executor cluster wants (bucket co-location; at rest, write
+    the corpus bucketed by this id so the probe is shuffle-free)."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH-bucketed self-join,
+    verify cosine ≥ threshold. (id_a < id_b.)"""
+    planes = hyperplanes(dim, n_planes)
+    t = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    ).persist()  # both self-join sides reuse the bucketed projection
+    a = t.toDF("id_a", "vec_a", "bucket")
+    b = t.toDF("id_b", "vec_b", "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_to))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,168 @@
+"""Registry queries for the text-analysis operators (documents table).
+
+Oracle SQL for lang-id and quality is *generated* from the same
+constants (LANG_MARKERS, PUNCT_CLASS) the Spark expressions use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import register
+from .text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+# SQL building blocks mirroring text.py expressions.
+_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_NTOK = f"len({_TOKENS})"
+_PUNCT_SQL = "[.,!?;:''\"()\\-]"  # PUNCT_CLASS with '' escaping for SQL
+
+
+def _hits(words: tuple[str, ...]) -> str:
+    inlist = ", ".join("'" + w + "'" for w in words)
+    return f"len(list_filter({_TOKENS}, t -> t IN ({inlist})))"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM({_NTOK}) AS total_tokens,
+           SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS total_bpe_tokens,
+           SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — map-only pass,
+    integer sums (exact in any order)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+            F.sum(bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_SQL = f"""(
+    least({_NTOK} / 100.0, 1.0)
+    + (1.0 - least(
+        CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g'))) * 1.0
+                  / length(text)
+             ELSE 0.0 END * 5.0, 1.0))
+    + least(
+        CASE WHEN {_NTOK} > 0
+             THEN {_hits(LANG_MARKERS[0][1])} * 1.0 / {_NTOK}
+             ELSE 0.0 END * 4.0, 1.0)
+) / 3.0"""
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic (length band + punctuation +
+    stopword presence) — deterministic double arithmetic, identical
+    per-row in both engines (no rounding needed)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy(
+        "doc_id"
+    )
+
+
+def _lang_case_sql() -> str:
+    best = "greatest(" + ", ".join(_hits(w) for _, w in LANG_MARKERS) + ")"
+    expr = "'und'"
+    for lang, words in reversed(LANG_MARKERS):
+        expr = (
+            f"CASE WHEN {_hits(words)} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT lang AS labeled_lang, {_lang_case_sql()} AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (per-language marker-token hit scoring,
+    deterministic argmax) crossed against the labeled lang column."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("labeled_lang"),
+            lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+@register(
+    "text_fingerprint_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY 1 ORDER BY fp
+    """,
+)
+def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text) + exact-dedup
+    grouping — the scalable exact-dedup key (one shuffle on a
+    well-distributed hash)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+        .orderBy("fp")
+    )
+
+
+@register(
+    "text_filter_quality_band",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept
+    FROM documents
+    WHERE {_QUALITY_SQL} >= 0.5 AND {_NTOK} >= 20
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_filter_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard training-data filter shape: quality threshold +
+    minimum length, as a pushed-down predicate."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        docs.filter((quality_score(F.col("text")) >= 0.5) & (token_count(F.col("text")) >= 20))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )

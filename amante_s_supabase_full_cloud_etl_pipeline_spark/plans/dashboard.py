@@ -256,23 +256,23 @@ def a9_performance_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a10_preference_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 (Size/Sweetness/... donut shares): the denominator is a
-    1-row aggregate cross-joined (auto-broadcast) onto the group rows
-    — avoids an ``over ()`` window that would funnel all rows through
-    one partition at 100 TB."""
+    """A10 (Size/Sweetness/... donut shares): aggregate FIRST (one
+    fact scan), then take the share with a global window over the
+    already-aggregated handful of rows — the window funnels ≤ #groups
+    rows, never fact volume, and the fact table is scanned once
+    (deriving the denominator from the raw table would scan twice)."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    total = li.agg(F.count(F.lit(1)).alias("_total"))
-    return (
-        li.groupBy(F.col("l_returnflag").alias("preference"))
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "preference",
-            "n_items",
-            (F.col("n_items").cast("double") * 100.0 / F.col("_total")).alias("share_pct"),
-        )
-        .orderBy("preference")
+    grouped = li.groupBy(F.col("l_returnflag").alias("preference")).agg(
+        F.count(F.lit(1)).alias("n_items")
     )
+    total = F.sum("n_items").over(Window.partitionBy())
+    return grouped.select(
+        "preference",
+        "n_items",
+        (F.col("n_items").cast("double") * 100.0 / total).alias("share_pct"),
+    ).orderBy("preference")
 
 
 # ---------------------------------------------------------------------------
@@ -298,8 +298,12 @@ def a10_preference_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a11_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 ('Category & Sub-Category performance'): broadcast dim join
-    (part ↔ dim_product, SURVEY.md M1/J1) then small agg + broadcast
-    total."""
+    (part ↔ dim_product, SURVEY.md M1/J1), aggregate once, then share
+    via a global window over the per-category rows (≤ #categories —
+    a second fact scan for the denominator would double the IO at
+    100 TB)."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", revenue_dec().alias("rev"))
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     per_type = (
@@ -307,16 +311,12 @@ def a11_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_type").alias("category"))
         .agg(F.sum("rev").alias("rev"))
     )
-    total = per_type.agg(F.sum("rev").cast("double").alias("_total"))
-    return (
-        per_type.crossJoin(F.broadcast(total))
-        .select(
-            "category",
-            F.col("rev").cast("double").alias("category_sales"),
-            (F.col("rev").cast("double") * 100.0 / F.col("_total")).alias("share_pct"),
-        )
-        .orderBy("category")
-    )
+    total = F.sum("rev").over(Window.partitionBy()).cast("double")
+    return per_type.select(
+        "category",
+        F.col("rev").cast("double").alias("category_sales"),
+        (F.col("rev").cast("double") * 100.0 / total).alias("share_pct"),
+    ).orderBy("category")
 
 
 # ---------------------------------------------------------------------------

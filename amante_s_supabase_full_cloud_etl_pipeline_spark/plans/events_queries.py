@@ -1,0 +1,137 @@
+"""Event-stream analytics in batch form (SURVEY.md §2.8 extension).
+
+These are the batch-equivalent shapes of the streaming pipelines in
+``streaming/`` — tumbling windows, sessionization, late-data
+filtering — expressed so the DuckDB oracle can verify the semantics.
+The streaming module reuses the same column logic under readStream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import register
+from ._common import dec
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (batch form of the streaming
+    windowed agg — streaming/events.py runs the same logic with a
+    watermark under readStream)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        -- floor(epoch) mirrors Spark's unix_timestamp (whole seconds)
+        SELECT *, CASE WHEN prev_ts IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT)
+             - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running
+    sum of session-start markers — the classic shuffle-once
+    per-user-window plan (streaming twin: session_window /
+    applyInPandasWithState in streaming/events.py)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@register(
+    "events_late_data_filter",
+    oracle="""
+    WITH maxts AS (SELECT MAX(ts) AS m FROM events)
+    SELECT event_type, COUNT(*) AS n_recent,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events, maxts
+    WHERE ts >= m - INTERVAL 6 HOUR
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch form: drop events older than
+    (max event time − 6h) — the same cutoff a 6h watermark enforces
+    in the streaming twin."""
+    ev = catalog.table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("cutoff")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

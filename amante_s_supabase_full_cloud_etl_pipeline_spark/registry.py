@@ -48,5 +48,12 @@ def load_all_queries() -> None:
     # Imports are side-effecting registrations; keep inside the
     # function so callers control when registration happens.
     from .plans import dashboard  # noqa: F401
+    from .operators import dedup_queries  # noqa: F401
+    from .operators import multimodal_queries  # noqa: F401
+    from .operators import similarity_queries  # noqa: F401
+    from .operators import text_queries  # noqa: F401
+    from .plans import elt_queries  # noqa: F401
+    from .plans import events_queries  # noqa: F401
     from .plans import parity_ops  # noqa: F401
     from .plans import pos_kernel_query  # noqa: F401
+    from .plans import setops_queries  # noqa: F401

@@ -36,6 +36,12 @@ DEFAULT_CONF: dict[str, str] = {
     # read as long and convert (catalog.table does the exact integer
     # ns→µs conversion).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate duplicates the generator expression into
+    # a pre-explode filter; with expensive array expressions (shingle/
+    # signature pipelines) that re-evaluates the whole pipeline per row
+    # — measured 5x on the near-dup queries. Our explode inputs are
+    # engine-built non-null arrays, so the inferred filter only costs.
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
@@ -63,11 +69,50 @@ def get_spark(app_name: str = "amante-spark-engine") -> SparkSession:
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime-settable conf to an existing session."""
+    """Apply the engine's runtime-settable conf to an existing session,
+    and ship this package to Python workers (mapInPandas kernels must
+    be importable even when the driver runs from an arbitrary cwd)."""
     for k, v in DEFAULT_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Static confs (e.g. arrow flag on some builds) — best effort.
             pass
+    _ship_package(spark)
     return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Zip this package once per process and addPyFile it so executors
+    can unpickle module-level Python functions."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        zip_path = os.path.join(
+            tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+        )
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            rel = os.path.join(
+                                pkg_name, os.path.relpath(full, pkg_dir)
+                            )
+                            zf.write(full, rel)
+        spark.sparkContext.addPyFile(zip_path)
+        _SHIPPED.add(app_id)
+    except Exception:
+        # Best effort — Connect sessions lack sparkContext; kernels
+        # shipped by value still work there.
+        pass

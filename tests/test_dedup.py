@@ -1,0 +1,106 @@
+"""Accuracy tests for the sketch-based dedup operators (MinHash,
+SimHash) against exact Jaccard ground truth, plus ANN recall vs the
+brute-force baseline — the checks the DuckDB oracle can't express
+(xxhash64 has no DuckDB equivalent)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_candidates,
+    simhash_near_pairs,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return catalog.table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    """Ground truth: exact Jaccard ≥ 0.5 pairs (strong near-dups)."""
+    return {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+
+def test_minhash_recall_on_strong_pairs(docs, exact_pairs):
+    cands = {
+        (r["id_a"], r["id_b"]) for r in minhash_candidates(docs).collect()
+    }
+    if not exact_pairs:
+        pytest.skip("no strong near-dup pairs at this SF")
+    hits = sum(1 for p in exact_pairs if p in cands)
+    recall = hits / len(exact_pairs)
+    # 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4 ≈ 0.9 at j=0.7;
+    # demand most strong pairs are recovered.
+    assert recall >= 0.6, f"minhash recall {recall} over {len(exact_pairs)} pairs"
+
+
+def test_minhash_estimate_correlates(docs, exact_pairs):
+    if not exact_pairs:
+        pytest.skip("no strong near-dup pairs at this SF")
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_candidates(docs).collect()
+    }
+    errs = [abs(est[p] - j) for p, j in exact_pairs.items() if p in est]
+    assert errs, "no overlap between candidates and ground truth"
+    assert sum(errs) / len(errs) <= 0.25  # 16 hashes → σ ≈ 0.12
+
+
+def test_simhash_finds_strong_pairs(docs, exact_pairs):
+    if not exact_pairs:
+        pytest.skip("no strong near-dup pairs at this SF")
+    sim = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    very_strong = {p for p, j in exact_pairs.items() if j >= 0.95}
+    if not very_strong:
+        pytest.skip("no very strong pairs")
+    hits = sum(1 for p in very_strong if p in sim)
+    # banded blocking: hamming ≤ bands-1 guaranteed, ≤8 probabilistic;
+    # calibrated: j ≥ 0.95 pairs sit at hamming ≤ 7 on this corpus.
+    assert hits / len(very_strong) >= 0.6, f"{hits}/{len(very_strong)}"
+
+
+def test_lsh_topk_finds_planted_duplicates(spark, sf_dir):
+    """Random embeddings give LSH nothing to find, so plant exact
+    clones of the probes under new ids: a clone shares every sign bit
+    with its probe (same bucket, recall guaranteed) and has cosine
+    1.0 — it MUST come back at rank 1 from both the brute-force and
+    the LSH path."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    clones = probes.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clones)
+
+    for fn in (brute_force_topk, lsh_topk):
+        top = fn(corpus, probes, k=5)
+        rank1 = {r["query_id"]: r for r in top.collect() if r["rank"] == 1}
+        assert set(rank1) == set(range(5)), fn.__name__
+        for q, r in rank1.items():
+            assert r["neighbor_id"] == q + 1_000_000, (fn.__name__, q)
+            assert r["score"] == 1.0
+
+
+def test_lsh_topk_shapes(spark, sf_dir):
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    approx = lsh_topk(emb, probes, k=5).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, s in by_q.items():
+        assert len(s) <= 5
+        assert q not in s  # self excluded

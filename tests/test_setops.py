@@ -1,0 +1,23 @@
+"""Set-op extras: approx-distinct accuracy vs exact."""
+
+from __future__ import annotations
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark import registry
+
+registry.load_all_queries()
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    exact = {
+        r["l_returnflag"]: (r["n_parts"], r["n_suppliers"])
+        for r in registry.QUERIES["distinct_counts"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["n_parts_approx"], r["n_suppliers_approx"])
+        for r in registry.QUERIES["approx_distinct_counts"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (ep, es) in exact.items():
+        ap, asup = approx[k]
+        assert abs(ap - ep) <= max(3, 0.05 * ep)
+        assert abs(asup - es) <= max(3, 0.05 * es)

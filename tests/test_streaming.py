@@ -1,0 +1,122 @@
+"""End-to-end Structured Streaming tests: the file-drop POS ETL
+(exactly-once via checkpoint) and event-time windowed aggregations."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.plans.pos_fixture import raw_pos_df
+from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.pipeline import (
+    run_pos_pipeline,
+    write_landing_csv,
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "landing": str(tmp_path / "landing"),
+        "fact": str(tmp_path / "fact"),
+        "quarantine": str(tmp_path / "quarantine"),
+        "checkpoint": str(tmp_path / "checkpoint"),
+    }
+    os.makedirs(d["landing"], exist_ok=True)
+    return d
+
+
+def _run(spark, dirs):
+    q = run_pos_pipeline(
+        spark,
+        dirs["landing"],
+        dirs["fact"],
+        dirs["quarantine"],
+        dirs["checkpoint"],
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+def test_pos_stream_end_to_end_and_exactly_once(spark, dirs):
+    write_landing_csv(raw_pos_df(spark), dirs["landing"], "batch1")
+    _run(spark, dirs)
+
+    fact = spark.read.parquet(dirs["fact"])
+    quarantine = spark.read.parquet(dirs["quarantine"])
+    assert fact.count() == 16  # kernel fixture: 17 line items, 1 quarantined
+    assert quarantine.count() == 1
+    assert quarantine.collect()[0]["order_id"] == "O9"
+
+    # Re-running with no new files must be a no-op (checkpointed
+    # exactly-once — the reference's archive-move marker, done right).
+    _run(spark, dirs)
+    assert spark.read.parquet(dirs["fact"]).count() == 16
+
+    # A new file arriving is picked up incrementally.
+    write_landing_csv(
+        raw_pos_df(spark).filter(F.col("`Order ID`") == "O1"), dirs["landing"], "batch2"
+    )
+    _run(spark, dirs)
+    assert spark.read.parquet(dirs["fact"]).count() == 18  # +2 line items
+
+
+def test_windowed_and_session_streams(spark, sf_dir, tmp_path):
+    """Run the event-time streaming aggregations over the events table
+    replayed as a file stream; compare against the batch twin."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.events import (
+        session_counts,
+        windowed_counts,
+    )
+
+    events = catalog.table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    q = (
+        windowed_counts(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # watermark closes all windows except possibly the tail ones; the
+    # batch twin is the upper bound and row shapes must agree
+    batch = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got_map = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+    batch_map = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert got_map  # emitted closed windows
+    for k, v in got_map.items():
+        assert batch_map.get(k) == v  # every emitted window matches batch
+
+    sess_out = str(tmp_path / "sess_out")
+    sess_ckpt = str(tmp_path / "sess_ckpt")
+    q2 = (
+        session_counts(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", sess_ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sess_out)
+        .start()
+    )
+    q2.awaitTermination(120)
+    sess = spark.read.parquet(sess_out)
+    assert sess.count() > 0
+    assert sess.filter(F.col("session_end") < F.col("session_start")).count() == 0
