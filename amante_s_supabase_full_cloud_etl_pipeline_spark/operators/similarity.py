@@ -17,6 +17,11 @@ Scale design:
 - IVF analog: k-means coarse centroids would replace the hyperplane
   code path; bucketing/probing plumbing is identical, so the LSH
   variant stands in for both locally.
+
+Grounding: distributed top-k similarity search shapes per EDBT 2020
+(incremental top-k) / ICDE 2021 (REPOSE: distributed top-k with local
+reference points) — see PAPERS.md; random-hyperplane LSH is
+Charikar's SimHash family applied to embeddings.
 """
 
 from __future__ import annotations

@@ -44,13 +44,13 @@ def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set difference)."""
+    """EXCEPT (set difference — ``subtract``, not ``exceptAll``:
+    EXCEPT removes every key present on the right; exceptAll is bag
+    difference and keeps surplus multiplicity)."""
     o = catalog.table(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return urgent.exceptAll(finished).distinct().agg(
-        F.count(F.lit(1)).alias("n_only_urgent")
-    )
+    return urgent.subtract(finished).agg(F.count(F.lit(1)).alias("n_only_urgent"))
 
 
 @register(

@@ -16,6 +16,11 @@ Reference contract being replaced:
 
 At scale the landing dir is object storage; file listing cost is
 bounded by ``maxFilesPerTrigger`` and the checkpoint's seen-file log.
+
+Model: Structured Streaming's incremental-query semantics ("Structured
+Streaming: A Declarative API for Real-Time Applications in Apache
+Spark", SIGMOD 2018 — PAPERS.md) — the same kernel plan runs batch
+and streaming; the engine only swaps the source/sink.
 """
 
 from __future__ import annotations

@@ -11,14 +11,7 @@ from pyspark.sql import functions as F
 from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
 
 
-@pytest.fixture(scope="module")
-def warehouse(spark, tmp_path_factory):
-    wh = str(tmp_path_factory.mktemp("warehouse"))
-    spark.conf.set("spark.sql.warehouse.dir", wh)
-    return wh
-
-
-def test_bucketed_join_has_no_shuffle(spark, sf_dir, warehouse):
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Two tables bucketed on the join key join WITHOUT an Exchange —
     the co-located join layout big fact-fact joins need at scale."""
     li = catalog.table(spark, sf_dir, "lineitem").select(
@@ -42,6 +35,8 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, warehouse):
         assert joined.count() == spark.table("li_b").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
 
 
 def test_partitioned_fact_write_prunes(spark, sf_dir, tmp_path):
