@@ -48,6 +48,57 @@ def sliding_counts(events: DataFrame, watermark: str = "6 hours") -> DataFrame:
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``
+    (SURVEY.md §2.10): per-user running event count + value total,
+    persisted in the state store across micro-batches (checkpoint
+    restores it across restarts — proven in tests/test_streaming.py).
+
+    The kernel is a nested closure so it ships by value to Python
+    workers (no package path needed there)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, batches, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for batch in batches:
+            n += len(batch)
+            total += float(batch["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "6 hours") -> DataFrame:
     """Session windows keyed by user with a 30-min inactivity gap —
     the streaming twin of the batch lag+cumsum sessionization."""

@@ -120,3 +120,60 @@ def test_windowed_and_session_streams(spark, sf_dir, tmp_path):
     sess = spark.read.parquet(sess_out)
     assert sess.count() > 0
     assert sess.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stateful_user_totals_accumulates_across_restarts(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keeps per-user running totals in the
+    state store; a second run over NEW files restores state from the
+    checkpoint and keeps counting — the custom-stateful-operator
+    contract."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.events import (
+        stateful_user_totals,
+    )
+
+    events = catalog.table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        # parquet sink rejects update mode → foreachBatch appender
+        q = (
+            stateful_user_totals(spark.readStream.schema(schema).parquet(src))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    half2.write.mode("append").parquet(src)
+    run_once()
+
+    # the LAST emitted row per user must equal the full batch totals
+    emitted = spark.read.parquet(out)
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in emitted.orderBy("n_events").collect()  # later rows have larger n
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for u, (n, t) in expect.items():
+        fn, ft = final[u]
+        assert fn == n
+        assert abs(ft - t) < 1e-6
