@@ -165,6 +165,88 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (pyspark.ml, seeded)
+    partitions the corpus into ``n_lists`` inverted lists; each query
+    probes its ``n_probe`` nearest centroids and scans only those
+    lists.
+
+    This is the centroid-based sibling of :func:`lsh_topk` — same
+    bucket-join plumbing, data-adaptive buckets. At scale the corpus
+    is *stored* clustered by list id (partition pruning on probe);
+    the training sample is a tiny fraction of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    with_vec = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
+    model = km.fit(with_vec.select("_v"))
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        """ids of the n nearest centroids (exact L2, expression-only)."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n).getField("list_id")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(nearest_lists(F.col(vec_col), 1), 1).alias("list_id"),
+    ).persist()  # the inverted lists — stored clustered at scale
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_lists(F.col(vec_col), n_probe)).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("score"),
+        )
+        .distinct()  # a neighbor can surface via multiple probes
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..registry import register
-from .similarity import brute_force_topk, lsh_topk
+from .similarity import brute_force_topk, ivf_topk, lsh_topk
 from .similarity_sql import sql_cosine, sql_lsh_bucket
 
 _N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -73,3 +73,12 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_topk(emb, probes, k=5)
+
+
+@register("knn_ivf_probed")  # rows-only: k-means centroids are engine-specific
+def knn_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means inverted lists, 2-probe search. Recall vs the
+    brute-force baseline asserted in tests/test_dedup.py."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, probes, k=5)

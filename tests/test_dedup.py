@@ -16,6 +16,7 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -85,7 +86,7 @@ def test_lsh_topk_finds_planted_duplicates(spark, sf_dir):
     )
     corpus = emb.unionByName(clones)
 
-    for fn in (brute_force_topk, lsh_topk):
+    for fn in (brute_force_topk, lsh_topk, ivf_topk):
         top = fn(corpus, probes, k=5)
         rank1 = {r["query_id"]: r for r in top.collect() if r["rank"] == 1}
         assert set(rank1) == set(range(5)), fn.__name__
