@@ -121,3 +121,92 @@ def sql_interface_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle (dialect-shared subset). TPC-H Q1-shaped pricing summary."""
     catalog.register_views(spark, sf_dir)
     return spark.sql(_ANSI_Q1)
+
+
+# ---------------------------------------------------------------------------
+# PIVOT (fixed value list → deterministic schema in both engines).
+# ---------------------------------------------------------------------------
+
+_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle=f"""
+    SELECT o_orderpriority AS order_priority,
+           {', '.join(
+               "COUNT(CASE WHEN o_orderstatus = '" + s + "' THEN 1 END) AS status_" + s
+               for s in _STATUSES
+           )}
+    FROM orders GROUP BY o_orderpriority ORDER BY order_priority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (never the implicit-distinct
+    form, which at scale needs an extra pass AND yields
+    data-dependent schemas)."""
+    o = catalog.table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .pivot("o_orderstatus", list(_STATUSES))
+        .count()
+    )
+    # pivot leaves null where a (priority, status) pair is absent and
+    # names columns by raw value — align to the oracle's COUNT(CASE)
+    # (0-filled, prefixed) shape.
+    return pivoted.select(
+        "order_priority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}") for s in _STATUSES],
+    ).orderBy("order_priority")
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, order-independent via exact decimal moments.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_order_amounts",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
+           sqrt(
+             (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+              - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             ) / (COUNT(*) - 1)
+           ) AS stddev_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def stats_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean + sample stddev computed from EXACT decimal moments
+    (Σx, Σx² in decimal, combined in one final double expression) —
+    the built-in ``stddev`` accumulates in double and is
+    aggregation-order-dependent, so it can't hash-match a serial
+    oracle; the moment form is order-independent AND one pass.
+
+    The Σx² decimal exceeds 2^53 scaled units at sf≥0.1, where
+    DuckDB's decimal→double cast is not correctly rounded (Spark's
+    is) — so that one cast goes through a VARCHAR round-trip: both
+    engines then parse the identical exact digit string with
+    correctly-rounded strtod. Rule of thumb: string-roundtrip any
+    decimal→double cast whose scaled integer can pass 9e15."""
+    from ._common import dec
+
+    o = catalog.table(spark, sf_dir, "orders")
+    price = dec(F.col("o_totalprice"))
+    n = F.count(F.lit(1))
+    s1 = F.sum(price).cast("double")
+    s2 = F.sum(price * price).cast("string").cast("double")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            n.alias("n"),
+            (s1 / n).alias("mean_price"),
+            F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("stddev_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
