@@ -107,6 +107,42 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_windows",
+    oracle="""
+    WITH expanded AS (
+        -- candidate 10-min-aligned starts around each event's hour;
+        -- the WHERE keeps exactly the 6 windows containing the event
+        SELECT e.event_type,
+               date_trunc('hour', e.ts) - INTERVAL 50 MINUTE
+                 + to_minutes(CAST(s.i * 10 AS BIGINT)) AS window_start
+        FROM events e,
+             unnest(range(0, 11)) AS s(i)
+        WHERE date_trunc('hour', e.ts) - INTERVAL 50 MINUTE
+                + to_minutes(CAST(s.i * 10 AS BIGINT)) <= e.ts
+          AND e.ts < date_trunc('hour', e.ts) - INTERVAL 50 MINUTE
+                + to_minutes(CAST(s.i * 10 AS BIGINT)) + INTERVAL 60 MINUTE
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 10-min slide) in batch form via
+    ``F.window`` — each event lands in 6 overlapping windows. The
+    oracle reconstructs the same window set relationally (explode of
+    6 aligned offsets per event). Streaming twin:
+    streaming/events.py sliding_counts."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
     "events_late_data_filter",
     oracle="""
     WITH maxts AS (SELECT MAX(ts) AS m FROM events)

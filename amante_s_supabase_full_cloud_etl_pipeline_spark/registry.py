@@ -55,5 +55,6 @@ def load_all_queries() -> None:
     from .plans import elt_queries  # noqa: F401
     from .plans import events_queries  # noqa: F401
     from .plans import parity_ops  # noqa: F401
+    from .plans import pos_dashboard  # noqa: F401
     from .plans import pos_kernel_query  # noqa: F401
     from .plans import setops_queries  # noqa: F401
