@@ -505,6 +505,33 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_sales",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY order_status, order_priority
+    """,
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass (rollup's
+    sibling — SURVEY.md §2.7 grouping-sets row)."""
+    o = catalog.table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("order_status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+        )
+        .orderBy("order_status", "order_priority")
+    )
+
+
+@register(
     "window_customer_order_seq",
     oracle="""
     SELECT o_custkey, o_orderkey, seq, prev_price
