@@ -40,6 +40,37 @@ HEADLINE = (
 )
 
 
+def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> float:
+    """Seconds to run the full POS transform kernel over a synthetic
+    n-order input built by cycling the fixture's product grammar —
+    the ETL flagship path at volume (explode + regex + dim joins)."""
+    from pyspark.sql import functions as F
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans import pos_fixture
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans.pos_kernel import (
+        transform_pos,
+    )
+
+    products = [r[2] for r in pos_fixture.POS_ROWS if r[2]]
+    prod_arr = F.array(*[F.lit(p) for p in products])
+    raw = spark.range(n_orders).select(
+        F.concat(F.lit("ORD"), F.col("id")).alias("Order ID"),
+        F.when(F.col("id") % 2 == 0, "Dine-in").otherwise("Takeaway").alias("Type/Channel"),
+        F.element_at(prod_arr, (F.col("id") % len(products) + 1).cast("int")).alias("Products"),
+        F.lit("1,234.00").alias("Product amount"),
+        F.lit("1,234.00").alias("Received amount"),
+        F.when(F.col("id") % 3 == 0, "-").otherwise("1234.00").alias("Cash"),
+        F.lit("-").alias("Gcash"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400)
+        .cast("string")
+        .alias("Payment time"),
+    )
+    fact = transform_pos(raw, spark)
+    t0 = time.perf_counter()
+    fact.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
 def run() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("amante-bench")
@@ -56,6 +87,7 @@ def run() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(force(name), 4)
+    timings["pos_kernel_1m_orders"] = round(pos_kernel_throughput(spark), 4)
 
     total = round(sum(timings.values()), 4)
     print(
