@@ -77,10 +77,15 @@ def shingle_set(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataFram
 
 
 def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) inverted index — distinct per doc (set
-    semantics for Jaccard)."""
-    return shingle_set(docs, k, text_col, id_col).select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
+    """(id, set_size, shingle) inverted index — distinct per doc (set
+    semantics for Jaccard). The set size rides along from the array
+    length BEFORE the explode: one narrow expression instead of a
+    count-window over the exploded table (saves a full sort+shuffle)."""
+    ss = shingle_set(docs, k, text_col, id_col)
+    return ss.select(
+        F.col(id_col),
+        F.size("shingles").alias("set_size"),
+        F.explode("shingles").alias("shingle"),
     )
 
 
@@ -101,15 +106,13 @@ def jaccard_pairs(
     would otherwise dominate the join — standard skew guard)."""
     from pyspark.sql import Window
 
+    # Set sizes ride along from the pre-explode array length (no doc
+    # window); the document-frequency skew guard is a window over the
+    # shingle — one shuffle on shingle, whose partitioning the
+    # self-join below reuses.
     sh = shingle_table(docs, k, text_col, id_col)
-    # Set sizes come along inside the posting rows (window over the
-    # doc) so no separate sizes join is needed; the document-frequency
-    # skew guard is a window over the shingle — one shuffle on
-    # shingle, and the self-join below reuses that partitioning
-    # instead of a groupBy+join-back (which would rescan the corpus).
     posting = (
-        sh.withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("_df") <= max_bucket)
         .select(id_col, "shingle", "set_size")
         # Both self-join sides read this; persist so the tokenize→
