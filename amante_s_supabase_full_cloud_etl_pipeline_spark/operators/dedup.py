@@ -84,7 +84,8 @@ def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: s
     ss = shingle_set(docs, k, text_col, id_col)
     return ss.select(
         F.col(id_col),
-        F.size("shingles").alias("set_size"),
+        # long, matching the relational COUNT(*) the oracle computes
+        F.size("shingles").cast("long").alias("set_size"),
         F.explode("shingles").alias("shingle"),
     )
 

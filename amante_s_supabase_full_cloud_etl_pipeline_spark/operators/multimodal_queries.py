@@ -23,7 +23,7 @@ from .multimodal import attach_media_meta, documents_as_media, extract_features
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
            COUNT(*) AS n_blobs,
-           SUM(strlen(text)) AS total_bytes,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT md5(text)) AS distinct_contents
     FROM documents
     GROUP BY 1 ORDER BY media_type

@@ -23,9 +23,9 @@ _N_QUERIES = 5  # vec_id < 5 are the probe vectors
         WHERE q.vec_id < {_N_QUERIES}
     )
     SELECT query_id, neighbor_id, score, rank FROM (
-        SELECT *, ROW_NUMBER() OVER (
+        SELECT *, CAST(ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY score DESC, neighbor_id
-        ) AS rank
+        ) AS INTEGER) AS rank
         FROM scored
     )
     WHERE rank <= 5
@@ -55,9 +55,9 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE q.vec_id < {_N_QUERIES}
     )
     SELECT query_id, neighbor_id, score, rank FROM (
-        SELECT *, ROW_NUMBER() OVER (
+        SELECT *, CAST(ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY score DESC, neighbor_id
-        ) AS rank
+        ) AS INTEGER) AS rank
         FROM scored
     )
     WHERE rank <= 5

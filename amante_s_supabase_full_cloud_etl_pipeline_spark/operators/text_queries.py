@@ -39,9 +39,9 @@ def _hits(words: tuple[str, ...]) -> str:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM({_NTOK}) AS total_tokens,
-           SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS total_bpe_tokens,
-           SUM(n_chars) AS total_chars
+           CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )

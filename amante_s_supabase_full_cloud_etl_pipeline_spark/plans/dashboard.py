@@ -220,7 +220,7 @@ def a8_payment_method_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a9_performance_by_hour",
     oracle="""
-    SELECT hour(ts) AS hour_of_day,
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY hour(ts) ORDER BY hour_of_day
@@ -353,8 +353,8 @@ def a12_channel_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a13_sliced_monthly_sales",
     oracle="""
-    SELECT month(o_orderdate) AS month_number,
-           dayofweek(o_orderdate) + 1 AS day_of_week,
+    SELECT CAST(month(o_orderdate) AS INTEGER) AS month_number,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS day_of_week,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
     FROM orders
@@ -394,10 +394,10 @@ def a13_sliced_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
         SELECT p.p_type AS category, p.p_name AS part_name,
                CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) AS part_sales,
-               ROW_NUMBER() OVER (
+               CAST(ROW_NUMBER() OVER (
                    PARTITION BY p.p_type
                    ORDER BY CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) DESC, p.p_name
-               ) AS rank_in_type
+               ) AS INTEGER) AS rank_in_type
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_type, p.p_name
     )

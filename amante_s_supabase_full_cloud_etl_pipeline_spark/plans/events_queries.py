@@ -62,10 +62,10 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, event_id, ts,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING
-               ) AS session_seq
+               ) AS BIGINT) AS session_seq
         FROM marked
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,

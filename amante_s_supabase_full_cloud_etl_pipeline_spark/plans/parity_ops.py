@@ -405,11 +405,11 @@ def semi_join_recent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "date_bucket_set",
     oracle="""
-    SELECT hour(ts) AS hour_of_day,
-           dayofweek(ts) + 1 AS day_of_week,
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
            strftime(ts, '%A') AS day_name,
-           weekofyear(ts) AS week_of_year,
-           month(ts) AS month_number,
+           CAST(weekofyear(ts) AS INTEGER) AS week_of_year,
+           CAST(month(ts) AS INTEGER) AS month_number,
            strftime(ts, '%B') AS month_name,
            COUNT(*) AS n_events
     FROM events
@@ -537,7 +537,7 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, seq, prev_price
     FROM (
         SELECT o_custkey, o_orderkey,
-               ROW_NUMBER() OVER w AS seq,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq,
                LAG(o_totalprice) OVER w AS prev_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

@@ -103,7 +103,7 @@ def pos_json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pos_sales_by_hour",
     oracle=_kernel_cte()
     + """
-    SELECT hour(payment_time) AS hour_of_day, COUNT(*) AS n_items,
+    SELECT CAST(hour(payment_time) AS INTEGER) AS hour_of_day, COUNT(*) AS n_items,
            CAST(SUM(CAST(total_order_amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
     FROM fact GROUP BY 1 ORDER BY hour_of_day
     """,
