@@ -143,6 +143,49 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_join",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+        SELECT user_id, ts, MAX(value) AS pvalue
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.user_id, e.ts, e.event_id, e.value,
+           p.ts AS asof_ts, p.pvalue AS asof_pvalue
+    FROM err e ASOF LEFT JOIN pur p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    ORDER BY e.user_id, e.event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each error event picks up the
+    user's most recent prior purchase. Spark side is the union+window
+    single-shuffle formulation; the oracle is DuckDB's native ASOF
+    LEFT JOIN. Right side pre-deduped per (user, ts) so the tie rule
+    is engine-independent."""
+    from ..operators.asof import asof_join
+
+    ev = catalog.table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    return asof_join(
+        err, pur, key=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["ts", "pvalue"],
+    ).select(
+        "user_id", "ts", "event_id", "value",
+        F.col("asof_ts"), F.col("asof_pvalue"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
     "events_late_data_filter",
     oracle="""
     WITH maxts AS (SELECT MAX(ts) AS m FROM events)

@@ -76,6 +76,31 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "percentile_prices",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median/p90): both engines use the
+    same linear-interpolation definition over the sorted values —
+    deterministic. (approx_percentile is the at-scale variant; its
+    sketch is engine-specific → see approx_distinct_counts pattern.)"""
+    o = catalog.table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @register("approx_distinct_counts")  # rows-only: HLL sketches are engine-specific
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the at-scale variant of
