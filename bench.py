@@ -66,6 +66,7 @@ def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> float:
         .alias("Payment time"),
     )
     fact = transform_pos(raw, spark)
+    fact.limit(1000).write.mode("overwrite").format("noop").save()  # codegen warm-up
     t0 = time.perf_counter()
     fact.write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
