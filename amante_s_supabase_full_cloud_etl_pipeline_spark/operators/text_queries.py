@@ -148,6 +148,47 @@ def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+    bigrams AS (
+        SELECT w[i] || ' ' || w[i+1] AS bigram
+        FROM toks, unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    counted AS (SELECT bigram, COUNT(*) AS freq FROM bigrams GROUP BY bigram)
+    SELECT bigram, freq FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, bigram) AS INTEGER) AS rk
+        FROM counted
+    ) WHERE rk <= 20
+    ORDER BY freq DESC, bigram
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency profile: top-20 word bigrams.
+    Aggregate-then-rank — the global window only ever sees one row
+    per distinct bigram, never corpus volume."""
+    from pyspark.sql import Window
+
+    from .text import shingles_from_tokens, tokens
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(tokens(F.col("text")).alias("_toks"))
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("bigram"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("bigram", "freq")
+        .orderBy(F.desc("freq"), "bigram")
+    )
+
+
+@register(
     "text_filter_quality_band",
     oracle=f"""
     SELECT lang, COUNT(*) AS n_kept

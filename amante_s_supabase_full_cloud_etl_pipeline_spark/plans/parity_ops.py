@@ -505,6 +505,40 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands(band_name, lo, hi) AS (
+        VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9)
+    )
+    SELECT b.band_name, e.event_type, COUNT(*) AS n_events
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1, 2 ORDER BY band_name, event_type
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a banded dimension (SURVEY.md
+    §2.6 'absent from reference; free in Spark'): with the band table
+    broadcast this plans as BroadcastNestedLoopJoin — each fact row
+    tests a handful of in-memory ranges, no shuffle. (For large band
+    tables, pre-bucketize the fact value to turn it into an
+    equi-join.)"""
+    ev = catalog.table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band_name", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("band_name", "event_type")
+    )
+
+
+@register(
     "cube_sales",
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
