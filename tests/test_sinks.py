@@ -1,12 +1,22 @@
-"""Sink tests: parquet MERGE write idempotency and the ON CONFLICT
-SQL builder (the JDBC execution path is gated — no database here)."""
+"""Sink tests: atomic parquet MERGE write, and the JDBC upsert
+execution contract against a fake DBAPI connection (statements,
+batching, commit/rollback, idempotency on replay)."""
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
+import pytest
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.sources import sinks
 from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.sinks import (
+    jdbc_upsert_writer,
     parquet_merge_write,
     prepare_for_load,
     upsert_conflict_sql,
+    upsert_partition,
 )
 
 
@@ -34,6 +44,39 @@ def test_parquet_merge_write_idempotent(spark, tmp_path):
     assert rows[2]["v"] == "B" and rows[2]["amt"] == 99.0
 
 
+def test_parquet_merge_write_crash_keeps_old_target(spark, tmp_path, monkeypatch):
+    """A failure before/during the swap must leave the existing table
+    readable and complete — the write goes to a temp dir, never the
+    live target."""
+    target = str(tmp_path / "fact")
+    batch1 = spark.createDataFrame([(1, "a", "d1")], "k int, v string, d string")
+    parquet_merge_write(target, batch1, ["k"], ["d"])
+
+    def boom(tmp, tgt):
+        raise RuntimeError("crash before swap")
+
+    monkeypatch.setattr(sinks, "_swap_dirs", boom)
+    batch2 = spark.createDataFrame([(2, "b", "d2")], "k int, v string, d string")
+    with pytest.raises(RuntimeError):
+        parquet_merge_write(target, batch2, ["k"], ["d"])
+
+    # old target intact, temp dir cleaned up
+    rows = spark.read.parquet(target).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "a")]
+    assert [p for p in os.listdir(tmp_path) if ".tmp-" in p] == []
+
+    monkeypatch.undo()
+    parquet_merge_write(target, batch2, ["k"], ["d"])
+    assert spark.read.parquet(target).count() == 2
+
+
+def test_parquet_merge_write_first_write_requires_no_target(spark, tmp_path):
+    target = str(tmp_path / "fresh")
+    batch = spark.createDataFrame([(1, "a", "d1")], "k int, v string, d string")
+    parquet_merge_write(target, batch, ["k"], ["d"])
+    assert spark.read.parquet(target).count() == 1
+
+
 def test_prepare_for_load_sanitizes_and_scrubs(spark):
     df = spark.createDataFrame(
         [(1.0, float("inf"))], "`Total Order Amount` double, `Received amount` double"
@@ -49,6 +92,177 @@ def test_upsert_conflict_sql_shape():
         "fact_sales", ["order_id", "items", "quantity"], ["order_id", "items"]
     )
     assert "INSERT INTO fact_sales (order_id, items, quantity)" in sql
+    assert "VALUES (%s, %s, %s)" in sql
     assert "ON CONFLICT (order_id, items)" in sql
     assert "DO UPDATE SET quantity = EXCLUDED.quantity" in sql
     assert "order_id = EXCLUDED" not in sql  # keys not restated
+
+
+# --------------------------------------------------------------------------
+# upsert_partition contract (pure DBAPI, no Spark)
+# --------------------------------------------------------------------------
+
+
+class _Cursor:
+    def __init__(self, conn):
+        self.conn = conn
+
+    def executemany(self, sql, seq):
+        if self.conn.fail_after is not None and self.conn.calls >= self.conn.fail_after:
+            raise RuntimeError("db error")
+        self.conn.calls += 1
+        self.conn.executed.append((sql, list(seq)))
+
+
+class _Conn:
+    def __init__(self, fail_after=None):
+        self.executed = []
+        self.calls = 0
+        self.committed = False
+        self.rolled_back = False
+        self.closed = False
+        self.fail_after = fail_after
+
+    def cursor(self):
+        return _Cursor(self)
+
+    def commit(self):
+        self.committed = True
+
+    def rollback(self):
+        self.rolled_back = True
+
+    def close(self):
+        self.closed = True
+
+
+def test_upsert_partition_batches_commits_closes():
+    conn = _Conn()
+    rows = [{"k": i, "v": f"v{i}"} for i in range(7)]
+    sql = upsert_conflict_sql("t", ["k", "v"], ["k"])
+    written = upsert_partition(rows, sql, ["k", "v"], lambda: conn, batch_size=3)
+    assert written == 7
+    assert [len(params) for _, params in conn.executed] == [3, 3, 1]
+    assert conn.executed[0][0] == sql
+    assert conn.executed[0][1][0] == (0, "v0")
+    assert conn.committed and conn.closed and not conn.rolled_back
+
+
+def test_upsert_partition_empty_opens_no_connection():
+    opened = []
+    assert upsert_partition([], "sql", ["k"], lambda: opened.append(1)) == 0
+    assert opened == []
+
+
+def test_upsert_partition_rolls_back_and_reraises():
+    conn = _Conn(fail_after=1)
+    rows = [{"k": i} for i in range(5)]
+    with pytest.raises(RuntimeError, match="db error"):
+        upsert_partition(rows, "sql", ["k"], lambda: conn, batch_size=2)
+    assert conn.rolled_back and conn.closed and not conn.committed
+
+
+# --------------------------------------------------------------------------
+# jdbc_upsert_writer end-to-end over foreachPartition (fake DBAPI that
+# records committed batches to files so executor-side work is visible)
+# --------------------------------------------------------------------------
+
+
+def _run_handler(spark, record_dir, df):
+    # Nested classes → cloudpickle ships them by value to executors.
+    class FakeCursor:
+        def __init__(self, conn):
+            self.conn = conn
+
+        def executemany(self, sql, seq):
+            self.conn.pending.append({"sql": sql, "params": [list(p) for p in seq]})
+
+    class FakeConn:
+        def __init__(self, d):
+            self.d = d
+            self.pending = []
+
+        def cursor(self):
+            return FakeCursor(self)
+
+        def commit(self):
+            path = os.path.join(self.d, f"{uuid.uuid4().hex}.json")
+            with open(path, "w") as f:
+                json.dump(self.pending, f)
+
+        def rollback(self):
+            self.pending = []
+
+        def close(self):
+            pass
+
+    class Factory:
+        def __init__(self, d):
+            self.d = d
+
+        def __call__(self):
+            return FakeConn(self.d)
+
+    handler = jdbc_upsert_writer(
+        "jdbc:postgresql://db:5432/app",
+        "fact_sales",
+        ["k"],
+        connection_factory=Factory(str(record_dir)),
+        batch_size=2,
+    )
+    handler(df, 0)
+
+
+def _recorded(record_dir):
+    out = []
+    for name in os.listdir(record_dir):
+        with open(os.path.join(record_dir, name)) as f:
+            out.extend(json.load(f))
+    return out
+
+
+def _apply_on_conflict(state, batches):
+    """Replay recorded INSERT..ON CONFLICT batches into a dict keyed
+    by the first column — the DB-side semantics the sink relies on."""
+    for batch in batches:
+        for params in batch["params"]:
+            state[params[0]] = params
+    return state
+
+
+def test_jdbc_upsert_writer_executes_and_is_idempotent(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(10)], "k int, v string, amt double"
+    ).repartition(4)
+
+    run1 = tmp_path / "run1"
+    run1.mkdir()
+    _run_handler(spark, run1, df)
+    batches = _recorded(run1)
+    assert batches, "no statements were executed — the sink is a no-op"
+    sql = batches[0]["sql"]
+    assert "INSERT INTO fact_sales (k, v, amt)" in sql
+    assert "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v, amt = EXCLUDED.amt" in sql
+    all_rows = sorted(p for b in batches for p in b["params"])
+    assert all_rows == [[i, f"v{i}", float(i)] for i in range(10)]
+    assert all(len(b["params"]) <= 2 for b in batches)  # batch_size respected
+
+    # replaying the batch reaches the same table state (idempotent upsert)
+    state1 = _apply_on_conflict({}, batches)
+    run2 = tmp_path / "run2"
+    run2.mkdir()
+    _run_handler(spark, run2, df)
+    state2 = _apply_on_conflict(dict(state1), _recorded(run2))
+    assert state2 == state1
+
+
+def test_jdbc_upsert_writer_gates_loudly_without_driver():
+    with pytest.raises(NotImplementedError, match="psycopg2"):
+        sinks.Psycopg2Factory("jdbc:postgresql://db:5432/app")
+
+
+def test_psycopg2_dsn_construction():
+    dsn = sinks.Psycopg2Factory._jdbc_to_dsn(
+        "jdbc:postgresql://db:5432/app", {"user": "u", "password": "p"}
+    )
+    assert dsn == "postgresql://u:p@db:5432/app"
