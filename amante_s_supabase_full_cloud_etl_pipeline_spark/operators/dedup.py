@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
 from .text import fingerprint
 
 # ---------------------------------------------------------------------------
@@ -119,9 +120,9 @@ def jaccard_pairs(
         # Both self-join sides read this; persist so the tokenize→
         # shingle→window pipeline runs once, not once per side. (At
         # 100 TB the signature/posting table is written to storage —
-        # same idea, durable.)
-        .persist()
+        # same idea, durable.) Tracked: released on next registry query.
     )
+    posting = tracked_persist(posting)
 
     a = posting.toDF("id_a", "shingle", "size_a")
     b = posting.toDF("id_b", "shingle", "size_b")
@@ -202,12 +203,10 @@ def minhash_candidates(
     # substituted in (evaluated twice per row); above the cache it is
     # a cheap attribute check. The cache is reused by both band-join
     # sides (at 100 TB the signature table is written durable instead).
-    sigs = (
+    sigs = tracked_persist(
         shingle_set(docs, 3, text_col, id_col)
         .select(F.col(id_col), minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
-        .persist()
-        .filter(F.col("sig").isNotNull())
-    )
+    ).filter(F.col("sig").isNotNull())
 
     banded = sigs.select(
         id_col, "sig", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb")
@@ -289,16 +288,15 @@ def simhash_near_pairs(
     1.0; larger distances are caught probabilistically. (Calibration
     on the test corpus: jaccard ≥ 0.95 pairs sit at hamming ≤ 7.)"""
     band_bits = 64 // bands
-    sigs = (
+    sigs = tracked_persist(
         shingle_set(docs, 3, text_col, id_col)
         .select(
             F.col(id_col),
             F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("_hashes"),
         )
         .select(F.col(id_col), simhash_from_hashes(F.col("_hashes")).alias("sig"))
-        .persist()  # cache below the filter: see minhash_candidates note
-        .filter(F.col("sig").isNotNull())
-    )
+        # cache below the filter: see minhash_candidates note
+    ).filter(F.col("sig").isNotNull())
     band_structs = F.array(
         *[
             F.struct(

@@ -31,6 +31,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double — sequential fold, deterministic."""
@@ -175,6 +177,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_to: int = 6,
     seed: int = 42,
+    train_fraction: float = 0.25,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (pyspark.ml, seeded)
     partitions the corpus into ``n_lists`` inverted lists; each query
@@ -183,8 +186,14 @@ def ivf_topk(
 
     This is the centroid-based sibling of :func:`lsh_topk` — same
     bucket-join plumbing, data-adaptive buckets. At scale the corpus
-    is *stored* clustered by list id (partition pruning on probe);
-    the training sample is a tiny fraction of the corpus.
+    is *stored* clustered by list id (partition pruning on probe).
+
+    The quantizer trains on a ``train_fraction`` sample selected by a
+    deterministic hash of the id — partitioning-independent (same
+    sample on any cluster layout, unlike ``df.sample``) and computed
+    in the same scan, no extra pass. At 100 TB set ``train_fraction``
+    so the sample lands in the 10⁵–10⁶ range: k-means iterations must
+    never scan the corpus.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -193,8 +202,12 @@ def ivf_topk(
     with_vec = corpus.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
     )
+    train = with_vec.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+        < F.lit(int(train_fraction * 10_000))
+    )
     km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
-    model = km.fit(with_vec.select("_v"))
+    model = km.fit(train.select("_v"))
 
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
@@ -223,7 +236,8 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.element_at(nearest_lists(F.col(vec_col), 1), 1).alias("list_id"),
-    ).persist()  # the inverted lists — stored clustered at scale
+    )
+    c = tracked_persist(c)  # the inverted lists — stored clustered at scale
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -263,7 +277,8 @@ def embedding_near_dup_pairs(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    ).persist()  # both self-join sides reuse the bucketed projection
+    )
+    t = tracked_persist(t)  # both self-join sides reuse the bucketed projection
     a = t.toDF("id_a", "vec_a", "bucket")
     b = t.toDF("id_b", "vec_b", "bucket")
     return (

@@ -166,10 +166,11 @@ def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram frequency profile: top-20 word bigrams.
-    Aggregate-then-rank — the global window only ever sees one row
-    per distinct bigram, never corpus volume."""
-    from pyspark.sql import Window
-
+    Aggregate then ``orderBy(...).limit(k)`` → TakeOrderedAndProject:
+    each partition keeps its local top-20 and only those heaps reach
+    the driver — no single-partition global window, so the plan holds
+    even when distinct bigrams number in the billions (100 TB corpus).
+    """
     from .text import shingles_from_tokens, tokens
 
     docs = catalog.table(spark, sf_dir, "documents")
@@ -179,12 +180,10 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("bigram"))
     return (
-        counted.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        counted.orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
         .select("bigram", "freq")
-        .orderBy(F.desc("freq"), "bigram")
     )
 
 

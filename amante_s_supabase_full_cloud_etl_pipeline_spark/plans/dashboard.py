@@ -55,10 +55,12 @@ ORDER BY region_name
 @register("star_net_sales_by_region", oracle=FLAGSHIP_ORACLE)
 def star_net_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ELT star-schema resolution (SURVEY.md J2, ref README.md:91
-    ``update_final_fact_sales``) + Net Sales KPI (A4): the fact table
-    resolves its dimensions via chained *broadcast* left joins — the
-    Spark-native form of the reference's in-database dim lookup. The
-    only shuffle is the final groupBy on region name (5 groups)."""
+    ``update_final_fact_sales``) + Net Sales KPI (A4): true dims
+    (nation/region) are explicit broadcasts; orders and customer are
+    FACT-scale, so their joins are left to AQE — it broadcasts them at
+    toy SFs and picks shuffle/sort-merge once they outgrow the
+    threshold (bucket both by key at rest to make that shuffle-free).
+    Force-broadcasting a fact would OOM the driver at 100 TB."""
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -67,8 +69,8 @@ def star_net_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         lineitem.select("l_orderkey", revenue_dec().alias("rev"))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"))
@@ -256,23 +258,26 @@ def a9_performance_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a10_preference_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 (Size/Sweetness/... donut shares): aggregate FIRST (one
-    fact scan), then take the share with a global window over the
-    already-aggregated handful of rows — the window funnels ≤ #groups
-    rows, never fact volume, and the fact table is scanned once
-    (deriving the denominator from the raw table would scan twice)."""
-    from pyspark.sql import Window
-
+    """A10 (Size/Sweetness/... donut shares): aggregate FIRST, then
+    join the single-row total back with a broadcast cross join. Both
+    branches hang off the same aggregation exchange, so Catalyst's
+    ReuseExchange runs the fact scan + partial agg once — one scan,
+    and no empty-partitionBy window (which would funnel rows to a
+    single partition and is ambiguous at unknown cardinality)."""
     li = _t(spark, sf_dir, "lineitem")
     grouped = li.groupBy(F.col("l_returnflag").alias("preference")).agg(
         F.count(F.lit(1)).alias("n_items")
     )
-    total = F.sum("n_items").over(Window.partitionBy())
-    return grouped.select(
-        "preference",
-        "n_items",
-        (F.col("n_items").cast("double") * 100.0 / total).alias("share_pct"),
-    ).orderBy("preference")
+    total = grouped.agg(F.sum("n_items").cast("double").alias("_total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .select(
+            "preference",
+            "n_items",
+            (F.col("n_items").cast("double") * 100.0 / F.col("_total")).alias("share_pct"),
+        )
+        .orderBy("preference")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -298,12 +303,10 @@ def a10_preference_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a11_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 ('Category & Sub-Category performance'): broadcast dim join
-    (part ↔ dim_product, SURVEY.md M1/J1), aggregate once, then share
-    via a global window over the per-category rows (≤ #categories —
-    a second fact scan for the denominator would double the IO at
-    100 TB)."""
-    from pyspark.sql import Window
-
+    (part ↔ dim_product, SURVEY.md M1/J1), aggregate once, then join
+    the broadcast single-row total back — ReuseExchange shares the
+    aggregation exchange between the rows and the denominator, so the
+    fact is scanned once and no single-partition window appears."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", revenue_dec().alias("rev"))
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     per_type = (
@@ -311,12 +314,16 @@ def a11_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_type").alias("category"))
         .agg(F.sum("rev").alias("rev"))
     )
-    total = F.sum("rev").over(Window.partitionBy()).cast("double")
-    return per_type.select(
-        "category",
-        F.col("rev").cast("double").alias("category_sales"),
-        (F.col("rev").cast("double") * 100.0 / total).alias("share_pct"),
-    ).orderBy("category")
+    total = per_type.agg(F.sum("rev").cast("double").alias("_total"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "category",
+            F.col("rev").cast("double").alias("category_sales"),
+            (F.col("rev").cast("double") * 100.0 / F.col("_total")).alias("share_pct"),
+        )
+        .orderBy("category")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ serial sum produce bit-identical results at any scale/partitioning.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Optional
 
@@ -30,12 +31,26 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a named query and (optionally) its oracle SQL."""
+    """Decorator: register a named query and (optionally) its oracle SQL.
+
+    The registered callable releases the PREVIOUS query's tracked
+    caches on entry (see operators.cache): by the time the driver asks
+    for the next query, the prior one's action has completed, so a
+    session running the whole suite never accumulates cached blocks.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .operators.cache import release_tracked
+
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
