@@ -12,7 +12,15 @@ Reference contract being replaced:
   (README.md:125) → ``Trigger.AvailableNow``.
 - S5/S6 dual upsert sinks → ``foreachBatch`` running the kernel once
   per micro-batch, splitting clean/quarantine from one cached
-  evaluation, and MERGE-writing both targets idempotently.
+  evaluation, and writing both targets idempotently per batch.
+
+Delivery semantics: ``foreachBatch`` is AT-LEAST-ONCE (a crash after
+a sink write but before the checkpoint commit replays the batch), so
+each sink write is made idempotent by partitioning on ``_batch_id``
+with dynamic partition overwrite — a replayed batch overwrites its own
+partition instead of appending duplicates. At-least-once replay +
+idempotent per-batch write = exactly-once observable state, the same
+construction a transactional table format gives you at scale.
 
 At scale the landing dir is object storage; file listing cost is
 bounded by ``maxFilesPerTrigger`` and the checkpoint's seen-file log.
@@ -60,20 +68,26 @@ def read_pos_stream(
     return reader.csv(landing_dir)
 
 
-def run_pos_pipeline(
-    spark: SparkSession,
-    landing_dir: str,
-    fact_dir: str,
-    quarantine_dir: str,
-    checkpoint_dir: str,
-    available_now: bool = True,
-    archive_dir: Optional[str] = None,
-):
-    """End-to-end streaming ETL: landing files → kernel → validation
-    split → two parquet sinks, exactly-once via checkpoint.
+def _write_idempotent(df: DataFrame, target: str, batch_id: int) -> None:
+    """Idempotent per-batch parquet write: the batch lands in its own
+    ``_batch_id`` partition via dynamic partition overwrite, so an
+    at-least-once replay of the same micro-batch replaces its partition
+    rather than appending duplicates. Other batches' partitions are
+    untouched (dynamic mode only overwrites partitions present in the
+    written data)."""
+    (
+        df.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(target)
+    )
 
-    Returns the StreamingQuery (caller awaits termination)."""
-    raw = read_pos_stream(spark, landing_dir, archive_dir=archive_dir)
+
+def pos_batch_handler(fact_dir: str, quarantine_dir: str) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` body: kernel → validation split → two
+    idempotent per-batch sink writes from one cached evaluation.
+    Exposed for direct replay/crash testing."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # A3 emptiness gate (ref main.py:456,460)
@@ -85,13 +99,33 @@ def run_pos_pipeline(
         ).cache()
         try:
             clean, quarantine = validation_split(fact)
-            clean.write.mode("append").parquet(fact_dir)
-            quarantine.write.mode("append").parquet(quarantine_dir)
+            _write_idempotent(clean, fact_dir, batch_id)
+            _write_idempotent(quarantine, quarantine_dir, batch_id)
         finally:
             fact.unpersist()
 
+    return handle
+
+
+def run_pos_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    fact_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    archive_dir: Optional[str] = None,
+):
+    """End-to-end streaming ETL: landing files → kernel → validation
+    split → two parquet sinks; checkpointed source progress plus
+    idempotent per-batch sink writes give exactly-once observable
+    state (see module notes on delivery semantics).
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    raw = read_pos_stream(spark, landing_dir, archive_dir=archive_dir)
+
     writer = (
-        raw.writeStream.foreachBatch(handle)
+        raw.writeStream.foreachBatch(pos_batch_handler(fact_dir, quarantine_dir))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -62,6 +62,46 @@ def test_pos_stream_end_to_end_and_exactly_once(spark, dirs):
     assert spark.read.parquet(dirs["fact"]).count() == 18  # +2 line items
 
 
+def test_batch_handler_replay_and_midbatch_crash(spark, dirs, monkeypatch):
+    """foreachBatch is at-least-once: a crash between the clean and
+    quarantine writes replays the whole batch. The per-batch dynamic
+    partition overwrite must make that replay idempotent — no
+    duplicated fact rows."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming import pipeline
+
+    raw = raw_pos_df(spark)
+    handle = pipeline.pos_batch_handler(dirs["fact"], dirs["quarantine"])
+
+    # crash AFTER the clean write, BEFORE the quarantine write
+    real_write = pipeline._write_idempotent
+
+    def crash_on_quarantine(df, target, batch_id):
+        if target == dirs["quarantine"]:
+            raise RuntimeError("crash mid-batch")
+        real_write(df, target, batch_id)
+
+    monkeypatch.setattr(pipeline, "_write_idempotent", crash_on_quarantine)
+    with pytest.raises(RuntimeError):
+        handle(raw, 7)
+    assert spark.read.parquet(dirs["fact"]).count() == 16  # partial state on disk
+    monkeypatch.undo()
+
+    # replay of the SAME batch id (what the checkpoint would do)
+    handle(raw, 7)
+    fact = spark.read.parquet(dirs["fact"])
+    assert fact.count() == 16  # no duplicates from the replay
+    assert spark.read.parquet(dirs["quarantine"]).count() == 1
+
+    # replaying once more is still a no-op on observable state
+    handle(raw, 7)
+    assert spark.read.parquet(dirs["fact"]).count() == 16
+
+    # a NEW batch id appends alongside (other partitions untouched)
+    handle(raw.limit(0), 8)  # emptiness gate: no write at all
+    handle(raw, 9)
+    assert spark.read.parquet(dirs["fact"]).count() == 32
+
+
 def test_windowed_and_session_streams(spark, sf_dir, tmp_path):
     """Run the event-time streaming aggregations over the events table
     replayed as a file stream; compare against the batch twin."""
