@@ -9,10 +9,9 @@ directory of CSV/JSON/Parquet (object storage at scale) with:
   ``_corrupt_record`` rather than silently dropping whole files),
 - existence-tolerant projection (P5, ref main.py:380-382) for
   drifting export formats,
-- an xlsx→CSV shim for true Excel drops (import-gated: openpyxl is
-  not in this container, so the shim raises a clear error unless the
-  dependency is present — the conversion contract is tested with a
-  CSV stand-in).
+- an xlsx→CSV shim for true Excel drops backed by a pure-stdlib
+  xlsx reader (sources.xlsx) — works with or without openpyxl;
+  unreadable files are skipped per-file (S4), never kill the batch.
 """
 
 from __future__ import annotations
@@ -61,24 +60,19 @@ def xlsx_to_landing_csv(
     landing_dir: str,
     sheet_name: str = "Paid order list",
 ) -> Optional[str]:
-    """S3 shim: convert one Excel drop (sheet ``'Paid order list'``,
-    ref main.py:98) to a landing CSV. Import-gated — raises with a
-    clear message when openpyxl/pandas-excel support is absent."""
-    try:
-        import pandas as pd
+    """S3: convert one Excel drop (sheet ``'Paid order list'``, ref
+    main.py:98) to a landing CSV using the pure-stdlib xlsx reader
+    (sources.xlsx) — no openpyxl required. Unreadable files return
+    None (S4 per-file skip semantics, ref main.py try/except: a bad
+    export must not kill the batch)."""
+    from .xlsx import xlsx_sheet_to_csv
 
-        frame = pd.read_excel(xlsx_path, sheet_name=sheet_name)
-    except ImportError as exc:  # openpyxl missing
-        raise NotImplementedError(
-            "xlsx ingestion needs openpyxl (not in this environment); "
-            "drop CSV/parquet into the landing dir instead"
-        ) from exc
-    except Exception:
-        # S4 semantics: unreadable file → skip (caller logs), don't
-        # kill the batch.
-        return None
     out = os.path.join(
         landing_dir, os.path.splitext(os.path.basename(xlsx_path))[0] + ".csv"
     )
-    frame.to_csv(out, index=False)
-    return out
+    try:
+        return xlsx_sheet_to_csv(xlsx_path, out, sheet_name)
+    except Exception:
+        # S4 semantics: unreadable file / missing sheet → skip
+        # (caller logs), don't kill the batch.
+        return None

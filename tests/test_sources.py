@@ -35,15 +35,9 @@ def test_tolerant_select_handles_drifting_schema(spark):
     assert out.columns == ["Order ID", "Products"]  # wanted ∩ present, in order
 
 
-def test_xlsx_shim_is_import_gated_or_converts(tmp_path):
-    # openpyxl is absent in this container: the shim must raise the
-    # documented NotImplementedError (S3 gating), or convert if the
-    # dependency exists.
+def test_xlsx_shim_skips_unreadable_file(tmp_path):
+    # S4 per-file skip: an unreadable drop returns None, never raises
+    # (full conversion coverage lives in tests/test_xlsx.py).
     fake = tmp_path / "drop.xlsx"
     fake.write_bytes(b"not a real xlsx")
-    try:
-        out = xlsx_to_landing_csv(str(fake), str(tmp_path))
-    except NotImplementedError as e:
-        assert "openpyxl" in str(e)
-    else:
-        assert out is None  # readable lib, unreadable file → S4 skip
+    assert xlsx_to_landing_csv(str(fake), str(tmp_path)) is None
