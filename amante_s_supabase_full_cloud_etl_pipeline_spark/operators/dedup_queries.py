@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import register
+from ..registry import DRIVER_SF, golden_oracle, register
 from .dedup import drop_exact_dups, jaccard_pairs, minhash_candidates, simhash_near_pairs
 from .similarity import embedding_near_dup_pairs
 from .similarity_sql import sql_cosine, sql_lsh_bucket
@@ -109,16 +109,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
 
 
-@register("dedup_minhash_candidates")  # rows-only: xxhash64 family
+@register(
+    "dedup_minhash_candidates",
+    oracle=golden_oracle("dedup_minhash_candidates"),
+    golden_sf=DRIVER_SF,
+)
 def dedup_minhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (banded signatures). Accuracy vs
-    exact Jaccard is pinned in tests/test_dedup.py."""
+    """MinHash-LSH candidate pairs (banded signatures). xxhash64 has
+    no DuckDB equivalent, but the signatures are fully deterministic,
+    so the expected candidate set is pinned as a committed golden
+    table; accuracy vs exact Jaccard is asserted in
+    tests/test_dedup.py."""
     docs = catalog.table(spark, sf_dir, "documents")
     return minhash_candidates(docs).orderBy("id_a", "id_b")
 
 
-@register("dedup_simhash_pairs")  # rows-only: xxhash64 signatures
+@register(
+    "dedup_simhash_pairs",
+    oracle=golden_oracle("dedup_simhash_pairs"),
+    golden_sf=DRIVER_SF,
+)
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (prefix-bucketed hamming verification)."""
+    """SimHash near-dup pairs (prefix-bucketed hamming verification),
+    golden-pinned like MinHash (deterministic xxhash64 signatures)."""
     docs = catalog.table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs).orderBy("id_a", "id_b")

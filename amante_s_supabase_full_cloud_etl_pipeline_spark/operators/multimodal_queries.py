@@ -1,9 +1,10 @@
 """Registry queries for multimodal column plumbing.
 
-The metadata path (binary length/md5/typing) is oracle-checked; the
-mapInPandas feature kernel is rows-only (Arrow/pandas execution has
-no DuckDB equivalent) with its numeric output pinned in
-tests/test_multimodal.py.
+The metadata path (binary length/md5/typing) is oracle-checked
+against live SQL; the Arrow kernels (byte-moment features, real
+BMP/PPM image decode) are deterministic, so their expected outputs
+are committed golden tables (tests/golden/) that DuckDB reads as the
+oracle — a full value check, not rows-only.
 """
 
 from __future__ import annotations
@@ -12,8 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import register
-from .multimodal import attach_media_meta, documents_as_media, extract_features
+from ..registry import DRIVER_SF, golden_oracle, register
+from .multimodal import (
+    attach_media_meta,
+    decode_image_features,
+    documents_as_media,
+    extract_features,
+    synthetic_image_corpus,
+)
 
 
 @register(
@@ -45,10 +52,15 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_extract")  # rows-only: mapInPandas kernel
+@register(
+    "multimodal_feature_extract",
+    oracle=golden_oracle("multimodal_feature_extract"),
+    golden_sf=DRIVER_SF,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over media blobs
-    (deterministic stand-in kernel; real decode is a marked STUB)."""
+    (byte-moment kernel for non-image blobs); deterministic →
+    golden-pinned."""
     docs = catalog.table(spark, sf_dir, "documents")
     feats = extract_features(documents_as_media(docs))
     return feats.select(
@@ -58,3 +70,19 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 4).alias("byte_mean"),
         F.round(F.element_at("feature", 2), 4).alias("byte_std"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_image_decode",
+    oracle=golden_oracle("multimodal_image_decode"),
+    golden_sf=DRIVER_SF,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (24-bit BMP + binary PPM, pure numpy in the
+    Arrow kernel) over a worker-generated deterministic image corpus:
+    per-channel means, luminance moments, width/height. The 8×8
+    pooled-thumb "resize" output is asserted in tests/test_multimodal.py;
+    doc_id < 500 keeps the corpus identical across scale factors."""
+    docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    feats = decode_image_features(synthetic_image_corpus(docs))
+    return feats.drop("thumb").orderBy("doc_id")

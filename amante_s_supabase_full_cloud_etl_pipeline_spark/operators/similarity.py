@@ -202,9 +202,19 @@ def ivf_topk(
     with_vec = corpus.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
     )
-    train = with_vec.filter(
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
-        < F.lit(int(train_fraction * 10_000))
+    # Single sorted partition for the fit: the sample is bounded
+    # (train_fraction keeps it ~10⁵ rows at any corpus size), and
+    # k-means float reductions are order-dependent — one sorted
+    # partition makes the centroids bit-deterministic on any cluster
+    # layout, which the golden-pinned correctness check requires.
+    train = (
+        with_vec.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+            < F.lit(int(train_fraction * 10_000))
+        )
+        .select(F.col(id_col), "_v")
+        .coalesce(1)
+        .sortWithinPartitions(id_col)
     )
     km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
     model = km.fit(train.select("_v"))

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import register
+from ..registry import DRIVER_SF, golden_oracle, register
 from .similarity import brute_force_topk, ivf_topk, lsh_topk
 from .similarity_sql import sql_cosine, sql_lsh_bucket
 
@@ -75,10 +75,15 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, k=5)
 
 
-@register("knn_ivf_probed")  # rows-only: k-means centroids are engine-specific
+@register(
+    "knn_ivf_probed",
+    oracle=golden_oracle("knn_ivf_probed"),
+    golden_sf=DRIVER_SF,
+)
 def knn_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means inverted lists, 2-probe search. Recall vs the
-    brute-force baseline asserted in tests/test_dedup.py."""
+    """IVF ANN: k-means inverted lists (seeded, hash-sampled training
+    set → deterministic centroids), 2-probe search. Golden-pinned;
+    recall vs the brute-force baseline asserted in tests/test_dedup.py."""
     emb = catalog.table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(emb, probes, k=5)

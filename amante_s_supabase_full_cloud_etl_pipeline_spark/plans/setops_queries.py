@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import register
+from ..registry import DRIVER_SF, golden_oracle, register
 
 # ---------------------------------------------------------------------------
 # INTERSECT / EXCEPT
@@ -101,12 +101,17 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_counts")  # rows-only: HLL sketches are engine-specific
+@register(
+    "approx_distinct_counts",
+    oracle=golden_oracle("approx_distinct_counts"),
+    golden_sf=DRIVER_SF,
+)
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the at-scale variant of
-    distinct_counts (no exact-distinct shuffle explosion). Sketch
-    values are engine-specific → rows-only; accuracy asserted in
-    tests/test_setops.py against the exact counts."""
+    distinct_counts (no exact-distinct shuffle explosion). The sketch
+    is engine-specific but deterministic for fixed input → expected
+    values are golden-pinned; accuracy asserted in tests/test_setops.py
+    against the exact counts."""
     li = catalog.table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")

@@ -19,6 +19,7 @@ serial sum produce bit-identical results at any scale/partitioning.
 from __future__ import annotations
 
 import functools
+import os
 from collections.abc import Callable
 from typing import Optional
 
@@ -26,12 +27,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: committed golden tables (tests/golden/generate.py regenerates)
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
+)
+#: the scale factor the driver's correctness gate runs at — goldens
+#: are generated against this input
+DRIVER_SF = "/root/testdata/sf0.01"
+
+
+def golden_oracle(name: str) -> str:
+    """Oracle SQL for a golden-pinned query: DuckDB reads the
+    committed expected table. Used for deterministic kernels DuckDB
+    cannot recompute (xxhash64 MinHash/SimHash, k-means IVF lists,
+    HLL sketches, image decode); valid only at DRIVER_SF inputs."""
+    return f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+#: queries whose oracle reads a committed golden table generated at a
+#: specific scale factor (deterministic kernels DuckDB cannot express,
+#: e.g. xxhash64 MinHash signatures, image decode). The driver checks
+#: at sf0.01 — exactly where the goldens are generated
+#: (tests/golden/generate.py regenerates them).
+GOLDEN_SF: dict[str, str] = {}
 
 
-def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: Optional[str] = None,
+    golden_sf: Optional[str] = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a named query and (optionally) its oracle SQL.
+    ``golden_sf`` marks an oracle as a golden-table pin valid only at
+    that scale factor's input.
 
     The registered callable releases the PREVIOUS query's tracked
     caches on entry (see operators.cache): by the time the driver asks
@@ -53,6 +82,8 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
+        if golden_sf is not None:
+            GOLDEN_SF[name] = golden_sf
         return fn
 
     return deco

@@ -44,6 +44,76 @@ def test_feature_kernel_deterministic_and_typed(spark, sf_dir):
     assert len(got["feature"]) == 4
 
 
+def test_bmp_ppm_round_trip_hand_computed():
+    """Independent anchor for the golden-pinned decode: a hand-built
+    2×2 image through both codecs, plus corrupt-input rejection."""
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp24,
+        encode_ppm,
+        pooled_thumb,
+    )
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    for blob in (encode_bmp24(px), encode_ppm(px)):
+        arr = decode_image(blob)
+        assert arr is not None and arr.shape == (2, 2, 3)
+        assert (arr == px).all()
+
+    # BMP specifics: bottom-up + BGR + row padding (w=3 → 9 bytes → pad 3)
+    px3 = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+    blob = encode_bmp24(px3)
+    assert len(blob) == 54 + 3 * 12
+    assert (decode_image(blob) == px3).all()
+
+    # PPM header with a comment line
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    arr = decode_image(ppm)
+    assert arr.shape == (1, 2, 3) and arr[0, 1].tolist() == [4, 5, 6]
+
+    # corrupt inputs → None (per-row skip), never an exception
+    assert decode_image(b"") is None
+    assert decode_image(b"BMtruncated") is None
+    assert decode_image(b"P6\n2 1\n255\n\x01") is None  # short body
+    assert decode_image(b"\x89PNG....") is None  # compressed → not ours
+
+    # pooled thumb: constant image pools to its luma everywhere
+    const = np.full((16, 16, 3), 100, dtype=np.uint8)
+    th = pooled_thumb(const)
+    assert th.shape == (8, 8) and abs(th[0, 0] - 100.0) < 1e-9
+
+
+def test_image_decode_pipeline_features(spark, sf_dir):
+    """End-to-end worker-side generate → decode: features must match a
+    driver-side recomputation for a sample of docs."""
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_image_features,
+        synthetic_image_corpus,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    corpus = synthetic_image_corpus(docs)
+    blobs = {r["doc_id"]: bytes(r["blob"]) for r in corpus.collect()}
+    feats = {r["doc_id"]: r for r in decode_image_features(corpus).collect()}
+    assert set(feats) == set(blobs) == set(range(10))
+    for d, blob in blobs.items():
+        arr = decode_image(blob)
+        assert arr is not None
+        f = feats[d]
+        assert (f["height"], f["width"]) == arr.shape[:2]
+        assert abs(f["mean_r"] - round(float(arr[:, :, 0].astype(np.float64).mean()), 6)) < 1e-12
+        assert len(f["thumb"]) == 64
+    # formats alternate by parity
+    assert blobs[0][:2] == b"BM" and blobs[1][:2] == b"P6"
+
+
 def test_decode_stub_raises(spark):
     df = documents_as_media(
         spark.createDataFrame([(1, "abc", "en", "s", 3)],

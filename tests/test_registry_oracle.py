@@ -17,7 +17,10 @@ ROWS_ONLY = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, sf_dir, name):
-    compare(spark, sf_dir, registry.QUERIES[name], registry.ORACLES[name])
+    # golden-pinned queries are valid only at the SF their golden was
+    # generated from (the driver's correctness SF) — compare there
+    run_sf = registry.GOLDEN_SF.get(name, sf_dir)
+    compare(spark, run_sf, registry.QUERIES[name], registry.ORACLES[name])
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
