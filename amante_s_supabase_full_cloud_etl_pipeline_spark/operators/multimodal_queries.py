@@ -1,10 +1,12 @@
 """Registry queries for multimodal column plumbing.
 
 The metadata path (binary length/md5/typing) is oracle-checked
-against live SQL; the Arrow kernels (byte-moment features, real
-BMP/PPM image decode) are deterministic, so their expected outputs
-are committed golden tables (tests/golden/) that DuckDB reads as the
-oracle — a full value check, not rows-only.
+against live SQL; the real BMP/PPM image-decode Arrow kernel is
+deterministic, so its expected output is a committed golden table
+(tests/golden/) that DuckDB reads as the oracle — a full value
+check, not rows-only. (The byte-moment fallback kernel
+``extract_features`` stays unit-tested in tests/test_multimodal.py;
+the registry proves the family through the real decode.)
 """
 
 from __future__ import annotations
@@ -18,7 +20,6 @@ from .multimodal import (
     attach_media_meta,
     decode_image_features,
     documents_as_media,
-    extract_features,
     synthetic_image_corpus,
 )
 
@@ -50,26 +51,6 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
-
-
-@register(
-    "multimodal_feature_extract",
-    oracle=golden_oracle("multimodal_feature_extract"),
-    golden_sf=DRIVER_SF,
-)
-def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over media blobs
-    (byte-moment kernel for non-image blobs); deterministic →
-    golden-pinned."""
-    docs = catalog.table(spark, sf_dir, "documents")
-    feats = extract_features(documents_as_media(docs))
-    return feats.select(
-        "doc_id",
-        "media_type",
-        "byte_length",
-        F.round(F.element_at("feature", 1), 4).alias("byte_mean"),
-        F.round(F.element_at("feature", 2), 4).alias("byte_std"),
-    ).orderBy("doc_id")
 
 
 @register(

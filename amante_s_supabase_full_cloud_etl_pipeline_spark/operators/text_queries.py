@@ -76,19 +76,29 @@ _QUALITY_SQL = f"""(
 
 
 @register(
-    "text_quality_scores",
+    "text_quality_band",
     oracle=f"""
-    SELECT doc_id, {_QUALITY_SQL} AS quality
-    FROM documents ORDER BY doc_id
+    SELECT doc_id, lang, {_QUALITY_SQL} AS quality
+    FROM documents
+    WHERE {_QUALITY_SQL} >= 0.5 AND {_NTOK} >= 20
+    ORDER BY doc_id
     """,
 )
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristic (length band + punctuation +
-    stopword presence) — deterministic double arithmetic, identical
-    per-row in both engines (no rounding needed)."""
+    stopword presence — deterministic double arithmetic, identical
+    per-row in both engines) COMPOSED with the standard training-data
+    filter shape: quality threshold + minimum length as a pushed-down
+    predicate. The surviving rows carry their scores, so both the
+    scoring values and the band membership are differentially
+    checked."""
     docs = catalog.table(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy(
-        "doc_id"
+    return (
+        docs.filter(
+            (quality_score(F.col("text")) >= 0.5) & (token_count(F.col("text")) >= 20)
+        )
+        .select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+        .orderBy("doc_id")
     )
 
 
@@ -184,25 +194,4 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.orderBy(F.desc("freq"), F.asc("bigram"))
         .limit(20)
         .select("bigram", "freq")
-    )
-
-
-@register(
-    "text_filter_quality_band",
-    oracle=f"""
-    SELECT lang, COUNT(*) AS n_kept
-    FROM documents
-    WHERE {_QUALITY_SQL} >= 0.5 AND {_NTOK} >= 20
-    GROUP BY lang ORDER BY lang
-    """,
-)
-def text_filter_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standard training-data filter shape: quality threshold +
-    minimum length, as a pushed-down predicate."""
-    docs = catalog.table(spark, sf_dir, "documents")
-    return (
-        docs.filter((quality_score(F.col("text")) >= 0.5) & (token_count(F.col("text")) >= 20))
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .orderBy("lang")
     )

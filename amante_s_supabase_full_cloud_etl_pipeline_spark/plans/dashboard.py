@@ -83,134 +83,114 @@ def star_net_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A4 — Net Sales (global KPI card).
+# A4-A7 — headline KPI cards (one pass, one shuffle).
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "a4_net_sales",
+    "a4_a7_headline_kpis",
     oracle=f"""
-    SELECT CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) AS net_sales,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_sales,
-           COUNT(*) AS line_items
-    FROM lineitem
-    """,
-)
-def a4_net_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: single-row KPI — all-map-side partial agg, one tiny shuffle."""
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.sum(revenue_dec()).cast("double").alias("net_sales"),
-        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("gross_sales"),
-        F.count(F.lit(1)).alias("line_items"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A5/A6 — per-transaction averages (two-level aggregation).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "a5_avg_order_quantity",
-    oracle="""
-    SELECT CAST(SUM(ord_qty) AS DOUBLE) / COUNT(*) AS avg_order_quantity,
-           COUNT(*) AS n_orders
-    FROM (
-        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ord_qty
+    WITH per_order AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ord_qty,
+               SUM({SQL_REVENUE_DEC}) AS ord_rev,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ord_gross,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2))) AS ord_disc,
+               COUNT(*) AS n_lines
         FROM lineitem GROUP BY l_orderkey
     )
+    SELECT CAST(SUM(ord_rev) AS DOUBLE) AS net_sales,
+           CAST(SUM(ord_gross) AS DOUBLE) AS gross_sales,
+           CAST(SUM(n_lines) AS BIGINT) AS line_items,
+           COUNT(*) AS n_orders,
+           CAST(SUM(ord_qty) AS DOUBLE) / COUNT(*) AS avg_order_quantity,
+           CAST(SUM(ord_rev) AS DOUBLE) / COUNT(*) AS avg_order_amount,
+           CAST(SUM(ord_disc) AS DOUBLE) * 100.0
+             / CAST(SUM(ord_gross) AS DOUBLE) AS discount_pct,
+           CAST(SUM(ord_disc) AS DOUBLE) AS discount_given
+    FROM per_order
     """,
 )
-def a5_avg_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 (dashboard 'Avg Order Quantity per Transaction'): inner agg
-    shuffles on l_orderkey (bucket the fact table by order key at
-    scale to eliminate it); outer agg is a scalar reduce."""
-    per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.sum(dec(F.col("l_quantity"))).alias("ord_qty"))
-    )
-    return per_order.agg(
-        (F.sum("ord_qty").cast("double") / F.count(F.lit(1))).alias("avg_order_quantity"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-@register(
-    "a6_avg_order_amount",
-    oracle=f"""
-    SELECT CAST(SUM(ord_rev) AS DOUBLE) / COUNT(*) AS avg_order_amount,
-           COUNT(*) AS n_orders
-    FROM (
-        SELECT l_orderkey, SUM({SQL_REVENUE_DEC}) AS ord_rev
-        FROM lineitem GROUP BY l_orderkey
-    )
-    """,
-)
-def a6_avg_order_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: same two-level shape over revenue."""
-    per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.sum(revenue_dec()).alias("ord_rev"))
-    )
-    return per_order.agg(
-        (F.sum("ord_rev").cast("double") / F.count(F.lit(1))).alias("avg_order_amount"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A7 — discount share KPI (exact aggregates, one final division).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "a7_discount_share",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * 100.0
-           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-           AS discount_pct,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount_given
-    FROM lineitem
-    """,
-)
-def a7_discount_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 ('Total Discount Given %'): numerator and denominator are
-    exact decimal sums; the percentage is one final double division —
+def a4_a7_headline_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (Net Sales) + A5 (Avg Order Quantity) + A6 (Avg Order
+    Amount) + A7 (Discount Given %) as ONE plan: a single per-order
+    partial aggregation (shuffle on l_orderkey — bucket the fact by
+    order key at scale to eliminate it) feeds every headline card,
+    instead of four separate fact scans. All money math accumulates
+    in exact decimal; percentages are one final double division —
     order-independent by construction."""
-    li = _t(spark, sf_dir, "lineitem")
-    disc = F.sum(dec(F.col("l_extendedprice")) * dec(F.col("l_discount"))).cast("double")
-    gross = F.sum(dec(F.col("l_extendedprice"))).cast("double")
-    return li.agg(
+    per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).alias("ord_qty"),
+            F.sum(revenue_dec()).alias("ord_rev"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("ord_gross"),
+            F.sum(dec(F.col("l_extendedprice")) * dec(F.col("l_discount"))).alias("ord_disc"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    n_orders = F.count(F.lit(1))
+    gross = F.sum("ord_gross").cast("double")
+    disc = F.sum("ord_disc").cast("double")
+    return per_order.agg(
+        F.sum("ord_rev").cast("double").alias("net_sales"),
+        gross.alias("gross_sales"),
+        F.sum("n_lines").alias("line_items"),
+        n_orders.alias("n_orders"),
+        (F.sum("ord_qty").cast("double") / n_orders).alias("avg_order_quantity"),
+        (F.sum("ord_rev").cast("double") / n_orders).alias("avg_order_amount"),
         (disc * F.lit(100.0) / gross).alias("discount_pct"),
         disc.alias("discount_given"),
     )
 
 
 # ---------------------------------------------------------------------------
-# A8 — frequency ranking (payment-method proxy: o_orderpriority).
+# A8 + A12 — payment-method and channel mixes in one grouping-sets pass.
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "a8_payment_method_freq",
+    "a8_a12_order_mix",
     oracle="""
-    SELECT o_orderpriority AS payment_method, COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
-    ORDER BY n_orders DESC, payment_method
+    SELECT CASE WHEN o_orderpriority IS NOT NULL
+                THEN 'payment_method' ELSE 'channel' END AS dimension,
+           COALESCE(o_orderpriority, o_orderstatus) AS grp_key,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    ORDER BY dimension, grp_key
     """,
 )
-def a8_payment_method_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 ('Frequently Used Payment Method'): hash agg + sort on a
-    handful of groups."""
+def a8_a12_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 ('Frequently Used Payment Method', o_orderpriority proxy) +
+    A12 ('Dine-in/Takeaway channel split', o_orderstatus proxy) as ONE
+    GROUPING SETS pass — partial aggregation still applies, so both
+    mixes come from a single fact scan instead of two. Both source
+    columns are non-null in the schema, so the null slot identifies
+    which grouping set a row belongs to."""
+    o = _t(spark, sf_dir, "orders")
     return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderpriority").alias("payment_method"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(F.desc("n_orders"), "payment_method")
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
+        )
+        .select(
+            F.when(F.col("o_orderpriority").isNotNull(), F.lit("payment_method"))
+            .otherwise(F.lit("channel"))
+            .alias("dimension"),
+            F.coalesce(F.col("o_orderpriority"), F.col("o_orderstatus")).alias("grp_key"),
+            "n_orders",
+            "total_amount",
+        )
+        .orderBy("dimension", "grp_key")
     )
 
 
@@ -323,32 +303,6 @@ def a11_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev").cast("double") * 100.0 / F.col("_total")).alias("share_pct"),
         )
         .orderBy("category")
-    )
-
-
-# ---------------------------------------------------------------------------
-# A12 — order-channel split (o_orderstatus ↔ Dine-in/Takeaway).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "a12_channel_split",
-    oracle="""
-    SELECT o_orderstatus AS order_type,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
-    FROM orders GROUP BY o_orderstatus ORDER BY order_type
-    """,
-)
-def a12_channel_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderstatus").alias("order_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
-        )
-        .orderBy("order_type")
     )
 
 

@@ -21,253 +21,85 @@ from ..registry import register
 from ._common import dec
 
 # ---------------------------------------------------------------------------
-# E1/E2/P3 — split + explode + empty-filter at scale (part names).
+# E1/E2/P3 + F1-F5 — split/explode/empty-filter + regex extraction.
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "explode_part_words",
+    "explode_regex_part_attrs",
     oracle="""
-    SELECT word, COUNT(*) AS n_parts,
+    SELECT word,
+           NULLIF(regexp_extract(p_type, '(?i)(ECONOMY|PROMO|STANDARD)', 1), '') AS type_class,
+           COUNT(*) AS n_parts,
            CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM (
-        SELECT unnest(string_split(p_name, ' ')) AS word, p_retailprice
+        SELECT unnest(string_split(p_name, ' ')) AS word, p_type, p_retailprice
         FROM part
     )
     WHERE word <> ''
-    GROUP BY word ORDER BY word
+    GROUP BY word, type_class
+    ORDER BY word, type_class NULLS FIRST
     """,
 )
-def explode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1+E2+P3 (ref main.py:107-109): split a packed string column
-    and explode to one row per token, dropping empties. Generate
-    (explode) runs pipelined inside the scan stage — no shuffle until
-    the aggregate."""
-    part = catalog.table(spark, sf_dir, "part")
-    return (
-        part.select(
-            F.explode(F.split(F.col("p_name"), " ")).alias("word"),
-            "p_retailprice",
-        )
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.sum(dec(F.col("p_retailprice"))).cast("double").alias("total_price"),
-        )
-        .orderBy("word")
-    )
-
-
-# ---------------------------------------------------------------------------
-# F1/F2-style regex extraction + null-on-miss semantics at scale.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "regex_extract_part_attrs",
-    oracle="""
-    SELECT NULLIF(regexp_extract(p_name, '(?i)(small|large|cold|hot)', 1), '') AS size_word,
-           NULLIF(regexp_extract(p_type, '(?i)(ECONOMY|PROMO|STANDARD)', 1), '') AS type_class,
-           COUNT(*) AS n_parts
-    FROM part
-    GROUP BY size_word, type_class
-    ORDER BY size_word NULLS FIRST, type_class NULLS FIRST
-    """,
-)
-def regex_extract_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F5 family (ref main.py:112-135): case-insensitive regexp
-    extraction with pandas null-on-miss parity (NULLIF wrapper)."""
+def explode_regex_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E2+P3 (ref main.py:107-109) + F1-F5 (ref main.py:112-135)
+    in one plan: split a packed string column, explode to one row per
+    token dropping empties, with a case-insensitive regexp attribute
+    extracted per row (pandas null-on-miss parity via the NULLIF
+    wrapper). Generate (explode) runs pipelined inside the scan stage
+    — no shuffle until the aggregate."""
     from ..functions.cleaning import extract_or_null
 
     part = catalog.table(spark, sf_dir, "part")
     return (
         part.select(
-            extract_or_null(F.col("p_name"), "(?i)(small|large|cold|hot)").alias("size_word"),
+            F.explode(F.split(F.col("p_name"), " ")).alias("word"),
             extract_or_null(F.col("p_type"), "(?i)(ECONOMY|PROMO|STANDARD)").alias("type_class"),
+            "p_retailprice",
         )
-        .groupBy("size_word", "type_class")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .orderBy(F.asc_nulls_first("size_word"), F.asc_nulls_first("type_class"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# F6/F15 — token parse with default + thousands-strip numeric coercion.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "coerce_formatted_numbers",
-    oracle="""
-    SELECT qty_bucket,
-           COUNT(*) AS n_rows,
-           CAST(SUM(CAST(parsed AS DECIMAL(18,2))) AS DOUBLE) AS total_parsed
-    FROM (
-        SELECT CASE WHEN p_partkey % 7 = 0 THEN 'bad' ELSE 'ok' END AS qty_bucket,
-               TRY_CAST(replace(
-                   CASE WHEN p_partkey % 7 = 0 THEN 'N/A'
-                        ELSE CAST(p_partkey AS VARCHAR) || ',' || CAST(p_size AS VARCHAR) || '.50'
-                   END, ',', '') AS DOUBLE) AS parsed
-        FROM part
-    )
-    GROUP BY qty_bucket ORDER BY qty_bucket
-    """,
-)
-def coerce_formatted_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F15 (ref main.py:389-393): thousands-separator strip +
-    coerce-to-null on unparseable strings, built deterministically
-    from part keys so both engines see identical inputs."""
-    from ..functions.cleaning import strip_thousands_and_coerce
-
-    part = catalog.table(spark, sf_dir, "part")
-    formatted = F.when(F.col("p_partkey") % 7 == 0, F.lit("N/A")).otherwise(
-        F.concat(
-            F.col("p_partkey").cast("string"),
-            F.lit(","),
-            F.col("p_size").cast("string"),
-            F.lit(".50"),
-        )
-    )
-    return (
-        part.select(
-            F.when(F.col("p_partkey") % 7 == 0, F.lit("bad")).otherwise(F.lit("ok")).alias("qty_bucket"),
-            strip_thousands_and_coerce(formatted).alias("parsed"),
-        )
-        .groupBy("qty_bucket")
+        .filter(F.col("word") != "")
+        .groupBy("word", "type_class")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(dec(F.col("parsed"))).cast("double").alias("total_parsed"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(dec(F.col("p_retailprice"))).cast("double").alias("total_price"),
         )
-        .orderBy("qty_bucket")
+        .orderBy("word", F.asc_nulls_first("type_class"))
     )
 
 
 # ---------------------------------------------------------------------------
-# F14 — sentinel CASE chain at scale (events proxy).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "sentinel_case_payment",
-    oracle="""
-    SELECT CASE WHEN value = 0 THEN 'Free/Voucher/Discounted'
-                WHEN event_type = 'purchase' THEN 'Cash'
-                WHEN event_type = 'signup' THEN 'Gcash'
-                ELSE 'Credit / Debit' END AS payment_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1 ORDER BY payment_type
-    """,
-)
-def sentinel_case_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F14 (ref main.py:358-371): ordered CASE fallthrough — the
-    reference's only Python row-function, as a pure column CASE."""
-    ev = catalog.table(spark, sf_dir, "events")
-    pt = (
-        F.when(F.col("value") == 0, F.lit("Free/Voucher/Discounted"))
-        .when(F.col("event_type") == "purchase", F.lit("Cash"))
-        .when(F.col("event_type") == "signup", F.lit("Gcash"))
-        .otherwise(F.lit("Credit / Debit"))
-    )
-    return (
-        ev.groupBy(pt.alias("payment_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
-        )
-        .orderBy("payment_type")
-    )
-
-
-# ---------------------------------------------------------------------------
-# M1/M2/J1 — dict-map lookup as broadcast left join, with miss-fill.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dict_map_broadcast_join",
-    oracle="""
-    SELECT COALESCE(r.r_name, 'Uncategorized') AS region_name,
-           COUNT(*) AS n_nations
-    FROM nation n
-    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_regionkey < 4
-    GROUP BY 1 ORDER BY region_name
-    """,
-)
-def dict_map_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1/M2 (ref main.py:353-354 dict .map): lookup table as
-    broadcast left join; unmatched keys → 'Uncategorized' (F17).
-    The restricted join condition manufactures misses so the fill
-    path is actually exercised."""
-    nation = catalog.table(spark, sf_dir, "nation")
-    region = catalog.table(spark, sf_dir, "region")
-    return (
-        nation.join(
-            F.broadcast(region),
-            (F.col("n_regionkey") == F.col("r_regionkey")) & (F.col("r_regionkey") < 4),
-            "left",
-        )
-        .groupBy(F.coalesce(F.col("r_name"), F.lit("Uncategorized")).alias("region_name"))
-        .agg(F.count(F.lit(1)).alias("n_nations"))
-        .orderBy("region_name")
-    )
-
-
-# ---------------------------------------------------------------------------
-# P7 — validation split on a fact table (both sides).
+# P7 — validation split on a fact table (both routes, ONE scan).
 # ---------------------------------------------------------------------------
 
 _LINEITEM_VALID = "l_quantity <= 45 AND l_discount <= 0.08"
 
 
 @register(
-    "lineitem_validation_clean",
+    "lineitem_validation_routing",
     oracle=f"""
-    SELECT l_returnflag, COUNT(*) AS n_rows,
+    SELECT CASE WHEN {_LINEITEM_VALID} THEN 'clean' ELSE 'quarantine' END AS route,
+           l_returnflag, COUNT(*) AS n_rows,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-    FROM lineitem WHERE {_LINEITEM_VALID}
-    GROUP BY l_returnflag ORDER BY l_returnflag
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY route, l_returnflag
     """,
 )
-def lineitem_validation_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 clean side at fact scale: predicate filter + agg (single
-    scan; filter pushed to parquet)."""
+def lineitem_validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 validation split at fact scale: the predicate is evaluated
+    ONCE and every row routed to clean or quarantine — one scan for
+    both sinks (two filtered scans would read the fact twice at
+    100 TB). Null-safe: a null in either predicate column routes to
+    quarantine, never silently drops."""
     li = catalog.table(spark, sf_dir, "lineitem")
     ok = (F.col("l_quantity") <= 45) & (F.col("l_discount") <= 0.08)
+    route = F.when(ok, F.lit("clean")).otherwise(F.lit("quarantine"))
     return (
-        li.filter(ok)
-        .groupBy("l_returnflag")
+        li.groupBy(route.alias("route"), F.col("l_returnflag"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"),
         )
-        .orderBy("l_returnflag")
-    )
-
-
-@register(
-    "lineitem_validation_quarantine",
-    oracle=f"""
-    SELECT l_returnflag, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-    FROM lineitem WHERE NOT ({_LINEITEM_VALID})
-    GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-)
-def lineitem_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 quarantine side (complement predicate)."""
-    li = catalog.table(spark, sf_dir, "lineitem")
-    ok = (F.col("l_quantity") <= 45) & (F.col("l_discount") <= 0.08)
-    return (
-        li.filter(~ok)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"),
-        )
-        .orderBy("l_returnflag")
+        .orderBy("route", "l_returnflag")
     )
 
 
@@ -307,94 +139,60 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J3 — upsert-key dedup (deterministic canonical row per key).
+# S8 — anti-join (quarantine delete) and semi-join existence filter.
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "dedup_orders_by_key",
+    "semi_anti_join_filters",
     oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n_keys
-    FROM (
-        SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS first_order
-        FROM orders GROUP BY o_custkey, o_orderstatus
-    )
-    GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-)
-def dedup_orders_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 upsert semantics (ref main.py:50 server-side upsert): one
-    canonical row per key. ``dropDuplicates`` keeps an *arbitrary*
-    row — non-deterministic under parallelism — so the engine's
-    upsert dedup uses an explicit min/max tie-break (same rule a
-    MERGE would use)."""
-    o = catalog.table(spark, sf_dir, "orders")
-    per_key = o.groupBy("o_custkey", "o_orderstatus").agg(
-        F.min("o_orderkey").alias("first_order")
-    )
-    return (
-        per_key.groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_keys"))
-        .orderBy("o_orderstatus")
-    )
-
-
-# ---------------------------------------------------------------------------
-# S8 — anti-join (quarantine delete) and semi-join.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "anti_join_unshipped",
-    oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n_orders
+    SELECT 'anti_unshipped' AS join_type, o_orderstatus AS grp_key,
+           COUNT(*) AS n_rows
     FROM orders o
     WHERE NOT EXISTS (
         SELECT 1 FROM lineitem l
         WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= TIMESTAMP '2000-01-01'
     )
-    GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-)
-def anti_join_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8's delete-promoted-rows shape (SURVEY.md §2.6): left anti
-    join — shuffle-hash on the join key, no data duplication."""
-    o = catalog.table(spark, sf_dir, "orders")
-    li = catalog.table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
-    )
-    return (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_orderstatus")
-    )
-
-
-@register(
-    "semi_join_recent_customers",
-    oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_customers
+    GROUP BY 2
+    UNION ALL
+    SELECT 'semi_recent' AS join_type, c_mktsegment AS grp_key,
+           COUNT(*) AS n_rows
     FROM customer c
     WHERE EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01'
     )
-    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    GROUP BY 2
+    ORDER BY join_type, grp_key
     """,
 )
-def semi_join_recent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left semi join (existence check without duplication)."""
+def semi_anti_join_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8's delete-promoted-rows shape (SURVEY.md §2.6) + its inverse:
+    left ANTI join (orders with no shipped line) and left SEMI join
+    (customers with a recent order) — existence checks that never
+    duplicate the probe side, shuffle-hash on the join key. Labeled
+    union so both join types land in one differential result."""
+    o = catalog.table(spark, sf_dir, "orders")
+    li = catalog.table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    anti = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .groupBy(F.col("o_orderstatus").alias("grp_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("anti_unshipped").alias("join_type"), "grp_key", "n_rows")
+    )
     c = catalog.table(spark, sf_dir, "customer")
-    o = catalog.table(spark, sf_dir, "orders").filter(
+    recent = catalog.table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
     )
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("c_mktsegment")
+    semi = (
+        c.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("grp_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("semi_recent").alias("join_type"), "grp_key", "n_rows")
     )
+    return anti.unionByName(semi).orderBy("join_type", "grp_key")
 
 
 # ---------------------------------------------------------------------------
@@ -468,35 +266,52 @@ def json_prop_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_sales",
+    "grouping_sets_sales",
     oracle="""
-    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+    SELECT 'rollup' AS mode,
+           COALESCE(o_orderstatus, 'ALL') AS order_status,
            COALESCE(o_orderpriority, 'ALL') AS order_priority,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    ORDER BY order_status, order_priority
+    UNION ALL
+    SELECT 'cube' AS mode,
+           COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY mode, order_status, order_priority
     """,
 )
-def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals in one pass (partial aggregation still
-    applies — far cheaper than N separate group-bys at scale)."""
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals and CUBE all-combinations totals
+    (SURVEY.md §2.7 grouping-sets row), each a single pass with
+    partial aggregation — far cheaper than N separate group-bys at
+    scale. Labeled union proves both grouping-set forms in one
+    differential result."""
     o = catalog.table(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
+
+    def _shape(grouped, mode: str) -> DataFrame:
+        return (
+            grouped.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
+            )
+            .select(
+                F.lit(mode).alias("mode"),
+                F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("order_status"),
+                F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("order_priority"),
+                "n_orders",
+                "total_amount",
+            )
         )
-        .select(
-            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("order_status"),
-            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("order_priority"),
-            "n_orders",
-            "total_amount",
-        )
-        .orderBy("order_status", "order_priority")
-    )
+
+    rolled = _shape(o.rollup("o_orderstatus", "o_orderpriority"), "rollup")
+    cubed = _shape(o.cube("o_orderstatus", "o_orderpriority"), "cube")
+    return rolled.unionByName(cubed).orderBy("mode", "order_status", "order_priority")
 
 
 # ---------------------------------------------------------------------------
@@ -535,33 +350,6 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("band_name", "event_type")
-    )
-
-
-@register(
-    "cube_sales",
-    oracle="""
-    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
-           COALESCE(o_orderpriority, 'ALL') AS order_priority,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY order_status, order_priority
-    """,
-)
-def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations in one pass (rollup's
-    sibling — SURVEY.md §2.7 grouping-sets row)."""
-    o = catalog.table(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .select(
-            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("order_status"),
-            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("order_priority"),
-            "n_orders",
-        )
-        .orderBy("order_status", "order_priority")
     )
 
 

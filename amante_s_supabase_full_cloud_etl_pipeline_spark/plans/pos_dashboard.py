@@ -18,54 +18,67 @@ from .pos_kernel_query import _kernel_cte
 
 
 @register(
-    "pos_net_sales_by_category",
+    "pos_dashboard_kpis",
     oracle=_kernel_cte()
     + """
-    SELECT category,
+    SELECT 'category' AS kpi, category AS grp_key,
+           COUNT(*) AS n_items,
            CAST(SUM(CAST(total_order_amount AS DECIMAL(18,2))
-                    * CAST(quantity AS DECIMAL(18,2))) AS DOUBLE) AS weighted_amount,
-           CAST(SUM(CAST(quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity,
-           COUNT(*) AS line_items
-    FROM fact GROUP BY category ORDER BY category
-    """,
-)
-def pos_net_sales_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4/A11 on the real POS fact: the SURVEY.md §7 'minimum
-    end-to-end slice' (read → explode+extract → dim join → agg)."""
-    fact = transform_pos(pos_fixture.raw_pos_df(spark), spark)
-    return (
-        fact.groupBy("category")
-        .agg(
-            F.sum(
-                F.col("total_order_amount").cast("decimal(18,2)")
-                * F.col("quantity").cast("decimal(18,2)")
-            )
-            .cast("double")
-            .alias("weighted_amount"),
-            F.sum(F.col("quantity").cast("decimal(18,2)")).cast("double").alias("total_quantity"),
-            F.count(F.lit(1)).alias("line_items"),
-        )
-        .orderBy("category")
-    )
-
-
-@register(
-    "pos_payment_mix",
-    oracle=_kernel_cte()
-    + """
-    SELECT payment_type, order_type, COUNT(*) AS n_items
+                    * CAST(quantity AS DECIMAL(18,2))) AS DOUBLE) AS amount
+    FROM fact GROUP BY category
+    UNION ALL
+    SELECT 'payment_mix' AS kpi, payment_type || '/' || order_type AS grp_key,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(total_order_amount AS DECIMAL(18,2))) AS DOUBLE) AS amount
     FROM fact GROUP BY payment_type, order_type
-    ORDER BY payment_type, order_type
+    UNION ALL
+    SELECT 'hour' AS kpi, lpad(CAST(hour(payment_time) AS VARCHAR), 2, '0') AS grp_key,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(total_order_amount AS DECIMAL(18,2))) AS DOUBLE) AS amount
+    FROM fact GROUP BY hour(payment_time)
+    ORDER BY kpi, grp_key
     """,
 )
-def pos_payment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8/A12 on the POS fact: payment-method × channel mix."""
+def pos_dashboard_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's serving-layer KPIs on the real POS fact, in one
+    long-format result: A4/A11 net sales by category (quantity-
+    weighted), A8/A12 payment-method × channel mix, and A9 sales by
+    hour of payment_time (F19 bucketing) — the SURVEY.md §7 'minimum
+    end-to-end slice' (read → explode+extract → dim join → agg)
+    checked through three different grains of the same fact."""
     fact = transform_pos(pos_fixture.raw_pos_df(spark), spark)
-    return (
-        fact.groupBy("payment_type", "order_type")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .orderBy("payment_type", "order_type")
+    amount_dec = F.col("total_order_amount").cast("decimal(18,2)")
+    by_category = (
+        fact.groupBy(F.col("category").alias("grp_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(amount_dec * F.col("quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("amount"),
+        )
+        .select(F.lit("category").alias("kpi"), "grp_key", "n_items", "amount")
     )
+    by_payment = (
+        fact.groupBy(
+            F.concat(F.col("payment_type"), F.lit("/"), F.col("order_type")).alias("grp_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(amount_dec).cast("double").alias("amount"),
+        )
+        .select(F.lit("payment_mix").alias("kpi"), "grp_key", "n_items", "amount")
+    )
+    by_hour = (
+        fact.groupBy(
+            F.lpad(F.hour("payment_time").cast("string"), 2, "0").alias("grp_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(amount_dec).cast("double").alias("amount"),
+        )
+        .select(F.lit("hour").alias("kpi"), "grp_key", "n_items", "amount")
+    )
+    return by_category.unionByName(by_payment).unionByName(by_hour).orderBy("kpi", "grp_key")
 
 
 @register(
@@ -97,28 +110,3 @@ def pos_json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(',"payment_type":"'), F.col("payment_type"), F.lit('"}'),
         ).alias("record_json"),
     ).orderBy("order_id", "items")
-
-
-@register(
-    "pos_sales_by_hour",
-    oracle=_kernel_cte()
-    + """
-    SELECT CAST(hour(payment_time) AS INTEGER) AS hour_of_day, COUNT(*) AS n_items,
-           CAST(SUM(CAST(total_order_amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
-    FROM fact GROUP BY 1 ORDER BY hour_of_day
-    """,
-)
-def pos_sales_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 ('Store Performance by Hour') on the POS fact's real
-    payment_time column (F19 bucketing)."""
-    fact = transform_pos(pos_fixture.raw_pos_df(spark), spark)
-    return (
-        fact.groupBy(F.hour("payment_time").alias("hour_of_day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("total_order_amount").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_amount"),
-        )
-        .orderBy("hour_of_day")
-    )

@@ -19,6 +19,7 @@ DuckDB-vs-Spark function mapping pinned here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.validate import validation_split
 from ..registry import register
@@ -133,20 +134,21 @@ def pos_kernel_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pos_validation_clean",
-    oracle=_kernel_cte() + f"SELECT * FROM fact WHERE {VALID_SQL}",
+    "pos_validation_routing",
+    oracle=_kernel_cte()
+    + f"""
+    SELECT 'clean' AS route, * FROM fact WHERE {VALID_SQL}
+    UNION ALL
+    SELECT 'quarantine' AS route, * FROM fact WHERE NOT ({VALID_SQL})
+    """,
 )
-def pos_validation_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 clean side of the validation split."""
-    clean, _ = validation_split(transform_pos(pos_fixture.raw_pos_df(spark), spark))
-    return clean
-
-
-@register(
-    "pos_validation_quarantine",
-    oracle=_kernel_cte() + f"SELECT * FROM fact WHERE NOT ({VALID_SQL})",
-)
-def pos_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 quarantine side (ref README.md:113-119)."""
-    _, quarantine = validation_split(transform_pos(pos_fixture.raw_pos_df(spark), spark))
-    return quarantine
+def pos_validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 validation split, both routes labeled into one result: the
+    operator evaluates the null-safe predicate once and returns the
+    clean and quarantine frames (ref README.md:113-119); the label
+    union proves every row lands on exactly one side with all
+    columns intact."""
+    clean, quarantine = validation_split(transform_pos(pos_fixture.raw_pos_df(spark), spark))
+    return clean.select(F.lit("clean").alias("route"), "*").unionByName(
+        quarantine.select(F.lit("quarantine").alias("route"), "*")
+    )

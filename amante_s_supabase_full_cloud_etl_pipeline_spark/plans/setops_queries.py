@@ -16,41 +16,37 @@ from ..registry import DRIVER_SF, golden_oracle, register
 
 
 @register(
-    "intersect_customers",
+    "setops_customers",
     oracle="""
-    SELECT COUNT(*) AS n_both FROM (
+    SELECT 'intersect' AS set_op, COUNT(*) AS n_customers FROM (
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         INTERSECT
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     )
-    """,
-)
-def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (deduplicating set intersection)."""
-    o = catalog.table(spark, sf_dir, "orders")
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return urgent.intersect(finished).agg(F.count(F.lit(1)).alias("n_both"))
-
-
-@register(
-    "except_customers",
-    oracle="""
-    SELECT COUNT(*) AS n_only_urgent FROM (
+    UNION ALL
+    SELECT 'except' AS set_op, COUNT(*) AS n_customers FROM (
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     )
+    ORDER BY set_op
     """,
 )
-def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set difference — ``subtract``, not ``exceptAll``:
-    EXCEPT removes every key present on the right; exceptAll is bag
-    difference and keeps surplus multiplicity)."""
+def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (deduplicating set intersection) and EXCEPT (set
+    difference — ``subtract``, not ``exceptAll``: EXCEPT removes
+    every key present on the right; exceptAll is bag difference and
+    keeps surplus multiplicity), labeled into one result."""
     o = catalog.table(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return urgent.subtract(finished).agg(F.count(F.lit(1)).alias("n_only_urgent"))
+    both = urgent.intersect(finished).agg(F.count(F.lit(1)).alias("n_customers"))
+    only = urgent.subtract(finished).agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        both.select(F.lit("intersect").alias("set_op"), "n_customers")
+        .unionByName(only.select(F.lit("except").alias("set_op"), "n_customers"))
+        .orderBy("set_op")
+    )
 
 
 @register(
@@ -73,31 +69,6 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
         .orderBy("l_returnflag")
-    )
-
-
-@register(
-    "percentile_prices",
-    oracle="""
-    SELECT o_orderstatus,
-           quantile_cont(o_totalprice, 0.5) AS median_price,
-           quantile_cont(o_totalprice, 0.9) AS p90_price
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-)
-def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles (median/p90): both engines use the
-    same linear-interpolation definition over the sorted values —
-    deterministic. (approx_percentile is the at-scale variant; its
-    sketch is engine-specific → see approx_distinct_counts pattern.)"""
-    o = catalog.table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
-            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
-        )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -207,16 +178,24 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
               - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
              ) / (COUNT(*) - 1)
-           ) AS stddev_price
+           ) AS stddev_price,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
 def stats_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean + sample stddev computed from EXACT decimal moments
-    (Σx, Σx² in decimal, combined in one final double expression) —
-    the built-in ``stddev`` accumulates in double and is
+    """Statistical aggregates in one grouped pass: mean + sample
+    stddev from EXACT decimal moments, plus exact continuous
+    percentiles (median/p90 — both engines use the same
+    linear-interpolation definition over sorted values).
+
+    The built-in ``stddev`` accumulates in double and is
     aggregation-order-dependent, so it can't hash-match a serial
-    oracle; the moment form is order-independent AND one pass.
+    oracle; the moment form (Σx, Σx² in decimal, combined in one
+    final double expression) is order-independent AND one pass.
+    (approx_percentile is the at-scale percentile variant; its sketch
+    is engine-specific → see approx_distinct_counts pattern.)
 
     The Σx² decimal exceeds 2^53 scaled units at sf≥0.1, where
     DuckDB's decimal→double cast is not correctly rounded (Spark's
@@ -237,6 +216,8 @@ def stats_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n"),
             (s1 / n).alias("mean_price"),
             F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("stddev_price"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
         )
         .orderBy("o_orderstatus")
     )

@@ -26,17 +26,17 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.session import get_spark
 #: window top-k, inverted-index self-join, ANN scan, sessionization).
 HEADLINE = (
     "star_net_sales_by_region",
-    "a5_avg_order_quantity",
+    "a4_a7_headline_kpis",
     "a11_category_performance",
     "topk_parts_per_type",
-    "explode_part_words",
-    "lineitem_validation_clean",
+    "explode_regex_part_attrs",
+    "lineitem_validation_routing",
     "dedup_exact_survivors",
     "dedup_jaccard_pairs",
     "knn_bruteforce_cosine",
     "knn_lsh_bucketed",
     "events_sessionization",
-    "text_quality_scores",
+    "text_quality_band",
 )
 
 
