@@ -183,12 +183,13 @@ def transform_pos(raw: DataFrame, spark: SparkSession) -> DataFrame:
     # (F10 null-propagating concat); non-targets always yield a
     # string. Filtering on clean_item itself would get pushed below
     # the projection with the whole F7-F12 expression substituted in —
-    # evaluated twice per row (measured ~25% of kernel time).
+    # evaluated twice per row (measured ~25% of kernel time). The
+    # flavor-miss test is a pure rlike (early-exit match, no capture
+    # group materialization): extract_or_null(tok, P).isNull() ⇔
+    # NOT tok.rlike(P) because every alternation branch captures a
+    # non-empty string.
     df = df.filter(
-        ~(
-            tok.rlike(TARGET_MASK_PATTERN)
-            & extract_or_null(tok, TARGET_FLAVOR_PATTERN).isNull()
-        )
+        ~(tok.rlike(TARGET_MASK_PATTERN) & ~tok.rlike(TARGET_FLAVOR_PATTERN))
     )
 
     # M1/M2: dict-map lookups as broadcast left joins (SURVEY.md §2.5).
