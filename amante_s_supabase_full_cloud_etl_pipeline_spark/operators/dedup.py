@@ -279,6 +279,7 @@ def simhash_near_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Near-dup pairs via *banded* SimHash blocking: the 64-bit
     signature splits into ``bands`` equal bit-slices; docs agreeing on
@@ -286,7 +287,21 @@ def simhash_near_pairs(
     verified. Pigeonhole guarantee: every pair with hamming ≤
     ``bands - 1`` shares at least one exact band → found with recall
     1.0; larger distances are caught probabilistically. (Calibration
-    on the test corpus: jaccard ≥ 0.95 pairs sit at hamming ≤ 7.)"""
+    on the test corpus: jaccard ≥ 0.95 pairs sit at hamming ≤ 7.)
+
+    ``probe_bits=1`` turns on MULTI-PROBE blocking: one join side
+    additionally emits each band value with every single bit flipped,
+    so bands differing by one bit still collide — the recall-1.0
+    radius doubles to ``2*bands - 1`` (any pair with hamming ≤ 7 at 4
+    bands has some band with ≤ 1 differing bit). Cost model at scale:
+    probe rows multiply ONE side by ``band_bits + 1`` (17× at 4
+    bands) while the exact side — and therefore the hash table the
+    join builds — stays at 1×; this trades bounded map-side fan-out
+    for recall WITHOUT widening the candidate verification beyond
+    pairs that actually share a probed slot. Higher probe_bits are
+    deliberately unsupported: the fan-out grows as C(band_bits, k)."""
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 (exact bands) or 1 (multi-probe)")
     band_bits = 64 // bands
     sigs = tracked_persist(
         shingle_set(docs, 3, text_col, id_col)
@@ -297,22 +312,35 @@ def simhash_near_pairs(
         .select(F.col(id_col), simhash_from_hashes(F.col("_hashes")).alias("sig"))
         # cache below the filter: see minhash_candidates note
     ).filter(F.col("sig").isNotNull())
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("sig"), b * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1))
-                .alias("band_val"),
+
+    def band_structs(flips: tuple[int, ...]) -> Column:
+        """(band, band_val ^ flip) structs; flip=0 is the exact slot."""
+        slices = []
+        for b in range(bands):
+            raw = F.shiftrightunsigned(F.col("sig"), b * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
             )
-            for b in range(bands)
-        ]
+            for flip in flips:
+                slices.append(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        raw.bitwiseXOR(F.lit(flip)).alias("band_val"),
+                    )
+                )
+        return F.array(*slices)
+
+    exact = (0,)
+    probed = exact if probe_bits == 0 else exact + tuple(1 << j for j in range(band_bits))
+    a = (
+        sigs.select(id_col, "sig", F.explode(band_structs(exact)).alias("bb"))
+        .select(id_col, "sig", "bb.band", "bb.band_val")
+        .toDF("id_a", "sig_a", "band", "band_val")
     )
-    banded = sigs.select(id_col, "sig", F.explode(band_structs).alias("bb")).select(
-        id_col, "sig", "bb.band", "bb.band_val"
+    b = (
+        sigs.select(id_col, "sig", F.explode(band_structs(probed)).alias("bb"))
+        .select(id_col, "sig", "bb.band", "bb.band_val")
+        .toDF("id_b", "sig_b", "band", "band_val")
     )
-    a = banded.toDF("id_a", "sig_a", "band", "band_val")
-    b = banded.toDF("id_b", "sig_b", "band", "band_val")
     return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -130,7 +130,9 @@ def dedup_minhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden_sf=DRIVER_SF,
 )
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (prefix-bucketed hamming verification),
-    golden-pinned like MinHash (deterministic xxhash64 signatures)."""
+    """SimHash near-dup pairs with 1-bit multi-probe banding
+    (recall-1.0 radius = 2*bands-1 = 7, matching the hamming<=8
+    verification threshold), golden-pinned like MinHash
+    (deterministic xxhash64 signatures)."""
     docs = catalog.table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs).orderBy("id_a", "id_b")
+    return simhash_near_pairs(docs, probe_bits=1).orderBy("id_a", "id_b")

@@ -1,0 +1,121 @@
+"""Deterministic sampling and dataset splits for training-data
+pipelines (charter extension, SURVEY.md §2.10).
+
+At 100 TB, ``df.sample()`` is the wrong tool for corpus curation:
+its output depends on partitioning and the run's RNG stream, so a
+re-run (or a recomputed lost partition!) yields a *different*
+sample, and train/val/test membership can't be reproduced or
+joined against later. The standard fix is CONTENT-KEYED sampling:
+hash a stable key, take the rows whose hash falls below the
+fraction threshold. Properties that matter at scale:
+
+- **Pure map-side filter** — no shuffle, no state, prunes columns;
+  Catalyst pipelines it into the scan stage.
+- **Reproducible & incremental** — membership is a function of the
+  key alone, so yesterday's train set is a subset relation, not a
+  snapshot; new data lands in splits consistently.
+- **Engine-portable** — the md5 path produces identical membership
+  in any engine (differentially tested vs DuckDB); the xxhash64
+  path is the cheap JVM-native variant for the 100 TB hot path.
+
+Granularity is 16 bits (65536 buckets) — fractions snap to
+1/65536, plenty for corpus work (document the snap, don't hide it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket-space granularity: first 4 hex chars of the digest
+_BUCKETS = 16**4
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Fraction → 4-hex-char exclusive upper bound ('0000'..'10000'
+    never reached: 1.0 maps past every key)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    t = round(fraction * _BUCKETS)
+    return format(t, "05x") if t == _BUCKETS else format(t, "04x")
+
+
+def md5_sample_key(key: Column) -> Column:
+    """Stable, engine-portable sample key: first 4 lowercase hex
+    chars of md5(key-as-utf8). Fixed-length lowercase hex compares
+    lexicographically == numerically, so no hex→int cast is needed
+    (DuckDB has none)."""
+    return F.substring(F.md5(F.encode(key.cast("string"), "UTF-8")), 1, 4)
+
+
+def md5_sample_key_sql(key_sql: str) -> str:
+    """DuckDB twin of :func:`md5_sample_key`."""
+    return f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, 4)"
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Content-keyed sample: keep rows whose md5 bucket falls below
+    ``fraction`` (snapped to 1/65536). Map-only — no shuffle."""
+    return df.filter(md5_sample_key(F.col(key)) < F.lit(_threshold_hex(fraction)))
+
+
+def split_column(key: Column, weights: dict[str, float]) -> Column:
+    """Label each row with a split name by cumulative hash threshold
+    (e.g. ``{"train": .8, "val": .1, "test": .1}``). Weights must sum
+    to 1 (±1 bucket of rounding); every row gets exactly one label —
+    splits are disjoint and exhaustive by construction."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    k = md5_sample_key(key)
+    names = list(weights)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    # build CASE from the last boundary backwards
+    bounds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        bounds.append((name, _threshold_hex(cum)))
+    for name, bound in reversed(bounds):
+        expr = F.when(k < F.lit(bound), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_column_sql(key_sql: str, weights: dict[str, float]) -> str:
+    """DuckDB twin of :func:`split_column` (same thresholds from the
+    same constants)."""
+    k = md5_sample_key_sql(key_sql)
+    names = list(weights)
+    cum = 0.0
+    case = "CASE"
+    for name in names[:-1]:
+        cum += weights[name]
+        case += f" WHEN {k} < '{_threshold_hex(cum)}' THEN '{name}'"
+    return case + f" ELSE '{names[-1]}' END"
+
+
+def train_val_test_split(
+    df: DataFrame, key: str, weights: dict[str, float] | None = None
+) -> DataFrame:
+    """Attach a ``split`` column (default 80/10/10)."""
+    w = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn("split", split_column(F.col(key), w))
+
+
+# ---------------------------------------------------------------------------
+# 100 TB hot path: xxhash64 (JVM-native, no hex strings).
+# ---------------------------------------------------------------------------
+
+
+def xxhash_bucket(key: Column, n_buckets: int = 10_000) -> Column:
+    """Non-negative stable bucket from Spark's seeded xxhash64 —
+    cheaper than md5 (no digest string); engine-specific, so use it
+    in production and keep the md5 path for cross-engine checks."""
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets))
+
+
+def xxhash_sample(df: DataFrame, key: str, fraction: float, n_buckets: int = 10_000) -> DataFrame:
+    """Content-keyed sample on the xxhash64 path (fraction snaps to
+    1/n_buckets)."""
+    keep = int(round(fraction * n_buckets))
+    return df.filter(xxhash_bucket(F.col(key), n_buckets) < F.lit(keep))

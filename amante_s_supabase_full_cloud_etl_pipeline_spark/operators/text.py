@@ -94,6 +94,22 @@ def lang_id(text: Column) -> Column:
     return out
 
 
+def dup_token_count(toks: Column) -> Column:
+    """Tokens beyond their first occurrence — the exact integer
+    numerator of the Gopher-style word-repetition ratio. Summing the
+    integer numerator/denominator separately keeps corpus-level
+    ratios aggregation-order-independent (never sum per-doc double
+    ratios)."""
+    return F.size(toks) - F.size(F.array_distinct(toks))
+
+
+def dup_bigram_count(toks: Column) -> Column:
+    """Bigrams beyond their first occurrence (repetition signal one
+    order up: catches looping phrases that word-level misses)."""
+    grams = shingles_from_tokens(toks, 2)
+    return F.size(grams) - F.size(F.array_distinct(grams))
+
+
 def normalize(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase + collapsed
     whitespace + trim."""

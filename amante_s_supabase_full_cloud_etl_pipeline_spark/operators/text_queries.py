@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..registry import register
+from .redact import count_sql, redaction_sql
 from .text import (
     BPE_ISH_PATTERN,
     LANG_MARKERS,
@@ -37,25 +38,76 @@ def _hits(words: tuple[str, ...]) -> str:
 @register(
     "text_token_stats",
     oracle=f"""
+    WITH per_row AS (
+        SELECT lang, n_chars, text, {_TOKENS} AS w FROM documents
+    ), sized AS (
+        SELECT lang, n_chars, text, w,
+               [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS g
+        FROM per_row
+    )
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
            CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY lang ORDER BY lang
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(w) - len(list_distinct(w))) AS BIGINT) AS total_dup_words,
+           CASE WHEN SUM(len(w)) > 0
+                THEN CAST(SUM(len(w) - len(list_distinct(w))) AS DOUBLE)
+                     / CAST(SUM(len(w)) AS DOUBLE) END AS dup_word_frac,
+           CAST(SUM(len(g) - len(list_distinct(g))) AS BIGINT) AS total_dup_bigrams,
+           CASE WHEN SUM(len(g)) > 0
+                THEN CAST(SUM(len(g) - len(list_distinct(g))) AS DOUBLE)
+                     / CAST(SUM(len(g)) AS DOUBLE) END AS dup_bigram_frac
+    FROM sized GROUP BY lang ORDER BY lang
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex) — map-only pass,
-    integer sums (exact in any order)."""
+    """Corpus token profile per language: whitespace + BPE-ish token
+    counts PLUS Gopher-style repetition signals (duplicate-word and
+    duplicate-bigram fractions — the standard looping-text filter
+    inputs). Map-only pass; every aggregate is an exact integer sum,
+    and the fractions are single final divisions of those sums, so
+    results are aggregation-order-independent (never sum per-doc
+    double ratios). The token array is materialized ONCE in its own
+    projection — CollapseProject keeps non-cheap multi-referenced
+    aliases un-inlined, so the split/filter isn't re-evaluated per
+    reference."""
+    from .text import dup_bigram_count, dup_token_count, tokens
+
     docs = catalog.table(spark, sf_dir, "documents")
+    toks = F.col("_toks")
+    per_row = (
+        docs.select("lang", "n_chars", "text")
+        .withColumn("_toks", tokens(F.col("text")))
+        .select(
+            "lang",
+            "n_chars",
+            F.size(toks).alias("n_tok"),
+            bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+            dup_token_count(toks).alias("n_dup_words"),
+            F.greatest(F.size(toks) - 1, F.lit(0)).alias("n_bigrams"),
+            dup_bigram_count(toks).alias("n_dup_bigrams"),
+        )
+    )
+    tok_sum = F.sum("n_tok")
+    dupw_sum = F.sum("n_dup_words")
+    big_sum = F.sum("n_bigrams")
+    dupb_sum = F.sum("n_dup_bigrams")
     return (
-        docs.groupBy("lang")
+        per_row.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count(F.col("text"))).alias("total_tokens"),
-            F.sum(bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
+            tok_sum.alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
             F.sum("n_chars").alias("total_chars"),
+            dupw_sum.alias("total_dup_words"),
+            F.when(tok_sum > 0, dupw_sum.cast("double") / tok_sum.cast("double")).alias(
+                "dup_word_frac"
+            ),
+            dupb_sum.alias("total_dup_bigrams"),
+            F.when(big_sum > 0, dupb_sum.cast("double") / big_sum.cast("double")).alias(
+                "dup_bigram_frac"
+            ),
         )
         .orderBy("lang")
     )
@@ -154,6 +206,62 @@ def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_id"))
         .orderBy("fp")
+    )
+
+
+def _contact_sql() -> str:
+    """DuckDB expression manufacturing the deterministic contact
+    string (same construction as the Spark side)."""
+    return (
+        "'Reach ' || c_name || ' at ' || lower(replace(c_name, '#', '.')) "
+        "|| '@example.com or +1-' || CAST(100 + c_custkey % 900 AS VARCHAR) "
+        "|| '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') "
+        "|| ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) "
+        "|| '.' || CAST((c_custkey * 7) % 256 AS VARCHAR) "
+        "|| '.' || CAST((c_custkey * 13) % 256 AS VARCHAR)"
+    )
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    SELECT c_custkey,
+           {redaction_sql(_contact_sql())} AS redacted,
+           CAST({count_sql(_contact_sql(), "email")} AS INTEGER) AS n_emails,
+           CAST({count_sql(_contact_sql(), "phone")} AS INTEGER) AS n_phones,
+           CAST({count_sql(_contact_sql(), "ipv4")} AS INTEGER) AS n_ips
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / phone numbers / IPv4) — the standard
+    pre-training redaction pass, pure regexp column expressions
+    (map-only at any scale). The corpus is manufactured
+    deterministically from customer keys so both engines see
+    identical inputs with every pattern class present; per-row
+    redacted text AND per-class match counts are value-checked."""
+    from .redact import pii_count, redact_pii
+
+    c = catalog.table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    contact = F.concat(
+        F.lit("Reach "), F.col("c_name"),
+        F.lit(" at "), F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com or +1-"), (k % 900 + 100).cast("string"),
+        F.lit("-555-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (k % 256).cast("string"),
+        F.lit("."), ((k * 7) % 256).cast("string"),
+        F.lit("."), ((k * 13) % 256).cast("string"),
+    )
+    return (
+        c.select(
+            "c_custkey",
+            redact_pii(contact).alias("redacted"),
+            pii_count(contact, "email").cast("int").alias("n_emails"),
+            pii_count(contact, "phone").cast("int").alias("n_phones"),
+            pii_count(contact, "ipv4").cast("int").alias("n_ips"),
+        )
+        .orderBy("c_custkey")
     )
 
 

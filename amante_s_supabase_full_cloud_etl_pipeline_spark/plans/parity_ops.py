@@ -104,42 +104,11 @@ def lineitem_validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A1/A2 — union of per-source frames.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "union_by_name",
-    oracle="""
-    SELECT src, COUNT(*) AS n_rows
-    FROM (
-        SELECT 'high' AS src, o_orderkey FROM orders WHERE o_totalprice > 300000
-        UNION ALL
-        SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    )
-    GROUP BY src ORDER BY src
-    """,
-)
-def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2 (ref main.py:475,487 pd.concat): unionByName of
-    compatible frames — a no-shuffle narrow op in Spark."""
-    o = catalog.table(spark, sf_dir, "orders")
-    high = o.filter(F.col("o_totalprice") > 300000).select(
-        F.lit("high").alias("src"), "o_orderkey"
-    )
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.lit("urgent").alias("src"), "o_orderkey"
-    )
-    return (
-        high.unionByName(urgent)
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("src")
-    )
-
-
-# ---------------------------------------------------------------------------
 # S8 — anti-join (quarantine delete) and semi-join existence filter.
+# A1/A2 (pd.concat ≡ unionByName, ref main.py:475,487) are exercised
+# inside every labeled-union query here and in setops/pos plans — the
+# checked plans contain the Union node, so the op keeps driver proof
+# without its own slot.
 # ---------------------------------------------------------------------------
 
 

@@ -105,3 +105,44 @@ def test_lsh_topk_shapes(spark, sf_dir):
     for q, s in by_q.items():
         assert len(s) <= 5
         assert q not in s  # self excluded
+
+
+def test_simhash_multiprobe_pigeonhole_recall(docs):
+    """1-bit multi-probe guarantee: EVERY pair at hamming <= 2*bands-1
+    (= 7 at 4 bands) collides on some probed band — exhaustive
+    ground-truth over the corpus signatures must be fully recovered.
+    (Exact banding only guarantees hamming <= 3; the 4..7 range is
+    where probing earns its fan-out.)"""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+        shingle_set,
+        simhash_from_hashes,
+    )
+    from pyspark.sql import functions as F
+
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in shingle_set(docs, 3, "text", "doc_id")
+        .select(
+            "doc_id",
+            simhash_from_hashes(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+            ).alias("sig"),
+        )
+        .collect()
+        if r["sig"] is not None
+    }
+    ids = sorted(sigs)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 7
+    }
+    if not truth:
+        pytest.skip("no pairs at hamming <= 7 in this corpus")
+    probed = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(docs, max_hamming=8, probe_bits=1).collect()
+    }
+    missed = truth - probed
+    assert not missed, f"pigeonhole violated: {sorted(missed)[:5]}"

@@ -1,0 +1,112 @@
+"""Deterministic sampling / dataset-split operator tests: engine
+parity via the DuckDB differential harness (the md5 path must give
+IDENTICAL membership in any engine) + stability and split-law
+properties the operator guarantees at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import sampling
+
+from .oracle_harness import compare
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_matches_duckdb(spark, sf_dir):
+    """Split membership (not just counts) matches DuckDB exactly."""
+
+    def q(spark, sf_dir):
+        docs = catalog.table(spark, sf_dir, "documents")
+        return (
+            sampling.train_val_test_split(docs, "doc_id", WEIGHTS)
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .orderBy("split")
+        )
+
+    oracle = f"""
+    SELECT {sampling.split_column_sql("doc_id", WEIGHTS)} AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1 ORDER BY split
+    """
+    compare(spark, sf_dir, q, oracle)
+
+
+def test_sample_matches_duckdb(spark, sf_dir):
+    def q(spark, sf_dir):
+        docs = catalog.table(spark, sf_dir, "documents")
+        return (
+            sampling.deterministic_sample(docs, "doc_id", 0.25)
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    oracle = f"""
+    SELECT doc_id FROM documents
+    WHERE {sampling.md5_sample_key_sql("doc_id")} < '4000'
+    ORDER BY doc_id
+    """
+    compare(spark, sf_dir, q, oracle)
+
+
+def test_sample_partition_independent(spark, sf_dir):
+    """Same membership regardless of physical layout — the property
+    df.sample() lacks and the reason this operator exists."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    a = sorted(
+        r[0] for r in sampling.deterministic_sample(docs, "doc_id", 0.3).select("doc_id").collect()
+    )
+    b = sorted(
+        r[0]
+        for r in sampling.deterministic_sample(docs.repartition(7), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_split_disjoint_and_exhaustive(spark, sf_dir):
+    docs = catalog.table(spark, sf_dir, "documents")
+    total = docs.count()
+    counts = dict(
+        (r["split"], r["n"])
+        for r in sampling.train_val_test_split(docs, "doc_id", WEIGHTS)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sum(counts.values()) == total
+    # weights hold approximately (hash uniformity)
+    assert abs(counts.get("train", 0) / total - 0.8) < 0.1
+
+
+def test_xxhash_sample_stable_and_maponly(spark, sf_dir):
+    docs = catalog.table(spark, sf_dir, "documents")
+    a = sorted(r[0] for r in sampling.xxhash_sample(docs, "doc_id", 0.2).select("doc_id").collect())
+    b = sorted(
+        r[0]
+        for r in sampling.xxhash_sample(docs.repartition(5), "doc_id", 0.2)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n
+    # the sample is a pure filter: no shuffle anywhere in the plan
+    plan = sampling.xxhash_sample(docs, "doc_id", 0.2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_threshold_edges():
+    assert sampling._threshold_hex(0.0) == "0000"
+    assert sampling._threshold_hex(1.0) == "10000"  # sorts after every key
+    assert sampling._threshold_hex(0.5) == "8000"
