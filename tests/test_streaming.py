@@ -217,3 +217,52 @@ def test_stateful_user_totals_accumulates_across_restarts(spark, sf_dir, tmp_pat
         fn, ft = final[u]
         assert fn == n
         assert abs(ft - t) < 1e-6
+
+
+def test_streaming_dedup_on_arrival_across_batches(spark, sf_dir, tmp_path):
+    """Duplicates arriving in DIFFERENT micro-batches within the
+    watermark are still dropped (the state store carries keys across
+    batches); output is exactly one copy per distinct fingerprint."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.dedup import (
+        content_dedup_on_arrival,
+    )
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .limit(100)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 600).alias(
+                "ingest_ts"
+            ),
+        )
+    )
+    src = str(tmp_path / "docs_src")
+    # two files => two micro-batches with maxFilesPerTrigger=1; the
+    # second file re-delivers every row (exact duplicates) 5 min later
+    docs.coalesce(1).write.parquet(src)
+    dup = docs.withColumn("ingest_ts", F.col("ingest_ts") + F.expr("INTERVAL 5 MINUTES"))
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    q = (
+        content_dedup_on_arrival(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    n_distinct = docs.select("text").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("fp").distinct().count() == n_distinct

@@ -1,0 +1,103 @@
+"""Snapshot-isolated table format: commit atomicity, snapshot
+isolation under concurrent MERGE, time travel, idempotent streaming
+batches, optimistic-concurrency conflicts, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
+    CommitConflict,
+    ParquetTable,
+)
+
+KEYS, ORDER = ["k"], ["ts"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, ts int")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return ParquetTable(spark, str(tmp_path / "t"))
+
+
+def test_append_read_time_travel(spark, table):
+    v1 = table.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    v2 = table.append(_df(spark, [(3, "c", 2)]))
+    assert (v1, v2) == (1, 2)
+    assert table.read().count() == 3
+    assert table.read(version=v1).count() == 2  # time travel
+
+
+def test_merge_upsert_semantics(spark, table):
+    table.merge(_df(spark, [(1, "a", 1), (2, "b", 1)]), KEYS, ORDER)
+    table.merge(_df(spark, [(2, "B", 2), (3, "c", 2)]), KEYS, ORDER)
+    got = {(r["k"], r["v"]) for r in table.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_snapshot_isolation_across_merge(spark, table):
+    """A query planned before a full-rewrite MERGE still reads its
+    own version's files afterwards — the hazard the plain directory
+    swap cannot avoid."""
+    table.merge(_df(spark, [(1, "a", 1)]), KEYS, ORDER)
+    old_snapshot = table.read()  # lazy: file list pinned now
+    table.merge(_df(spark, [(1, "NEW", 2), (2, "b", 2)]), KEYS, ORDER)
+    assert {(r["k"], r["v"]) for r in old_snapshot.collect()} == {(1, "a")}
+    assert {(r["k"], r["v"]) for r in table.read().collect()} == {(1, "NEW"), (2, "b")}
+
+
+def test_crash_before_pointer_swap_leaves_old_version(spark, table, monkeypatch):
+    table.merge(_df(spark, [(1, "a", 1)]), KEYS, ORDER)
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("crash before pointer swap")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError):
+        table.merge(_df(spark, [(1, "lost", 2)]), KEYS, ORDER)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # reader still on v1; the orphaned v2 manifest blocks nothing
+    assert table.current_version() == 1
+    assert {(r["k"], r["v"]) for r in table.read().collect()} == {(1, "a")}
+    # recovery: next commit takes the next free version
+    with pytest.raises(CommitConflict):
+        table.merge(_df(spark, [(2, "b", 3)]), KEYS, ORDER)
+
+
+def test_idempotent_batch_commit(spark, table):
+    """foreachBatch is at-least-once; same batch_id applies once."""
+    handle = table.merge_writer(KEYS, ORDER)
+    handle(_df(spark, [(1, "a", 1)]), 7)
+    v = table.current_version()
+    handle(_df(spark, [(1, "a", 1)]), 7)  # replay
+    assert table.current_version() == v
+    assert table.read().count() == 1
+
+
+def test_concurrent_writer_conflict(spark, table):
+    table.append(_df(spark, [(1, "a", 1)]))
+    # a racing writer steals version 2
+    ParquetTable(spark, table.path).append(_df(spark, [(9, "z", 9)]))
+    # our stale-parent commit must fail loudly, not overwrite
+    stale = object.__new__(ParquetTable)
+    stale.__dict__.update(table.__dict__)
+    with pytest.raises(CommitConflict):
+        stale._commit(["data/fake"], None, parent=1)
+
+
+def test_vacuum_keeps_referenced_dirs(spark, table):
+    table.merge(_df(spark, [(1, "a", 1)]), KEYS, ORDER)
+    table.merge(_df(spark, [(1, "b", 2)]), KEYS, ORDER)  # full rewrite
+    removed = table.vacuum(keep_versions=1)
+    assert removed, "old rewrite dir should be vacuumed"
+    assert {(r["k"], r["v"]) for r in table.read().collect()} == {(1, "b")}
+    with pytest.raises(Exception):
+        table.read(version=1).collect()  # time travel gone after vacuum
