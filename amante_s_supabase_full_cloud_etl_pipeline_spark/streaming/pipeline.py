@@ -107,6 +107,43 @@ def pos_batch_handler(fact_dir: str, quarantine_dir: str) -> Callable[[DataFrame
     return handle
 
 
+#: the fact table's explicit upsert key (SURVEY.md §7 risk register:
+#: explode destroys pandas row identity, so the engine must name one;
+#: payment_time disambiguates re-submitted orders)
+FACT_KEYS = ("order_id", "items", "payment_time")
+
+
+def pos_table_handler(
+    fact_table, quarantine_table
+) -> Callable[[DataFrame, int], None]:
+    """Transactional variant of :func:`pos_batch_handler`: both sinks
+    are :class:`~..sources.table_format.ParquetTable` MERGEs —
+    snapshot-isolated commits, and exactly-once via the table's
+    batch_id idempotency instead of partition overwrite. This is the
+    production shape: concurrent dashboard readers keep their pinned
+    snapshot while a micro-batch commits."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # A3 emptiness gate
+            return
+        ts = batch_df.sparkSession
+        fact = transform_pos(
+            batch_df.withColumn("Payment time", F.col("`Payment time`").cast("timestamp")),
+            ts,
+        ).cache()
+        try:
+            clean, quarantine = validation_split(fact)
+            order_by = [c for c in clean.columns if c not in FACT_KEYS]
+            fact_table.merge(clean, list(FACT_KEYS), order_by, batch_id=batch_id)
+            quarantine_table.merge(
+                quarantine, list(FACT_KEYS), order_by, batch_id=batch_id
+            )
+        finally:
+            fact.unpersist()
+
+    return handle
+
+
 def run_pos_pipeline(
     spark: SparkSession,
     landing_dir: str,

@@ -55,3 +55,92 @@ def test_partitioned_fact_write_prunes(spark, sf_dir, tmp_path):
     got = fact.count()
     want = o.filter(F.col("order_month") == "1997-03").count()
     assert got == want > 0
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape regression locks for the perf-audited registry queries:
+# each assertion pins a physical property that keeps the query viable
+# at 100 TB; a regression (new shuffle, lost pushdown, global window,
+# fact-side broadcast) fails here before it costs anything.
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _registry_plan(spark, sf_dir, name) -> str:
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import registry
+
+    registry.load_all_queries()
+    return _plan(registry.QUERIES[name](spark, sf_dir))
+
+
+def test_bigram_topk_plan_has_no_global_window(spark, sf_dir):
+    """Top-k must be TakeOrderedAndProject (per-partition heaps), not
+    a single-partition window over all distinct bigrams."""
+    plan = _registry_plan(spark, sf_dir, "text_bigram_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_star_net_sales_broadcasts_only_dims(spark, sf_dir):
+    """nation/region broadcast; orders/customer joins stay AQE-chosen
+    (no explicit fact broadcast that would OOM the driver at scale).
+    At toy SF AQE may broadcast them — assert the LOGICAL hints only
+    mark the two dims."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans.dashboard import (
+        star_net_sales_by_region,
+    )
+
+    optimized = (
+        star_net_sales_by_region(spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    # exactly two user hints: the two dim tables
+    assert optimized.count("UnresolvedHint broadcast") + optimized.count(
+        "ResolvedHint (strategy=broadcast)"
+    ) == 2, optimized[:3000]
+
+
+def test_validation_routing_scans_fact_once(spark, sf_dir):
+    """Single-scan two-way split: one parquet scan feeds both routes."""
+    plan = _registry_plan(spark, sf_dir, "lineitem_validation_routing")
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
+def test_headline_kpis_single_scan_two_level_agg(spark, sf_dir):
+    """A4-A7 in one plan: one fact scan, per-order partial agg then
+    scalar agg — not four separate scans."""
+    plan = _registry_plan(spark, sf_dir, "a4_a7_headline_kpis")
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
+def test_order_mix_grouping_sets_single_scan(spark, sf_dir):
+    """A8+A12 via GROUPING SETS: one scan + Expand, not two group-bys."""
+    plan = _registry_plan(spark, sf_dir, "a8_a12_order_mix")
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert "Expand" in plan
+
+
+def test_quality_band_filter_pushed_to_scan(spark, sf_dir):
+    """The n_chars-independent part of the band filter cannot push (it
+    is an expression over text), but column pruning must hold: the
+    scan reads only the referenced columns."""
+    plan = _registry_plan(spark, sf_dir, "text_quality_band")
+    import re
+
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    read = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    cols = {c.split(":")[0] for c in read.group(1).split(",")} if read else set()
+    assert cols <= {"doc_id", "lang", "text"}, scan
+
+
+def test_sliced_monthly_predicates_pushed(spark, sf_dir):
+    """A13's slicer predicates reach the parquet scan as data filters
+    (at scale: partition pruning on a date-partitioned fact)."""
+    plan = _registry_plan(spark, sf_dir, "a13_sliced_monthly_sales")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in scan or "PushedFilters: [" in scan

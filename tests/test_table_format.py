@@ -101,3 +101,36 @@ def test_vacuum_keeps_referenced_dirs(spark, table):
     assert {(r["k"], r["v"]) for r in table.read().collect()} == {(1, "b")}
     with pytest.raises(Exception):
         table.read(version=1).collect()  # time travel gone after vacuum
+
+
+def test_pos_pipeline_table_sinks_exactly_once(spark, tmp_path):
+    """The streaming batch handler over ParquetTable sinks: a replayed
+    micro-batch (at-least-once foreachBatch) commits once; versions
+    advance only for new batches; both sinks stay consistent."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans.pos_fixture import (
+        raw_pos_df,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.pipeline import (
+        pos_table_handler,
+    )
+
+    fact_t = ParquetTable(spark, str(tmp_path / "fact"))
+    quar_t = ParquetTable(spark, str(tmp_path / "quar"))
+    handle = pos_table_handler(fact_t, quar_t)
+
+    raw = raw_pos_df(spark)
+    handle(raw, 0)
+    v_fact, v_quar = fact_t.current_version(), quar_t.current_version()
+    n_fact, n_quar = fact_t.read().count(), quar_t.read().count()
+    assert n_fact > 0 and n_quar > 0
+
+    handle(raw, 0)  # crash-replay of the same micro-batch
+    assert (fact_t.current_version(), quar_t.current_version()) == (v_fact, v_quar)
+    assert fact_t.read().count() == n_fact
+
+    handle(raw.limit(0), 1)  # emptiness gate: no commit at all
+    assert fact_t.current_version() == v_fact
+
+    handle(raw, 2)  # same DATA as batch 0 → upsert is a no-op on rows
+    assert fact_t.current_version() > v_fact
+    assert fact_t.read().count() == n_fact
