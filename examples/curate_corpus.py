@@ -1,0 +1,112 @@
+"""End-to-end training-data curation over the documents corpus —
+the charter's LLM-pipeline operators (SURVEY.md §2.10) composed the
+way a pre-training data run composes them:
+
+    python examples/curate_corpus.py [sf_dir] [workdir]
+
+1. Language ID + quality/repetition band filter (map-only signals).
+2. PII redaction (email/phone/IPv4 scrub).
+3. Exact dedup (fingerprint) then MinHash-LSH near-dup pruning.
+4. Deterministic train/val/test split (content-keyed — reproducible
+   at any partitioning, incremental across corpus versions).
+5. Snapshot-isolated commit into a ParquetTable per split.
+
+Every stage is a lazy DataFrame transform; Spark runs the whole
+curation as a handful of jobs. At 100 TB the same code holds: the
+signals are map-only, dedup is inverted-index/banded (never
+all-pairs), the split is a pure filter, and the table commit is an
+atomic manifest swap.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import sampling
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+    minhash_candidates,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.redact import redact_pii
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import (
+    dup_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.session import get_spark
+from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
+    ParquetTable,
+)
+
+
+def main(sf_dir: str, workdir: str) -> None:
+    spark = get_spark("curate-corpus")
+    docs = catalog.table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. signals + band filter (single map stage; all JVM expressions)
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        lang_id(F.col("text")).alias("pred_lang"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tok"),
+        (dup_token_count(toks) / F.greatest(F.size(toks), F.lit(1))).alias("rep_frac"),
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.4)
+        & (F.col("n_tok") >= 20)
+        & (F.col("rep_frac") <= 0.6)
+    )
+
+    # 2. PII scrub + 3a. exact dedup on the normalized fingerprint
+    redacted = kept.select(
+        "doc_id", "pred_lang", "quality", redact_pii(F.col("text")).alias("text")
+    ).withColumn("fp", fingerprint(F.col("text")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_unique = (
+        redacted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+    # 3b. near-dup pruning: MinHash-LSH candidates, keep the lower id
+    near = minhash_candidates(exact_unique.select("doc_id", "text"))
+    losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = exact_unique.join(losers, "doc_id", "left_anti")
+
+    # 4. deterministic split + 5. committed tables
+    final = sampling.train_val_test_split(deduped, "doc_id")
+    tables = {}
+    for split in ("train", "val", "test"):
+        t = ParquetTable(spark, os.path.join(workdir, split))
+        t.append(final.filter(F.col("split") == split).drop("split"))
+        tables[split] = t
+
+    n_kept, n_unique, n_final = kept.count(), exact_unique.count(), deduped.count()
+    print(f"corpus:        {n0} docs")
+    print(f"band filter:   {n_kept} kept ({n0 - n_kept} dropped)")
+    print(f"exact dedup:   {n_unique} unique")
+    print(f"near-dup:      {n_final} after LSH pruning")
+    for split, t in tables.items():
+        print(f"  {split}: {t.read().count()} docs (table v{t.current_version()})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    wd = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="curate_")
+    main(sf, wd)
