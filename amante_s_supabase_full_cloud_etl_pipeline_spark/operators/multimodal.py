@@ -12,6 +12,13 @@ REAL for uncompressed formats:
   :func:`decode_image_batch`'s NotImplementedError (PIL/libvips not
   in this container); swap :func:`decode_image` for a PIL call and
   nothing else changes.
+- :func:`decode_wav` decodes RIFF/PCM16 audio (proper chunk walk,
+  stereo downmix) → waveform features; compressed audio formats
+  gate exactly like compressed images.
+- :func:`split_ppm_stream`/:func:`frame_sample` treat concatenated
+  P6 frames (ffmpeg's image2pipe ppm output) as the video container:
+  exact per-header frame boundaries, every-k sampling, inter-frame
+  motion stats — the charter's frame-sample step with a real parser.
 - :func:`image_feature_kernel` is the Arrow ``mapInPandas`` kernel:
   decode → stats (per-channel means, luminance moments) → resize
   (mean-pooled 8×8 thumb — the "resize" step of the charter).
@@ -313,6 +320,129 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Real audio codec: PCM WAV (RIFF) — pure struct/numpy, no libraries.
+# --------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16_000) -> bytes:
+    """mono int16 samples → RIFF/WAVE PCM16 bytes."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    data = arr.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(blob: bytes):
+    """PCM16 mono/stereo WAV → (samples float64 in [-1,1], rate), or
+    None for compressed/malformed input (per-row skip, S4
+    semantics). Walks RIFF chunks properly — fmt need not precede
+    data at a fixed offset."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(blob or b"")
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or channels not in (1, 2):
+        return None  # compressed or exotic → gated like image codecs
+    samples = np.frombuffer(data[: len(data) - len(data) % (2 * channels)], dtype="<i2")
+    if channels == 2:
+        samples = samples.reshape(-1, 2).mean(axis=1)
+    return samples.astype(np.float64) / 32768.0, rate
+
+
+def audio_features(samples, rate: int, round_to: int = 6):
+    """Waveform features: duration, RMS level, peak, zero-crossing
+    rate — the standard cheap audio-quality signals."""
+    import numpy as np
+
+    n = samples.size
+    if n == 0:
+        return None
+    # sign-change count, skipping exact zeros: a crossing that lands
+    # ON a zero sample (common for tones commensurate with the rate)
+    # still counts once
+    signs = np.sign(samples)
+    signs = signs[signs != 0]
+    zc = int(np.sum(signs[1:] != signs[:-1])) if signs.size > 1 else 0
+    return {
+        "duration_s": round(n / rate, round_to),
+        "rms": round(float(np.sqrt(np.mean(samples**2))), round_to),
+        "peak": round(float(np.max(np.abs(samples))), round_to),
+        "zero_cross_rate": round(zc / max(n - 1, 1), round_to),
+    }
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: multi-frame PPM (P6) streams as the video stand-in.
+# Concatenated P6 images are a real container (ffmpeg's image2pipe
+# ppm format) — frame boundaries come from each header's own
+# width×height, so the parser is exact, not heuristic.
+# --------------------------------------------------------------------------
+
+
+def split_ppm_stream(blob: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream into per-frame byte blobs."""
+    frames, pos, b = [], 0, bytes(blob or b"")
+    while pos < len(b) and b[pos : pos + 2] == b"P6":
+        # parse this frame's header to find its pixel-data extent
+        scan, fields = pos + 2, []
+        while len(fields) < 3 and scan < len(b):
+            ch = b[scan : scan + 1]
+            if ch == b"#":
+                nl = b.find(b"\n", scan)
+                if nl < 0:
+                    return frames
+                scan = nl
+            elif ch.isspace():
+                scan += 1
+            else:
+                end = scan
+                while end < len(b) and not b[end : end + 1].isspace():
+                    end += 1
+                fields.append(b[scan:end])
+                scan = end
+        try:
+            w, h, _ = (int(f) for f in fields)
+        except ValueError:
+            return frames
+        end = scan + 1 + w * h * 3
+        if end > len(b):
+            return frames
+        frames.append(b[pos:end])
+        pos = end
+    return frames
+
+
+def frame_sample(blob: bytes, every: int = 2) -> list[bytes]:
+    """Charter "frame-sample": keep every ``every``-th frame of a
+    multi-frame stream (frame 0 always kept)."""
+    return split_ppm_stream(blob)[::every]
+
+
+# --------------------------------------------------------------------------
 # Real image pipeline: synthetic corpus → decode → stats + thumb.
 # --------------------------------------------------------------------------
 
@@ -382,6 +512,210 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
         ]
     )
     return docs.select("doc_id").mapInPandas(kernel, schema)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+    ]
+)
+
+
+def synthetic_audio_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic PCM16 WAV corpus keyed on doc_id (sine + harmonic
+    mix, amplitude/frequency derived from the id). Worker-side
+    generation like the image corpus."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+            encode_wav_pcm16,
+        )
+
+        rate = 8_000
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                n = rate // 4 + (d % 5) * rate // 10  # 0.25-0.65 s
+                t = np.arange(n, dtype=np.float64) / rate
+                f0 = 110.0 + (d % 40) * 10.0
+                wave = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(
+                    2 * np.pi * 2 * f0 * t + d % 7
+                )
+                blobs.append(encode_wav_pcm16((wave * 20_000).astype(np.int16), rate))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs,
+                 "media_type": ["audio/wav"] * len(blobs)}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(kernel, schema)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode (RIFF/PCM16, pure struct+numpy) → waveform
+    features; undecodable blobs are skipped per-row (S4)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+            audio_features,
+            decode_wav,
+        )
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                decoded = decode_wav(blob)
+                if decoded is None:
+                    continue
+                samples, rate = decoded
+                feats = audio_features(samples, rate)
+                if feats is None:
+                    continue
+                rows.append({"doc_id": int(doc_id), "sample_rate": rate, **feats})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "duration_s", "rms", "peak",
+                    "zero_cross_rate",
+                ],
+            )
+
+    return media.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("luma_mean", DoubleType()),
+        StructField("motion", DoubleType()),
+    ]
+)
+
+
+def synthetic_video_corpus(docs: DataFrame, n_frames: int = 6) -> DataFrame:
+    """Deterministic multi-frame P6 streams keyed on doc_id (the
+    per-frame gradient shifts each frame → non-zero motion)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+            encode_ppm,
+        )
+
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                stream = b""
+                for fidx in range(n_frames):
+                    px = np.stack(
+                        [
+                            (xx * 7 + yy * 13 + d + fidx * 17) % 256,
+                            (xx * 3 + d * 5 + fidx * 29) % 256,
+                            (yy * 11 + d * 3 + fidx * 41) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    stream += encode_ppm(px)
+                blobs.append(stream)
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs,
+                 "media_type": ["video/x-ppm-stream"] * len(blobs)}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(kernel, schema)
+
+
+def sample_video_features(media: DataFrame, every: int = 2, round_to: int = 6) -> DataFrame:
+    """Charter "frame-sample" pipeline: split the frame stream, keep
+    every k-th frame, decode the kept frames, and emit per-doc stats
+    (mean luminance + mean absolute inter-frame delta = motion).
+    Exactly the shape a real video pipeline has — only the container
+    parser would change with a codec library."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+            decode_image,
+            frame_sample,
+            split_ppm_stream,
+        )
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                all_frames = split_ppm_stream(blob)
+                kept = frame_sample(blob, every)
+                lumas = []
+                for fb in kept:
+                    arr = decode_image(fb)
+                    if arr is None:
+                        continue
+                    f64 = arr.astype(np.float64)
+                    lumas.append(
+                        0.299 * f64[:, :, 0] + 0.587 * f64[:, :, 1] + 0.114 * f64[:, :, 2]
+                    )
+                if not lumas:
+                    continue
+                motion = (
+                    float(np.mean([np.abs(b - a).mean() for a, b in zip(lumas, lumas[1:])]))
+                    if len(lumas) > 1
+                    else 0.0
+                )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": len(all_frames),
+                        "n_sampled": len(kept),
+                        "width": lumas[0].shape[1],
+                        "height": lumas[0].shape[0],
+                        "luma_mean": round(float(np.mean([m.mean() for m in lumas])), round_to),
+                        "motion": round(motion, round_to),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_sampled", "width", "height",
+                    "luma_mean", "motion",
+                ],
+            )
+
+    return media.mapInPandas(kernel, VIDEO_FEATURE_SCHEMA)
 
 
 def decode_image_features(media: DataFrame, round_to: int = 6) -> DataFrame:

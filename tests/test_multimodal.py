@@ -128,3 +128,111 @@ def test_decode_stub_raises(spark):
     # job fails is the contract (the stub must prevent execution).
     with pytest.raises(Exception):
         df.mapInPandas(decode_image_batch, FEATURE_SCHEMA).collect()
+
+
+def test_wav_round_trip_hand_computed():
+    """Encode known samples, decode, and check exact values + the
+    features against hand-computed numbers."""
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = np.array([0, 16384, -16384, 32767, -32768, 0], dtype=np.int16)
+    blob = encode_wav_pcm16(samples, sample_rate=8000)
+    decoded, rate = decode_wav(blob)
+    assert rate == 8000
+    assert np.allclose(decoded * 32768.0, samples.astype(np.float64))
+    feats = audio_features(decoded, rate)
+    assert feats["duration_s"] == round(6 / 8000, 6)
+    assert feats["peak"] == round(32768 / 32768.0, 6)
+    # sign changes: 16384→-16384, -16384→32767, 32767→-32768 = 3 of 5
+    assert feats["zero_cross_rate"] == round(3 / 5, 6)
+
+
+def test_wav_decode_gates_and_variants():
+    import struct
+
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    assert decode_wav(b"not a wav") is None
+    assert decode_wav(b"") is None
+    # compressed (format tag != 1) must gate, not mis-decode
+    blob = bytearray(encode_wav_pcm16(np.int16([1, 2, 3]), 8000))
+    struct.pack_into("<H", blob, 20, 85)  # WAVE_FORMAT_MPEGLAYER3
+    assert decode_wav(bytes(blob)) is None
+    # stereo downmixes to mono
+    stereo = np.int16([100, 300, -100, -300])  # L,R,L,R
+    raw = encode_wav_pcm16(stereo, 8000)
+    fixed = bytearray(raw)
+    struct.pack_into("<H", fixed, 22, 2)  # channels=2
+    got, _ = decode_wav(bytes(fixed))
+    assert np.allclose(got * 32768.0, [200.0, -200.0])
+
+
+def test_ppm_stream_split_and_frame_sample():
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        frame_sample,
+        split_ppm_stream,
+    )
+
+    frames = [
+        np.full((2, 3, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)
+    ]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    parts = split_ppm_stream(stream)
+    assert len(parts) == 5
+    for part, f in zip(parts, frames):
+        assert np.array_equal(decode_image(part), f)
+    sampled = frame_sample(stream, every=2)
+    assert [decode_image(p)[0, 0, 0] for p in sampled] == [10, 30, 50]
+    # truncated tail frame is dropped, earlier frames survive
+    assert len(split_ppm_stream(stream[:-5])) == 4
+
+
+def test_audio_and_video_kernels_end_to_end(spark, sf_dir):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+        sample_video_features,
+        synthetic_audio_corpus,
+        synthetic_video_corpus,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    n = docs.count()
+
+    audio = decode_audio_features(synthetic_audio_corpus(docs)).collect()
+    assert len(audio) == n
+    for r in audio:
+        assert r["sample_rate"] == 8000
+        assert 0.2 < r["duration_s"] < 0.7
+        assert 0 < r["rms"] < 1 and 0 < r["zero_cross_rate"] < 1
+
+    video = sample_video_features(synthetic_video_corpus(docs), every=2).collect()
+    assert len(video) == n
+    for r in video:
+        assert r["n_frames"] == 6 and r["n_sampled"] == 3
+        assert r["motion"] > 0  # frames differ by construction
+        assert 0 <= r["luma_mean"] <= 255
+
+    # determinism across partitioning (golden-style stability)
+    again = {
+        r["doc_id"]: (r["luma_mean"], r["motion"])
+        for r in sample_video_features(
+            synthetic_video_corpus(docs.repartition(7)), every=2
+        ).collect()
+    }
+    assert {r["doc_id"]: (r["luma_mean"], r["motion"]) for r in video} == again
