@@ -126,9 +126,19 @@ def jaccard_pairs(
 
     a = posting.toDF("id_a", "shingle", "size_a")
     b = posting.toDF("id_b", "shingle", "size_b")
+    # Length filter (PPJoin family): jaccard ≥ t forces
+    # t·|A| ≤ |B| ≤ |A|/t, so size-incompatible pairs are pruned at
+    # the join row level — they can never reach the threshold — and
+    # the candidate aggregation shrinks for free. Exact, not a
+    # heuristic.
+    t = F.lit(float(threshold))
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("size_b").cast("double") >= t * F.col("size_a"))
+            & (F.col("size_a").cast("double") >= t * F.col("size_b"))
+        )
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("intersection"))
     )
