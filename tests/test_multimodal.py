@@ -236,3 +236,52 @@ def test_audio_and_video_kernels_end_to_end(spark, sf_dir):
         ).collect()
     }
     assert {r["doc_id"]: (r["luma_mean"], r["motion"]) for r in video} == again
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    arr = np.array(samples, dtype=np.int16)
+    got, got_rate = decode_wav(encode_wav_pcm16(arr, rate))
+    assert got_rate == rate
+    assert np.array_equal((got * 32768.0).astype(np.int16), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 6), st.integers(0, 255)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_ppm_stream_roundtrip_property(shapes):
+    """Any sequence of frames (mixed sizes) splits back exactly."""
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        split_ppm_stream,
+    )
+
+    frames = [np.full((h, w, 3), v, dtype=np.uint8) for h, w, v in shapes]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    parts = split_ppm_stream(stream)
+    assert len(parts) == len(frames)
+    for p, f in zip(parts, frames):
+        assert np.array_equal(decode_image(p), f)

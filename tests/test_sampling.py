@@ -110,3 +110,16 @@ def test_threshold_edges():
     assert sampling._threshold_hex(0.0) == "0000"
     assert sampling._threshold_hex(1.0) == "10000"  # sorts after every key
     assert sampling._threshold_hex(0.5) == "8000"
+
+
+def test_sample_monotone_subset(spark, sf_dir):
+    """Growing the fraction only ADDS members (hash-threshold
+    property) — the guarantee that lets a curation pipeline scale a
+    sample up without resampling the world."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    small = {r[0] for r in sampling.deterministic_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    big = {r[0] for r in sampling.deterministic_sample(docs, "doc_id", 0.4).select("doc_id").collect()}
+    assert small <= big
+    assert len(small) < len(big)
