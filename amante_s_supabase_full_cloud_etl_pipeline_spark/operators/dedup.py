@@ -47,16 +47,19 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def drop_exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one canonical row (min id) per fingerprint — a single
-    shuffle on the fingerprint (window row_number), not a
-    groupBy + semi-join back (two shuffles + a rescan)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    """Keep one canonical row (min id) per fingerprint — ONE hash
+    aggregation: ``min_by(struct(row), id)`` on the fingerprint.
+    Beats both alternatives at scale: vs groupBy + semi-join back
+    (two shuffles + a rescan) it shuffles once; vs a row_number
+    window (shuffle + SORT of every full row) it needs no sort and
+    gets map-side partial aggregation — duplicate rows collapse
+    before the exchange, so shuffle bytes shrink with the dup rate."""
+    row = F.struct(*[F.col(c) for c in docs.columns])
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        docs.select(fingerprint(F.col(text_col)).alias("_fp"), row.alias("_row"))
+        .groupBy("_fp")
+        .agg(F.min_by("_row", F.col(f"_row.{id_col}")).alias("_row"))
+        .select("_row.*")
     )
 
 

@@ -31,12 +31,12 @@ from pyspark.sql import functions as F
 from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import sampling
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+    drop_exact_dups,
     minhash_candidates,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.redact import redact_pii
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import (
     dup_token_count,
-    fingerprint,
     lang_id,
     quality_score,
     token_count,
@@ -73,15 +73,8 @@ def main(sf_dir: str, workdir: str) -> None:
     # 2. PII scrub + 3a. exact dedup on the normalized fingerprint
     redacted = kept.select(
         "doc_id", "pred_lang", "quality", redact_pii(F.col("text")).alias("text")
-    ).withColumn("fp", fingerprint(F.col("text")))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    exact_unique = (
-        redacted.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "fp")
     )
+    exact_unique = drop_exact_dups(redacted)
 
     # 3b. near-dup pruning: MinHash-LSH candidates, keep the lower id
     near = minhash_candidates(exact_unique.select("doc_id", "text"))
