@@ -171,6 +171,31 @@ def run_pos_pipeline(
     return writer.start()
 
 
+def run_pos_pipeline_transactional(
+    spark: SparkSession,
+    landing_dir: str,
+    fact_table,
+    quarantine_table,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    archive_dir: Optional[str] = None,
+):
+    """The production variant of :func:`run_pos_pipeline`: sinks are
+    snapshot-isolated :class:`~..sources.table_format.ParquetTable`
+    MERGEs (exactly-once via per-batch_id idempotent commits), so
+    concurrent readers keep a consistent snapshot while micro-batches
+    land. Returns the StreamingQuery."""
+    raw = read_pos_stream(spark, landing_dir, archive_dir=archive_dir)
+    writer = (
+        raw.writeStream.foreachBatch(pos_table_handler(fact_table, quarantine_table))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_landing_csv(df: DataFrame, landing_dir: str, name: str) -> str:
     """Test helper: drop a batch of raw rows as one landing CSV file
     (simulates a POS export arriving)."""

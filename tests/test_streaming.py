@@ -266,3 +266,45 @@ def test_streaming_dedup_on_arrival_across_batches(spark, sf_dir, tmp_path):
     n_distinct = docs.select("text").distinct().count()
     assert got.count() == n_distinct
     assert got.select("fp").distinct().count() == n_distinct
+
+
+def test_transactional_pipeline_stream_restart_idempotent(spark, dirs):
+    """Full streaming run into ParquetTable sinks: first drain commits
+    each micro-batch as a table version; a RESTART over the same
+    checkpoint re-reads nothing; a restart with a WIPED checkpoint
+    replays the files but the merge leaves row counts unchanged
+    (keyed upsert) — the two independent exactly-once layers."""
+    import shutil
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
+        ParquetTable,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.pipeline import (
+        run_pos_pipeline_transactional,
+    )
+
+    fact_t = ParquetTable(spark, dirs["fact"] + "_table")
+    quar_t = ParquetTable(spark, dirs["quarantine"] + "_table")
+
+    write_landing_csv(raw_pos_df(spark), dirs["landing"], "batch1")
+    q = run_pos_pipeline_transactional(
+        spark, dirs["landing"], fact_t, quar_t, dirs["checkpoint"]
+    )
+    q.awaitTermination(120)
+    v1, n1 = fact_t.current_version(), fact_t.read().count()
+    assert v1 >= 1 and n1 > 0 and quar_t.read().count() > 0
+
+    # restart over the same checkpoint: files already consumed
+    q = run_pos_pipeline_transactional(
+        spark, dirs["landing"], fact_t, quar_t, dirs["checkpoint"]
+    )
+    q.awaitTermination(120)
+    assert (fact_t.current_version(), fact_t.read().count()) == (v1, n1)
+
+    # checkpoint lost → at-least-once replay; keyed MERGE absorbs it
+    shutil.rmtree(dirs["checkpoint"])
+    q = run_pos_pipeline_transactional(
+        spark, dirs["landing"], fact_t, quar_t, dirs["checkpoint"]
+    )
+    q.awaitTermination(120)
+    assert fact_t.read().count() == n1
