@@ -32,12 +32,14 @@ _BUCKETS = 16**4
 
 
 def _threshold_hex(fraction: float) -> str:
-    """Fraction → 4-hex-char exclusive upper bound ('0000'..'10000'
-    never reached: 1.0 maps past every key)."""
+    """Fraction → 4-hex-char exclusive upper bound. Comparison is
+    LEXICOGRAPHIC, so fraction 1.0 returns 'g' — a single char above
+    the hex alphabet that sorts after every 4-hex key ('10000' would
+    NOT: strings compare char-wise and '1' < 'f')."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     t = round(fraction * _BUCKETS)
-    return format(t, "05x") if t == _BUCKETS else format(t, "04x")
+    return "g" if t == _BUCKETS else format(t, "04x")
 
 
 def md5_sample_key(key: Column) -> Column:
@@ -100,6 +102,42 @@ def train_val_test_split(
     """Attach a ``split`` column (default 80/10/10)."""
     w = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn("split", split_column(F.col(key), w))
+
+
+def stratified_sample(
+    df: DataFrame, strata: str, fractions: dict[str, float], key: str
+) -> DataFrame:
+    """Per-stratum content-keyed sampling (e.g. language-balanced
+    corpus curation: ``{"en": 0.1, "de": 0.5, "fr": 1.0}``). Strata
+    not listed are dropped — explicit beats surprising. Same map-only
+    filter shape as :func:`deterministic_sample`; membership is
+    reproducible per key regardless of partitioning, unlike
+    ``df.sampleBy``. The hash input couples key AND stratum so a row
+    migrating between strata re-rolls rather than carrying its old
+    draw."""
+    # F.concat (not concat_ws): null-propagating, matching SQL ||
+    k = md5_sample_key(
+        F.concat(F.col(strata), F.lit("\x1f"), F.col(key).cast("string"))
+    )
+    cond = F.lit(False)
+    for name, frac in fractions.items():
+        cond = cond | (
+            (F.col(strata) == name) & (k < F.lit(_threshold_hex(frac)))
+        )
+    return df.filter(cond)
+
+
+def stratified_sample_sql(
+    strata_sql: str, fractions: dict[str, float], key_sql: str
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (same thresholds,
+    same hash input)."""
+    k = f"substr(md5({strata_sql} || chr(31) || CAST({key_sql} AS VARCHAR)), 1, 4)"
+    parts = [
+        f"({strata_sql} = '{name}' AND {k} < '{_threshold_hex(frac)}')"
+        for name, frac in fractions.items()
+    ]
+    return "(" + " OR ".join(parts) + ")"
 
 
 # ---------------------------------------------------------------------------

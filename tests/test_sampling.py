@@ -108,8 +108,11 @@ def test_xxhash_sample_stable_and_maponly(spark, sf_dir):
 
 def test_threshold_edges():
     assert sampling._threshold_hex(0.0) == "0000"
-    assert sampling._threshold_hex(1.0) == "10000"  # sorts after every key
     assert sampling._threshold_hex(0.5) == "8000"
+    # 1.0 must sort after EVERY 4-hex key under string comparison —
+    # '10000' would not ('1' < 'f'); the sentinel 'g' does
+    assert sampling._threshold_hex(1.0) == "g"
+    assert "ffff" < sampling._threshold_hex(1.0)
 
 
 def test_sample_monotone_subset(spark, sf_dir):
@@ -123,3 +126,38 @@ def test_sample_monotone_subset(spark, sf_dir):
     big = {r[0] for r in sampling.deterministic_sample(docs, "doc_id", 0.4).select("doc_id").collect()}
     assert small <= big
     assert len(small) < len(big)
+
+
+def test_stratified_sample_matches_duckdb(spark, sf_dir):
+    """Per-stratum membership matches DuckDB exactly (not just the
+    counts) — language-balanced curation is reproducible anywhere."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+
+    fr = {"en": 0.2, "de": 0.8, "fr": 1.0}
+
+    def q(spark, sf_dir):
+        docs = catalog.table(spark, sf_dir, "documents")
+        return (
+            sampling.stratified_sample(docs, "lang", fr, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+            .orderBy("lang")
+        )
+
+    oracle = f"""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    WHERE {sampling.stratified_sample_sql("lang", fr, "doc_id")}
+    GROUP BY lang ORDER BY lang
+    """
+    compare(spark, sf_dir, q, oracle)
+
+
+def test_stratified_sample_drops_unlisted_and_scales(spark, sf_dir):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    got = sampling.stratified_sample(docs, "lang", {"en": 1.0}, "doc_id")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert got.count() == n_en  # fraction 1.0 keeps all, others dropped
+    assert {r[0] for r in got.select("lang").distinct().collect()} == {"en"}
