@@ -66,7 +66,10 @@ def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> float:
         .alias("Payment time"),
     )
     fact = transform_pos(raw, spark)
-    fact.limit(1000).write.mode("overwrite").format("noop").save()  # codegen warm-up
+    # Full warm-up pass: the kernel is one large WholeStageCodegen unit
+    # and a limit(1000) probe leaves most of it interpreted/C1 — the
+    # first full pass pays 2-3s of JIT that steady-state never sees.
+    fact.write.mode("overwrite").format("noop").save()
     t0 = time.perf_counter()
     fact.write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
