@@ -16,12 +16,15 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..registry import DRIVER_SF, golden_oracle, register
+from .components import connected_components, dup_group_stats
 from .dedup import drop_exact_dups, jaccard_pairs, minhash_candidates, simhash_near_pairs
 from .similarity import embedding_near_dup_pairs
 from .similarity_sql import sql_cosine, sql_lsh_bucket
 
-_SHINGLES = """
-WITH toks AS (
+#: shared CTE bodies (no leading WITH so callers can prepend
+#: WITH or WITH RECURSIVE)
+_SHINGLES_BODY = """
+toks AS (
     SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
     FROM documents
 ),
@@ -31,6 +34,26 @@ shingles AS (
     WHERE len(w) >= 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id)
+"""
+
+_SHINGLES = "WITH " + _SHINGLES_BODY
+
+#: exact 3-gram Jaccard pairs at threshold 0.2 — ends in a `pairs` CTE
+_JACCARD_BODY = _SHINGLES_BODY + """
+, inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b, intersection,
+           x.set_size AS size_a, y.set_size AS size_b,
+           intersection * 1.0 / (x.set_size + y.set_size - intersection) AS jaccard
+    FROM inter
+    JOIN sizes x ON id_a = x.doc_id
+    JOIN sizes y ON id_b = y.doc_id
+    WHERE intersection * 1.0 / (x.set_size + y.set_size - intersection) >= 0.2
+)
 """
 
 
@@ -62,21 +85,11 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard_pairs",
-    oracle=_SHINGLES
+    oracle="WITH "
+    + _JACCARD_BODY
     + """
-    , inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
-        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, intersection,
-           x.set_size AS size_a, y.set_size AS size_b,
-           intersection * 1.0 / (x.set_size + y.set_size - intersection) AS jaccard
-    FROM inter
-    JOIN sizes x ON id_a = x.doc_id
-    JOIN sizes y ON id_b = y.doc_id
-    WHERE intersection * 1.0 / (x.set_size + y.set_size - intersection) >= 0.2
-    ORDER BY id_a, id_b
+    SELECT id_a, id_b, intersection, size_a, size_b, jaccard
+    FROM pairs ORDER BY id_a, id_b
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,3 +149,38 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic xxhash64 signatures)."""
     docs = catalog.table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, probe_bits=1).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_group_components",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_BODY
+    + """
+    , edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT node, component,
+           COUNT(*) OVER (PARTITION BY component) AS group_size
+    FROM comp ORDER BY node
+    """,
+)
+def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: the transitive closure of the exact
+    Jaccard pair table as connected components (alternating
+    large-star/small-star contraction, operators/components.py), with
+    the deterministic min-id component label and per-group size.
+    Oracle is the same closure via DuckDB's recursive CTE — a formu-
+    lation that is exponential-state at scale but exact at sf0.01."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2, k=3)
+    return dup_group_stats(connected_components(pairs)).orderBy("node")

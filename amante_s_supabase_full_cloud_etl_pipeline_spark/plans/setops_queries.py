@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import DRIVER_SF, golden_oracle, register
+from ..registry import DRIVER_SF, GOLDEN_DIR, register
 
 # ---------------------------------------------------------------------------
 # INTERSECT / EXCEPT
@@ -51,42 +51,36 @@ def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "distinct_counts",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_suppliers
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    oracle=f"""
+    SELECT e.l_returnflag, e.n_parts, e.n_suppliers,
+           g.n_parts_approx, g.n_suppliers_approx
+    FROM (
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem GROUP BY l_returnflag
+    ) e
+    JOIN read_parquet('{GOLDEN_DIR}/distinct_counts.parquet') g USING (l_returnflag)
+    ORDER BY l_returnflag
     """,
+    golden_sf=DRIVER_SF,
 )
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-column distinct aggregation (Catalyst expands to
-    partial-distinct + final — still one logical pass)."""
+    """Exact AND approximate (HyperLogLog++) distinct aggregation in
+    one grouped pass: countDistinct (Catalyst expands to
+    partial-distinct + final) next to approx_count_distinct, the
+    at-scale variant with no exact-distinct shuffle explosion.
+
+    Split oracle: the exact columns are verified against independent
+    DuckDB SQL; the sketch columns are engine-specific but
+    deterministic, so they join in from the committed golden pin.
+    Sketch accuracy vs exact is asserted in tests/test_setops.py."""
     li = catalog.table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@register(
-    "approx_distinct_counts",
-    oracle=golden_oracle("approx_distinct_counts"),
-    golden_sf=DRIVER_SF,
-)
-def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the at-scale variant of
-    distinct_counts (no exact-distinct shuffle explosion). The sketch
-    is engine-specific but deterministic for fixed input → expected
-    values are golden-pinned; accuracy asserted in tests/test_setops.py
-    against the exact counts."""
-    li = catalog.table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
             F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_suppliers_approx"),
         )
@@ -195,7 +189,7 @@ def stats_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; the moment form (Σx, Σx² in decimal, combined in one
     final double expression) is order-independent AND one pass.
     (approx_percentile is the at-scale percentile variant; its sketch
-    is engine-specific → see approx_distinct_counts pattern.)
+    is engine-specific → see distinct_counts' golden-pin pattern.)
 
     The Σx² decimal exceeds 2^53 scaled units at sf≥0.1, where
     DuckDB's decimal→double cast is not correctly rounded (Spark's

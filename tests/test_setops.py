@@ -8,19 +8,13 @@ registry.load_all_queries()
 
 
 def test_approx_distinct_close_to_exact(spark, sf_dir):
-    exact = {
-        r["l_returnflag"]: (r["n_parts"], r["n_suppliers"])
-        for r in registry.QUERIES["distinct_counts"](spark, sf_dir).collect()
-    }
-    approx = {
-        r["l_returnflag"]: (r["n_parts_approx"], r["n_suppliers_approx"])
-        for r in registry.QUERIES["approx_distinct_counts"](spark, sf_dir).collect()
-    }
-    assert set(exact) == set(approx)
-    for k, (ep, es) in exact.items():
-        ap, asup = approx[k]
-        assert abs(ap - ep) <= max(3, 0.05 * ep)
-        assert abs(asup - es) <= max(3, 0.05 * es)
+    rows = registry.QUERIES["distinct_counts"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["n_parts_approx"] - r["n_parts"]) <= max(3, 0.05 * r["n_parts"])
+        assert abs(r["n_suppliers_approx"] - r["n_suppliers"]) <= max(
+            3, 0.05 * r["n_suppliers"]
+        )
 
 
 def test_serving_views_surface(spark, sf_dir):
