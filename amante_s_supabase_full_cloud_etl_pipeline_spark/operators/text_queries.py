@@ -303,3 +303,44 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("bigram", "freq")
     )
+
+
+@register(
+    "text_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+    bi AS (
+        SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
+        FROM toks, unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT gram, COUNT(*) AS n2 FROM bi GROUP BY gram),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bi GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT t) AS v FROM toks, unnest(w) AS u(t)),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(log2((c2.n2 + 0.5) / (c1.n1 + 0.5 * vocab.v)), 6)
+                    AS DECIMAL(18,6)) AS logp
+        FROM bi b JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN vocab
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_logp,
+           round(pow(2.0, -(CAST(SUM(logp) AS DOUBLE) / COUNT(*))), 4) AS ppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: fit an add-0.5-smoothed word-
+    bigram LM on the corpus (hash aggregations; the model stays
+    distributed) and score every document's average bigram log2-prob
+    and perplexity via two model joins + one grouped agg
+    (operators/lm.py). Cross-engine hash determinism comes from
+    rounding each bigram's log-prob to DECIMAL(18,6) before the
+    per-document sum — exact, order-independent — with only the final
+    average/perplexity computed in double from identical operands.
+    Docs with < 2 tokens have no bigrams and are absent by
+    definition."""
+    from .lm import bigram_lm_perplexity
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    return bigram_lm_perplexity(docs).orderBy("doc_id")

@@ -81,32 +81,6 @@ def pos_dashboard_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_category.unionByName(by_payment).unionByName(by_hour).orderBy("kpi", "grp_key")
 
 
-@register(
-    "pos_json_records",
-    oracle=_kernel_cte()
-    + """
-    SELECT order_id,
-           '{"order_id":"' || order_id || '","items":"' || items
-             || '","category":"' || category
-             || '","quantity":' || CAST(CAST(quantity AS DECIMAL(18,1)) AS VARCHAR)
-             || ',"payment_type":"' || payment_type || '"}' AS record_json
-    FROM fact ORDER BY order_id, items
-    """,
-)
-def pos_json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5's record-batch JSON shape (ref main.py:33 to_dict(records)):
-    built by explicit concatenation with a fixed key order so both
-    engines emit byte-identical strings (F.to_json's float formatting
-    is engine-specific). The POS vocabulary has no JSON-special chars;
-    a production sink would use to_json."""
-    fact = transform_pos(pos_fixture.raw_pos_df(spark), spark)
-    return fact.select(
-        "order_id",
-        F.concat(
-            F.lit('{"order_id":"'), F.col("order_id"),
-            F.lit('","items":"'), F.col("items"),
-            F.lit('","category":"'), F.col("category"),
-            F.lit('","quantity":'), F.col("quantity").cast("decimal(18,1)").cast("string"),
-            F.lit(',"payment_type":"'), F.col("payment_type"), F.lit('"}'),
-        ).alias("record_json"),
-    ).orderBy("order_id", "items")
+# S5's record-batch JSON load shape now rides on pos_kernel_fact as
+# its record_json column (plans/pos_kernel_query.py) — one registry
+# slot instead of two for the same kernel scan.

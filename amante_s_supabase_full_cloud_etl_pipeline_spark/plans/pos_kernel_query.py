@@ -125,12 +125,38 @@ VALID_SQL = (
 )
 
 
-@register("pos_kernel_fact", oracle=_kernel_cte() + "SELECT * FROM fact")
+@register(
+    "pos_kernel_fact",
+    oracle=_kernel_cte()
+    + """
+    SELECT *,
+           '{"order_id":"' || order_id || '","items":"' || items
+             || '","category":"' || category
+             || '","quantity":' || CAST(CAST(quantity AS DECIMAL(18,1)) AS VARCHAR)
+             || ',"payment_type":"' || payment_type || '"}' AS record_json
+    FROM fact
+    """,
+)
 def pos_kernel_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entire reference transform kernel on the branch-coverage
-    fixture. sf_dir unused — the kernel's input is the POS sheet, not
-    the TPC-H proxies."""
-    return transform_pos(pos_fixture.raw_pos_df(spark), spark)
+    fixture, plus S5's record-batch JSON load shape (ref main.py:33
+    ``to_dict(records)``) as a ``record_json`` column: built by
+    explicit concatenation with a fixed key order so both engines
+    emit byte-identical strings (F.to_json's float formatting is
+    engine-specific; the POS vocabulary has no JSON-special chars — a
+    production sink would use to_json). sf_dir unused — the kernel's
+    input is the POS sheet, not the TPC-H proxies."""
+    fact = transform_pos(pos_fixture.raw_pos_df(spark), spark)
+    return fact.select(
+        "*",
+        F.concat(
+            F.lit('{"order_id":"'), F.col("order_id"),
+            F.lit('","items":"'), F.col("items"),
+            F.lit('","category":"'), F.col("category"),
+            F.lit('","quantity":'), F.col("quantity").cast("decimal(18,1)").cast("string"),
+            F.lit(',"payment_type":"'), F.col("payment_type"), F.lit('"}'),
+        ).alias("record_json"),
+    )
 
 
 @register(
