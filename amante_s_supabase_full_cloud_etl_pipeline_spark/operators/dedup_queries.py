@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..registry import DRIVER_SF, golden_oracle, register
-from .components import connected_components, dup_group_stats
+from .components import connected_components, dup_group_stats, keep_group_canonical
 from .dedup import drop_exact_dups, jaccard_pairs, minhash_candidates, simhash_near_pairs
 from .similarity import embedding_near_dup_pairs
 from .similarity_sql import sql_cosine, sql_lsh_bucket
@@ -184,3 +184,99 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, threshold=0.2, k=3)
     return dup_group_stats(connected_components(pairs)).orderBy("node")
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle="WITH "
+    + _SHINGLES_BODY
+    + """
+    , eval_sh AS (
+        SELECT DISTINCT shingle FROM shingles WHERE doc_id % 37 = 0
+    ),
+    hits AS (
+        SELECT s.doc_id, COUNT(*) AS n_hit
+        FROM shingles s JOIN eval_sh e USING (shingle)
+        WHERE s.doc_id % 37 <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT h.doc_id, z.set_size AS n_shingles, h.n_hit,
+           h.n_hit * 1.0 / z.set_size AS overlap_frac,
+           h.n_hit * 1.0 / z.set_size >= 0.5 AS contaminated
+    FROM hits h JOIN sizes z USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): 3-gram
+    containment of each corpus doc's shingle set in a held-out eval
+    split (here the deterministic doc_id % 37 == 0 slice stands in
+    for the benchmark). The tiny distinct eval-shingle set is
+    broadcast, so the 100 TB corpus probe is a map-side semi-join —
+    no corpus shuffle before the per-doc hit aggregation."""
+    from .decontam import contamination_overlap
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 37 == 0
+    return contamination_overlap(
+        docs.filter(~is_eval), docs.filter(is_eval), k=3, threshold=0.5
+    ).orderBy("doc_id")
+
+
+@register(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE bucketed AS (
+        SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    dropped AS (SELECT node FROM comp WHERE node <> component)
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT node FROM dropped)) AS n_kept,
+           COUNT(*) FILTER (WHERE vec_id IN (SELECT node FROM dropped)) AS n_dropped
+    FROM embeddings
+    GROUP BY label ORDER BY label
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, end to end: embedding-cosine
+    near-dup pairs (LSH-bucketed self-join, the pair set
+    value-checked by dedup_embedding_cosine) → connected components →
+    keep each component's canonical min-id member, count survivors
+    per class label. The component/labels table is pair-graph-sized
+    (≪ corpus), so the survivor anti-join is the only corpus-width
+    step."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3)
+    kept = keep_group_canonical(emb, connected_components(pairs), id_col="vec_id")
+    totals = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    kept_counts = kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kept_counts, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_vectors") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_dropped"),
+        )
+        .orderBy("label")
+    )

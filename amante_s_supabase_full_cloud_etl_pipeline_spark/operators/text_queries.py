@@ -344,3 +344,59 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog.table(spark, sf_dir, "documents")
     return bigram_lm_perplexity(docs).orderBy("doc_id")
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT *, CAST(round(sqrt(total_tokens), 6) AS DECIMAL(28,6)) AS pw
+        FROM per_src
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE)
+             / (SELECT CAST(SUM(total_tokens) AS DOUBLE) FROM per_src) AS token_share,
+           round(CAST(pw AS DOUBLE)
+             / (SELECT CAST(SUM(pw) AS DOUBLE) FROM powed), 6) AS sample_weight_t05
+    FROM powed ORDER BY source
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weighting per source domain: token counts,
+    raw token share, and a temperature-scaled sampling weight
+    w_i ∝ tokens_i^0.5 (the standard alpha=0.5 temperature flattening
+    for multi-source/multilingual mixtures). One grouped agg over the
+    corpus, then a broadcast single-row total joined back — the
+    source list is dimension-sized at any corpus scale. Determinism:
+    token sums are exact integers; each sqrt is rounded to
+    DECIMAL(28,6) BEFORE the normalizer sum (exact, order-independent
+    across partitions/engines), and the final ratios are single
+    double divisions of identical operands."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+    powed = per_src.withColumn(
+        "pw", F.round(F.sqrt(F.col("total_tokens")), 6).cast("decimal(28,6)")
+    )
+    totals = powed.agg(
+        F.sum("total_tokens").cast("double").alias("_tt"),
+        F.sum("pw").cast("double").alias("_pt"),
+    )
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("_tt")).alias("token_share"),
+            F.round(F.col("pw").cast("double") / F.col("_pt"), 6).alias("sample_weight_t05"),
+        )
+        .orderBy("source")
+    )

@@ -195,114 +195,147 @@ def a8_a12_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A9 — store performance by hour (events.ts carries time-of-day).
+# A9 + F19 — time-bucket performance via GROUPING SETS (one scan).
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "a9_performance_by_hour",
+    "a9_time_bucket_sets",
     oracle="""
-    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+    WITH bucketed AS (
+        SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+               CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
+               strftime(ts, '%A') AS day_name,
+               CAST(weekofyear(ts) AS INTEGER) AS week_of_year,
+               CAST(month(ts) AS INTEGER) AS month_number,
+               strftime(ts, '%B') AS month_name,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    )
+    SELECT CASE WHEN day_name IS NULL THEN 'by_hour' ELSE 'full' END AS scope,
+           hour_of_day,
+           COALESCE(day_of_week, -1) AS day_of_week,
+           COALESCE(day_name, 'ALL') AS day_name,
+           COALESCE(week_of_year, -1) AS week_of_year,
+           COALESCE(month_number, -1) AS month_number,
+           COALESCE(month_name, 'ALL') AS month_name,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY hour(ts) ORDER BY hour_of_day
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM bucketed
+    GROUP BY GROUPING SETS (
+        (hour_of_day),
+        (hour_of_day, day_of_week, day_name, week_of_year, month_number, month_name)
+    )
+    ORDER BY scope, week_of_year, day_of_week, hour_of_day
     """,
 )
-def a9_performance_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 ('Store Performance by Hour', F19 hour bucket): group on a
-    derived time bucket — 24 groups, trivially shuffled."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy(F.hour("ts").alias("hour_of_day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
-        )
-        .orderBy("hour_of_day")
+def a9_time_bucket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 ('Store Performance by Hour') and the full F19 date-bucket
+    set (hour/day-of-week/day-name/ISO-week/month slicers) in ONE
+    GROUPING SETS pass: a single fact scan feeds an Expand that emits
+    both the 24-group hour rollup and the fine-grained bucket grid —
+    at 100 TB this halves the scans vs two separate group-bys, and
+    every bucket is a Catalyst date function (partition-prunable on a
+    date-partitioned fact). day_name is never null in real data, so
+    it discriminates the grouping set; nulls from the coarse set are
+    coalesced to sentinels for a deterministic differential result."""
+    from ..functions import datetime_buckets as dtb
+
+    bucket_cols = [
+        "hour_of_day",
+        "day_of_week",
+        "day_name",
+        "week_of_year",
+        "month_number",
+        "month_name",
+    ]
+    ev = dtb.with_time_buckets(_t(spark, sf_dir, "events"), "ts")
+    grouped = ev.groupingSets([["hour_of_day"], bucket_cols], *bucket_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
     )
+    return grouped.select(
+        F.when(F.col("day_name").isNull(), F.lit("by_hour"))
+        .otherwise(F.lit("full"))
+        .alias("scope"),
+        "hour_of_day",
+        F.coalesce(F.col("day_of_week"), F.lit(-1)).alias("day_of_week"),
+        F.coalesce(F.col("day_name"), F.lit("ALL")).alias("day_name"),
+        F.coalesce(F.col("week_of_year"), F.lit(-1)).alias("week_of_year"),
+        F.coalesce(F.col("month_number"), F.lit(-1)).alias("month_number"),
+        F.coalesce(F.col("month_name"), F.lit("ALL")).alias("month_name"),
+        "n_events",
+        "total_value",
+    ).orderBy("scope", "week_of_year", "day_of_week", "hour_of_day")
 
 
 # ---------------------------------------------------------------------------
-# A10 — preference share donuts (share-of-total without a global window).
+# A10 + A11 — share-of-total donuts (count share + revenue share, one
+# labeled result, no global window).
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "a10_preference_share",
-    oracle="""
-    SELECT l_returnflag AS preference,
-           COUNT(*) AS n_items,
-           CAST(COUNT(*) AS DOUBLE) * 100.0
-             / (SELECT COUNT(*) FROM lineitem) AS share_pct
-    FROM lineitem GROUP BY l_returnflag ORDER BY preference
-    """,
-)
-def a10_preference_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 (Size/Sweetness/... donut shares): aggregate FIRST, then
-    join the single-row total back with a broadcast cross join. Both
-    branches hang off the same aggregation exchange, so Catalyst's
-    ReuseExchange runs the fact scan + partial agg once — one scan,
-    and no empty-partitionBy window (which would funnel rows to a
-    single partition and is ambiguous at unknown cardinality)."""
-    li = _t(spark, sf_dir, "lineitem")
-    grouped = li.groupBy(F.col("l_returnflag").alias("preference")).agg(
-        F.count(F.lit(1)).alias("n_items")
-    )
-    total = grouped.agg(F.sum("n_items").cast("double").alias("_total"))
-    return (
-        grouped.crossJoin(F.broadcast(total))
-        .select(
-            "preference",
-            "n_items",
-            (F.col("n_items").cast("double") * 100.0 / F.col("_total")).alias("share_pct"),
-        )
-        .orderBy("preference")
-    )
-
-
-# ---------------------------------------------------------------------------
-# A11 — category performance with share of total.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "a11_category_performance",
+    "a10_a11_share_of_total",
     oracle=f"""
-    WITH per_type AS (
-        SELECT p.p_type AS category,
-               SUM({SQL_REVENUE_DEC}) AS rev
+    WITH pref AS (
+        SELECT l_returnflag AS grp_key, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    per_type AS (
+        SELECT p.p_type AS grp_key, SUM({SQL_REVENUE_DEC}) AS rev
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_type
     )
-    SELECT category,
-           CAST(rev AS DOUBLE) AS category_sales,
+    SELECT 'preference' AS dimension, grp_key, CAST(n AS DOUBLE) AS measure,
+           CAST(n AS DOUBLE) * 100.0
+             / (SELECT CAST(SUM(n) AS DOUBLE) FROM pref) AS share_pct
+    FROM pref
+    UNION ALL
+    SELECT 'category' AS dimension, grp_key, CAST(rev AS DOUBLE) AS measure,
            CAST(rev AS DOUBLE) * 100.0
              / (SELECT CAST(SUM(rev) AS DOUBLE) FROM per_type) AS share_pct
-    FROM per_type ORDER BY category
+    FROM per_type
+    ORDER BY dimension, grp_key
     """,
 )
-def a11_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11 ('Category & Sub-Category performance'): broadcast dim join
-    (part ↔ dim_product, SURVEY.md M1/J1), aggregate once, then join
-    the broadcast single-row total back — ReuseExchange shares the
-    aggregation exchange between the rows and the denominator, so the
-    fact is scanned once and no single-partition window appears."""
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", revenue_dec().alias("rev"))
+def a10_a11_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (preference donut: count share) + A11 (category
+    performance: revenue share with the M1/J1 broadcast dim join) as
+    one labeled union. Each leg aggregates FIRST, then joins its
+    single-row total back with a broadcast cross join — both branches
+    hang off the same aggregation exchange, so ReuseExchange runs
+    each fact scan + partial agg once, and no empty-partitionBy
+    window (which would funnel all rows to a single partition at
+    unknown cardinality) appears anywhere in the plan. Determinism:
+    each denominator is an exact long/decimal sum cast to double ONCE
+    at the end — never a partition-order-dependent double sum."""
+
+    def with_share(grouped: DataFrame, raw: str, dimension: str) -> DataFrame:
+        total = grouped.agg(F.sum(raw).cast("double").alias("_total"))
+        measure = F.col(raw).cast("double")
+        return grouped.crossJoin(F.broadcast(total)).select(
+            F.lit(dimension).alias("dimension"),
+            "grp_key",
+            measure.alias("measure"),
+            (measure * 100.0 / F.col("_total")).alias("share_pct"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pref = li.groupBy(F.col("l_returnflag").alias("grp_key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     per_type = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.col("p_type").alias("category"))
+        li.select("l_partkey", revenue_dec().alias("rev"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("grp_key"))
         .agg(F.sum("rev").alias("rev"))
     )
-    total = per_type.agg(F.sum("rev").cast("double").alias("_total"))
     return (
-        per_type.crossJoin(F.broadcast(total))
-        .select(
-            "category",
-            F.col("rev").cast("double").alias("category_sales"),
-            (F.col("rev").cast("double") * 100.0 / F.col("_total")).alias("share_pct"),
-        )
-        .orderBy("category")
+        with_share(pref, "n", "preference")
+        .unionByName(with_share(per_type, "rev", "category"))
+        .orderBy("dimension", "grp_key")
     )
 
 

@@ -68,42 +68,6 @@ def explode_regex_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# P7 — validation split on a fact table (both routes, ONE scan).
-# ---------------------------------------------------------------------------
-
-_LINEITEM_VALID = "l_quantity <= 45 AND l_discount <= 0.08"
-
-
-@register(
-    "lineitem_validation_routing",
-    oracle=f"""
-    SELECT CASE WHEN {_LINEITEM_VALID} THEN 'clean' ELSE 'quarantine' END AS route,
-           l_returnflag, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-    FROM lineitem
-    GROUP BY 1, 2 ORDER BY route, l_returnflag
-    """,
-)
-def lineitem_validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 validation split at fact scale: the predicate is evaluated
-    ONCE and every row routed to clean or quarantine — one scan for
-    both sinks (two filtered scans would read the fact twice at
-    100 TB). Null-safe: a null in either predicate column routes to
-    quarantine, never silently drops."""
-    li = catalog.table(spark, sf_dir, "lineitem")
-    ok = (F.col("l_quantity") <= 45) & (F.col("l_discount") <= 0.08)
-    route = F.when(ok, F.lit("clean")).otherwise(F.lit("quarantine"))
-    return (
-        li.groupBy(route.alias("route"), F.col("l_returnflag"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"),
-        )
-        .orderBy("route", "l_returnflag")
-    )
-
-
-# ---------------------------------------------------------------------------
 # S8 — anti-join (quarantine delete) and semi-join existence filter.
 # A1/A2 (pd.concat ≡ unionByName, ref main.py:475,487) are exercised
 # inside every labeled-union query here and in setops/pos plans — the
@@ -162,43 +126,6 @@ def semi_anti_join_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("semi_recent").alias("join_type"), "grp_key", "n_rows")
     )
     return anti.unionByName(semi).orderBy("join_type", "grp_key")
-
-
-# ---------------------------------------------------------------------------
-# F19 — full date-bucket set.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "date_bucket_set",
-    oracle="""
-    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
-           CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
-           strftime(ts, '%A') AS day_name,
-           CAST(weekofyear(ts) AS INTEGER) AS week_of_year,
-           CAST(month(ts) AS INTEGER) AS month_number,
-           strftime(ts, '%B') AS month_name,
-           COUNT(*) AS n_events
-    FROM events
-    GROUP BY 1, 2, 3, 4, 5, 6
-    ORDER BY week_of_year, day_of_week, hour_of_day
-    """,
-)
-def date_bucket_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F19 (dashboard slicers): hour/day-of-week/day-name/ISO-week/
-    month buckets — all Catalyst date functions, partition-prunable
-    at scale."""
-    from ..functions import datetime_buckets as dtb
-
-    ev = catalog.table(spark, sf_dir, "events")
-    return (
-        dtb.with_time_buckets(ev, "ts")
-        .groupBy(
-            "hour_of_day", "day_of_week", "day_name", "week_of_year", "month_number", "month_name"
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("week_of_year", "day_of_week", "hour_of_day")
-    )
 
 
 # ---------------------------------------------------------------------------

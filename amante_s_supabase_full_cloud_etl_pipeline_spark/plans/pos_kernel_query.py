@@ -21,9 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import catalog
 from ..operators.validate import validation_split
 from ..registry import register
 from . import dims, pos_fixture
+from ._common import dec
 from .pos_kernel import (
     FF_FLAVOR_PATTERN,
     FF_TARGET_PATTERN,
@@ -159,22 +161,63 @@ def pos_kernel_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINEITEM_VALID = "l_quantity <= 45 AND l_discount <= 0.08"
+
+
 @register(
-    "pos_validation_routing",
+    "validation_routing",
     oracle=_kernel_cte()
     + f"""
-    SELECT 'clean' AS route, * FROM fact WHERE {VALID_SQL}
+    SELECT 'pos' AS dataset,
+           CASE WHEN {VALID_SQL} THEN 'clean' ELSE 'quarantine' END AS route,
+           category AS grp_key, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM fact GROUP BY 2, 3
     UNION ALL
-    SELECT 'quarantine' AS route, * FROM fact WHERE NOT ({VALID_SQL})
+    SELECT 'lineitem' AS dataset,
+           CASE WHEN {_LINEITEM_VALID} THEN 'clean' ELSE 'quarantine' END AS route,
+           l_returnflag AS grp_key, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY 2, 3
+    ORDER BY dataset, route, grp_key
     """,
 )
-def pos_validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 validation split, both routes labeled into one result: the
-    operator evaluates the null-safe predicate once and returns the
-    clean and quarantine frames (ref README.md:113-119); the label
-    union proves every row lands on exactly one side with all
-    columns intact."""
+def validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 validation split on BOTH surfaces in one labeled result
+    (ref README.md:113-119):
+
+    - ``pos`` leg: the actual ``validation_split`` operator on the
+      kernel fixture — two frames from one null-safe predicate, each
+      row landing on exactly one side (per-column values are already
+      hash-checked by ``pos_kernel_fact``).
+    - ``lineitem`` leg: the same split as a single-scan routed
+      aggregation at fact scale — the predicate is evaluated ONCE and
+      every row routed to clean or quarantine (two filtered scans
+      would read a 100 TB fact twice). Null-safe: a null in a
+      predicate column routes to quarantine, never silently drops.
+    """
     clean, quarantine = validation_split(transform_pos(pos_fixture.raw_pos_df(spark), spark))
-    return clean.select(F.lit("clean").alias("route"), "*").unionByName(
-        quarantine.select(F.lit("quarantine").alias("route"), "*")
+    pos = (
+        clean.select(F.lit("clean").alias("route"), "category", "quantity")
+        .unionByName(
+            quarantine.select(F.lit("quarantine").alias("route"), "category", "quantity")
+        )
+        .groupBy("route", F.col("category").alias("grp_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec(F.col("quantity"))).cast("double").alias("total_qty"),
+        )
+        .select(F.lit("pos").alias("dataset"), "route", "grp_key", "n_rows", "total_qty")
     )
+    li = catalog.table(spark, sf_dir, "lineitem")
+    ok = (F.col("l_quantity") <= 45) & (F.col("l_discount") <= 0.08)
+    route = F.when(ok, F.lit("clean")).otherwise(F.lit("quarantine"))
+    fact_scale = (
+        li.groupBy(route.alias("route"), F.col("l_returnflag").alias("grp_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"),
+        )
+        .select(F.lit("lineitem").alias("dataset"), "route", "grp_key", "n_rows", "total_qty")
+    )
+    return pos.unionByName(fact_scale).orderBy("dataset", "route", "grp_key")

@@ -31,10 +31,10 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.session import get_spark
 HEADLINE = (
     "star_net_sales_by_region",
     "a4_a7_headline_kpis",
-    "a11_category_performance",
+    "a10_a11_share_of_total",
     "topk_parts_per_type",
     "explode_regex_part_attrs",
-    "lineitem_validation_routing",
+    "validation_routing",
     "dedup_exact_survivors",
     "dedup_jaccard_pairs",
     "knn_bruteforce_cosine",

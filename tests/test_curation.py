@@ -1,0 +1,95 @@
+"""Unit tests for the corpus-curation operators added in round 2:
+benchmark decontamination, semantic dedup survivors, and
+source-mixture weights (operators/decontam.py + query wrappers)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.decontam import (
+    contamination_overlap,
+    drop_contaminated,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """A corpus doc that strictly contains an eval doc's text must be
+    flagged; an unrelated doc must not appear at all."""
+    eval_docs = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            # full containment of the eval shingles + a little extra
+            (1, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+            # zero shingle overlap
+            (2, "completely different content about spark physical plans"),
+            # partial overlap below the 0.5 containment threshold
+            (3, "the quick brown fox went home early tonight yes indeed it did"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_overlap(corpus, eval_docs, k=3, threshold=0.5).collect()
+    }
+    assert 2 not in got  # no hits → never leaves the map side
+    assert got[1]["contaminated"] is True
+    assert got[1]["n_hit"] == 7  # all 7 eval 3-grams present
+    assert got[3]["contaminated"] is False
+    assert 0.0 < got[3]["overlap_frac"] < 0.5
+
+
+def test_drop_contaminated_removes_only_flagged(spark):
+    eval_docs = _docs(spark, [(100, "one two three four five")])
+    corpus = _docs(
+        spark,
+        [(1, "one two three four five and more"), (2, "unrelated text entirely here now")],
+    )
+    kept = drop_contaminated(corpus, eval_docs, k=3, threshold=0.5)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_contamination_is_containment_not_jaccard(spark):
+    """A tiny doc fully covered by a huge eval set must reach
+    overlap 1.0 even though Jaccard would be near zero."""
+    eval_docs = _docs(spark, [(100, " ".join(f"w{i}" for i in range(200)))])
+    corpus = _docs(spark, [(1, "w0 w1 w2 w3")])  # 2 shingles, both in eval
+    row = contamination_overlap(corpus, eval_docs, k=3).collect()[0]
+    assert row["overlap_frac"] == 1.0 and row["contaminated"] is True
+
+
+def test_semantic_dedup_survivor_counts_consistent(spark, sf_dir):
+    """n_kept + n_dropped == n_vectors per label, survivors keep the
+    min-id member of every near-dup component, and totals match the
+    embeddings table."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup_queries import (
+        semantic_dedup_survivors,
+    )
+
+    rows = semantic_dedup_survivors(spark, sf_dir).collect()
+    assert all(r.n_kept + r.n_dropped == r.n_vectors for r in rows)
+    total = catalog.table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == total
+    assert sum(r.n_dropped for r in rows) > 0  # planted near-dups exist
+
+
+def test_source_mixture_weights_properties(spark, sf_dir):
+    """Shares and weights each sum to 1; temperature 0.5 flattens the
+    mixture (max weight ≤ max share, min weight ≥ min share)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text_queries import (
+        source_mixture_weights,
+    )
+
+    rows = source_mixture_weights(spark, sf_dir).collect()
+    shares = [r.token_share for r in rows]
+    weights = [r.sample_weight_t05 for r in rows]
+    assert math.isclose(sum(shares), 1.0, abs_tol=1e-9)
+    assert math.isclose(sum(weights), 1.0, abs_tol=1e-4)  # per-row rounding to 1e-6
+    assert max(weights) <= max(shares) + 1e-9
+    assert min(weights) >= min(shares) - 1e-9

@@ -106,9 +106,27 @@ def test_star_net_sales_broadcasts_only_dims(spark, sf_dir):
 
 
 def test_validation_routing_scans_fact_once(spark, sf_dir):
-    """Single-scan two-way split: one parquet scan feeds both routes."""
-    plan = _registry_plan(spark, sf_dir, "lineitem_validation_routing")
+    """Single-scan two-way split: one parquet scan feeds both routes
+    of the lineitem leg (the POS leg is a local-relation fixture)."""
+    plan = _registry_plan(spark, sf_dir, "validation_routing")
     assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
+def test_a9_time_buckets_single_scan_grouping_sets(spark, sf_dir):
+    """A9 + F19 via GROUPING SETS: one events scan + Expand, not two
+    separate group-bys over the fact."""
+    plan = _registry_plan(spark, sf_dir, "a9_time_bucket_sets")
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert "Expand" in plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval-shingle probe must be a broadcast semi-join (eval
+    benchmarks are tiny next to a 100 TB corpus) — never a shuffle of
+    corpus shingles against the eval set."""
+    plan = _registry_plan(spark, sf_dir, "decontaminate_eval_overlap")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
 
 
 def test_headline_kpis_single_scan_two_level_agg(spark, sf_dir):
