@@ -400,3 +400,54 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pack_sequence_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(doc_id % 16 AS INTEGER) AS shard,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS key,
+               CAST({_NTOK} AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    offs AS (
+        SELECT *, SUM(n_tokens) OVER (
+            PARTITION BY shard ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING
+        ) AS end_local
+        FROM toks
+    ),
+    totals AS (SELECT shard, SUM(n_tokens) AS total FROM toks GROUP BY shard),
+    bases AS (
+        SELECT a.shard, COALESCE(SUM(b.total), 0) AS base
+        FROM totals a LEFT JOIN totals b ON b.shard < a.shard
+        GROUP BY a.shard
+    )
+    SELECT o.doc_id, o.shard, o.n_tokens,
+           b.base + o.end_local - o.n_tokens AS tok_offset,
+           CASE WHEN o.n_tokens > 0
+                THEN (b.base + o.end_local - o.n_tokens) // 2048 END AS first_chunk,
+           CASE WHEN o.n_tokens > 0
+                THEN (b.base + o.end_local - 1) // 2048 END AS last_chunk,
+           CASE WHEN o.n_tokens > 0
+                THEN (b.base + o.end_local - 1) // 2048
+                     - (b.base + o.end_local - o.n_tokens) // 2048 + 1
+                ELSE 0 END AS chunks_spanned
+    FROM offs o JOIN bases b USING (shard)
+    ORDER BY o.doc_id
+    """,
+)
+def pack_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py
+    pack_chunk_spans): documents concatenated in a deterministic
+    md5-shuffled order, the global token stream cut into 2048-token
+    context chunks, each document mapped to the chunks it spans.
+    Global offsets come from per-shard running sums + an
+    n_shards-row base-offset dimension join — a scalable global
+    ordering with NO single-partition window, identical across
+    engines because every step is exact integer math."""
+    from .packing import pack_chunk_spans
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    return pack_chunk_spans(docs, context_len=2048, n_shards=16).orderBy("doc_id")

@@ -17,21 +17,43 @@ from ._common import dec
 
 
 @register(
-    "events_tumbling_hourly",
+    "events_windowed_counts",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    WITH sliding AS (
+        -- candidate 10-min-aligned starts around each event's hour;
+        -- the WHERE keeps exactly the 6 windows containing the event
+        SELECT e.event_type, CAST(e.value AS DECIMAL(18,2)) AS v,
+               date_trunc('hour', e.ts) - INTERVAL 50 MINUTE
+                 + to_minutes(CAST(s.i * 10 AS BIGINT)) AS window_start
+        FROM events e,
+             unnest(range(0, 11)) AS s(i)
+        WHERE date_trunc('hour', e.ts) - INTERVAL 50 MINUTE
+                + to_minutes(CAST(s.i * 10 AS BIGINT)) <= e.ts
+          AND e.ts < date_trunc('hour', e.ts) - INTERVAL 50 MINUTE
+                + to_minutes(CAST(s.i * 10 AS BIGINT)) + INTERVAL 60 MINUTE
+    )
+    SELECT 'tumbling_1h' AS window_kind,
+           date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1, 2 ORDER BY window_start, event_type
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding_1h_10m' AS window_kind, window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM sliding GROUP BY 2, 3
+    ORDER BY window_kind, window_start, event_type
     """,
 )
-def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1h event-time windows (batch form of the streaming
-    windowed agg — streaming/events.py runs the same logic with a
-    watermark under readStream)."""
+def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h AND sliding (1h length, 10-min slide) event-time
+    windows in one labeled result — the batch forms of the streaming
+    windowed aggs (streaming/events.py runs the same logic with a
+    watermark under readStream; each event lands in exactly 6 sliding
+    windows). The oracle reconstructs Spark's window set relationally
+    (explode of 6 aligned offsets per event)."""
     ev = catalog.table(spark, sf_dir, "events")
-    return (
+    tumbling = (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("window_start"),
             "event_type",
@@ -40,8 +62,23 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
         )
-        .orderBy("window_start", "event_type")
+        .select(F.lit("tumbling_1h").alias("window_kind"), "*")
     )
+    sliding = (
+        ev.groupBy(F.window("ts", "1 hour", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .select(
+            F.lit("sliding_1h_10m").alias("window_kind"),
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return tumbling.unionByName(sliding).orderBy("window_kind", "window_start", "event_type")
 
 
 @register(
@@ -103,42 +140,6 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duration_s"),
         )
         .orderBy("user_id", "session_seq")
-    )
-
-
-@register(
-    "events_sliding_windows",
-    oracle="""
-    WITH expanded AS (
-        -- candidate 10-min-aligned starts around each event's hour;
-        -- the WHERE keeps exactly the 6 windows containing the event
-        SELECT e.event_type,
-               date_trunc('hour', e.ts) - INTERVAL 50 MINUTE
-                 + to_minutes(CAST(s.i * 10 AS BIGINT)) AS window_start
-        FROM events e,
-             unnest(range(0, 11)) AS s(i)
-        WHERE date_trunc('hour', e.ts) - INTERVAL 50 MINUTE
-                + to_minutes(CAST(s.i * 10 AS BIGINT)) <= e.ts
-          AND e.ts < date_trunc('hour', e.ts) - INTERVAL 50 MINUTE
-                + to_minutes(CAST(s.i * 10 AS BIGINT)) + INTERVAL 60 MINUTE
-    )
-    SELECT window_start, event_type, COUNT(*) AS n_events
-    FROM expanded
-    GROUP BY 1, 2 ORDER BY window_start, event_type
-    """,
-)
-def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1h length, 10-min slide) in batch form via
-    ``F.window`` — each event lands in 6 overlapping windows. The
-    oracle reconstructs the same window set relationally (explode of
-    6 aligned offsets per event). Streaming twin:
-    streaming/events.py sliding_counts."""
-    ev = catalog.table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
-        .orderBy("window_start", "event_type")
     )
 
 

@@ -93,3 +93,78 @@ def test_source_mixture_weights_properties(spark, sf_dir):
     assert math.isclose(sum(weights), 1.0, abs_tol=1e-4)  # per-row rounding to 1e-6
     assert max(weights) <= max(shares) + 1e-9
     assert min(weights) >= min(shares) - 1e-9
+
+
+def test_pack_chunk_spans_is_a_partition_of_the_stream(spark, sf_dir):
+    """Chunk spans tile the concatenated stream exactly: spans are
+    disjoint, contiguous within shards, and total span length equals
+    total tokens."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+        pack_chunk_spans,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    rows = pack_chunk_spans(docs, context_len=128, n_shards=4).collect()
+    assert len(rows) == docs.count()
+    total_tokens = sum(r.n_tokens for r in rows)
+    # offsets 0..total-1 are covered exactly once
+    spans = sorted((r.tok_offset, r.tok_offset + r.n_tokens) for r in rows if r.n_tokens)
+    cursor = 0
+    for start, end in spans:
+        assert start == cursor
+        cursor = end
+    assert cursor == total_tokens
+    for r in rows:
+        if r.n_tokens:
+            assert r.first_chunk == r.tok_offset // 128
+            assert r.last_chunk == (r.tok_offset + r.n_tokens - 1) // 128
+            assert r.chunks_spanned == r.last_chunk - r.first_chunk + 1
+        else:
+            assert r.chunks_spanned == 0 and r.first_chunk is None
+
+
+def test_pack_greedy_matches_python_reference_and_capacity(spark, sf_dir):
+    """The Arrow next-fit kernel reproduces a sequential pure-Python
+    reference per shard, and no pack exceeds capacity unless it holds
+    a single oversized document."""
+    import hashlib
+    from collections import defaultdict
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+        pack_greedy_no_split,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import tokens
+
+    from pyspark.sql import functions as F
+
+    CAP, SHARDS = 512, 4
+    docs = catalog.table(spark, sf_dir, "documents")
+    got = pack_greedy_no_split(docs, capacity=CAP, n_shards=SHARDS).collect()
+
+    # sequential reference
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n")).collect()
+    }
+    by_shard = defaultdict(list)
+    for doc_id, n in toks.items():
+        key = hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()
+        by_shard[doc_id % SHARDS].append((key, doc_id, n))
+    expect = {}
+    for shard, items in by_shard.items():
+        acc, seq = 0, 0
+        for _, doc_id, n in sorted(items):
+            if acc > 0 and acc + n > CAP:
+                seq, acc = seq + 1, 0
+            expect[doc_id] = seq
+            acc += n
+    assert {r.doc_id: r.pack_seq for r in got} == expect
+
+    pack_tot = defaultdict(lambda: [0, 0])
+    for r in got:
+        pack_tot[(r.shard, r.pack_seq)][0] += r.n_tokens
+        pack_tot[(r.shard, r.pack_seq)][1] += 1
+    for (shard, seq), (tot, n_docs) in pack_tot.items():
+        assert tot <= CAP or n_docs == 1, (shard, seq, tot, n_docs)
