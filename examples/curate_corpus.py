@@ -7,9 +7,12 @@ way a pre-training data run composes them:
 1. Language ID + quality/repetition band filter (map-only signals).
 2. PII redaction (email/phone/IPv4 scrub).
 3. Exact dedup (fingerprint) then MinHash-LSH near-dup pruning.
-4. Deterministic train/val/test split (content-keyed — reproducible
+4. Benchmark decontamination (broadcast eval-shingle containment).
+5. Deterministic train/val/test split (content-keyed — reproducible
    at any partitioning, incremental across corpus versions).
-5. Snapshot-isolated commit into a ParquetTable per split.
+6. Source-mixture report + sequence packing of the train split into
+   fixed-length context chunks (concat-and-chunk spans).
+7. Snapshot-isolated commit into a ParquetTable per split.
 
 Every stage is a lazy DataFrame transform; Spark runs the whole
 curation as a handful of jobs. At 100 TB the same code holds: the
@@ -33,6 +36,12 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import sampling
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
     drop_exact_dups,
     minhash_candidates,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.decontam import (
+    drop_contaminated,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+    pack_chunk_spans,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.redact import redact_pii
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import (
@@ -81,21 +90,45 @@ def main(sf_dir: str, workdir: str) -> None:
     losers = near.select(F.col("id_b").alias("doc_id")).distinct()
     deduped = exact_unique.join(losers, "doc_id", "left_anti")
 
-    # 4. deterministic split + 5. committed tables
-    final = sampling.train_val_test_split(deduped, "doc_id")
+    # 4. benchmark decontamination: the held-out slice stands in for
+    # an eval benchmark; its shingle set broadcasts, so the corpus
+    # probe is map-side
+    is_eval = F.col("doc_id") % 37 == 0
+    cleaned = drop_contaminated(
+        deduped.filter(~is_eval), docs.filter(is_eval), k=3, threshold=0.5
+    )
+
+    # 5. deterministic split + 7. committed tables
+    final = sampling.train_val_test_split(cleaned, "doc_id")
     tables = {}
     for split in ("train", "val", "test"):
         t = ParquetTable(spark, os.path.join(workdir, split))
         t.append(final.filter(F.col("split") == split).drop("split"))
         tables[split] = t
 
+    # 6. mixture report + pack the train split into context chunks
+    train = tables["train"].read().join(docs.select("doc_id", "source"), "doc_id")
+    mix = (
+        train.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(token_count(F.col("text"))).alias("n_tok"))
+        .orderBy(F.desc("n_tok"))
+    )
+    packed = pack_chunk_spans(tables["train"].read(), context_len=2048, n_shards=16)
+    n_chunks = packed.agg(
+        F.coalesce(F.max(F.col("last_chunk")) + 1, F.lit(0)).alias("n")
+    ).collect()[0]["n"]
+
     n_kept, n_unique, n_final = kept.count(), exact_unique.count(), deduped.count()
+    n_clean = cleaned.count()
     print(f"corpus:        {n0} docs")
     print(f"band filter:   {n_kept} kept ({n0 - n_kept} dropped)")
     print(f"exact dedup:   {n_unique} unique")
     print(f"near-dup:      {n_final} after LSH pruning")
+    print(f"decontam:      {n_clean} after eval-overlap drop")
     for split, t in tables.items():
         print(f"  {split}: {t.read().count()} docs (table v{t.current_version()})")
+    print(f"train mixture: {[(r.source, r.n_docs, r.n_tok) for r in mix.collect()[:5]]} ...")
+    print(f"train packing: {n_chunks} chunks of 2048 tokens")
     spark.stop()
 
 

@@ -120,6 +120,16 @@ def test_a9_time_buckets_single_scan_grouping_sets(spark, sf_dir):
     assert "Expand" in plan
 
 
+def test_pack_chunks_window_is_shard_partitioned(spark, sf_dir):
+    """The packing running-sum must be a shard-partitioned window
+    (parallel across shards) and the base-offset join a broadcast of
+    the n_shards-row dim — never a global-order window over the
+    corpus."""
+    plan = _registry_plan(spark, sf_dir, "pack_sequence_chunks")
+    assert "windowspecdefinition(shard" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
 def test_decontamination_broadcasts_eval_side(spark, sf_dir):
     """The eval-shingle probe must be a broadcast semi-join (eval
     benchmarks are tiny next to a 100 TB corpus) — never a shuffle of
