@@ -168,3 +168,55 @@ def test_pack_greedy_matches_python_reference_and_capacity(spark, sf_dir):
         pack_tot[(r.shard, r.pack_seq)][1] += 1
     for (shard, seq), (tot, n_docs) in pack_tot.items():
         assert tot <= CAP or n_docs == 1, (shard, seq, tot, n_docs)
+
+
+def test_pack_chunk_spans_partition_independent(spark, sf_dir):
+    """Chunk assignment is a pure function of the data — identical
+    under any input partitioning (the property that makes the packing
+    reproducible on a 1000-executor cluster)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+        pack_chunk_spans,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    base = sorted(map(tuple, pack_chunk_spans(docs, 256, 8).collect()))
+    for n_parts in (1, 7):
+        again = sorted(map(tuple, pack_chunk_spans(docs.repartition(n_parts), 256, 8).collect()))
+        assert again == base, f"packing changed under repartition({n_parts})"
+
+
+def test_greedy_pack_partition_independent(spark, sf_dir):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+        pack_greedy_no_split,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    base = sorted(map(tuple, pack_greedy_no_split(docs, 512, 4).collect()))
+    again = sorted(map(tuple, pack_greedy_no_split(docs.repartition(3), 512, 4).collect()))
+    assert again == base
+
+
+def test_contamination_partition_independent(spark, sf_dir):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.decontam import (
+        contamination_overlap,
+    )
+    from pyspark.sql import functions as F
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 37 == 0
+    base = sorted(
+        map(tuple, contamination_overlap(docs.filter(~is_eval), docs.filter(is_eval)).collect())
+    )
+    shuffled = docs.repartition(5)
+    again = sorted(
+        map(
+            tuple,
+            contamination_overlap(
+                shuffled.filter(~is_eval), shuffled.filter(is_eval)
+            ).collect(),
+        )
+    )
+    assert again == base
