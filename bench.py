@@ -37,6 +37,8 @@ HEADLINE = (
     "validation_routing",
     "dedup_exact_survivors",
     "dedup_jaccard_pairs",
+    "decontaminate_eval_overlap",
+    "pack_sequence_chunks",
     "knn_bruteforce_cosine",
     "knn_lsh_bucketed",
     "events_sessionization",
