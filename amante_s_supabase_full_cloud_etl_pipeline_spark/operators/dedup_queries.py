@@ -73,8 +73,11 @@ pairs AS (
 )
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the canonical (min-id) copy per normalized
-    fingerprint: hash-groupBy + semi join, never a text comparison."""
-    docs = catalog.table(spark, sf_dir, "documents")
+    fingerprint: hash-groupBy + semi join, never a text comparison.
+    The operator keeps whole rows (its contract); this query only
+    consumes lang, so it projects BEFORE the dedup and the scan reads
+    three columns, not the full table width."""
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return (
         drop_exact_dups(docs)
         .groupBy("lang")
