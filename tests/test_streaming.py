@@ -308,3 +308,80 @@ def test_transactional_pipeline_stream_restart_idempotent(spark, dirs):
     )
     q.awaitTermination(120)
     assert fact_t.read().count() == n1
+
+
+def test_streaming_curation_end_to_end(spark, sf_dir, tmp_path):
+    """Curate-on-arrival: band filter + redaction + cross-batch
+    content dedup + broadcast decontamination, committed idempotently
+    into the transactional table. The second micro-batch re-delivers
+    batch 1's rows (dropped by watermark dedup state), and documents
+    overlapping the eval slice never reach the table."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.decontam import (
+        contamination_overlap,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+        drop_exact_dups,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
+        ParquetTable,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.curate import (
+        curate_batch,
+        run_curation_stream,
+    )
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .limit(120)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 600).alias(
+                "ingest_ts"
+            ),
+        )
+    )
+    is_eval = F.col("doc_id") % 37 == 0
+    corpus, eval_docs = docs.filter(~is_eval), docs.filter(is_eval)
+
+    src = str(tmp_path / "curate_src")
+    corpus.coalesce(1).write.parquet(src)
+    redelivered = corpus.withColumn(
+        "ingest_ts", F.col("ingest_ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    redelivered.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    table = ParquetTable(spark, str(tmp_path / "curated_table"))
+    q = run_curation_stream(
+        stream,
+        table,
+        eval_docs=eval_docs,
+        checkpoint=str(tmp_path / "curate_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = table.read()
+
+    # batch reference: same chain on the deduped corpus
+    unique = drop_exact_dups(corpus)
+    banded = unique.filter(
+        (quality_score(F.col("text")) >= 0.4) & (token_count(F.col("text")) >= 20)
+    )
+    contaminated = (
+        contamination_overlap(banded, eval_docs, k=3, threshold=0.5)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    expect_ids = {r.doc_id for r in banded.join(contaminated, "doc_id", "left_anti").collect()}
+
+    assert {r.doc_id for r in got.collect()} == expect_ids
+    # redaction ran: no raw emails survive in committed text
+    assert got.filter(F.col("text").rlike(r"[\w.]+@[\w.]+\.\w+")).count() == 0
