@@ -301,8 +301,9 @@ def a9_time_bucket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a10_a11_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 (preference donut: count share) + A11 (category
-    performance: revenue share with the M1/J1 broadcast dim join) as
-    one labeled union. Each leg aggregates FIRST, then joins its
+    performance: revenue share via the M1/J1 part-dim join — AQE
+    picks broadcast at small SF; ``part`` scales with SF in TPC-H so
+    it carries no explicit broadcast hint) as one labeled union. Each leg aggregates FIRST, then joins its
     single-row total back with a broadcast cross join — both branches
     hang off the same aggregation exchange, so ReuseExchange runs
     each fact scan + partial agg once, and no empty-partitionBy
@@ -328,7 +329,7 @@ def a10_a11_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     per_type = (
         li.select("l_partkey", revenue_dec().alias("rev"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("grp_key"))
         .agg(F.sum("rev").alias("rev"))
     )
@@ -404,13 +405,15 @@ def topk_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by revenue within each type: agg first (shrinks the
     data to one row per (type, part)), then a per-type window over the
     small aggregate — the window never sees fact-table volume.
-    Deterministic tie-break on part_name keeps both engines aligned."""
+    Deterministic tie-break on part_name keeps both engines aligned.
+    The lineitem-part join carries no broadcast hint: ``part`` scales
+    with SF, so AQE chooses (broadcast at toy SF, shuffle at 100 TB)."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", revenue_dec().alias("rev"))
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_name")
     per_part = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("category"), F.col("p_name").alias("part_name"))
         .agg(F.sum("rev").cast("double").alias("part_sales"))
     )

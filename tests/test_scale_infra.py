@@ -105,6 +105,26 @@ def test_star_net_sales_broadcasts_only_dims(spark, sf_dir):
     ) == 2, optimized[:3000]
 
 
+def test_part_joins_carry_no_broadcast_hint(spark, sf_dir):
+    """``part`` scales with SF (20B rows at 100 TB), so the
+    lineitem-part joins must leave the strategy to AQE — no explicit
+    broadcast hint anywhere in either plan. The only hint in
+    a10_a11 is the 1-row share-of-total scalar (one per leg)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans.dashboard import (
+        a10_a11_share_of_total,
+        topk_parts_per_type,
+    )
+
+    def hints(df):
+        s = df._jdf.queryExecution().analyzed().toString()
+        return s.count("UnresolvedHint broadcast") + s.count(
+            "ResolvedHint (strategy=broadcast)"
+        )
+
+    assert hints(topk_parts_per_type(spark, sf_dir)) == 0
+    assert hints(a10_a11_share_of_total(spark, sf_dir)) == 2  # the two scalars
+
+
 def test_validation_routing_scans_fact_once(spark, sf_dir):
     """Single-scan two-way split: one parquet scan feeds both routes
     of the lineitem leg (the POS leg is a local-relation fixture)."""
