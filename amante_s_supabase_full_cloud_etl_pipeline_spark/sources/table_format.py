@@ -186,6 +186,66 @@ class ParquetTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def _live_files(self, version: int) -> list[str]:
+        """Absolute paths of the parquet files referenced by a
+        manifest (local-FS walk; at 100 TB the manifest itself carries
+        per-file size/min/max stats and no listing happens)."""
+        out = []
+        for d in self.manifest(version)["data_dirs"]:
+            root = os.path.join(self.path, d)
+            for name in sorted(os.listdir(root)):
+                if name.startswith("part-") and name.endswith(".parquet"):
+                    out.append(os.path.join(root, name))
+        return out
+
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: Sequence[str] | None = None,
+        min_files: int = 2,
+    ) -> int:
+        """Rewrite the live file set into ~``target_file_bytes`` files
+        as a NEW snapshot — same rows, better layout. This is the
+        maintenance op every streaming sink needs: per-micro-batch
+        appends accumulate thousands of small files, and at 100 TB an
+        uncompacted table pays per-file open cost and loses column-
+        chunk compression on every scan.
+
+        - Row-identical by construction (a pure repartition of the
+          pinned snapshot), so it commits with no ``batch_id``.
+        - ``sort_by`` additionally range-sorts files on those columns
+          (repartitionByRange + sortWithinPartitions), so parquet
+          min/max footers become selective — readers with predicates
+          on the sort key skip whole files (poor man's Z-order, same
+          lever as Delta OPTIMIZE ZORDER BY for one key family).
+        - Without ``sort_by`` the rewrite uses ``coalesce`` — no
+          shuffle, just fewer, larger files.
+        - Concurrency: the commit targets ``parent+1``; a racing
+          append/merge wins or loses atomically (CommitConflict — the
+          compaction retries against the new snapshot; data is never
+          at risk because losers write nothing visible).
+        - Old small files stay readable for time travel until
+          ``vacuum`` — compaction never deletes.
+
+        Returns the committed version (``parent`` unchanged when the
+        table is already compact)."""
+        parent = self.current_version()
+        files = self._live_files(parent)
+        if len(files) < min_files:
+            return parent
+        total = sum(os.path.getsize(f) for f in files)
+        n = max(1, -(-total // target_file_bytes))  # ceil
+        if n >= len(files) and sort_by is None:
+            return parent  # already at-or-below target granularity
+        df = self.read(parent)
+        if sort_by:
+            cols = list(sort_by)
+            df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        else:
+            df = df.coalesce(n)
+        rel = self._write_data_dir(df)
+        return self._commit([rel], None, parent)
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data dirs unreferenced by the newest ``keep_versions``
         manifests (bounds time travel; run well behind active readers

@@ -93,6 +93,46 @@ def test_concurrent_writer_conflict(spark, table):
         stale._commit(["data/fake"], None, parent=1)
 
 
+def test_compact_merges_small_files_row_identical(spark, table):
+    """Many small appends → one compaction pass rewrites the live set
+    into few files with identical rows; old versions stay readable."""
+    for i in range(6):
+        table.append(_df(spark, [(i, f"v{i}", i)]).coalesce(1))
+    before = sorted(table.read().collect())
+    n_before = len(table._live_files(table.current_version()))
+    assert n_before >= 6
+    v = table.compact(target_file_bytes=1 << 30)  # everything fits one file
+    assert v == 7
+    assert len(table._live_files(v)) == 1
+    assert sorted(table.read().collect()) == before
+    assert table.read(version=6).count() == 6  # time travel intact
+
+
+def test_compact_sorted_files_have_disjoint_key_ranges(spark, table):
+    """sort_by compaction range-partitions files so parquet min/max
+    footers are selective (file-skipping on the sort key)."""
+    rows = [(k, "x", k) for k in range(100)]
+    for i in range(0, 100, 25):
+        table.append(_df(spark, rows[i : i + 25]).coalesce(1))
+    v = table.compact(target_file_bytes=2048, sort_by=["k"])
+    files = table._live_files(v)
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        ks = [r.k for r in spark.read.parquet(f).collect()]
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint → min/max footer prunes whole files
+    assert table.read(v).count() == 100
+
+
+def test_compact_noop_when_already_compact(spark, table):
+    v1 = table.append(_df(spark, [(1, "a", 1)]).coalesce(1))
+    assert table.compact() == v1  # below min_files: no new version
+
+
 def test_vacuum_keeps_referenced_dirs(spark, table):
     table.merge(_df(spark, [(1, "a", 1)]), KEYS, ORDER)
     table.merge(_df(spark, [(1, "b", 2)]), KEYS, ORDER)  # full rewrite
