@@ -40,13 +40,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (nanosAsLong conf): convert to
-        # a microsecond timestamp with exact integer division — double
-        # division would lose precision at ~1.7e18 ns epochs.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long (nanosAsLong conf): convert
+            # to a microsecond timestamp with exact integer division —
+            # double division would lose precision at ~1.7e18 ns epochs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-precision parquet without isAdjustedToUTC infers as
+            # TIMESTAMP_NTZ, which event-time watermarks reject. The
+            # session timezone is pinned to UTC, so NTZ→LTZ is a pure
+            # type re-tag (identical instants, identical oracle hashes).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
