@@ -38,24 +38,130 @@ sink idempotent per micro-batch.
 At 100 TB the only piece to swap is the pointer store: local-FS
 rename → a CAS on an object-store/catalog entry (S3 conditional put,
 Hive/Glue lock). Data-file immutability, manifest versioning, and
-optimistic concurrency carry over unchanged. A production MERGE
-would also rewrite only the files whose key ranges intersect the
-batch (file-level pruning via manifest min/max stats) instead of the
-full table; the commit semantics are identical.
+optimistic concurrency carry over unchanged.
+
+File statistics (Iceberg-manifest-style): every commit records
+per-file row counts, byte sizes, and per-column min/max/null-count
+harvested from the parquet footers that were just written. Two
+consumers:
+
+- ``read(filters=...)`` — plan-time file skipping: files whose
+  column bounds cannot satisfy a conjunction of simple predicates
+  are dropped from the scan before Spark ever opens them. This is
+  the metadata layer parquet row-group pruning cannot provide (the
+  scan must still *open* every footer; the manifest prunes with zero
+  file IO), and it is what makes ``compact(sort_by=...)``'s
+  range-sorted layout pay off at 100 TB.
+- ``merge(..., )`` — file-level MERGE pruning: only files whose key
+  range intersects the batch's key range are read and rewritten;
+  untouched files are carried into the new manifest by reference.
+  A streaming upsert sink therefore pays O(touched files + batch)
+  per micro-batch, not O(table) — the difference between a usable
+  and an unusable 100 TB streaming MERGE.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
 import uuid
 from collections.abc import Sequence
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.upsert import dedup_latest, merge_upsert
 from .sinks import prepare_for_load
+
+# -- stats (de)serialization -----------------------------------------------
+# Parquet footer min/max values arrive as native Python objects; manifests
+# are JSON, so each bound is stored as a (type-tag, portable value) pair.
+# Truncated binary stats are still valid bounds (parquet rounds min down /
+# max up), so pruning against them is safe.
+
+_SER = (
+    (bool, "b", lambda v: v),  # bool before int: bool is an int subclass
+    (int, "i", lambda v: v),
+    (float, "f", lambda v: v),
+    (str, "s", lambda v: v),
+    (bytes, "y", lambda v: v.hex()),
+    (_dt.datetime, "t", lambda v: v.isoformat()),
+    (_dt.date, "d", lambda v: v.isoformat()),
+    (Decimal, "n", str),
+)
+
+_DESER = {
+    "b": lambda v: v,
+    "i": int,
+    "f": float,
+    "s": str,
+    "y": bytes.fromhex,
+    "t": _dt.datetime.fromisoformat,
+    "d": _dt.date.fromisoformat,
+    "n": Decimal,
+}
+
+
+def _ser_bound(v):
+    for typ, tag, enc in _SER:
+        if isinstance(v, typ):
+            return [tag, enc(v)]
+    return None
+
+
+def _comparable(bound, literal):
+    """Deserialize a stored bound next to a filter literal; None when
+    the two aren't safely comparable (→ caller keeps the file)."""
+    tag, raw = bound
+    lit = _ser_bound(literal)
+    if lit is None:
+        return None
+    ltag = lit[0]
+    if tag != ltag and not ({tag, ltag} <= {"i", "f"}):
+        return None
+    try:
+        return _DESER[tag](raw), literal
+    except (ValueError, TypeError):
+        return None
+
+
+_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_prunable(meta: dict, filters: Sequence[tuple]) -> bool:
+    """True when no row of the file can satisfy ALL filters (AND
+    semantics). Missing stats for a column → not prunable on it."""
+    stats = meta.get("stats") or {}
+    for col, op, value in filters:
+        st = stats.get(col)
+        if st is None:
+            continue
+        if st.get("allnull"):
+            # SQL comparisons with NULL are never true.
+            return True
+        if "lo" not in st:
+            continue
+        pair = _comparable(st["lo"], value)
+        pair_hi = _comparable(st["hi"], value)
+        if pair is None or pair_hi is None:
+            continue
+        lo, v = pair
+        hi, _ = pair_hi
+        try:
+            if (
+                (op == "=" and (v < lo or v > hi))
+                or (op == "<" and lo >= v)
+                or (op == "<=" and lo > v)
+                or (op == ">" and hi <= v)
+                or (op == ">=" and hi < v)
+            ):
+                return True
+        except TypeError:
+            continue
+    return False
 
 
 class CommitConflict(Exception):
@@ -101,13 +207,63 @@ class ParquetTable:
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        filters: Sequence[tuple] | None = None,
+    ) -> DataFrame:
         """Plan against an immutable snapshot (time travel via
-        ``version``). The file list is pinned at plan time."""
+        ``version``). The file list is pinned at plan time.
+
+        ``filters`` — optional conjunction of ``(column, op, literal)``
+        with op ∈ ``=, <, <=, >, >=``: files whose manifest stats prove
+        no row can match are skipped without any file IO, and the same
+        predicates are applied in the Spark plan (pruning is an
+        optimization, never a semantics change)."""
         m = self.manifest(version)
         if not m["data_dirs"]:
             raise ValueError(f"table {self.path} is empty at version {m['version']}")
+        if filters:
+            for f in filters:
+                if len(f) != 3 or f[1] not in _OPS:
+                    raise ValueError(f"bad filter {f!r}; want (col, op∈{_OPS}, value)")
+            kept = self.scan_files(m["version"], filters)
+            paths = [os.path.join(self.path, p) for p in kept]
+            if not paths:
+                # every file pruned: full list + predicate yields the
+                # same (empty) result; Spark's footer pruning keeps it
+                # cheap and we avoid fabricating a schema.
+                paths = [os.path.join(self.path, d) for d in m["data_dirs"]]
+            df = self.spark.read.parquet(*paths)
+            for col, op, value in filters:
+                cond = {
+                    "=": F.col(col) == F.lit(value),
+                    "<": F.col(col) < F.lit(value),
+                    "<=": F.col(col) <= F.lit(value),
+                    ">": F.col(col) > F.lit(value),
+                    ">=": F.col(col) >= F.lit(value),
+                }[op]
+                df = df.filter(cond)
+            return df
         return self.spark.read.parquet(*[os.path.join(self.path, d) for d in m["data_dirs"]])
+
+    def _file_meta(self, version: int) -> dict[str, dict]:
+        """path → stats entry for the manifest's tracked files."""
+        return {e["path"]: e for e in self.manifest(version).get("files", [])}
+
+    def scan_files(self, version: int | None, filters: Sequence[tuple]) -> list[str]:
+        """Relative paths surviving stats pruning (files without
+        recorded stats are always kept)."""
+        v = self.current_version() if version is None else version
+        meta = self._file_meta(v)
+        kept = []
+        for f in self._live_files(v):
+            rel = os.path.relpath(f, self.path)
+            m = meta.get(rel)
+            if m is not None and _file_prunable(m, filters):
+                continue
+            kept.append(rel)
+        return kept
 
     # -- commit protocol ----------------------------------------------------
 
@@ -116,10 +272,91 @@ class ParquetTable:
         df.write.parquet(os.path.join(self.path, rel))
         return rel
 
-    def _commit(self, data_dirs: list[str], batch_id: int | None, parent: int) -> int:
+    def _stats_for_dir(self, rel_dir: str) -> list[dict]:
+        """Harvest per-file stats from the parquet footers of a
+        just-written data dir (driver-side here; a cluster deployment
+        collects the same footer digests on executors at write time,
+        exactly as Iceberg writers report DataFile stats)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        root = os.path.join(self.path, rel_dir)
+        for name in sorted(os.listdir(root)):
+            if not (name.startswith("part-") and name.endswith(".parquet")):
+                continue
+            full = os.path.join(root, name)
+            entry: dict = {
+                "path": os.path.join(rel_dir, name),
+                "bytes": os.path.getsize(full),
+            }
+            try:
+                md = pq.ParquetFile(full).metadata
+                entry["rows"] = md.num_rows
+                # col → {nulls, lo, hi} with NATIVE values (one physical
+                # type per column, so min/max compose across row groups);
+                # None marks a column whose bounds are unusable.
+                cols: dict[str, dict | None] = {}
+                for rg in range(md.num_row_groups):
+                    group = md.row_group(rg)
+                    for ci in range(group.num_columns):
+                        col = group.column(ci)
+                        cname = col.path_in_schema
+                        if "." in cname:  # nested: no file-level bound
+                            continue
+                        if cname in cols and cols[cname] is None:
+                            continue
+                        st = col.statistics
+                        if st is None or st.null_count is None:
+                            cols[cname] = None
+                            continue
+                        acc = cols.setdefault(cname, {"nulls": 0})
+                        acc["nulls"] += st.null_count
+                        if st.has_min_max:
+                            if _ser_bound(st.min) is None or _ser_bound(st.max) is None:
+                                cols[cname] = None  # unsupported type
+                                continue
+                            acc["lo"] = (
+                                st.min if "lo" not in acc else min(acc["lo"], st.min)
+                            )
+                            acc["hi"] = (
+                                st.max if "hi" not in acc else max(acc["hi"], st.max)
+                            )
+                        elif st.null_count != group.num_rows:
+                            # non-null values with no bounds: incomplete
+                            cols[cname] = None
+                stats = {}
+                for cname, acc in cols.items():
+                    if acc is None:
+                        continue
+                    if "lo" in acc:
+                        stats[cname] = {
+                            "lo": _ser_bound(acc["lo"]),
+                            "hi": _ser_bound(acc["hi"]),
+                            "nulls": acc["nulls"],
+                        }
+                    elif acc["nulls"] == md.num_rows and md.num_rows > 0:
+                        stats[cname] = {"allnull": True}
+                if stats:
+                    entry["stats"] = stats
+            except Exception:
+                # Stats are an optimization; a file we can't digest is
+                # simply never pruned.
+                pass
+            out.append(entry)
+        return out
+
+    def _commit(
+        self,
+        data_dirs: list[str],
+        batch_id: int | None,
+        parent: int,
+        files: list[dict] | None = None,
+    ) -> int:
         version = parent + 1
         manifest = {"version": version, "parent": parent, "data_dirs": data_dirs,
                     "batch_id": batch_id}
+        if files:
+            manifest["files"] = files
         target = self._manifest_path(version)
         try:
             # O_EXCL: exactly one writer wins version N+1
@@ -150,7 +387,12 @@ class ParquetTable:
         if self._already_applied(batch_id, parent):
             return parent
         rel = self._write_data_dir(prepare_for_load(df))
-        return self._commit(self.manifest(parent)["data_dirs"] + [rel], batch_id, parent)
+        files = (
+            self.manifest(parent).get("files", []) + self._stats_for_dir(rel)
+        )
+        return self._commit(
+            self.manifest(parent)["data_dirs"] + [rel], batch_id, parent, files=files
+        )
 
     def merge(
         self,
@@ -163,17 +405,51 @@ class ParquetTable:
         snapshot, rewritten into a fresh data dir. The snapshot's own
         files are never touched — concurrent readers keep their
         version; a crash mid-rewrite leaves the table on the parent
-        manifest."""
+        manifest.
+
+        File-level pruning: when the parent manifest carries min/max
+        stats for ``keys[0]``, only files whose key range intersects
+        the batch's key range are read into the rewrite; disjoint
+        files are carried forward by reference. Null-key target rows
+        can never match an equi-join key, so all-null-key files are
+        always safe to carry. Cost per merge is O(touched + batch)
+        instead of O(table) — at 100 TB with a range-compacted layout
+        (``compact(sort_by=keys)``) a point-keyed micro-batch touches
+        a handful of files."""
         parent = self.current_version()
         if self._already_applied(batch_id, parent):
             return parent
         batch = dedup_latest(prepare_for_load(batch), keys, order_by)
         if parent == 0:
-            merged = batch
+            rel = self._write_data_dir(batch)
+            return self._commit([rel], batch_id, parent, files=self._stats_for_dir(rel))
+
+        meta = self._file_meta(parent)
+        live = [os.path.relpath(f, self.path) for f in self._live_files(parent)]
+        untouched: list[str] = []
+        if meta and all(p in meta for p in live):
+            bounds = batch.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).collect()[0]
+            if bounds["lo"] is not None:
+                key_filters = [
+                    (keys[0], ">=", bounds["lo"]),
+                    (keys[0], "<=", bounds["hi"]),
+                ]
+                untouched = [
+                    p for p in live if _file_prunable(meta[p], key_filters)
+                ]
+        touched = [p for p in live if p not in set(untouched)]
+        if touched:
+            target = self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in touched]
+            )
+            merged = merge_upsert(target, batch, keys)
         else:
-            merged = merge_upsert(self.read(parent), batch, keys)
+            merged = batch
         rel = self._write_data_dir(merged)
-        return self._commit([rel], batch_id, parent)
+        files = [meta[p] for p in untouched if p in meta] + self._stats_for_dir(rel)
+        return self._commit(untouched + [rel], batch_id, parent, files=files)
 
     def merge_writer(self, keys: Sequence[str], order_by: Sequence[str]):
         """``foreachBatch`` handler: exactly-once keyed MERGE per
@@ -188,11 +464,16 @@ class ParquetTable:
 
     def _live_files(self, version: int) -> list[str]:
         """Absolute paths of the parquet files referenced by a
-        manifest (local-FS walk; at 100 TB the manifest itself carries
-        per-file size/min/max stats and no listing happens)."""
+        manifest. Entries are data dirs (listed) or individual files
+        (merge pruning carries untouched files by reference). At
+        100 TB the manifest's own file list makes this a pure metadata
+        operation — no listing."""
         out = []
         for d in self.manifest(version)["data_dirs"]:
             root = os.path.join(self.path, d)
+            if os.path.isfile(root):
+                out.append(root)
+                continue
             for name in sorted(os.listdir(root)):
                 if name.startswith("part-") and name.endswith(".parquet"):
                     out.append(os.path.join(root, name))
@@ -244,7 +525,7 @@ class ParquetTable:
         else:
             df = df.coalesce(n)
         rel = self._write_data_dir(df)
-        return self._commit([rel], None, parent)
+        return self._commit([rel], None, parent, files=self._stats_for_dir(rel))
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data dirs unreferenced by the newest ``keep_versions``
@@ -252,7 +533,14 @@ class ParquetTable:
         — same contract as Delta VACUUM). Returns removed dirs."""
         latest = self.current_version()
         keep = range(max(1, latest - keep_versions + 1), latest + 1)
-        referenced = {d for v in keep for d in self.manifest(v)["data_dirs"]}
+        # A manifest entry may be a dir or a single carried-forward
+        # file; either way the containing data dir stays referenced
+        # (vacuum reclaims whole dirs, conservatively).
+        referenced = set()
+        for v in keep:
+            for d in self.manifest(v)["data_dirs"]:
+                parts = d.split(os.sep)
+                referenced.add(os.path.join(parts[0], parts[1]))
         removed = []
         data_root = os.path.join(self.path, "data")
         for name in os.listdir(data_root):

@@ -174,3 +174,78 @@ def test_pos_pipeline_table_sinks_exactly_once(spark, tmp_path):
     handle(raw, 2)  # same DATA as batch 0 → upsert is a no-op on rows
     assert fact_t.current_version() > v_fact
     assert fact_t.read().count() == n_fact
+
+
+# -- manifest stats, file skipping, pruned MERGE ---------------------------
+
+
+def _ranged(spark, lo, hi, v="x"):
+    return _df(spark, [(k, v, k) for k in range(lo, hi)]).coalesce(1)
+
+
+def test_manifest_records_file_stats(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    m = table.manifest()
+    assert m["files"], "commit should record per-file stats"
+    entry = m["files"][0]
+    assert entry["rows"] == 10 and entry["bytes"] > 0
+    k_stats = entry["stats"]["k"]
+    assert (k_stats["lo"], k_stats["hi"]) == (["i", 0], ["i", 9])
+    assert entry["stats"]["v"]["lo"] == ["s", "x"]
+
+
+def test_read_filters_skip_files_without_io(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.append(_ranged(spark, 10, 20))
+    table.append(_ranged(spark, 20, 30))
+    v = table.current_version()
+    # point lookup: stats keep exactly one of three files
+    assert len(table.scan_files(v, [("k", "=", 12)])) == 1
+    assert {r["k"] for r in table.read(filters=[("k", "=", 12)]).collect()} == {12}
+    # range: two files survive
+    assert len(table.scan_files(v, [("k", ">=", 5), ("k", "<", 15)])) == 2
+    got = table.read(filters=[("k", ">=", 5), ("k", "<", 15)])
+    assert {r["k"] for r in got.collect()} == set(range(5, 15))
+    # unsatisfiable: every file pruned, result still well-formed + empty
+    assert table.scan_files(v, [("k", ">", 999)]) == []
+    assert table.read(filters=[("k", ">", 999)]).count() == 0
+
+
+def test_merge_rewrites_only_intersecting_files(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.append(_ranged(spark, 10, 20))
+    table.append(_ranged(spark, 20, 30))
+    parent_entries = set(table.manifest()["data_dirs"])
+    v = table.merge(_df(spark, [(12, "NEW", 99), (13, "NEW", 99)]), KEYS, ORDER)
+    entries = table.manifest(v)["data_dirs"]
+    carried = [e for e in entries if e.endswith(".parquet")]
+    # the two disjoint files are carried by reference, not rewritten
+    assert len(carried) == 2
+    for c in carried:
+        assert any(c.startswith(d) for d in parent_entries)
+    got = {(r["k"], r["v"]) for r in table.read().collect()}
+    assert got == {(k, "NEW" if k in (12, 13) else "x") for k in range(30)}
+    # carried files keep their stats → pruning still works post-merge
+    assert len(table.scan_files(v, [("k", "=", 25)])) == 1
+
+
+def test_merge_outside_all_ranges_is_pure_append(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.append(_ranged(spark, 10, 20))
+    v = table.merge(_df(spark, [(100, "new", 1)]), KEYS, ORDER)
+    carried = [e for e in table.manifest(v)["data_dirs"] if e.endswith(".parquet")]
+    assert len(carried) == 2, "no existing file intersects: none rewritten"
+    assert table.read().count() == 21
+
+
+def test_pruned_merge_preserves_time_travel_and_vacuum(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.append(_ranged(spark, 10, 20))
+    v_before = table.current_version()
+    table.merge(_df(spark, [(5, "NEW", 9)]), KEYS, ORDER)
+    # old snapshot intact
+    assert {r["v"] for r in table.read(version=v_before).collect()} == {"x"}
+    # vacuum keeps dirs that only carried files still reference
+    table.vacuum(keep_versions=1)
+    got = {(r["k"], r["v"]) for r in table.read().collect()}
+    assert got == {(k, "NEW" if k == 5 else "x") for k in range(20)}
