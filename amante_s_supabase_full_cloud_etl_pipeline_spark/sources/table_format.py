@@ -460,6 +460,90 @@ class ParquetTable:
 
         return handle
 
+    # -- change data feed ---------------------------------------------------
+
+    def _diff_files(self, from_version: int, to_version: int) -> tuple[list[str], list[str]]:
+        """(added, removed) relative file paths between two manifests.
+        Files carried by reference across commits appear in neither
+        list — the diff is bounded by what a commit actually touched,
+        so CDF cost scales with the write, not the table."""
+        old = set() if from_version == 0 else {
+            os.path.relpath(f, self.path) for f in self._live_files(from_version)
+        }
+        new = {os.path.relpath(f, self.path) for f in self._live_files(to_version)}
+        return sorted(new - old), sorted(old - new)
+
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        keys: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots, with a
+        ``_change_type`` column (Delta CDF surface).
+
+        Without ``keys``: rows of files added since ``from_version``
+        tagged ``insert`` and rows of files removed tagged ``delete``
+        (a rewritten-but-identical row shows as delete+insert).
+
+        With ``keys`` (a keyed MERGE table): key-level semantics —
+        ``insert`` (new key), ``update_postimage`` (key in both,
+        non-key columns differ), ``delete`` (key gone). Rows rewritten
+        byte-identically by compaction or an untouched-range rewrite
+        are suppressed, so compaction produces an EMPTY change feed.
+
+        Only the manifest-diff files are scanned; at 100 TB an
+        incremental consumer pays for the day's commits, never the
+        table."""
+        vt = self.current_version() if to_version is None else to_version
+        added, removed = self._diff_files(from_version, vt)
+
+        def _read(paths: list[str]) -> DataFrame | None:
+            if not paths:
+                return None
+            return self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in paths]
+            )
+
+        df_add, df_rem = _read(added), _read(removed)
+        tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
+        if df_add is None and df_rem is None:
+            return tag(self.read(vt).limit(0), "insert")
+        if keys is None:
+            parts = [tag(d, t) for d, t in ((df_add, "insert"), (df_rem, "delete")) if d is not None]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        keys = list(keys)
+        if df_add is None:
+            return tag(df_rem, "delete")
+        if df_rem is None:
+            return tag(df_add, "insert")
+        value_cols = [c for c in df_add.columns if c not in keys]
+        # explicit-null JSON: injective over the fixed schema (a null
+        # and any real value can never serialize identically)
+        fp = lambda df: df.withColumn(  # noqa: E731
+            "_fp",
+            F.xxhash64(
+                F.to_json(
+                    F.struct(*value_cols), {"ignoreNullFields": "false"}
+                )
+            ),
+        )
+        add_fp, rem_fp = fp(df_add), fp(df_rem)
+        inserts = tag(df_add.join(df_rem.select(keys), keys, "left_anti"), "insert")
+        deletes = tag(df_rem.join(df_add.select(keys), keys, "left_anti"), "delete")
+        updates = tag(
+            add_fp.join(
+                rem_fp.select(*keys, F.col("_fp").alias("_fp_old")), keys, "inner"
+            )
+            .filter(F.col("_fp") != F.col("_fp_old"))
+            .drop("_fp", "_fp_old"),
+            "update_postimage",
+        )
+        return inserts.unionByName(updates).unionByName(deletes)
+
     # -- maintenance --------------------------------------------------------
 
     def _live_files(self, version: int) -> list[str]:

@@ -249,3 +249,61 @@ def test_pruned_merge_preserves_time_travel_and_vacuum(spark, table):
     table.vacuum(keep_versions=1)
     got = {(r["k"], r["v"]) for r in table.read().collect()}
     assert got == {(k, "NEW" if k == 5 else "x") for k in range(20)}
+
+
+# -- change data feed ------------------------------------------------------
+
+
+def test_changes_append_is_all_inserts(spark, table):
+    table.append(_ranged(spark, 0, 5))
+    v1 = table.current_version()
+    table.append(_ranged(spark, 5, 8))
+    got = table.changes(v1).collect()
+    assert {r["_change_type"] for r in got} == {"insert"}
+    assert {r["k"] for r in got} == {5, 6, 7}
+    # from the empty table: everything is an insert
+    assert table.changes(0).count() == 8
+
+
+def test_keyed_changes_classify_and_suppress_rewrites(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.append(_ranged(spark, 10, 20))
+    v1 = table.current_version()
+    table.merge(
+        _df(spark, [(3, "NEW", 9), (100, "add", 9)]), KEYS, ORDER
+    )
+    got = {(r["k"], r["_change_type"]) for r in table.changes(v1, keys=KEYS).collect()}
+    # key 3 updated, key 100 inserted; rows 0-9 were rewritten into the
+    # new file byte-identical — suppressed; file 10-19 untouched.
+    assert got == {(3, "update_postimage"), (100, "insert")}
+
+
+def test_changes_compaction_is_empty_and_diff_is_bounded(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.append(_ranged(spark, 10, 20))
+    v = table.current_version()
+    table.compact(target_file_bytes=1 << 30)
+    assert table.changes(v, keys=KEYS).count() == 0
+    # untouched-range merge: manifest diff excludes the carried file
+    v2 = table.current_version()
+    table.merge(_df(spark, [(0, "NEW", 9)]), KEYS, ORDER)
+    added, removed = table._diff_files(v2, table.current_version())
+    assert len(removed) == 1, "only the touched file leaves the manifest"
+    assert added, "the rewrite dir's files enter the manifest"
+
+
+def test_changes_delete_surface_via_unkeyed_diff(spark, table):
+    """A keyed merge never deletes, but a rewrite that drops rows
+    (e.g. GDPR purge committed as a new snapshot) shows as delete."""
+    table.append(_ranged(spark, 0, 6))
+    v1 = table.current_version()
+    purged = table.read().filter("k < 4")
+    rel = table._write_data_dir(purged)
+    table._commit([rel], None, v1, files=table._stats_for_dir(rel))
+    got = table.changes(v1, keys=KEYS)
+    by_type = {t: {r["k"] for r in rows} for t, rows in (
+        (t, [r for r in got.collect() if r["_change_type"] == t])
+        for t in ("insert", "update_postimage", "delete")
+    )}
+    assert by_type["delete"] == {4, 5}
+    assert by_type["insert"] == set() and by_type["update_postimage"] == set()
