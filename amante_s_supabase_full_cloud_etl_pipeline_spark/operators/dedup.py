@@ -363,3 +363,93 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (CCNet/C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+#
+# Web corpora repeat whole lines across documents (navigation, cookie
+# banners, license footers); paragraph/line hash-dedup is the standard
+# first pass of CCNet- and C4-style curation, distinct from document
+# near-dup. Distributed, order-free semantics: every NON-BLANK line
+# keeps exactly its lexicographically-first occurrence corpus-wide
+# (min (doc_id, position)); later copies are dropped. Blank lines are
+# document structure, never content, and are always kept.
+#
+# Scale shape: one shuffle on the line fingerprint (md5 — engine-
+# portable and uniformly distributed, so the per-fingerprint window
+# partitions are tiny: group size = duplication count), one shuffle on
+# doc_id to reassemble. No state, no Python, no all-pairs anything.
+
+
+def line_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode documents into (doc_id, pos, line, fp) with a trimmed
+    md5 line fingerprint; blank lines carry a null fp."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    return lines.withColumn(
+        "fp",
+        F.when(F.trim("line") != "", F.md5(F.trim("line"))),
+    )
+
+
+def line_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Boilerplate profile: per distinct non-blank line, how many
+    documents and total occurrences carry it (the analysis view a
+    curation run inspects before choosing drop rules)."""
+    return (
+        line_table(docs, text_col, id_col)
+        .filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(
+            F.min("line").alias("line"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+def dedup_lines(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide line dedup: rebuild each document keeping blank
+    lines plus the first occurrence (min (doc_id, pos)) of every
+    distinct non-blank line. Returns (doc_id, text, n_lines_removed);
+    idempotent by construction (surviving lines are first occurrences,
+    which survive again)."""
+    from pyspark.sql import Window
+
+    lines = line_table(docs, text_col, id_col)
+    # Blank lines all share a null fp; keeping them out of the window
+    # avoids a corpus-sized single null partition.
+    content = lines.filter(F.col("fp").isNotNull())
+    blanks = lines.filter(F.col("fp").isNull()).withColumn("_drop", F.lit(False))
+    w = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    ranked = content.withColumn("_drop", F.row_number().over(w) > 1)
+    flagged = ranked.unionByName(blanks)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.col("_drop").cast("int")).alias("n_lines_removed"),
+        )
+    )

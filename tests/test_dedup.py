@@ -146,3 +146,75 @@ def test_simhash_multiprobe_pigeonhole_recall(docs):
     }
     missed = truth - probed
     assert not missed, f"pigeonhole violated: {sorted(missed)[:5]}"
+
+
+# -- line-level dedup (CCNet/C4-style boilerplate removal) -----------------
+
+
+def _py_line_dedup(rows):
+    """Sequential reference: first (doc_id, pos) occurrence of every
+    trimmed non-blank line survives; blanks always survive."""
+    seen = {}
+    for doc_id, text in sorted(rows):
+        for pos, line in enumerate(text.split("\n")):
+            key = line.strip()
+            if key and key not in seen:
+                seen[key] = (doc_id, pos)
+    out = {}
+    for doc_id, text in rows:
+        kept, removed = [], 0
+        for pos, line in enumerate(text.split("\n")):
+            key = line.strip()
+            if not key or seen[key] == (doc_id, pos):
+                kept.append(line)
+            else:
+                removed += 1
+        out[doc_id] = ("\n".join(kept), removed)
+    return out
+
+
+def test_dedup_lines_matches_sequential_reference(spark):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+        dedup_lines,
+    )
+
+    rows = [
+        (1, "unique one\nSHARED FOOTER\n\nalpha"),
+        (2, "SHARED FOOTER\nunique two\n  shared footer ws  \nalpha"),
+        (3, "beta\n\n\nSHARED FOOTER"),
+        (4, "SHARED FOOTER"),  # becomes empty text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in dedup_lines(docs).collect()
+    }
+    assert got == _py_line_dedup(rows)
+    # doc 4 lost its only line but must still be present
+    assert got[4][0] == ""
+
+
+def test_dedup_lines_idempotent_and_stats_on_corpus(spark, docs):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+        dedup_lines,
+        line_stats,
+    )
+
+    once = dedup_lines(docs).cache()
+    twice = dedup_lines(once)
+    assert once.count() == docs.count()
+    assert twice.filter(F.col("n_lines_removed") > 0).count() == 0
+    again = {r["doc_id"]: r["text"] for r in twice.collect()}
+    first = {r["doc_id"]: r["text"] for r in once.collect()}
+    assert again == first  # idempotent
+    once.unpersist()
+
+    # stats view agrees with a direct count of surviving duplicates
+    stats = line_stats(docs)
+    dup_lines = stats.filter(F.col("n_total") > 1)
+    # every duplicated fingerprint loses n_total - 1 occurrences
+    expected_removed = (
+        dup_lines.agg(F.sum(F.col("n_total") - 1)).collect()[0][0] or 0
+    )
+    got_removed = dedup_lines(docs).agg(F.sum("n_lines_removed")).collect()[0][0]
+    assert got_removed == expected_removed
