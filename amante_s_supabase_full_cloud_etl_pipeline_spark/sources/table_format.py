@@ -169,6 +169,50 @@ class CommitConflict(Exception):
     snapshot and retry."""
 
 
+class SchemaConflict(Exception):
+    """A batch redefines an existing column with a different type —
+    additive evolution only."""
+
+
+def _evolve_schema(old, new):
+    """Additive schema evolution: keep every existing column (exact
+    type match required), append the batch's new columns in batch
+    order. All fields relax to nullable — older files lack newer
+    columns, so every evolved column must tolerate null."""
+    from pyspark.sql.types import StructField, StructType
+
+    def relax(f):
+        return StructField(f.name, f.dataType, True)
+
+    if old is None:
+        return StructType([relax(f) for f in new.fields])
+    incoming = {f.name: f for f in new.fields}
+    out = []
+    for f in old.fields:
+        nf = incoming.pop(f.name, None)
+        if nf is not None and nf.dataType != f.dataType:
+            raise SchemaConflict(
+                f"column {f.name!r}: table has {f.dataType}, batch has {nf.dataType}"
+            )
+        out.append(relax(f))
+    out.extend(relax(f) for f in new.fields if f.name in incoming)
+    return StructType(out)
+
+
+def _align(df: DataFrame, schema) -> DataFrame:
+    """Project a frame onto the table schema, null-filling columns it
+    doesn't carry (column-name-based, like the parquet reader)."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 def _local(path: str) -> str:
     for prefix in ("file://", "file:"):
         if path.startswith(prefix):
@@ -234,7 +278,7 @@ class ParquetTable:
                 # same (empty) result; Spark's footer pruning keeps it
                 # cheap and we avoid fabricating a schema.
                 paths = [os.path.join(self.path, d) for d in m["data_dirs"]]
-            df = self.spark.read.parquet(*paths)
+            df = self._read_paths(paths, m)
             for col, op, value in filters:
                 cond = {
                     "=": F.col(col) == F.lit(value),
@@ -245,7 +289,32 @@ class ParquetTable:
                 }[op]
                 df = df.filter(cond)
             return df
-        return self.spark.read.parquet(*[os.path.join(self.path, d) for d in m["data_dirs"]])
+        return self._read_paths(
+            [os.path.join(self.path, d) for d in m["data_dirs"]], m
+        )
+
+    def _read_paths(self, paths: list[str], manifest: dict) -> DataFrame:
+        """Scan with the MANIFEST's schema when one is recorded
+        (schema evolution: older files simply lack newer columns and
+        the reader fills nulls — Iceberg-style metadata-owned schema,
+        no mergeSchema footer sweep)."""
+        schema_json = manifest.get("schema")
+        reader = self.spark.read
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*paths)
+
+    def schema(self, version: int | None = None):
+        """The table schema recorded at a version (None for pre-schema
+        manifests written by older commits)."""
+        schema_json = self.manifest(version).get("schema")
+        if schema_json is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(schema_json))
 
     def _file_meta(self, version: int) -> dict[str, dict]:
         """path → stats entry for the manifest's tracked files."""
@@ -351,12 +420,15 @@ class ParquetTable:
         batch_id: int | None,
         parent: int,
         files: list[dict] | None = None,
+        schema: str | None = None,
     ) -> int:
         version = parent + 1
         manifest = {"version": version, "parent": parent, "data_dirs": data_dirs,
                     "batch_id": batch_id}
         if files:
             manifest["files"] = files
+        if schema:
+            manifest["schema"] = schema
         target = self._manifest_path(version)
         try:
             # O_EXCL: exactly one writer wins version N+1
@@ -381,17 +453,33 @@ class ParquetTable:
             and self.manifest(parent)["batch_id"] == batch_id
         )
 
+    def _evolved(self, parent: int, df: DataFrame):
+        """(schema_json, StructType) after additively evolving the
+        parent schema with the batch's. Legacy tables whose manifests
+        never recorded a schema stay schema-less."""
+        old = self.schema(parent) if parent else None
+        if parent > 0 and old is None:
+            return None, None
+        evolved = _evolve_schema(old, df.schema)
+        return json.dumps(evolved.jsonValue()), evolved
+
     def append(self, df: DataFrame, batch_id: int | None = None) -> int:
-        """Add rows as a new immutable data dir (no rewrite)."""
+        """Add rows as a new immutable data dir (no rewrite). A batch
+        may carry new columns (appended to the table schema) or omit
+        existing ones (reads null-fill); redefining a column's type
+        raises SchemaConflict."""
         parent = self.current_version()
         if self._already_applied(batch_id, parent):
             return parent
-        rel = self._write_data_dir(prepare_for_load(df))
+        df = prepare_for_load(df)
+        schema_json, _ = self._evolved(parent, df)
+        rel = self._write_data_dir(df)
         files = (
             self.manifest(parent).get("files", []) + self._stats_for_dir(rel)
         )
         return self._commit(
-            self.manifest(parent)["data_dirs"] + [rel], batch_id, parent, files=files
+            self.manifest(parent)["data_dirs"] + [rel], batch_id, parent,
+            files=files, schema=schema_json,
         )
 
     def merge(
@@ -420,9 +508,15 @@ class ParquetTable:
         if self._already_applied(batch_id, parent):
             return parent
         batch = dedup_latest(prepare_for_load(batch), keys, order_by)
+        schema_json, evolved = self._evolved(parent, batch)
+        if evolved is not None:
+            batch = _align(batch, evolved)
         if parent == 0:
             rel = self._write_data_dir(batch)
-            return self._commit([rel], batch_id, parent, files=self._stats_for_dir(rel))
+            return self._commit(
+                [rel], batch_id, parent, files=self._stats_for_dir(rel),
+                schema=schema_json,
+            )
 
         meta = self._file_meta(parent)
         live = [os.path.relpath(f, self.path) for f in self._live_files(parent)]
@@ -441,15 +535,19 @@ class ParquetTable:
                 ]
         touched = [p for p in live if p not in set(untouched)]
         if touched:
-            target = self.spark.read.parquet(
-                *[os.path.join(self.path, p) for p in touched]
+            target = self._read_paths(
+                [os.path.join(self.path, p) for p in touched], self.manifest(parent)
             )
+            if evolved is not None:
+                target = _align(target, evolved)
             merged = merge_upsert(target, batch, keys)
         else:
             merged = batch
         rel = self._write_data_dir(merged)
         files = [meta[p] for p in untouched if p in meta] + self._stats_for_dir(rel)
-        return self._commit(untouched + [rel], batch_id, parent, files=files)
+        return self._commit(
+            untouched + [rel], batch_id, parent, files=files, schema=schema_json
+        )
 
     def merge_writer(self, keys: Sequence[str], order_by: Sequence[str]):
         """``foreachBatch`` handler: exactly-once keyed MERGE per
@@ -498,11 +596,16 @@ class ParquetTable:
         vt = self.current_version() if to_version is None else to_version
         added, removed = self._diff_files(from_version, vt)
 
+        # Both sides read with the NEWER manifest's schema (evolution
+        # is additive, so vt's schema covers vf's files; old files
+        # null-fill the newer columns and the keyed diff still aligns).
+        mt = self.manifest(vt)
+
         def _read(paths: list[str]) -> DataFrame | None:
             if not paths:
                 return None
-            return self.spark.read.parquet(
-                *[os.path.join(self.path, p) for p in paths]
+            return self._read_paths(
+                [os.path.join(self.path, p) for p in paths], mt
             )
 
         df_add, df_rem = _read(added), _read(removed)
@@ -609,7 +712,10 @@ class ParquetTable:
         else:
             df = df.coalesce(n)
         rel = self._write_data_dir(df)
-        return self._commit([rel], None, parent, files=self._stats_for_dir(rel))
+        return self._commit(
+            [rel], None, parent, files=self._stats_for_dir(rel),
+            schema=self.manifest(parent).get("schema"),
+        )
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data dirs unreferenced by the newest ``keep_versions``

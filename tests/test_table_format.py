@@ -307,3 +307,58 @@ def test_changes_delete_surface_via_unkeyed_diff(spark, table):
     )}
     assert by_type["delete"] == {4, 5}
     assert by_type["insert"] == set() and by_type["update_postimage"] == set()
+
+
+# -- schema evolution ------------------------------------------------------
+
+
+def test_append_evolves_schema_nullfilling_old_files(spark, table):
+    table.append(_df(spark, [(1, "a", 1)]))
+    table.append(
+        spark.createDataFrame([(2, "b", 2, "new!")], "k int, v string, ts int, extra string")
+    )
+    got = {(r["k"], r["extra"]) for r in table.read().collect()}
+    assert got == {(1, None), (2, "new!")}
+    assert [f.name for f in table.schema().fields] == ["k", "v", "ts", "extra"]
+    # a later batch may omit evolved columns entirely
+    table.append(_df(spark, [(3, "c", 3)]))
+    assert table.read().filter("extra is null").count() == 2
+
+
+def test_append_type_conflict_raises(spark, table):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
+        SchemaConflict,
+    )
+
+    table.append(_df(spark, [(1, "a", 1)]))
+    v = table.current_version()
+    with pytest.raises(SchemaConflict):
+        table.append(spark.createDataFrame([(2, 99, 2)], "k int, v int, ts int"))
+    assert table.current_version() == v, "failed evolution commits nothing"
+
+
+def test_merge_across_schema_evolution(spark, table):
+    table.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    table.append(_df(spark, [(10, "x", 1)]))
+    table.merge(
+        spark.createDataFrame(
+            [(2, "B2", 5, 0.5), (3, "c", 5, 0.9)],
+            "k int, v string, ts int, score double",
+        ),
+        KEYS,
+        ORDER,
+    )
+    got = {(r["k"], r["v"], r["score"]) for r in table.read().collect()}
+    assert got == {
+        (1, "a", None),
+        (2, "B2", 0.5),
+        (3, "c", 0.9),
+        (10, "x", None),  # disjoint file carried forward, null-filled
+    }
+    # CDF across the evolution still classifies correctly
+    v1 = 2
+    changes = {
+        (r["k"], r["_change_type"])
+        for r in table.changes(v1, keys=KEYS).collect()
+    }
+    assert changes == {(2, "update_postimage"), (3, "insert")}
