@@ -5,7 +5,8 @@ way a pre-training data run composes them:
     python examples/curate_corpus.py [sf_dir] [workdir]
 
 1. Language ID + quality/repetition band filter (map-only signals).
-2. PII redaction (email/phone/IPv4 scrub).
+2. PII redaction (email/phone/IPv4 scrub) + corpus-wide line dedup
+   (CCNet/C4-style boilerplate removal).
 3. Exact dedup (fingerprint) then MinHash-LSH near-dup pruning.
 4. Benchmark decontamination (broadcast eval-shingle containment).
 5. Deterministic train/val/test split (content-keyed — reproducible
@@ -34,6 +35,7 @@ from pyspark.sql import functions as F
 from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import sampling
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+    dedup_lines,
     drop_exact_dups,
     minhash_candidates,
 )
@@ -79,11 +81,16 @@ def main(sf_dir: str, workdir: str) -> None:
         & (F.col("rep_frac") <= 0.6)
     )
 
-    # 2. PII scrub + 3a. exact dedup on the normalized fingerprint
+    # 2. PII scrub + 3a. exact dedup on the normalized fingerprint,
+    # then corpus-wide line dedup (exact-dup docs must drop BEFORE
+    # line dedup, or each clone survives as an empty shell)
     redacted = kept.select(
         "doc_id", "pred_lang", "quality", redact_pii(F.col("text")).alias("text")
     )
-    exact_unique = drop_exact_dups(redacted)
+    whole_unique = drop_exact_dups(redacted)
+    exact_unique = dedup_lines(whole_unique).join(
+        whole_unique.select("doc_id", "pred_lang", "quality"), "doc_id"
+    )
 
     # 3b. near-dup pruning: MinHash-LSH candidates, keep the lower id
     near = minhash_candidates(exact_unique.select("doc_id", "text"))
