@@ -666,10 +666,62 @@ class ParquetTable:
                     out.append(os.path.join(root, name))
         return out
 
+    def _zvalue(self, df: DataFrame, cols: Sequence[str], bits: int = 16):
+        """Interleaved-bit Z-value over numeric columns: each column
+        is equal-width-bucketed into 2^bits cells between its global
+        min/max (one small agg), then the bucket bits interleave so a
+        sort on the z-value clusters ALL the columns at once — the
+        multi-column analog of a range sort, same lever as Delta
+        OPTIMIZE ZORDER BY. Pure column expressions; nulls map to
+        bucket 0."""
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        n = len(cols)
+        nb = 1 << bits
+        parts = []
+        for i, c in enumerate(cols):
+            lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+            if lo is None or hi is None or hi <= lo:
+                bucket = F.lit(0).cast("long")
+            else:
+                bucket = (
+                    F.least(
+                        F.greatest(
+                            F.width_bucket(
+                                F.col(c).cast("double"),
+                                F.lit(float(lo)),
+                                F.lit(float(hi)),
+                                F.lit(nb),
+                            )
+                            - 1,
+                            F.lit(0),
+                        ),
+                        F.lit(nb - 1),
+                    )
+                    .cast("long")
+                )
+                bucket = F.coalesce(bucket, F.lit(0).cast("long"))
+            for k in range(bits):
+                parts.append(
+                    F.shiftleft(
+                        F.shiftright(bucket, k).bitwiseAND(F.lit(1)), k * n + i
+                    )
+                )
+        z = parts[0]
+        for p in parts[1:]:
+            z = z.bitwiseOR(p)
+        return z
+
     def compact(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
         min_files: int = 2,
     ) -> int:
         """Rewrite the live file set into ~``target_file_bytes`` files
@@ -683,11 +735,15 @@ class ParquetTable:
           pinned snapshot), so it commits with no ``batch_id``.
         - ``sort_by`` additionally range-sorts files on those columns
           (repartitionByRange + sortWithinPartitions), so parquet
-          min/max footers become selective — readers with predicates
-          on the sort key skip whole files (poor man's Z-order, same
-          lever as Delta OPTIMIZE ZORDER BY for one key family).
-        - Without ``sort_by`` the rewrite uses ``coalesce`` — no
-          shuffle, just fewer, larger files.
+          min/max footers AND manifest stats become selective —
+          readers with predicates on the sort key skip whole files.
+        - ``zorder_by`` (numeric columns) clusters on an interleaved-
+          bit Z-value instead: every listed column's file bounds
+          tighten simultaneously, so ``read(filters=...)`` prunes on
+          ANY of them — a linear sort only ever serves its leading
+          column.
+        - Without either, the rewrite uses ``coalesce`` — no shuffle,
+          just fewer, larger files.
         - Concurrency: the commit targets ``parent+1``; a racing
           append/merge wins or loses atomically (CommitConflict — the
           compaction retries against the new snapshot; data is never
@@ -697,18 +753,27 @@ class ParquetTable:
 
         Returns the committed version (``parent`` unchanged when the
         table is already compact)."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         parent = self.current_version()
         files = self._live_files(parent)
         if len(files) < min_files:
             return parent
         total = sum(os.path.getsize(f) for f in files)
         n = max(1, -(-total // target_file_bytes))  # ceil
-        if n >= len(files) and sort_by is None:
+        if n >= len(files) and sort_by is None and zorder_by is None:
             return parent  # already at-or-below target granularity
         df = self.read(parent)
         if sort_by:
             cols = list(sort_by)
             df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        elif zorder_by:
+            df = (
+                df.withColumn("_z", self._zvalue(df, list(zorder_by)))
+                .repartitionByRange(n, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
         else:
             df = df.coalesce(n)
         rel = self._write_data_dir(df)

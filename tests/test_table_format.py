@@ -362,3 +362,33 @@ def test_merge_across_schema_evolution(spark, table):
         for r in table.changes(v1, keys=KEYS).collect()
     }
     assert changes == {(2, "update_postimage"), (3, "insert")}
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(spark, table):
+    """Z-order clustering tightens file bounds on every listed column
+    at once: filters on either dimension prune files, which a linear
+    sort can only deliver for its leading column."""
+    rows = [(x, "s", y) for x in range(32) for y in range(32)]
+    for i in range(0, len(rows), 256):
+        table.append(_df(spark, rows[i : i + 256]).coalesce(1))
+    # chunks arrive ordered by k: before clustering, a ts filter
+    # cannot prune (every file spans the full ts range)
+    v0 = table.current_version()
+    n0 = len(table._live_files(v0))
+    assert len(table.scan_files(v0, [("ts", "<=", 3)])) == n0
+
+    one_file = sum(e["bytes"] for e in table.manifest()["files"]) // 16
+    v = table.compact(target_file_bytes=one_file, zorder_by=["k", "ts"])
+    files = table._live_files(v)
+    assert len(files) >= 8
+    # row-identical
+    assert table.read(v).count() == 1024
+    assert {(r["k"], r["ts"]) for r in table.read(v).collect()} == set(
+        (x, y) for x in range(32) for y in range(32)
+    )
+    # both dimensions now prune
+    for col in ("k", "ts"):
+        kept = table.scan_files(v, [(col, "<=", 3)])
+        assert len(kept) <= len(files) * 0.6, (col, len(kept), len(files))
+        got = {r[col] for r in table.read(v, filters=[(col, "<=", 3)]).collect()}
+        assert got == {0, 1, 2, 3}
