@@ -585,8 +585,10 @@ class ParquetTable:
         (a rewritten-but-identical row shows as delete+insert).
 
         With ``keys`` (a keyed MERGE table): key-level semantics —
-        ``insert`` (new key), ``update_postimage`` (key in both,
-        non-key columns differ), ``delete`` (key gone). Rows rewritten
+        ``insert`` (new key), ``update_preimage`` + ``update_postimage``
+        (key in both, non-key columns differ; both row images emit, so
+        a downstream aggregate can subtract the old contribution and
+        add the new one), ``delete`` (key gone). Rows rewritten
         byte-identically by compaction or an untouched-range rewrite
         are suppressed, so compaction produces an EMPTY change feed.
 
@@ -637,15 +639,21 @@ class ParquetTable:
         add_fp, rem_fp = fp(df_add), fp(df_rem)
         inserts = tag(df_add.join(df_rem.select(keys), keys, "left_anti"), "insert")
         deletes = tag(df_rem.join(df_add.select(keys), keys, "left_anti"), "delete")
-        updates = tag(
-            add_fp.join(
-                rem_fp.select(*keys, F.col("_fp").alias("_fp_old")), keys, "inner"
+        def changed(side: DataFrame, other: DataFrame, label: str) -> DataFrame:
+            return tag(
+                side.join(
+                    other.select(*keys, F.col("_fp").alias("_fp_other")),
+                    keys,
+                    "inner",
+                )
+                .filter(F.col("_fp") != F.col("_fp_other"))
+                .drop("_fp", "_fp_other"),
+                label,
             )
-            .filter(F.col("_fp") != F.col("_fp_old"))
-            .drop("_fp", "_fp_old"),
-            "update_postimage",
-        )
-        return inserts.unionByName(updates).unionByName(deletes)
+
+        post = changed(add_fp, rem_fp, "update_postimage")
+        pre = changed(rem_fp, add_fp, "update_preimage")
+        return inserts.unionByName(post).unionByName(pre).unionByName(deletes)
 
     # -- maintenance --------------------------------------------------------
 

@@ -273,9 +273,14 @@ def test_keyed_changes_classify_and_suppress_rewrites(spark, table):
         _df(spark, [(3, "NEW", 9), (100, "add", 9)]), KEYS, ORDER
     )
     got = {(r["k"], r["_change_type"]) for r in table.changes(v1, keys=KEYS).collect()}
-    # key 3 updated, key 100 inserted; rows 0-9 were rewritten into the
-    # new file byte-identical — suppressed; file 10-19 untouched.
-    assert got == {(3, "update_postimage"), (100, "insert")}
+    # key 3 updated (both images), key 100 inserted; rows 0-9 were
+    # rewritten into the new file byte-identical — suppressed; file
+    # 10-19 untouched.
+    assert got == {
+        (3, "update_postimage"),
+        (3, "update_preimage"),
+        (100, "insert"),
+    }
 
 
 def test_changes_compaction_is_empty_and_diff_is_bounded(spark, table):
@@ -361,7 +366,11 @@ def test_merge_across_schema_evolution(spark, table):
         (r["k"], r["_change_type"])
         for r in table.changes(v1, keys=KEYS).collect()
     }
-    assert changes == {(2, "update_postimage"), (3, "insert")}
+    assert changes == {
+        (2, "update_postimage"),
+        (2, "update_preimage"),
+        (3, "insert"),
+    }
 
 
 def test_zorder_compaction_prunes_on_both_dimensions(spark, table):
@@ -392,3 +401,35 @@ def test_zorder_compaction_prunes_on_both_dimensions(spark, table):
         assert len(kept) <= len(files) * 0.6, (col, len(kept), len(files))
         got = {r[col] for r in table.read(v, filters=[(col, "<=", 3)]).collect()}
         assert got == {0, 1, 2, 3}
+
+
+def test_cdf_incrementally_maintains_an_aggregate(spark, table):
+    """The point of emitting both update images: a downstream
+    aggregate updates from the feed alone — add postimages and
+    inserts, subtract preimages and deletes — and lands exactly on a
+    full recompute, never rescanning the table."""
+    from pyspark.sql import functions as F
+
+    table.merge(_df(spark, [(k, "x", k * 10) for k in range(50)]), KEYS, ORDER)
+    v1 = table.current_version()
+    total_v1 = table.read().agg(F.sum("ts")).collect()[0][0]
+
+    table.merge(
+        _df(spark, [(3, "upd", 999), (7, "upd", 1), (100, "new", 5)]),
+        KEYS,
+        ORDER,
+    )
+    feed = table.changes(v1, keys=KEYS)
+    delta = feed.select(
+        F.sum(
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.col("ts"),
+            ).when(
+                F.col("_change_type").isin("delete", "update_preimage"),
+                -F.col("ts"),
+            )
+        ).alias("d")
+    ).collect()[0]["d"]
+    total_v2 = table.read().agg(F.sum("ts")).collect()[0][0]
+    assert total_v1 + delta == total_v2
