@@ -482,6 +482,22 @@ class ParquetTable:
             files=files, schema=schema_json,
         )
 
+    def overwrite(self, df: DataFrame, batch_id: int | None = None) -> int:
+        """Replace the table contents as a new snapshot (full-rewrite
+        commit; prior versions stay readable until vacuum). The new
+        frame defines the table schema outright — no old files remain
+        to evolve against."""
+        parent = self.current_version()
+        if self._already_applied(batch_id, parent):
+            return parent
+        df = prepare_for_load(df)
+        schema_json = json.dumps(_evolve_schema(None, df.schema).jsonValue())
+        rel = self._write_data_dir(df)
+        return self._commit(
+            [rel], batch_id, parent, files=self._stats_for_dir(rel),
+            schema=schema_json,
+        )
+
     def merge(
         self,
         batch: DataFrame,
