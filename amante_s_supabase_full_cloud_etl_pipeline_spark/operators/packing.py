@@ -139,3 +139,55 @@ def pack_greedy_no_split(
 
     schema = f"{id_col} long, shard int, n_tokens long, pack_seq long"
     return toks.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks
+    (RAG indexing / long-doc training prep). Returns
+    ``(doc_id, chunk_idx, n_chunks, tok_start, chunk_text)`` — one
+    row per chunk, ``chunk_idx`` 0-based, windows advance by
+    ``chunk_tokens - overlap_tokens`` and the last window is the
+    remainder (never empty, never duplicated: a doc that fits in one
+    window yields exactly one chunk).
+
+    Map-only: tokenization, window starts (``F.sequence``), and slice
+    reassembly are all column expressions — no shuffle, no Python, no
+    state; at 100 TB this is a pure scan stage that parallelizes per
+    row. Whitespace re-joining is the documented tokenizer contract
+    (the same whitespace family every token-count operator here
+    uses).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    # last window start: the largest multiple of stride still leaving
+    # >overlap tokens (ceil((n - chunk)/stride) bounded below by 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride)) + 1).cast("int"),
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("_n"),
+        n_chunks.alias("n_chunks"),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "tok_start"),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunks",
+        "tok_start",
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("tok_start") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )

@@ -279,3 +279,72 @@ def test_quality_buckets_differential_vs_duckdb_ntile_boundaries(spark, sf_dir):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# -- overlapping document chunking (RAG indexing prep) ---------------------
+
+
+def _py_chunks(text, chunk, overlap):
+    toks = text.split()
+    stride = chunk - overlap
+    n = len(toks)
+    n_chunks = max(1, -(-(n - chunk) // stride) + 1) if n > chunk else 1
+    out = []
+    for i in range(n_chunks):
+        s = i * stride
+        out.append((i, n_chunks, s, " ".join(toks[s : s + chunk])))
+    return out
+
+
+def test_chunk_documents_matches_reference_and_covers(spark, sf_dir):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").limit(60)
+    chunk, overlap = 24, 8
+    got = {}
+    for r in chunk_documents(docs, chunk, overlap).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunks"], r["tok_start"], r["chunk_text"])
+        )
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(got) == set(rows)
+    for doc_id, text in rows.items():
+        assert sorted(got[doc_id]) == _py_chunks(text, chunk, overlap)
+    # coverage invariant: stitching non-overlapping tails rebuilds the
+    # token stream exactly
+    for doc_id, text in rows.items():
+        toks = text.split()
+        rebuilt = []
+        for idx, _nc, start, ctext in sorted(got[doc_id]):
+            ctoks = ctext.split() if ctext else []
+            rebuilt.extend(ctoks if idx == 0 else ctoks[overlap:] if len(ctoks) > overlap else ctoks[len(rebuilt) - start:])
+        assert rebuilt == toks, doc_id
+
+
+def test_chunk_documents_edges(spark):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunks"], r["tok_start"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap_tokens=1).collect()
+    }
+    assert got[(1, 0)] == (1, 0, "a b c")  # fits one window
+    assert got[(2, 0)] == (1, 0, "")  # empty doc yields one empty chunk
+    # 10 tokens, window 4, stride 3 -> starts 0,3,6 with last covering 6..9
+    assert got[(3, 0)][2] == "t0 t1 t2 t3"
+    assert got[(3, 1)][2] == "t3 t4 t5 t6"
+    assert got[(3, 2)][2] == "t6 t7 t8 t9"
+    assert got[(3, 2)][0] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
