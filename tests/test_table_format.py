@@ -433,3 +433,75 @@ def test_cdf_incrementally_maintains_an_aggregate(spark, table):
     ).collect()[0]["d"]
     total_v2 = table.read().agg(F.sum("ts")).collect()[0][0]
     assert total_v1 + delta == total_v2
+
+
+# -- model-based property test ---------------------------------------------
+
+
+def test_random_op_sequences_match_reference_model(spark, tmp_path):
+    """Hypothesis drives random append/merge/overwrite/compact
+    sequences against both the table and a sequential reference
+    model; table state and a stats-pruned filtered read must match
+    the model after every sequence."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from("abc")),
+        min_size=1,
+        max_size=4,
+    )
+    op_st = st.one_of(
+        st.tuples(st.just("append"), rows_st),
+        st.tuples(st.just("merge"), rows_st),
+        st.tuples(st.just("overwrite"), rows_st),
+        st.tuples(st.just("compact"), st.sampled_from(["plain", "sort", "zorder"])),
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(ops=st.lists(op_st, min_size=1, max_size=5), pivot=st.integers(0, 9))
+    def run(ops, pivot):
+        table = ParquetTable(spark, tempfile.mkdtemp(dir=tmp_path, prefix="m"))
+        model: list[tuple[int, str, int]] = []
+        ts = 0
+        for op, arg in ops:
+            if op == "compact":
+                kw = {"sort": {"sort_by": ["k"]}, "zorder": {"zorder_by": ["k", "ts"]}}.get(arg, {})
+                table.compact(target_file_bytes=1 << 20, **kw)
+                continue
+            batch = []
+            for k, v in arg:
+                ts += 1
+                batch.append((k, v, ts))
+            df = _df(spark, batch)
+            if op == "append":
+                table.append(df)
+                model.extend(batch)
+            elif op == "overwrite":
+                table.overwrite(df)
+                model = list(batch)
+            else:
+                table.merge(df, KEYS, ORDER)
+                latest = {}
+                for k, v, t in batch:
+                    latest[k] = (k, v, t)  # later ts wins (dedup_latest)
+                model = [r for r in model if r[0] not in latest]
+                model.extend(latest.values())
+        if not model and table.current_version() == 0:
+            return
+        got = sorted((r["k"], r["v"], r["ts"]) for r in table.read().collect())
+        assert got == sorted(model)
+        filt = sorted(
+            (r["k"], r["v"], r["ts"])
+            for r in table.read(filters=[("k", ">=", pivot)]).collect()
+        )
+        assert filt == sorted(r for r in model if r[0] >= pivot)
+
+    run()
