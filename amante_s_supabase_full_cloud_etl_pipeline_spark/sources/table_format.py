@@ -581,9 +581,15 @@ class ParquetTable:
         Files carried by reference across commits appear in neither
         list — the diff is bounded by what a commit actually touched,
         so CDF cost scales with the write, not the table."""
-        old = set() if from_version == 0 else {
-            os.path.relpath(f, self.path) for f in self._live_files(from_version)
-        }
+        try:
+            old = set() if from_version == 0 else {
+                os.path.relpath(f, self.path) for f in self._live_files(from_version)
+            }
+        except OSError as exc:
+            raise ValueError(
+                f"change feed from v{from_version} unavailable: its files "
+                f"were vacuumed ({exc})"
+            ) from None
         new = {os.path.relpath(f, self.path) for f in self._live_files(to_version)}
         return sorted(new - old), sorted(old - new)
 
@@ -613,6 +619,12 @@ class ParquetTable:
         table."""
         vt = self.current_version() if to_version is None else to_version
         added, removed = self._diff_files(from_version, vt)
+        gone = [p for p in removed if not os.path.exists(os.path.join(self.path, p))]
+        if gone:
+            raise ValueError(
+                f"change feed from v{from_version} unavailable: "
+                f"{len(gone)} source file(s) vacuumed (e.g. {gone[0]})"
+            )
 
         # Both sides read with the NEWER manifest's schema (evolution
         # is additive, so vt's schema covers vf's files; old files

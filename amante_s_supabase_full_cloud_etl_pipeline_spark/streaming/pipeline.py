@@ -34,7 +34,7 @@ and streaming; the engine only swaps the source/sink.
 from __future__ import annotations
 
 import os
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,14 +114,22 @@ FACT_KEYS = ("order_id", "items", "payment_time")
 
 
 def pos_table_handler(
-    fact_table, quarantine_table
+    fact_table, quarantine_table, views: Sequence = ()
 ) -> Callable[[DataFrame, int], None]:
     """Transactional variant of :func:`pos_batch_handler`: both sinks
     are :class:`~..sources.table_format.ParquetTable` MERGEs —
     snapshot-isolated commits, and exactly-once via the table's
     batch_id idempotency instead of partition overwrite. This is the
     production shape: concurrent dashboard readers keep their pinned
-    snapshot while a micro-batch commits."""
+    snapshot while a micro-batch commits.
+
+    ``views`` — optional
+    :class:`~..sources.materialized.IncrementalAggView`s over the fact
+    table, refreshed after each commit (the reference fires its ELT
+    stored procedure per load, ref main.py:479; here the aggregate
+    maintains itself from the change feed, and a replayed micro-batch
+    re-refreshes idempotently because the consumed source version
+    rides the view's own commit)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # A3 emptiness gate
@@ -140,6 +148,8 @@ def pos_table_handler(
             )
         finally:
             fact.unpersist()
+        for view in views:
+            view.refresh()
 
     return handle
 

@@ -97,3 +97,57 @@ def test_refresh_is_idempotent_and_skips_compaction(spark, source, view):
     source.compact(target_file_bytes=1 << 30)
     view.refresh()  # compaction emits an empty feed
     assert _got(view) == before == _expected(source)
+
+
+def test_streaming_etl_maintains_view_per_micro_batch(spark, tmp_path):
+    """The transactional POS handler refreshes attached views after
+    each micro-batch commit; a crash-replayed batch leaves the view
+    untouched (refresh idempotency rides the source version)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans.pos_fixture import (
+        raw_pos_df,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.pipeline import (
+        FACT_KEYS,
+        pos_table_handler,
+    )
+
+    fact_t = ParquetTable(spark, str(tmp_path / "fact"))
+    quar_t = ParquetTable(spark, str(tmp_path / "quar"))
+    view = IncrementalAggView(
+        spark,
+        str(tmp_path / "sales_by_category"),
+        fact_t,
+        keys=list(FACT_KEYS),
+        group_cols=["category"],
+        sum_cols=["total_order_amount", "quantity"],
+    )
+    handle = pos_table_handler(fact_t, quar_t, views=[view])
+
+    raw = raw_pos_df(spark)
+    handle(raw, 0)
+
+    def recompute():
+        return {
+            (r["category"], r["sum_total_order_amount"], r["sum_quantity"], r["n_rows"])
+            for r in fact_t.read()
+            .groupBy("category")
+            .agg(
+                F.sum("total_order_amount").alias("sum_total_order_amount"),
+                F.sum("quantity").alias("sum_quantity"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        }
+
+    def view_state():
+        return {
+            (r["category"], r["sum_total_order_amount"], r["sum_quantity"], r["n_rows"])
+            for r in view.read().collect()
+        }
+
+    assert view_state() == recompute()
+    v = view.table.current_version()
+
+    handle(raw, 0)  # crash-replay: fact commit AND view refresh no-op
+    assert view.table.current_version() == v
+    assert view_state() == recompute()

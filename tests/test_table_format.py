@@ -505,3 +505,11 @@ def test_random_op_sequences_match_reference_model(spark, tmp_path):
         assert filt == sorted(r for r in model if r[0] >= pivot)
 
     run()
+
+
+def test_changes_from_vacuumed_version_fails_clearly(spark, table):
+    table.merge(_df(spark, [(1, "a", 1)]), KEYS, ORDER)
+    table.merge(_df(spark, [(1, "b", 2)]), KEYS, ORDER)  # full rewrite
+    table.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        table.changes(1, keys=KEYS).collect()
