@@ -128,7 +128,7 @@ def _comparable(bound, literal):
         return None
 
 
-_OPS = ("=", "<", "<=", ">", ">=")
+_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def _file_prunable(meta: dict, filters: Sequence[tuple]) -> bool:
@@ -144,13 +144,18 @@ def _file_prunable(meta: dict, filters: Sequence[tuple]) -> bool:
             return True
         if "lo" not in st:
             continue
-        pair = _comparable(st["lo"], value)
-        pair_hi = _comparable(st["hi"], value)
-        if pair is None or pair_hi is None:
+        values = list(value) if op == "in" else [value]
+        if not values:
+            return True  # IN () matches nothing
+        bounds = [(_comparable(st["lo"], v), _comparable(st["hi"], v)) for v in values]
+        if any(lo_p is None or hi_p is None for lo_p, hi_p in bounds):
             continue
-        lo, v = pair
-        hi, _ = pair_hi
         try:
+            if op == "in":
+                if all(v < lo or v > hi for (lo, v), (hi, _) in bounds):
+                    return True
+                continue
+            (lo, v), (hi, _) = bounds[0]
             if (
                 (op == "=" and (v < lo or v > hi))
                 or (op == "<" and lo >= v)
@@ -260,10 +265,11 @@ class ParquetTable:
         ``version``). The file list is pinned at plan time.
 
         ``filters`` — optional conjunction of ``(column, op, literal)``
-        with op ∈ ``=, <, <=, >, >=``: files whose manifest stats prove
-        no row can match are skipped without any file IO, and the same
-        predicates are applied in the Spark plan (pruning is an
-        optimization, never a semantics change)."""
+        with op ∈ ``=, <, <=, >, >=, in`` (``in`` takes a collection):
+        files whose manifest stats prove no row can match are skipped
+        without any file IO, and the same predicates are applied in
+        the Spark plan (pruning is an optimization, never a semantics
+        change)."""
         m = self.manifest(version)
         if not m["data_dirs"]:
             raise ValueError(f"table {self.path} is empty at version {m['version']}")
@@ -280,13 +286,18 @@ class ParquetTable:
                 paths = [os.path.join(self.path, d) for d in m["data_dirs"]]
             df = self._read_paths(paths, m)
             for col, op, value in filters:
-                cond = {
-                    "=": F.col(col) == F.lit(value),
-                    "<": F.col(col) < F.lit(value),
-                    "<=": F.col(col) <= F.lit(value),
-                    ">": F.col(col) > F.lit(value),
-                    ">=": F.col(col) >= F.lit(value),
-                }[op]
+                if op == "in":
+                    cond = (
+                        F.col(col).isin(*value) if value else F.lit(False)
+                    )
+                else:
+                    cond = {
+                        "=": F.col(col) == F.lit(value),
+                        "<": F.col(col) < F.lit(value),
+                        "<=": F.col(col) <= F.lit(value),
+                        ">": F.col(col) > F.lit(value),
+                        ">=": F.col(col) >= F.lit(value),
+                    }[op]
                 df = df.filter(cond)
             return df
         return self._read_paths(
@@ -565,12 +576,32 @@ class ParquetTable:
             untouched + [rel], batch_id, parent, files=files, schema=schema_json
         )
 
+    def merge_with_retry(
+        self,
+        batch: DataFrame,
+        keys: Sequence[str],
+        order_by: Sequence[str],
+        batch_id: int | None = None,
+        max_attempts: int = 5,
+    ) -> int:
+        """Optimistic-concurrency loop around :meth:`merge`: a loser
+        of the version race re-reads the NEW snapshot and retries (its
+        failed attempt wrote nothing visible). Bounded attempts — a
+        hot table needs a coordinator, not unbounded spinning."""
+        for attempt in range(max_attempts):
+            try:
+                return self.merge(batch, keys, order_by, batch_id=batch_id)
+            except CommitConflict:
+                if attempt == max_attempts - 1:
+                    raise
+        raise AssertionError("unreachable")
+
     def merge_writer(self, keys: Sequence[str], order_by: Sequence[str]):
         """``foreachBatch`` handler: exactly-once keyed MERGE per
         micro-batch (idempotent under replay via batch_id)."""
 
         def handle(batch: DataFrame, batch_id: int) -> None:
-            self.merge(batch, keys, order_by, batch_id=batch_id)
+            self.merge_with_retry(batch, keys, order_by, batch_id=batch_id)
 
         return handle
 

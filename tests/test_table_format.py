@@ -513,3 +513,36 @@ def test_changes_from_vacuumed_version_fails_clearly(spark, table):
     table.vacuum(keep_versions=1)
     with pytest.raises(ValueError, match="vacuum"):
         table.changes(1, keys=KEYS).collect()
+
+
+def test_in_filter_prunes_and_filters(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.append(_ranged(spark, 10, 20))
+    table.append(_ranged(spark, 20, 30))
+    v = table.current_version()
+    assert len(table.scan_files(v, [("k", "in", [2, 5])])) == 1
+    assert len(table.scan_files(v, [("k", "in", [2, 25])])) == 2
+    got = {r["k"] for r in table.read(filters=[("k", "in", [2, 25])]).collect()}
+    assert got == {2, 25}
+    assert table.read(filters=[("k", "in", [])]).count() == 0
+
+
+def test_merge_with_retry_wins_after_conflict(spark, table):
+    table.append(_df(spark, [(1, "a", 1)]))
+    # steal the next version exactly once, then let the retry through
+    real_commit = ParquetTable._commit
+    stolen = {"done": False}
+
+    def stealing_commit(self, *args, **kwargs):
+        if not stolen["done"]:
+            stolen["done"] = True
+            ParquetTable(spark, self.path).append(_df(spark, [(9, "z", 9)]))
+        return real_commit(self, *args, **kwargs)
+
+    try:
+        ParquetTable._commit = stealing_commit
+        table.merge_with_retry(_df(spark, [(1, "B", 2)]), KEYS, ORDER)
+    finally:
+        ParquetTable._commit = real_commit
+    got = {(r["k"], r["v"]) for r in table.read().collect()}
+    assert got == {(1, "B"), (9, "z")}
