@@ -58,6 +58,15 @@ consumers:
   A streaming upsert sink therefore pays O(touched files + batch)
   per micro-batch, not O(table) — the difference between a usable
   and an unusable 100 TB streaming MERGE.
+
+Metadata scaling: each manifest here is a self-contained JSON file
+list — right for this engine's table sizes, O(live files) metadata
+per commit. At Iceberg scale (10^7+ files) the same design splits
+into a manifest LIST pointing at reused per-commit manifest files,
+so a commit writes O(changed files) metadata and carries the rest by
+reference — exactly how ``merge`` already carries data files. The
+read/prune/CDF logic above is unchanged by that split; only
+``manifest()`` resolution grows a chain walk.
 """
 
 from __future__ import annotations
@@ -326,6 +335,27 @@ class ParquetTable:
         from pyspark.sql.types import StructType
 
         return StructType.fromJson(json.loads(schema_json))
+
+    def history(self) -> list[dict]:
+        """Commit log, newest first: version, batch_id, file count,
+        tracked rows/bytes per snapshot — a metadata-only operation
+        (reads manifests, never data)."""
+        out = []
+        for v in range(self.current_version(), 0, -1):
+            m = self.manifest(v)
+            files = m.get("files", [])
+            out.append(
+                {
+                    "version": v,
+                    "parent": m.get("parent"),
+                    "batch_id": m.get("batch_id"),
+                    "n_entries": len(m["data_dirs"]),
+                    "n_files": len(files) or None,
+                    "rows": sum(e.get("rows", 0) for e in files) or None,
+                    "bytes": sum(e.get("bytes", 0) for e in files) or None,
+                }
+            )
+        return out
 
     def _file_meta(self, version: int) -> dict[str, dict]:
         """path → stats entry for the manifest's tracked files."""

@@ -546,3 +546,13 @@ def test_merge_with_retry_wins_after_conflict(spark, table):
         ParquetTable._commit = real_commit
     got = {(r["k"], r["v"]) for r in table.read().collect()}
     assert got == {(1, "B"), (9, "z")}
+
+
+def test_history_is_metadata_only_commit_log(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.merge(_df(spark, [(3, "B", 99)]), KEYS, ORDER, batch_id=7)
+    h = table.history()
+    assert [e["version"] for e in h] == [2, 1]
+    assert h[0]["batch_id"] == 7 and h[1]["batch_id"] is None
+    assert h[0]["rows"] == 10 and h[1]["rows"] == 10
+    assert all(e["bytes"] > 0 for e in h)
