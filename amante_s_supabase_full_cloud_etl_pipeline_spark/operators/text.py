@@ -148,3 +148,83 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     use; hot paths should project tokens first (see
     :func:`shingles_from_tokens`)."""
     return shingles_from_tokens(tokens(text), k)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, table A1) — the standard
+# pretraining document filter family, as pure column expressions.
+# ---------------------------------------------------------------------------
+
+GOPHER_BULLETS = ("-", "*", "•")
+
+
+def gopher_signals(text: Column) -> Column:
+    """Struct of the Gopher rule inputs for one document:
+
+    ``n_tok`` word count, ``mean_word_len``, ``symbol_word_ratio``
+    (# and ellipsis per word), ``frac_bullet_lines``,
+    ``frac_ellipsis_lines``, ``frac_alpha_words`` (words containing
+    at least one letter), ``n_stop_hits`` (distinct-agnostic English
+    stopword hits). Map-only; each signal is exact arithmetic, so
+    corpus-level aggregation/thresholding is engine-portable."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    char_sum = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.trim(ln), 1, 1).isin(*GOPHER_BULLETS),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    safe = lambda num, den: F.when(  # noqa: E731
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        n_tok.alias("n_tok"),
+        safe(char_sum, n_tok).alias("mean_word_len"),
+        safe(symbols, n_tok).alias("symbol_word_ratio"),
+        safe(bullet, n_lines).alias("frac_bullet_lines"),
+        safe(ellipsis, n_lines).alias("frac_ellipsis_lines"),
+        safe(alpha, n_tok).alias("frac_alpha_words"),
+        stopword_hits(text, LANG_MARKERS[0][1]).alias("n_stop_hits"),
+    )
+
+
+def gopher_filter(
+    text: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """Boolean keep-predicate with the published Gopher thresholds as
+    defaults (each overridable). Composes with any scan as a pushed
+    map-side filter — the 100 TB shape is filter-at-source, never a
+    separate pass."""
+    s = gopher_signals(text)
+    return (
+        s["n_tok"].between(min_tokens, max_tokens)
+        & s["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (s["symbol_word_ratio"] <= max_symbol_ratio)
+        & (s["frac_bullet_lines"] <= max_bullet_frac)
+        & (s["frac_ellipsis_lines"] <= max_ellipsis_frac)
+        & (s["frac_alpha_words"] >= min_alpha_frac)
+        & (s["n_stop_hits"] >= min_stop_hits)
+    )
