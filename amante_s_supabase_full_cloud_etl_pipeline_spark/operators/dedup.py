@@ -433,23 +433,53 @@ def dedup_lines(
     blanks = lines.filter(F.col("fp").isNull()).withColumn("_drop", F.lit(False))
     w = Window.partitionBy("fp").orderBy("doc_id", "pos")
     ranked = content.withColumn("_drop", F.row_number().over(w) > 1)
-    flagged = ranked.unionByName(blanks)
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                ~F.col("_drop"), F.struct("pos", "line")
-                            )
-                        )
-                    ),
-                    lambda s: s["line"],
+    return _reassemble(ranked.unionByName(blanks), text_col)
+
+
+def _reassemble(flagged: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, pos, line, _drop) → one row per doc: surviving lines
+    re-joined in position order + removed-line count."""
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_drop"), F.struct("pos", "line"))
+                    )
                 ),
-            ).alias(text_col),
-            F.sum(F.col("_drop").cast("int")).alias("n_lines_removed"),
-        )
+                lambda s: s["line"],
+            ),
+        ).alias(text_col),
+        F.sum(F.col("_drop").cast("int")).alias("n_lines_removed"),
     )
+
+
+def drop_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style frequency rule: drop EVERY occurrence of a non-blank
+    line that appears in ≥ ``min_docs`` distinct documents (navigation,
+    cookie banners, license footers), keeping rarer lines intact —
+    the complement of :func:`dedup_lines`' keep-first rule. Returns
+    (doc_id, text, n_lines_removed).
+
+    Scale shape: the boilerplate set is the n_docs ≥ threshold slice
+    of :func:`line_stats` — typically tiny relative to the corpus —
+    joined back on the fingerprint (hash equi-join; Spark broadcasts
+    it when small). Two shuffles total (stats agg + reassembly)."""
+    lines = line_table(docs, text_col, id_col)
+    boiler = (
+        lines.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp", F.lit(True).alias("_drop"))
+    )
+    flagged = lines.join(boiler, "fp", "left").withColumn(
+        "_drop", F.coalesce(F.col("_drop"), F.lit(False))
+    )
+    return _reassemble(flagged, text_col)

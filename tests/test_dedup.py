@@ -218,3 +218,46 @@ def test_dedup_lines_idempotent_and_stats_on_corpus(spark, docs):
     )
     got_removed = dedup_lines(docs).agg(F.sum("n_lines_removed")).collect()[0][0]
     assert got_removed == expected_removed
+
+
+def test_drop_boilerplate_lines_frequency_rule(spark):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+        drop_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "COOKIE BANNER\nreal content one\n\nfooter"),
+        (2, "COOKIE BANNER\nreal content two\nfooter"),
+        (3, "COOKIE BANNER\nunique text"),
+        (4, "just a doc\nfooter"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def ref(min_docs):
+        from collections import Counter
+
+        counts = Counter()
+        for _, text in rows:
+            for ln in {l.strip() for l in text.split("\n") if l.strip()}:
+                counts[ln] += 1
+        out = {}
+        for doc_id, text in rows:
+            kept, removed = [], 0
+            for ln in text.split("\n"):
+                if ln.strip() and counts[ln.strip()] >= min_docs:
+                    removed += 1
+                else:
+                    kept.append(ln)
+            out[doc_id] = ("\n".join(kept), removed)
+        return out
+
+    for min_docs in (2, 3, 4):
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines_removed"])
+            for r in drop_boilerplate_lines(docs, min_docs=min_docs).collect()
+        }
+        assert got == ref(min_docs), min_docs
+    # idempotent: surviving lines are all below threshold
+    once = drop_boilerplate_lines(docs, min_docs=2)
+    twice = drop_boilerplate_lines(once, min_docs=2)
+    assert twice.filter(F.col("n_lines_removed") > 0).count() == 0
