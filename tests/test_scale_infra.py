@@ -192,3 +192,51 @@ def test_sliced_monthly_predicates_pushed(spark, sf_dir):
     plan = _registry_plan(spark, sf_dir, "a13_sliced_monthly_sales")
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "PushedFilters: [IsNotNull(o_orderdate)" in scan or "PushedFilters: [" in scan
+
+
+def test_chunk_documents_plan_is_map_only(spark, sf_dir):
+    """The RAG chunker must stay a pure scan stage: no Exchange, no
+    window, no join anywhere in the physical plan."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("Exchange", "Window", "Join", "Sort"):
+        assert node not in plan, (node, plan[:2000])
+
+
+def test_line_dedup_plan_has_no_corpus_wide_partition(spark, sf_dir):
+    """dedup_lines windows per line-fingerprint (tiny partitions) and
+    never creates a 'No Partition Defined' global window; blanks stay
+    out of the window path entirely."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
+        dedup_lines,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "hashpartitioning(fp" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_gopher_filter_is_a_single_map_side_predicate(spark, sf_dir):
+    """The Gopher band filter composes into the scan stage: filtering
+    the corpus adds no Exchange and no extra scan."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import (
+        gopher_filter,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    plan = (
+        docs.filter(gopher_filter(F.col("text")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("FileScan parquet") == 1 or plan.count("Scan parquet") == 1
