@@ -36,6 +36,7 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import sampling
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.dedup import (
     dedup_lines,
+    drop_boilerplate_lines,
     drop_exact_dups,
     minhash_candidates,
 )
@@ -88,7 +89,12 @@ def main(sf_dir: str, workdir: str) -> None:
         "doc_id", "pred_lang", "quality", redact_pii(F.col("text")).alias("text")
     )
     whole_unique = drop_exact_dups(redacted)
-    exact_unique = dedup_lines(whole_unique).join(
+    # boilerplate first (frequency rule drops every copy of common
+    # lines), then keep-first dedup of what remains
+    no_boiler = drop_boilerplate_lines(whole_unique, min_docs=5).drop(
+        "n_lines_removed"
+    )
+    exact_unique = dedup_lines(no_boiler).join(
         whole_unique.select("doc_id", "pred_lang", "quality"), "doc_id"
     )
 
