@@ -68,3 +68,34 @@ def reprocess_quarantine(
     promoted = quarantine.filter(ok)
     remaining = quarantine.join(promoted.select(*key_cols), list(key_cols), "left_anti")
     return fact.unionByName(promoted), remaining
+
+
+def reprocess_quarantine_tables(
+    fact_table,
+    quarantine_table,
+    key_cols: tuple[str, ...],
+    order_by: tuple[str, ...],
+    required: tuple[str, ...] = DEFAULT_REQUIRED,
+    non_negative: tuple[str, ...] = DEFAULT_NON_NEGATIVE,
+) -> int:
+    """S8 over snapshot-isolated tables: re-validate the quarantine
+    snapshot, MERGE the now-valid rows into the fact table (keyed
+    upsert — a re-promoted row replaces any stale fact copy), and
+    commit the shrunken quarantine as a new snapshot. Readers never
+    observe a half-promoted state on either table; a crash between
+    the two commits leaves promoted rows present in BOTH tables,
+    which the next reprocess run resolves (promotion is idempotent
+    under the fact table's keyed MERGE). Returns the number of
+    promoted rows."""
+    quarantine = quarantine_table.read()
+    ok = valid_predicate(required, non_negative)
+    promoted = quarantine.filter(ok)
+    n = promoted.count()
+    if n == 0:
+        return 0
+    fact_table.merge(promoted, list(key_cols), list(order_by))
+    remaining = quarantine.join(
+        promoted.select(*key_cols), list(key_cols), "left_anti"
+    )
+    quarantine_table.overwrite(remaining)
+    return n

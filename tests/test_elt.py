@@ -64,3 +64,57 @@ def test_dedup_latest_deterministic(spark):
     )
     out = {(r["k"], r["v"]) for r in dedup_latest(df, ["k"], ["d", "seq"]).collect()}
     assert out == {(1, "newer"), (2, "only")}
+
+
+def test_reprocess_quarantine_over_tables(spark, tmp_path):
+    """S8 transactional: promoted rows land in the fact table via
+    keyed MERGE, the quarantine snapshot shrinks, and a crash-replay
+    (running reprocess again) changes nothing."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.validate import (
+        reprocess_quarantine_tables,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
+        ParquetTable,
+    )
+
+    schema = (
+        "order_id string, items string, payment_time string, "
+        "category string, quantity double, total_order_amount double"
+    )
+    fact_t = ParquetTable(spark, str(tmp_path / "fact"))
+    quar_t = ParquetTable(spark, str(tmp_path / "quar"))
+    keys = ("order_id", "items", "payment_time")
+    order = ("total_order_amount",)
+
+    fact_t.append(
+        spark.createDataFrame([("O1", "Latte", "t1", "Coffee", 1.0, 5.0)], schema)
+    )
+    quar_t.append(
+        spark.createDataFrame(
+            [
+                # dimension fixed since quarantining: now valid
+                ("O2", "Mocha", "t2", "Coffee", 2.0, 8.0),
+                # still broken: negative amount
+                ("O3", "Tea", "t3", "Tea", 1.0, -4.0),
+                # still broken: missing category
+                ("O4", "Scone", "t4", None, 1.0, 3.0),
+            ],
+            schema,
+        )
+    )
+
+    promoted = reprocess_quarantine_tables(
+        fact_t, quar_t, keys, order,
+        required=("category",), non_negative=("total_order_amount",),
+    )
+    assert promoted == 1
+    assert {r["order_id"] for r in fact_t.read().collect()} == {"O1", "O2"}
+    assert {r["order_id"] for r in quar_t.read().collect()} == {"O3", "O4"}
+
+    # second run: nothing left to promote, both tables unchanged
+    vf, vq = fact_t.current_version(), quar_t.current_version()
+    assert reprocess_quarantine_tables(
+        fact_t, quar_t, keys, order,
+        required=("category",), non_negative=("total_order_amount",),
+    ) == 0
+    assert (fact_t.current_version(), quar_t.current_version()) == (vf, vq)
