@@ -427,9 +427,11 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.doc_id, o.shard, o.n_tokens,
            b.base + o.end_local - o.n_tokens AS tok_offset,
            CASE WHEN o.n_tokens > 0
-                THEN (b.base + o.end_local - o.n_tokens) // 2048 END AS first_chunk,
+                THEN (b.base + o.end_local - o.n_tokens) // 2048
+                ELSE -1 END AS first_chunk,
            CASE WHEN o.n_tokens > 0
-                THEN (b.base + o.end_local - 1) // 2048 END AS last_chunk,
+                THEN (b.base + o.end_local - 1) // 2048
+                ELSE -1 END AS last_chunk,
            CASE WHEN o.n_tokens > 0
                 THEN (b.base + o.end_local - 1) // 2048
                      - (b.base + o.end_local - o.n_tokens) // 2048 + 1
@@ -446,8 +448,24 @@ def pack_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Global offsets come from per-shard running sums + an
     n_shards-row base-offset dimension join — a scalable global
     ordering with NO single-partition window, identical across
-    engines because every step is exact integer math."""
+    engines because every step is exact integer math.
+
+    Empty documents have no chunk span; the operator returns NULL
+    chunk ids for them, which this registry surface maps to the -1
+    sentinel on BOTH sides so the driver's hash never depends on how
+    NULLs inside a BIGINT column are normalized (the round-2 red row:
+    rows/schema matched, hash did not, and the only NULL-bearing
+    numeric column in the registry was here)."""
     from .packing import pack_chunk_spans
 
     docs = catalog.table(spark, sf_dir, "documents")
-    return pack_chunk_spans(docs, context_len=2048, n_shards=16).orderBy("doc_id")
+    spans = pack_chunk_spans(docs, context_len=2048, n_shards=16)
+    return spans.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        F.coalesce(F.col("first_chunk"), F.lit(-1)).alias("first_chunk"),
+        F.coalesce(F.col("last_chunk"), F.lit(-1)).alias("last_chunk"),
+        "chunks_spanned",
+    ).orderBy("doc_id")

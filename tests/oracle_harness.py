@@ -47,10 +47,62 @@ def _canon(rows, colnames):
     return out
 
 
-def compare(spark, sf_dir: str, query_fn, oracle: str) -> None:
+# Queries allowed to return NULL / NaN in a numeric column, or a
+# DECIMAL column, in their OUTPUT. The driver's hash normalization of
+# these values is outside our control (round 2's only red row was a
+# NULL-in-BIGINT hash divergence on `pack_sequence_chunks` that no
+# local differential could reproduce), so the registry contract is:
+# numeric outputs are non-null, non-NaN, and never DECIMAL unless the
+# query is listed here with a reason.
+NULL_NUMERIC_OK: dict = {
+    # Both were hash-green in CORRECTNESS_r02 WITH these NULLs, so the
+    # driver's normalization of them is proven; leaving the semantics
+    # (a LAG before the first row / an as-of miss IS null, not a
+    # sentinel) is lower-risk than perturbing a green row.
+    "window_customer_order_seq": "LAG(prev_price) null on first row; r02 hash-green",
+    "events_asof_join": "as-of miss emits null match columns; r02 hash-green",
+}
+NAN_OK: dict = {}
+DECIMAL_OK: dict = {}
+
+
+def audit_hash_hazards(sdf, spark_rows, name: str) -> None:
+    """Assert the collected Spark output carries no driver-hash
+    hazards: no NULL or NaN inside numeric columns, no DecimalType
+    columns, unless `name` is explicitly allowlisted above."""
+    from pyspark.sql import types as T
+
+    numeric_idx = []
+    for i, f in enumerate(sdf.schema.fields):
+        if isinstance(f.dataType, T.DecimalType) and name not in DECIMAL_OK:
+            raise AssertionError(
+                f"{name}: column {f.name!r} is DECIMAL{f.dataType.simpleString()} — "
+                "driver hash may normalize decimals differently than DuckDB; "
+                "cast to double/long or allowlist with a reason"
+            )
+        if isinstance(f.dataType, T.NumericType):
+            numeric_idx.append((i, f.name))
+    for r in spark_rows:
+        for i, col in numeric_idx:
+            v = r[i]
+            if v is None and name not in NULL_NUMERIC_OK:
+                raise AssertionError(
+                    f"{name}: NULL in numeric column {col!r} — coalesce to a "
+                    "sentinel on both query and oracle sides (driver NULL "
+                    "normalization is a hash hazard) or allowlist with a reason"
+                )
+            if isinstance(v, float) and math.isnan(v) and name not in NAN_OK:
+                raise AssertionError(
+                    f"{name}: NaN in numeric column {col!r} — scrub on both "
+                    "sides or allowlist with a reason"
+                )
+
+
+def compare(spark, sf_dir: str, query_fn, oracle: str, name: str = "?") -> None:
     sdf = query_fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
+    audit_hash_hazards(sdf, spark_rows, name)
 
     con = duck_connection(sf_dir)
     res = con.execute(oracle)

@@ -20,7 +20,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     # golden-pinned queries are valid only at the SF their golden was
     # generated from (the driver's correctness SF) — compare there
     run_sf = registry.GOLDEN_SF.get(name, sf_dir)
-    compare(spark, run_sf, registry.QUERIES[name], registry.ORACLES[name])
+    compare(spark, run_sf, registry.QUERIES[name], registry.ORACLES[name], name=name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
