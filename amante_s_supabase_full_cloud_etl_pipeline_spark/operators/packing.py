@@ -153,8 +153,12 @@ def chunk_documents(
     ``(doc_id, chunk_idx, n_chunks, tok_start, chunk_text)`` — one
     row per chunk, ``chunk_idx`` 0-based, windows advance by
     ``chunk_tokens - overlap_tokens`` and the last window is the
-    remainder (never empty, never duplicated: a doc that fits in one
-    window yields exactly one chunk).
+    remainder. Every document yields at least one chunk and no window
+    is duplicated: a doc that fits in one window yields exactly one
+    chunk, and a token-less (empty or whitespace-only) document
+    yields a single chunk with empty ``chunk_text`` — so no document
+    silently disappears from the chunk stream
+    (``test_chunk_documents_edges`` pins this).
 
     Map-only: tokenization, window starts (``F.sequence``), and slice
     reassembly are all column expressions — no shuffle, no Python, no

@@ -22,6 +22,21 @@ sum/count downstream):
   rides the commit's ``batch_id`` — a crashed-and-replayed refresh
   of the same source version is a no-op (exactly-once maintenance on
   top of an at-least-once caller).
+
+Preconditions and NULL convention:
+
+- the source must be KEY-UNIQUE on ``keys`` (a merge-maintained
+  table) — the keyed change feed's join semantics require it (see
+  ``ParquetTable.changes``);
+- NULL measure values contribute 0 to the stored sum (``coalesce``
+  in the signed delta). A group whose measure rows are ALL NULL
+  therefore stores sum 0 where a from-scratch ``F.sum`` (which
+  ignores nulls) would yield NULL — the 0-for-NULL convention is
+  deliberate: signed incremental folding needs every row to carry a
+  subtractable value, and a NULL total and a 0 total are
+  indistinguishable to every downstream consumer that treats the
+  view as additive. Consumers needing to reconstruct SQL NULL sums
+  should additionally track a per-column non-null count.
 """
 
 from __future__ import annotations

@@ -8,11 +8,19 @@ mid-query when the swap replaces them. Real lakehouse formats fix
 this with IMMUTABLE data files + a versioned metadata pointer; this
 module implements exactly that core:
 
-Layout::
+Layout (two-level, Iceberg-style)::
 
     table/
       data/<uuid>/part-*.parquet   -- immutable once committed
-      _manifests/v00000001.json    -- {version, data_dirs, batch_id}
+      _manifests/m-<uuid>.json     -- immutable MANIFEST FILE: the file
+                                      entries (path/rows/bytes/column
+                                      stats) one commit produced
+      _manifests/v00000001.json    -- MANIFEST LIST: {version, parent,
+                                      batch_id, schema, manifests:
+                                      [summary]} where each summary
+                                      carries the manifest file's name
+                                      plus folded counts and column
+                                      bounds
       _latest                      -- current version (atomic os.replace)
 
 Commit protocol (optimistic concurrency):
@@ -59,14 +67,28 @@ consumers:
   per micro-batch, not O(table) — the difference between a usable
   and an unusable 100 TB streaming MERGE.
 
-Metadata scaling: each manifest here is a self-contained JSON file
-list — right for this engine's table sizes, O(live files) metadata
-per commit. At Iceberg scale (10^7+ files) the same design splits
-into a manifest LIST pointing at reused per-commit manifest files,
-so a commit writes O(changed files) metadata and carries the rest by
-reference — exactly how ``merge`` already carries data files. The
-read/prune/CDF logic above is unchanged by that split; only
-``manifest()`` resolution grows a chain walk.
+Metadata scaling (the part that has to survive 10^6-10^7 files at
+100 TB): a commit writes ONE new manifest file listing only the
+files it produced and re-references the parent's manifest files
+unchanged, so commit metadata is O(touched files), never O(live
+files). Each manifest-list summary folds its manifest's per-column
+bounds, which gives three metadata-only fast paths:
+
+- ``read(filters=...)`` / ``scan_files`` skip whole manifest files
+  whose folded bounds prove no contained file can match — the list
+  alone prunes thousands of files without opening their manifest;
+- ``merge`` carries disjoint-key-range manifests forward verbatim
+  (never opened), opens only intersecting ones, and rewrites only
+  intersecting FILES — per micro-batch cost stays O(touched+batch);
+- ``_diff_files`` (CDF) opens only the manifests in the symmetric
+  difference of two manifest lists: every file lives in exactly one
+  manifest per version, so common manifests cannot contribute diffs.
+
+To stop the manifest list itself growing one summary per commit
+forever, commits past ``manifest_merge_at`` summaries fold the
+smallest manifests into one (log-structured merge, amortized
+O(entries/limit) per commit) — the same compaction Iceberg's
+ManifestMergeManager performs. ``history()`` reads summaries only.
 """
 
 from __future__ import annotations
@@ -234,14 +256,58 @@ def _local(path: str) -> str:
     return path
 
 
-class ParquetTable:
-    """A snapshot-isolated parquet table rooted at ``path``."""
+def _bounds_as_stats(bounds: dict) -> dict:
+    """A manifest summary's folded bounds shaped like a file-stats
+    entry so ``_file_prunable`` can answer 'can ANY file under this
+    manifest match' (nulls=0 is conservative: NULL never satisfies a
+    comparison, so null presence can only make pruning MORE valid)."""
+    return {"stats": {c: {"lo": b["lo"], "hi": b["hi"], "nulls": 0} for c, b in bounds.items()}}
 
-    def __init__(self, spark: SparkSession, path: str):
+
+def _fold_bounds(entries: list[dict]) -> dict:
+    """Per-column lo/hi across a manifest's file entries; a column is
+    folded only when EVERY entry carries comparable bounds for it
+    (anything else and the manifest simply isn't prunable on that
+    column — correctness never depends on a fold existing)."""
+    if not entries:
+        return {}
+    folded: dict = {}
+    first = entries[0].get("stats") or {}
+    for col, st in first.items():
+        if "lo" not in st:
+            continue
+        lo, hi = st["lo"], st["hi"]
+        tag = lo[0]
+        ok = True
+        for e in entries[1:]:
+            st2 = (e.get("stats") or {}).get(col)
+            if st2 is None or "lo" not in st2 or st2["lo"][0] != tag or st2["hi"][0] != tag:
+                ok = False
+                break
+            if _DESER[tag](st2["lo"][1]) < _DESER[tag](lo[1]):
+                lo = st2["lo"]
+            if _DESER[tag](st2["hi"][1]) > _DESER[tag](hi[1]):
+                hi = st2["hi"]
+        if ok:
+            folded[col] = {"lo": lo, "hi": hi}
+    return folded
+
+
+class ParquetTable:
+    """A snapshot-isolated parquet table rooted at ``path``.
+
+    ``manifest_merge_at`` bounds the manifest-list length: a commit
+    that would exceed it folds the smallest manifest files into one
+    first (Iceberg-style merge-on-commit)."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest_merge_at: int = 64):
         self.spark = spark
         self.path = _local(path)
         self._manifests = os.path.join(self.path, "_manifests")
         self._latest = os.path.join(self.path, "_latest")
+        self.manifest_merge_at = manifest_merge_at
+        # manifest files are immutable once written → cache by name
+        self._mcache: dict[str, list[dict]] = {}
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         os.makedirs(self._manifests, exist_ok=True)
 
@@ -259,11 +325,48 @@ class ParquetTable:
         return os.path.join(self._manifests, f"v{version:08d}.json")
 
     def manifest(self, version: int | None = None) -> dict:
+        """The MANIFEST LIST of a version: commit metadata plus one
+        summary (name, n_files, rows, bytes, folded column bounds)
+        per referenced manifest file. O(manifests), never opens
+        manifest files."""
         v = self.current_version() if version is None else version
         if v == 0:
-            return {"version": 0, "data_dirs": [], "batch_id": None}
+            return {"version": 0, "manifests": [], "batch_id": None}
         with open(self._manifest_path(v)) as f:
             return json.load(f)
+
+    def _manifest_entries(self, name: str) -> list[dict]:
+        """File entries of one immutable manifest file (cached)."""
+        if name not in self._mcache:
+            try:
+                with open(os.path.join(self._manifests, name)) as f:
+                    self._mcache[name] = json.load(f)["entries"]
+            except FileNotFoundError:
+                raise ValueError(
+                    f"manifest file {name} of {self.path} is missing"
+                ) from None
+        return self._mcache[name]
+
+    def _write_manifest(self, entries: list[dict]) -> dict:
+        """Write an immutable manifest file; return its list summary."""
+        name = f"m-{uuid.uuid4().hex}.json"
+        with open(os.path.join(self._manifests, name), "w") as f:
+            json.dump({"entries": entries}, f)
+        self._mcache[name] = entries
+        return {
+            "path": name,
+            "n_files": len(entries),
+            "rows": sum(e.get("rows", 0) for e in entries),
+            "bytes": sum(e.get("bytes", 0) for e in entries),
+            "bounds": _fold_bounds(entries),
+        }
+
+    def files(self, version: int | None = None) -> list[dict]:
+        """All file entries of a snapshot (opens its manifest files)."""
+        out: list[dict] = []
+        for s in self.manifest(version)["manifests"]:
+            out.extend(self._manifest_entries(s["path"]))
+        return out
 
     def read(
         self,
@@ -280,7 +383,7 @@ class ParquetTable:
         the Spark plan (pruning is an optimization, never a semantics
         change)."""
         m = self.manifest(version)
-        if not m["data_dirs"]:
+        if not m["manifests"]:
             raise ValueError(f"table {self.path} is empty at version {m['version']}")
         if filters:
             for f in filters:
@@ -292,7 +395,7 @@ class ParquetTable:
                 # every file pruned: full list + predicate yields the
                 # same (empty) result; Spark's footer pruning keeps it
                 # cheap and we avoid fabricating a schema.
-                paths = [os.path.join(self.path, d) for d in m["data_dirs"]]
+                paths = self._live_files(m["version"])
             df = self._read_paths(paths, m)
             for col, op, value in filters:
                 if op == "in":
@@ -309,9 +412,7 @@ class ParquetTable:
                     }[op]
                 df = df.filter(cond)
             return df
-        return self._read_paths(
-            [os.path.join(self.path, d) for d in m["data_dirs"]], m
-        )
+        return self._read_paths(self._live_files(m["version"]), m)
 
     def _read_paths(self, paths: list[str], manifest: dict) -> DataFrame:
         """Scan with the MANIFEST's schema when one is recorded
@@ -337,42 +438,45 @@ class ParquetTable:
         return StructType.fromJson(json.loads(schema_json))
 
     def history(self) -> list[dict]:
-        """Commit log, newest first: version, batch_id, file count,
-        tracked rows/bytes per snapshot — a metadata-only operation
-        (reads manifests, never data)."""
+        """Commit log, newest first: version, batch_id, manifest/file
+        counts, tracked rows/bytes per snapshot — manifest-LIST-only
+        (never opens manifest files, never touches data)."""
         out = []
         for v in range(self.current_version(), 0, -1):
             m = self.manifest(v)
-            files = m.get("files", [])
+            ms = m["manifests"]
             out.append(
                 {
                     "version": v,
                     "parent": m.get("parent"),
                     "batch_id": m.get("batch_id"),
-                    "n_entries": len(m["data_dirs"]),
-                    "n_files": len(files) or None,
-                    "rows": sum(e.get("rows", 0) for e in files) or None,
-                    "bytes": sum(e.get("bytes", 0) for e in files) or None,
+                    "n_manifests": len(ms),
+                    "n_files": sum(s["n_files"] for s in ms),
+                    "rows": sum(s["rows"] for s in ms),
+                    "bytes": sum(s["bytes"] for s in ms),
                 }
             )
         return out
 
     def _file_meta(self, version: int) -> dict[str, dict]:
-        """path → stats entry for the manifest's tracked files."""
-        return {e["path"]: e for e in self.manifest(version).get("files", [])}
+        """path → stats entry for the snapshot's tracked files."""
+        return {e["path"]: e for e in self.files(version)}
 
     def scan_files(self, version: int | None, filters: Sequence[tuple]) -> list[str]:
-        """Relative paths surviving stats pruning (files without
-        recorded stats are always kept)."""
+        """Relative paths surviving stats pruning. Two levels: a
+        manifest whose folded bounds prove no contained file matches
+        is skipped WITHOUT opening it (list-only pruning); surviving
+        manifests prune per file entry. Files without recorded stats
+        are always kept."""
         v = self.current_version() if version is None else version
-        meta = self._file_meta(v)
         kept = []
-        for f in self._live_files(v):
-            rel = os.path.relpath(f, self.path)
-            m = meta.get(rel)
-            if m is not None and _file_prunable(m, filters):
+        for s in self.manifest(v)["manifests"]:
+            bounds = s.get("bounds") or {}
+            if bounds and _file_prunable(_bounds_as_stats(bounds), filters):
                 continue
-            kept.append(rel)
+            for e in self._manifest_entries(s["path"]):
+                if not _file_prunable(e, filters):
+                    kept.append(e["path"])
         return kept
 
     # -- commit protocol ----------------------------------------------------
@@ -455,19 +559,43 @@ class ParquetTable:
             out.append(entry)
         return out
 
+    def _merge_manifests(self, manifests: list[dict]) -> list[dict]:
+        """Fold the smallest manifest files into one when the list
+        outgrows ``manifest_merge_at`` — log-structured merge keeping
+        the list O(limit) while amortizing rewrite cost (a manifest is
+        re-folded only every ~limit/2 commits). A racing loser's
+        merged manifest file is an orphan, same as its data dir —
+        invisible and harmless."""
+        limit = self.manifest_merge_at
+        if limit is None or len(manifests) <= limit:
+            return list(manifests)
+        pos = {s["path"]: i for i, s in enumerate(manifests)}
+        by_size = sorted(manifests, key=lambda s: (s["n_files"], pos[s["path"]]))
+        n_fold = len(manifests) - limit // 2
+        fold = {s["path"] for s in by_size[:n_fold]}
+        merged_entries: list[dict] = []
+        kept = []
+        for s in manifests:
+            if s["path"] in fold:
+                merged_entries.extend(self._manifest_entries(s["path"]))
+            else:
+                kept.append(s)
+        return kept + [self._write_manifest(merged_entries)]
+
     def _commit(
         self,
-        data_dirs: list[str],
+        manifests: list[dict],
         batch_id: int | None,
         parent: int,
-        files: list[dict] | None = None,
         schema: str | None = None,
     ) -> int:
         version = parent + 1
-        manifest = {"version": version, "parent": parent, "data_dirs": data_dirs,
-                    "batch_id": batch_id}
-        if files:
-            manifest["files"] = files
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "manifests": self._merge_manifests(manifests),
+            "batch_id": batch_id,
+        }
         if schema:
             manifest["schema"] = schema
         target = self._manifest_path(version)
@@ -515,12 +643,12 @@ class ParquetTable:
         df = prepare_for_load(df)
         schema_json, _ = self._evolved(parent, df)
         rel = self._write_data_dir(df)
-        files = (
-            self.manifest(parent).get("files", []) + self._stats_for_dir(rel)
-        )
+        # O(batch) metadata: one new manifest file; the parent's
+        # manifests carry by reference in the new list.
+        summary = self._write_manifest(self._stats_for_dir(rel))
         return self._commit(
-            self.manifest(parent)["data_dirs"] + [rel], batch_id, parent,
-            files=files, schema=schema_json,
+            self.manifest(parent)["manifests"] + [summary],
+            batch_id, parent, schema=schema_json,
         )
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> int:
@@ -535,8 +663,8 @@ class ParquetTable:
         schema_json = json.dumps(_evolve_schema(None, df.schema).jsonValue())
         rel = self._write_data_dir(df)
         return self._commit(
-            [rel], batch_id, parent, files=self._stats_for_dir(rel),
-            schema=schema_json,
+            [self._write_manifest(self._stats_for_dir(rel))],
+            batch_id, parent, schema=schema_json,
         )
 
     def merge(
@@ -552,15 +680,17 @@ class ParquetTable:
         version; a crash mid-rewrite leaves the table on the parent
         manifest.
 
-        File-level pruning: when the parent manifest carries min/max
-        stats for ``keys[0]``, only files whose key range intersects
-        the batch's key range are read into the rewrite; disjoint
-        files are carried forward by reference. Null-key target rows
-        can never match an equi-join key, so all-null-key files are
-        always safe to carry. Cost per merge is O(touched + batch)
-        instead of O(table) — at 100 TB with a range-compacted layout
-        (``compact(sort_by=keys)``) a point-keyed micro-batch touches
-        a handful of files."""
+        Two-level pruning against the batch's key range: a parent
+        MANIFEST whose folded ``keys[0]`` bounds are disjoint carries
+        into the new list verbatim — never even opened; an
+        intersecting manifest is opened and only its intersecting
+        FILES are read into the rewrite, the rest re-listed by
+        reference. Null-key target rows can never match an equi-join
+        key, so all-null-key files are always safe to carry. Cost per
+        merge is O(touched + batch) in both data AND metadata — at
+        100 TB with a range-compacted layout (``compact(
+        sort_by=keys)``) a point-keyed micro-batch touches a handful
+        of files under a handful of manifests."""
         parent = self.current_version()
         if self._already_applied(batch_id, parent):
             return parent
@@ -571,26 +701,32 @@ class ParquetTable:
         if parent == 0:
             rel = self._write_data_dir(batch)
             return self._commit(
-                [rel], batch_id, parent, files=self._stats_for_dir(rel),
-                schema=schema_json,
+                [self._write_manifest(self._stats_for_dir(rel))],
+                batch_id, parent, schema=schema_json,
             )
 
-        meta = self._file_meta(parent)
-        live = [os.path.relpath(f, self.path) for f in self._live_files(parent)]
-        untouched: list[str] = []
-        if meta and all(p in meta for p in live):
-            bounds = batch.agg(
-                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-            ).collect()[0]
-            if bounds["lo"] is not None:
-                key_filters = [
-                    (keys[0], ">=", bounds["lo"]),
-                    (keys[0], "<=", bounds["hi"]),
-                ]
-                untouched = [
-                    p for p in live if _file_prunable(meta[p], key_filters)
-                ]
-        touched = [p for p in live if p not in set(untouched)]
+        bounds = batch.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).collect()[0]
+        key_filters = None
+        if bounds["lo"] is not None:
+            key_filters = [
+                (keys[0], ">=", bounds["lo"]),
+                (keys[0], "<=", bounds["hi"]),
+            ]
+        carried: list[dict] = []  # whole manifests, never opened
+        untouched: list[dict] = []  # entries from opened manifests
+        touched: list[str] = []  # file paths entering the rewrite
+        for s in self.manifest(parent)["manifests"]:
+            mb = s.get("bounds") or {}
+            if key_filters and mb and _file_prunable(_bounds_as_stats(mb), key_filters):
+                carried.append(s)
+                continue
+            for e in self._manifest_entries(s["path"]):
+                if key_filters and _file_prunable(e, key_filters):
+                    untouched.append(e)
+                else:
+                    touched.append(e["path"])
         if touched:
             target = self._read_paths(
                 [os.path.join(self.path, p) for p in touched], self.manifest(parent)
@@ -601,10 +737,11 @@ class ParquetTable:
         else:
             merged = batch
         rel = self._write_data_dir(merged)
-        files = [meta[p] for p in untouched if p in meta] + self._stats_for_dir(rel)
-        return self._commit(
-            untouched + [rel], batch_id, parent, files=files, schema=schema_json
-        )
+        manifests = list(carried)
+        if untouched:
+            manifests.append(self._write_manifest(untouched))
+        manifests.append(self._write_manifest(self._stats_for_dir(rel)))
+        return self._commit(manifests, batch_id, parent, schema=schema_json)
 
     def merge_with_retry(
         self,
@@ -638,20 +775,30 @@ class ParquetTable:
     # -- change data feed ---------------------------------------------------
 
     def _diff_files(self, from_version: int, to_version: int) -> tuple[list[str], list[str]]:
-        """(added, removed) relative file paths between two manifests.
-        Files carried by reference across commits appear in neither
-        list — the diff is bounded by what a commit actually touched,
-        so CDF cost scales with the write, not the table."""
-        try:
-            old = set() if from_version == 0 else {
-                os.path.relpath(f, self.path) for f in self._live_files(from_version)
-            }
-        except OSError as exc:
-            raise ValueError(
-                f"change feed from v{from_version} unavailable: its files "
-                f"were vacuumed ({exc})"
-            ) from None
-        new = {os.path.relpath(f, self.path) for f in self._live_files(to_version)}
+        """(added, removed) relative file paths between two snapshots.
+        Only manifests in the SYMMETRIC DIFFERENCE of the two manifest
+        lists are opened: a file lives in exactly one manifest per
+        version (commits write new files into fresh manifests; merges
+        and manifest folds rewrite references, never duplicate them),
+        so a manifest common to both lists contributes identical files
+        to both sides and can't produce a diff. CDF metadata cost
+        scales with what the commits touched, never the table."""
+        old_ms = [] if from_version == 0 else self.manifest(from_version)["manifests"]
+        new_ms = self.manifest(to_version)["manifests"]
+        old_names = {s["path"] for s in old_ms}
+        new_names = {s["path"] for s in new_ms}
+        old = {
+            e["path"]
+            for s in old_ms
+            if s["path"] not in new_names
+            for e in self._manifest_entries(s["path"])
+        }
+        new = {
+            e["path"]
+            for s in new_ms
+            if s["path"] not in old_names
+            for e in self._manifest_entries(s["path"])
+        }
         return sorted(new - old), sorted(old - new)
 
     def changes(
@@ -675,10 +822,41 @@ class ParquetTable:
         byte-identically by compaction or an untouched-range rewrite
         are suppressed, so compaction produces an EMPTY change feed.
 
+        PRECONDITION for keyed semantics: the table is key-unique
+        (built via ``merge``, which dedups). On an append-built table
+        with duplicate keys the inner/anti joins below produce
+        cross-products and inflated update images — use the unkeyed
+        feed there.
+
+        Schema guard: both diff sides read with the NEWER manifest's
+        schema, which is only sound for additive evolution. A
+        non-additive change between the versions (``overwrite``
+        redefining a column's type or dropping a column) raises a
+        descriptive error instead of failing mid-scan or silently
+        nulling preimage values.
+
         Only the manifest-diff files are scanned; at 100 TB an
         incremental consumer pays for the day's commits, never the
         table."""
         vt = self.current_version() if to_version is None else to_version
+        old_schema, new_schema = self.schema(from_version), self.schema(vt)
+        if old_schema is not None and new_schema is not None:
+            new_fields = {f.name: f.dataType for f in new_schema.fields}
+            for f in old_schema.fields:
+                if f.name not in new_fields:
+                    raise ValueError(
+                        f"change feed v{from_version}→v{vt} crosses a non-additive "
+                        f"schema change: column {f.name!r} was dropped (an overwrite "
+                        "redefines the schema outright); consume the feed up to the "
+                        "overwrite, then treat it as a full rebuild"
+                    )
+                if new_fields[f.name] != f.dataType:
+                    raise ValueError(
+                        f"change feed v{from_version}→v{vt} crosses a non-additive "
+                        f"schema change: column {f.name!r} was {f.dataType}, now "
+                        f"{new_fields[f.name]}; consume the feed up to the change, "
+                        "then treat it as a full rebuild"
+                    )
         added, removed = self._diff_files(from_version, vt)
         gone = [p for p in removed if not os.path.exists(os.path.join(self.path, p))]
         if gone:
@@ -747,21 +925,11 @@ class ParquetTable:
     # -- maintenance --------------------------------------------------------
 
     def _live_files(self, version: int) -> list[str]:
-        """Absolute paths of the parquet files referenced by a
-        manifest. Entries are data dirs (listed) or individual files
-        (merge pruning carries untouched files by reference). At
-        100 TB the manifest's own file list makes this a pure metadata
-        operation — no listing."""
-        out = []
-        for d in self.manifest(version)["data_dirs"]:
-            root = os.path.join(self.path, d)
-            if os.path.isfile(root):
-                out.append(root)
-                continue
-            for name in sorted(os.listdir(root)):
-                if name.startswith("part-") and name.endswith(".parquet"):
-                    out.append(os.path.join(root, name))
-        return out
+        """Absolute paths of the parquet files a snapshot references —
+        straight from its manifest files, no directory listing ever
+        (at 100 TB object-store listing is the scaling killer this
+        format exists to avoid)."""
+        return [os.path.join(self.path, e["path"]) for e in self.files(version)]
 
     def _zvalue(self, df: DataFrame, cols: Sequence[str], bits: int = 16):
         """Interleaved-bit Z-value over numeric columns: each column
@@ -853,12 +1021,12 @@ class ParquetTable:
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         parent = self.current_version()
-        files = self._live_files(parent)
-        if len(files) < min_files:
+        entries = self.files(parent)
+        if len(entries) < min_files:
             return parent
-        total = sum(os.path.getsize(f) for f in files)
+        total = sum(e.get("bytes", 0) for e in entries)
         n = max(1, -(-total // target_file_bytes))  # ceil
-        if n >= len(files) and sort_by is None and zorder_by is None:
+        if n >= len(entries) and sort_by is None and zorder_by is None:
             return parent  # already at-or-below target granularity
         df = self.read(parent)
         if sort_by:
@@ -875,23 +1043,25 @@ class ParquetTable:
             df = df.coalesce(n)
         rel = self._write_data_dir(df)
         return self._commit(
-            [rel], None, parent, files=self._stats_for_dir(rel),
+            [self._write_manifest(self._stats_for_dir(rel))], None, parent,
             schema=self.manifest(parent).get("schema"),
         )
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data dirs unreferenced by the newest ``keep_versions``
-        manifests (bounds time travel; run well behind active readers
-        — same contract as Delta VACUUM). Returns removed dirs."""
+        snapshots (bounds time travel; run well behind active readers
+        — same contract as Delta VACUUM). Manifest JSONs are kept:
+        they are tiny and ``changes``/``history`` still use them to
+        produce clear 'source files vacuumed' errors instead of
+        broken reads. Returns removed dirs."""
         latest = self.current_version()
         keep = range(max(1, latest - keep_versions + 1), latest + 1)
-        # A manifest entry may be a dir or a single carried-forward
-        # file; either way the containing data dir stays referenced
-        # (vacuum reclaims whole dirs, conservatively).
+        # Entries are individual files; the containing data dir stays
+        # referenced (vacuum reclaims whole dirs, conservatively).
         referenced = set()
         for v in keep:
-            for d in self.manifest(v)["data_dirs"]:
-                parts = d.split(os.sep)
+            for e in self.files(v):
+                parts = e["path"].split(os.sep)
                 referenced.add(os.path.join(parts[0], parts[1]))
         removed = []
         data_root = os.path.join(self.path, "data")

@@ -90,7 +90,7 @@ def test_concurrent_writer_conflict(spark, table):
     stale = object.__new__(ParquetTable)
     stale.__dict__.update(table.__dict__)
     with pytest.raises(CommitConflict):
-        stale._commit(["data/fake"], None, parent=1)
+        stale._commit([], None, parent=1)
 
 
 def test_compact_merges_small_files_row_identical(spark, table):
@@ -185,13 +185,18 @@ def _ranged(spark, lo, hi, v="x"):
 
 def test_manifest_records_file_stats(spark, table):
     table.append(_ranged(spark, 0, 10))
-    m = table.manifest()
-    assert m["files"], "commit should record per-file stats"
-    entry = m["files"][0]
+    entries = table.files()
+    assert entries, "commit should record per-file stats"
+    entry = entries[0]
     assert entry["rows"] == 10 and entry["bytes"] > 0
     k_stats = entry["stats"]["k"]
     assert (k_stats["lo"], k_stats["hi"]) == (["i", 0], ["i", 9])
     assert entry["stats"]["v"]["lo"] == ["s", "x"]
+    # the manifest LIST carries the folded bounds without opening the
+    # manifest file
+    summary = table.manifest()["manifests"][0]
+    assert summary["n_files"] == 1 and summary["rows"] == 10
+    assert summary["bounds"]["k"] == {"lo": ["i", 0], "hi": ["i", 9]}
 
 
 def test_read_filters_skip_files_without_io(spark, table):
@@ -215,14 +220,17 @@ def test_merge_rewrites_only_intersecting_files(spark, table):
     table.append(_ranged(spark, 0, 10))
     table.append(_ranged(spark, 10, 20))
     table.append(_ranged(spark, 20, 30))
-    parent_entries = set(table.manifest()["data_dirs"])
+    parent_v = table.current_version()
+    before = {e["path"] for e in table.files(parent_v)}
     v = table.merge(_df(spark, [(12, "NEW", 99), (13, "NEW", 99)]), KEYS, ORDER)
-    entries = table.manifest(v)["data_dirs"]
-    carried = [e for e in entries if e.endswith(".parquet")]
+    after = {e["path"] for e in table.files(v)}
     # the two disjoint files are carried by reference, not rewritten
-    assert len(carried) == 2
-    for c in carried:
-        assert any(c.startswith(d) for d in parent_entries)
+    assert len(before & after) == 2
+    # ...and their whole MANIFESTS carried without opening: two of the
+    # parent's manifest files appear verbatim in the new list
+    parent_names = {s["path"] for s in table.manifest(parent_v)["manifests"]}
+    child_names = {s["path"] for s in table.manifest(v)["manifests"]}
+    assert len(parent_names & child_names) == 2
     got = {(r["k"], r["v"]) for r in table.read().collect()}
     assert got == {(k, "NEW" if k in (12, 13) else "x") for k in range(30)}
     # carried files keep their stats → pruning still works post-merge
@@ -232,9 +240,10 @@ def test_merge_rewrites_only_intersecting_files(spark, table):
 def test_merge_outside_all_ranges_is_pure_append(spark, table):
     table.append(_ranged(spark, 0, 10))
     table.append(_ranged(spark, 10, 20))
+    before = {e["path"] for e in table.files()}
     v = table.merge(_df(spark, [(100, "new", 1)]), KEYS, ORDER)
-    carried = [e for e in table.manifest(v)["data_dirs"] if e.endswith(".parquet")]
-    assert len(carried) == 2, "no existing file intersects: none rewritten"
+    after = {e["path"] for e in table.files(v)}
+    assert before <= after, "no existing file intersects: none rewritten"
     assert table.read().count() == 21
 
 
@@ -304,7 +313,7 @@ def test_changes_delete_surface_via_unkeyed_diff(spark, table):
     v1 = table.current_version()
     purged = table.read().filter("k < 4")
     rel = table._write_data_dir(purged)
-    table._commit([rel], None, v1, files=table._stats_for_dir(rel))
+    table._commit([table._write_manifest(table._stats_for_dir(rel))], None, v1)
     got = table.changes(v1, keys=KEYS)
     by_type = {t: {r["k"] for r in rows} for t, rows in (
         (t, [r for r in got.collect() if r["_change_type"] == t])
@@ -386,7 +395,7 @@ def test_zorder_compaction_prunes_on_both_dimensions(spark, table):
     n0 = len(table._live_files(v0))
     assert len(table.scan_files(v0, [("ts", "<=", 3)])) == n0
 
-    one_file = sum(e["bytes"] for e in table.manifest()["files"]) // 16
+    one_file = sum(e["bytes"] for e in table.files()) // 16
     v = table.compact(target_file_bytes=one_file, zorder_by=["k", "ts"])
     files = table._live_files(v)
     assert len(files) >= 8
@@ -435,6 +444,60 @@ def test_cdf_incrementally_maintains_an_aggregate(spark, table):
     assert total_v1 + delta == total_v2
 
 
+# -- manifest-list metadata scaling ----------------------------------------
+
+
+def test_commit_metadata_is_o_touched_not_o_live(spark, tmp_path):
+    """At 100 TB (~10^6-10^7 files) commit metadata must be O(touched
+    files), not O(live files). Metadata-level proof: a synthetic
+    10k-file manifest is committed, then a real append lands on top —
+    the manifest LIST stays a few hundred bytes and the append writes
+    only its own entries, carrying the 10k-file manifest by
+    reference."""
+    table = ParquetTable(spark, str(tmp_path / "big"))
+    entries = [
+        {
+            "path": f"data/synth/part-{i:05d}.parquet",
+            "bytes": 1 << 20,
+            "rows": 1000,
+            "stats": {"k": {"lo": ["i", i * 10], "hi": ["i", i * 10 + 9], "nulls": 0}},
+        }
+        for i in range(10_000)
+    ]
+    table._commit([table._write_manifest(entries)], None, parent=0)
+    list_bytes = os.path.getsize(table._manifest_path(1))
+    assert list_bytes < 4096, f"manifest list must be O(manifests), got {list_bytes}B"
+    # history + point-lookup pruning are metadata-only on 10k files
+    h = table.history()
+    assert h[0]["n_files"] == 10_000 and h[0]["rows"] == 10_000_000
+    assert len(table.scan_files(1, [("k", "=", 55)])) == 1
+
+    before = set(os.listdir(table._manifests))
+    table.append(_df(spark, [(1, "a", 1)]).coalesce(1))
+    new_meta = sum(
+        os.path.getsize(os.path.join(table._manifests, f))
+        for f in set(os.listdir(table._manifests)) - before
+    )
+    assert new_meta < 8192, f"append wrote {new_meta}B of metadata on a 10k-file table"
+    assert table.history()[0]["n_files"] == 10_001
+
+
+def test_manifest_merging_bounds_list_length(spark, tmp_path):
+    """Without merge-on-commit the list grows one summary per commit
+    forever; with it the list stays O(limit) while reads, time travel,
+    and the file-level CDF diff stay exact across folds."""
+    table = ParquetTable(spark, str(tmp_path / "m"), manifest_merge_at=4)
+    for i in range(12):
+        table.append(_df(spark, [(i, f"v{i}", i)]).coalesce(1))
+    assert len(table.manifest()["manifests"]) <= 4
+    assert {r["k"] for r in table.read().collect()} == set(range(12))
+    assert table.read(version=6).count() == 6  # time travel across folds
+    added, removed = table._diff_files(11, 12)
+    assert len(added) == 1 and not removed, "fold must not fabricate diffs"
+    got = table.changes(11).collect()
+    assert [(r["k"], r["_change_type"]) for r in got] == [(11, "insert")]
+
+
 # -- model-based property test ---------------------------------------------
 
 
@@ -468,7 +531,11 @@ def test_random_op_sequences_match_reference_model(spark, tmp_path):
     )
     @given(ops=st.lists(op_st, min_size=1, max_size=5), pivot=st.integers(0, 9))
     def run(ops, pivot):
-        table = ParquetTable(spark, tempfile.mkdtemp(dir=tmp_path, prefix="m"))
+        # manifest_merge_at=3 forces manifest folding inside the
+        # sequences, so the model-check drives the two-level path
+        table = ParquetTable(
+            spark, tempfile.mkdtemp(dir=tmp_path, prefix="m"), manifest_merge_at=3
+        )
         model: list[tuple[int, str, int]] = []
         ts = 0
         for op, arg in ops:
@@ -505,6 +572,26 @@ def test_random_op_sequences_match_reference_model(spark, tmp_path):
         assert filt == sorted(r for r in model if r[0] >= pivot)
 
     run()
+
+
+def test_changes_across_nonadditive_schema_change_fails_clearly(spark, table):
+    """overwrite() redefines the schema outright; a change feed that
+    crosses a type change or a dropped column must raise a clear
+    error, not fail mid-scan or silently null preimage values."""
+    table.append(_df(spark, [(1, "a", 1)]))
+    v1 = table.current_version()
+    table.overwrite(
+        spark.createDataFrame([(1, 5, 2)], "k int, v int, ts int")  # v: string→int
+    )
+    with pytest.raises(ValueError, match="non-additive"):
+        table.changes(v1, keys=KEYS)
+    table.overwrite(spark.createDataFrame([(1, 2)], "k int, ts int"))  # v dropped
+    with pytest.raises(ValueError, match="dropped"):
+        table.changes(v1, keys=KEYS)
+    # additive evolution still feeds fine
+    v3 = table.current_version()
+    table.append(spark.createDataFrame([(2, 3, "x")], "k int, ts int, extra string"))
+    assert {r["k"] for r in table.changes(v3).collect()} == {2}
 
 
 def test_changes_from_vacuumed_version_fails_clearly(spark, table):
