@@ -223,6 +223,7 @@ def jdbc_upsert_writer(
     properties: dict[str, str] | None = None,
     connection_factory: Callable[[], object] | None = None,
     batch_size: int = 500,
+    placeholder: str = "%s",
 ):
     """Returns a ``foreachBatch`` handler performing the keyed upsert
     into PostgreSQL (ref main.py:50,85 ``upsert``): one DBAPI
@@ -232,13 +233,15 @@ def jdbc_upsert_writer(
     ``connection_factory`` must be picklable (it ships to executors);
     when omitted, a psycopg2 factory is built ON THE DRIVER at handler
     invocation, raising NotImplementedError immediately if the driver
-    library is missing.
+    library is missing. ``placeholder`` follows the driver's DBAPI
+    paramstyle: ``%s`` for psycopg2 (default), ``?`` for qmark drivers
+    (DuckDB/SQLite — used by the embedded integration tests).
     """
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         prepared = prepare_for_load(batch)
         columns = list(prepared.columns)
-        sql = upsert_conflict_sql(table, columns, keys)
+        sql = upsert_conflict_sql(table, columns, keys, placeholder=placeholder)
         factory = connection_factory or Psycopg2Factory(url, properties)
 
         def write_partition(rows) -> None:
