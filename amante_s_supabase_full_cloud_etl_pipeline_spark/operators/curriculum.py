@@ -7,8 +7,9 @@ quality)`` — a GLOBAL window that funnels the corpus through one
 partition. The scalable plan computed here is two steps:
 
 1. one aggregation computes the n-1 boundary values (exact
-   ``percentile`` locally; at 100 TB swap in ``approx_percentile`` —
-   same plan shape, documented accuracy trade),
+   ``percentile`` by default; ``approximate=True`` swaps in
+   ``approx_percentile`` for 100 TB — same plan shape, bounded-memory
+   sketch instead of a full sort-based exact percentile),
 2. the boundary row (a handful of doubles) broadcasts and each row's
    bucket is a pure comparison — map-side, no shuffle of the corpus.
 
@@ -32,17 +33,30 @@ def quality_buckets(
     n_buckets: int = 10,
     text_col: str = "text",
     score_col: str | None = None,
+    approximate: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Input plus ``quality`` and 1-based ``bucket`` columns. If
     ``score_col`` is given it is used as the quality signal;
     otherwise the engine's ``quality_score`` expression is computed
-    from ``text_col``."""
+    from ``text_col``.
+
+    ``approximate=True`` computes the boundaries with
+    ``approx_percentile`` (Greenwald-Khanna sketch, error ≤
+    1/``accuracy`` in rank): the exact mode's percentile aggregate
+    must buffer every value per aggregation state, which at 100 TB is
+    the one non-sketchable piece of this plan — the approximate mode
+    is the production path there, and a rank-correlation test pins
+    how close the two bucketings stay."""
     score = F.col(score_col) if score_col else quality_score(F.col(text_col))
     scored = docs.withColumn("quality", score)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = scored.agg(
-        F.percentile("quality", F.array(*[F.lit(f) for f in fracs])).alias("_bounds")
-    )
+    frac_arr = F.array(*[F.lit(f) for f in fracs])
+    if approximate:
+        bounds_expr = F.percentile_approx("quality", frac_arr, F.lit(accuracy))
+    else:
+        bounds_expr = F.percentile("quality", frac_arr)
+    bounds = scored.agg(bounds_expr.cast("array<double>").alias("_bounds"))
     joined = scored.join(F.broadcast(bounds))
     # bucket = 1 + number of boundaries strictly below the value
     bucket = F.lit(1) + F.aggregate(
