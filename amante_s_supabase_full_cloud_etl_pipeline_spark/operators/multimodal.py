@@ -6,12 +6,15 @@ layout for multimodal training data. All Spark-side plumbing is real
 (schema, batch iteration, partition sizing), and the image decode is
 REAL for uncompressed formats:
 
-- :func:`decode_image` decodes 24-bit uncompressed BMP and binary
-  PPM (P6) with pure numpy — no image library needed. Compressed
-  codecs (JPEG/PNG/video) still gate behind
-  :func:`decode_image_batch`'s NotImplementedError (PIL/libvips not
-  in this container); swap :func:`decode_image` for a PIL call and
-  nothing else changes.
+- :func:`decode_image` decodes 24-bit uncompressed BMP, binary PPM
+  (P6), AND 8-bit RGB/RGBA PNG — PNG is a real compressed codec,
+  hand-decoded with stdlib ``zlib`` (all five scanline filters), so
+  compressed-image plumbing is exercised without any image library.
+  JPEG (and anything else PIL knows) decodes automatically when PIL
+  is importable (:func:`pil_available` probe); without PIL, JPEG
+  blobs gate behind a loud NotImplementedError in
+  :func:`decode_image_batch` while per-row :func:`decode_image`
+  returns None (S4 skip semantics).
 - :func:`decode_wav` decodes RIFF/PCM16 audio (proper chunk walk,
   stereo downmix) → waveform features; compressed audio formats
   gate exactly like compressed images.
@@ -103,14 +106,63 @@ def size_partitioned(df: DataFrame, total_bytes: int, target_partition_mb: int =
     return df.repartition(n)
 
 
+def pil_available() -> bool:
+    """Optional-dependency probe: True when PIL/Pillow is importable.
+    Evaluated where it runs (driver or executor) — decode kernels call
+    it lazily so the same code auto-upgrades the moment Pillow lands
+    in the environment, with no configuration."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(blob: bytes):
+    """(h, w, 3) uint8 RGB via PIL, or None on failure — used for the
+    formats the native decoders don't cover (JPEG, WebP, ...)."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    try:
+        with PIL.Image.open(io.BytesIO(blob)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8).copy()
+    except Exception:
+        return None
+
+
 def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-    """mapInPandas kernel for COMPRESSED codecs (JPEG/PNG/video).
-    STUB — these need PIL/libvips, not present in this container;
-    uncompressed BMP/PPM decode is real (:func:`decode_image`)."""
-    for batch in batches:  # pragma: no cover - exercised only to raise
-        raise NotImplementedError(
-            "STUB: compressed-image decode requires PIL/libvips; "
-            "BMP/PPM are decoded natively by decode_image"
+    """mapInPandas kernel for codecs outside the native set
+    (JPEG/WebP/...): decodes via PIL when the probe finds it,
+    otherwise fails FAST and loudly — never a silent None-for-all
+    (BMP/PPM/PNG decode natively in :func:`decode_image`)."""
+    import pandas as pd
+
+    for batch in batches:
+        if not pil_available():
+            raise NotImplementedError(
+                "compressed-image decode beyond PNG requires PIL/Pillow "
+                "(pil_available() is False); BMP/PPM/PNG are decoded "
+                "natively by decode_image"
+            )
+        feats = []
+        for blob in batch["blob"]:
+            arr = _pil_decode(bytes(blob)) if blob is not None else None
+            feats.append(
+                None
+                if arr is None
+                else [float(arr.shape[0]), float(arr.shape[1]), float(arr.mean())]
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "media_type": batch["media_type"],
+                "byte_length": batch["blob"].str.len().astype("int64"),
+                "feature": feats,
+            }
         )
 
 
@@ -212,9 +264,118 @@ def _decode_bmp(blob: bytes):
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG (8-bit truecolor, filter 0 rows,
+    stdlib zlib DEFLATE) — a real compressed codec with no image
+    library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(blob: bytes):
+    """8-bit RGB/RGBA non-interlaced PNG → (h, w, 3) uint8 RGB (alpha
+    dropped), honoring all five scanline filters (None/Sub/Up/
+    Average/Paeth). Returns None for other PNG flavors or corrupt
+    streams — per-row skip, S4 semantics. Reference-grade unfilter
+    loop (rows vectorized for None/Up, per-byte for the sequential
+    filters); production JPEG-scale decode rides the PIL probe."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not blob.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR" and len(data) == 13:
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6) or comp or filt or interlace or w <= 0 or h <= 0:
+        return None
+    ch = 3 if ctype == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    rpos = 0
+    for y in range(h):
+        ftype = raw[rpos]
+        rpos += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=rpos).astype(np.int32)
+        rpos += stride
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:
+            cur = (row + prev) % 256
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:  # Paeth
+                    ul = int(prev[x - ch]) if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                cur[x] = (row[x] + pred) % 256
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, ch)
+    return img[:, :, :3].copy()
+
+
 def decode_image(blob: bytes):
     """Dispatch on magic bytes → (h, w, 3) uint8 RGB, or None when
-    the format is unknown/corrupt (per-row skip, S4 semantics)."""
+    the format is unknown/corrupt (per-row skip, S4 semantics).
+    Native: BMP, PPM, PNG. Anything else (JPEG, WebP, ...) decodes
+    through PIL when the optional-dependency probe finds it."""
     if blob is None:
         return None
     b = bytes(blob)
@@ -222,6 +383,10 @@ def decode_image(blob: bytes):
         return _decode_bmp(b)
     if b[:2] == b"P6":
         return _decode_ppm(b)
+    if b.startswith(_PNG_SIG):
+        return _decode_png(b)
+    if pil_available():
+        return _pil_decode(b)
     return None
 
 
