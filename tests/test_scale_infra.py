@@ -240,3 +240,27 @@ def test_gopher_filter_is_a_single_map_side_predicate(spark, sf_dir):
     )
     assert "Exchange" not in plan, plan[:2000]
     assert plan.count("FileScan parquet") == 1 or plan.count("Scan parquet") == 1
+
+
+def test_a10_a11_total_legs_reuse_the_aggregation_exchange(spark, sf_dir):
+    """Each share-of-total branch computes its denominator FROM the
+    grouped result, so at runtime AQE must reuse the branch's
+    aggregation shuffle for the total leg instead of re-scanning the
+    fact — the static plan (PLANS.md pre-execution section) cannot
+    show this; only the final adaptive plan can, so execute first."""
+    import contextlib
+    import io
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import registry
+
+    registry.load_all_queries()
+    df = registry.QUERIES["a10_a11_share_of_total"](spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, (
+        "total legs must reuse the per-branch aggregation exchanges"
+    )
