@@ -6,7 +6,9 @@ way a pre-training data run composes them:
 
 1. Language ID + quality/repetition band filter (map-only signals).
 2. PII redaction (email/phone/IPv4 scrub) + corpus-wide line dedup
-   (CCNet/C4-style boilerplate removal).
+   (CCNet/C4-style boilerplate removal) + exact-substring span dedup
+   (Lee et al. k-gram rolling-hash pass — duplicated passages
+   longer than k tokens keep one copy corpus-wide).
 3. Exact dedup (fingerprint) then MinHash-LSH near-dup pruning.
 4. Benchmark decontamination (broadcast eval-shingle containment).
 5. Deterministic train/val/test split (content-keyed — reproducible
@@ -46,6 +48,7 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.decontam import (
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
     pack_chunk_spans,
 )
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import substring_dedup
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.redact import redact_pii
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import (
     dup_token_count,
@@ -94,7 +97,14 @@ def main(sf_dir: str, workdir: str) -> None:
     no_boiler = drop_boilerplate_lines(whole_unique, min_docs=5).drop(
         "n_lines_removed"
     )
-    exact_unique = dedup_lines(no_boiler).join(
+    line_unique = dedup_lines(no_boiler)
+    # exact-substring pass: duplicated ≥16-token passages keep their
+    # first occurrence only (catches licence blocks/templates pasted
+    # mid-document that neither line nor doc dedup sees)
+    span_unique = substring_dedup.trim_duplicate_spans(line_unique, k=16).drop(
+        "n_tokens_removed"
+    )
+    exact_unique = span_unique.join(
         whole_unique.select("doc_id", "pred_lang", "quality"), "doc_id"
     )
 
