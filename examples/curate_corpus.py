@@ -4,6 +4,8 @@ way a pre-training data run composes them:
 
     python examples/curate_corpus.py [sf_dir] [workdir]
 
+0. Text hygiene (NFC + mojibake repair + control strip — ftfy-lite)
+   and DEFLATE compression-ratio signal (information density).
 1. Language ID + quality/repetition band filter (map-only signals).
 2. PII redaction (email/phone/IPv4 scrub) + corpus-wide line dedup
    (CCNet/C4-style boilerplate removal) + exact-substring span dedup
@@ -48,7 +50,7 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.decontam import (
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
     pack_chunk_spans,
 )
-from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import substring_dedup
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import hygiene, substring_dedup
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.redact import redact_pii
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import (
     dup_token_count,
@@ -65,14 +67,20 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import
 
 def main(sf_dir: str, workdir: str) -> None:
     spark = get_spark("curate-corpus")
-    docs = catalog.table(spark, sf_dir, "documents")
-    n0 = docs.count()
+    raw = catalog.table(spark, sf_dir, "documents")
+    n0 = raw.count()
+
+    # 0. hygiene: mojibake/NFC/control repair, then the compression-
+    # ratio information-density signal (both Arrow kernels, map-only)
+    docs = hygiene.fixed_text(raw).drop("changed")
+    density = hygiene.compression_signals(docs).select("doc_id", "compression_ratio")
 
     # 1. signals + band filter (single map stage; all JVM expressions)
     toks = tokens(F.col("text"))
-    scored = docs.select(
+    scored = docs.join(density, "doc_id").select(
         "doc_id",
         "text",
+        "compression_ratio",
         lang_id(F.col("text")).alias("pred_lang"),
         quality_score(F.col("text")).alias("quality"),
         token_count(F.col("text")).alias("n_tok"),
@@ -83,7 +91,10 @@ def main(sf_dir: str, workdir: str) -> None:
         & (F.col("quality") >= 0.4)
         & (F.col("n_tok") >= 20)
         & (F.col("rep_frac") <= 0.6)
-    )
+        # drop both template sludge (over-compressible) and noise
+        # (incompressible); generous bounds — it's a guard rail here
+        & F.col("compression_ratio").between(0.05, 0.95)
+    ).drop("compression_ratio")
 
     # 2. PII scrub + 3a. exact dedup on the normalized fingerprint,
     # then corpus-wide line dedup (exact-dup docs must drop BEFORE
@@ -130,7 +141,7 @@ def main(sf_dir: str, workdir: str) -> None:
         tables[split] = t
 
     # 6. mixture report + pack the train split into context chunks
-    train = tables["train"].read().join(docs.select("doc_id", "source"), "doc_id")
+    train = tables["train"].read().join(raw.select("doc_id", "source"), "doc_id")
     mix = (
         train.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(token_count(F.col("text"))).alias("n_tok"))
