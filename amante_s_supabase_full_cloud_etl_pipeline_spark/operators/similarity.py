@@ -14,9 +14,10 @@ Scale design:
   (recall < 1, tunable via multi-probe). Hyperplanes are derived
   deterministically from a seed so signatures are reproducible
   across runs/engines.
-- IVF analog: k-means coarse centroids would replace the hyperplane
-  code path; bucketing/probing plumbing is identical, so the LSH
-  variant stands in for both locally.
+- IVF: k-means coarse centroids (``ivf_topk``) — same bucket/probe
+  plumbing as LSH with data-adaptive buckets; the memory-compressed
+  IVF-PQ variant (product quantization + ADC + exact re-rank) lives
+  in ``operators/pq.py``.
 
 Grounding: distributed top-k similarity search shapes per EDBT 2020
 (incremental top-k) / ICDE 2021 (REPOSE: distributed top-k with local
