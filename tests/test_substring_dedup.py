@@ -171,3 +171,27 @@ def test_plan_shape_no_global_window(spark):
     )
     assert "windowspecdefinition(doc_id" in plan.replace(" ", "") or "doc_id" in plan
     assert "windowspecdefinition()" not in plan.replace(" ", "")
+
+
+def test_hypothesis_differential_small_alphabet(spark):
+    """Random corpora over a 3-token alphabet at k=3: windows collide
+    constantly, exercising keep-first ordering, overlapping-span
+    merging, and within-doc repeats far beyond the hand fixtures."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    doc_st = st.lists(st.sampled_from("abc"), min_size=0, max_size=24).map(" ".join)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts=st.lists(doc_st, min_size=1, max_size=6))
+    def run(texts):
+        docs = {i: t for i, t in enumerate(texts)}
+        got = _spark_trim(spark, docs, 3)
+        assert got == reference_trim(docs, 3)
+
+    run()
