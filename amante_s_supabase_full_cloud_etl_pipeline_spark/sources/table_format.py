@@ -839,6 +839,12 @@ class ParquetTable:
         incremental consumer pays for the day's commits, never the
         table."""
         vt = self.current_version() if to_version is None else to_version
+        if not self.manifest(vt)["manifests"]:
+            raise ValueError(
+                f"change feed of {self.path} needs a committed target version "
+                f"(v{vt} is the empty table — there is no schema to describe "
+                "changes against)"
+            )
         old_schema, new_schema = self.schema(from_version), self.schema(vt)
         if old_schema is not None and new_schema is not None:
             new_fields = {f.name: f.dataType for f in new_schema.fields}

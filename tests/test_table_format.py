@@ -643,3 +643,79 @@ def test_history_is_metadata_only_commit_log(spark, table):
     assert h[0]["batch_id"] == 7 and h[1]["batch_id"] is None
     assert h[0]["rows"] == 10 and h[1]["rows"] == 10
     assert all(e["bytes"] > 0 for e in h)
+
+
+def test_keyed_change_feed_matches_model_between_random_versions(spark, tmp_path):
+    """Hypothesis drives random merge/overwrite sequences (key-unique
+    by construction — the keyed feed's precondition) with manifest
+    folding forced on, records the model state at every version, then
+    checks changes(v_i, v_j, keys) classification against the model
+    diff for random version pairs: inserts/deletes/update images must
+    match exactly, and same-state pairs must produce an empty feed."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from("abc")),
+        min_size=1,
+        max_size=4,
+    )
+    op_st = st.one_of(
+        st.tuples(st.just("merge"), rows_st),
+        st.tuples(st.just("overwrite"), rows_st),
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        ops=st.lists(op_st, min_size=2, max_size=5),
+        pick=st.tuples(st.integers(0, 100), st.integers(0, 100)),
+    )
+    def run(ops, pick):
+        table = ParquetTable(
+            spark, tempfile.mkdtemp(dir=tmp_path, prefix="cdf"), manifest_merge_at=3
+        )
+        states: list[dict] = [{}]  # version index -> {k: (k, v, ts)}
+        ts = 0
+        for op, arg in ops:
+            batch = []
+            latest = {}
+            for k, v in arg:
+                ts += 1
+                latest[k] = (k, v, ts)
+            batch = list(latest.values())
+            df = _df(spark, batch)
+            if op == "merge":
+                table.merge(df, KEYS, ORDER)
+                state = dict(states[-1])
+                state.update({r[0]: r for r in batch})
+            else:
+                table.overwrite(df)
+                state = {r[0]: r for r in batch}
+            states.append(state)
+        n = len(states) - 1
+        vt = 1 + pick[1] % n  # the feed needs a committed target
+        vf = pick[0] % (vt + 1)
+        old, new = states[vf], states[vt]
+        feed = table.changes(vf, to_version=vt, keys=KEYS).collect()
+        got = {}
+        for r in feed:
+            got.setdefault(r["_change_type"], set()).add((r["k"], r["v"], r["ts"]))
+        want_ins = {new[k] for k in new if k not in old}
+        want_del = {old[k] for k in old if k not in new}
+        want_pre = {old[k] for k in old if k in new and old[k] != new[k]}
+        want_post = {new[k] for k in new if k in old and old[k] != new[k]}
+        assert got.get("insert", set()) == want_ins
+        assert got.get("delete", set()) == want_del
+        assert got.get("update_preimage", set()) == want_pre
+        assert got.get("update_postimage", set()) == want_post
+        if old == new:
+            assert not feed
+
+    run()
