@@ -200,6 +200,30 @@ def _file_prunable(meta: dict, filters: Sequence[tuple]) -> bool:
     return False
 
 
+def _validate_filters(filters: Sequence[tuple]) -> None:
+    for f in filters:
+        if len(f) != 3 or f[1] not in _OPS:
+            raise ValueError(f"bad filter {f!r}; want (col, op∈{_OPS}, value)")
+
+
+def _filter_condition(filters: Sequence[tuple]):
+    """The Spark conjunction a (col, op, value) filter list denotes."""
+    cond = F.lit(True)
+    for col, op, value in filters:
+        if op == "in":
+            this = F.col(col).isin(*value) if value else F.lit(False)
+        else:
+            this = {
+                "=": F.col(col) == F.lit(value),
+                "<": F.col(col) < F.lit(value),
+                "<=": F.col(col) <= F.lit(value),
+                ">": F.col(col) > F.lit(value),
+                ">=": F.col(col) >= F.lit(value),
+            }[op]
+        cond = cond & this
+    return cond
+
+
 class CommitConflict(Exception):
     """Another writer committed this version first — reload the
     snapshot and retry."""
@@ -386,9 +410,7 @@ class ParquetTable:
         if not m["manifests"]:
             raise ValueError(f"table {self.path} is empty at version {m['version']}")
         if filters:
-            for f in filters:
-                if len(f) != 3 or f[1] not in _OPS:
-                    raise ValueError(f"bad filter {f!r}; want (col, op∈{_OPS}, value)")
+            _validate_filters(filters)
             kept = self.scan_files(m["version"], filters)
             paths = [os.path.join(self.path, p) for p in kept]
             if not paths:
@@ -397,21 +419,7 @@ class ParquetTable:
                 # cheap and we avoid fabricating a schema.
                 paths = self._live_files(m["version"])
             df = self._read_paths(paths, m)
-            for col, op, value in filters:
-                if op == "in":
-                    cond = (
-                        F.col(col).isin(*value) if value else F.lit(False)
-                    )
-                else:
-                    cond = {
-                        "=": F.col(col) == F.lit(value),
-                        "<": F.col(col) < F.lit(value),
-                        "<=": F.col(col) <= F.lit(value),
-                        ">": F.col(col) > F.lit(value),
-                        ">=": F.col(col) >= F.lit(value),
-                    }[op]
-                df = df.filter(cond)
-            return df
+            return df.filter(_filter_condition(filters))
         return self._read_paths(self._live_files(m["version"]), m)
 
     def _read_paths(self, paths: list[str], manifest: dict) -> DataFrame:
@@ -771,6 +779,57 @@ class ParquetTable:
             self.merge_with_retry(batch, keys, order_by, batch_id=batch_id)
 
         return handle
+
+    def delete_where(
+        self, filters: Sequence[tuple], batch_id: int | None = None
+    ) -> int:
+        """SQL ``DELETE WHERE <conjunction>`` as a new snapshot (the
+        GDPR-purge / retention-policy op): rows where EVERY filter
+        holds are removed; rows where the condition is NULL (a null in
+        a compared column) are KEPT — SQL DELETE semantics.
+
+        Same two-level pruning as ``merge``: a manifest whose folded
+        bounds prove no contained row can match carries into the new
+        list verbatim (never opened); an intersecting manifest opens
+        and only its intersecting FILES are rewritten, the rest
+        re-listed by reference. A delete that provably touches nothing
+        commits nothing and returns the current version. Old
+        snapshots keep the rows until ``vacuum`` — physical erasure =
+        delete_where + vacuum, exactly Delta's contract."""
+        _validate_filters(filters)
+        parent = self.current_version()
+        if self._already_applied(batch_id, parent):
+            return parent
+        if parent == 0:
+            return parent  # empty table: nothing to delete
+        carried: list[dict] = []
+        untouched: list[dict] = []
+        touched: list[str] = []
+        for s in self.manifest(parent)["manifests"]:
+            mb = s.get("bounds") or {}
+            if mb and _file_prunable(_bounds_as_stats(mb), filters):
+                carried.append(s)
+                continue
+            for e in self._manifest_entries(s["path"]):
+                if _file_prunable(e, filters):
+                    untouched.append(e)
+                else:
+                    touched.append(e["path"])
+        if not touched:
+            return parent  # no file can hold a matching row: no-op
+        target = self._read_paths(
+            [os.path.join(self.path, p) for p in touched], self.manifest(parent)
+        )
+        # keep rows where the condition is FALSE or NULL
+        remaining = target.filter(~F.coalesce(_filter_condition(filters), F.lit(False)))
+        rel = self._write_data_dir(remaining)
+        manifests = list(carried)
+        if untouched:
+            manifests.append(self._write_manifest(untouched))
+        manifests.append(self._write_manifest(self._stats_for_dir(rel)))
+        return self._commit(
+            manifests, batch_id, parent, schema=self.manifest(parent).get("schema")
+        )
 
     # -- change data feed ---------------------------------------------------
 

@@ -719,3 +719,49 @@ def test_keyed_change_feed_matches_model_between_random_versions(spark, tmp_path
             assert not feed
 
     run()
+
+
+# -- DELETE WHERE ----------------------------------------------------------
+
+
+def test_delete_where_rewrites_only_intersecting_files(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.append(_ranged(spark, 10, 20))
+    table.append(_ranged(spark, 20, 30))
+    before = {e["path"] for e in table.files()}
+    v0 = table.current_version()
+    v = table.delete_where([("k", ">=", 12), ("k", "<", 15)])
+    after = {e["path"] for e in table.files(v)}
+    assert len(before & after) == 2, "disjoint files carried by reference"
+    assert {r["k"] for r in table.read().collect()} == set(range(30)) - {12, 13, 14}
+    # time travel keeps the rows until vacuum
+    assert table.read(version=v0).count() == 30
+    # CDF sees the deletions (unkeyed: rewritten file rows suppressed
+    # only under keyed semantics; use keys)
+    got = {
+        (r["k"], r["_change_type"])
+        for r in table.changes(v0, keys=KEYS).collect()
+    }
+    assert got == {(12, "delete"), (13, "delete"), (14, "delete")}
+
+
+def test_delete_where_noop_and_idempotent(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    v1 = table.current_version()
+    # provably-empty delete: no new version
+    assert table.delete_where([("k", ">", 999)]) == v1
+    # batch_id replay applies once
+    v2 = table.delete_where([("k", "=", 3)], batch_id=42)
+    assert v2 == v1 + 1
+    assert table.delete_where([("k", "=", 4)], batch_id=42) == v2  # replayed
+    assert {r["k"] for r in table.read().collect()} == set(range(10)) - {3}
+
+
+def test_delete_where_null_rows_survive(spark, table):
+    table.append(
+        spark.createDataFrame([(1, "a", 1), (None, "n", 2), (5, "b", 3)],
+                              "k int, v string, ts int")
+    )
+    table.delete_where([("k", "<", 10)])
+    got = {(r["k"], r["v"]) for r in table.read().collect()}
+    assert got == {(None, "n")}, "NULL comparison keeps the row (SQL DELETE)"
