@@ -157,3 +157,46 @@ def xxhash_sample(df: DataFrame, key: str, fraction: float, n_buckets: int = 10_
     1/n_buckets)."""
     keep = int(round(fraction * n_buckets))
     return df.filter(xxhash_bucket(F.col(key), n_buckets) < F.lit(keep))
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    weights: DataFrame,
+    strata: str = "source",
+    key: str = "doc_id",
+    weight_col: str = "sample_weight_t05",
+    share_col: str = "token_share",
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """Materialize a target mixture (e.g. the output of
+    ``source_mixture_weights``) as an actual single-epoch corpus:
+    each stratum keeps the content-keyed fraction that moves its
+    realized share onto the target, scaled so the most UP-weighted
+    stratum keeps everything (downsample-only — no document
+    repetition; over-weighting beyond that is an epoch/repetition
+    decision for the training loop, not a corpus transform).
+
+    keep_fraction_s = (w_s / p_s) / max_t (w_t / p_t), where w is the
+    target weight and p the current share. Realized shares then equal
+    the target up to per-document quantization. Map-only: the
+    dimension-sized weights table broadcasts, membership is the same
+    stratum-coupled content hash as :func:`stratified_sample` —
+    reproducible on any partitioning, dynamic fractions straight from
+    the weights DataFrame (no literal dict)."""
+    ratio = (F.col(weight_col) / F.col(share_col)).alias("_r")
+    w = weights.select(F.col(strata).alias("_s"), ratio)
+    max_r = w.agg(F.max("_r").alias("_mr"))
+    fracs = w.crossJoin(F.broadcast(max_r)).select(
+        F.col("_s"), (F.col("_r") / F.col("_mr")).alias("_keep_frac")
+    )
+    joined = df.join(F.broadcast(fracs), df[strata] == F.col("_s"))
+    bucket = F.pmod(
+        F.xxhash64(F.concat(F.col(strata), F.lit("\x1f"), F.col(key).cast("string"))),
+        F.lit(n_buckets),
+    )
+    return (
+        joined.filter(
+            bucket < F.round(F.col("_keep_frac") * n_buckets).cast("long")
+        )
+        .drop("_s", "_keep_frac")
+    )

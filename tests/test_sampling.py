@@ -161,3 +161,62 @@ def test_stratified_sample_drops_unlisted_and_scales(spark, sf_dir):
     n_en = docs.filter(F.col("lang") == "en").count()
     assert got.count() == n_en  # fraction 1.0 keeps all, others dropped
     assert {r[0] for r in got.select("lang").distinct().collect()} == {"en"}
+
+
+def test_resample_to_mixture_hits_target_shares(spark):
+    """Skewed 4-source corpus resampled onto temperature-0.5 weights:
+    realized token shares land on the target (±2%), the most
+    up-weighted sources keep every document, and membership is
+    partition-independent."""
+    from pyspark.sql import functions as F
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import (
+        token_count,
+    )
+
+    sizes = {"big": 1000, "mid": 500, "small1": 250, "small2": 250}
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"tok{i} tok{i} tok{i} tok{i}", src))  # 4 tokens each
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # target: temperature-0.5 (w ∝ sqrt(tokens)), same math as
+    # source_mixture_weights
+    tok = {s: n * 4 for s, n in sizes.items()}
+    total = sum(tok.values())
+    pw = {s: t**0.5 for s, t in tok.items()}
+    z = sum(pw.values())
+    weights = spark.createDataFrame(
+        [(s, tok[s] / total, pw[s] / z) for s in sizes],
+        "source string, token_share double, sample_weight_t05 double",
+    )
+
+    out = resample_to_mixture(docs, weights)
+    realized = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("t"))
+        .collect()
+    }
+    rt = sum(realized.values())
+    for s in sizes:
+        target = pw[s] / z
+        assert abs(realized[s] / rt - target) < 0.02, (s, realized[s] / rt, target)
+    # the most up-weighted strata (highest w/p) keep everything
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert kept["small1"] == 250 and kept["small2"] == 250
+    assert kept["big"] < 1000  # the dominant source downsampled
+    # partition independence
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    again = {
+        r["doc_id"]
+        for r in resample_to_mixture(docs.repartition(13), weights)
+        .select("doc_id")
+        .collect()
+    }
+    assert again == ids
