@@ -264,3 +264,32 @@ def test_a10_a11_total_legs_reuse_the_aggregation_exchange(spark, sf_dir):
     assert plan.count("ReusedExchange") >= 2, (
         "total legs must reuse the per-branch aggregation exchanges"
     )
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """The date-partitioned fact layout must get runtime partition
+    pruning when joined to a filtered dimension: the dim filter's
+    values aren't known at plan time, so only DPP (a runtime subquery
+    feeding the partition filter) keeps the scan from reading all
+    partitions — the join-side sibling of the static pruning test
+    above, and the main scan saver for star joins at 100 TB."""
+    fact = spark.range(50_000).select(
+        F.col("id"),
+        (F.col("id") % 30).cast("int").alias("day"),
+        (F.col("id") % 1000).alias("amount"),
+    )
+    fact.write.partitionBy("day").mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(d, "hot" if d < 3 else "cold") for d in range(30)], "day int, label string"
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    j = f.join(dim.filter(F.col("label") == "hot"), "day").agg(
+        F.sum("amount").alias("s")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP subquery missing from the scan"
+    # and the answer is right: only days 0-2 contribute
+    expect = (
+        f.filter(F.col("day") < 3).agg(F.sum("amount")).first()[0]
+    )
+    assert j.first()["s"] == expect
