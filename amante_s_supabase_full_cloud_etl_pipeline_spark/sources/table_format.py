@@ -831,6 +831,70 @@ class ParquetTable:
             manifests, batch_id, parent, schema=self.manifest(parent).get("schema")
         )
 
+    def update_where(
+        self,
+        filters: Sequence[tuple],
+        assignments: dict,
+        batch_id: int | None = None,
+    ) -> int:
+        """SQL ``UPDATE SET col = value WHERE <conjunction>`` as a new
+        snapshot — completes the DML trio (merge = keyed upsert,
+        delete_where, update_where). ``assignments`` maps existing
+        column names to literals or pyspark Columns; each assignment
+        casts to the column's recorded type so the table schema never
+        drifts through an update. Rows where the condition is FALSE or
+        NULL are untouched; same two-level manifest pruning and no-op
+        detection as ``delete_where``; byte-identical semantics for
+        the change feed (updated rows show both images under keyed
+        CDF, untouched rewritten rows are suppressed)."""
+        _validate_filters(filters)
+        parent = self.current_version()
+        if self._already_applied(batch_id, parent):
+            return parent
+        if parent == 0:
+            return parent
+        schema = self.schema(parent)
+        if schema is not None:
+            known = {f.name: f.dataType for f in schema.fields}
+            for c in assignments:
+                if c not in known:
+                    raise ValueError(
+                        f"update_where: unknown column {c!r}; table has {sorted(known)}"
+                    )
+        carried: list[dict] = []
+        untouched: list[dict] = []
+        touched: list[str] = []
+        for s in self.manifest(parent)["manifests"]:
+            mb = s.get("bounds") or {}
+            if mb and _file_prunable(_bounds_as_stats(mb), filters):
+                carried.append(s)
+                continue
+            for e in self._manifest_entries(s["path"]):
+                if _file_prunable(e, filters):
+                    untouched.append(e)
+                else:
+                    touched.append(e["path"])
+        if not touched:
+            return parent
+        target = self._read_paths(
+            [os.path.join(self.path, p) for p in touched], self.manifest(parent)
+        )
+        cond = F.coalesce(_filter_condition(filters), F.lit(False))
+        updated = target
+        for c, v in assignments.items():
+            expr = v if hasattr(v, "cast") else F.lit(v)
+            if schema is not None:
+                expr = expr.cast(known[c])
+            updated = updated.withColumn(c, F.when(cond, expr).otherwise(F.col(c)))
+        rel = self._write_data_dir(updated)
+        manifests = list(carried)
+        if untouched:
+            manifests.append(self._write_manifest(untouched))
+        manifests.append(self._write_manifest(self._stats_for_dir(rel)))
+        return self._commit(
+            manifests, batch_id, parent, schema=self.manifest(parent).get("schema")
+        )
+
     # -- change data feed ---------------------------------------------------
 
     def _diff_files(self, from_version: int, to_version: int) -> tuple[list[str], list[str]]:

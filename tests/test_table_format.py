@@ -765,3 +765,46 @@ def test_delete_where_null_rows_survive(spark, table):
     table.delete_where([("k", "<", 10)])
     got = {(r["k"], r["v"]) for r in table.read().collect()}
     assert got == {(None, "n")}, "NULL comparison keeps the row (SQL DELETE)"
+
+
+def test_update_where_rewrites_only_intersecting_files(spark, table):
+    table.append(_ranged(spark, 0, 10))
+    table.append(_ranged(spark, 10, 20))
+    table.append(_ranged(spark, 20, 30))
+    before = {e["path"] for e in table.files()}
+    v0 = table.current_version()
+    v = table.update_where([("k", ">=", 12), ("k", "<", 15)], {"v": "UPD"})
+    after = {e["path"] for e in table.files(v)}
+    assert len(before & after) == 2, "disjoint files carried by reference"
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert all(got[k] == ("UPD" if 12 <= k < 15 else "x") for k in range(30))
+    assert table.read(version=v0).filter("v = 'UPD'").count() == 0  # time travel
+    # keyed CDF: both images for updated keys, untouched rewrites suppressed
+    changes = {
+        (r["k"], r["_change_type"]) for r in table.changes(v0, keys=KEYS).collect()
+    }
+    assert changes == {
+        (k, t)
+        for k in (12, 13, 14)
+        for t in ("update_preimage", "update_postimage")
+    }
+    # schema preserved: assignment cast to the column's recorded type
+    assert table.schema(v) == table.schema(v0)
+
+
+def test_update_where_column_expr_noop_and_validation(spark, table):
+    from pyspark.sql import functions as F
+
+    table.append(_ranged(spark, 0, 10))
+    v1 = table.current_version()
+    # provably-empty update: no commit
+    assert table.update_where([("k", ">", 999)], {"v": "x"}) == v1
+    # unknown column fails before any write
+    with pytest.raises(ValueError, match="unknown column"):
+        table.update_where([("k", "=", 1)], {"nope": 1})
+    assert table.current_version() == v1
+    # Column-valued assignment + batch_id idempotency
+    v2 = table.update_where([("k", "<", 3)], {"ts": F.col("ts") + 100}, batch_id=9)
+    assert table.update_where([("k", "<", 5)], {"ts": F.col("ts") + 999}, batch_id=9) == v2
+    got = {r["k"]: r["ts"] for r in table.read().collect()}
+    assert got == {k: (k + 100 if k < 3 else k) for k in range(10)}
