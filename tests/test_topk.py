@@ -1,0 +1,84 @@
+"""Two-phase grouped top-k: identical to the window form under a
+total order, bounded aggregation state, hot-group stress, partition
+independence."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.topk import grouped_topk
+
+
+def _window_topk(df, group, order, k):
+    w = Window.partitionBy(*group).orderBy(*[F.desc(c) for c in order])
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def test_matches_window_form_exactly(spark, sf_dir):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+
+    li = catalog.table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]  # total order
+    got = {
+        tuple(r)
+        for r in grouped_topk(li, ["l_suppkey"], order, k=3)
+        .select("l_suppkey", *order, "rank")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in _window_topk(li, ["l_suppkey"], order, 3)
+        .select("l_suppkey", *order, "rank")
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_hot_group_and_partition_independence(spark):
+    """90% of rows in one group: the two-phase form must stay correct
+    and fast (bounded candidate sets), with identical output at any
+    input partitioning."""
+    n = 200_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 97).alias("g"),
+        (F.col("id") * 2654435761 % 1_000_003).alias("v"),
+        F.col("id"),
+    )
+    t0 = time.monotonic()
+    base = {
+        tuple(r) for r in grouped_topk(df, ["g"], ["v", "id"], k=5).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60
+    want = {
+        tuple(r)
+        for r in _window_topk(df, ["g"], ["v", "id"], 5)
+        .select("g", "v", "id", "rank")
+        .collect()
+    }
+    assert base == want
+    for parts in (1, 64):
+        again = {
+            tuple(r)
+            for r in grouped_topk(df.repartition(parts), ["g"], ["v", "id"], k=5).collect()
+        }
+        assert again == base
+
+
+def test_small_groups_and_k_larger_than_group(spark):
+    df = spark.createDataFrame(
+        [("a", 3, 1), ("a", 1, 2), ("b", 9, 3)], "g string, v int, id int"
+    )
+    got = sorted(
+        (r["g"], r["v"], r["rank"])
+        for r in grouped_topk(df, ["g"], ["v", "id"], k=10).collect()
+    )
+    assert got == [("a", 1, 2), ("a", 3, 1), ("b", 9, 1)]
