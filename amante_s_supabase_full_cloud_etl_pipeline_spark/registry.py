@@ -93,7 +93,9 @@ def load_all_queries() -> None:
     """Import every module that registers queries (idempotent)."""
     # Imports are side-effecting registrations; keep inside the
     # function so callers control when registration happens.
+    from .plans import analytics_queries  # noqa: F401
     from .plans import dashboard  # noqa: F401
+    from .operators import curation_queries  # noqa: F401
     from .operators import dedup_queries  # noqa: F401
     from .operators import multimodal_queries  # noqa: F401
     from .operators import similarity_queries  # noqa: F401

@@ -61,6 +61,10 @@ NULL_NUMERIC_OK: dict = {
     # sentinel) is lower-risk than perturbing a green row.
     "window_customer_order_seq": "LAG(prev_price) null on first row; r02 hash-green",
     "events_asof_join": "as-of miss emits null match columns; r02 hash-green",
+    "events_asof_forward": (
+        "as-of miss emits null match columns — same timestamp/double NULL "
+        "shape as events_asof_join, which was hash-green in r02"
+    ),
 }
 NAN_OK: dict = {}
 DECIMAL_OK: dict = {}
