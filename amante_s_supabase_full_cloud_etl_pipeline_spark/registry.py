@@ -106,3 +106,4 @@ def load_all_queries() -> None:
     from .plans import pos_dashboard  # noqa: F401
     from .plans import pos_kernel_query  # noqa: F401
     from .plans import setops_queries  # noqa: F401
+    from .plans import timeseries_queries  # noqa: F401
