@@ -143,6 +143,98 @@ def ivfpq_topk_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_embedding_clusters",
+    oracle=golden_oracle("kmeans_embedding_clusters"),
+    golden_sf=DRIVER_SF,
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed k-means (operators/clustering.py):
+    5 Lloyd's rounds at k=8 over the embeddings table, summarized as
+    per-cluster sizes, exact-decimal inertia, and centroid norms.
+    Golden-pinned (iterative centroids are not DuckDB-expressible);
+    planted-cluster recovery, partitioning independence, and
+    inertia monotonicity are pinned in tests/test_clustering.py."""
+    from .clustering import kmeans_fit, kmeans_summary
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, n_iter=5)
+    return kmeans_summary(emb, centroids)
+
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+)
+
+
+@register(
+    "nb_token_classifier",
+    oracle=f"""
+    WITH doc_tokens AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS token
+        FROM documents
+    ),
+    labeled AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+    sizes AS (
+        SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS P,
+               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS N
+        FROM labeled
+    ),
+    dfreq AS (
+        SELECT token,
+               SUM(CASE WHEN l.pos THEN 1 ELSE 0 END) AS pos_df,
+               SUM(CASE WHEN l.pos THEN 0 ELSE 1 END) AS neg_df
+        FROM doc_tokens t JOIN labeled l USING (doc_id)
+        GROUP BY token
+        HAVING SUM(CASE WHEN l.pos THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN l.pos THEN 0 ELSE 1 END) >= 2
+    ),
+    weights AS (
+        SELECT token,
+               CAST(round(ln(((pos_df + 1.0) * (N + 2.0))
+                            / ((neg_df + 1.0) * (P + 2.0))), 6)
+                    AS DECIMAL(18,6)) AS weight
+        FROM dfreq, sizes
+    ),
+    prior AS (
+        SELECT CAST(round(ln((P + 1.0) / (N + 1.0)), 6) AS DECIMAL(18,6)) AS prior
+        FROM sizes
+    ),
+    sums AS (
+        SELECT t.doc_id, SUM(w.weight) AS wsum
+        FROM doc_tokens t JOIN weights w USING (token)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(s.wsum, CAST(0 AS DECIMAL(18,6))) + p.prior AS DOUBLE)
+               AS score,
+           (CAST(COALESCE(s.wsum, CAST(0 AS DECIMAL(18,6))) + p.prior AS DOUBLE)
+               > 0) AS predicted
+    FROM documents d LEFT JOIN sums s USING (doc_id), prior p
+    ORDER BY d.doc_id
+    """,
+)
+def nb_token_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document scoring (operators/classifier.py, the
+    fastText/DCLM quality-classifier shape): train Bernoulli-NB token
+    log-odds on the lang='en' label, then score every document with
+    the broadcast weights table. Weights round to DECIMAL(18,6)
+    BEFORE the per-document sum, so the whole train-then-score
+    pipeline is exact and fully SQL-oracled — both the learned model
+    and the scores are differentially checked."""
+    from .classifier import class_prior, score_documents, train_token_weights
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    positive = F.col("lang") == "en"
+    weights = train_token_weights(docs, positive, min_df=2)
+    prior = class_prior(docs, positive)
+    return (
+        score_documents(docs, weights, prior)
+        .select("doc_id", "lang", "score", "predicted")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "mixture_resample_kept",
     oracle=golden_oracle("mixture_resample_kept"),
     golden_sf=DRIVER_SF,
