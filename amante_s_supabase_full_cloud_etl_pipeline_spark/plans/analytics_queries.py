@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import register
+from ..registry import DRIVER_SF, golden_oracle, register
 
 _HH_CAP = 4096  # > distinct l_partkey at every test SF -> MG is exact
 _HH_SHARE = 0.0008
@@ -225,6 +225,96 @@ def heavy_hitters_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = catalog.table(spark, sf_dir, "lineitem")
     return heavy_hitters(li, "l_partkey", capacity=_HH_CAP, min_share=_HH_SHARE)
+
+
+@register(
+    "sketch_cube_daily_users",
+    oracle="""
+    SELECT 'day_type' AS grain,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, COUNT(DISTINCT user_id) AS estimate
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'type', 'ALL', event_type, COUNT(DISTINCT user_id)
+    FROM events GROUP BY 3
+    UNION ALL
+    SELECT 'total', 'ALL', 'ALL', COUNT(DISTINCT user_id) FROM events
+    ORDER BY grain, day, event_type
+    """,
+)
+def sketch_cube_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated distinct-user cube (operators/sketches.py):
+    theta-sketch partials stored per (day, event_type) in ONE corpus
+    pass, then the per-type and grand-total grains answered by
+    MERGING the tiny partials — no second scan of the facts, the only
+    way a distinct-count dashboard stays interactive at 100 TB. At
+    the test cardinalities the sketches are in EXACT mode (< 4096
+    entries), so every estimate equals the true distinct count and a
+    plain COUNT(DISTINCT) oracles the whole merge machinery; the
+    estimation-regime error bound is pinned in
+    tests/test_sketches.py."""
+    from ..operators.sketches import theta_partials, theta_rollup
+
+    ev = catalog.table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    parts = theta_partials(ev, ["day", "event_type"], "user_id")
+    daily = parts.select(
+        F.lit("day_type").alias("grain"), "day", "event_type",
+        F.theta_sketch_estimate(F.col("theta_sketch")).cast("long").alias("estimate"),
+    )
+    by_type = theta_rollup(parts, ["event_type"]).select(
+        F.lit("type").alias("grain"), F.lit("ALL").alias("day"), "event_type",
+        F.col("estimate").cast("long").alias("estimate"),
+    )
+    total = theta_rollup(parts, []).select(
+        F.lit("total").alias("grain"), F.lit("ALL").alias("day"),
+        F.lit("ALL").alias("event_type"),
+        F.col("estimate").cast("long").alias("estimate"),
+    )
+    return (
+        daily.unionByName(by_type).unionByName(total)
+        .orderBy("grain", "day", "event_type")
+    )
+
+
+@register(
+    "theta_event_overlap",
+    oracle="""
+    WITH seg AS (SELECT DISTINCT event_type AS s, user_id AS u FROM events),
+    sizes AS (SELECT s, COUNT(*) AS n FROM seg GROUP BY s),
+    pairs AS (
+        SELECT x.s AS segment_a, y.s AS segment_b
+        FROM sizes x JOIN sizes y ON x.s < y.s
+    ),
+    inter AS (
+        SELECT a.s AS sa, b.s AS sb, COUNT(*) AS ni
+        FROM seg a JOIN seg b ON a.u = b.u AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT p.segment_a, p.segment_b, sa.n AS est_a, sb.n AS est_b,
+           COALESCE(i.ni, 0) AS est_intersection,
+           sa.n + sb.n - COALESCE(i.ni, 0) AS est_union
+    FROM pairs p
+    JOIN sizes sa ON sa.s = p.segment_a
+    JOIN sizes sb ON sb.s = p.segment_b
+    LEFT JOIN inter i ON i.sa = p.segment_a AND i.sb = p.segment_b
+    ORDER BY 1, 2
+    """,
+)
+def theta_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via theta-sketch set algebra
+    (operators/sketches.py): distinct-user intersection and union
+    estimates for every event-type pair, computed ONLY from
+    per-segment partials (one scan, then a dimension-sized pair
+    join) — the sketch answer to 'users who did A and B' that HLL
+    cannot give. Exact-mode regime at test cardinalities, so the
+    oracle is the exact relational overlap; estimation-regime
+    accuracy is pinned in tests/test_sketches.py."""
+    from ..operators.sketches import theta_segment_overlap
+
+    ev = catalog.table(spark, sf_dir, "events")
+    return theta_segment_overlap(ev, "event_type", "user_id")
 
 
 @register(
