@@ -43,6 +43,12 @@ HEADLINE = (
     "knn_lsh_bucketed",
     "events_sessionization",
     "text_quality_band",
+    # round-3 families: per-user funnel chain (k grouped mins +
+    # user-key joins), mergeable theta sketch cube, bounded-state
+    # grouped top-k
+    "funnel_user_depths",
+    "sketch_cube_daily_users",
+    "grouped_topk_orders",
 )
 
 
