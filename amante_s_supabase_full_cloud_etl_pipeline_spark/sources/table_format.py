@@ -94,6 +94,7 @@ ManifestMergeManager performs. ``history()`` reads summaries only.
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import json
 import os
 import shutil
@@ -161,12 +162,85 @@ def _comparable(bound, literal):
 
 _OPS = ("=", "<", "<=", ">", ">=", "in")
 
+# -- per-file bloom filters -------------------------------------------------
+# Point-lookup data skipping on columns min/max bounds cannot prune (an id
+# scattered across the value range leaves every file's [lo, hi] covering
+# it). One bloom per (file, column) lives in the file's manifest entry:
+# membership says maybe-present, absence is definite, so pruning on a
+# negative is always safe. Supported for int and string columns; the
+# filter literal must be the same type, otherwise the bloom is ignored.
+
+_BLOOM_TAGS = {int: "i", str: "s"}
+
+
+def _bloom_hashes(canon: str, m: int, k: int) -> list[int]:
+    """k bit positions by double hashing (Kirsch-Mitzenmacher):
+    md5-derived h1/h2, positions (h1 + i*h2) mod m — deterministic
+    across runs, engines, and partitionings."""
+    d = hashlib.md5(canon.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _build_bloom(values, fpp: float) -> dict | None:
+    """Bloom dict {"m", "k", "t", "b"(ase64 bits)} over distinct
+    non-null values, or None when the column's type is unsupported
+    or mixed."""
+    import base64
+    import math
+
+    import numpy as np
+
+    distinct = {v for v in values if v is not None}
+    if not distinct:
+        return None
+    tags = {_BLOOM_TAGS.get(type(v)) for v in distinct}
+    if len(tags) != 1 or None in tags:
+        return None
+    (tag,) = tags
+    n = len(distinct)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 7) // 8 * 8  # byte-align
+    k = max(1, round(m / n * math.log(2)))
+    bits = np.zeros(m, dtype=bool)
+    for v in distinct:
+        bits[_bloom_hashes(str(v), m, k)] = True
+    return {
+        "m": m,
+        "k": k,
+        "t": tag,
+        "b": base64.b64encode(np.packbits(bits).tobytes()).decode(),
+    }
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    """False ONLY when the value is definitely absent from the file."""
+    import base64
+
+    import numpy as np
+
+    if _BLOOM_TAGS.get(type(value)) != bloom["t"]:
+        return True  # type mismatch: bloom can't speak for this literal
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(bloom["b"]), dtype=np.uint8)
+    )
+    return all(bits[p] for p in _bloom_hashes(str(value), bloom["m"], bloom["k"]))
+
 
 def _file_prunable(meta: dict, filters: Sequence[tuple]) -> bool:
     """True when no row of the file can satisfy ALL filters (AND
     semantics). Missing stats for a column → not prunable on it."""
     stats = meta.get("stats") or {}
+    blooms = meta.get("blooms") or {}
     for col, op, value in filters:
+        bloom = blooms.get(col)
+        if bloom is not None and op in ("=", "in"):
+            values = list(value) if op == "in" else [value]
+            if values and not any(
+                _bloom_maybe_contains(bloom, v) for v in values
+            ):
+                return True
         st = stats.get(col)
         if st is None:
             continue
@@ -324,7 +398,15 @@ class ParquetTable:
     that would exceed it folds the smallest manifest files into one
     first (Iceberg-style merge-on-commit)."""
 
-    def __init__(self, spark: SparkSession, path: str, manifest_merge_at: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        manifest_merge_at: int = 64,
+        bloom_columns: Sequence[str] | None = None,
+        bloom_fpp: float = 0.01,
+        bloom_max_rows: int = 200_000,
+    ):
         self.spark = spark
         self.path = _local(path)
         self._manifests = os.path.join(self.path, "_manifests")
@@ -334,6 +416,16 @@ class ParquetTable:
         self._mcache: dict[str, list[dict]] = {}
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         os.makedirs(self._manifests, exist_ok=True)
+        # Bloom config is a TABLE property: persisted in the manifest
+        # list at commit, restored on reopen unless overridden — so a
+        # writer opened without the kwarg keeps indexing the same
+        # columns (files written without a bloom simply never
+        # bloom-prune; degradation, not wrongness).
+        if bloom_columns is None:
+            bloom_columns = self.manifest().get("bloom_columns") or []
+        self.bloom_columns = list(bloom_columns)
+        self.bloom_fpp = bloom_fpp
+        self.bloom_max_rows = bloom_max_rows
 
     # -- snapshot resolution ------------------------------------------------
 
@@ -564,6 +656,33 @@ class ParquetTable:
                 # Stats are an optimization; a file we can't digest is
                 # simply never pruned.
                 pass
+            if self.bloom_columns:
+                # Point-lookup index: one bloom per configured column
+                # per file (a cluster deployment computes these on the
+                # executors at write time, like Iceberg writer-side
+                # NDV/bloom collection; here the just-written local
+                # file is read back column-pruned). bloom_max_rows
+                # bounds both build cost and manifest growth.
+                try:
+                    pf = pq.ParquetFile(full)
+                    want = [
+                        c
+                        for c in self.bloom_columns
+                        if c in pf.schema_arrow.names
+                    ]
+                    if want and pf.metadata.num_rows <= self.bloom_max_rows:
+                        tbl = pf.read(columns=want)
+                        blooms = {}
+                        for c in want:
+                            b = _build_bloom(
+                                tbl.column(c).to_pylist(), self.bloom_fpp
+                            )
+                            if b is not None:
+                                blooms[c] = b
+                        if blooms:
+                            entry["blooms"] = blooms
+                except Exception:
+                    pass  # blooms are an optimization, like stats
             out.append(entry)
         return out
 
@@ -606,6 +725,8 @@ class ParquetTable:
         }
         if schema:
             manifest["schema"] = schema
+        if self.bloom_columns:
+            manifest["bloom_columns"] = self.bloom_columns
         target = self._manifest_path(version)
         try:
             # O_EXCL: exactly one writer wins version N+1
