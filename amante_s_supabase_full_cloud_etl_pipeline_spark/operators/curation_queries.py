@@ -1,23 +1,20 @@
-"""Driver-checked registry queries for the round-3 curation kernels
-(exact-substring dedup, text hygiene, BPE, Count-Min, IVF-PQ, mixture
-resampling).
+"""Driver-checked registry queries for the round-3 curation kernels.
 
-Most of these are deterministic Arrow/driver kernels DuckDB cannot
-recompute (xxhash64 token hashing, zlib, learned BPE merges, k-means
-codebooks), so they pin committed golden tables exactly like the
-MinHash/IVF rows (registry.golden_oracle — regenerate with
-``python tests/golden/generate.py``). Each has an INDEPENDENT
-correctness anchor in pytest (sequential-reference differentials,
-recall bounds, hand fixtures); the golden pins the exact values so
-any regression or environment drift turns into a driver-level hash
-mismatch instead of passing silently.
+``curation_doc_signals`` folds the per-document deterministic Arrow
+kernels (exact-substring dedup, ftfy-lite repair, DEFLATE density,
+learned BPE, mixture resampling membership) into ONE per-doc table
+pinned as a committed golden (registry.golden_oracle — regenerate
+with ``python tests/golden/generate.py``): the kernels use
+xxhash64/zlib/learned merges DuckDB cannot recompute, and each has
+an INDEPENDENT correctness anchor in pytest (sequential-reference
+differentials, idempotence, recall/compression-ordering tests). The
+golden pins exact values so any regression or environment drift
+turns into a driver-level hash mismatch instead of passing silently.
 
-`count_min_source_counts` is the exception: the sketch is exactly
-mergeable (bit-identical under any partitioning) and at the test
-corpus's cardinality (20 sources, width 2048) it is collision-free,
-so a plain GROUP BY oracles it — the approximation regime's one-sided
-bound is pinned separately in tests/test_countmin.py.
-"""
+``document_quality_report`` (declarative expectations + NB
+classifier scores) is fully SQL-expressible and rides a live DuckDB
+oracle. ``kmeans_embedding_clusters`` golden-pins the full-corpus
+clustering (iterative centroids are not SQL)."""
 
 from __future__ import annotations
 
@@ -29,117 +26,57 @@ from ..registry import DRIVER_SF, golden_oracle, register
 
 
 @register(
-    "substring_dedup_trimmed",
-    oracle=golden_oracle("substring_dedup_trimmed"),
+    "curation_doc_signals",
+    oracle=golden_oracle("curation_doc_signals"),
     golden_sf=DRIVER_SF,
 )
-def substring_dedup_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring (k-gram span) dedup, Lee et al. 2022 style
-    (operators/substring_dedup.py): every >=8-token passage occurring
-    more than once corpus-wide keeps only its global first occurrence;
-    documents come back trimmed with a removed-token count. Golden-
-    pinned (xxhash64 rolling hashes are not DuckDB-expressible); the
-    semantics are differential-tested against a hash-free sequential
-    reference in tests/test_substring_dedup.py."""
-    from .substring_dedup import trim_duplicate_spans
+def curation_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document carrying the deterministic curation
+    kernel outputs side by side:
 
-    docs = catalog.table(spark, sf_dir, "documents")
-    return trim_duplicate_spans(docs, k=8).orderBy("doc_id")
-
-
-@register(
-    "text_hygiene_signals",
-    oracle=golden_oracle("text_hygiene_signals"),
-    golden_sf=DRIVER_SF,
-)
-def text_hygiene_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ftfy-lite repair flag + DEFLATE information-density signal per
-    document (operators/hygiene.py) — the two stage-0 curation signals
-    joined on doc_id. Golden-pinned (zlib byte counts); kernel
-    semantics are pinned by mojibake/idempotence/density-ordering
-    tests in tests/test_hygiene.py."""
+    - ``text``/``n_tokens_removed`` — exact-substring (k=8 token
+      span) dedup, Lee et al. 2022 style (operators/
+      substring_dedup.py): duplicated passages keep only their
+      corpus-wide first occurrence;
+    - ``changed`` — ftfy-lite repair touched the text
+      (operators/hygiene.py);
+    - ``n_bytes``/``zlib_bytes``/``compression_ratio`` — DEFLATE
+      information-density signal;
+    - ``n_bpe_tokens``/``head_tokens`` — learned-BPE tokenization
+      (100 merges trained on the corpus word table, operators/
+      bpe.py), first five tokens joined as a string;
+    - ``mixture_kept`` — membership in the temperature-0.5 mixture
+      resample (operators/sampling.py resample_to_mixture,
+      stratum-coupled content hashing, downsample-only).
+    """
+    from .bpe import bpe_tokenize, train_bpe
     from .hygiene import compression_signals, fixed_text
+    from .sampling import resample_to_mixture
+    from .substring_dedup import trim_duplicate_spans
+    from .text_queries import source_mixture_weights
 
     docs = catalog.table(spark, sf_dir, "documents")
+    trimmed = trim_duplicate_spans(docs, k=8)
     fixed = fixed_text(docs).select("doc_id", "changed")
     comp = compression_signals(docs)
-    return fixed.join(comp, "doc_id").select(
-        "doc_id", "changed", "n_bytes", "zlib_bytes", "compression_ratio"
-    ).orderBy("doc_id")
-
-
-@register(
-    "bpe_tokenize_stats",
-    oracle=golden_oracle("bpe_tokenize_stats"),
-    golden_sf=DRIVER_SF,
-)
-def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned-BPE tokenization (operators/bpe.py): train 100 merges
-    on the corpus word-frequency table (driver-side on the bounded
-    table, the production trainer shape), then encode every document
-    with the broadcast merge ranks. Emits per-doc BPE token counts
-    plus the first five tokens as a joined string (no array column in
-    the driver hash). Golden-pinned; lossless-reconstruction and
-    kernel==reference tests anchor the semantics."""
-    from .bpe import bpe_tokenize, train_bpe
-
-    docs = catalog.table(spark, sf_dir, "documents")
     merges = train_bpe(docs, n_merges=100, min_count=2)
+    bpe = bpe_tokenize(docs, merges).select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 5)).alias("head_tokens"),
+    )
+    weights = source_mixture_weights(spark, sf_dir)
+    kept = resample_to_mixture(docs, weights).select(
+        "doc_id", F.lit(True).alias("mixture_kept")
+    )
     return (
-        bpe_tokenize(docs, merges)
-        .select(
-            "doc_id",
-            "n_bpe_tokens",
-            F.concat_ws(" ", F.slice("bpe_tokens", 1, 5)).alias("head_tokens"),
-        )
+        trimmed.join(fixed, "doc_id")
+        .join(comp, "doc_id")
+        .join(bpe, "doc_id")
+        .join(kept, "doc_id", "left")
+        .withColumn("mixture_kept", F.coalesce(F.col("mixture_kept"), F.lit(False)))
         .orderBy("doc_id")
     )
-
-
-@register(
-    "count_min_source_counts",
-    oracle="""
-    SELECT source, COUNT(*) AS est_count
-    FROM documents GROUP BY source ORDER BY source
-    """,
-)
-def count_min_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min point-frequency estimates (operators/countmin.py)
-    for every document source. The sketch merges by cell-wise sum, so
-    it is bit-identical under any partitioning; at 20 keys x width
-    2048 every row of the sketch is collision-free, so the estimates
-    EQUAL the true counts and a plain GROUP BY oracles the whole
-    pipeline (the >=true one-sided bound under forced collisions is
-    pinned in tests/test_countmin.py)."""
-    from .countmin import count_min_sketch
-
-    docs = catalog.table(spark, sf_dir, "documents")
-    cm = count_min_sketch(docs, "source", depth=4, width=2048)
-    sources = sorted(
-        r["source"] for r in docs.select("source").distinct().collect()
-    )
-    return spark.createDataFrame(
-        [(s, cm.estimate(s)) for s in sources], "source string, est_count long"
-    ).orderBy("source")
-
-
-@register(
-    "ivfpq_topk_probed",
-    oracle=golden_oracle("ivfpq_topk_probed"),
-    golden_sf=DRIVER_SF,
-)
-def ivfpq_topk_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN with exact re-ranking (operators/pq.py): coarse
-    k-means lists + per-subspace residual codebooks fit on a bounded
-    deterministic sample, ADC candidate scoring from one-byte codes,
-    exact-cosine re-rank of the refine*k shortlist. Golden-pinned
-    (k-means codebooks are not DuckDB-expressible); recall vs brute
-    force and the exact-score contract are pinned in tests/test_pq.py."""
-    from .pq import ivfpq_topk
-
-    emb = catalog.table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 5)
-    return ivfpq_topk(emb, probes, k=5).orderBy("query_id", "rank")
 
 
 @register(
@@ -167,7 +104,7 @@ _SQL_TOKENS = (
 
 
 @register(
-    "nb_token_classifier",
+    "document_quality_report",
     oracle=f"""
     WITH doc_tokens AS (
         SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS token
@@ -205,55 +142,71 @@ _SQL_TOKENS = (
         GROUP BY t.doc_id
     )
     SELECT d.doc_id, d.lang,
+           array_to_string(list_filter([
+               CASE WHEN NOT (d.lang IN ('en', 'de', 'fr', 'es'))
+                    THEN 'accepted_values_lang' END,
+               CASE WHEN NOT (d.n_chars >= 64 AND d.n_chars <= 520)
+                    THEN 'in_range_n_chars' END,
+               CASE WHEN NOT regexp_matches(d.text, '^[A-Z]')
+                    THEN 'matches_text' END
+           ], x -> x IS NOT NULL), ',') AS failed_expectations,
            CAST(COALESCE(s.wsum, CAST(0 AS DECIMAL(18,6))) + p.prior AS DOUBLE)
-               AS score,
+               AS en_score,
            (CAST(COALESCE(s.wsum, CAST(0 AS DECIMAL(18,6))) + p.prior AS DOUBLE)
-               > 0) AS predicted
+               > 0) AS predicted_en
     FROM documents d LEFT JOIN sums s USING (doc_id), prior p
     ORDER BY d.doc_id
     """,
 )
-def nb_token_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based document scoring (operators/classifier.py, the
-    fastText/DCLM quality-classifier shape): train Bernoulli-NB token
-    log-odds on the lang='en' label, then score every document with
-    the broadcast weights table. Weights round to DECIMAL(18,6)
-    BEFORE the per-document sum, so the whole train-then-score
-    pipeline is exact and fully SQL-oracled — both the learned model
-    and the scores are differentially checked."""
+def document_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality report joining the two model/rule scoring
+    families. ``failed_expectations`` — the declarative data-quality
+    suite (operators/expectations.py, the reference's P7 predicate
+    generalized to dbt-tests-style checks), flattened to a
+    comma-joined label string ('' when every check passes, so the
+    whole corpus is reported, not just violations).
+    ``en_score``/``predicted_en`` — the fastText/DCLM-style
+    model-based scorer (operators/classifier.py): Bernoulli-NB token
+    log-odds trained on the lang='en' label, weights rounded to
+    DECIMAL(18,6) BEFORE the per-document sum so scoring is exact and
+    order-independent; the corpus scan never shuffles (broadcast
+    vocabulary join). Both the learned model and the scores are
+    differentially checked against DuckDB."""
     from .classifier import class_prior, score_documents, train_token_weights
+    from .expectations import accepted_values, in_range, matches, violations
 
     docs = catalog.table(spark, sf_dir, "documents")
+    suite = [
+        accepted_values("lang", ["en", "de", "fr", "es"]),
+        in_range("n_chars", lo=64, hi=520),
+        matches("text", "^[A-Z]"),
+    ]
+    failed = (
+        violations(docs.select("doc_id", "lang", "n_chars", "text"), suite)
+        .select(
+            "doc_id",
+            F.concat_ws(",", "failed_expectations").alias("failed_expectations"),
+        )
+    )
     positive = F.col("lang") == "en"
     weights = train_token_weights(docs, positive, min_df=2)
     prior = class_prior(docs, positive)
-    return (
-        score_documents(docs, weights, prior)
-        .select("doc_id", "lang", "score", "predicted")
-        .orderBy("doc_id")
+    scored = score_documents(docs, weights, prior).select(
+        "doc_id",
+        "lang",
+        F.col("score").alias("en_score"),
+        F.col("predicted").alias("predicted_en"),
     )
-
-
-@register(
-    "mixture_resample_kept",
-    oracle=golden_oracle("mixture_resample_kept"),
-    golden_sf=DRIVER_SF,
-)
-def mixture_resample_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-mixture resampling (operators/sampling.py
-    resample_to_mixture): materialize `source_mixture_weights`'
-    alpha=0.5 weights as an actual kept-document set via
-    stratum-coupled content hashing (downsample-only, map-side
-    membership). Golden-pinned (xxhash64 bucketing); the realized-
-    share convergence and partition independence are pinned in
-    tests/test_sampling.py."""
-    from ..operators.text_queries import source_mixture_weights
-    from .sampling import resample_to_mixture
-
-    docs = catalog.table(spark, sf_dir, "documents")
-    weights = source_mixture_weights(spark, sf_dir)
     return (
-        resample_to_mixture(docs, weights)
-        .select("doc_id", "source")
+        scored.join(failed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("failed_expectations"), F.lit("")).alias(
+                "failed_expectations"
+            ),
+            "en_score",
+            "predicted_en",
+        )
         .orderBy("doc_id")
     )

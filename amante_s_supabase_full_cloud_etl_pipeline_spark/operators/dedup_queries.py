@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import DRIVER_SF, golden_oracle, register
+from ..registry import DRIVER_SF, GOLDEN_DIR, golden_oracle, register  # noqa: F401
 from .components import connected_components, dup_group_stats, keep_group_canonical
 from .dedup import drop_exact_dups, jaccard_pairs, minhash_candidates, simhash_near_pairs
 from .similarity import embedding_near_dup_pairs
@@ -86,15 +86,6 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_jaccard_pairs",
-    oracle="WITH "
-    + _JACCARD_BODY
-    + """
-    SELECT id_a, id_b, intersection, size_a, size_b, jaccard
-    FROM pairs ORDER BY id_a, id_b
-    """,
-)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via the inverted-index
     join — the sub-quadratic relational formulation (candidates only
@@ -125,11 +116,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_minhash_candidates",
-    oracle=golden_oracle("dedup_minhash_candidates"),
-    golden_sf=DRIVER_SF,
-)
 def dedup_minhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (banded signatures). xxhash64 has
     no DuckDB equivalent, but the signatures are fully deterministic,
@@ -140,11 +126,6 @@ def dedup_minhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(docs).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_simhash_pairs",
-    oracle=golden_oracle("dedup_simhash_pairs"),
-    golden_sf=DRIVER_SF,
-)
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with 1-bit multi-probe banding
     (recall-1.0 radius = 2*bands-1 = 7, matching the hamming<=8
@@ -283,3 +264,46 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "dedup_pair_methods",
+    oracle="WITH "
+    + _JACCARD_BODY
+    + f"""
+    SELECT * FROM (
+        SELECT 'jaccard' AS method, id_a, id_b, jaccard AS score
+        FROM pairs
+        UNION ALL
+        SELECT 'minhash' AS method, id_a, id_b, est_jaccard AS score
+        FROM read_parquet('{GOLDEN_DIR}/dedup_minhash_candidates.parquet')
+        UNION ALL
+        SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE) AS score
+        FROM read_parquet('{GOLDEN_DIR}/dedup_simhash_pairs.parquet')
+    ) ORDER BY method, id_a, id_b
+    """,
+    golden_sf=DRIVER_SF,
+)
+def dedup_pair_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three near-dup PAIR generators in one labeled result —
+    exact 3-gram Jaccard (inverted-index join, live SQL oracle),
+    MinHash-LSH candidates (banded xxhash64 signatures, golden leg),
+    and SimHash multi-probe pairs (golden leg). ``score`` is each
+    method's native similarity figure: true Jaccard, estimated
+    Jaccard, and Hamming distance respectively (the labels keep them
+    apart). Accuracy anchors vs exact Jaccard live in
+    tests/test_dedup.py; checked at the driver SF where the goldens
+    are generated (the Jaccard leg holds at any SF)."""
+    jac = dedup_jaccard_pairs(spark, sf_dir).select(
+        F.lit("jaccard").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    mh = dedup_minhash_candidates_q(spark, sf_dir).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    sh = dedup_simhash_pairs_q(spark, sf_dir).select(
+        F.lit("simhash").alias("method"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return jac.unionByName(mh).unionByName(sh).orderBy("method", "id_a", "id_b")

@@ -1,18 +1,13 @@
-"""Driver-checked registry queries for the round-3 analytics and
-curation operators (funnel, retention, grouped top-k, expectations,
-Misra-Gries heavy hitters, forward as-of join).
+"""Driver-checked registry queries for the round-3 analytics
+operators (funnel, retention, Misra-Gries + Count-Min sketches,
+theta sketch cubes). Related operators share one labeled driver row
+(the registry holds the driver's 50-slot budget), with each leg's
+full semantics still separately pinned in pytest.
 
-Each round-3 operator already has pytest coverage (hand fixtures +
-local DuckDB differentials); these registrations put the same
-semantics in front of the DRIVER's correctness gate so every claimed
-operator has a green CORRECTNESS row, per the registry contract.
-
-Hash-hazard notes (tests/oracle_harness.py audit): funnel step
-timestamps are emitted as epoch-microsecond BIGINTs coalesced to -1
-(never NULL-in-numeric); the forward as-of query emits NULLs only in
-the same timestamp/double shape as `events_asof_join`, which was
-hash-green in CORRECTNESS_r02 (allowlisted with that reason).
-"""
+Hash-hazard notes (tests/oracle_harness.py audit): the funnel/
+retention panel is long-format with all-double values (funnel step
+times as epoch-microsecond doubles — exact: micros < 2^53 — and -1
+for missed steps, never NULL-in-numeric)."""
 
 from __future__ import annotations
 
@@ -20,361 +15,283 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import DRIVER_SF, golden_oracle, register
+from ..registry import register
 
 _HH_CAP = 4096  # > distinct l_partkey at every test SF -> MG is exact
 _HH_SHARE = 0.0008
 
 
 @register(
-    "funnel_user_depths",
+    "funnel_retention_panel",
     oracle="""
     WITH t0 AS (
-        SELECT user_id AS "user", min(ts) AS t_0
+        SELECT user_id AS u, min(ts) AS t_0
         FROM events WHERE event_type = 'view' GROUP BY user_id
     ),
     t1 AS (
-        SELECT t0."user", t0.t_0,
+        SELECT t0.u, t0.t_0,
                min(e.ts) FILTER (
                    WHERE e.ts > t0.t_0
                      AND e.ts <= t0.t_0 + INTERVAL 6 HOUR
                ) AS t_1
         FROM t0 LEFT JOIN events e
-          ON e.user_id = t0."user" AND e.event_type = 'click'
-        GROUP BY t0."user", t0.t_0
+          ON e.user_id = t0.u AND e.event_type = 'click'
+        GROUP BY t0.u, t0.t_0
     ),
     t2 AS (
-        SELECT t1."user", t1.t_0, t1.t_1,
+        SELECT t1.u, t1.t_0, t1.t_1,
                min(e.ts) FILTER (
                    WHERE e.ts > t1.t_1
                      AND e.ts <= t1.t_0 + INTERVAL 6 HOUR
                ) AS t_2
         FROM t1 LEFT JOIN events e
-          ON e.user_id = t1."user" AND e.event_type = 'purchase'
-        GROUP BY t1."user", t1.t_0, t1.t_1
-    )
-    SELECT "user",
-           COALESCE(epoch_us(t_0), -1) AS t0_us,
-           COALESCE(epoch_us(t_1), -1) AS t1_us,
-           COALESCE(epoch_us(t_2), -1) AS t2_us,
-           CAST(1 + CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END
-                  + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END AS INTEGER) AS depth
-    FROM t2 ORDER BY "user"
-    """,
-)
-def funnel_user_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (operators/funnel.py): per user the earliest
-    strictly-ordered view -> click -> purchase chain within 6h of the
-    FIRST view (single-anchor semantics the oracle mirrors with
-    correlated filtered aggregates). Step times are epoch-microsecond
-    BIGINTs with -1 for missed steps, so no NULL ever reaches a
-    numeric column in the driver hash."""
-    from ..operators.funnel import funnel_times
-
-    ev = catalog.table(spark, sf_dir, "events")
-    t = funnel_times(ev, ("view", "click", "purchase"), within="6 hours")
-    return t.select(
-        "user",
-        *[
-            F.coalesce(F.unix_micros(F.col(f"t_{i}")), F.lit(-1)).alias(f"t{i}_us")
-            for i in range(3)
-        ],
-        "depth",
-    ).orderBy("user")
-
-
-@register(
-    "cohort_retention_weekly",
-    oracle="""
-    WITH active AS (
-        SELECT DISTINCT user_id AS "user",
+          ON e.user_id = t1.u AND e.event_type = 'purchase'
+        GROUP BY t1.u, t1.t_0, t1.t_1
+    ),
+    funnel_wide AS (
+        SELECT u,
+               CAST(COALESCE(epoch_us(t_0), -1) AS DOUBLE) AS t0_us,
+               CAST(COALESCE(epoch_us(t_1), -1) AS DOUBLE) AS t1_us,
+               CAST(COALESCE(epoch_us(t_2), -1) AS DOUBLE) AS t2_us,
+               CAST(1 + CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS depth
+        FROM t2
+    ),
+    active AS (
+        SELECT DISTINCT user_id AS u,
                CAST(date_trunc('week', ts) AS TIMESTAMP) AS period
         FROM events
     ),
-    cohorts AS (
-        SELECT "user", min(period) AS cohort FROM active GROUP BY "user"
-    ),
+    cohorts AS (SELECT u, min(period) AS cohort FROM active GROUP BY u),
     sized AS (
-        SELECT cohort, count(DISTINCT "user") AS cohort_size
+        SELECT cohort, count(DISTINCT u) AS cohort_size
         FROM cohorts GROUP BY cohort
     ),
     grid AS (
         SELECT c.cohort,
-               CAST(date_diff('day', c.cohort, a.period) / 7 AS BIGINT) AS periods_since,
-               count(DISTINCT a."user") AS n_active
-        FROM active a JOIN cohorts c USING ("user")
+               CAST(date_diff('day', c.cohort, a.period) / 7 AS BIGINT)
+                   AS periods_since,
+               count(DISTINCT a.u) AS n_active
+        FROM active a JOIN cohorts c USING (u)
         GROUP BY c.cohort, periods_since
+    ),
+    retention_wide AS (
+        SELECT g.cohort, g.periods_since, g.n_active, s.cohort_size,
+               CAST(g.n_active AS DOUBLE) / s.cohort_size AS retention
+        FROM grid g JOIN sized s USING (cohort)
     )
-    SELECT g.cohort, g.periods_since, g.n_active, s.cohort_size,
-           CAST(g.n_active AS DOUBLE) / s.cohort_size AS retention
-    FROM grid g JOIN sized s USING (cohort)
-    ORDER BY g.cohort, g.periods_since
+    SELECT * FROM (
+        SELECT 'funnel' AS part, CAST(u AS VARCHAR) AS k1, '' AS k2,
+               metric, value
+        FROM funnel_wide
+        UNPIVOT (value FOR metric IN (t0_us, t1_us, t2_us, depth))
+        UNION ALL
+        SELECT 'retention' AS part, strftime(cohort, '%Y-%m-%d') AS k1,
+               CAST(periods_since AS VARCHAR) AS k2, metric, value
+        FROM (
+            SELECT cohort, periods_since,
+                   CAST(n_active AS DOUBLE) AS n_active,
+                   CAST(cohort_size AS DOUBLE) AS cohort_size, retention
+            FROM retention_wide
+        )
+        UNPIVOT (value FOR metric IN (n_active, cohort_size, retention))
+    ) ORDER BY part, k1, k2, metric
     """,
 )
-def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention (operators/retention.py): first-seen
-    week cohorts x distinct active weeks. Exact integer period
-    arithmetic (date_trunc + day-diff/7), so both engines agree
-    bit-for-bit; the final retention ratio is one double division of
-    identical integer operands."""
+def funnel_retention_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two canonical product-analytics queries as one long-format
+    panel. ``funnel`` rows (operators/funnel.py): per user the
+    earliest strictly-ordered view -> click -> purchase chain within
+    6h of the FIRST view (single-anchor semantics the oracle mirrors
+    with correlated filtered aggregates); step times are
+    epoch-microsecond doubles (exact below 2^53) with -1 for missed
+    steps. ``retention`` rows (operators/retention.py): weekly
+    first-seen cohorts x distinct active weeks with exact integer
+    period arithmetic. Long format keeps one schema without NULLs —
+    the shape a metrics store ingests."""
+    from ..operators.funnel import funnel_times
     from ..operators.retention import cohort_retention
 
     ev = catalog.table(spark, sf_dir, "events")
-    return cohort_retention(ev, granularity="week")
-
-
-@register(
-    "grouped_topk_orders",
-    oracle="""
-    SELECT o_orderpriority, o_totalprice, o_orderkey, rank FROM (
-        SELECT o_orderpriority, o_totalprice, o_orderkey,
-               CAST(ROW_NUMBER() OVER (
-                   PARTITION BY o_orderpriority
-                   ORDER BY o_totalprice DESC, o_orderkey DESC
-               ) AS INTEGER) AS rank
-        FROM orders
-    ) WHERE rank <= 3
-    ORDER BY o_orderpriority, rank
-    """,
-)
-def grouped_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase grouped top-k (operators/topk.py): top-3 orders by
-    total price per priority class, identical to the ROW_NUMBER
-    window form under the (price, orderkey) total order — but the
-    partial top-k bounds every aggregation buffer and the shuffle
-    carries k x n_partitions candidates per group, never the group."""
-    from ..operators.topk import grouped_topk
-
-    orders = catalog.table(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_totalprice", "o_orderkey"
-    )
-    return grouped_topk(
-        orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], k=3
-    ).orderBy("o_orderpriority", "rank")
-
-
-@register(
-    "expectations_violation_rows",
-    oracle="""
-    SELECT doc_id, lang, source, n_chars,
-           array_to_string(list_filter([
-               CASE WHEN NOT (lang IN ('en', 'de', 'fr', 'es'))
-                    THEN 'accepted_values_lang' END,
-               CASE WHEN NOT (n_chars >= 64 AND n_chars <= 520)
-                    THEN 'in_range_n_chars' END,
-               CASE WHEN NOT regexp_matches(text, '^[A-Z]')
-                    THEN 'matches_text' END
-           ], x -> x IS NOT NULL), ',') AS failed_expectations
-    FROM documents
-    WHERE NOT (lang IN ('en', 'de', 'fr', 'es'))
-       OR NOT (n_chars >= 64 AND n_chars <= 520)
-       OR NOT regexp_matches(text, '^[A-Z]')
-    ORDER BY doc_id
-    """,
-)
-def expectations_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality expectations (operators/
-    expectations.py, the P7 generalization): the violations frame of a
-    three-check suite over documents, with the per-row failed-check
-    labels flattened to a comma-joined string (suite order) so the
-    output carries no array column into the driver hash."""
-    from ..operators.expectations import accepted_values, in_range, matches, violations
-
-    docs = catalog.table(spark, sf_dir, "documents")
-    suite = [
-        accepted_values("lang", ["en", "de", "fr", "es"]),
-        in_range("n_chars", lo=64, hi=520),
-        matches("text", "^[A-Z]"),
+    times = funnel_times(ev, ("view", "click", "purchase"), within="6 hours")
+    f_metrics = [
+        ("t0_us", F.coalesce(F.unix_micros(F.col("t_0")), F.lit(-1)).cast("double")),
+        ("t1_us", F.coalesce(F.unix_micros(F.col("t_1")), F.lit(-1)).cast("double")),
+        ("t2_us", F.coalesce(F.unix_micros(F.col("t_2")), F.lit(-1)).cast("double")),
+        ("depth", F.col("depth").cast("double")),
     ]
-    return (
-        violations(docs.select("doc_id", "lang", "source", "n_chars", "text"), suite)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_chars",
-            F.concat_ws(",", "failed_expectations").alias("failed_expectations"),
+    funnel_long = None
+    for metric, expr in f_metrics:
+        leg = times.select(
+            F.lit("funnel").alias("part"),
+            F.col("user").cast("string").alias("k1"),
+            F.lit("").alias("k2"),
+            F.lit(metric).alias("metric"),
+            expr.alias("value"),
         )
-        .orderBy("doc_id")
-    )
+        funnel_long = leg if funnel_long is None else funnel_long.unionByName(leg)
+    ret = cohort_retention(ev, granularity="week")
+    r_metrics = [
+        ("n_active", F.col("n_active").cast("double")),
+        ("cohort_size", F.col("cohort_size").cast("double")),
+        ("retention", F.col("retention")),
+    ]
+    ret_long = None
+    for metric, expr in r_metrics:
+        leg = ret.select(
+            F.lit("retention").alias("part"),
+            F.date_format("cohort", "yyyy-MM-dd").alias("k1"),
+            F.col("periods_since").cast("string").alias("k2"),
+            F.lit(metric).alias("metric"),
+            expr.alias("value"),
+        )
+        ret_long = leg if ret_long is None else ret_long.unionByName(leg)
+    return funnel_long.unionByName(ret_long).orderBy("part", "k1", "k2", "metric")
 
 
 @register(
-    "heavy_hitters_partkeys",
+    "point_freq_sketches",
     oracle=f"""
     WITH tot AS (SELECT COUNT(l_partkey) AS n FROM lineitem)
-    SELECT CAST(l_partkey AS VARCHAR) AS value,
-           COUNT(*) AS est_count,
-           CAST(CEIL(CAST(tot.n AS DOUBLE) / {_HH_CAP}) AS BIGINT) AS max_err
-    FROM lineitem, tot
-    GROUP BY l_partkey, tot.n
-    HAVING COUNT(*) + CEIL(CAST(tot.n AS DOUBLE) / {_HH_CAP})
-           >= {_HH_SHARE} * tot.n
-    ORDER BY est_count DESC, value
+    SELECT * FROM (
+        SELECT 'misra_gries' AS method, CAST(l_partkey AS VARCHAR) AS key,
+               COUNT(*) AS est_count,
+               CAST(CEIL(CAST(tot.n AS DOUBLE) / {_HH_CAP}) AS BIGINT) AS max_err
+        FROM lineitem, tot
+        GROUP BY l_partkey, tot.n
+        HAVING COUNT(*) + CEIL(CAST(tot.n AS DOUBLE) / {_HH_CAP})
+               >= {_HH_SHARE} * tot.n
+        UNION ALL
+        SELECT 'count_min' AS method, source AS key,
+               COUNT(*) AS est_count,
+               CAST(FLOOR(exp(1) / 2048 * (SELECT COUNT(source) FROM documents))
+                    AS BIGINT) + 1 AS max_err
+        FROM documents GROUP BY source
+    ) ORDER BY method, key
     """,
 )
-def heavy_hitters_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries heavy hitters (operators/heavy_hitters.py) over
-    lineitem part keys. The capacity (4096) exceeds the distinct part
-    count at every test SF, so no counter is ever decremented and the
-    mergeable summaries are EXACT — which is precisely what lets a
-    plain GROUP BY oracle the sketch (the approximation regime's
-    error bound and must-surface guarantee are pinned in
-    tests/test_heavy_hitters.py under forced-small capacities)."""
+def point_freq_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both mergeable point-frequency sketches in one labeled result.
+    ``misra_gries`` (operators/heavy_hitters.py) over lineitem part
+    keys: capacity 4096 exceeds the distinct count at every test SF,
+    so no counter decrements and the summaries are EXACT — which is
+    what lets a plain GROUP BY oracle the sketch (the approximation
+    regime's bounds are pinned in tests/test_heavy_hitters.py).
+    ``count_min`` (operators/countmin.py) over document sources:
+    cell-wise-summed d×w arrays are bit-identical under any
+    partitioning, and at 20 keys x width 2048 collision-free, so
+    estimates equal true counts (the >=true one-sided bound under
+    forced collisions is pinned in tests/test_countmin.py); max_err
+    carries each method's certificate."""
+    import math
+
+    from ..operators.countmin import count_min_sketch
     from ..operators.heavy_hitters import heavy_hitters
 
     li = catalog.table(spark, sf_dir, "lineitem")
-    return heavy_hitters(li, "l_partkey", capacity=_HH_CAP, min_share=_HH_SHARE)
+    mg = heavy_hitters(li, "l_partkey", capacity=_HH_CAP, min_share=_HH_SHARE).select(
+        F.lit("misra_gries").alias("method"),
+        F.col("value").alias("key"),
+        "est_count",
+        "max_err",
+    )
+    docs = catalog.table(spark, sf_dir, "documents")
+    cm = count_min_sketch(docs, "source", depth=4, width=2048)
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    bound = int(math.e / cm.width * cm.n) + 1
+    cm_rows = spark.createDataFrame(
+        [("count_min", s, cm.estimate(s), bound) for s in sources],
+        "method string, key string, est_count long, max_err long",
+    )
+    return mg.unionByName(cm_rows).orderBy("method", "key")
 
 
 @register(
-    "sketch_cube_daily_users",
+    "sketch_distinct_cube",
     oracle="""
-    SELECT 'day_type' AS grain,
-           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           event_type, COUNT(DISTINCT user_id) AS estimate
-    FROM events GROUP BY 2, 3
-    UNION ALL
-    SELECT 'type', 'ALL', event_type, COUNT(DISTINCT user_id)
-    FROM events GROUP BY 3
-    UNION ALL
-    SELECT 'total', 'ALL', 'ALL', COUNT(DISTINCT user_id) FROM events
-    ORDER BY grain, day, event_type
+    WITH seg AS (SELECT DISTINCT event_type AS s, user_id AS u FROM events),
+    pairs AS (
+        SELECT x.s AS sa, y.s AS sb
+        FROM (SELECT DISTINCT s FROM seg) x
+        JOIN (SELECT DISTINCT s FROM seg) y ON x.s < y.s
+    ),
+    inter AS (
+        SELECT a.s AS sa, b.s AS sb, COUNT(*) AS ni
+        FROM seg a JOIN seg b ON a.u = b.u AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT s, COUNT(*) AS n FROM seg GROUP BY s)
+    SELECT * FROM (
+        SELECT 'day_type' AS grain,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS k1,
+               event_type AS k2, COUNT(DISTINCT user_id) AS estimate
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'type', 'ALL', event_type, COUNT(DISTINCT user_id)
+        FROM events GROUP BY 3
+        UNION ALL
+        SELECT 'total', 'ALL', 'ALL', COUNT(DISTINCT user_id) FROM events
+        UNION ALL
+        SELECT 'pair_intersection', p.sa, p.sb, COALESCE(i.ni, 0)
+        FROM pairs p LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+        UNION ALL
+        SELECT 'pair_union', p.sa, p.sb, x.n + y.n - COALESCE(i.ni, 0)
+        FROM pairs p
+        JOIN sizes x ON x.s = p.sa JOIN sizes y ON y.s = p.sb
+        LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    ) ORDER BY grain, k1, k2
     """,
 )
-def sketch_cube_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-aggregated distinct-user cube (operators/sketches.py):
-    theta-sketch partials stored per (day, event_type) in ONE corpus
-    pass, then the per-type and grand-total grains answered by
-    MERGING the tiny partials — no second scan of the facts, the only
-    way a distinct-count dashboard stays interactive at 100 TB. At
-    the test cardinalities the sketches are in EXACT mode (< 4096
-    entries), so every estimate equals the true distinct count and a
-    plain COUNT(DISTINCT) oracles the whole merge machinery; the
-    estimation-regime error bound is pinned in
+def sketch_distinct_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated distinct-user analytics from ONE set of theta
+    sketch partials (operators/sketches.py): per-(day, type) grains,
+    the per-type and grand-total rollups answered by MERGING the tiny
+    partials (never rescanning facts — the only way a distinct-count
+    dashboard stays interactive at 100 TB), and pairwise audience
+    intersection/union via theta set algebra (what HLL cannot do).
+    At test cardinalities the sketches are in EXACT mode (< 4096
+    entries), so every estimate equals the true count and plain
+    COUNT(DISTINCT) + relational overlap SQL oracles the whole merge
+    machinery; estimation-regime error is pinned in
     tests/test_sketches.py."""
-    from ..operators.sketches import theta_partials, theta_rollup
+    from ..operators.sketches import (
+        theta_partials,
+        theta_rollup,
+        theta_segment_overlap,
+    )
 
     ev = catalog.table(spark, sf_dir, "events").withColumn(
         "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
     )
     parts = theta_partials(ev, ["day", "event_type"], "user_id")
     daily = parts.select(
-        F.lit("day_type").alias("grain"), "day", "event_type",
+        F.lit("day_type").alias("grain"), F.col("day").alias("k1"),
+        F.col("event_type").alias("k2"),
         F.theta_sketch_estimate(F.col("theta_sketch")).cast("long").alias("estimate"),
     )
     by_type = theta_rollup(parts, ["event_type"]).select(
-        F.lit("type").alias("grain"), F.lit("ALL").alias("day"), "event_type",
+        F.lit("type").alias("grain"), F.lit("ALL").alias("k1"),
+        F.col("event_type").alias("k2"),
         F.col("estimate").cast("long").alias("estimate"),
     )
     total = theta_rollup(parts, []).select(
-        F.lit("total").alias("grain"), F.lit("ALL").alias("day"),
-        F.lit("ALL").alias("event_type"),
+        F.lit("total").alias("grain"), F.lit("ALL").alias("k1"),
+        F.lit("ALL").alias("k2"),
         F.col("estimate").cast("long").alias("estimate"),
+    )
+    overlap = theta_segment_overlap(ev, "event_type", "user_id")
+    inter = overlap.select(
+        F.lit("pair_intersection").alias("grain"),
+        F.col("segment_a").alias("k1"), F.col("segment_b").alias("k2"),
+        F.col("est_intersection").alias("estimate"),
+    )
+    union = overlap.select(
+        F.lit("pair_union").alias("grain"),
+        F.col("segment_a").alias("k1"), F.col("segment_b").alias("k2"),
+        F.col("est_union").alias("estimate"),
     )
     return (
         daily.unionByName(by_type).unionByName(total)
-        .orderBy("grain", "day", "event_type")
+        .unionByName(inter).unionByName(union)
+        .orderBy("grain", "k1", "k2")
     )
-
-
-@register(
-    "theta_event_overlap",
-    oracle="""
-    WITH seg AS (SELECT DISTINCT event_type AS s, user_id AS u FROM events),
-    sizes AS (SELECT s, COUNT(*) AS n FROM seg GROUP BY s),
-    pairs AS (
-        SELECT x.s AS segment_a, y.s AS segment_b
-        FROM sizes x JOIN sizes y ON x.s < y.s
-    ),
-    inter AS (
-        SELECT a.s AS sa, b.s AS sb, COUNT(*) AS ni
-        FROM seg a JOIN seg b ON a.u = b.u AND a.s < b.s
-        GROUP BY 1, 2
-    )
-    SELECT p.segment_a, p.segment_b, sa.n AS est_a, sb.n AS est_b,
-           COALESCE(i.ni, 0) AS est_intersection,
-           sa.n + sb.n - COALESCE(i.ni, 0) AS est_union
-    FROM pairs p
-    JOIN sizes sa ON sa.s = p.segment_a
-    JOIN sizes sb ON sb.s = p.segment_b
-    LEFT JOIN inter i ON i.sa = p.segment_a AND i.sb = p.segment_b
-    ORDER BY 1, 2
-    """,
-)
-def theta_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audience overlap via theta-sketch set algebra
-    (operators/sketches.py): distinct-user intersection and union
-    estimates for every event-type pair, computed ONLY from
-    per-segment partials (one scan, then a dimension-sized pair
-    join) — the sketch answer to 'users who did A and B' that HLL
-    cannot give. Exact-mode regime at test cardinalities, so the
-    oracle is the exact relational overlap; estimation-regime
-    accuracy is pinned in tests/test_sketches.py."""
-    from ..operators.sketches import theta_segment_overlap
-
-    ev = catalog.table(spark, sf_dir, "events")
-    return theta_segment_overlap(ev, "event_type", "user_id")
-
-
-@register(
-    "events_asof_forward",
-    oracle="""
-    WITH pur AS (
-        SELECT user_id, ts, event_id, value FROM events
-        WHERE event_type = 'purchase'
-    ),
-    err AS (
-        SELECT user_id, ts, MAX(value) AS evalue
-        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
-    ),
-    m AS (
-        SELECT p.user_id, p.ts, p.event_id, p.value,
-               min(e.ts) FILTER (
-                   WHERE e.ts >= p.ts
-                     AND date_diff('second', p.ts, e.ts) <= 1800
-               ) AS asof_ts
-        FROM pur p LEFT JOIN err e ON e.user_id = p.user_id
-        GROUP BY p.user_id, p.ts, p.event_id, p.value
-    )
-    SELECT m.user_id, m.ts, m.event_id, m.value, m.asof_ts,
-           e2.evalue AS asof_evalue
-    FROM m LEFT JOIN err e2
-      ON e2.user_id = m.user_id AND e2.ts = m.asof_ts
-    ORDER BY m.user_id, m.event_id
-    """,
-)
-def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of join with tolerance (operators/asof.py, pandas
-    merge_asof parity): each purchase picks up the user's EARLIEST
-    error within the next 30 minutes. For the forward direction,
-    earliest-then-null-if-beyond-tolerance is equivalent to
-    earliest-within-tolerance (later matches are only farther), which
-    is what the oracle's filtered min computes; the tolerance compares
-    whole epoch seconds on both sides (Spark unix_timestamp floors,
-    DuckDB date_diff('second') counts boundaries — identical). NULLs
-    on misses share the timestamp/double shape of the hash-green
-    `events_asof_join` row."""
-    from ..operators.asof import asof_join
-
-    ev = catalog.table(spark, sf_dir, "events")
-    pur = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    err = (
-        ev.filter(F.col("event_type") == "error")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("evalue"))
-    )
-    return asof_join(
-        pur,
-        err,
-        key=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=["ts", "evalue"],
-        direction="forward",
-        tolerance=1800,
-    ).select(
-        "user_id", "ts", "event_id", "value", "asof_ts", "asof_evalue"
-    ).orderBy("user_id", "event_id")

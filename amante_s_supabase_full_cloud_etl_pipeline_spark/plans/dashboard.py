@@ -161,6 +161,14 @@ def a4_a7_headline_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    UNION ALL
+    SELECT 'a13_month_dow' AS dimension,
+           month(o_orderdate) || '-' || (dayofweek(o_orderdate) + 1) AS grp_key,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM orders
+    WHERE weekofyear(o_orderdate) <= 26 AND month(o_orderdate) IN (1, 2, 3)
+    GROUP BY month(o_orderdate), dayofweek(o_orderdate) + 1
     ORDER BY dimension, grp_key
     """,
 )
@@ -168,11 +176,14 @@ def a8_a12_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 ('Frequently Used Payment Method', o_orderpriority proxy) +
     A12 ('Dine-in/Takeaway channel split', o_orderstatus proxy) as ONE
     GROUPING SETS pass — partial aggregation still applies, so both
-    mixes come from a single fact scan instead of two. Both source
-    columns are non-null in the schema, so the null slot identifies
-    which grouping set a row belongs to."""
+    mixes come from a single fact scan instead of two (both source
+    columns are non-null, so the null slot identifies the grouping
+    set) — PLUS the A13 slicer leg (week/day-of-week/month date-part
+    predicates + grouped agg; Spark dayofweek is 1..7 Sun=1 while
+    DuckDB's is 0..6 — oracle compensates; at scale these predicates
+    prune a date-partitioned fact before any scan)."""
     o = _t(spark, sf_dir, "orders")
-    return (
+    mix = (
         o.groupingSets(
             [["o_orderpriority"], ["o_orderstatus"]],
             "o_orderpriority",
@@ -190,8 +201,28 @@ def a8_a12_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "total_amount",
         )
-        .orderBy("dimension", "grp_key")
     )
+    sliced = (
+        o.filter(
+            (F.weekofyear("o_orderdate") <= 26) & F.month("o_orderdate").isin(1, 2, 3)
+        )
+        .groupBy(
+            F.month("o_orderdate").alias("_m"),
+            F.dayofweek("o_orderdate").alias("_d"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
+        )
+        .select(
+            F.lit("a13_month_dow").alias("dimension"),
+            F.concat(F.col("_m").cast("string"), F.lit("-"), F.col("_d").cast("string"))
+            .alias("grp_key"),
+            "n_orders",
+            "total_amount",
+        )
+    )
+    return mix.unionByName(sliced).orderBy("dimension", "grp_key")
 
 
 # ---------------------------------------------------------------------------
@@ -345,19 +376,6 @@ def a10_a11_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "a13_sliced_monthly_sales",
-    oracle="""
-    SELECT CAST(month(o_orderdate) AS INTEGER) AS month_number,
-           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS day_of_week,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
-    FROM orders
-    WHERE weekofyear(o_orderdate) <= 26 AND month(o_orderdate) IN (1, 2, 3)
-    GROUP BY month(o_orderdate), dayofweek(o_orderdate) + 1
-    ORDER BY month_number, day_of_week
-    """,
-)
 def a13_sliced_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 (week/day-of-week/month slicers): date-part predicates +
     grouped agg. Note Spark dayofweek is 1..7 (Sun=1) while DuckDB's
@@ -383,24 +401,6 @@ def a13_sliced_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "topk_parts_per_type",
-    oracle=f"""
-    WITH ranked AS (
-        SELECT p.p_type AS category, p.p_name AS part_name,
-               CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) AS part_sales,
-               CAST(ROW_NUMBER() OVER (
-                   PARTITION BY p.p_type
-                   ORDER BY CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) DESC, p.p_name
-               ) AS INTEGER) AS rank_in_type
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY p.p_type, p.p_name
-    )
-    SELECT category, part_name, part_sales, rank_in_type
-    FROM ranked WHERE rank_in_type <= 3
-    ORDER BY category, rank_in_type
-    """,
-)
 def topk_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by revenue within each type: agg first (shrinks the
     data to one row per (type, part)), then a per-type window over the
@@ -423,3 +423,68 @@ def topk_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_in_type") <= 3)
         .orderBy("category", "rank_in_type")
     )
+
+
+@register(
+    "grouped_topk_methods",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT p.p_type AS group_key, p.p_name AS item,
+               CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) AS metric,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p.p_type
+                   ORDER BY CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) DESC, p.p_name
+               ) AS INTEGER) AS rank
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type, p.p_name
+    ),
+    ranked_orders AS (
+        SELECT o_orderpriority AS group_key, CAST(o_orderkey AS VARCHAR) AS item,
+               o_totalprice AS metric,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey DESC
+               ) AS INTEGER) AS rank
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'parts_window' AS part, group_key, item, metric, rank
+        FROM ranked WHERE rank <= 3
+        UNION ALL
+        SELECT 'orders_two_phase' AS part, group_key, item, metric, rank
+        FROM ranked_orders WHERE rank <= 3
+    ) ORDER BY part, group_key, rank
+    """,
+)
+def grouped_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both grouped top-k strategies in one labeled result.
+    ``parts_window``: agg-then-window top-3 parts by revenue per type
+    (the window never sees fact volume — right when the grouped table
+    is small). ``orders_two_phase``: bounded-state two-phase top-k
+    (operators/topk.py) of orders by price per priority — identical
+    output to the window form under the (price, orderkey) total
+    order, but the hot group's sort spreads across every partition
+    and the shuffle carries k x n_partitions candidates, never the
+    group — right when a group outgrows one task."""
+    from ..operators.topk import grouped_topk
+
+    parts = topk_parts_per_type(spark, sf_dir).select(
+        F.lit("parts_window").alias("part"),
+        F.col("category").alias("group_key"),
+        F.col("part_name").alias("item"),
+        F.col("part_sales").alias("metric"),
+        F.col("rank_in_type").alias("rank"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    two_phase = grouped_topk(
+        orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], k=3
+    ).select(
+        F.lit("orders_two_phase").alias("part"),
+        F.col("o_orderpriority").alias("group_key"),
+        F.col("o_orderkey").cast("string").alias("item"),
+        F.col("o_totalprice").alias("metric"),
+        "rank",
+    )
+    return parts.unionByName(two_phase).orderBy("part", "group_key", "rank")

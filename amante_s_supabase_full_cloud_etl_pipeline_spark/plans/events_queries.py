@@ -42,16 +42,26 @@ from ._common import dec
            COUNT(*) AS n_events,
            CAST(SUM(v) AS DOUBLE) AS total_value
     FROM sliding GROUP BY 2, 3
+    UNION ALL
+    SELECT 'late_6h_gate' AS window_kind,
+           (SELECT MAX(ts) - INTERVAL 6 HOUR FROM events) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) - INTERVAL 6 HOUR FROM events)
+    GROUP BY event_type
     ORDER BY window_kind, window_start, event_type
     """,
 )
 def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h AND sliding (1h length, 10-min slide) event-time
-    windows in one labeled result — the batch forms of the streaming
-    windowed aggs (streaming/events.py runs the same logic with a
-    watermark under readStream; each event lands in exactly 6 sliding
-    windows). The oracle reconstructs Spark's window set relationally
-    (explode of 6 aligned offsets per event)."""
+    windows PLUS the 6h late-data gate in one labeled result — the
+    batch forms of the streaming windowed aggs (streaming/events.py
+    runs the same logic with a watermark under readStream; each event
+    lands in exactly 6 sliding windows, and the late_6h_gate leg is
+    the cutoff a 6h watermark enforces, its window_start carrying the
+    cutoff timestamp). The oracle reconstructs Spark's window set
+    relationally (explode of 6 aligned offsets per event)."""
     ev = catalog.table(spark, sf_dir, "events")
     tumbling = (
         ev.groupBy(
@@ -78,7 +88,24 @@ def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return tumbling.unionByName(sliding).orderBy("window_kind", "window_start", "event_type")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("window_start")
+    )
+    late = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("window_start"))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .select(F.lit("late_6h_gate").alias("window_kind"), "*")
+    )
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(late)
+        .orderBy("window_kind", "window_start", "event_type")
+    )
 
 
 @register(
@@ -144,74 +171,84 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_asof_join",
+    "events_asof_directions",
     oracle="""
     WITH err AS (
         SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error'
     ),
     pur AS (
-        SELECT user_id, ts, MAX(value) AS pvalue
+        SELECT user_id, ts, MAX(value) AS rvalue
         FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    pur_l AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    err_r AS (
+        SELECT user_id, ts, MAX(value) AS rvalue
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ),
+    fwd AS (
+        SELECT p.user_id, p.ts, p.event_id, p.value,
+               min(e.ts) FILTER (
+                   WHERE e.ts >= p.ts
+                     AND date_diff('second', p.ts, e.ts) <= 1800
+               ) AS asof_ts
+        FROM pur_l p LEFT JOIN err_r e ON e.user_id = p.user_id
+        GROUP BY p.user_id, p.ts, p.event_id, p.value
     )
-    SELECT e.user_id, e.ts, e.event_id, e.value,
-           p.ts AS asof_ts, p.pvalue AS asof_pvalue
-    FROM err e ASOF LEFT JOIN pur p
-      ON e.user_id = p.user_id AND e.ts >= p.ts
-    ORDER BY e.user_id, e.event_id
+    SELECT * FROM (
+        SELECT 'backward' AS direction, e.user_id, e.ts, e.event_id, e.value,
+               p.ts AS asof_ts, p.rvalue AS asof_value
+        FROM err e ASOF LEFT JOIN pur p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        UNION ALL
+        SELECT 'forward_30m' AS direction, f.user_id, f.ts, f.event_id,
+               f.value, f.asof_ts, e2.rvalue AS asof_value
+        FROM fwd f LEFT JOIN err_r e2
+          ON e2.user_id = f.user_id AND e2.ts = f.asof_ts
+    ) ORDER BY direction, user_id, event_id
     """,
 )
-def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (operators/asof.py): each error event picks up the
-    user's most recent prior purchase. Spark side is the union+window
-    single-shuffle formulation; the oracle is DuckDB's native ASOF
-    LEFT JOIN. Right side pre-deduped per (user, ts) so the tie rule
-    is engine-independent."""
+def events_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both as-of join directions (operators/asof.py, pandas
+    merge_asof parity) in one labeled result. ``backward``: each
+    error event picks up the user's most recent prior purchase
+    (oracle: DuckDB's native ASOF LEFT JOIN). ``forward_30m``: each
+    purchase picks up the user's EARLIEST error within the next 30
+    minutes — for the forward direction, earliest-then-null-if-
+    beyond-tolerance equals earliest-within-tolerance, which the
+    oracle's filtered min computes; the tolerance compares whole
+    epoch seconds on both sides (Spark unix_timestamp floors, DuckDB
+    date_diff('second') counts boundaries — identical). Right sides
+    pre-deduped per (user, ts) so tie rules are engine-independent;
+    NULLs on misses are the hash-green r02 shape (allowlisted)."""
     from ..operators.asof import asof_join
 
     ev = catalog.table(spark, sf_dir, "events")
-    err = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    pur = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("pvalue"))
-    )
-    return asof_join(
-        err, pur, key=["user_id"], left_ts="ts", right_ts="ts",
-        right_cols=["ts", "pvalue"],
+    err = ev.filter(F.col("event_type") == "error")
+    pur = ev.filter(F.col("event_type") == "purchase")
+    backward = asof_join(
+        err.select("user_id", "ts", "event_id", "value"),
+        pur.groupBy("user_id", "ts").agg(F.max("value").alias("rvalue")),
+        key=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["ts", "rvalue"],
     ).select(
+        F.lit("backward").alias("direction"),
         "user_id", "ts", "event_id", "value",
-        F.col("asof_ts"), F.col("asof_pvalue"),
-    ).orderBy("user_id", "event_id")
-
-
-@register(
-    "events_late_data_filter",
-    oracle="""
-    WITH maxts AS (SELECT MAX(ts) AS m FROM events)
-    SELECT event_type, COUNT(*) AS n_recent,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events, maxts
-    WHERE ts >= m - INTERVAL 6 HOUR
-    GROUP BY event_type ORDER BY event_type
-    """,
-)
-def events_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark semantics in batch form: drop events older than
-    (max event time − 6h) — the same cutoff a 6h watermark enforces
-    in the streaming twin."""
-    ev = catalog.table(spark, sf_dir, "events")
-    cutoff = ev.agg(
-        (F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("cutoff")
+        "asof_ts", F.col("asof_rvalue").alias("asof_value"),
     )
-    return (
-        ev.crossJoin(F.broadcast(cutoff))
-        .filter(F.col("ts") >= F.col("cutoff"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_recent"),
-            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
-        )
-        .orderBy("event_type")
+    forward = asof_join(
+        pur.select("user_id", "ts", "event_id", "value"),
+        err.groupBy("user_id", "ts").agg(F.max("value").alias("rvalue")),
+        key=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["ts", "rvalue"],
+        direction="forward", tolerance=1800,
+    ).select(
+        F.lit("forward_30m").alias("direction"),
+        "user_id", "ts", "event_id", "value",
+        "asof_ts", F.col("asof_rvalue").alias("asof_value"),
+    )
+    return backward.unionByName(forward).orderBy(
+        "direction", "user_id", "event_id"
     )

@@ -76,29 +76,6 @@ def explode_regex_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "semi_anti_join_filters",
-    oracle="""
-    SELECT 'anti_unshipped' AS join_type, o_orderstatus AS grp_key,
-           COUNT(*) AS n_rows
-    FROM orders o
-    WHERE NOT EXISTS (
-        SELECT 1 FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= TIMESTAMP '2000-01-01'
-    )
-    GROUP BY 2
-    UNION ALL
-    SELECT 'semi_recent' AS join_type, c_mktsegment AS grp_key,
-           COUNT(*) AS n_rows
-    FROM customer c
-    WHERE EXISTS (
-        SELECT 1 FROM orders o
-        WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01'
-    )
-    GROUP BY 2
-    ORDER BY join_type, grp_key
-    """,
-)
 def semi_anti_join_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8's delete-promoted-rows shape (SURVEY.md §2.6) + its inverse:
     left ANTI join (orders with no shipped line) and left SEMI join

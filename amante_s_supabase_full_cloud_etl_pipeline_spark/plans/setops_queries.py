@@ -16,22 +16,62 @@ from ..registry import DRIVER_SF, GOLDEN_DIR, register
 
 
 @register(
-    "setops_customers",
+    "customer_set_ops",
     oracle="""
-    SELECT 'intersect' AS set_op, COUNT(*) AS n_customers FROM (
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        INTERSECT
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    )
-    UNION ALL
-    SELECT 'except' AS set_op, COUNT(*) AS n_customers FROM (
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        EXCEPT
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    )
-    ORDER BY set_op
+    SELECT * FROM (
+        SELECT 'intersect' AS op, 'ALL' AS grp_key, COUNT(*) AS n_rows FROM (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        UNION ALL
+        SELECT 'except' AS op, 'ALL' AS grp_key, COUNT(*) AS n_rows FROM (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        UNION ALL
+        SELECT 'anti_unshipped' AS op, o_orderstatus AS grp_key,
+               COUNT(*) AS n_rows
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate >= TIMESTAMP '2000-01-01'
+        )
+        GROUP BY 2
+        UNION ALL
+        SELECT 'semi_recent' AS op, c_mktsegment AS grp_key,
+               COUNT(*) AS n_rows
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+        GROUP BY 2
+    ) ORDER BY op, grp_key
     """,
 )
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership operators over customer keys in one labeled
+    result: INTERSECT / EXCEPT (true set semantics) plus left SEMI /
+    left ANTI existence joins (plans/parity_ops.py) — the four
+    flavors of "is this key in that set" a pipeline filters with,
+    none of which duplicates the probe side."""
+    from .parity_ops import semi_anti_join_filters
+
+    sets = setops_customers(spark, sf_dir).select(
+        F.col("set_op").alias("op"),
+        F.lit("ALL").alias("grp_key"),
+        F.col("n_customers").alias("n_rows"),
+    )
+    joins = semi_anti_join_filters(spark, sf_dir).select(
+        F.col("join_type").alias("op"), "grp_key", "n_rows"
+    )
+    return sets.unionByName(joins).orderBy("op", "grp_key")
+
+
 def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (deduplicating set intersection) and EXCEPT (set
     difference — ``subtract``, not ``exceptAll``: EXCEPT removes

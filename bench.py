@@ -52,6 +52,61 @@ HEADLINE = (
 )
 
 
+def _extra_queries():
+    """Headline shapes that are no longer standalone registry rows
+    (the registry holds the driver's 50 consolidated slots; several
+    slots are labeled unions of these) — the bench keeps timing each
+    NARROW shape so per-operator numbers stay comparable across
+    rounds."""
+    from pyspark.sql import functions as F
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import (
+        dedup_queries,
+        similarity_queries,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.funnel import (
+        funnel_times,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.sketches import (
+        theta_partials,
+        theta_rollup,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.topk import (
+        grouped_topk,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans import dashboard
+
+    def funnel_user_depths(spark, sf_dir):
+        ev = catalog.table(spark, sf_dir, "events")
+        return funnel_times(ev, ("view", "click", "purchase"), within="6 hours")
+
+    def sketch_cube_daily_users(spark, sf_dir):
+        ev = catalog.table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        )
+        parts = theta_partials(ev, ["day", "event_type"], "user_id")
+        return theta_rollup(parts, ["event_type"])
+
+    def grouped_topk_orders(spark, sf_dir):
+        orders = catalog.table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_totalprice", "o_orderkey"
+        )
+        return grouped_topk(
+            orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], k=3
+        )
+
+    return {
+        "topk_parts_per_type": dashboard.topk_parts_per_type,
+        "dedup_jaccard_pairs": dedup_queries.dedup_jaccard_pairs,
+        "knn_bruteforce_cosine": similarity_queries.knn_bruteforce_cosine,
+        "knn_lsh_bucketed": similarity_queries.knn_lsh_bucketed,
+        "funnel_user_depths": funnel_user_depths,
+        "sketch_cube_daily_users": sketch_cube_daily_users,
+        "grouped_topk_orders": grouped_topk_orders,
+    }
+
+
 def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> float:
     """Seconds to run the full POS transform kernel over a synthetic
     n-order input built by cycling the fixture's product grammar —
@@ -95,10 +150,29 @@ def run() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("amante-bench")
     registry.load_all_queries()
+    extra = _extra_queries()
+
+    def query_fn(name: str):
+        fn = registry.QUERIES.get(name)
+        if fn is not None:
+            return fn
+        inner = extra[name]
+
+        def wrapped(spark_, sf_dir_):
+            # same cache lifecycle as the registry wrapper: release
+            # the previous query's tracked persists before running
+            from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cache import (
+                release_tracked,
+            )
+
+            release_tracked()
+            return inner(spark_, sf_dir_)
+
+        return wrapped
 
     def force(name: str) -> float:
         # warm-up pass: pays one-off Catalyst/codegen/JIT compile
-        registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+        query_fn(name)(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
         # each timed pass is a FRESH invocation: the registry wrapper
@@ -107,7 +181,7 @@ def run() -> None:
         # Min of 2 timed passes rides out background-JIT stragglers.
         best = float("inf")
         for _ in range(2):
-            df = registry.QUERIES[name](spark, sf_dir)
+            df = query_fn(name)(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

@@ -1,0 +1,106 @@
+"""Operational monitoring over the events stream — the engine's
+time-series and sketch surface composed as an on-call dashboard:
+
+    python examples/monitoring.py [sf_dir]
+
+1. Rolling z-score anomalies (each value scored against the 50
+   preceding events of its type; same math the streaming twin in
+   streaming/anomaly.py keeps as ring-buffer state).
+2. Hourly OHLC bars for the noisiest metric.
+3. Gap-filled daily purchase series (linear interpolation) — the
+   regularized series a forecaster consumes.
+4. Distinct-user sketch cube: theta partials per (day, type) built
+   once, every coarser grain answered by merging partials.
+5. Audience overlap between event types from the same partials
+   (theta intersections).
+
+At 100 TB: the z-score window and OHLC shuffle once per key, the
+grid is generated per key (no global calendar cross join), and the
+sketch cube is THE pattern that keeps distinct-count dashboards
+interactive — partials are built in one pass and every rollup after
+that reads kilobytes."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.sketches import (
+    theta_partials,
+    theta_rollup,
+    theta_segment_overlap,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.timeseries import (
+    gap_fill_interpolate,
+    ohlc_buckets,
+    rolling_zscore,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.plans._common import dec
+from amante_s_supabase_full_cloud_etl_pipeline_spark.session import get_spark
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark("monitoring-example")
+    events = catalog.table(spark, sf_dir, "events")
+
+    print("== rolling z-score anomalies (|z| > 2.5, 50-event baseline) ==")
+    anomalies = rolling_zscore(
+        events, ["event_type"], "ts", "value",
+        order_cols=["ts", "event_id"], window=50, threshold=2.5,
+    )
+    for r in anomalies.orderBy(F.desc(F.abs(F.col("zscore")))).limit(5).collect():
+        print(
+            f"  {r['event_type']:<9} {r['ts']} value {r['value']:>8.2f} "
+            f"z {r['zscore']:+.2f}"
+        )
+
+    print("== hourly OHLC bars (purchase, first 5 hours) ==")
+    bars = ohlc_buckets(
+        events.filter(F.col("event_type") == "purchase"),
+        ["event_type"], "ts", "value", tiebreak_col="event_id", bucket="hour",
+    )
+    for r in bars.limit(5).collect():
+        print(
+            f"  {r['bucket_start']:%m-%d %H:%M}  O {r['open']:7.2f} "
+            f"H {r['high']:7.2f} L {r['low']:7.2f} C {r['close']:7.2f} "
+            f"vol {r['volume']:9.2f} ({r['n_rows']} rows)"
+        )
+
+    print("== gap-filled daily purchase totals (user 1) ==")
+    daily = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("user_id") == 1))
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("ts"))
+        .agg(F.sum(dec(F.col("value"))).cast("double").alias("total"))
+    )
+    filled = gap_fill_interpolate(daily, ["user_id"], "ts", "total", "1 day")
+    for r in filled.limit(8).collect():
+        mark = "~" if r["filled"] else " "
+        print(f"  {r['ts']:%Y-%m-%d} {mark}{r['value']:9.2f}")
+
+    print("== distinct users: sketch cube (partials built once) ==")
+    ev_day = events.withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    parts = theta_partials(ev_day, ["day", "event_type"], "user_id")
+    for r in theta_rollup(parts, ["event_type"]).orderBy("event_type").collect():
+        print(f"  {r['event_type']:<9} ~{round(r['estimate'])} users")
+    total = theta_rollup(parts, []).collect()[0]["estimate"]
+    print(f"  TOTAL     ~{round(total)} users (merged from the same partials)")
+
+    print("== audience overlap (top 3 pairs by intersection) ==")
+    ov = theta_segment_overlap(events, "event_type", "user_id")
+    for r in ov.orderBy(F.desc("est_intersection")).limit(3).collect():
+        print(
+            f"  {r['segment_a']} ∩ {r['segment_b']}: ~{r['est_intersection']} "
+            f"users (∪ ~{r['est_union']})"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

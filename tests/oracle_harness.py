@@ -60,10 +60,10 @@ NULL_NUMERIC_OK: dict = {
     # (a LAG before the first row / an as-of miss IS null, not a
     # sentinel) is lower-risk than perturbing a green row.
     "window_customer_order_seq": "LAG(prev_price) null on first row; r02 hash-green",
-    "events_asof_join": "as-of miss emits null match columns; r02 hash-green",
-    "events_asof_forward": (
-        "as-of miss emits null match columns — same timestamp/double NULL "
-        "shape as events_asof_join, which was hash-green in r02"
+    "events_asof_directions": (
+        "as-of miss emits null match columns — the r02 hash-green "
+        "events_asof_join shape (timestamp/double NULLs), now with a "
+        "forward-direction leg of the identical shape"
     ),
 }
 NAN_OK: dict = {}

@@ -18,7 +18,7 @@ def test_registry_releases_previous_querys_caches(spark):
     registry.load_all_queries()
     cache.release_tracked()
 
-    jaccard = registry.QUERIES["dedup_jaccard_pairs"]
+    jaccard = registry.QUERIES["dedup_pair_methods"]
     jaccard(spark, SF).collect()
     assert _n_cached(spark) > 0  # posting table persisted during the action
 

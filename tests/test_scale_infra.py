@@ -167,9 +167,11 @@ def test_headline_kpis_single_scan_two_level_agg(spark, sf_dir):
 
 
 def test_order_mix_grouping_sets_single_scan(spark, sf_dir):
-    """A8+A12 via GROUPING SETS: one scan + Expand, not two group-bys."""
+    """A8+A12 via GROUPING SETS: one scan + Expand for both mixes
+    (not two group-bys); the labeled A13 slicer leg adds exactly one
+    more scan (its own filtered aggregation), never a third."""
     plan = _registry_plan(spark, sf_dir, "a8_a12_order_mix")
-    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert plan.count("FileScan parquet") == 2, plan[:3000]
     assert "Expand" in plan
 
 
@@ -188,8 +190,14 @@ def test_quality_band_filter_pushed_to_scan(spark, sf_dir):
 
 def test_sliced_monthly_predicates_pushed(spark, sf_dir):
     """A13's slicer predicates reach the parquet scan as data filters
-    (at scale: partition pruning on a date-partitioned fact)."""
-    plan = _registry_plan(spark, sf_dir, "a13_sliced_monthly_sales")
+    (at scale: partition pruning on a date-partitioned fact). The
+    query now ships as the a13 leg of a8_a12_order_mix; the
+    standalone plan shape is locked via the module function."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans.dashboard import (
+        a13_sliced_monthly_sales,
+    )
+
+    plan = _plan(a13_sliced_monthly_sales(spark, sf_dir))
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "PushedFilters: [IsNotNull(o_orderdate)" in scan or "PushedFilters: [" in scan
 
