@@ -98,9 +98,9 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(emb, centroids)
 
 
-_SQL_TOKENS = (
-    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
-)
+# the one whitespace-tokenizer SQL, shared with every text oracle so
+# a tokenizer change cannot desynchronize them
+from .text_queries import _TOKENS as _SQL_TOKENS  # noqa: E402
 
 
 @register(

@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import DRIVER_SF, GOLDEN_DIR, golden_oracle, register  # noqa: F401
+from ..registry import (  # noqa: F401
+    DRIVER_SF,
+    GOLDEN_DIR,
+    golden_oracle,
+    golden_table,
+    register,
+)
 from .components import connected_components, dup_group_stats, keep_group_canonical
 from .dedup import drop_exact_dups, jaccard_pairs, minhash_candidates, simhash_near_pairs
 from .similarity import embedding_near_dup_pairs
@@ -264,6 +270,10 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+golden_table("dedup_minhash_candidates", dedup_minhash_candidates_q)
+golden_table("dedup_simhash_pairs", dedup_simhash_pairs_q)
 
 
 @register(

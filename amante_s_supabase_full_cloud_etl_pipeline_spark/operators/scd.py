@@ -107,6 +107,22 @@ def scd2_apply(
     exactly-once semantics under foreachBatch replay, inherited from
     the table format's idempotent merge."""
     keys = list(keys)
+    # Precondition: one row per key per batch. Two rows for the same
+    # key would produce two opening versions with the identical
+    # (key, valid_from) merge identity, and the survivor would be
+    # picked nondeterministically — fail loudly instead.
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .take(1)
+    )
+    if dup:
+        raise ValueError(
+            f"scd2_apply: update batch has multiple rows for key "
+            f"{tuple(dup[0][k] for k in keys)!r}; pre-aggregate to one row "
+            "per key per batch"
+        )
     if table.current_version() == 0:
         first = scd2_init(updates, effective)
         return table.merge(
@@ -116,13 +132,18 @@ def scd2_apply(
     current = table.read(filters=[("is_current", "=", True)]).filter(
         F.col("is_current")
     )
-    delta = scd2_delta(current, updates, keys, tracked, effective)
-    if not delta.take(1):
-        return table.current_version()
-    return table.merge(
-        delta, keys=[*keys, "valid_from"], order_by=["valid_from"],
-        batch_id=batch_id,
-    )
+    # persist: the no-op probe and the merge both consume the delta —
+    # without it the current-slice join would execute twice
+    delta = scd2_delta(current, updates, keys, tracked, effective).persist()
+    try:
+        if not delta.take(1):
+            return table.current_version()
+        return table.merge(
+            delta, keys=[*keys, "valid_from"], order_by=["valid_from"],
+            batch_id=batch_id,
+        )
+    finally:
+        delta.unpersist()
 
 
 def scd2_snapshot_at(dim: DataFrame, ts: str) -> DataFrame:

@@ -15,9 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import register
+from ..registry import DRIVER_SF, register
 
-_HH_CAP = 4096  # > distinct l_partkey at every test SF -> MG is exact
+#: > distinct l_partkey at the DRIVER's correctness SF (sf0.01:
+#: 2,000 distinct) -> MG never decrements and is exact there. NOT
+#: true at sf0.1 (20,000 distinct), so the row pins its run SF via
+#: golden_sf — the same mechanism every SF-specific-regime row uses.
+_HH_CAP = 4096
 _HH_SHARE = 0.0008
 
 
@@ -113,39 +117,39 @@ def funnel_retention_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retention import cohort_retention
 
     ev = catalog.table(spark, sf_dir, "events")
+    # ONE unpivot per family over its single aggregation — a
+    # per-metric union would re-execute the funnel/retention plans
+    # once per leg
     times = funnel_times(ev, ("view", "click", "purchase"), within="6 hours")
-    f_metrics = [
-        ("t0_us", F.coalesce(F.unix_micros(F.col("t_0")), F.lit(-1)).cast("double")),
-        ("t1_us", F.coalesce(F.unix_micros(F.col("t_1")), F.lit(-1)).cast("double")),
-        ("t2_us", F.coalesce(F.unix_micros(F.col("t_2")), F.lit(-1)).cast("double")),
-        ("depth", F.col("depth").cast("double")),
-    ]
-    funnel_long = None
-    for metric, expr in f_metrics:
-        leg = times.select(
-            F.lit("funnel").alias("part"),
-            F.col("user").cast("string").alias("k1"),
-            F.lit("").alias("k2"),
-            F.lit(metric).alias("metric"),
-            expr.alias("value"),
-        )
-        funnel_long = leg if funnel_long is None else funnel_long.unionByName(leg)
+    funnel_wide = times.select(
+        F.col("user").cast("string").alias("k1"),
+        *[
+            F.coalesce(F.unix_micros(F.col(f"t_{i}")), F.lit(-1))
+            .cast("double")
+            .alias(f"t{i}_us")
+            for i in range(3)
+        ],
+        F.col("depth").cast("double").alias("depth"),
+    )
+    funnel_long = funnel_wide.unpivot(
+        ["k1"], ["t0_us", "t1_us", "t2_us", "depth"], "metric", "value"
+    ).select(
+        F.lit("funnel").alias("part"), "k1", F.lit("").alias("k2"),
+        "metric", "value",
+    )
     ret = cohort_retention(ev, granularity="week")
-    r_metrics = [
-        ("n_active", F.col("n_active").cast("double")),
-        ("cohort_size", F.col("cohort_size").cast("double")),
-        ("retention", F.col("retention")),
-    ]
-    ret_long = None
-    for metric, expr in r_metrics:
-        leg = ret.select(
-            F.lit("retention").alias("part"),
-            F.date_format("cohort", "yyyy-MM-dd").alias("k1"),
-            F.col("periods_since").cast("string").alias("k2"),
-            F.lit(metric).alias("metric"),
-            expr.alias("value"),
-        )
-        ret_long = leg if ret_long is None else ret_long.unionByName(leg)
+    ret_wide = ret.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("k1"),
+        F.col("periods_since").cast("string").alias("k2"),
+        F.col("n_active").cast("double").alias("n_active"),
+        F.col("cohort_size").cast("double").alias("cohort_size"),
+        "retention",
+    )
+    ret_long = ret_wide.unpivot(
+        ["k1", "k2"], ["n_active", "cohort_size", "retention"], "metric", "value"
+    ).select(
+        F.lit("retention").alias("part"), "k1", "k2", "metric", "value"
+    )
     return funnel_long.unionByName(ret_long).orderBy("part", "k1", "k2", "metric")
 
 
@@ -169,14 +173,17 @@ def funnel_retention_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents GROUP BY source
     ) ORDER BY method, key
     """,
+    golden_sf=DRIVER_SF,
 )
 def point_freq_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both mergeable point-frequency sketches in one labeled result.
-    ``misra_gries`` (operators/heavy_hitters.py) over lineitem part
-    keys: capacity 4096 exceeds the distinct count at every test SF,
-    so no counter decrements and the summaries are EXACT — which is
-    what lets a plain GROUP BY oracle the sketch (the approximation
-    regime's bounds are pinned in tests/test_heavy_hitters.py).
+    """Both mergeable point-frequency sketches in one labeled result,
+    checked at the driver SF (golden_sf pin) where both exactness
+    regimes hold. ``misra_gries`` (operators/heavy_hitters.py) over
+    lineitem part keys: capacity 4096 exceeds sf0.01's 2,000 distinct
+    keys, so no counter decrements and the summaries are EXACT —
+    which is what lets a plain GROUP BY oracle the sketch (the
+    approximation regime's bounds, which sf0.1's 20,000 keys would
+    enter, are pinned in tests/test_heavy_hitters.py).
     ``count_min`` (operators/countmin.py) over document sources:
     cell-wise-summed d×w arrays are bit-identical under any
     partitioning, and at 20 keys x width 2048 collision-free, so

@@ -160,32 +160,35 @@ def timeseries_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = catalog.table(spark, sf_dir, "events")
 
+    # each family melts with ONE unpivot over its single aggregation —
+    # a per-metric union would re-execute the source agg once per leg
+    def melt(df, series, values):
+        return df.unpivot(["key", "ts"], values, "metric", "value").select(
+            F.lit(series).alias("series"), "key", "ts", "metric", "value"
+        )
+
     z = rolling_zscore(
         ev, key_cols=["event_type"], ts_col="ts", value_col="value",
         order_cols=["ts", "event_id"], window=50, threshold=2.0,
     )
-    z_long = None
-    for metric, expr in [("value", F.col("value")), ("zscore", F.col("zscore"))]:
-        leg = z.select(
-            F.lit("zscore").alias("series"), F.col("event_type").alias("key"),
-            "ts", F.lit(metric).alias("metric"), expr.alias("value"),
-        )
-        z_long = leg if z_long is None else z_long.unionByName(leg)
+    z_long = melt(
+        z.select(F.col("event_type").alias("key"), "ts", "value", "zscore"),
+        "zscore", ["value", "zscore"],
+    )
 
     bars = ohlc_buckets(
         ev, key_cols=["event_type"], ts_col="ts", value_col="value",
         tiebreak_col="event_id", bucket="hour",
     )
-    o_long = None
-    for metric in ["open", "high", "low", "close", "volume", "n_rows"]:
-        leg = bars.select(
-            F.lit("ohlc_hourly").alias("series"),
+    o_metrics = ["open", "high", "low", "close", "volume", "n_rows"]
+    o_long = melt(
+        bars.select(
             F.col("event_type").alias("key"),
             F.col("bucket_start").alias("ts"),
-            F.lit(metric).alias("metric"),
-            F.col(metric).cast("double").alias("value"),
-        )
-        o_long = leg if o_long is None else o_long.unionByName(leg)
+            *[F.col(m).cast("double").alias(m) for m in o_metrics],
+        ),
+        "ohlc_hourly", o_metrics,
+    )
 
     daily = (
         ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 40))
@@ -196,17 +199,15 @@ def timeseries_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, key_cols=["user_id"], ts_col="ts", value_col="daily_total",
         step="1 day",
     )
-    g_long = None
-    for metric, expr in [
-        ("value", F.col("value")),
-        ("was_filled", F.col("filled").cast("double")),
-    ]:
-        leg = filled.select(
-            F.lit("gap_fill_daily").alias("series"),
+    g_long = melt(
+        filled.select(
             F.col("user_id").cast("string").alias("key"),
-            "ts", F.lit(metric).alias("metric"), expr.alias("value"),
-        )
-        g_long = leg if g_long is None else g_long.unionByName(leg)
+            "ts",
+            "value",
+            F.col("filled").cast("double").alias("was_filled"),
+        ),
+        "gap_fill_daily", ["value", "was_filled"],
+    )
 
     return (
         z_long.unionByName(o_long).unionByName(g_long)

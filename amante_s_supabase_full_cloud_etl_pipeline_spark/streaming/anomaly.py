@@ -77,8 +77,15 @@ def streaming_zscore(
 
         buf: list[int] = list(state.get[0]) if state.exists else []
         out_ts, out_v, out_z = [], [], []
-        for batch in batches:
-            ordered = batch.sort_values(["ts", "event_id"])
+        # ONE sort over the whole micro-batch: the group's rows may
+        # arrive as several shuffle-interleaved Arrow chunks, and a
+        # per-chunk sort cannot restore order across them — the ring
+        # buffer would be fed out of order (memory bound = one key's
+        # share of one micro-batch, the same bound any per-key
+        # stateful kernel has)
+        chunks = list(batches)
+        if chunks:
+            ordered = pd.concat(chunks).sort_values(["ts", "event_id"])
             for ts, v in zip(ordered["ts"], ordered["value"]):
                 if len(buf) == window:
                     s_c = sum(buf)          # exact integer cents

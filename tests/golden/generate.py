@@ -33,11 +33,14 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.registry import GOLDEN_DIR 
 def main(only: list[str]) -> None:
     spark = session.get_spark("golden-generate")
     registry.load_all_queries()
-    names = only or sorted(registry.GOLDEN_SF)
+    # GOLDEN_TABLES maps golden FILE -> (sf, producing fn): it covers
+    # both self-pinned queries and the LEG goldens of consolidated
+    # rows (whose producers are no longer registry entries).
+    names = only or sorted(registry.GOLDEN_TABLES)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name in names:
-        sf = registry.GOLDEN_SF[name]
-        df = registry.QUERIES[name](spark, sf)
+        sf, fn = registry.GOLDEN_TABLES[name]
+        df = fn(spark, sf)
         table = df.toArrow()  # preserves exact result types
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")
         pq.write_table(table, out)

@@ -106,6 +106,18 @@ def test_scd2_replay_idempotent_via_batch_id(spark, dim):
     )
 
 
+def test_scd2_rejects_duplicate_keys_in_one_batch(spark, dim):
+    """Two rows for one key in a batch would create two versions with
+    the same (key, valid_from) identity — fail loudly, never pick a
+    nondeterministic survivor."""
+    with pytest.raises(ValueError, match="multiple rows"):
+        _apply(
+            dim, spark,
+            [(1, "drinks", "low"), (1, "snacks", "high")],
+            "2024-01-01",
+        )
+
+
 def test_scd2_random_sequence_matches_sequential_model(spark, dim):
     """Model check: after a deterministic pseudo-random batch
     sequence, the current slice equals the last-written value per key

@@ -1,9 +1,8 @@
 """Time-series operators: hand-fixture semantics for the rolling
 z-score frame (self-exclusion, completeness gate), OHLC tie rules,
 and gap-fill interpolation/edge clamping. The full-table DuckDB
-differentials run through the registry sweep
-(events_rolling_zscore / events_ohlc_hourly / events_gap_fill_daily
-in test_registry_oracle.py)."""
+differential runs through the registry sweep (the consolidated
+`timeseries_metrics_long` row in test_registry_oracle.py)."""
 
 from __future__ import annotations
 
