@@ -66,8 +66,17 @@ def brute_force_topk(
     is scanned once. Scores are rounded before ranking so the
     ordering is reproducible across engines; ties break on corpus id.
     Returns (query_id, neighbor_id, score, rank).
+
+    Scale note: ranking goes through the two-phase ``grouped_topk``
+    (map-side per-partition top-k, then a ≤ k × n_partitions-rows-per-
+    query final fold) instead of ``row_number() OVER (PARTITION BY
+    query_id)``. The window form funnels the ENTIRE scored corpus into
+    |queries| partitions — at 100 TB that is one straggler sort task
+    per query; the two-phase form keeps each query's work spread
+    across every corpus partition and shuffles only k survivors per
+    (query, partition).
     """
-    from pyspark.sql import Window
+    from .topk import grouped_topk
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -82,11 +91,16 @@ def brute_force_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+    # grouped_topk orders DESCENDING by each order column; negate the
+    # id so ties break ascending on neighbor_id like the window form.
+    topk = grouped_topk(
+        scored.withColumn("_tie", -F.col("neighbor_id")),
+        group_by=["query_id"],
+        order_by=["score", "_tie"],
+        k=k,
+    )
+    return topk.select("query_id", "neighbor_id", "score", "rank").orderBy(
+        "query_id", "rank"
     )
 
 

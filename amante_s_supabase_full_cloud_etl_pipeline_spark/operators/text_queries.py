@@ -424,18 +424,21 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM totals a LEFT JOIN totals b ON b.shard < a.shard
         GROUP BY a.shard
     )
+    -- CAST each output to BIGINT: DuckDB's SUM OVER (end_local) is
+    -- HUGEINT, which pandas materializes as float64 (1148.0 vs 1148)
+    -- and breaks the driver's value hash (CORRECTNESS_r02/r03 red row).
     SELECT o.doc_id, o.shard, o.n_tokens,
-           b.base + o.end_local - o.n_tokens AS tok_offset,
-           CASE WHEN o.n_tokens > 0
+           CAST(b.base + o.end_local - o.n_tokens AS BIGINT) AS tok_offset,
+           CAST(CASE WHEN o.n_tokens > 0
                 THEN (b.base + o.end_local - o.n_tokens) // 2048
-                ELSE -1 END AS first_chunk,
-           CASE WHEN o.n_tokens > 0
+                ELSE -1 END AS BIGINT) AS first_chunk,
+           CAST(CASE WHEN o.n_tokens > 0
                 THEN (b.base + o.end_local - 1) // 2048
-                ELSE -1 END AS last_chunk,
-           CASE WHEN o.n_tokens > 0
+                ELSE -1 END AS BIGINT) AS last_chunk,
+           CAST(CASE WHEN o.n_tokens > 0
                 THEN (b.base + o.end_local - 1) // 2048
                      - (b.base + o.end_local - o.n_tokens) // 2048 + 1
-                ELSE 0 END AS chunks_spanned
+                ELSE 0 END AS BIGINT) AS chunks_spanned
     FROM offs o JOIN bases b USING (shard)
     ORDER BY o.doc_id
     """,

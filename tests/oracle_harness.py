@@ -4,6 +4,25 @@ Runs a registered Spark query and its oracle SQL on the same parquet
 tables and compares row count, schema shape, and order-insensitive
 values — stricter than a hash compare (reports the first differing
 cell), so anything passing here should hash-match in the driver.
+
+Two hardening layers exist because the driver hashes the *pandas*
+materialization of both sides, which this harness cannot observe
+directly:
+
+1. ``audit_hash_hazards`` inspects the Spark output for NULL/NaN in
+   numeric columns and DecimalType columns (driver normalization of
+   those is outside our control), and — since round 4 — inspects the
+   ORACLE result types via ``duckdb.sql(...).types`` for
+   HUGEINT/UHUGEINT/DECIMAL columns. DuckDB's ``SUM(...) [OVER]`` over
+   BIGINT yields HUGEINT, which ``fetchall()`` returns as plain int
+   (so a value-level differential can never see it) but pandas
+   materializes as float64 (``1148.0`` vs Spark's ``1148``) — exactly
+   the CORRECTNESS_r02/r03 ``pack_sequence_chunks`` red row.
+
+2. ``_canon`` is type-strict for numerics: ints, floats and bools are
+   tagged with their type class so ``5.0`` no longer equals ``5`` in
+   the local differential (Python's ``5.0 == 5`` is True, which let
+   int-vs-float divergence hide in rounds 2-3).
 """
 
 from __future__ import annotations
@@ -27,10 +46,20 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # Type-tag numerics so int-vs-float divergence is a FAILURE here,
+    # not something Python's cross-type == silently forgives. Decimal
+    # folds into the float class (a DECIMAL oracle column is only
+    # legal when allowlisted, and then both sides materialize float).
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+        return ("f", float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return ("f", v)
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
@@ -68,6 +97,33 @@ NULL_NUMERIC_OK: dict = {
 }
 NAN_OK: dict = {}
 DECIMAL_OK: dict = {}
+# Oracle result columns allowed to be HUGEINT/UHUGEINT/DECIMAL on the
+# DuckDB side. Empty on purpose: pandas materializes these as float64
+# while Spark emits int64, which diverges under the driver's value
+# hash. CAST the oracle expression instead of allowlisting.
+ORACLE_WIDE_OK: dict = {}
+
+_HAZARD_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def audit_oracle_types(con, oracle: str, name: str = "?") -> None:
+    """Fail if the oracle SQL's result schema contains a type that
+    pandas materializes differently than its fetchall() value —
+    HUGEINT/UHUGEINT (→ float64) and DECIMAL (→ object/float). These
+    are invisible to a fetchall-based differential but break the
+    driver's pandas-side hash."""
+    rel = con.sql(oracle)
+    for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+        if any(typ.startswith(h) for h in _HAZARD_DUCK_TYPES):
+            if name in ORACLE_WIDE_OK:
+                continue
+            raise AssertionError(
+                f"{name}: oracle column {col!r} has DuckDB type {typ} — "
+                "pandas materializes this as float64/object while Spark "
+                "emits int64, a driver hash hazard (DuckDB SUM [OVER] of "
+                "integers yields HUGEINT). CAST the oracle expression to "
+                "BIGINT/DOUBLE, or allowlist in ORACLE_WIDE_OK with a reason"
+            )
 
 
 def audit_hash_hazards(sdf, spark_rows, name: str) -> None:
@@ -109,6 +165,7 @@ def compare(spark, sf_dir: str, query_fn, oracle: str, name: str = "?") -> None:
     audit_hash_hazards(sdf, spark_rows, name)
 
     con = duck_connection(sf_dir)
+    audit_oracle_types(con, oracle, name)
     res = con.execute(oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
