@@ -7,12 +7,13 @@ layout for multimodal training data. All Spark-side plumbing is real
 REAL for uncompressed formats:
 
 - :func:`decode_image` decodes 24-bit uncompressed BMP, binary PPM
-  (P6), AND 8-bit RGB/RGBA PNG — PNG is a real compressed codec,
-  hand-decoded with stdlib ``zlib`` (all five scanline filters), so
-  compressed-image plumbing is exercised without any image library.
-  JPEG (and anything else PIL knows) decodes automatically when PIL
-  is importable (:func:`pil_available` probe); without PIL, JPEG
-  blobs gate behind a loud NotImplementedError in
+  (P6), 8-bit RGB/RGBA PNG (stdlib ``zlib``, all five scanline
+  filters), AND baseline sequential JPEG — a full native Huffman+DCT
+  decoder in :mod:`.jpeg` (4:4:4 / 4:2:0 / grayscale / restart
+  markers), so the dominant web-crawl image format needs no image
+  library. Progressive/arithmetic JPEG and WebP decode automatically
+  when PIL is importable (:func:`pil_available` probe); without PIL,
+  those remaining formats gate behind a loud NotImplementedError in
   :func:`decode_image_batch` while per-row :func:`decode_image`
   returns None (S4 skip semantics).
 - :func:`decode_wav` decodes RIFF/PCM16 audio (proper chunk walk,
@@ -134,23 +135,38 @@ def _pil_decode(blob: bytes):
         return None
 
 
+_NATIVE_MAGICS = (b"BM", b"P6", b"\x89P", b"\xff\xd8")
+
+
 def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-    """mapInPandas kernel for codecs outside the native set
-    (JPEG/WebP/...): decodes via PIL when the probe finds it,
-    otherwise fails FAST and loudly — never a silent None-for-all
-    (BMP/PPM/PNG decode natively in :func:`decode_image`)."""
+    """mapInPandas kernel over mixed-codec blobs: the native set
+    (BMP/PPM/PNG/baseline-JPEG) decodes everywhere; formats outside
+    it (WebP, progressive JPEG, ...) decode via PIL when the probe
+    finds it and otherwise fail FAST and loudly — never a silent
+    None-for-all. A native-format blob that fails its decoder is
+    corrupt data → None feature (S4 per-row skip)."""
     import pandas as pd
 
     for batch in batches:
-        if not pil_available():
-            raise NotImplementedError(
-                "compressed-image decode beyond PNG requires PIL/Pillow "
-                "(pil_available() is False); BMP/PPM/PNG are decoded "
-                "natively by decode_image"
-            )
         feats = []
         for blob in batch["blob"]:
-            arr = _pil_decode(bytes(blob)) if blob is not None else None
+            if blob is None:
+                feats.append(None)
+                continue
+            b = bytes(blob)
+            arr = decode_image(b)
+            if arr is None and not pil_available():
+                # distinguish "format we can't decode" (loud gate) from
+                # "corrupt native-format data" (S4 None): unknown magic,
+                # or a JPEG whose frame is progressive (SOF2 marker) —
+                # a legitimate format the native decoder declines.
+                if not b.startswith(_NATIVE_MAGICS) or (
+                    b[:2] == b"\xff\xd8" and b"\xff\xc2" in b
+                ):
+                    raise NotImplementedError(
+                        "compressed-image decode beyond BMP/PPM/PNG/baseline-"
+                        "JPEG requires PIL/Pillow (pil_available() is False)"
+                    )
             feats.append(
                 None
                 if arr is None
@@ -374,8 +390,9 @@ def _decode_png(blob: bytes):
 def decode_image(blob: bytes):
     """Dispatch on magic bytes → (h, w, 3) uint8 RGB, or None when
     the format is unknown/corrupt (per-row skip, S4 semantics).
-    Native: BMP, PPM, PNG. Anything else (JPEG, WebP, ...) decodes
-    through PIL when the optional-dependency probe finds it."""
+    Native: BMP, PPM, PNG, baseline JPEG. Anything else (progressive
+    JPEG, WebP, ...) decodes through PIL when the optional-dependency
+    probe finds it."""
     if blob is None:
         return None
     b = bytes(blob)
@@ -385,6 +402,14 @@ def decode_image(blob: bytes):
         return _decode_ppm(b)
     if b.startswith(_PNG_SIG):
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        arr = decode_jpeg(b)
+        if arr is not None:
+            return arr
+        # progressive/arithmetic frame the native decoder declines:
+        # fall through to the PIL probe
     if pil_available():
         return _pil_decode(b)
     return None
@@ -628,10 +653,13 @@ IMAGE_FEATURE_SCHEMA = StructType(
 
 
 def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
-    """Deterministic image corpus keyed on doc_id: even ids encode a
-    gradient as 24-bit BMP, odd ids as binary PPM. Generated
-    worker-side in the Arrow kernel (never a driver loop), so the
-    corpus scales with the input table."""
+    """Deterministic image corpus keyed on doc_id cycling all four
+    NATIVE codecs — doc_id % 4: 0 → 24-bit BMP, 1 → binary PPM,
+    2 → zlib PNG, 3 → baseline JPEG (4:2:0, restart markers — the
+    web-norm shape). Generated worker-side in the Arrow kernel
+    (never a driver loop), so the corpus scales with the input
+    table; the JPEG leg puts the native Huffman+DCT codec on the
+    driver-checked ``multimodal_image_decode`` golden row."""
 
     def kernel(batches):
         import numpy as np
@@ -640,8 +668,12 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
         # import inside the kernel: resolution happens on the
         # executor against the package zip session.configure ships
         # via addPyFile (works even when the driver cwd ≠ repo)
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
+            encode_jpeg,
+        )
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
             encode_bmp24,
+            encode_png,
             encode_ppm,
         )
 
@@ -659,12 +691,20 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                if d % 2 == 0:
+                if d % 4 == 0:
                     blobs.append(encode_bmp24(px))
                     types.append("image/bmp")
-                else:
+                elif d % 4 == 1:
                     blobs.append(encode_ppm(px))
                     types.append("image/ppm")
+                elif d % 4 == 2:
+                    blobs.append(encode_png(px))
+                    types.append("image/png")
+                else:
+                    blobs.append(
+                        encode_jpeg(px, quality=90, subsample=True, restart_interval=2)
+                    )
+                    types.append("image/jpeg")
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"], "blob": blobs, "media_type": types}
             )

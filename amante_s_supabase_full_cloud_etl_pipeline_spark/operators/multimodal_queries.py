@@ -59,11 +59,13 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden_sf=DRIVER_SF,
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (24-bit BMP + binary PPM, pure numpy in the
-    Arrow kernel) over a worker-generated deterministic image corpus:
-    per-channel means, luminance moments, width/height. The 8×8
-    pooled-thumb "resize" output is asserted in tests/test_multimodal.py;
-    doc_id < 500 keeps the corpus identical across scale factors."""
+    """REAL image decode over all four native codecs (24-bit BMP,
+    binary PPM, zlib PNG, baseline JPEG via the pure-numpy Huffman+DCT
+    decoder in operators/jpeg.py) on a worker-generated deterministic
+    corpus: per-channel means, luminance moments, width/height. The
+    8×8 pooled-thumb "resize" output is asserted in
+    tests/test_multimodal.py; doc_id < 500 keeps the corpus identical
+    across scale factors."""
     docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     feats = decode_image_features(synthetic_image_corpus(docs))
     return feats.drop("thumb").orderBy("doc_id")

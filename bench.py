@@ -107,10 +107,11 @@ def _extra_queries():
     }
 
 
-def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> float:
-    """Seconds to run the full POS transform kernel over a synthetic
-    n-order input built by cycling the fixture's product grammar —
-    the ETL flagship path at volume (explode + regex + dim joins)."""
+def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> tuple[float, float]:
+    """(min_sec, spread_sec) over 3 timed passes of the full POS
+    transform kernel on a synthetic n-order input built by cycling the
+    fixture's product grammar — the ETL flagship path at volume
+    (explode + regex + dim joins)."""
     from pyspark.sql import functions as F
 
     from amante_s_supabase_full_cloud_etl_pipeline_spark.plans import pos_fixture
@@ -138,12 +139,12 @@ def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> float:
     # pass 1 vs 1.7s on pass 3 in a fresh JVM). One warm-up pass, then
     # min of 3 timed passes = steady-state throughput.
     fact.write.mode("overwrite").format("noop").save()
-    best = float("inf")
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
         fact.write.mode("overwrite").format("noop").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return min(times), max(times) - min(times)
 
 
 def run() -> None:
@@ -170,7 +171,7 @@ def run() -> None:
 
         return wrapped
 
-    def force(name: str) -> float:
+    def force(name: str) -> tuple[float, float]:
         # warm-up pass: pays one-off Catalyst/codegen/JIT compile
         query_fn(name)(spark, sf_dir).write.mode("overwrite").format(
             "noop"
@@ -178,19 +179,28 @@ def run() -> None:
         # each timed pass is a FRESH invocation: the registry wrapper
         # releases any caches the prior pass persisted, so data is
         # fully recomputed — only the code is warm, never the data.
-        # Min of 2 timed passes rides out background-JIT stragglers.
-        best = float("inf")
-        for _ in range(2):
+        # Min of 3 timed passes rides out background-JIT stragglers;
+        # the (max - min) spread is reported so cross-round deltas are
+        # falsifiable against measurement noise (VERDICT r3 asked for
+        # a self-evidencing bench after two unexplained +50% outliers
+        # turned out unverifiable).
+        times = []
+        for _ in range(3):
             df = query_fn(name)(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        return min(times), max(times) - min(times)
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(force(name), 4)
-    timings["pos_kernel_1m_orders"] = round(pos_kernel_throughput(spark), 4)
+        best, spread = force(name)
+        timings[name] = round(best, 4)
+        spreads[name] = round(spread, 4)
+    best, spread = pos_kernel_throughput(spark)
+    timings["pos_kernel_1m_orders"] = round(best, 4)
+    spreads["pos_kernel_1m_orders"] = round(spread, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -200,6 +210,8 @@ def run() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "passes": 3,
                 "sf": sf_dir,
             }
         )
