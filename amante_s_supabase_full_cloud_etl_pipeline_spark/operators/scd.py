@@ -138,6 +138,23 @@ def scd2_apply(
     try:
         if not delta.take(1):
             return table.current_version()
+        # Precondition: ``effective`` is strictly greater than every
+        # affected current version's valid_from. A violation makes the
+        # closing row and a prior version share the same (key,
+        # valid_from) merge identity — nondeterministic survivor — so
+        # fail loudly (same contract as the duplicate-key guard; reads
+        # the already-persisted delta, no extra join).
+        stale = delta.filter(
+            ~F.col("is_current")
+            & (F.col("valid_from") >= F.lit(effective).cast("timestamp"))
+        ).take(1)
+        if stale:
+            raise ValueError(
+                f"scd2_apply: effective={effective!r} is not strictly after "
+                f"valid_from={stale[0]['valid_from']} of an affected current "
+                f"version (key {tuple(stale[0][k] for k in keys)!r}); batches "
+                "must carry strictly increasing effective timestamps"
+            )
         return table.merge(
             delta, keys=[*keys, "valid_from"], order_by=["valid_from"],
             batch_id=batch_id,

@@ -40,11 +40,12 @@ def hll_partials(
     """One HLL sketch (binary) + its estimate per ``keys`` group —
     the stored cube base. ``lgk`` trades size (2^lgk registers) for
     accuracy (~1.04/sqrt(2^lgk) rel. std. error)."""
-    return df.groupBy(*keys).agg(
-        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("hll_sketch"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg(F.col(value_col), F.lit(lgk))
-        ).alias("estimate"),
+    # aggregate the sketch ONCE and derive the estimate in a follow-up
+    # select — two aggregate expressions would sketch the corpus twice
+    return (
+        df.groupBy(*keys)
+        .agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("hll_sketch"))
+        .withColumn("estimate", F.hll_sketch_estimate(F.col("hll_sketch")))
     )
 
 

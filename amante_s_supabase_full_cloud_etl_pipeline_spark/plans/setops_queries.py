@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import DRIVER_SF, GOLDEN_DIR, register
+from ..registry import DRIVER_SF, GOLDEN_DIR, golden_table, register
 
 # ---------------------------------------------------------------------------
 # INTERSECT / EXCEPT
@@ -126,6 +126,12 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# the oracle embeds this query's OWN golden inside a JOIN (not a plain
+# golden_oracle pin), so the producer is declared explicitly —
+# register() only auto-pins the exact-golden_oracle shape
+golden_table("distinct_counts", distinct_counts)
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,25 @@ def fold_partials(
 
     keys = list(keys)
     parts = theta_partials(batch, keys, value_col)
+    # Precondition: no NULL grain keys. A NULL never equi-joins, so a
+    # null-key grain would miss both the stored-row lookup and the
+    # merge's keyed anti-join and re-insert a fresh row on EVERY fold —
+    # rollups would then double-count that grain across micro-batches.
+    # Fail loudly (the scd2_apply contract) rather than coalescing to a
+    # sentinel: a null grain key in an event stream is upstream data
+    # corruption the pipeline owner must see. The probe reads only the
+    # per-batch partials (|touched grains| rows).
+    null_pred = F.lit(False)
+    for k in keys:
+        null_pred = null_pred | F.col(k).isNull()
+    bad = parts.filter(null_pred).take(1)
+    if bad:
+        raise ValueError(
+            f"fold_partials: NULL grain key in batch partials "
+            f"({ {k: bad[0][k] for k in keys} }); null cube keys never "
+            "equi-join and would double-count across folds — filter or "
+            "coalesce keys upstream"
+        )
     if table.current_version() == 0:
         return table.merge(parts, keys=keys, order_by=keys, batch_id=batch_id)
     touched = [r[keys[0]] for r in parts.select(keys[0]).distinct().collect()]

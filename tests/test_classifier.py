@@ -1,7 +1,8 @@
 """NB token classifier: weight signs, vocabulary pruning, prior-only
 scoring for out-of-vocabulary documents, and separability on a
 planted corpus. The full train-then-score DuckDB differential runs
-through the registry sweep (nb_token_classifier)."""
+through the registry sweep (the classifier rides the
+``document_quality_report`` row)."""
 
 from __future__ import annotations
 

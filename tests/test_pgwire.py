@@ -1,0 +1,195 @@
+"""Live-PostgreSQL leg of the S5 upsert sink (VERDICT r3 "What's
+missing" #3: the ON CONFLICT path had never executed against a real
+server in this environment). The container ships PostgreSQL server
+binaries but no Python driver, so the test pairs the pure-stdlib wire
+client (sources/pgwire.py) with a scratch server spawned via
+initdb/pg_ctl — no docker, no pip, skips cleanly where the binaries
+or the postgres system user are absent."""
+
+from __future__ import annotations
+
+import shutil
+import socket
+import subprocess
+import tempfile
+import time
+import uuid
+
+import pytest
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.sources import pgwire
+from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.pgwire import (
+    PgWireFactory,
+    _params_to_dollar,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.sinks import (
+    jdbc_upsert_writer,
+    upsert_conflict_sql,
+    upsert_partition,
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _su_postgres(cmd: str, **kw):
+    return subprocess.run(
+        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
+        capture_output=True, text=True, cwd="/tmp", **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg_server():
+    """A throwaway PostgreSQL server on a random port, trust auth."""
+    for binary in ("initdb", "pg_ctl", "postgres"):
+        if shutil.which(binary) is None:
+            pytest.skip(f"{binary} not on PATH")
+    probe = subprocess.run(
+        ["su", "postgres", "-s", "/bin/bash", "-c", "true"],
+        capture_output=True, cwd="/tmp",
+    )
+    if probe.returncode != 0:
+        pytest.skip("cannot run as the postgres system user")
+
+    base = tempfile.mkdtemp(prefix=f"pgwire-{uuid.uuid4().hex[:8]}-", dir="/tmp")
+    subprocess.run(["chown", "postgres:postgres", base], check=True)
+    data = f"{base}/data"
+    port = _free_port()
+    r = _su_postgres(f"initdb -D {data} -U spark --auth=trust")
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    r = _su_postgres(
+        f"pg_ctl -D {data} -l {base}/log -w "
+        f"-o '-p {port} -c listen_addresses=127.0.0.1 -k {base}' start"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+    try:
+        for _ in range(50):
+            try:
+                conn = pgwire.connect(port=port, user="spark", database="postgres")
+                conn.close()
+                break
+            except Exception:
+                time.sleep(0.2)
+        else:
+            pytest.skip("server never became reachable")
+        _su_postgres(f"createdb -h 127.0.0.1 -p {port} -U spark sinktest")
+        yield {"port": port, "user": "spark", "database": "sinktest"}
+    finally:
+        _su_postgres(f"pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture()
+def pg_conn(pg_server):
+    conn = pgwire.connect(
+        port=pg_server["port"], user=pg_server["user"], database=pg_server["database"]
+    )
+    yield conn
+    conn.close()
+
+
+def test_placeholder_rewrite():
+    assert _params_to_dollar("VALUES (%s, %s)") == "VALUES ($1, $2)"
+    assert _params_to_dollar("LIKE '%%a' || %s") == "LIKE '%a' || $1"
+
+
+def test_wire_basic_roundtrip(pg_conn):
+    cur = pg_conn.cursor()
+    cur.execute("CREATE TABLE basics (k BIGINT PRIMARY KEY, v TEXT, x DOUBLE PRECISION)")
+    cur.executemany(
+        "INSERT INTO basics (k, v, x) VALUES (%s, %s, %s)",
+        [(1, "a", 1.5), (2, None, None)],
+    )
+    pg_conn.commit()
+    cur.execute("SELECT k, v, x FROM basics ORDER BY k")
+    assert cur.fetchall() == [(1, "a", 1.5), (2, None, None)]
+    assert [d[0] for d in cur.description] == ["k", "v", "x"]
+    # type mapping over the result path
+    cur.execute("SELECT 7::int2, 7::int8, 1.25::numeric, true, 'txt'")
+    assert cur.fetchall() == [(7, 7, 1.25, True, "txt")]
+
+
+def test_wire_rollback_and_error_recovery(pg_conn):
+    cur = pg_conn.cursor()
+    cur.execute("CREATE TABLE rb (k BIGINT PRIMARY KEY)")
+    pg_conn.commit()
+    cur.execute("INSERT INTO rb VALUES (%s)", (1,))
+    pg_conn.rollback()
+    cur.execute("SELECT COUNT(*) FROM rb")
+    assert cur.fetchone() == (0,)
+    with pytest.raises(pgwire.PgError) as exc:
+        cur.execute("SELECT missing_col FROM rb")
+    assert exc.value.fields["C"] == "42703"
+    pg_conn.rollback()  # connection stays usable after an error
+    cur.execute("SELECT 1")
+    assert cur.fetchone() == (1,)
+
+
+def test_upsert_partition_against_live_postgres(pg_server, pg_conn):
+    """The sink's partition writer — same code path executors run —
+    against real PostgreSQL ON CONFLICT semantics."""
+    cur = pg_conn.cursor()
+    cur.execute(
+        "CREATE TABLE fact_sales (order_id BIGINT PRIMARY KEY, "
+        "amount DOUBLE PRECISION, status TEXT)"
+    )
+    pg_conn.commit()
+    cols = ["order_id", "amount", "status"]
+    sql = upsert_conflict_sql("fact_sales", cols, ["order_id"])
+    factory = PgWireFactory(
+        "127.0.0.1", pg_server["port"], pg_server["user"], pg_server["database"]
+    )
+    rows1 = [dict(zip(cols, r)) for r in [(1, 10.0, "new"), (2, 20.0, "new")]]
+    assert upsert_partition(iter(rows1), sql, cols, factory, batch_size=1) == 2
+    # replay + update: idempotent under ON CONFLICT
+    rows2 = [dict(zip(cols, r)) for r in [(2, 25.0, "upd"), (3, 30.0, "new")]]
+    assert upsert_partition(iter(rows2), sql, cols, factory, batch_size=10) == 2
+    cur.execute("SELECT order_id, amount, status FROM fact_sales ORDER BY order_id")
+    assert cur.fetchall() == [(1, 10.0, "new"), (2, 25.0, "upd"), (3, 30.0, "new")]
+    # empty partition opens no connection (contract smoke via count)
+    assert upsert_partition(iter([]), sql, cols, factory) == 0
+
+
+def test_foreachbatch_sink_from_spark(spark, pg_server, pg_conn):
+    """End-to-end S5: a Spark DataFrame through jdbc_upsert_writer's
+    foreachBatch handler — executor-side partition writes over the
+    wire client — then read back and compare."""
+    cur = pg_conn.cursor()
+    cur.execute(
+        "CREATE TABLE fact_stream (k BIGINT PRIMARY KEY, "
+        "v DOUBLE PRECISION, label TEXT)"
+    )
+    pg_conn.commit()
+    factory = PgWireFactory(
+        "127.0.0.1", pg_server["port"], pg_server["user"], pg_server["database"]
+    )
+    handler = jdbc_upsert_writer(
+        url="ignored-when-factory-injected",
+        table="fact_stream",
+        keys=["k"],
+        connection_factory=factory,
+        batch_size=3,
+    )
+    df1 = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"row{i}") for i in range(10)],
+        "k long, v double, label string",
+    ).repartition(4)
+    handler(df1, batch_id=0)
+    # second batch overlaps keys 5..9 with new values + adds 10..12
+    df2 = spark.createDataFrame(
+        [(i, float(i) * 2.0, f"upd{i}") for i in range(5, 13)],
+        "k long, v double, label string",
+    ).repartition(3)
+    handler(df2, batch_id=1)
+    cur.execute("SELECT k, v, label FROM fact_stream ORDER BY k")
+    got = cur.fetchall()
+    want = [(i, i * 1.5, f"row{i}") for i in range(5)] + [
+        (i, i * 2.0, f"upd{i}") for i in range(5, 13)
+    ]
+    assert got == want

@@ -152,3 +152,24 @@ def test_scd2_random_sequence_matches_sequential_model(spark, dim):
             for r in scd2_snapshot_at(full, ts).collect()
         }
         assert got == snap, ts
+
+
+def test_scd2_rejects_non_increasing_effective(spark, dim):
+    """ADVICE r3: a changed key whose current version has valid_from >=
+    effective would make the closing row and the prior version share
+    one (key, valid_from) merge identity — guard loudly at runtime."""
+    _apply(dim, spark, [(1, "drinks", "low")], "2024-01-01")
+    # same effective as the current version's valid_from → reject
+    with pytest.raises(ValueError, match="strictly after"):
+        _apply(dim, spark, [(1, "drinks", "high")], "2024-01-01")
+    # earlier effective → reject
+    with pytest.raises(ValueError, match="strictly after"):
+        _apply(dim, spark, [(1, "drinks", "high")], "2023-12-01")
+    # the failed batches must not have committed anything
+    assert dim.read().count() == 1
+    # an UNCHANGED batch at the same effective is a no-op, not an error
+    v = _apply(dim, spark, [(1, "drinks", "low")], "2024-01-01")
+    assert v == dim.current_version()
+    # and a strictly later effective still applies cleanly
+    _apply(dim, spark, [(1, "drinks", "high")], "2024-02-01")
+    assert dim.read().count() == 2

@@ -100,3 +100,24 @@ def test_fold_replay_is_exactly_once(spark, sf_dir, tmp_path):
         for r in cube_estimates(cube, KEYS).collect()
     )
     assert after == before
+
+
+def test_fold_rejects_null_grain_keys(spark, tmp_path):
+    """ADVICE r3: a NULL grain key never equi-joins, so it would
+    re-insert a fresh row on every fold and double-count in rollups —
+    fail loudly instead (scd2_apply's duplicate-guard contract)."""
+    import pytest
+
+    cube = ParquetTable(spark, str(tmp_path / "cube"))
+    ok = spark.createDataFrame(
+        [("2024-01-01", "view", 1)], "day string, event_type string, user_id long"
+    )
+    fold_partials(cube, ok, KEYS, "user_id")
+    bad = spark.createDataFrame(
+        [("2024-01-02", None, 2)], "day string, event_type string, user_id long"
+    )
+    with pytest.raises(ValueError, match="NULL grain key"):
+        fold_partials(cube, bad, KEYS, "user_id")
+    # nothing committed by the rejected fold; the stored cube still
+    # answers rollups from the good batch only
+    assert cube.read().count() == 1
