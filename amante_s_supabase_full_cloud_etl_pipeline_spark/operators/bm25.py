@@ -1,0 +1,176 @@
+"""BM25 / TF-IDF keyword retrieval over the documents table — the
+lexical half of hybrid search (the ANN operators in
+``operators/similarity.py`` are the dense half; production RAG stacks
+run both and fuse, e.g. reciprocal-rank fusion, included here).
+
+Charter extension (SURVEY.md §2.10 similarity-search family).
+Reference analog: none — the reference has no text retrieval; the
+algorithmic ground is public (Robertson & Spärck Jones probabilistic
+relevance framework; the BM25 variant is the Okapi formulation).
+
+Scale design (the part that matters at 100 TB):
+- the inverted index IS a DataFrame: one explode + hash-agg pass
+  builds (term, doc_id, tf) postings with per-term document
+  frequencies — partitioned by term, exactly how sharded search
+  engines lay postings out;
+- document stats (per-doc length, corpus avgdl, N) are one agg pass;
+  the scalar (N, avgdl) pair rides a broadcast-scalar cross join, the
+  same pattern the dashboard share-of-total queries pin in PLANS.md;
+- queries probe by equi-join on term against the postings — a
+  partition-pruned lookup when the index is stored bucketed by term
+  (never a corpus scan per query);
+- scoring is pure column arithmetic (JVM codegen, zero UDF);
+  the final top-k per query rides the bounded two-phase
+  ``operators.topk.grouped_topk`` — the same no-straggler path the
+  brute-force ANN uses after the r4 fix.
+
+Determinism: idf/tf math in double with a fixed expression tree and
+per-(query,doc) single row — no accumulation-order sensitivity; ties
+break on doc_id via the top-k tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+from .topk import grouped_topk
+
+
+def build_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doc_stats) — the persistent index pair.
+
+    postings: (term, doc_id, tf) + per-term df (document frequency),
+    one row per distinct (term, doc). doc_stats: (doc_id, dl) token
+    lengths. Store both bucketed by their key for probe-side
+    co-location at scale."""
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    postings = tokenized.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_stats = tokenized.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doc_stats
+
+
+def _idf(df_col, n_docs_col):
+    """Okapi BM25 idf with the +1 floor (never negative for terms in
+    more than half the corpus): ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    return F.log(
+        F.lit(1.0)
+        + (n_docs_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def bm25_score(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k BM25 documents per query.
+
+    ``queries``: (query_id, terms array<string>) — tiny, broadcast.
+    Returns (query_id, doc_id, score, rank); score is the sum over
+    matched terms of idf · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    rounded for cross-engine reproducibility."""
+    # corpus scalars: one agg row, broadcast into the expression
+    scalars = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    q = queries.select(
+        "query_id", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    # document frequency ONLY for the probed terms: semi-join the
+    # postings down to query terms first, then one small agg — never a
+    # full-vocabulary df table on the probe path
+    probed = postings.join(F.broadcast(q.select("term").distinct()), "term")
+    term_df = probed.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    matched = (
+        probed.join(F.broadcast(q), "term")
+        .join(F.broadcast(term_df), "term")
+        .join(doc_stats, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+    )
+    tf, df_, dl = F.col("tf"), F.col("df"), F.col("dl")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * dl / F.col("avgdl")
+    )
+    contrib = _idf(df_, F.col("n_docs")) * tf * F.lit(k1 + 1.0) / denom
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(contrib), round_to).alias("score")
+    )
+    top = grouped_topk(
+        scored.withColumn("_tie", -F.col("doc_id")),
+        group_by=["query_id"],
+        order_by=["score", "_tie"],
+        k=k,
+    )
+    return top.select("query_id", "doc_id", "score", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+def tfidf_vectors(
+    postings: DataFrame, doc_stats: DataFrame, smooth: bool = True
+) -> DataFrame:
+    """(doc_id, term, tfidf) sparse vectors: tf · ln((1+N)/(1+df)) + 1
+    smoothing (the scikit-learn convention) or plain ln(N/df)."""
+    n_docs = doc_stats.agg(F.count(F.lit(1)).alias("n_docs"))
+    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = postings.join(F.broadcast(term_df), "term").crossJoin(
+        F.broadcast(n_docs)
+    )
+    if smooth:
+        idf = (
+            F.log(
+                (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))
+            )
+            + F.lit(1.0)
+        )
+    else:
+        idf = F.log(F.col("n_docs") / F.col("df"))
+    return joined.select(
+        "doc_id", "term", (F.col("tf") * idf).alias("tfidf")
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N (query_id, doc_id, rank) rankings:
+    score = Σ 1/(c + rank) over the lists each doc appears in —
+    the standard hybrid lexical+dense fusion (Cormack et al. 2009).
+    Returns (query_id, doc_id, rrf_score, rank)."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    united = rankings[0].select("query_id", "doc_id", "rank")
+    for r in rankings[1:]:
+        united = united.unionByName(r.select("query_id", "doc_id", "rank"))
+    fused = united.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))), 6).alias(
+            "rrf_score"
+        )
+    )
+    top = grouped_topk(
+        fused.withColumn("_tie", -F.col("doc_id")),
+        group_by=["query_id"],
+        order_by=["rrf_score", "_tie"],
+        k=k,
+    )
+    return top.select("query_id", "doc_id", "rrf_score", "rank").orderBy(
+        "query_id", "rank"
+    )

@@ -19,6 +19,10 @@ side of the charter's similarity-search surface, composed end-to-end:
    product-quantization codes, ADC candidate scoring, exact cosine
    re-rank — next to the brute-force exact baseline for a live
    recall readout.
+4. HYBRID retrieval: BM25 over the chunk texts (``operators/bm25.py``
+   inverted-index postings) fused with the dense ranking via
+   reciprocal-rank fusion — the standard lexical+dense production
+   stack, here entirely as DataFrame plans.
 
 At 100 TB the same composition holds: chunking is a scan stage, the
 embed kernel is the GPU-bound map stage, the PQ index is the only
@@ -40,6 +44,11 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.hygiene import fixed_text
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
     chunk_documents,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.bm25 import (
+    bm25_score,
+    build_index,
+    rrf_fuse,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pq import ivfpq_topk
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.similarity import (
@@ -111,12 +120,37 @@ def main(sf_dir: str) -> None:
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e) if e else float("nan")
 
+    # hybrid: BM25 over the same chunks, fused with the dense ranking
+    postings, stats = build_index(
+        chunks.select(F.col("vec_id").alias("doc_id"), "chunk_text"),
+        text_col="chunk_text",
+    )
+    bm25_queries = chunks.join(
+        queries.select("vec_id"), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice(F.split(F.lower(F.col("chunk_text")), r"\s+"), 1, 6).alias("terms"),
+    )
+    lexical = bm25_score(postings, stats, bm25_queries, k=5).withColumnRenamed(
+        "score", "bm25"
+    )
+    dense = approx.select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    hybrid = rrf_fuse([lexical.select("query_id", "doc_id", "rank"), dense], k=5)
+
     print(f"corpus:   {n_docs} docs → {n_chunks} chunks (64-token windows, 8 overlap)")
     print(f"index:    IVF-PQ 16 lists × 8 subspaces × 32 codes (8 bytes/vector vs {DIM * 4})")
     print(f"queries:  {queries.count()} probes, top-5")
     print(f"recall@5: {recall:.2f} vs exact brute force")
     for r in approx.collect()[:5]:
         print(f"  q={r['query_id']} -> chunk {r['neighbor_id']} (cos {r['score']:.4f})")
+    print("hybrid (RRF of BM25 + IVF-PQ):")
+    for r in hybrid.collect()[:5]:
+        print(
+            f"  q={r['query_id']} -> chunk {r['doc_id']} "
+            f"(rrf {r['rrf_score']:.4f}, rank {r['rank']})"
+        )
     spark.stop()
 
 

@@ -41,3 +41,43 @@ def test_xlsx_shim_skips_unreadable_file(tmp_path):
     fake = tmp_path / "drop.xlsx"
     fake.write_bytes(b"not a real xlsx")
     assert xlsx_to_landing_csv(str(fake), str(tmp_path)) is None
+
+
+def test_object_sync_idempotent_and_atomic(tmp_path):
+    """The Drive-poll shape (ref main.py:414-440) as an idempotent
+    sync job: new files land once, re-runs are no-ops, crash replay
+    cannot duplicate, and nothing half-written is ever visible."""
+    import os
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.object_sync import (
+        LocalDirFetcher,
+        sync_to_landing,
+        synced_names,
+    )
+
+    remote = tmp_path / "remote"
+    landing = tmp_path / "landing"
+    remote.mkdir()
+    (remote / "a.csv").write_bytes(b"a-bytes")
+    (remote / "b.csv").write_bytes(b"b-bytes")
+
+    fetcher = LocalDirFetcher(str(remote))
+    assert sync_to_landing(fetcher, str(landing)) == ["a.csv", "b.csv"]
+    assert sync_to_landing(fetcher, str(landing)) == []  # idempotent
+    assert (landing / "a.csv").read_bytes() == b"a-bytes"
+
+    # new remote file: only it lands
+    (remote / "c.csv").write_bytes(b"c-bytes")
+    assert sync_to_landing(fetcher, str(landing)) == ["c.csv"]
+    assert synced_names(str(landing)) == {"a.csv", "b.csv", "c.csv"}
+
+    # crash simulation: manifest lost a line but the file landed →
+    # re-sync overwrites in place (same name), never duplicates
+    manifest = landing / "_synced.manifest"
+    manifest.write_text("a.csv\nb.csv\n")
+    assert sync_to_landing(fetcher, str(landing)) == ["c.csv"]
+    assert sorted(f for f in os.listdir(landing) if not f.startswith("_")) == [
+        "a.csv", "b.csv", "c.csv",
+    ]
+    # no temp droppings
+    assert not [f for f in os.listdir(landing) if ".tmp-" in f]
