@@ -138,6 +138,82 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, score) → top-k per query via the
+    bounded two-phase ``grouped_topk`` (see brute_force_topk's scale
+    note — identical results to a row_number window under the
+    (score desc, neighbor_id asc) total order, without the
+    one-sort-task-per-query straggler)."""
+    from .topk import grouped_topk
+
+    top = grouped_topk(
+        scored.withColumn("_tie", -F.col("neighbor_id")),
+        group_by=["query_id"],
+        order_by=["score", "_tie"],
+        k=k,
+    )
+    return top.select("query_id", "neighbor_id", "score", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+def nearest_lists_expr(centroids: list[list[float]], vec: Column, n: int) -> Column:
+    """ids of the ``n`` nearest centroids (exact L2, expression-only —
+    centroids broadcast as literals into codegen). Shared by the batch
+    IVF path and the streaming index (streaming/ann_index.py) so both
+    assign identical lists."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(dists), 1, n).getField("list_id")
+
+
+def fit_coarse_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float = 0.25,
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer fit (pyspark.ml KMeans on a
+    hash-selected sample, single sorted partition — bit-deterministic
+    centroids on any cluster layout; see ivf_topk docstring for the
+    scale reasoning on ``train_fraction``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("_v")
+    )
+    train = (
+        with_vec.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+            < F.lit(int(train_fraction * 10_000))
+        )
+        .select(F.col(id_col), "_v")
+        .coalesce(1)
+        .sortWithinPartitions(id_col)
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
+    model = km.fit(train.select("_v"))
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -152,8 +228,6 @@ def lsh_topk(
     One equi-join on bucket id replaces the cross join — the plan a
     1000-executor cluster wants (bucket co-location; at rest, write
     the corpus bucketed by this id so the probe is shuffle-free)."""
-    from pyspark.sql import Window
-
     planes = hyperplanes(dim, n_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -174,12 +248,7 @@ def lsh_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return ranked_topk(scored, k)
 
 
 def ivf_topk(
@@ -210,52 +279,15 @@ def ivf_topk(
     so the sample lands in the 10⁵–10⁶ range: k-means iterations must
     never scan the corpus.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
-
-    with_vec = corpus.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    # Fit comments live in fit_coarse_centroids (single sorted
+    # partition on a hash-selected bounded sample → bit-deterministic
+    # centroids on any layout, as the golden pin requires).
+    centroids = fit_coarse_centroids(
+        corpus, n_lists, id_col, vec_col, seed, train_fraction
     )
-    # Single sorted partition for the fit: the sample is bounded
-    # (train_fraction keeps it ~10⁵ rows at any corpus size), and
-    # k-means float reductions are order-dependent — one sorted
-    # partition makes the centroids bit-deterministic on any cluster
-    # layout, which the golden-pinned correctness check requires.
-    train = (
-        with_vec.filter(
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
-            < F.lit(int(train_fraction * 10_000))
-        )
-        .select(F.col(id_col), "_v")
-        .coalesce(1)
-        .sortWithinPartitions(id_col)
-    )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
-    model = km.fit(train.select("_v"))
-
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     def nearest_lists(vec: Column, n: int) -> Column:
-        """ids of the n nearest centroids (exact L2, expression-only)."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n).getField("list_id")
+        return nearest_lists_expr(centroids, vec, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -278,12 +310,7 @@ def ivf_topk(
         )
         .distinct()  # a neighbor can surface via multiple probes
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return ranked_topk(scored, k)
 
 
 def embedding_near_dup_pairs(

@@ -1,0 +1,153 @@
+"""Incrementally-maintained IVF ANN index — continuous embedding
+ingest with query-anytime semantics (charter §2.10 × §2.8; the dense
+sibling of ``streaming/dedup_index.py``).
+
+The batch ``operators/similarity.py ivf_topk`` fits its quantizer and
+builds its inverted lists per call — right for one-shot queries,
+wrong for an embedding store that grows by the minute. Production
+vector stores freeze a coarse quantizer and stream new vectors into
+its inverted lists; this module is that pattern on the engine's own
+table format:
+
+- ``fit_coarse_centroids`` (shared with the batch path, re-exported
+  from operators/similarity.py) trains once on a seed corpus — both
+  paths assign vectors through the IDENTICAL ``nearest_lists_expr``,
+  so streamed lists match what a batch rebuild would produce;
+- ``fold_ann_index`` assigns each batch vector to its nearest list
+  (centroid literals inlined into codegen — map-only, no shuffle) and
+  appends (vec_id, embedding, list_id) exactly-once via batch_id;
+- ``ivf_index_topk`` serves queries at any moment: probe the
+  ``n_probe`` nearest lists, read ONLY those lists from the index
+  (IN-list file-stat pruning locally; list-partitioned storage at
+  scale — `compact(sort_by=["list_id"])` keeps file pruning sharp),
+  exact-cosine score, bounded two-phase top-k.
+
+Drift: a frozen quantizer degrades if the embedding distribution
+shifts. ``list_histogram`` exposes per-list row counts — the standard
+re-train trigger (re-fit + rebuild when the max/mean list ratio blows
+out; the rebuild is one batch job over the index table).
+
+Differential anchor (tests/test_ann_index.py): folding the corpus in
+ANY chunking and querying the streamed index returns EXACTLY the
+batch IVF results under the same centroids; recall vs brute force
+matches the batch path by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    cosine,
+    fit_coarse_centroids,
+    nearest_lists_expr,
+    ranked_topk,
+)
+from ..sources.table_format import ParquetTable
+
+__all__ = [
+    "fit_coarse_centroids",
+    "fold_ann_index",
+    "ivf_index_topk",
+    "ann_index_writer",
+    "list_histogram",
+]
+
+
+def fold_ann_index(
+    index: ParquetTable,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> int:
+    """Assign one batch's vectors to inverted lists and append them
+    exactly-once. Returns the committed version. Map-only: the
+    centroid table rides the expression as literals, so the fold adds
+    zero shuffles to the ingest path."""
+    rows = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.element_at(nearest_lists_expr(centroids, F.col(vec_col), 1), 1).alias(
+            "list_id"
+        ),
+    )
+    return index.append(rows, batch_id=batch_id)
+
+
+def ivf_index_topk(
+    index: ParquetTable,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Query the streamed index: top-k cosine neighbors per query over
+    the ``n_probe`` nearest inverted lists. Reads only the probed
+    lists (manifest stat pruning); identical semantics to the batch
+    ``ivf_topk`` under the same centroids."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_lists_expr(centroids, F.col(vec_col), n_probe)).alias(
+            "list_id"
+        ),
+    )
+    probed_lists = sorted(
+        {r["list_id"] for r in q.select("list_id").distinct().collect()}
+    )
+    stored = index.read(filters=[("list_id", "in", probed_lists)]).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        "list_id",
+    )
+    scored = (
+        stored.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("score"),
+        )
+        .distinct()  # a neighbor can surface via multiple probes
+    )
+    return ranked_topk(scored, k)
+
+
+def ann_index_writer(
+    index: ParquetTable,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch handler: stream embeddings into the index
+    exactly-once.
+
+        (stream.writeStream
+              .foreachBatch(ann_index_writer(index, centroids))
+              .option("checkpointLocation", ...).start())
+    """
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        fold_ann_index(
+            index, batch, centroids, id_col=id_col, vec_col=vec_col, batch_id=batch_id
+        )
+
+    return handle
+
+
+def list_histogram(index: ParquetTable) -> DataFrame:
+    """(list_id, n_vectors) — the quantizer-drift monitor. A blown-out
+    max/mean ratio says the frozen centroids no longer fit the
+    distribution: re-fit and rebuild."""
+    return (
+        index.read()
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("list_id")
+    )
