@@ -49,6 +49,10 @@ HEADLINE = (
     "funnel_user_depths",
     "sketch_cube_daily_users",
     "grouped_topk_orders",
+    # round-4 families: lexical retrieval (inverted-index build +
+    # Okapi probe), native-JPEG Arrow decode kernel
+    "bm25_docs_topk",
+    "jpeg_decode_kernel",
 )
 
 
@@ -96,7 +100,43 @@ def _extra_queries():
             orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], k=3
         )
 
+    def bm25_docs_topk(spark, sf_dir):
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.bm25 import (
+            bm25_score,
+            build_index,
+        )
+
+        docs = catalog.table(spark, sf_dir, "documents")
+        postings, stats = build_index(docs)
+        queries = spark.createDataFrame(
+            [
+                (0, ["join", "hash"]),
+                (1, ["spark", "vector"]),
+                (2, ["customer"]),
+                (3, ["scan", "filter", "merge"]),
+            ],
+            "query_id long, terms array<string>",
+        )
+        return bm25_score(postings, stats, queries, k=10)
+
+    def jpeg_decode_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+            decode_image_features,
+            synthetic_image_corpus,
+        )
+
+        # doc_id % 4 == 3 → JPEG blobs only: times the native
+        # Huffman+DCT decode path through the Arrow kernel
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            (FF.col("doc_id") % 4 == 3) & (FF.col("doc_id") < 4000)
+        )
+        return decode_image_features(synthetic_image_corpus(docs))
+
     return {
+        "bm25_docs_topk": bm25_docs_topk,
+        "jpeg_decode_kernel": jpeg_decode_kernel,
         "topk_parts_per_type": dashboard.topk_parts_per_type,
         "dedup_jaccard_pairs": dedup_queries.dedup_jaccard_pairs,
         "knn_bruteforce_cosine": similarity_queries.knn_bruteforce_cosine,
