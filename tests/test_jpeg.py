@@ -177,3 +177,41 @@ def test_cross_codec_with_pil_if_available():
     ours = decode_jpeg(buf.getvalue())
     assert ours is not None
     assert np.abs(ours.astype(np.float64) - img).mean() < 3.0
+
+
+def test_round_trip_property_fuzz():
+    """Hypothesis: any uint8 RGB image round-trips within quantization
+    tolerance at high quality, any size/content, both chroma modes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        img=arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 24), st.integers(1, 24), st.just(3)
+            ),
+        ),
+        sub=st.booleans(),
+        ri=st.sampled_from([0, 2]),
+    )
+    def check(img, sub, ri):
+        blob = encode_jpeg(img, quality=95, subsample=sub, restart_interval=ri)
+        dec = decode_jpeg(blob)
+        assert dec is not None
+        assert dec.shape == img.shape
+        # per-pixel bound: DCT quantization error at q95 stays small
+        # for smooth content; random noise is the worst case, so bound
+        # the MEAN absolute error generously and require exactness on
+        # 1x1 images (single DC coefficient per block)
+        err = np.abs(dec.astype(np.int32) - img.astype(np.int32))
+        if img.shape[0] == 1 and img.shape[1] == 1 and not sub:
+            assert err.max() <= 4
+        # 4:2:0 box-averages chroma over padded 2x2 blocks, so a hard
+        # chroma edge on a tiny image bleeds (libjpeg behaves the
+        # same) — the subsampled bound is accordingly looser
+        assert err.mean() <= (28 if sub else 16), err.mean()
+
+    check()
