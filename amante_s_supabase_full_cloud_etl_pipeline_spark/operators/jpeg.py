@@ -483,6 +483,69 @@ def decode_jpeg(blob: bytes):
         return None
 
 
+#: SOFn markers the native decoder handles (baseline + extended
+#: sequential Huffman)
+_SOF_SUPPORTED = {0xC0, 0xC1}
+_SOF_MARKERS = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def jpeg_frame_info(blob: bytes):
+    """Marker-level probe (no entropy decode): the stream's SOF shape,
+    or None when no well-formed SOF is found. Returns
+    ``{"sof": marker, "precision": p, "n_components": n}``.
+
+    This is how callers distinguish "legitimate JPEG flavor the native
+    decoder declines" (progressive/arithmetic/12-bit/CMYK — route to
+    the PIL gate, loudly) from "corrupt data" (S4 per-row skip) —
+    substring-matching for ``FF C2`` would misfire on incidental bytes
+    inside APPn segments or the entropy stream."""
+    b = bytes(blob)
+    if b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(b):
+                return None
+            marker = b[pos + 1]
+            pos += 2
+            if marker == 0xD9 or marker == 0xDA:
+                return None  # hit the scan/EOI without any SOF
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack_from(">H", b, pos)
+            if marker in _SOF_MARKERS:
+                if seglen < 8:
+                    return None
+                return {
+                    "sof": marker,
+                    "precision": b[pos + 2],
+                    "n_components": b[pos + 7],
+                }
+            pos += seglen
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def native_decodable_frame(info) -> bool:
+    """True when :func:`jpeg_frame_info`'s shape is one the native
+    decoder supports (8-bit baseline/extended-sequential Huffman,
+    1 or 3 components)."""
+    return (
+        info is not None
+        and info["sof"] in _SOF_SUPPORTED
+        and info["precision"] == 8
+        and info["n_components"] in (1, 3)
+    )
+
+
 def _decode_jpeg_strict(b: bytes):
     if b[:2] != b"\xff\xd8":
         return None
@@ -494,6 +557,12 @@ def _decode_jpeg_strict(b: bytes):
     scan = None
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
+            return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them rather than misreading FF as a code
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
             return None
         marker = b[pos + 1]
         pos += 2
@@ -576,6 +645,12 @@ def _decode_jpeg_strict(b: bytes):
 def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
     start, end, sel = scan
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU on the component's own 8x8 grid; the SOF's
+        # sampling factors are ignored (some encoders declare 2x2 for
+        # grayscale, which would otherwise misalign the bit reader)
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1:

@@ -156,13 +156,23 @@ def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFr
             b = bytes(blob)
             arr = decode_image(b)
             if arr is None and not pil_available():
-                # distinguish "format we can't decode" (loud gate) from
-                # "corrupt native-format data" (S4 None): unknown magic,
-                # or a JPEG whose frame is progressive (SOF2 marker) —
-                # a legitimate format the native decoder declines.
-                if not b.startswith(_NATIVE_MAGICS) or (
-                    b[:2] == b"\xff\xd8" and b"\xff\xc2" in b
-                ):
+                # distinguish "legitimate format we can't decode" (loud
+                # gate) from "corrupt native-format data" (S4 None):
+                # unknown magic, or a JPEG whose SOF parses to a flavor
+                # the native decoder declines (progressive/arithmetic/
+                # 12-bit/CMYK). The SOF check parses markers — a raw
+                # substring scan for FF C2 would misfire on incidental
+                # bytes inside APPn segments or the entropy stream.
+                gated = not b.startswith(_NATIVE_MAGICS)
+                if not gated and b[:2] == b"\xff\xd8":
+                    from .jpeg import jpeg_frame_info, native_decodable_frame
+
+                    info = jpeg_frame_info(b)
+                    # a well-formed but unsupported frame needs PIL; a
+                    # frame that should have decoded (or no frame at
+                    # all) is corrupt data
+                    gated = info is not None and not native_decodable_frame(info)
+                if gated:
                     raise NotImplementedError(
                         "compressed-image decode beyond BMP/PPM/PNG/baseline-"
                         "JPEG requires PIL/Pillow (pil_available() is False)"

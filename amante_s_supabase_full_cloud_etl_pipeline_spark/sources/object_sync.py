@@ -82,12 +82,25 @@ def sync_to_landing(
     """One idempotent sync pass: land every remote file not yet in the
     manifest. Returns the names landed this pass.
 
-    Crash safety: the manifest line is appended only AFTER the atomic
-    rename, so a crash mid-sync re-lands at most the in-flight file —
-    and lands it under the same name, overwriting the orphaned temp,
-    never duplicating a manifest entry. The downstream streaming
-    source's checkpoint dedups at file granularity anyway (S9)."""
+    Crash safety: temps are DOT-PREFIXED (``.tmp-<uuid>-<name>``) so
+    the streaming file source never lists them — Hadoop file sources
+    hide ``.``/``_``-prefixed paths, while a bare ``name.tmp-x`` WOULD
+    be discovered and ingested half-written. Each pass first sweeps
+    temps orphaned by a previous crash, then lands each new file via
+    write + atomic rename; the manifest line is appended only AFTER
+    the rename, so a crash mid-sync re-lands at most the in-flight
+    file under the same final name and never duplicates a manifest
+    entry. The downstream streaming source's checkpoint dedups at
+    file granularity anyway (S9)."""
     os.makedirs(landing_dir, exist_ok=True)
+    # sweep temps orphaned by a crashed previous pass (fresh uuid per
+    # attempt means they would otherwise accumulate forever)
+    for f in os.listdir(landing_dir):
+        if f.startswith(".tmp-"):
+            try:
+                os.remove(os.path.join(landing_dir, f))
+            except OSError:
+                pass
     seen = synced_names(landing_dir)
     landed: list[str] = []
     for name, ref in fetcher.list():
@@ -95,7 +108,7 @@ def sync_to_landing(
             continue
         out_name = rename(name) if rename else name
         final = os.path.join(landing_dir, out_name)
-        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        tmp = os.path.join(landing_dir, f".tmp-{uuid.uuid4().hex}-{out_name}")
         with open(tmp, "wb") as f:
             f.write(fetcher.fetch(ref))
         os.rename(tmp, final)

@@ -43,46 +43,53 @@ def fold_partials(
     from ..operators.sketches import theta_partials
 
     keys = list(keys)
-    parts = theta_partials(batch, keys, value_col)
-    # Precondition: no NULL grain keys. A NULL never equi-joins, so a
-    # null-key grain would miss both the stored-row lookup and the
-    # merge's keyed anti-join and re-insert a fresh row on EVERY fold —
-    # rollups would then double-count that grain across micro-batches.
-    # Fail loudly (the scd2_apply contract) rather than coalescing to a
-    # sentinel: a null grain key in an event stream is upstream data
-    # corruption the pipeline owner must see. The probe reads only the
-    # per-batch partials (|touched grains| rows).
-    null_pred = F.lit(False)
-    for k in keys:
-        null_pred = null_pred | F.col(k).isNull()
-    bad = parts.filter(null_pred).take(1)
-    if bad:
-        raise ValueError(
-            f"fold_partials: NULL grain key in batch partials "
-            f"({ {k: bad[0][k] for k in keys} }); null cube keys never "
-            "equi-join and would double-count across folds — filter or "
-            "coalesce keys upstream"
-        )
-    if table.current_version() == 0:
-        return table.merge(parts, keys=keys, order_by=keys, batch_id=batch_id)
-    touched = [r[keys[0]] for r in parts.select(keys[0]).distinct().collect()]
-    if not touched:
-        return table.current_version()
-    stored = table.read(filters=[(keys[0], "in", touched)]).select(
-        *keys, F.col("theta_sketch").alias("_old")
-    )
-    merged = (
-        parts.join(stored, keys, "left")
-        .select(
-            *keys,
-            F.when(
-                F.col("_old").isNull(), F.col("theta_sketch")
+    # persist: the null-key guard, the touched-grain collect, and the
+    # merge all consume the partials — without the persist each would
+    # re-run the batch-wide theta aggregation (the scd2_apply pattern)
+    parts = theta_partials(batch, keys, value_col).persist()
+    try:
+        # Precondition: no NULL grain keys. A NULL never equi-joins, so
+        # a null-key grain would miss both the stored-row lookup and the
+        # merge's keyed anti-join and re-insert a fresh row on EVERY
+        # fold — rollups would then double-count that grain across
+        # micro-batches. Fail loudly (the scd2_apply contract) rather
+        # than coalescing to a sentinel: a null grain key in an event
+        # stream is upstream data corruption the pipeline owner must
+        # see. The probe reads the persisted per-batch partials
+        # (|touched grains| rows).
+        null_pred = F.lit(False)
+        for k in keys:
+            null_pred = null_pred | F.col(k).isNull()
+        bad = parts.filter(null_pred).take(1)
+        if bad:
+            raise ValueError(
+                f"fold_partials: NULL grain key in batch partials "
+                f"({ {k: bad[0][k] for k in keys} }); null cube keys never "
+                "equi-join and would double-count across folds — filter or "
+                "coalesce keys upstream"
             )
-            .otherwise(F.theta_union(F.col("_old"), F.col("theta_sketch")))
-            .alias("theta_sketch"),
+        if table.current_version() == 0:
+            return table.merge(parts, keys=keys, order_by=keys, batch_id=batch_id)
+        touched = [r[keys[0]] for r in parts.select(keys[0]).distinct().collect()]
+        if not touched:
+            return table.current_version()
+        stored = table.read(filters=[(keys[0], "in", touched)]).select(
+            *keys, F.col("theta_sketch").alias("_old")
         )
-    )
-    return table.merge(merged, keys=keys, order_by=keys, batch_id=batch_id)
+        merged = (
+            parts.join(stored, keys, "left")
+            .select(
+                *keys,
+                F.when(
+                    F.col("_old").isNull(), F.col("theta_sketch")
+                )
+                .otherwise(F.theta_union(F.col("_old"), F.col("theta_sketch")))
+                .alias("theta_sketch"),
+            )
+        )
+        return table.merge(merged, keys=keys, order_by=keys, batch_id=batch_id)
+    finally:
+        parts.unpersist()
 
 
 def sketch_cube_writer(

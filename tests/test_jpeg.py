@@ -105,7 +105,10 @@ def test_corrupt_streams_return_none_never_raise():
     assert decode_jpeg(b"\xff\xd8") is None
     assert decode_jpeg(b"\xff\xd8\xff\xe0junkjunk") is None
     assert decode_jpeg(blob[:50]) is None  # truncated mid-header
-    assert decode_jpeg(blob[:-30]) is None or True  # truncated scan: None or best-effort, never raise
+    # truncated scan: the contract is None OR a correctly-shaped
+    # best-effort array — never an exception, never garbage shape
+    trunc = decode_jpeg(blob[:-30])
+    assert trunc is None or trunc.shape == (16, 16, 3)
     # flipped bytes inside the scan: must not raise
     mutated = bytearray(blob)
     mutated[len(mutated) // 2] ^= 0xFF
@@ -215,3 +218,96 @@ def test_round_trip_property_fuzz():
         assert err.mean() <= (28 if sub else 16), err.mean()
 
     check()
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker — some
+    hardware encoders emit them; the parser must not misread the
+    second FF as a marker code."""
+    img = _gradient(16, 16)
+    blob = encode_jpeg(img, 90)
+    want = decode_jpeg(blob)
+    # inject fill bytes before the SOF and SOS markers
+    padded = blob.replace(b"\xff\xc0", b"\xff\xff\xff\xc0").replace(
+        b"\xff\xda", b"\xff\xff\xda"
+    )
+    assert padded != blob
+    got = decode_jpeg(padded)
+    assert got is not None and np.array_equal(got, want)
+
+
+def test_grayscale_with_declared_2x2_sampling_decodes():
+    """A single-component scan is non-interleaved per T.81 A.2.2 — the
+    SOF sampling factors are ignored. Some encoder stacks keep 2x2
+    luma factors on grayscale output; the decoder must not misalign."""
+    g = _gradient(24, 24)[:, :, 0]
+    blob = bytearray(encode_jpeg(g, 90))
+    i = blob.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) [cid hv tq]
+    hv_off = i + 4 + 5 + 1 + 1  # marker(2) + len(2) → prec..., cid, then hv
+    assert blob[hv_off] == 0x11
+    blob[hv_off] = 0x22  # declare 2x2 sampling on the only component
+    dec = decode_jpeg(bytes(blob))
+    assert dec is not None and dec.shape == (24, 24, 3)
+    assert np.abs(dec[:, :, 0].astype(np.float64) - g).mean() < 1.5
+
+
+def test_frame_info_probe_classifies_flavors():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (
+        jpeg_frame_info,
+        native_decodable_frame,
+    )
+
+    img = _gradient(16, 16)
+    blob = bytearray(encode_jpeg(img, 85))
+    info = jpeg_frame_info(bytes(blob))
+    assert info == {"sof": 0xC0, "precision": 8, "n_components": 3}
+    assert native_decodable_frame(info)
+    # progressive flavor: unsupported but well-formed
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    prog = jpeg_frame_info(bytes(blob))
+    assert prog is not None and prog["sof"] == 0xC2
+    assert not native_decodable_frame(prog)
+    # corrupt stream with an incidental FF C2 inside an APP segment:
+    # must NOT classify as progressive (marker-level parse, not grep)
+    app1 = b"\xff\xe1" + b"\x00\x06" + b"\xff\xc2ab"  # APPn carrying FF C2
+    corrupt = b"\xff\xd8" + app1 + b"garbage-no-sof"
+    assert jpeg_frame_info(corrupt) is None
+
+
+def test_batch_kernel_corrupt_jpeg_with_incidental_sof2_bytes(spark):
+    """A corrupt baseline JPEG that happens to contain FF C2 must be a
+    per-row S4 skip (None feature), not a job-killing gate raise, in a
+    no-PIL environment; a genuinely progressive frame must raise."""
+    import pandas as pd
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        decode_image_batch,
+        pil_available,
+    )
+
+    if pil_available():
+        pytest.skip("gate semantics only apply without PIL")
+    # corrupt: APP1 segment carrying incidental FF C2, then junk
+    corrupt = b"\xff\xd8" + b"\xff\xe1\x00\x06\xff\xc2ab" + b"junkjunkjunk"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "media_type": ["image/jpeg"], "blob": [corrupt]}
+        )
+    )
+    rows = df.mapInPandas(decode_image_batch, FEATURE_SCHEMA).collect()
+    assert rows[0]["feature"] is None  # S4 skip, no raise
+
+    # genuinely progressive frame → loud gate
+    blob = bytearray(encode_jpeg(_gradient(16, 16), 85))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "media_type": ["image/jpeg"], "blob": [bytes(blob)]}
+        )
+    )
+    with pytest.raises(Exception):
+        df2.mapInPandas(decode_image_batch, FEATURE_SCHEMA).collect()

@@ -81,3 +81,14 @@ def test_object_sync_idempotent_and_atomic(tmp_path):
     ]
     # no temp droppings
     assert not [f for f in os.listdir(landing) if ".tmp-" in f]
+
+    # temps are DOT-prefixed (hidden from Hadoop file sources) and a
+    # crash-orphaned temp is swept by the next pass
+    orphan = landing / ".tmp-deadbeef-x.csv"
+    orphan.write_bytes(b"half-written")
+    (remote / "d.csv").write_bytes(b"d-bytes")
+    assert sync_to_landing(fetcher, str(landing)) == ["d.csv"]
+    assert not orphan.exists()
+    # nothing the streaming source would list is ever non-final:
+    visible = [f for f in os.listdir(landing) if not f.startswith((".", "_"))]
+    assert sorted(visible) == ["a.csv", "b.csv", "c.csv", "d.csv"]
