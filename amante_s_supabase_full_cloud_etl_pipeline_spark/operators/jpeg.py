@@ -491,6 +491,47 @@ _SOF_MARKERS = {
 }
 
 
+def _iter_segments(b: bytes):
+    """Shared marker-stream walk (the ONE place that knows T.81's
+    framing: SOI check, 0xFF fill-byte skip per B.1.1.2, standalone
+    markers, segment lengths). Yields ``(marker, seg, next_pos)`` —
+    ``seg`` is None for standalone markers; stops after EOI or SOS
+    (entropy data follows SOS at ``next_pos``). Raises ValueError on
+    malformed framing. Both :func:`jpeg_frame_info` and the decoder
+    consume this, so a framing fix can never apply to one and not the
+    other (that drift is exactly the gate-vs-S4 misclassification the
+    probe exists to prevent)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos = 2
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them rather than misreading FF as a code
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(b):
+            raise ValueError("truncated marker")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            yield marker, None, pos
+            if marker == 0xD9:  # EOI
+                return
+            continue
+        if pos + 2 > len(b):
+            raise ValueError("truncated segment length")
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        if seglen < 2:
+            raise ValueError("bad segment length")
+        seg = b[pos + 2 : pos + seglen]
+        pos += seglen
+        yield marker, seg, pos
+        if marker == 0xDA:  # SOS: entropy-coded data follows
+            return
+
+
 def jpeg_frame_info(blob: bytes):
     """Marker-level probe (no entropy decode): the stream's SOF shape,
     or None when no well-formed SOF is found. Returns
@@ -501,35 +542,19 @@ def jpeg_frame_info(blob: bytes):
     the PIL gate, loudly) from "corrupt data" (S4 per-row skip) —
     substring-matching for ``FF C2`` would misfire on incidental bytes
     inside APPn segments or the entropy stream."""
-    b = bytes(blob)
-    if b[:2] != b"\xff\xd8":
-        return None
-    pos = 2
     try:
-        while pos + 4 <= len(b):
-            if b[pos] != 0xFF:
-                return None
-            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
-                pos += 1
-            if pos + 4 > len(b):
-                return None
-            marker = b[pos + 1]
-            pos += 2
-            if marker == 0xD9 or marker == 0xDA:
-                return None  # hit the scan/EOI without any SOF
-            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                continue
-            (seglen,) = struct.unpack_from(">H", b, pos)
+        for marker, seg, _ in _iter_segments(bytes(blob)):
+            if marker == 0xDA:
+                return None  # reached the scan without any SOF
             if marker in _SOF_MARKERS:
-                if seglen < 8:
+                if seg is None or len(seg) < 6:
                     return None
                 return {
                     "sof": marker,
-                    "precision": b[pos + 2],
-                    "n_components": b[pos + 7],
+                    "precision": seg[0],
+                    "n_components": seg[5],
                 }
-            pos += seglen
-    except (struct.error, IndexError):
+    except (ValueError, struct.error, IndexError):
         return None
     return None
 
@@ -546,35 +571,36 @@ def native_decodable_frame(info) -> bool:
     )
 
 
+def legitimate_undecodable_frame(info) -> bool:
+    """True when the frame is a VALID JPEG flavor the native decoder
+    declines — progressive/arithmetic/hierarchical SOF, 12-bit
+    precision, or 4-component (Adobe CMYK) — i.e. the cases a PIL
+    fallback could genuinely decode and the batch kernel should gate
+    on LOUDLY. An impossible shape (precision 9, zero components —
+    bit-flipped corruption that still parses) is NOT legitimate: no
+    decoder accepts it, so it must stay an S4 per-row skip."""
+    return (
+        info is not None
+        and not native_decodable_frame(info)
+        and info["sof"] in _SOF_MARKERS
+        and info["precision"] in (8, 12)
+        and info["n_components"] in (1, 3, 4)
+    )
+
+
 def _decode_jpeg_strict(b: bytes):
-    if b[:2] != b"\xff\xd8":
-        return None
-    pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], tuple] = {}
     frame = None
     restart_interval = 0
     scan = None
-    while pos + 4 <= len(b):
-        if b[pos] != 0xFF:
-            return None
-        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
-        # marker code — skip them rather than misreading FF as a code
-        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
-            pos += 1
-        if pos + 4 > len(b):
-            return None
-        marker = b[pos + 1]
-        pos += 2
+    # marker framing is delegated to the shared _iter_segments walk
+    # (same framing jpeg_frame_info sees — they cannot drift)
+    for marker, seg, next_pos in _iter_segments(b):
         if marker == 0xD9:  # EOI
             break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if seg is None:
             continue  # standalone
-        if pos + 2 > len(b):
-            return None
-        (seglen,) = struct.unpack_from(">H", b, pos)
-        seg = b[pos + 2 : pos + seglen]
-        pos += seglen
         if marker == 0xDB:  # DQT
             sp = 0
             while sp < len(seg):
@@ -617,7 +643,7 @@ def _decode_jpeg_strict(b: bytes):
             return None  # progressive / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — first scan only; iterator stops
             if frame is None:
                 return None
             ns = seg[0]
@@ -625,18 +651,17 @@ def _decode_jpeg_strict(b: bytes):
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            # entropy-coded data runs from pos to the next non-RST marker
-            scan_start = pos
-            p = pos
+            # entropy-coded data runs from next_pos to the next
+            # non-stuffed, non-RST marker
+            p = next_pos
             while p + 1 < len(b):
                 if b[p] == 0xFF and b[p + 1] not in (0x00,) and not (
                     0xD0 <= b[p + 1] <= 0xD7
                 ):
                     break
                 p += 1
-            scan = (scan_start, p, sel)
-            pos = p
-        # APPn/COM and anything else: skipped via seglen
+            scan = (next_pos, p, sel)
+        # APPn/COM and anything else: skipped
     if frame is None or scan is None:
         return None
     return _decode_scan(b, frame, scan, qtables, htables, restart_interval)

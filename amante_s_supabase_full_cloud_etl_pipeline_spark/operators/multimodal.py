@@ -165,13 +165,14 @@ def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFr
                 # bytes inside APPn segments or the entropy stream.
                 gated = not b.startswith(_NATIVE_MAGICS)
                 if not gated and b[:2] == b"\xff\xd8":
-                    from .jpeg import jpeg_frame_info, native_decodable_frame
+                    from .jpeg import jpeg_frame_info, legitimate_undecodable_frame
 
-                    info = jpeg_frame_info(b)
-                    # a well-formed but unsupported frame needs PIL; a
-                    # frame that should have decoded (or no frame at
-                    # all) is corrupt data
-                    gated = info is not None and not native_decodable_frame(info)
+                    # only a VALID flavor the native decoder declines
+                    # (progressive/arithmetic/12-bit/CMYK) gates on
+                    # PIL; an impossible SOF shape (bit-flipped
+                    # precision/component count) or no frame at all is
+                    # corrupt data → S4 skip, never a job failure
+                    gated = legitimate_undecodable_frame(jpeg_frame_info(b))
                 if gated:
                     raise NotImplementedError(
                         "compressed-image decode beyond BMP/PPM/PNG/baseline-"

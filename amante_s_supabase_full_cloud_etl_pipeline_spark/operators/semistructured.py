@@ -65,7 +65,15 @@ def flatten_variant(
     column name → (JSON path, Spark type string), e.g.
     ``{"k": ("$.k", "bigint"), "tag": ("$.meta.tag", "string")}``.
     Per-path failures (missing key, type mismatch) null out that
-    column for that row only."""
+    column for that row only. Output names must not collide with
+    existing columns (a duplicate name would make every later
+    reference AMBIGUOUS_REFERENCE at runtime — fail here instead)."""
+    clash = set(fields) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"flatten_variant: output field name(s) {sorted(clash)} already "
+            "exist as columns; rename the outputs or drop the originals first"
+        )
     return df.select(
         "*",
         *[
@@ -79,17 +87,30 @@ def schema_drift_report(
     df: DataFrame,
     var_col: str,
     group_by: Sequence[str],
+    json_col: str | None = None,
 ) -> DataFrame:
     """(group keys, merged_schema, n_rows, n_malformed) — the observed
     payload schema per group. A producer adding/retyping fields shows
     up as a changed ``merged_schema`` string for its group; compare
-    across runs (or store via the table format's SCD2) to alarm."""
+    across runs (or store via the table format's SCD2) to alarm.
+
+    Pass the SOURCE ``json_col`` so n_malformed counts only rows whose
+    JSON was present but unparseable — ``try_parse_json(NULL)`` is
+    also a null variant, and a legitimately-absent payload must not
+    alarm the malformed-producer monitor. Without ``json_col`` the
+    metric counts all null variants (absent OR malformed)."""
+    if json_col is not None:
+        malformed = F.count_if(
+            F.col(json_col).isNotNull() & F.col(var_col).isNull()
+        )
+    else:
+        malformed = F.count_if(F.col(var_col).isNull())
     return (
         df.groupBy(*group_by)
         .agg(
             F.schema_of_variant_agg(F.col(var_col)).alias("merged_schema"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.count_if(F.col(var_col).isNull()).alias("n_malformed"),
+            malformed.alias("n_malformed"),
         )
         .orderBy(*group_by)
     )

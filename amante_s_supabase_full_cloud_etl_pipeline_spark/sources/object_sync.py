@@ -78,6 +78,7 @@ def sync_to_landing(
     fetcher,
     landing_dir: str,
     rename: Callable[[str], str] | None = None,
+    orphan_temp_age_s: float = 3600.0,
 ) -> list[str]:
     """One idempotent sync pass: land every remote file not yet in the
     manifest. Returns the names landed this pass.
@@ -94,11 +95,19 @@ def sync_to_landing(
     file granularity anyway (S9)."""
     os.makedirs(landing_dir, exist_ok=True)
     # sweep temps orphaned by a crashed previous pass (fresh uuid per
-    # attempt means they would otherwise accumulate forever)
+    # attempt means they would otherwise accumulate forever) — but
+    # ONLY temps older than `orphan_temp_age_s`: an overlapping sync
+    # pass (slow cron run still going when the next fires) has young
+    # in-flight temps, and deleting those would crash its rename
+    import time
+
+    cutoff = time.time() - orphan_temp_age_s
     for f in os.listdir(landing_dir):
         if f.startswith(".tmp-"):
+            path = os.path.join(landing_dir, f)
             try:
-                os.remove(os.path.join(landing_dir, f))
+                if os.path.getmtime(path) < cutoff:
+                    os.remove(path)
             except OSError:
                 pass
     seen = synced_names(landing_dir)

@@ -57,6 +57,15 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import
 
 def main(sf_dir: str, workdir: str) -> None:
     spark = get_spark("tokenize-shards")
+    # fresh-workdir guard: vocab/shards commits are APPENDS — a rerun
+    # into the same workdir would double the vocab and the broadcast
+    # id join would then silently duplicate every token in input_ids
+    for sub in ("vocab", "shards"):
+        if os.path.exists(os.path.join(workdir, sub)):
+            raise SystemExit(
+                f"workdir {workdir!r} already holds a {sub!r} table — "
+                "use a fresh workdir per build (tables are append-only)"
+            )
     docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
 
@@ -65,8 +74,11 @@ def main(sf_dir: str, workdir: str) -> None:
     print(f"tokenizer: {len(merges)} merges learned from {n_docs} docs")
 
     # 2. vocabulary = distinct tokens the kernel actually emits,
-    # id-ranked by (frequency desc, token) — deterministic
-    tokenized = bpe_tokenize(docs, merges)
+    # id-ranked by (frequency desc, token) — deterministic.
+    # persist: the Python BPE kernel is the dominant cost and three
+    # consumers read it (vocab frequencies, the id join, the packer's
+    # BPE-stream input) — without the persist each re-runs the encode
+    tokenized = bpe_tokenize(docs, merges).persist()
     tok_freq = (
         tokenized.select(F.explode("bpe_tokens").alias("token"))
         .groupBy("token")
@@ -138,6 +150,8 @@ def main(sf_dir: str, workdir: str) -> None:
     # integrity: token counts agree between tokenizer and packer inputs
     mismatch = got.filter(F.size("input_ids") != F.col("n_tokens")).count()
     print(f"id/count mismatches: {mismatch}")
+    assert mismatch == 0, "input_ids/n_tokens disagreement — corrupt shards"
+    tokenized.unpersist()
     spark.stop()
 
 

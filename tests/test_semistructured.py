@@ -92,6 +92,12 @@ def test_malformed_rows_are_s4_nulls_not_failures(spark):
         parse_props(df, "js", strict=True).select("props_v").collect()
 
 
+def test_flatten_rejects_name_collisions(spark):
+    df = spark.createDataFrame([(1, '{"id": 9}')], "id long, js string")
+    with pytest.raises(ValueError, match="already"):
+        flatten_variant(parse_props(df, "js"), "props_v", {"id": ("$.id", "bigint")})
+
+
 def test_type_mismatch_nulls_only_that_path(spark):
     df = spark.createDataFrame([(1, '{"k": "not-a-number", "s": "x"}')], "id long, js string")
     flat = flatten_variant(
@@ -108,11 +114,23 @@ def test_schema_drift_report_detects_payload_change(spark):
     new = [(i, "app", '{"k": %d, "extra": {"z": true}}' % i) for i in range(3)]
     bad = [(9, "app", "not-json")]
     df = spark.createDataFrame(old + new + bad, "id long, source string, js string")
-    rep = schema_drift_report(parse_props(df, "js"), "props_v", ["source"])
+    rep = schema_drift_report(
+        parse_props(df, "js"), "props_v", ["source"], json_col="js"
+    )
     rows = {r["source"]: r for r in rep.collect()}
     assert rows["web"]["merged_schema"] == "OBJECT<k: BIGINT>"
     assert rows["app"]["merged_schema"] == "OBJECT<extra: OBJECT<z: BOOLEAN>, k: BIGINT>"
     assert rows["app"]["n_malformed"] == 1 and rows["app"]["n_rows"] == 4
+
+    # a legitimately-ABSENT payload (NULL json) must not alarm the
+    # malformed monitor when the source column is passed
+    df2 = spark.createDataFrame(
+        [(1, "web", None), (2, "web", "{bad")], "id long, source string, js string"
+    )
+    rep2 = schema_drift_report(
+        parse_props(df2, "js"), "props_v", ["source"], json_col="js"
+    )
+    assert rep2.collect()[0]["n_malformed"] == 1  # only the truly-bad row
 
 
 def test_events_props_variant_equals_get_json_object(spark, sf_dir):

@@ -82,13 +82,21 @@ def test_object_sync_idempotent_and_atomic(tmp_path):
     # no temp droppings
     assert not [f for f in os.listdir(landing) if ".tmp-" in f]
 
-    # temps are DOT-prefixed (hidden from Hadoop file sources) and a
-    # crash-orphaned temp is swept by the next pass
+    # temps are DOT-prefixed (hidden from Hadoop file sources); a
+    # crash-orphaned OLD temp is swept by the next pass, while a YOUNG
+    # temp (a concurrent pass's in-flight file) is left alone
+    import time
+
     orphan = landing / ".tmp-deadbeef-x.csv"
     orphan.write_bytes(b"half-written")
+    os.utime(orphan, (time.time() - 7200, time.time() - 7200))  # 2h old
+    young = landing / ".tmp-cafebabe-y.csv"
+    young.write_bytes(b"in-flight")
     (remote / "d.csv").write_bytes(b"d-bytes")
     assert sync_to_landing(fetcher, str(landing)) == ["d.csv"]
     assert not orphan.exists()
+    assert young.exists()  # overlap-safe: never sweep a live temp
+    young.unlink()
     # nothing the streaming source would list is ever non-final:
     visible = [f for f in os.listdir(landing) if not f.startswith((".", "_"))]
     assert sorted(visible) == ["a.csv", "b.csv", "c.csv", "d.csv"]
