@@ -193,3 +193,21 @@ def test_partition_layout_independence(spark):
         )
 
     assert run(docs.repartition(17)) == run(docs.coalesce(1))
+
+
+def test_hot_term_probe_stays_bounded(spark):
+    """A stop-word-grade query term (present in EVERY document) makes
+    the probe read the full postings list for that term — the two-
+    phase top-k must still rank without a per-query global sort, and
+    idf must floor at ln(1+ ~0.5/N) > 0 (never negative under the
+    +1-inside-the-log Okapi form)."""
+    docs = catalog.table(spark, SF, "documents")
+    # 'the' appears in essentially every doc — the worst-case term
+    q = spark.createDataFrame([(0, ["the"])], "query_id long, terms array<string>")
+    postings, stats = build_index(docs)
+    out = bm25_score(postings, stats, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["score"] > 0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # bounded two-phase even for hot terms
