@@ -124,6 +124,7 @@ def ann_index_writer(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_at_files: int = 0,
 ):
     """foreachBatch handler: stream embeddings into the index
     exactly-once.
@@ -131,12 +132,22 @@ def ann_index_writer(
         (stream.writeStream
               .foreachBatch(ann_index_writer(index, centroids))
               .option("checkpointLocation", ...).start())
-    """
+
+    ``compact_at_files`` > 0 enables inline maintenance: whenever the
+    live file count reaches it, the handler compacts the index sorted
+    by ``list_id`` — per-micro-batch appends otherwise accumulate one
+    file per batch (the streaming small-files problem), and the
+    probed-list file skipping in :func:`ivf_index_topk` is only
+    selective when files are list-ranged. Compaction is row-identical
+    and snapshot-isolated, so a crash between fold and compact loses
+    nothing (the next trigger re-checks the threshold)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         fold_ann_index(
             index, batch, centroids, id_col=id_col, vec_col=vec_col, batch_id=batch_id
         )
+        if compact_at_files and len(index.files()) >= compact_at_files:
+            index.compact(sort_by=["list_id"])
 
     return handle
 

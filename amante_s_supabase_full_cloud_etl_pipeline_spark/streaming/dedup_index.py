@@ -181,6 +181,7 @@ def near_dup_index_writer(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_at_files: int = 0,
 ):
     """foreachBatch handler maintaining index AND pair table
     exactly-once:
@@ -190,7 +191,11 @@ def near_dup_index_writer(
               .option("checkpointLocation", ...).start())
 
     Pairs merge on (id_a, id_b), so a replayed batch (which re-emits
-    identical pairs) converges instead of duplicating."""
+    identical pairs) converges instead of duplicating.
+    ``compact_at_files`` > 0 compacts the band table sorted by
+    band_hash whenever its live file count reaches the threshold —
+    appends otherwise add a file per micro-batch, and the probe's
+    IN-list file skipping needs band_hash-ranged files to prune."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         found = fold_near_dup_index(
@@ -208,5 +213,7 @@ def near_dup_index_writer(
             order_by=["id_a", "id_b"],
             batch_id=batch_id,
         )
+        if compact_at_files and len(index.files()) >= compact_at_files:
+            index.compact(sort_by=["band_hash"])
 
     return handle

@@ -188,3 +188,20 @@ def test_real_stream_with_restart(spark, sf_dir, tmp_path):
     queries = _queries(emb)
     want = _topk_rows(_batch_reference(emb, centroids, queries))
     assert _topk_rows(ivf_index_topk(index, centroids, queries)) == want
+
+
+def test_writer_inline_compaction_bounds_files(spark, sf_dir, tmp_path):
+    """compact_at_files: per-batch appends stop accumulating files —
+    the handler compacts list-sorted once the threshold is hit, and
+    results are unchanged (compaction is row-identical)."""
+    emb = _emb(spark, sf_dir)
+    centroids = fit_coarse_centroids(emb, n_lists=8)
+    index = ParquetTable(spark, str(tmp_path / "ivf"))
+    handle = ann_index_writer(index, centroids, compact_at_files=3)
+    for i in range(6):
+        handle(emb.filter(F.col("vec_id") % 6 == i), i)
+    # without compaction there would be >= 6 files
+    assert len(index.files()) < 6
+    queries = _queries(emb)
+    want = _topk_rows(_batch_reference(emb, centroids, queries))
+    assert _topk_rows(ivf_index_topk(index, centroids, queries)) == want

@@ -160,3 +160,18 @@ def test_real_stream_with_checkpoint_restart(spark, sf_dir, tmp_path):
         for r in pairs.read().collect()
     }
     assert got == _pairs_set(minhash_candidates(docs))
+
+
+def test_writer_inline_compaction_bounds_files(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    index = ParquetTable(spark, str(tmp_path / "idx_c"))
+    pairs = ParquetTable(spark, str(tmp_path / "pairs_c"))
+    handle = near_dup_index_writer(index, pairs, compact_at_files=2)
+    for i in range(4):
+        handle(docs.filter(F.col("doc_id") % 4 == i), i)
+    assert len(index.files()) < 4
+    got = {
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+        for r in pairs.read().collect()
+    }
+    assert got == _pairs_set(minhash_candidates(docs))
