@@ -175,3 +175,22 @@ def test_writer_inline_compaction_bounds_files(spark, sf_dir, tmp_path):
         for r in pairs.read().collect()
     }
     assert got == _pairs_set(minhash_candidates(docs))
+
+
+def test_random_chunkings_equal_batch_candidates(spark, sf_dir, tmp_path):
+    """Hypothesis-style model check with fixed seeds: ANY partition of
+    the corpus into arrival batches yields the batch candidate set."""
+    docs = _docs(spark, sf_dir)
+    want = _pairs_set(minhash_candidates(docs))
+    for seed in (7, 23):
+        n_chunks = 2 + seed % 3
+        index = ParquetTable(spark, str(tmp_path / f"idx_r{seed}"))
+        got: set = set()
+        for i in range(n_chunks):
+            # deterministic pseudo-random assignment of docs to batches
+            chunk = docs.filter(
+                F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(n_chunks))
+                == i
+            )
+            got |= _pairs_set(fold_near_dup_index(index, chunk, batch_id=i))
+        assert got == want, f"seed={seed}"
