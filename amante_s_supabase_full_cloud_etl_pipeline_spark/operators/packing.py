@@ -102,6 +102,69 @@ def pack_chunk_spans(
     )
 
 
+def assemble_context_chunks(
+    spans_with_ids: DataFrame,
+    context_len: int = 2048,
+    id_col: str = "doc_id",
+    ids_col: str = "input_ids",
+) -> DataFrame:
+    """Materialize the training batches the spans describe: one row
+    per context chunk, ``token_ids`` being exactly that chunk's slice
+    of the concatenated global token stream — the dataloader-side
+    twin of :func:`pack_chunk_spans`.
+
+    Input: the span columns (``n_tokens, tok_offset, first_chunk,
+    last_chunk``) joined with each document's token-id array
+    (``ids_col``; its size MUST equal ``n_tokens`` — pack by the same
+    token stream you id-mapped, see examples/tokenize_shards.py).
+    Returns ``(chunk_id, n_chunk_tokens, token_ids)``; every chunk is
+    exactly ``context_len`` tokens except the final partial one.
+
+    Scale: a document explodes into only the chunks it overlaps
+    (``chunks_spanned`` rows); the group-by shuffles at most
+    ``context_len`` tokens per chunk — chunk groups are fixed-size by
+    construction, so there is no hot-key hazard, and the per-group
+    ``collect_list`` buffer is bounded by context_len ids."""
+    L = int(context_len)
+    nonempty = spans_with_ids.filter(F.col("n_tokens") > 0)
+    pieces = nonempty.select(
+        F.col("tok_offset"),
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
+        F.col(ids_col).alias("_ids"),
+        F.col("n_tokens"),
+    ).select(
+        "chunk_id",
+        "tok_offset",
+        F.slice(
+            "_ids",
+            (F.greatest(F.col("chunk_id") * L - F.col("tok_offset"), F.lit(0)) + 1).cast("int"),
+            (
+                F.least((F.col("chunk_id") + 1) * L - F.col("tok_offset"), F.col("n_tokens"))
+                - F.greatest(F.col("chunk_id") * L - F.col("tok_offset"), F.lit(0))
+            ).cast("int"),
+        ).alias("_piece"),
+    )
+    return (
+        pieces.groupBy("chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tok_offset", "_piece"))
+                    ),
+                    lambda s: s.getField("_piece"),
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            "chunk_id",
+            F.size("token_ids").cast("long").alias("n_chunk_tokens"),
+            "token_ids",
+        )
+        .orderBy("chunk_id")
+    )
+
+
 def pack_greedy_no_split(
     docs: DataFrame,
     capacity: int = 2048,

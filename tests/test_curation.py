@@ -412,3 +412,71 @@ def test_chunk_documents_edges(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_assemble_context_chunks_reconstructs_global_stream(spark, sf_dir):
+    """The dataloader-side twin of pack_chunk_spans: assembling every
+    chunk and concatenating them in chunk order must reproduce the
+    EXACT concatenated global token stream, with every chunk full
+    except the last."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+        assemble_context_chunks,
+        pack_chunk_spans,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    ).select("doc_id", "text")
+    L = 256
+    spans = pack_chunk_spans(docs, context_len=L, n_shards=8)
+    # synthetic per-doc token ids: doc_id * 10^6 + position — unique
+    # across the corpus, so stream equality is an exact identity check
+    with_ids = spans.withColumn(
+        "input_ids",
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1),
+            lambda i: F.col("doc_id") * 1_000_000 + i,
+        ),
+    ).filter(F.col("n_tokens") > 0)
+    chunks = assemble_context_chunks(with_ids, context_len=L).collect()
+
+    total = sum(r["n_tokens"] for r in with_ids.select("n_tokens").collect())
+    # chunk ids are dense 0..ceil(total/L)-1; all full except the last
+    assert [r["chunk_id"] for r in chunks] == list(range((total + L - 1) // L))
+    sizes = [r["n_chunk_tokens"] for r in chunks]
+    assert all(s == L for s in sizes[:-1])
+    assert sizes[-1] == total - L * (len(sizes) - 1)
+
+    # exact reconstruction: chunk-order concatenation == the stream
+    # implied by (tok_offset, input_ids) ordering
+    stream = []
+    for r in chunks:
+        stream.extend(r["token_ids"])
+    want = []
+    for r in sorted(
+        with_ids.select("tok_offset", "input_ids").collect(),
+        key=lambda r: r["tok_offset"],
+    ):
+        want.extend(r["input_ids"])
+    assert stream == want
+
+
+def test_assemble_chunks_single_doc_spanning_many_chunks(spark):
+    """One long doc crossing several chunk boundaries slices exactly."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+        assemble_context_chunks,
+    )
+
+    row = spark.createDataFrame(
+        [(1, 10, 3, 0, 2)],
+        "doc_id long, n_tokens long, tok_offset long, first_chunk long, last_chunk long",
+    ).withColumn(
+        "input_ids",
+        F.transform(F.sequence(F.lit(0), F.lit(9)), lambda i: i + 100),
+    )
+    got = {r["chunk_id"]: r["token_ids"] for r in
+           assemble_context_chunks(row, context_len=5).collect()}
+    # stream positions 3..12 → chunk0 holds pos 3,4 → ids 100,101;
+    # chunk1 pos 5..9 → 102..106; chunk2 pos 10..12 → 107,108,109
+    assert got == {0: [100, 101], 1: [102, 103, 104, 105, 106], 2: [107, 108, 109]}
