@@ -47,6 +47,7 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.bpe import (
     train_bpe,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
+    assemble_context_chunks,
     pack_chunk_spans,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.session import get_spark
@@ -151,6 +152,17 @@ def main(sf_dir: str, workdir: str) -> None:
     mismatch = got.filter(F.size("input_ids") != F.col("n_tokens")).count()
     print(f"id/count mismatches: {mismatch}")
     assert mismatch == 0, "input_ids/n_tokens disagreement — corrupt shards"
+
+    # 6. the dataloader side: materialize the first training batches
+    # from the committed shard table (each exactly 512 ids except the
+    # final partial chunk)
+    batches = assemble_context_chunks(got, context_len=512)
+    sample = batches.limit(3).collect()
+    for r in sample:
+        print(
+            f"batch chunk {r['chunk_id']}: {r['n_chunk_tokens']} ids, "
+            f"head {r['token_ids'][:5]}"
+        )
     tokenized.unpersist()
     spark.stop()
 
