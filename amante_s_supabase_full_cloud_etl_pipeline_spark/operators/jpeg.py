@@ -165,25 +165,41 @@ def _canonical_codes(bits, vals):
     return codes
 
 
-def _decode_tables(bits, vals):
-    """Per-length (min_code, max_code, first_symbol_index) arrays for
-    the classic sequential Huffman decode loop."""
-    mincode = [0] * 17
-    maxcode = [-1] * 17
-    valptr = [0] * 17
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        if bits[length - 1]:
-            valptr[length] = k
-            mincode[length] = code
-            code += bits[length - 1]
-            k += bits[length - 1]
-            maxcode[length] = code - 1
-        else:
-            maxcode[length] = -1
-        code <<= 1
-    return mincode, maxcode, valptr, list(vals)
+#: (bits, vals) → flat 16-bit-window LUT memo. JPEG codes are ≤16
+#: bits, so a 65536-entry (symbol, length) table decodes any code in
+#: ONE list index instead of a bit-at-a-time tree walk — the classic
+#: libjpeg fast path. Keyed by the table bytes: real corpora reuse the
+#: Annex-K tables across millions of images, so each worker builds the
+#: LUT once per distinct table, not once per image.
+_FAST_TABLE_CACHE: dict = {}
+
+
+def _fast_tables(bits, vals):
+    """(lut_symbol, lut_length) lists indexed by the next 16 bits of
+    the stream; length 0 marks an invalid prefix."""
+    key = (bytes(bits), bytes(vals))
+    hit = _FAST_TABLE_CACHE.get(key)
+    if hit is None:
+        if len(_FAST_TABLE_CACHE) > 64:  # corrupt-stream table churn bound
+            _FAST_TABLE_CACHE.clear()
+        sym = [0] * 65536
+        ln = [0] * 65536
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            span = 1 << (16 - length)
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                if lo + span > 65536:
+                    raise ValueError("bad DHT: code space overflow")
+                sym[lo : lo + span] = [vals[k]] * span
+                ln[lo : lo + span] = [length] * span
+                code += 1
+                k += 1
+            code <<= 1
+        hit = (sym, ln)
+        _FAST_TABLE_CACHE[key] = hit
+    return hit
 
 
 def scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
@@ -207,15 +223,27 @@ class _BitWriter:
         self._nbits = 0
 
     def write(self, code: int, length: int) -> None:
-        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
-        self._nbits += length
-        while self._nbits >= 8:
-            self._nbits -= 8
-            byte = (self._acc >> self._nbits) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-        self._acc &= (1 << self._nbits) - 1
+        self.write_many(((code, length),))
+
+    def write_many(self, pairs) -> None:
+        """Append a batch of (code, length) fields in one call — the
+        accumulator lives in locals across the whole batch, so the
+        per-field cost is a few int ops instead of attribute traffic."""
+        acc = self._acc
+        nbits = self._nbits
+        out = self.out
+        for code, length in pairs:
+            acc = (acc << length) | (code & ((1 << length) - 1))
+            nbits += length
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:  # byte stuffing
+                    out.append(0x00)
+            acc &= (1 << nbits) - 1
+        self._acc = acc
+        self._nbits = nbits
 
     def flush(self) -> None:
         if self._nbits:
@@ -242,7 +270,8 @@ def _fdct_quant(plane: np.ndarray, qtable_raster: np.ndarray) -> np.ndarray:
         plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
         - 128.0
     )
-    coeffs = np.einsum("ux,ijxy,vy->ijuv", _C, blocks, _C)
+    # batched matmul (BLAS) beats einsum's generic loop ~10x here
+    coeffs = _C @ blocks @ _C.T
     q = qtable_raster.reshape(8, 8).astype(np.float64)
     quant = np.round(coeffs / q).astype(np.int64)
     return quant.reshape(quant.shape[0], quant.shape[1], 64)[:, :, ZIGZAG]
@@ -250,37 +279,33 @@ def _fdct_quant(plane: np.ndarray, qtable_raster: np.ndarray) -> np.ndarray:
 
 def _encode_blocks(writer, zz, pred, dc_codes, ac_codes) -> int:
     """Entropy-encode one 64-coefficient zigzag block; returns the new
-    DC predictor."""
-    dc = int(zz[0])
+    DC predictor. Visits only the NONZERO AC coefficients (runs come
+    from index gaps) and emits all fields in one batched bit-write —
+    quantized blocks are mostly zeros, so the work is proportional to
+    the information, not to 64."""
+    zl = zz.tolist()
+    dc = zl[0]
     diff = dc - pred
-    cat, bits = _magnitude(diff)
-    code, length = dc_codes[cat]
-    writer.write(code, length)
-    if cat:
-        writer.write(bits, cat)
-    run = 0
-    last_nz = 0
-    for i in range(63, 0, -1):
-        if zz[i]:
-            last_nz = i
-            break
-    for i in range(1, last_nz + 1):
-        v = int(zz[i])
-        if v == 0:
-            run += 1
-            continue
+    if diff:
+        cat = (diff if diff > 0 else -diff).bit_length()
+        pairs = [dc_codes[cat], (diff if diff > 0 else diff + (1 << cat) - 1, cat)]
+    else:
+        pairs = [dc_codes[0]]
+    prev = 0
+    for idx in np.nonzero(zz[1:])[0].tolist():
+        k = idx + 1
+        run = k - prev - 1
         while run > 15:
-            code, length = ac_codes[0xF0]  # ZRL
-            writer.write(code, length)
+            pairs.append(ac_codes[0xF0])  # ZRL
             run -= 16
-        cat, bits = _magnitude(v)
-        code, length = ac_codes[(run << 4) | cat]
-        writer.write(code, length)
-        writer.write(bits, cat)
-        run = 0
-    if last_nz != 63:
-        code, length = ac_codes[0x00]  # EOB
-        writer.write(code, length)
+        v = zl[k]
+        cat = (v if v > 0 else -v).bit_length()
+        pairs.append(ac_codes[(run << 4) | cat])
+        pairs.append((v if v > 0 else v + (1 << cat) - 1, cat))
+        prev = k
+    if prev != 63:
+        pairs.append(ac_codes[0x00])  # EOB
+    writer.write_many(pairs)
     return dc
 
 
@@ -426,51 +451,17 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-class _BitReader:
-    """MSB-first reader over entropy-coded bytes with 0xFF00
-    unstuffing done by the caller."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise EOFError
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
-def _extend(v: int, cat: int) -> int:
-    if cat == 0:
-        return 0
-    if v < (1 << (cat - 1)):
-        return v - (1 << cat) + 1
-    return v
-
-
-def _huff_decode(reader: _BitReader, table) -> int:
-    mincode, maxcode, valptr, vals = table
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        if maxcode[length] >= 0 and code <= maxcode[length]:
-            return vals[valptr[length] + code - mincode[length]]
-    raise ValueError("bad Huffman code")
+def _bit_windows(segdata: bytes):
+    """(u32, total_bits) for LUT entropy decode: ``u32[i]`` holds the
+    big-endian 32-bit window starting at byte ``i``, built in one
+    vectorized pass, so peeking 16 bits at ANY bit position p is two
+    int ops: ``(u32[p >> 3] >> (16 - (p & 7))) & 0xFFFF``. The 8-byte
+    zero pad lets the final symbols peek past the end; overrun is
+    caught by the position check at each symbol start instead."""
+    buf = segdata + b"\x00" * 8
+    a = np.frombuffer(buf, dtype=np.uint8).astype(np.uint32)
+    u32 = ((a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]).tolist()
+    return u32, len(segdata) * 8
 
 
 def decode_jpeg(blob: bytes):
@@ -625,7 +616,7 @@ def _decode_jpeg_strict(b: bytes):
                 n = sum(bits)
                 vals = list(seg[sp : sp + n])
                 sp += n
-                htables[(tc, th)] = _decode_tables(bits, vals)
+                htables[(tc, th)] = _fast_tables(bits, vals)
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable
             prec = seg[0]
             if prec != 8:
@@ -714,47 +705,98 @@ def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
         bh = mcuy * c["v"]
         planes.append(np.zeros((bh, bw, 64), dtype=np.int64))
 
+    ncomp = len(comps)
+    comp_tabs = []
+    for c in comps:
+        dc_t = htables.get((0, sel[c["id"]][0]))
+        ac_t = htables.get((1, sel[c["id"]][1]))
+        if dc_t is None or ac_t is None:
+            return None
+        comp_tabs.append((dc_t[0], dc_t[1], ac_t[0], ac_t[1]))
+
     n_mcus = mcux * mcuy
     per_seg = restart_interval or n_mcus
+    # nonzero-coefficient triplets per component, scattered into the
+    # planes in ONE fancy-index assignment at the end — no per-block
+    # numpy allocation inside the entropy loop
+    acc = [([], [], []) for _ in comps]
     mcu = 0
     seg_idx = 0
-    reader = _BitReader(segments[0])
-    preds = [0] * len(comps)
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % per_seg == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                return None
-            reader = _BitReader(segments[seg_idx])
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcux)
-        for ci, c in enumerate(comps):
-            dc_t = htables.get((0, sel[c["id"]][0]))
-            ac_t = htables.get((1, sel[c["id"]][1]))
-            if dc_t is None or ac_t is None:
-                return None
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    cat = _huff_decode(reader, dc_t)
-                    diff = _extend(reader.receive(cat), cat)
-                    preds[ci] += diff
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, ac_t)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            return None
-                        zz[k] = _extend(reader.receive(s), s)
-                        k += 1
-                    planes[ci][my * c["v"] + by, mx * c["h"] + bx] = zz
+    while mcu < n_mcus:
+        if seg_idx >= len(segments):
+            return None
+        u32, total_bits = _bit_windows(segments[seg_idx])
+        seg_idx += 1
+        preds = [0] * ncomp
+        pos = 0
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcux)
+            mcu += 1
+            for ci in range(ncomp):
+                c = comps[ci]
+                dc_sym, dc_len, ac_sym, ac_len = comp_tabs[ci]
+                blks, ks, vs = acc[ci]
+                cv, ch = c["v"], c["h"]
+                bw = mcux * ch
+                pred = preds[ci]
+                for by in range(cv):
+                    row = my * cv + by
+                    for bx in range(ch):
+                        blk = row * bw + mx * ch + bx
+                        if pos >= total_bits:
+                            raise EOFError("truncated entropy data")
+                        w16 = (u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                        length = dc_len[w16]
+                        if length == 0:
+                            raise ValueError("bad Huffman code")
+                        cat = dc_sym[w16]
+                        pos += length
+                        if cat:
+                            v = ((u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (
+                                16 - cat
+                            )
+                            pos += cat
+                            if v < (1 << (cat - 1)):
+                                v += (-1 << cat) + 1
+                            pred += v
+                        blks.append(blk)
+                        ks.append(0)
+                        vs.append(pred)
+                        k = 1
+                        while k < 64:
+                            if pos >= total_bits:
+                                raise EOFError("truncated entropy data")
+                            w16 = (u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                            length = ac_len[w16]
+                            if length == 0:
+                                raise ValueError("bad Huffman code")
+                            rs = ac_sym[w16]
+                            pos += length
+                            s = rs & 0xF
+                            if s == 0:
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                return None
+                            v = ((u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (
+                                16 - s
+                            )
+                            pos += s
+                            if v < (1 << (s - 1)):
+                                v += (-1 << s) + 1
+                            blks.append(blk)
+                            ks.append(k)
+                            vs.append(v)
+                            k += 1
+                preds[ci] = pred
+    for ci in range(ncomp):
+        blks, ks, vs = acc[ci]
+        if blks:
+            bh, bw2, _ = planes[ci].shape
+            planes[ci].reshape(bh * bw2, 64)[blks, ks] = vs
 
     # dequant + inverse zigzag + IDCT, vectorized per component
     out_planes = []
@@ -767,7 +809,8 @@ def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
         coeffs[:, :, ZIGZAG] = planes[ci] * q[ZIGZAG]
         coeffs = coeffs.reshape(bh, bw, 8, 8)
         # IDCT: spatial[x,y] = Σ_u Σ_v C[u,x]·coeffs[u,v]·C[v,y]
-        spatial = np.einsum("ux,ijuv,vy->ijxy", _C, coeffs, _C)
+        # as batched matmul (BLAS): C.T @ coeffs @ C per 8x8 block
+        spatial = _C.T @ coeffs @ _C
         plane = (
             spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
         )
@@ -783,8 +826,12 @@ def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
     y = out_planes[0][:h, :w]
     cb = out_planes[1][:h, :w] - 128.0
     cr = out_planes[2][:h, :w] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bch = y + 1.772 * cb
-    rgb = np.stack([r, g, bch], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    # identical float64 arithmetic to the reference formulation; the
+    # preallocated target just avoids np.stack's extra copy
+    rgb = np.empty((h, w, 3), dtype=np.float64)
+    rgb[:, :, 0] = y + 1.402 * cr
+    rgb[:, :, 1] = y - 0.344136 * cb - 0.714136 * cr
+    rgb[:, :, 2] = y + 1.772 * cb
+    np.round(rgb, out=rgb)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.astype(np.uint8)

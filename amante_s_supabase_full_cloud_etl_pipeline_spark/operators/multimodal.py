@@ -398,12 +398,23 @@ def _decode_png(blob: bytes):
     return img[:, :, :3].copy()
 
 
-def decode_image(blob: bytes):
+def decode_image(blob: bytes, prefer_pil: bool | None = None):
     """Dispatch on magic bytes → (h, w, 3) uint8 RGB, or None when
     the format is unknown/corrupt (per-row skip, S4 semantics).
     Native: BMP, PPM, PNG, baseline JPEG. Anything else (progressive
     JPEG, WebP, ...) decodes through PIL when the optional-dependency
-    probe finds it."""
+    probe finds it.
+
+    JPEG dispatch: when Pillow is importable it decodes FIRST by
+    default — libjpeg(-turbo)'s entropy loop is C, easily 20-100x the
+    native numpy codec's throughput, and at crawl scale that constant
+    factor is the whole cost of the operator. The native codec remains
+    (a) the zero-dependency fallback on locked-down clusters and
+    (b) the pinned path for golden-value parity (``prefer_pil=False``):
+    T.81 does not mandate a bit-exact IDCT, so PIL pixels can differ
+    by ±1 from the native decode — any value-hashed golden MUST pin
+    one decoder, and ours pins the native one because it behaves
+    identically on every machine, with or without Pillow installed."""
     if blob is None:
         return None
     b = bytes(blob)
@@ -414,6 +425,14 @@ def decode_image(blob: bytes):
     if b.startswith(_PNG_SIG):
         return _decode_png(b)
     if b[:2] == b"\xff\xd8":
+        if prefer_pil is None:
+            prefer_pil = pil_available()
+        if prefer_pil and pil_available():
+            arr = _pil_decode(b)
+            if arr is not None:
+                return arr
+            # PIL refused (corrupt, or a flavor this PIL build lacks):
+            # the native codec gets a shot before the S4 skip
         from .jpeg import decode_jpeg
 
         arr = decode_jpeg(b)
@@ -663,6 +682,19 @@ IMAGE_FEATURE_SCHEMA = StructType(
 )
 
 
+def _fan_out_ids(docs: "DataFrame") -> "DataFrame":
+    """Spread the id frame across every core BEFORE a generate/decode
+    kernel. The upstream scan's partitioning follows the parquet file
+    layout (often 1 file at test scale, or a few skewed files in a
+    real landing zone), which would serialize the per-row codec work
+    in a handful of Python workers. Repartitioning HERE is cheap — the
+    only shuffled payload is the id column — whereas repartitioning
+    after blob generation would shuffle the blobs themselves."""
+    ids = docs.select("doc_id")
+    target = ids.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(target)
+
+
 def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic image corpus keyed on doc_id cycling all four
     NATIVE codecs — doc_id % 4: 0 → 24-bit BMP, 1 → binary PPM,
@@ -727,7 +759,7 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
             StructField("media_type", StringType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(kernel, schema)
+    return _fan_out_ids(docs).mapInPandas(kernel, schema)
 
 
 AUDIO_FEATURE_SCHEMA = StructType(
@@ -779,7 +811,7 @@ def synthetic_audio_corpus(docs: DataFrame) -> DataFrame:
             StructField("media_type", StringType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(kernel, schema)
+    return _fan_out_ids(docs).mapInPandas(kernel, schema)
 
 
 def decode_audio_features(media: DataFrame) -> DataFrame:
@@ -871,7 +903,7 @@ def synthetic_video_corpus(docs: DataFrame, n_frames: int = 6) -> DataFrame:
             StructField("media_type", StringType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(kernel, schema)
+    return _fan_out_ids(docs).mapInPandas(kernel, schema)
 
 
 def sample_video_features(media: DataFrame, every: int = 2, round_to: int = 6) -> DataFrame:
@@ -938,7 +970,15 @@ def decode_image_features(media: DataFrame, round_to: int = 6) -> DataFrame:
     """REAL decode → feature-extract → resize over BMP/PPM blobs:
     per-channel means, luminance moments, 8×8 mean-pooled thumb.
     Undecodable blobs are skipped (S4 per-row semantics). Floats are
-    rounded so results are stable across BLAS builds."""
+    rounded so results are stable across BLAS builds.
+
+    JPEG decode is PINNED to the native codec (``prefer_pil=False``):
+    this feeds the value-hashed ``multimodal_image_decode`` golden
+    row, and PIL pixels may differ ±1 from the native IDCT (T.81
+    leaves the IDCT implementation-defined), so golden parity requires
+    one fixed decoder. Throughput-oriented callers that don't need
+    cross-environment bit-parity should decode via
+    :func:`decode_image`'s default (PIL-first when available)."""
 
     def kernel(batches):
         import numpy as np
@@ -955,7 +995,7 @@ def decode_image_features(media: DataFrame, round_to: int = 6) -> DataFrame:
                 "mean_r", "mean_g", "mean_b", "luma_mean", "luma_std", "thumb",
             )}
             for doc_id, mt, blob in zip(batch["doc_id"], batch["media_type"], batch["blob"]):
-                arr = decode_image(blob)
+                arr = decode_image(blob, prefer_pil=False)
                 if arr is None:
                     continue  # per-row skip
                 f64 = arr.astype(np.float64)

@@ -214,8 +214,13 @@ def test_round_trip_property_fuzz():
             assert err.max() <= 4
         # 4:2:0 box-averages chroma over padded 2x2 blocks, so a hard
         # chroma edge on a tiny image bleeds (libjpeg behaves the
-        # same) — the subsampled bound is accordingly looser
-        assert err.mean() <= (28 if sub else 16), err.mean()
+        # same) — the subsampled bound is accordingly looser, and on
+        # images smaller than one 2x2 chroma block the bleed covers
+        # EVERY pixel (a 1x2 hard edge averages to the midpoint →
+        # per-pixel chroma error ~65/2 on two of three channels)
+        tiny = img.shape[0] < 2 or img.shape[1] < 2
+        bound = (36 if tiny else 28) if sub else 16
+        assert err.mean() <= bound, err.mean()
 
     check()
 
