@@ -12,9 +12,14 @@ PostgreSQL server, closing the "the PG path has never executed"
 gap (VERDICT r3 "What's missing" #3) with zero third-party code.
 
 Scope (deliberately small, test-grade):
-- trust or cleartext-password auth (the embedded test server runs
-  ``--auth=trust``); MD5/SCRAM are out of scope — production uses a
-  real driver.
+- trust, cleartext-password, MD5, and SCRAM-SHA-256 auth (RFC 5802/
+  7677) — SCRAM is modern PostgreSQL's ``password_encryption``
+  default and what managed PostgreSQL (the reference's real target,
+  main.py:27-59) requires, so the stdlib client can reach production
+  dialects, not just ``--auth=trust`` scratch servers. Channel
+  binding (SCRAM-SHA-256-PLUS) is not offered (no TLS layer here);
+  password normalization is UTF-8 passthrough (SASLprep's identity
+  mapping for ASCII — matches what the test matrix exercises).
 - the EXTENDED query protocol (Parse/Bind/Execute/Sync) for
   parameterized statements — real server-side binding, no client-side
   string escaping hazards; parameters travel in text format and the
@@ -35,6 +40,11 @@ before the first statement after connect/commit/rollback, so
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
+import os
+import re
 import socket
 import struct
 
@@ -68,15 +78,52 @@ def _convert(value: bytes | None, oid: int):
     return text
 
 
+#: dollar-quote opener: ``$$`` or ``$tag$`` (tag = identifier chars)
+_DOLLAR_OPEN = re.compile(r"\$[A-Za-z_][A-Za-z0-9_]*\$|\$\$")
+
+
 def _params_to_dollar(sql: str) -> str:
     """Rewrite psycopg2-style ``%s`` placeholders to PostgreSQL's
-    ``$1..$n`` (literal ``%%`` unescapes to ``%``)."""
+    ``$1..$n`` (literal ``%%`` unescapes to ``%``). Quoted spans are
+    copied through VERBATIM — single-quoted strings (with ``''``
+    escapes), double-quoted identifiers, and dollar-quoted bodies —
+    so a literal like ``LIKE 'a%sb'`` is never rewritten and never
+    shifts the parameter numbering (ADVICE r4). An unterminated quote
+    copies through to the end; the server reports the syntax error."""
     out = []
     i = 0
     n = 0
-    while i < len(sql):
+    length = len(sql)
+    while i < length:
         c = sql[i]
-        if c == "%" and i + 1 < len(sql):
+        if c == "'":
+            j = i + 1
+            while j < length:
+                if sql[j] == "'":
+                    if j + 1 < length and sql[j + 1] == "'":
+                        j += 2  # '' escape stays inside the literal
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == '"':
+            j = sql.find('"', i + 1)
+            j = length - 1 if j < 0 else j
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == "$":
+            m = _DOLLAR_OPEN.match(sql, i)
+            if m:
+                tag = m.group(0)
+                end = sql.find(tag, m.end())
+                end = length if end < 0 else end + len(tag)
+                out.append(sql[i:end])
+                i = end
+                continue
+        if c == "%" and i + 1 < length:
             nxt = sql[i + 1]
             if nxt == "s":
                 n += 1
@@ -111,7 +158,7 @@ class Connection:
             k.encode() + b"\x00" + v.encode() + b"\x00" for k, v in params.items()
         ) + b"\x00"
         self._send_raw(struct.pack(">ii", len(body) + 8, 196608) + body)
-        self._auth(password)
+        self._auth(password, user)
         self._drain_until_ready()
 
     # -- low-level framing --------------------------------------------------
@@ -147,30 +194,96 @@ class Connection:
 
     # -- session startup ----------------------------------------------------
 
-    def _auth(self, password: str | None) -> None:
-        tag, body = self._read_message()
-        if tag == b"E":
-            raise PgError(self._error_fields(body))
-        if tag != b"R":
-            raise ConnectionError(f"expected auth message, got {tag!r}")
+    def _read_auth_message(self) -> bytes:
+        """Next Authentication ('R') body, SKIPPING interleaved
+        NoticeResponse ('N') / ParameterStatus ('S') and raising on
+        ErrorResponse — a notice mid-handshake must never be unpacked
+        as an auth code (ADVICE r4)."""
+        while True:
+            tag, body = self._read_message()
+            if tag == b"R":
+                return body
+            if tag == b"E":
+                raise PgError(self._error_fields(body))
+            if tag in (b"N", b"S"):
+                continue
+            raise ConnectionError(f"unexpected message {tag!r} during auth")
+
+    def _auth(self, password: str | None, user: str) -> None:
+        body = self._read_auth_message()
         (code,) = struct.unpack_from(">i", body, 0)
         if code == 0:
             return  # trust
+        if password is None:
+            raise ConnectionError("server wants a password; none given")
         if code == 3:  # cleartext password
-            if password is None:
-                raise ConnectionError("server wants a password; none given")
             self._send(b"p", password.encode() + b"\x00")
-            tag, body = self._read_message()
-            if tag == b"E":
-                raise PgError(self._error_fields(body))
-            (code,) = struct.unpack_from(">i", body, 0)
-            if code != 0:
-                raise ConnectionError("password authentication failed")
-            return
-        raise ConnectionError(
-            f"unsupported auth method {code} (trust/cleartext only — "
-            "use a real driver for MD5/SCRAM)"
+        elif code == 5:  # MD5: md5(md5(password + user) + salt)
+            salt = body[4:8]
+            inner = hashlib.md5(password.encode() + user.encode()).hexdigest()
+            digest = "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
+            self._send(b"p", digest.encode() + b"\x00")
+        elif code == 10:  # AuthenticationSASL: mechanism list
+            mechs = [m.decode() for m in body[4:].split(b"\x00") if m]
+            if "SCRAM-SHA-256" not in mechs:
+                raise ConnectionError(f"no supported SASL mechanism in {mechs}")
+            self._scram_sha256(password)
+        else:
+            raise ConnectionError(f"unsupported auth method {code}")
+        body = self._read_auth_message()
+        (code,) = struct.unpack_from(">i", body, 0)
+        if code != 0:
+            raise ConnectionError("password authentication failed")
+
+    def _scram_sha256(self, password: str) -> None:
+        """SCRAM-SHA-256 client exchange (RFC 5802/7677) without
+        channel binding (gs2 header ``n,,``). Leaves the stream
+        positioned before the final AuthenticationOk; verifies the
+        server signature so a spoofed server that never knew the
+        password fails loudly rather than silently authenticating."""
+        client_nonce = base64.b64encode(os.urandom(18)).decode()
+        gs2 = "n,,"
+        # PostgreSQL takes the username from the startup packet and
+        # ignores the SCRAM n= field, so it is sent empty (RFC 5802
+        # permits this; it sidesteps SASLprep of the name entirely)
+        cfirst_bare = f"n=,r={client_nonce}"
+        initial = (gs2 + cfirst_bare).encode()
+        self._send(
+            b"p", b"SCRAM-SHA-256\x00" + struct.pack(">i", len(initial)) + initial
         )
+        body = self._read_auth_message()
+        (code,) = struct.unpack_from(">i", body, 0)
+        if code != 11:  # AuthenticationSASLContinue
+            raise ConnectionError(f"expected SASL continue, got auth code {code}")
+        sfirst = body[4:].decode()
+        attrs = dict(kv.split("=", 1) for kv in sfirst.split(","))
+        nonce = attrs["r"]
+        if not nonce.startswith(client_nonce) or len(nonce) <= len(client_nonce):
+            raise ConnectionError("server nonce does not extend client nonce")
+        salt = base64.b64decode(attrs["s"])
+        iterations = int(attrs["i"])
+        # SASLprep: identity mapping for ASCII; UTF-8 passthrough here
+        salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iterations)
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        cfinal_wo = f"c={base64.b64encode(gs2.encode()).decode()},r={nonce}"
+        auth_msg = f"{cfirst_bare},{sfirst},{cfinal_wo}".encode()
+        client_sig = hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        self._send(
+            b"p", f"{cfinal_wo},p={base64.b64encode(proof).decode()}".encode()
+        )
+        body = self._read_auth_message()
+        (code,) = struct.unpack_from(">i", body, 0)
+        if code != 12:  # AuthenticationSASLFinal
+            raise ConnectionError(f"expected SASL final, got auth code {code}")
+        fattrs = dict(kv.split("=", 1) for kv in body[4:].decode().split(","))
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        server_sig = hmac.new(server_key, auth_msg, hashlib.sha256).digest()
+        if not hmac.compare_digest(
+            base64.b64decode(fattrs.get("v", "")), server_sig
+        ):
+            raise ConnectionError("SCRAM server signature verification failed")
 
     def _drain_until_ready(self) -> None:
         while True:
@@ -349,11 +462,22 @@ def connect(
 class PgWireFactory:
     """Picklable connection factory for the upsert sink — the
     stdlib-only sibling of :class:`..sinks.Psycopg2Factory`, used by
-    the embedded-server integration test (and usable anywhere trust/
-    cleartext auth suffices)."""
+    the embedded-server integration tests (trust and scram-sha-256
+    matrix legs) and usable against any server whose auth method the
+    client speaks (trust/cleartext/md5/scram-sha-256)."""
 
-    def __init__(self, host: str, port: int, user: str, database: str):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str,
+        database: str,
+        password: str | None = None,
+    ):
         self.host, self.port, self.user, self.database = host, port, user, database
+        self.password = password
 
     def __call__(self) -> Connection:
-        return connect(self.host, self.port, self.user, self.database)
+        return connect(
+            self.host, self.port, self.user, self.database, self.password
+        )
