@@ -91,17 +91,7 @@ def brute_force_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("score"),
         )
     )
-    # grouped_topk orders DESCENDING by each order column; negate the
-    # id so ties break ascending on neighbor_id like the window form.
-    topk = grouped_topk(
-        scored.withColumn("_tie", -F.col("neighbor_id")),
-        group_by=["query_id"],
-        order_by=["score", "_tie"],
-        k=k,
-    )
-    return topk.select("query_id", "neighbor_id", "score", "rank").orderBy(
-        "query_id", "rank"
-    )
+    return ranked_topk(scored, k)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -143,14 +133,18 @@ def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     bounded two-phase ``grouped_topk`` (see brute_force_topk's scale
     note — identical results to a row_number window under the
     (score desc, neighbor_id asc) total order, without the
-    one-sort-task-per-query straggler)."""
+    one-sort-task-per-query straggler). The ascending id tiebreak is
+    type-agnostic (ADVICE r4): grouped_topk negates NUMERIC ids for
+    the fast struct-compare path and falls back to a comparator sort
+    for string/other orderable id types."""
     from .topk import grouped_topk
 
     top = grouped_topk(
-        scored.withColumn("_tie", -F.col("neighbor_id")),
+        scored,
         group_by=["query_id"],
-        order_by=["score", "_tie"],
+        order_by=["score", "neighbor_id"],
         k=k,
+        ascending=["neighbor_id"],
     )
     return top.select("query_id", "neighbor_id", "score", "rank").orderBy(
         "query_id", "rank"

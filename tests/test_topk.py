@@ -82,3 +82,68 @@ def test_small_groups_and_k_larger_than_group(spark):
         for r in grouped_topk(df, ["g"], ["v", "id"], k=10).collect()
     )
     assert got == [("a", 1, 2), ("a", 3, 1), ("b", 9, 1)]
+
+
+def test_ascending_tiebreak_numeric_fast_path_matches_window(spark):
+    """ascending=[numeric id] rewrites to negation (struct compare);
+    must equal the window form's (v DESC, id ASC) ordering."""
+    df = spark.createDataFrame(
+        [("g1", 5, 30), ("g1", 5, 10), ("g1", 5, 20), ("g1", 7, 40), ("g2", 1, 2)],
+        "g string, v int, id int",
+    )
+    got = sorted(
+        (r["g"], r["v"], r["id"], r["rank"])
+        for r in grouped_topk(
+            df, ["g"], ["v", "id"], k=2, ascending=["id"]
+        ).collect()
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = sorted(
+        (r["g"], r["v"], r["id"], r["rank"])
+        for r in df.withColumn(
+            "rank", F.row_number().over(w)
+        ).filter(F.col("rank") <= 2).collect()
+    )
+    assert got == want
+    # the fast path must not leak internal negation columns
+    cols = grouped_topk(df, ["g"], ["v", "id"], k=2, ascending=["id"]).columns
+    assert cols == ["g", "v", "id", "rank"]
+
+
+def test_ascending_tiebreak_string_ids(spark):
+    """A STRING id column takes the comparator-sort path (ADVICE r4:
+    negation would fail under ANSI string rules); same window-form
+    equivalence, plus null ordering is pinned (nulls last)."""
+    df = spark.createDataFrame(
+        [
+            ("g1", 5, "doc-b"),
+            ("g1", 5, "doc-a"),
+            ("g1", 5, "doc-c"),
+            ("g1", 7, "doc-z"),
+            ("g1", 5, None),
+            ("g2", 1, "x"),
+        ],
+        "g string, v int, id string",
+    )
+    got = sorted(
+        (r["g"], r["v"], r["id"], r["rank"])
+        for r in grouped_topk(
+            df, ["g"], ["v", "id"], k=3, ascending=["id"]
+        ).collect()
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc_nulls_last("id"))
+    want = sorted(
+        (r["g"], r["v"], r["id"], r["rank"])
+        for r in df.withColumn(
+            "rank", F.row_number().over(w)
+        ).filter(F.col("rank") <= 3).collect()
+    )
+    assert got == want
+
+
+def test_ascending_requires_order_by_membership(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 2)], "g string, v int, id int")
+    with pytest.raises(ValueError):
+        grouped_topk(df, ["g"], ["v"], k=1, ascending=["id"])
