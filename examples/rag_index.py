@@ -151,6 +151,44 @@ def main(sf_dir: str) -> None:
             f"  q={r['query_id']} -> chunk {r['doc_id']} "
             f"(rrf {r['rrf_score']:.4f}, rank {r['rank']})"
         )
+
+    # ---- drift monitoring + rebuild on the STREAMED index ----------------
+    # Production serving uses the incrementally-folded index
+    # (streaming/ann_index.py). The histogram is the drift alarm: when
+    # the frozen quantizer stops fitting the distribution, one list
+    # soaks up the corpus and probes degrade toward a full scan — the
+    # response is re-fit + rebuild_ann_index, one batch job.
+    import tempfile
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
+        ParquetTable,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.ann_index import (
+        fit_coarse_centroids,
+        fold_ann_index,
+        list_histogram,
+        rebuild_ann_index,
+    )
+
+    def skew(table):
+        counts = [r["n_vectors"] for r in list_histogram(table).collect()]
+        return max(counts) / (sum(counts) / len(counts))
+
+    with tempfile.TemporaryDirectory() as ivf_dir:
+        index = ParquetTable(spark, ivf_dir)
+        # deliberately-stale quantizer: fit on a tiny unrepresentative
+        # slice, then ingest the whole corpus — the drifted steady state
+        stale = fit_coarse_centroids(embedded.limit(32), n_lists=8)
+        fold_ann_index(index, embedded, stale, batch_id=0)
+        before = skew(index)
+        if before > 2.0:  # the standard max/mean re-train trigger
+            refit = fit_coarse_centroids(embedded, n_lists=8)
+            rebuild_ann_index(index, refit)
+        after = skew(index)
+        print(
+            f"drift:    list max/mean skew {before:.2f} -> {after:.2f} "
+            f"(histogram-triggered re-fit + rebuild)"
+        )
     spark.stop()
 
 

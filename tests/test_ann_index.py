@@ -205,3 +205,62 @@ def test_writer_inline_compaction_bounds_files(spark, sf_dir, tmp_path):
     queries = _queries(emb)
     want = _topk_rows(_batch_reference(emb, centroids, queries))
     assert _topk_rows(ivf_index_topk(index, centroids, queries)) == want
+
+
+def test_rebuild_under_new_centroids_equals_fresh_build(spark, sf_dir, tmp_path):
+    """Drift response: rebuild_ann_index under NEW centroids must be
+    row-identical to a fresh batch build over the same vectors —
+    assignments, histogram, and query results all match."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.ann_index import (
+        rebuild_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    old_centroids = fit_coarse_centroids(emb, n_lists=8)
+    # a different quantizer, as a re-fit after drift would produce
+    new_centroids = fit_coarse_centroids(emb, n_lists=8, seed=7)
+    assert old_centroids != new_centroids
+
+    streamed = ParquetTable(spark, str(tmp_path / "streamed"))
+    fold_ann_index(streamed, emb.filter(F.col("vec_id") % 2 == 0), old_centroids, batch_id=0)
+    fold_ann_index(streamed, emb.filter(F.col("vec_id") % 2 == 1), old_centroids, batch_id=1)
+    rebuild_ann_index(streamed, new_centroids)
+
+    fresh = ParquetTable(spark, str(tmp_path / "fresh"))
+    fold_ann_index(fresh, emb, new_centroids, batch_id=0)
+
+    key = lambda t: sorted(  # noqa: E731
+        (r["vec_id"], r["list_id"]) for r in t.read().collect()
+    )
+    assert key(streamed) == key(fresh)
+
+    queries = _queries(emb)
+    got = _topk_rows(ivf_index_topk(streamed, new_centroids, queries, n_probe=2, k=5))
+    want = _topk_rows(_batch_reference(emb, new_centroids, queries))
+    assert got == want
+
+
+def test_bulk_query_batch_skips_broadcast(spark, sf_dir, tmp_path):
+    """Past _MAX_BROADCAST_QUERY_ROWS the probe joins by shuffle, not
+    broadcast — same results either side of the threshold."""
+    import amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.ann_index as ai
+
+    emb = _emb(spark, sf_dir)
+    centroids = fit_coarse_centroids(emb, n_lists=8)
+    index = ParquetTable(spark, str(tmp_path / "ivf"))
+    fold_ann_index(index, emb, centroids, batch_id=0)
+    queries = _queries(emb)
+
+    small = ivf_index_topk(index, centroids, queries, n_probe=2, k=5)
+    assert "ResolvedHint" in small._jdf.queryExecution().logical().toString() or (
+        "broadcast" in small._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    want = _topk_rows(small)
+
+    orig = ai._MAX_BROADCAST_QUERY_ROWS
+    ai._MAX_BROADCAST_QUERY_ROWS = 0  # force the shuffle-join path
+    try:
+        big = ivf_index_topk(index, centroids, queries, n_probe=2, k=5)
+        assert _topk_rows(big) == want
+    finally:
+        ai._MAX_BROADCAST_QUERY_ROWS = orig
