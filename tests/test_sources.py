@@ -100,3 +100,173 @@ def test_object_sync_idempotent_and_atomic(tmp_path):
     # nothing the streaming source would list is ever non-final:
     visible = [f for f in os.listdir(landing) if not f.startswith((".", "_"))]
     assert sorted(visible) == ["a.csv", "b.csv", "c.csv", "d.csv"]
+
+
+def test_object_sync_rename_collision_refused(tmp_path):
+    """Two distinct remote files mapping to one out_name must refuse
+    loudly — silently overwriting loses one file's bytes while both
+    are marked synced (ADVICE r4)."""
+    import pytest
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.object_sync import (
+        LocalDirFetcher,
+        sync_to_landing,
+        synced_names,
+    )
+
+    remote, landing = tmp_path / "remote", tmp_path / "landing"
+    remote.mkdir()
+    (remote / "2024-report.csv").write_bytes(b"jan")
+    (remote / "2025-report.csv").write_bytes(b"feb")
+    fetcher = LocalDirFetcher(str(remote))
+    squash = lambda name: "report.csv"  # noqa: E731
+    with pytest.raises(ValueError, match="collision"):
+        sync_to_landing(fetcher, str(landing), rename=squash)
+    # the first file landed and is marked; the second is NOT marked
+    # synced, so fixing the rename lands it on the next pass
+    assert synced_names(str(landing)) == {"2024-report.csv"}
+    assert (landing / "report.csv").read_bytes() == b"jan"
+    landed = sync_to_landing(fetcher, str(landing), rename=lambda n: n)
+    assert landed == ["2025-report.csv"]
+    assert (landing / "2025-report.csv").read_bytes() == b"feb"
+
+
+class _DriveStub:
+    """Local http.server speaking the Drive v3 REST shape: paginated
+    files().list + alt=media downloads, plus a file that truncates
+    mid-transfer (Content-Length larger than the body)."""
+
+    def __init__(self, files, page_size=2, truncate_ids=()):
+        import http.server
+        import json
+        import threading
+        import urllib.parse
+
+        stub = self
+        self.files = files  # [(file_id, name, payload)]
+        self.requests = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                stub.requests.append(self.path)
+                parsed = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(parsed.query)
+                if parsed.path == "/files":
+                    start = int(qs.get("pageToken", ["0"])[0])
+                    page = stub.files[start : start + page_size]
+                    body = {
+                        "files": [
+                            {"id": fid, "name": name} for fid, name, _ in page
+                        ]
+                    }
+                    if start + page_size < len(stub.files):
+                        body["nextPageToken"] = str(start + page_size)
+                    data = json.dumps(body).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                fid = urllib.parse.unquote(parsed.path.rsplit("/", 1)[-1])
+                for f, _, payload in stub.files:
+                    if f == fid:
+                        self.send_response(200)
+                        if f in truncate_ids:
+                            # lie about the length, then drop the
+                            # connection mid-body
+                            self.send_header(
+                                "Content-Length", str(len(payload) + 100)
+                            )
+                            self.end_headers()
+                            self.wfile.write(payload)
+                            self.wfile.flush()
+                            self.connection.close()
+                        else:
+                            self.send_header(
+                                "Content-Length", str(len(payload))
+                            )
+                            self.end_headers()
+                            self.wfile.write(payload)
+                        return
+                self.send_response(404)
+                self.end_headers()
+
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.base_url = f"http://127.0.0.1:{self.server.server_address[1]}"
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_drive_rest_fetcher_paginates_and_lands(tmp_path):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.object_sync import (
+        DriveRestFetcher,
+        sync_to_landing,
+    )
+
+    files = [
+        ("id-a", "a.csv", b"aaa"),
+        ("id-b", "b.csv", b"bbbb"),
+        ("id-c", "c.csv", b"c"),
+        ("id-d", "d.csv", b"dd"),
+        ("id-e", "e.csv", b"eee"),
+    ]
+    stub = _DriveStub(files, page_size=2)
+    try:
+        fetcher = DriveRestFetcher(stub.base_url, "folder123", token="tok")
+        listing = fetcher.list()
+        assert listing == sorted((n, i) for i, n, _ in files)
+        # pagination actually happened: 3 list pages for 5 files
+        assert sum(1 for p in stub.requests if p.startswith("/files?")) == 3
+        landing = tmp_path / "landing"
+        landed = sync_to_landing(fetcher, str(landing))
+        assert landed == [n for _, n, _ in sorted(files, key=lambda f: f[1])]
+        for _, name, payload in files:
+            assert (landing / name).read_bytes() == payload
+        assert sync_to_landing(fetcher, str(landing)) == []  # idempotent
+    finally:
+        stub.stop()
+
+
+def test_drive_rest_fetcher_truncated_download_never_lands(tmp_path):
+    """A connection dropped mid-body (short read vs Content-Length)
+    raises; the landing dir gets no final file and no manifest entry,
+    so the next pass retries the same file."""
+    import pytest
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.object_sync import (
+        DriveRestFetcher,
+        sync_to_landing,
+        synced_names,
+    )
+
+    import http.client
+
+    files = [("id-a", "a.csv", b"good"), ("id-b", "b.csv", b"torn-payload")]
+    stub = _DriveStub(files, truncate_ids={"id-b"})
+    try:
+        fetcher = DriveRestFetcher(stub.base_url, "folder123")
+        landing = tmp_path / "landing"
+        # urllib surfaces the tear as IncompleteRead; if a server lies
+        # without dropping, the fetcher's own length check raises OSError
+        with pytest.raises((OSError, http.client.HTTPException)):
+            sync_to_landing(fetcher, str(landing))
+        assert (landing / "a.csv").read_bytes() == b"good"  # landed before the tear
+        assert not (landing / "b.csv").exists()
+        assert synced_names(str(landing)) == {"a.csv"}
+        # server heals → retry lands ONLY the previously-torn file
+        stub2 = _DriveStub(files)
+        try:
+            healed = DriveRestFetcher(stub2.base_url, "folder123")
+            assert sync_to_landing(healed, str(landing)) == ["b.csv"]
+            assert (landing / "b.csv").read_bytes() == b"torn-payload"
+        finally:
+            stub2.stop()
+    finally:
+        stub.stop()
