@@ -27,11 +27,19 @@ QUERIES = [
     (0, ["join", "hash"]),
     (1, ["spark", "vector"]),
     (2, ["customer"]),
-    (3, ["join", "join", "nosuchterm"]),  # dup terms dedup; miss scores 0 docs
+    (3, ["join", "join", "nosuchterm"]),  # dup terms WEIGHT (qtf=2); miss matches 0 docs
 ]
 
+
+def _qtf(terms):
+    out = {}
+    for t in terms:
+        out[t] = out.get(t, 0) + 1
+    return sorted(out.items())
+
+
 _QUERY_VALUES = ", ".join(
-    f"({qid}, '{t}')" for qid, terms in QUERIES for t in sorted(set(terms))
+    f"({qid}, '{t}', {n})" for qid, terms in QUERIES for t, n in _qtf(terms)
 )
 
 _TOKS = r"""
@@ -53,7 +61,7 @@ BM25_ORACLE = f"""
     scalars AS (
         SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doc_stats
     ),
-    queries(query_id, term) AS (VALUES {_QUERY_VALUES}),
+    queries(query_id, term, qtf) AS (VALUES {_QUERY_VALUES}),
     tdf AS (
         SELECT term, COUNT(*) AS df FROM postings
         WHERE term IN (SELECT term FROM queries) GROUP BY term
@@ -61,7 +69,8 @@ BM25_ORACLE = f"""
     scored AS (
         SELECT q.query_id, p.doc_id,
                round(SUM(
-                   ln(1 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                   q.qtf
+                   * ln(1 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
                    * p.tf * 2.2
                    / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
                ), 6) AS score
