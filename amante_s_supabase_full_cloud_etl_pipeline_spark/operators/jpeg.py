@@ -6,14 +6,17 @@ mostly JPEG, and a locked-down cluster may not carry Pillow. BMP/PPM
 (r2) and PNG (r3) already decode natively; this adds ITU-T T.81
 baseline sequential JPEG:
 
-- decoder: SOI/APPn/COM/DQT/DHT/SOF0/SOF1/DRI/SOS/RSTn/EOI marker
-  parse, canonical Huffman entropy decode with byte-unstuffing,
-  dequant + inverse zigzag, 8×8 IDCT as two dense matmuls (numpy,
-  vectorized across every block of a component at once), nearest
+- decoder: SOI/APPn/COM/DQT/DHT/SOF0/SOF1/SOF2/DRI/SOS/RSTn/EOI
+  marker parse, canonical Huffman entropy decode via a 16-bit-window
+  LUT with byte-unstuffing, dequant + inverse zigzag, 8×8 IDCT as
+  batched matmuls (BLAS, every block of a component at once), nearest
   chroma upsample (4:4:4, 4:2:2, 4:2:0), JFIF YCbCr→RGB. Grayscale
-  (1 component) and RGB (3 component) frames; progressive (SOF2),
-  arithmetic, and hierarchical frames return None (the PIL probe
-  remains the fallback for those, as for WebP).
+  (1 component) and RGB (3 component) frames, sequential AND
+  progressive (SOF2, T.81 Annex G: spectral selection + successive
+  approximation with EOB runs and the correction-bit protocol —
+  web crawls are ~10-20% progressive, so the no-dependency story
+  needs it natively). Lossless/arithmetic/hierarchical frames return
+  None (the PIL probe remains the fallback, as for WebP).
 - encoder: quality-scaled Annex-K quantization tables, the Annex-K
   "typical" Huffman tables, level shift + FDCT (same matmul pair,
   transposed), zigzag, DC-difference/AC run-length entropy coding
@@ -140,6 +143,23 @@ AC_CHROMA_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+#: Progressive-mode AC Huffman table: the Annex-K "typical" tables
+#: are sequential-only — they carry EOB0 (0x00) and ZRL (0xF0) but
+#: none of the EOBn run symbols (0x10..0xE0) Annex G scans emit. This
+#: flat table covers the FULL progressive AC alphabet — every
+#: (run, size) with size 1..10, ZRL, and EOB0..EOB14 — as 8-bit codes
+#: (176 symbols; Kraft sum 176/256 < 1, max canonical code 175 ≠ the
+#: forbidden all-ones). Deliberately uniform: the encoder exists for
+#: differential tests and corpora, not rate optimization, and a
+#: uniform table keeps it trivially valid for any coefficient stats.
+_PROG_AC_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(15)}
+    | {0xF0}
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[7] = len(_PROG_AC_VALS)  # all codes 8 bits long
 
 #: 8×8 DCT-II basis matrix C with C[u,x] = a(u)·cos((2x+1)uπ/16):
 #: block_dct = C @ block @ C.T ; block = C.T @ coeffs @ C.
@@ -317,8 +337,160 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
+# ---------------------------------------------------------------------------
+# Progressive scan emission (T.81 Annex G encoder side)
+# ---------------------------------------------------------------------------
+
+
+def _enc_dc_first(writer, comp_zz, samp, al, mcux, mcuy, dc_code_sets):
+    """Interleaved first DC scan: values arrive arithmetic-shifted by
+    Al (the DC point transform), difference-coded per component."""
+    preds = [0] * len(comp_zz)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(len(comp_zz)):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(comp_zz[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        cat, bits = _magnitude(diff)
+                        code, ln = dc_code_sets[ci][cat]
+                        writer.write(code, ln)
+                        if cat:
+                            writer.write(bits, cat)
+
+
+def _enc_dc_refine(writer, comp_zz, samp, al, mcux, mcuy):
+    """DC refinement scan: one raw bit per block — bit Al of each DC
+    coefficient, no Huffman coding (G.1.2.1)."""
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(len(comp_zz)):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(comp_zz[ci][my * sv + by, mx * sh + bx, 0])
+                        writer.write((v >> al) & 1, 1)
+
+
+def _flush_eobrun(writer, ac_codes, eobrun: int, pending) -> int:
+    """Emit the pending EOBn symbol (+ run-length bits) followed by
+    the correction bits buffered across the run's blocks."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        writer.write(code, ln)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+        for bit in pending:
+            writer.write(bit, 1)
+        pending.clear()
+    return 0
+
+
+def _enc_ac_first(writer, plane, ac_codes, ss, se, al, rows, cols):
+    """First AC scan of band [ss, se] at approximation Al: run-length
+    coding over the point-transformed magnitudes (truncate-toward-zero
+    by Al per G.1.2.2), EOB runs accumulated across blocks."""
+    eobrun = 0
+    pending: list[int] = []  # unused in first scans; shared flush shape
+    for row in range(rows):
+        for col in range(cols):
+            zz = plane[row, col]
+            tvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            last = -1
+            for i, t in enumerate(tvals):
+                if t:
+                    last = i
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(writer, ac_codes, eobrun, pending)
+                continue
+            eobrun = _flush_eobrun(writer, ac_codes, eobrun, pending)
+            r = 0
+            for i in range(last + 1):
+                t = tvals[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    writer.write(code, ln)
+                    r -= 16
+                cat = t.bit_length()
+                v = t if int(zz[ss + i]) > 0 else -t
+                bits = v if v > 0 else v + (1 << cat) - 1
+                code, ln = ac_codes[(r << 4) | cat]
+                writer.write(code, ln)
+                writer.write(bits, cat)
+                r = 0
+            if last != se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(writer, ac_codes, eobrun, pending)
+    _flush_eobrun(writer, ac_codes, eobrun, pending)
+
+
+def _enc_ac_refine(writer, plane, ac_codes, ss, se, al, rows, cols):
+    """AC refinement scan (G.1.2.3): newly-nonzero coefficients emit
+    (run, 1) symbols + a sign bit; already-nonzero coefficients emit
+    buffered correction bits (their bit Al), attached after the next
+    emitted symbol or carried with the EOB run."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding the EOB run
+    for row in range(rows):
+        for col in range(cols):
+            zz = plane[row, col]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = -1  # band index of the last NEWLY-nonzero coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r = 0
+            br: list[int] = []  # this block's buffered correction bits
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    eobrun = _flush_eobrun(writer, ac_codes, eobrun, pending)
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    writer.write(code, ln)
+                    r -= 16
+                    for bit in br:
+                        writer.write(bit, 1)
+                    br = []
+                if t > 1:
+                    # history-nonzero: correction bit only; does NOT
+                    # break the zero-history run
+                    br.append(t & 1)
+                    continue
+                # newly nonzero (point-transformed magnitude exactly 1)
+                eobrun = _flush_eobrun(writer, ac_codes, eobrun, pending)
+                code, ln = ac_codes[(r << 4) | 1]
+                writer.write(code, ln)
+                writer.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+                for bit in br:
+                    writer.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(writer, ac_codes, eobrun, pending)
+    _flush_eobrun(writer, ac_codes, eobrun, pending)
+
+
 def encode_jpeg(
-    pixels, quality: int = 85, subsample: bool = False, restart_interval: int = 0
+    pixels,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """(h, w, 3) uint8 RGB (or (h, w) grayscale) → baseline JFIF JPEG.
 
@@ -327,7 +499,22 @@ def encode_jpeg(
     emits a DRI segment and RSTn markers every that-many MCUs (how
     web encoders bound error propagation — exercises the decoder's
     restart path). Annex-K Huffman tables, quality-scaled Annex-K
-    quant tables."""
+    quant tables.
+
+    ``progressive=True`` writes an SOF2 stream (T.81 Annex G) with a
+    libjpeg-style scan script: point-transformed DC first scan + DC
+    refinement, per-component spectral-selection AC bands at two
+    successive-approximation levels, then AC refinement scans — the
+    web's progressive shape, exercising EOB runs, ZRL, and the
+    correction-bit protocol. Quantized coefficients are IDENTICAL to
+    the sequential mode's, so a progressive round-trip must decode to
+    exactly the sequential round-trip's pixels (the differential the
+    tests pin). Restart markers are not emitted in progressive mode
+    (decode supports them; pass ``restart_interval=0``)."""
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart markers are not emitted in progressive mode"
+        )
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -390,7 +577,8 @@ def encode_jpeg(
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
 
     def dht(tclass, tid, bits, vals):
         body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
@@ -405,13 +593,6 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-
-    # --- entropy-coded scan (interleaved MCUs) -----------------------------
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -419,6 +600,85 @@ def encode_jpeg(
 
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+
+    if progressive:
+        # Annex-K AC tables lack the EOBn symbols Annex G emits:
+        # override both AC table slots with the full-alphabet
+        # progressive table (DHT redefinition is legal mid-stream)
+        out += dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+        if not gray:
+            out += dht(1, 1, _PROG_AC_BITS, _PROG_AC_VALS)
+        prog_ac = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+        dc_code_sets = [dc_l if ci == 0 else dc_c for ci in range(ncomp)]
+        ac_code_sets = [prog_ac for _ in range(ncomp)]
+        # per-component OWN block grid for the non-interleaved AC
+        # scans (ceil(ceil(dim·sampling/max)/8), T.81 A.2.2)
+        sub = []
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            xi = -(-(w * sh) // hmax)
+            yi = -(-(h * sv) // vmax)
+            sub.append((-(-yi // 8), -(-xi // 8)))  # (rows, cols)
+
+        def sos_header(scan_cis, ss, se, ah, al):
+            sos = bytes([len(scan_cis)])
+            for ci in scan_cis:
+                td = 0 if ci == 0 else 1
+                sos += bytes([ci + 1, (td << 4) | td])
+            sos += bytes([ss, se, (ah << 4) | al])
+            return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+        def emit(scan_cis, ss, se, ah, al):
+            nonlocal out
+            out += sos_header(scan_cis, ss, se, ah, al)
+            writer = _BitWriter()
+            if ss == 0:
+                if ah == 0:
+                    _enc_dc_first(
+                        writer, comp_zz, samp, al, mcux, mcuy, dc_code_sets
+                    )
+                else:
+                    _enc_dc_refine(writer, comp_zz, samp, al, mcux, mcuy)
+            else:
+                (ci,) = scan_cis
+                rows, cols = sub[ci]
+                if ah == 0:
+                    _enc_ac_first(
+                        writer, comp_zz[ci], ac_code_sets[ci], ss, se, al,
+                        rows, cols,
+                    )
+                else:
+                    _enc_ac_refine(
+                        writer, comp_zz[ci], ac_code_sets[ci], ss, se, al,
+                        rows, cols,
+                    )
+            writer.flush()
+            out += writer.out
+
+        all_cis = list(range(ncomp))
+        emit(all_cis, 0, 0, 0, 1)  # DC first, one bit held back
+        # luma AC: split spectral bands, two approximation levels
+        emit([0], 1, 5, 0, 2)
+        emit([0], 6, 63, 0, 2)
+        for ci in range(1, ncomp):  # chroma AC at Al=1
+            emit([ci], 1, 63, 0, 1)
+        emit(all_cis, 0, 0, 1, 0)  # DC refinement
+        emit([0], 1, 5, 2, 1)  # luma AC refinement 2→1
+        emit([0], 6, 63, 2, 1)
+        emit([0], 1, 5, 1, 0)  # luma AC refinement 1→0
+        emit([0], 6, 63, 1, 0)
+        for ci in range(1, ncomp):  # chroma AC refinement 1→0
+            emit([ci], 1, 63, 1, 0)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    # --- entropy-coded scan (interleaved MCUs) -----------------------------
     writer = _BitWriter()
     preds = [0] * ncomp
     mcu_n = 0
@@ -465,9 +725,10 @@ def _bit_windows(segdata: bytes):
 
 
 def decode_jpeg(blob: bytes):
-    """Baseline sequential JPEG → (h, w, 3) uint8 RGB, or None on any
-    unsupported/corrupt stream (progressive SOF2, arithmetic coding,
-    12-bit precision, 4-component CMYK, truncated data)."""
+    """Baseline sequential OR progressive (SOF2) JPEG → (h, w, 3)
+    uint8 RGB, or None on any unsupported/corrupt stream (lossless,
+    arithmetic coding, 12-bit precision, 4-component CMYK, truncated
+    data)."""
     try:
         return _decode_jpeg_strict(bytes(blob))
     except Exception:
@@ -475,23 +736,37 @@ def decode_jpeg(blob: bytes):
 
 
 #: SOFn markers the native decoder handles (baseline + extended
-#: sequential Huffman)
-_SOF_SUPPORTED = {0xC0, 0xC1}
+#: sequential + progressive Huffman)
+_SOF_SUPPORTED = {0xC0, 0xC1, 0xC2}
 _SOF_MARKERS = {
     0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
 }
 
 
-def _iter_segments(b: bytes):
+def _entropy_end(b: bytes, pos: int) -> int:
+    """First byte index at/after ``pos`` holding a real marker (not a
+    stuffed 0xFF00, not RSTn) — the end of an entropy-coded span."""
+    p = pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00 and not (0xD0 <= b[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(b)
+
+
+def _iter_segments(b: bytes, through_scans: bool = False):
     """Shared marker-stream walk (the ONE place that knows T.81's
     framing: SOI check, 0xFF fill-byte skip per B.1.1.2, standalone
     markers, segment lengths). Yields ``(marker, seg, next_pos)`` —
-    ``seg`` is None for standalone markers; stops after EOI or SOS
-    (entropy data follows SOS at ``next_pos``). Raises ValueError on
-    malformed framing. Both :func:`jpeg_frame_info` and the decoder
-    consume this, so a framing fix can never apply to one and not the
-    other (that drift is exactly the gate-vs-S4 misclassification the
-    probe exists to prevent)."""
+    ``seg`` is None for standalone markers; stops after EOI or — by
+    default — after the first SOS (entropy data follows SOS at
+    ``next_pos``). With ``through_scans=True`` it instead skips each
+    scan's entropy-coded span and keeps walking, which is how the
+    progressive decoder visits every scan of an SOF2 stream. Raises
+    ValueError on malformed framing. Both :func:`jpeg_frame_info` and
+    the decoder consume this, so a framing fix can never apply to one
+    and not the other (that drift is exactly the gate-vs-S4
+    misclassification the probe exists to prevent)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("missing SOI")
     pos = 2
@@ -520,7 +795,9 @@ def _iter_segments(b: bytes):
         pos += seglen
         yield marker, seg, pos
         if marker == 0xDA:  # SOS: entropy-coded data follows
-            return
+            if not through_scans:
+                return
+            pos = _entropy_end(b, pos)
 
 
 def jpeg_frame_info(blob: bytes):
@@ -552,8 +829,8 @@ def jpeg_frame_info(blob: bytes):
 
 def native_decodable_frame(info) -> bool:
     """True when :func:`jpeg_frame_info`'s shape is one the native
-    decoder supports (8-bit baseline/extended-sequential Huffman,
-    1 or 3 components)."""
+    decoder supports (8-bit baseline/extended-sequential/progressive
+    Huffman, 1 or 3 components)."""
     return (
         info is not None
         and info["sof"] in _SOF_SUPPORTED
@@ -564,7 +841,7 @@ def native_decodable_frame(info) -> bool:
 
 def legitimate_undecodable_frame(info) -> bool:
     """True when the frame is a VALID JPEG flavor the native decoder
-    declines — progressive/arithmetic/hierarchical SOF, 12-bit
+    declines — lossless/arithmetic/hierarchical SOF, 12-bit
     precision, or 4-component (Adobe CMYK) — i.e. the cases a PIL
     fallback could genuinely decode and the batch kernel should gate
     on LOUDLY. An impossible shape (precision 9, zero components —
@@ -583,11 +860,15 @@ def _decode_jpeg_strict(b: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], tuple] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     scan = None
+    prog = None  # _ProgressiveState once the first SOF2 scan arrives
     # marker framing is delegated to the shared _iter_segments walk
-    # (same framing jpeg_frame_info sees — they cannot drift)
-    for marker, seg, next_pos in _iter_segments(b):
+    # (same framing jpeg_frame_info sees — they cannot drift);
+    # through_scans lets the walk continue past each scan's entropy
+    # span, which is how every scan of a progressive stream is visited
+    for marker, seg, next_pos in _iter_segments(b, through_scans=True):
         if marker == 0xD9:  # EOI
             break
         if seg is None:
@@ -617,7 +898,7 @@ def _decode_jpeg_strict(b: bytes):
                 vals = list(seg[sp : sp + n])
                 sp += n
                 htables[(tc, th)] = _fast_tables(bits, vals)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec = seg[0]
             if prec != 8:
                 return None
@@ -630,29 +911,46 @@ def _decode_jpeg_strict(b: bytes):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — first scan only; iterator stops
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = seg[0]
+            scan_comps = []  # ORDERED (cid, dc_table, ac_table)
             sel = {}
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cs, tt >> 4, tt & 0xF))
                 sel[cs] = (tt >> 4, tt & 0xF)
-            # entropy-coded data runs from next_pos to the next
-            # non-stuffed, non-RST marker
-            p = next_pos
-            while p + 1 < len(b):
-                if b[p] == 0xFF and b[p + 1] not in (0x00,) and not (
-                    0xD0 <= b[p + 1] <= 0xD7
-                ):
-                    break
-                p += 1
-            scan = (next_pos, p, sel)
+            end = _entropy_end(b, next_pos)
+            if not progressive:
+                # sequential: exactly one scan — decode and finish
+                scan = (next_pos, end, sel)
+                break
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgressiveState(frame)
+            prog.apply_scan(
+                b[next_pos:end],
+                scan_comps,
+                ss,
+                se,
+                a >> 4,
+                a & 0xF,
+                htables,
+                restart_interval,
+            )
         # APPn/COM and anything else: skipped
+    if progressive:
+        if prog is None:
+            return None
+        return prog.reconstruct(qtables)
     if frame is None or scan is None:
         return None
     return _decode_scan(b, frame, scan, qtables, htables, restart_interval)
@@ -675,28 +973,7 @@ def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
     mcuy = -(-h // (8 * vmax))
 
     # split the scan into restart segments, unstuffing each
-    raw = b[start:end]
-    segments = []
-    if restart_interval:
-        cur = bytearray()
-        i = 0
-        while i < len(raw):
-            if raw[i] == 0xFF and i + 1 < len(raw):
-                nxt = raw[i + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segments.append(bytes(cur))
-                    cur = bytearray()
-                    i += 2
-                    continue
-            cur.append(raw[i])
-            i += 1
-        segments.append(bytes(cur))
-    else:
-        segments = [raw.replace(b"\xff\x00", b"\xff")]
+    segments = _split_restart_segments(b[start:end], restart_interval)
 
     # per-component coefficient planes (in blocks)
     planes = []
@@ -798,7 +1075,40 @@ def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
             bh, bw2, _ = planes[ci].shape
             planes[ci].reshape(bh * bw2, 64)[blks, ks] = vs
 
-    # dequant + inverse zigzag + IDCT, vectorized per component
+    return _reconstruct(planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy)
+
+
+def _split_restart_segments(raw: bytes, restart_interval: int) -> list[bytes]:
+    """Unstuffed entropy bytes, one segment per restart interval (one
+    segment total when restarts are off)."""
+    if not restart_interval:
+        return [raw.replace(b"\xff\x00", b"\xff")]
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(raw):
+        if raw[i] == 0xFF and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(raw[i])
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _reconstruct(planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy):
+    """Coefficient planes → pixels: dequant + inverse zigzag + IDCT
+    (vectorized per component), chroma upsample, YCbCr→RGB. Shared by
+    the sequential and progressive paths — the modes differ only in
+    how the coefficient planes are entropy-decoded."""
     out_planes = []
     for ci, c in enumerate(comps):
         q = qtables.get(c["tq"])
@@ -835,3 +1145,279 @@ def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
     np.round(rgb, out=rgb)
     np.clip(rgb, 0, 255, out=rgb)
     return rgb.astype(np.uint8)
+
+
+class _Cursor:
+    """Bit cursor over one unstuffed entropy segment, sharing the
+    16-bit-window LUT fast path with the sequential decoder."""
+
+    __slots__ = ("u32", "total", "pos")
+
+    def __init__(self, segdata: bytes):
+        self.u32, self.total = _bit_windows(segdata)
+        self.pos = 0
+
+    def sym(self, table) -> int:
+        if self.pos >= self.total:
+            raise EOFError("truncated entropy data")
+        w16 = (self.u32[self.pos >> 3] >> (16 - (self.pos & 7))) & 0xFFFF
+        ln = table[1][w16]
+        if ln == 0:
+            raise ValueError("bad Huffman code")
+        self.pos += ln
+        return table[0][w16]
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos >= self.total:
+            raise EOFError("truncated entropy data")
+        v = ((self.u32[self.pos >> 3] >> (16 - (self.pos & 7))) & 0xFFFF) >> (
+            16 - n
+        )
+        self.pos += n
+        return v
+
+
+class _ProgressiveState:
+    """Coefficient accumulation across the scans of an SOF2 stream
+    (ITU-T T.81 Annex G): spectral-selection bands arrive per
+    component; successive-approximation scans deliver coefficients one
+    bit at a time — first scans carry values shifted left by Al, and
+    refinement scans OR in the next lower bit (plus the
+    correction-bit protocol for already-nonzero coefficients).
+    Blocks live as zigzag-ordered Python lists while scans apply
+    (scattered scalar updates), converted to numpy planes once for
+    the shared :func:`_reconstruct`.
+
+    The control flow below (EOB-run accounting, the zero-history run
+    walk in refinement) follows the spec's G.1.2 decode procedures —
+    the same structure every conforming decoder implements."""
+
+    def __init__(self, frame):
+        h, w, comps = frame["h"], frame["w"], frame["comps"]
+        if len(comps) == 1:
+            # single-component frames are non-interleaved everywhere;
+            # declared sampling factors are ignored (T.81 A.2.2)
+            comps = [dict(comps[0], h=1, v=1)]
+        self.h, self.w = h, w
+        self.comps = comps
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        if self.hmax < 1 or self.vmax < 1:
+            raise ValueError("bad sampling factors")
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.by_id: dict[int, int] = {}
+        self.coef: list[list[list[int]]] = []
+        self.dims: list[tuple[int, int]] = []
+        self.sub: list[tuple[int, int]] = []
+        for ci, c in enumerate(comps):
+            bw = self.mcux * c["h"]
+            bh = self.mcuy * c["v"]
+            self.coef.append([[0] * 64 for _ in range(bh * bw)])
+            self.dims.append((bh, bw))
+            # non-interleaved scans traverse the component's OWN grid
+            # ceil(ceil(dim·sampling/max)/8) — smaller than the padded
+            # MCU grid for subsampled components (T.81 A.2.2)
+            xi = -(-(w * c["h"]) // self.hmax)
+            yi = -(-(h * c["v"]) // self.vmax)
+            self.sub.append((-(-yi // 8), -(-xi // 8)))  # (rows, cols)
+            self.by_id[c["id"]] = ci
+        self.eobrun = 0
+
+    # -- scan dispatch ------------------------------------------------------
+
+    def apply_scan(
+        self, raw, scan_comps, ss, se, ah, al, htables, restart_interval
+    ) -> None:
+        segments = _split_restart_segments(raw, restart_interval)
+        for cid, _, _ in scan_comps:
+            if cid not in self.by_id:
+                raise ValueError("scan references unknown component")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se == 0")
+            self._dc_scan(segments, scan_comps, ah, al, htables, restart_interval)
+        else:
+            if len(scan_comps) != 1 or se > 63 or ss > se:
+                raise ValueError("bad AC scan header")
+            self._ac_scan(
+                segments, scan_comps[0], ss, se, ah, al, htables, restart_interval
+            )
+
+    # -- DC scans -----------------------------------------------------------
+
+    def _dc_scan(self, segments, scan_comps, ah, al, htables, restart_interval):
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            n_units = self.mcux * self.mcuy  # MCUs
+        else:
+            rows, cols = self.sub[self.by_id[scan_comps[0][0]]]
+            n_units = rows * cols  # blocks of the one component
+        tables = {}
+        if ah == 0:
+            for cid, td, _ in scan_comps:
+                t = htables.get((0, td))
+                if t is None:
+                    raise ValueError("missing DC table")
+                tables[cid] = t
+        per_seg = restart_interval or n_units
+        unit = 0
+        seg_idx = 0
+        while unit < n_units:
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            cur = _Cursor(segments[seg_idx])
+            seg_idx += 1
+            preds = {cid: 0 for cid, _, _ in scan_comps}
+            for _ in range(min(per_seg, n_units - unit)):
+                if interleaved:
+                    my, mx = divmod(unit, self.mcux)
+                    for cid, _, _ in scan_comps:
+                        ci = self.by_id[cid]
+                        c = self.comps[ci]
+                        _, bw = self.dims[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = (my * c["v"] + by) * bw + mx * c["h"] + bx
+                                self._dc_unit(
+                                    cur, self.coef[ci][blk], preds, cid,
+                                    tables, ah, al,
+                                )
+                else:
+                    cid = scan_comps[0][0]
+                    ci = self.by_id[cid]
+                    _, cols = self.sub[ci]
+                    _, bw = self.dims[ci]
+                    r, cc = divmod(unit, cols)
+                    self._dc_unit(
+                        cur, self.coef[ci][r * bw + cc], preds, cid,
+                        tables, ah, al,
+                    )
+                unit += 1
+
+    @staticmethod
+    def _dc_unit(cur, block, preds, cid, tables, ah, al):
+        if ah == 0:  # first scan: value arrives point-transformed
+            cat = cur.sym(tables[cid])
+            v = cur.bits(cat)
+            if cat:
+                if v < (1 << (cat - 1)):
+                    v += (-1 << cat) + 1
+                preds[cid] += v
+            block[0] = preds[cid] << al
+        else:  # refinement: one raw bit, no Huffman
+            if cur.bits(1):
+                block[0] |= 1 << al
+
+    # -- AC scans -----------------------------------------------------------
+
+    def _ac_scan(self, segments, scomp, ss, se, ah, al, htables, restart_interval):
+        _, _, ta = scomp
+        table = htables.get((1, ta))
+        if table is None:
+            raise ValueError("missing AC table")
+        ci = self.by_id[scomp[0]]
+        rows, cols = self.sub[ci]
+        _, bw = self.dims[ci]
+        n_units = rows * cols
+        per_seg = restart_interval or n_units
+        unit = 0
+        seg_idx = 0
+        while unit < n_units:
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            cur = _Cursor(segments[seg_idx])
+            seg_idx += 1
+            self.eobrun = 0
+            for _ in range(min(per_seg, n_units - unit)):
+                r, cc = divmod(unit, cols)
+                block = self.coef[ci][r * bw + cc]
+                if ah == 0:
+                    self._ac_first(cur, table, block, ss, se, al)
+                else:
+                    self._ac_refine(cur, table, block, ss, se, al)
+                unit += 1
+
+    def _ac_first(self, cur, table, block, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = cur.sym(table)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC run overruns spectral band")
+                v = cur.bits(s)
+                if v < (1 << (s - 1)):
+                    v += (-1 << s) + 1
+                block[k] = v << al
+                k += 1
+            else:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: this block ends now; (2^r - 1 + bits) more follow
+                self.eobrun = (1 << r) - 1 + cur.bits(r)
+                return
+
+    def _ac_refine(self, cur, table, block, ss, se, al):
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = cur.sym(table)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("bad AC refinement symbol")
+                    newval = p1 if cur.bits(1) else m1
+                elif r != 15:
+                    # EOBn covering this and (2^r - 1 + bits) more
+                    # blocks; the remaining band positions still carry
+                    # correction bits (handled below)
+                    self.eobrun = (1 << r) + cur.bits(r)
+                    break
+                # advance over r zero-HISTORY coefficients, emitting a
+                # correction bit for every nonzero-history one passed
+                while k <= se:
+                    c = block[k]
+                    if c != 0:
+                        if cur.bits(1) and not (c & p1):
+                            block[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    block[k] = newval
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:
+                c = block[k]
+                if c != 0:
+                    if cur.bits(1) and not (c & p1):
+                        block[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            self.eobrun -= 1
+
+    # -- output -------------------------------------------------------------
+
+    def reconstruct(self, qtables):
+        planes = [
+            np.array(self.coef[ci], dtype=np.int64).reshape(
+                self.dims[ci][0], self.dims[ci][1], 64
+            )
+            for ci in range(len(self.comps))
+        ]
+        return _reconstruct(
+            planes, self.comps, qtables, self.h, self.w,
+            self.hmax, self.vmax, self.mcux, self.mcuy,
+        )

@@ -8,14 +8,18 @@ REAL for uncompressed formats:
 
 - :func:`decode_image` decodes 24-bit uncompressed BMP, binary PPM
   (P6), 8-bit RGB/RGBA PNG (stdlib ``zlib``, all five scanline
-  filters), AND baseline sequential JPEG — a full native Huffman+DCT
-  decoder in :mod:`.jpeg` (4:4:4 / 4:2:0 / grayscale / restart
-  markers), so the dominant web-crawl image format needs no image
-  library. Progressive/arithmetic JPEG and WebP decode automatically
-  when PIL is importable (:func:`pil_available` probe); without PIL,
-  those remaining formats gate behind a loud NotImplementedError in
-  :func:`decode_image_batch` while per-row :func:`decode_image`
-  returns None (S4 skip semantics).
+  filters), AND JPEG — a full native Huffman+DCT decoder in
+  :mod:`.jpeg` covering baseline sequential (4:4:4 / 4:2:0 /
+  grayscale / restart markers) and progressive SOF2 (T.81 Annex G),
+  so the dominant web-crawl image format needs no image library in
+  either of its wire shapes. WebP and lossless/arithmetic JPEG
+  decode automatically when PIL is importable (:func:`pil_available`
+  probe); without PIL, those remaining formats gate behind a loud
+  NotImplementedError in :func:`decode_image_batch` while per-row
+  :func:`decode_image` returns None (S4 skip semantics). When PIL IS
+  present, JPEG dispatch prefers libjpeg for throughput except where
+  golden-value parity pins the native codec (see
+  :func:`decode_image_features`).
 - :func:`decode_wav` decodes RIFF/PCM16 audio (proper chunk walk,
   stereo downmix) → waveform features; compressed audio formats
   gate exactly like compressed images.
@@ -140,8 +144,8 @@ _NATIVE_MAGICS = (b"BM", b"P6", b"\x89P", b"\xff\xd8")
 
 def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
     """mapInPandas kernel over mixed-codec blobs: the native set
-    (BMP/PPM/PNG/baseline-JPEG) decodes everywhere; formats outside
-    it (WebP, progressive JPEG, ...) decode via PIL when the probe
+    (BMP/PPM/PNG/baseline+progressive JPEG) decodes everywhere;
+    formats outside it (WebP, lossless JPEG, ...) decode via PIL when the probe
     finds it and otherwise fail FAST and loudly — never a silent
     None-for-all. A native-format blob that fails its decoder is
     corrupt data → None feature (S4 per-row skip)."""
@@ -159,24 +163,24 @@ def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFr
                 # distinguish "legitimate format we can't decode" (loud
                 # gate) from "corrupt native-format data" (S4 None):
                 # unknown magic, or a JPEG whose SOF parses to a flavor
-                # the native decoder declines (progressive/arithmetic/
+                # the native decoder declines (lossless/arithmetic/
                 # 12-bit/CMYK). The SOF check parses markers — a raw
-                # substring scan for FF C2 would misfire on incidental
-                # bytes inside APPn segments or the entropy stream.
+                # substring scan would misfire on incidental bytes
+                # inside APPn segments or the entropy stream.
                 gated = not b.startswith(_NATIVE_MAGICS)
                 if not gated and b[:2] == b"\xff\xd8":
                     from .jpeg import jpeg_frame_info, legitimate_undecodable_frame
 
                     # only a VALID flavor the native decoder declines
-                    # (progressive/arithmetic/12-bit/CMYK) gates on
+                    # (lossless/arithmetic/12-bit/CMYK) gates on
                     # PIL; an impossible SOF shape (bit-flipped
                     # precision/component count) or no frame at all is
                     # corrupt data → S4 skip, never a job failure
                     gated = legitimate_undecodable_frame(jpeg_frame_info(b))
                 if gated:
                     raise NotImplementedError(
-                        "compressed-image decode beyond BMP/PPM/PNG/baseline-"
-                        "JPEG requires PIL/Pillow (pil_available() is False)"
+                        "compressed-image decode beyond BMP/PPM/PNG/JPEG "
+                        "requires PIL/Pillow (pil_available() is False)"
                     )
             feats.append(
                 None
@@ -401,9 +405,9 @@ def _decode_png(blob: bytes):
 def decode_image(blob: bytes, prefer_pil: bool | None = None):
     """Dispatch on magic bytes → (h, w, 3) uint8 RGB, or None when
     the format is unknown/corrupt (per-row skip, S4 semantics).
-    Native: BMP, PPM, PNG, baseline JPEG. Anything else (progressive
-    JPEG, WebP, ...) decodes through PIL when the optional-dependency
-    probe finds it.
+    Native: BMP, PPM, PNG, baseline AND progressive JPEG. Anything
+    else (WebP, lossless/arithmetic JPEG, ...) decodes through PIL
+    when the optional-dependency probe finds it.
 
     JPEG dispatch: when Pillow is importable it decodes FIRST by
     default — libjpeg(-turbo)'s entropy loop is C, easily 20-100x the
@@ -743,6 +747,15 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
                 elif d % 4 == 2:
                     blobs.append(encode_png(px))
                     types.append("image/png")
+                elif d % 8 == 7:
+                    # progressive SOF2 leg: same quantized coefficients
+                    # as sequential → identical decoded pixels, so the
+                    # committed golden is unchanged while the Annex G
+                    # path sits on the driver-checked row
+                    blobs.append(
+                        encode_jpeg(px, quality=90, subsample=True, progressive=True)
+                    )
+                    types.append("image/jpeg")
                 else:
                     blobs.append(
                         encode_jpeg(px, quality=90, subsample=True, restart_interval=2)

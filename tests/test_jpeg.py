@@ -115,15 +115,88 @@ def test_corrupt_streams_return_none_never_raise():
     decode_jpeg(bytes(mutated))
 
 
-def test_progressive_frame_declined():
-    """SOF2 (progressive) must return None — it routes to the PIL
-    probe, not a wrong native decode."""
+def test_forged_progressive_marker_is_corrupt_not_misdecoded():
+    """A SEQUENTIAL stream with its SOF0 flipped to SOF2 is corrupt —
+    the scan header (Ss=0, Se=63) is illegal for a progressive DC
+    scan, so the decoder must return None (S4), never decode the
+    sequential entropy data under progressive rules."""
     img = _gradient(16, 16)
     blob = bytearray(encode_jpeg(img, 85))
     i = blob.find(b"\xff\xc0")
     assert i > 0
     blob[i + 1] = 0xC2
     assert decode_jpeg(bytes(blob)) is None
+
+
+def test_progressive_roundtrip_identical_to_sequential():
+    """Progressive (SOF2, Annex G) encode→decode must produce pixels
+    IDENTICAL to the sequential round-trip: both modes quantize the
+    same coefficients, so any per-pixel difference is an entropy-
+    protocol bug (EOB runs, correction bits, point transforms)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (
+        jpeg_frame_info,
+        native_decodable_frame,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (6, 9, 3), dtype=np.uint8), False),
+        (rng.integers(0, 256, (24, 31, 3), dtype=np.uint8), True),  # 4:2:0
+        (_gradient(40, 56), False),
+        (_gradient(40, 56), True),
+        (rng.integers(0, 256, (17, 23), dtype=np.uint8), False),  # grayscale
+        (np.array([[[200, 10, 30]]], dtype=np.uint8), False),  # 1x1
+        (np.array([[[0, 130, 130], [130, 130, 130]]], dtype=np.uint8), True),
+    ]
+    for img, sub in cases:
+        seq = decode_jpeg(encode_jpeg(img, 90, subsample=sub))
+        pblob = encode_jpeg(img, 90, subsample=sub, progressive=True)
+        info = jpeg_frame_info(pblob)
+        assert info["sof"] == 0xC2 and native_decodable_frame(info)
+        prog = decode_jpeg(pblob)
+        assert prog is not None
+        assert np.array_equal(seq, prog), (img.shape, sub)
+
+
+def test_progressive_roundtrip_property_fuzz():
+    """Hypothesis: progressive == sequential pixels for any size,
+    content, and chroma mode — the full Annex G protocol under
+    adversarial coefficient statistics."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        img=arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3)),
+        ),
+        sub=st.booleans(),
+        q=st.sampled_from([30, 85, 95]),
+    )
+    def check(img, sub, q):
+        seq = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg(img, q, subsample=sub, progressive=True))
+        assert prog is not None
+        assert np.array_equal(seq, prog)
+
+    check()
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError):
+        encode_jpeg(_gradient(8, 8), 85, restart_interval=2, progressive=True)
+
+
+def test_progressive_truncated_and_mutated_never_raise():
+    blob = encode_jpeg(_gradient(32, 32), 85, progressive=True)
+    for cut in (10, len(blob) // 3, len(blob) - 20):
+        out = decode_jpeg(blob[:cut])
+        assert out is None or out.shape == (32, 32, 3)
+    mutated = bytearray(blob)
+    mutated[len(mutated) // 2] ^= 0xFF
+    decode_jpeg(bytes(mutated))  # must not raise
 
 
 def test_decode_image_dispatches_jpeg_natively():
@@ -268,12 +341,17 @@ def test_frame_info_probe_classifies_flavors():
     info = jpeg_frame_info(bytes(blob))
     assert info == {"sof": 0xC0, "precision": 8, "n_components": 3}
     assert native_decodable_frame(info)
-    # progressive flavor: unsupported but well-formed
+    # progressive flavor: natively decodable since the Annex G decoder
     i = blob.find(b"\xff\xc0")
     blob[i + 1] = 0xC2
     prog = jpeg_frame_info(bytes(blob))
     assert prog is not None and prog["sof"] == 0xC2
-    assert not native_decodable_frame(prog)
+    assert native_decodable_frame(prog)
+    # lossless (SOF3): well-formed but NOT natively decodable
+    blob[i + 1] = 0xC3
+    lossless = jpeg_frame_info(bytes(blob))
+    assert lossless is not None and lossless["sof"] == 0xC3
+    assert not native_decodable_frame(lossless)
     # corrupt stream with an incidental FF C2 inside an APP segment:
     # must NOT classify as progressive (marker-level parse, not grep)
     app1 = b"\xff\xe1" + b"\x00\x06" + b"\xff\xc2ab"  # APPn carrying FF C2
@@ -305,10 +383,20 @@ def test_batch_kernel_corrupt_jpeg_with_incidental_sof2_bytes(spark):
     rows = df.mapInPandas(decode_image_batch, FEATURE_SCHEMA).collect()
     assert rows[0]["feature"] is None  # S4 skip, no raise
 
-    # genuinely progressive frame → loud gate
+    # a REAL progressive frame now decodes natively — no gate
+    pblob = encode_jpeg(_gradient(16, 16), 85, progressive=True)
+    dfp = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "media_type": ["image/jpeg"], "blob": [pblob]}
+        )
+    )
+    rows = dfp.mapInPandas(decode_image_batch, FEATURE_SCHEMA).collect()
+    assert rows[0]["feature"] is not None
+
+    # genuinely native-undecodable flavor (lossless SOF3) → loud gate
     blob = bytearray(encode_jpeg(_gradient(16, 16), 85))
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2
+    blob[i + 1] = 0xC3
     df2 = spark.createDataFrame(
         pd.DataFrame(
             {"doc_id": [1], "media_type": ["image/jpeg"], "blob": [bytes(blob)]}
