@@ -27,17 +27,69 @@ import os
 import resource
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: sampled peak of the spawned process TREE's summed RSS —
+#: ru_maxrss(RUSAGE_CHILDREN) reports the largest single process,
+#: which understates a python-driver + JVM pair; the no-OOM evidence
+#: wants the tree total at its worst moment
+_PEAK_TREE_RSS_KB = 0
+
+
+def _tree_rss_kb(root_pid: int) -> int:
+    """Summed VmRSS of root_pid and every /proc descendant."""
+    children: dict[int, list[int]] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
+            children.setdefault(ppid, []).append(int(entry))
+        except OSError:
+            continue
+    total = 0
+    stack = [root_pid]
+    while stack:
+        pid = stack.pop()
+        stack.extend(children.get(pid, []))
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        total += int(line.split()[1])
+                        break
+        except OSError:
+            continue
+    return total
+
 
 def _run(cmd: list[str], env: dict | None = None) -> tuple[str, float]:
+    global _PEAK_TREE_RSS_KB
     t0 = time.time()
-    r = subprocess.run(
-        cmd, env=env, cwd=REPO, check=True, capture_output=True, text=True
+    proc = subprocess.Popen(
+        cmd, env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
-    return r.stdout, time.time() - t0
+    stop = threading.Event()
+
+    def sample():
+        global _PEAK_TREE_RSS_KB
+        while not stop.is_set():
+            _PEAK_TREE_RSS_KB = max(_PEAK_TREE_RSS_KB, _tree_rss_kb(proc.pid))
+            stop.wait(1.0)
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
+    out, err = proc.communicate()
+    stop.set()
+    t.join(timeout=5)
+    if proc.returncode != 0:
+        raise subprocess.CalledProcessError(proc.returncode, cmd, out, err)
+    return out, time.time() - t0
 
 
 def main(out_dir: str = "/tmp/sf1", skip_curation: bool = False) -> dict:
@@ -65,6 +117,7 @@ def main(out_dir: str = "/tmp/sf1", skip_curation: bool = False) -> dict:
 
     ru = resource.getrusage(resource.RUSAGE_CHILDREN)
     result["peak_child_rss_gib"] = round(ru.ru_maxrss / 1024 / 1024, 2)
+    result["peak_tree_rss_gib"] = round(_PEAK_TREE_RSS_KB / 1024 / 1024, 2)
 
     path = os.path.join(REPO, "SOAK_sf1.json")
     with open(path, "w") as f:
