@@ -62,7 +62,16 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every test table as a temp view (for spark.sql use)."""
+def register_views(
+    spark: SparkSession, sf_dir: str, scope: str = "session"
+) -> None:
+    """Register every test table as a temp view (for spark.sql use).
+    ``scope="global"`` registers global temp views instead — the form
+    Thrift/JDBC clients (separate Spark sessions) can see, as
+    ``global_temp.<name>``."""
     for name in TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = table(spark, sf_dir, name)
+        if scope == "global":
+            df.createOrReplaceGlobalTempView(name)
+        else:
+            df.createOrReplaceTempView(name)

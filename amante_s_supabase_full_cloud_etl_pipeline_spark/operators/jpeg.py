@@ -711,17 +711,28 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
+#: segments up to this size box their windows into a Python list
+#: (fastest per-symbol indexing, ~30 bytes/byte); above it the int64
+#: ndarray is kept (slower numpy-scalar ops but 8 bytes/byte) so one
+#: multi-MB scan cannot balloon a worker's transient memory 30x
+_WINDOW_LIST_MAX_BYTES = 2 * 1024 * 1024
+
+
 def _bit_windows(segdata: bytes):
     """(u32, total_bits) for LUT entropy decode: ``u32[i]`` holds the
     big-endian 32-bit window starting at byte ``i``, built in one
     vectorized pass, so peeking 16 bits at ANY bit position p is two
     int ops: ``(u32[p >> 3] >> (16 - (p & 7))) & 0xFFFF``. The 8-byte
     zero pad lets the final symbols peek past the end; overrun is
-    caught by the position check at each symbol start instead."""
+    caught by the position checks (per-symbol at entry, per-segment
+    at exit) instead. int64 (not uint32) so that downstream signed
+    arithmetic on the peeked values never wraps."""
     buf = segdata + b"\x00" * 8
-    a = np.frombuffer(buf, dtype=np.uint8).astype(np.uint32)
-    u32 = ((a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]).tolist()
-    return u32, len(segdata) * 8
+    a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+    windows = (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+    if len(segdata) <= _WINDOW_LIST_MAX_BYTES:
+        return windows.tolist(), len(segdata) * 8
+    return windows, len(segdata) * 8
 
 
 def decode_jpeg(blob: bytes):
@@ -743,6 +754,12 @@ _SOF_MARKERS = {
 }
 
 
+#: synthetic marker yielded by _iter_segments(through_scans=True)
+#: carrying one scan's entropy span as (start, end) — computed ONCE
+#: during the walk so the decoder never re-scans the same bytes
+_SCAN_DATA = -1
+
+
 def _entropy_end(b: bytes, pos: int) -> int:
     """First byte index at/after ``pos`` holding a real marker (not a
     stuffed 0xFF00, not RSTn) — the end of an entropy-coded span."""
@@ -760,9 +777,11 @@ def _iter_segments(b: bytes, through_scans: bool = False):
     markers, segment lengths). Yields ``(marker, seg, next_pos)`` —
     ``seg`` is None for standalone markers; stops after EOI or — by
     default — after the first SOS (entropy data follows SOS at
-    ``next_pos``). With ``through_scans=True`` it instead skips each
-    scan's entropy-coded span and keeps walking, which is how the
-    progressive decoder visits every scan of an SOF2 stream. Raises
+    ``next_pos``). With ``through_scans=True`` it instead yields a
+    synthetic ``(_SCAN_DATA, (start, end), end)`` entry for each
+    scan's entropy span and keeps walking, which is how the
+    progressive decoder visits every scan of an SOF2 stream without
+    re-scanning the span bytes it already walked. Raises
     ValueError on malformed framing. Both :func:`jpeg_frame_info` and
     the decoder consume this, so a framing fix can never apply to one
     and not the other (that drift is exactly the gate-vs-S4
@@ -797,7 +816,9 @@ def _iter_segments(b: bytes, through_scans: bool = False):
         if marker == 0xDA:  # SOS: entropy-coded data follows
             if not through_scans:
                 return
-            pos = _entropy_end(b, pos)
+            end = _entropy_end(b, pos)
+            yield _SCAN_DATA, (pos, end), end
+            pos = end
 
 
 def jpeg_frame_info(blob: bytes):
@@ -863,6 +884,7 @@ def _decode_jpeg_strict(b: bytes):
     progressive = False
     restart_interval = 0
     scan = None
+    pending = None  # parsed SOS header awaiting its _SCAN_DATA span
     prog = None  # _ProgressiveState once the first SOF2 scan arrives
     # marker framing is delegated to the shared _iter_segments walk
     # (same framing jpeg_frame_info sees — they cannot drift);
@@ -916,7 +938,8 @@ def _decode_jpeg_strict(b: bytes):
             return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: header only; the span follows as
+            # a synthetic _SCAN_DATA entry (computed once by the walk)
             if frame is None:
                 return None
             ns = seg[0]
@@ -926,18 +949,27 @@ def _decode_jpeg_strict(b: bytes):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append((cs, tt >> 4, tt & 0xF))
                 sel[cs] = (tt >> 4, tt & 0xF)
-            end = _entropy_end(b, next_pos)
+            pending = (
+                scan_comps,
+                sel,
+                seg[1 + 2 * ns],
+                seg[2 + 2 * ns],
+                seg[3 + 2 * ns],
+            )
+        elif marker == _SCAN_DATA:
+            if pending is None:
+                return None
+            start, end = seg
+            scan_comps, sel, ss, se, a = pending
+            pending = None
             if not progressive:
                 # sequential: exactly one scan — decode and finish
-                scan = (next_pos, end, sel)
+                scan = (start, end, sel)
                 break
-            ss = seg[1 + 2 * ns]
-            se = seg[2 + 2 * ns]
-            a = seg[3 + 2 * ns]
             if prog is None:
                 prog = _ProgressiveState(frame)
             prog.apply_scan(
-                b[next_pos:end],
+                b[start:end],
                 scan_comps,
                 ss,
                 se,
@@ -1069,6 +1101,11 @@ def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
                             vs.append(v)
                             k += 1
                 preds[ci] = pred
+        if pos > total_bits:
+            # the final symbols' VALUE bits ran into the zero pad — a
+            # stream truncated mid-coefficient must be a None (S4),
+            # not silently-wrong pixels
+            raise EOFError("truncated entropy data")
     for ci in range(ncomp):
         blks, ks, vs = acc[ci]
         if blks:
@@ -1296,6 +1333,8 @@ class _ProgressiveState:
                         tables, ah, al,
                     )
                 unit += 1
+            if cur.pos > cur.total:
+                raise EOFError("truncated entropy data")
 
     @staticmethod
     def _dc_unit(cur, block, preds, cid, tables, ah, al):
@@ -1339,6 +1378,8 @@ class _ProgressiveState:
                 else:
                     self._ac_refine(cur, table, block, ss, se, al)
                 unit += 1
+            if cur.pos > cur.total:
+                raise EOFError("truncated entropy data")
 
     def _ac_first(self, cur, table, block, ss, se, al):
         if self.eobrun > 0:

@@ -38,11 +38,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_NUMERIC_TYPES = (
+_INTEGRAL_TYPES = (
     T.ByteType,
     T.ShortType,
     T.IntegerType,
     T.LongType,
+)
+_NUMERIC_TYPES = _INTEGRAL_TYPES + (
     T.FloatType,
     T.DoubleType,
     T.DecimalType,
@@ -101,11 +103,18 @@ def grouped_topk(
     ]
     drop_after = []
     if ascending and len(numeric_asc) == len(ascending):
-        # fast path: negate numeric ascending keys, keep binary
-        # struct comparison
+        # fast path: order-invert numeric ascending keys, keep binary
+        # struct comparison. Integral keys invert via bitwise NOT
+        # (~x = -x-1: strictly order-reversing, and defined at the
+        # type's MIN value where arithmetic negation overflows — ANSI
+        # throws, legacy silently wraps and mis-orders); fractional/
+        # decimal keys negate (their ranges are symmetric).
         for c in ascending:
             neg = f"__neg_{c}"
-            df = df.withColumn(neg, -F.col(c))
+            if isinstance(schema.get(c), _INTEGRAL_TYPES):
+                df = df.withColumn(neg, F.bitwise_not(F.col(c)))
+            else:
+                df = df.withColumn(neg, -F.col(c))
             order_by[order_by.index(c)] = neg
             drop_after.append(neg)
         ascending = []

@@ -59,14 +59,18 @@ def create_serving_views(
     scope: str = "session",
 ) -> list[str]:
     """Register base tables + every registry query as views. Returns
-    the created view names. ``scope="session"`` uses plain temp views
-    (visible to this session only); ``scope="global"`` uses global
-    temp views (``global_temp.<name>``) — required for Thrift/JDBC
-    clients, whose connections are separate sessions."""
+    the created view names, qualified the way a client must address
+    them. ``scope="session"`` uses plain temp views (visible to this
+    session only; names returned bare); ``scope="global"`` uses
+    global temp views for BOTH the base tables and the serving views
+    — required for Thrift/JDBC clients, whose connections are
+    separate sessions — and returns ``global_temp.``-qualified
+    names."""
     if scope not in ("session", "global"):
         raise ValueError(f"scope must be 'session' or 'global', got {scope!r}")
     registry.load_all_queries()
-    catalog.register_views(spark, sf_dir)
+    catalog.register_views(spark, sf_dir, scope=scope)
+    qualifier = "global_temp." if scope == "global" else ""
     names = []
     for name, fn in registry.QUERIES.items():
         view = f"{prefix}{name}"
@@ -75,7 +79,7 @@ def create_serving_views(
             df.createOrReplaceGlobalTempView(view)
         else:
             df.createOrReplaceTempView(view)
-        names.append(view)
+        names.append(f"{qualifier}{view}")
     return names
 
 

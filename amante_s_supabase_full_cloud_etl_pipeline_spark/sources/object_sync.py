@@ -144,6 +144,32 @@ class DriveRestFetcher:
         return self._get(f"{self.base_url}/files/{fid}?alt=media")
 
 
+def _require_safe_landing_name(out_name: str) -> None:
+    """A landing name must be exactly one safe path component: no
+    separators or traversal (would escape the landing dir), no
+    control characters (would corrupt the manifest), not hidden/
+    underscore-prefixed (Hadoop file sources skip those — the file
+    would land but never be ingested)."""
+    if (
+        not out_name
+        or out_name != os.path.basename(out_name)
+        or os.path.isabs(out_name)
+        or out_name in (".", "..")
+        or "/" in out_name
+        or "\\" in out_name
+        or any(c in out_name for c in "\t\n\r")
+    ):
+        raise ValueError(
+            f"unsafe landing name {out_name!r}; use rename= to map it "
+            "to a single safe path component"
+        )
+    if out_name[0] in "._":
+        raise ValueError(
+            f"landing name {out_name!r} starts with '.' or '_' — Hadoop "
+            "file sources hide such paths, so it would never be ingested"
+        )
+
+
 def _manifest_path(landing_dir: str) -> str:
     return os.path.join(landing_dir, "_synced.manifest")
 
@@ -211,9 +237,24 @@ def sync_to_landing(
     used_out = set(entries.values())
     landed: list[str] = []
     for name, ref in fetcher.list():
+        # remote names are UNTRUSTED once a network Fetcher is in play
+        # (Drive file names may contain '/', '..', tabs, newlines): a
+        # traversal name would write outside the landing dir, and a
+        # control character would corrupt the tab-delimited manifest.
+        # The remote name only enters the MANIFEST, so it needs
+        # tab/newline safety; the landing name hits the FILESYSTEM, so
+        # it gets the full path check. Refuse loudly — an operator
+        # ``rename`` scheme is the sanctioned way to land files whose
+        # remote names are not safe paths.
+        if "\t" in name or "\n" in name or "\r" in name:
+            raise ValueError(
+                f"remote name {name!r} contains control characters; "
+                "refusing (would corrupt the sync manifest)"
+            )
         if name in seen:
             continue
         out_name = rename(name) if rename else name
+        _require_safe_landing_name(out_name)
         if out_name in used_out:
             # two distinct remote names mapping onto one landed name
             # would silently lose the first file's bytes while marking

@@ -114,15 +114,18 @@ def ivf_index_topk(
             "list_id"
         ),
     )
-    probed_lists = sorted(
-        {r["list_id"] for r in q.select("list_id").distinct().collect()}
-    )
+    # ONE job yields both the probed list ids (bounded by n_lists) and
+    # the probe-frame row count used for the broadcast decision — a
+    # separate queries.count() would re-execute the whole queries
+    # lineage (self-review r5)
+    probe_stats = q.groupBy("list_id").count().collect()
+    probed_lists = sorted(int(r["list_id"]) for r in probe_stats)
+    n_probe_rows = sum(r["count"] for r in probe_stats)
     stored = index.read(filters=[("list_id", "in", probed_lists)]).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_vec"),
         "list_id",
     )
-    n_probe_rows = queries.count() * n_probe
     probe = F.broadcast(q) if n_probe_rows <= _MAX_BROADCAST_QUERY_ROWS else q
     scored = (
         stored.join(probe, "list_id")

@@ -255,9 +255,44 @@ def test_cross_codec_with_pil_if_available():
     assert np.abs(ours.astype(np.float64) - img).mean() < 3.0
 
 
+def _chroma420_reference(img: np.ndarray) -> np.ndarray:
+    """The image a LOSSLESS 4:2:0 pipeline would return: JFIF RGB→
+    YCbCr, edge-replicate pad, 2x2 box-average chroma, nearest 2x
+    upsample, YCbCr→RGB — the same arithmetic the codec specifies,
+    minus the DCT. Comparing decodes against THIS makes the 4:2:0
+    fuzz bound principled: chroma bleed on hard edges (which grows
+    unboundedly with the edge's chroma contrast, and on sub-2x2
+    images covers every pixel) is modeled exactly instead of guessed
+    at with an ever-escaping constant, leaving only quantization
+    error to bound."""
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = np.clip(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0, 0, 255)
+    cr = np.clip(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0, 0, 255)
+    h, w = y.shape
+
+    def ds_us(p):
+        pp = np.pad(p, ((0, (-h) % 2), (0, (-w) % 2)), mode="edge")
+        d = pp.reshape(pp.shape[0] // 2, 2, pp.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        return np.repeat(np.repeat(d, 2, axis=0), 2, axis=1)[:h, :w]
+
+    cbu, cru = ds_us(cb) - 128.0, ds_us(cr) - 128.0
+    out = np.empty((h, w, 3), dtype=np.float64)
+    out[..., 0] = y + 1.402 * cru
+    out[..., 1] = y - 0.344136 * cbu - 0.714136 * cru
+    out[..., 2] = y + 1.772 * cbu
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def test_round_trip_property_fuzz():
     """Hypothesis: any uint8 RGB image round-trips within quantization
-    tolerance at high quality, any size/content, both chroma modes."""
+    tolerance at high quality, any size/content, both chroma modes.
+    4:4:4 compares against the input; 4:2:0 compares against the
+    exact box-averaged-chroma reference (see _chroma420_reference),
+    so both modes bound ONLY quantization error."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
     from hypothesis.extra.numpy import arrays
@@ -278,22 +313,16 @@ def test_round_trip_property_fuzz():
         dec = decode_jpeg(blob)
         assert dec is not None
         assert dec.shape == img.shape
-        # per-pixel bound: DCT quantization error at q95 stays small
-        # for smooth content; random noise is the worst case, so bound
-        # the MEAN absolute error generously and require exactness on
-        # 1x1 images (single DC coefficient per block)
-        err = np.abs(dec.astype(np.int32) - img.astype(np.int32))
+        # bound MEAN absolute error vs the mode's lossless reference —
+        # pure quantization error. Adversarial sweep (hard chroma
+        # edges at every tiny/odd shape + 200 random images) peaks at
+        # ~4.9, so 10 is 2x headroom while still catching any real
+        # codec regression
+        ref = _chroma420_reference(img) if sub else img
+        err = np.abs(dec.astype(np.int32) - ref.astype(np.int32))
         if img.shape[0] == 1 and img.shape[1] == 1 and not sub:
             assert err.max() <= 4
-        # 4:2:0 box-averages chroma over padded 2x2 blocks, so a hard
-        # chroma edge on a tiny image bleeds (libjpeg behaves the
-        # same) — the subsampled bound is accordingly looser, and on
-        # images smaller than one 2x2 chroma block the bleed covers
-        # EVERY pixel (a 1x2 hard edge averages to the midpoint →
-        # per-pixel chroma error ~65/2 on two of three channels)
-        tiny = img.shape[0] < 2 or img.shape[1] < 2
-        bound = (36 if tiny else 28) if sub else 16
-        assert err.mean() <= bound, err.mean()
+        assert err.mean() <= 10, err.mean()
 
     check()
 
@@ -404,3 +433,20 @@ def test_batch_kernel_corrupt_jpeg_with_incidental_sof2_bytes(spark):
     )
     with pytest.raises(Exception):
         df2.mapInPandas(decode_image_batch, FEATURE_SCHEMA).collect()
+
+
+def test_truncation_is_none_or_identical_never_divergent():
+    """S4 contract hardening (self-review r5): a stream cut inside the
+    final coefficients' VALUE bits must decode to None — never to
+    silently-different pixels read from the zero pad. Cutting only
+    unconsumed pad/EOI bytes may still decode, but then it must equal
+    the full decode bit-for-bit. Both modes, both chroma shapes."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    for sub in (False, True):
+        for prog in (False, True):
+            blob = encode_jpeg(img, 90, subsample=sub, progressive=prog)
+            full = decode_jpeg(blob)
+            for cut in range(len(blob) - 40, len(blob)):
+                t = decode_jpeg(blob[:cut])
+                assert t is None or np.array_equal(t, full), (sub, prog, cut)

@@ -106,7 +106,11 @@ def test_image_decode_pipeline_features(spark, sf_dir):
     feats = {r["doc_id"]: r for r in decode_image_features(corpus).collect()}
     assert set(feats) == set(blobs) == set(range(10))
     for d, blob in blobs.items():
-        arr = decode_image(blob)
+        # pin the native decoder: decode_image's default prefers PIL
+        # when importable, and libjpeg's IDCT differs by ±1/pixel from
+        # the native one — exact parity is only defined against the
+        # decoder decode_image_features pins
+        arr = decode_image(blob, prefer_pil=False)
         assert arr is not None
         f = feats[d]
         assert (f["height"], f["width"]) == arr.shape[:2]

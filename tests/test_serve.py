@@ -52,7 +52,7 @@ def test_thrift_endpoint_serves_registry_views(spark, sf_dir):
     if not os.path.exists(BEELINE):
         pytest.skip("beeline not available")
     views = create_serving_views(spark, sf_dir, scope="global")
-    assert "serve_pos_dashboard_kpis" in views
+    assert "global_temp.serve_pos_dashboard_kpis" in views
     url, server = start_thrift_endpoint(spark)
     try:
         # a serving view through JDBC == the same view queried directly
@@ -83,5 +83,16 @@ def test_thrift_endpoint_serves_registry_views(spark, sf_dir):
         assert [(r["grp_key"], float(r["amount"])) for r in rows] == [
             (r["grp_key"], float(r["amount"])) for r in direct
         ]
+
+        # base tables must be visible to JDBC clients too (scope=
+        # "global" registers them as global temp views)
+        base = _beeline(
+            url,
+            "SELECT COUNT(*) AS n FROM global_temp.documents",
+            ["n"],
+        )
+        assert int(base[0]["n"]) == spark.sql(
+            "SELECT COUNT(*) AS n FROM global_temp.documents"
+        ).collect()[0]["n"]
     finally:
         server.stop()

@@ -270,3 +270,46 @@ def test_drive_rest_fetcher_truncated_download_never_lands(tmp_path):
             stub2.stop()
     finally:
         stub.stop()
+
+
+def test_object_sync_rejects_unsafe_remote_names(tmp_path):
+    """Remote names are untrusted with a network fetcher: traversal
+    names must never write outside the landing dir, and control
+    characters must never corrupt the manifest — both refuse loudly,
+    and rename= is the sanctioned escape hatch."""
+    import pytest
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.object_sync import (
+        sync_to_landing,
+    )
+
+    class EvilFetcher:
+        def __init__(self, names):
+            self._names = names
+
+        def list(self):
+            return [(n, n) for n in self._names]
+
+        def fetch(self, ref):
+            return b"payload"
+
+    landing = tmp_path / "landing"
+    outside = tmp_path / "escape.csv"
+    with pytest.raises(ValueError, match="unsafe landing name"):
+        sync_to_landing(EvilFetcher(["../escape.csv"]), str(landing))
+    assert not outside.exists()
+    with pytest.raises(ValueError, match="control characters"):
+        sync_to_landing(EvilFetcher(["a\tb.csv"]), str(landing))
+    with pytest.raises(ValueError, match="unsafe landing name"):
+        sync_to_landing(EvilFetcher(["/etc/passwd"]), str(landing))
+    # '.'/'_' prefixes would be invisible to the streaming file source
+    with pytest.raises(ValueError, match="never be ingested"):
+        sync_to_landing(EvilFetcher([".hidden.csv"]), str(landing))
+    # rename= maps an unsafe remote name to a safe landing name
+    landed = sync_to_landing(
+        EvilFetcher(["reports/2026.csv"]),
+        str(landing),
+        rename=lambda n: n.replace("/", "__"),
+    )
+    assert landed == ["reports/2026.csv"]
+    assert (landing / "reports__2026.csv").read_bytes() == b"payload"

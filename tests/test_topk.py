@@ -147,3 +147,26 @@ def test_ascending_requires_order_by_membership(spark):
     df = spark.createDataFrame([("a", 1, 2)], "g string, v int, id int")
     with pytest.raises(ValueError):
         grouped_topk(df, ["g"], ["v"], k=1, ascending=["id"])
+
+
+def test_ascending_tiebreak_survives_long_min_value(spark):
+    """Self-review r5: arithmetic negation overflows at the integral
+    MIN value (ANSI throws, legacy wraps and mis-orders); the fast
+    path inverts via bitwise NOT instead, which is total-order-safe.
+    Run under ANSI to make any overflow loud."""
+    df = spark.createDataFrame(
+        [("g", 5, -(2**63)), ("g", 5, 0), ("g", 5, 2**63 - 1)],
+        "g string, v int, id long",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = [
+            (r["id"], r["rank"])
+            for r in grouped_topk(df, ["g"], ["v", "id"], k=3, ascending=["id"])
+            .orderBy("rank")
+            .collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got == [(-(2**63), 1), (0, 2), (2**63 - 1, 3)]
