@@ -161,6 +161,33 @@ _PROG_AC_VALS = sorted(
 _PROG_AC_BITS = [0] * 16
 _PROG_AC_BITS[7] = len(_PROG_AC_VALS)  # all codes 8 bits long
 
+#: 12-bit-precision alphabets (T.81 F.1.2, 12-bit column): DC
+#: difference categories run 0..15 and AC sizes 1..14, both past what
+#: the 8-bit Annex-K tables carry. Same deliberately-uniform shape as
+#: the progressive table above: 16 DC symbols as 5-bit codes (Kraft
+#: 16/32, max code 15 != the forbidden all-ones 31) and 226 AC
+#: symbols — every (run, size) with size 1..14, EOB, ZRL — as 8-bit
+#: codes (226/256, max code 225 != 255).
+_EXT_DC_VALS = list(range(16))
+_EXT_DC_BITS = [0] * 16
+_EXT_DC_BITS[4] = 16
+_EXT_AC_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 15)} | {0x00, 0xF0}
+)
+_EXT_AC_BITS = [0] * 16
+_EXT_AC_BITS[7] = len(_EXT_AC_VALS)
+#: 12-bit progressive AC: sizes 1..14 PLUS the EOBn run symbols
+#: (240 symbols as 8-bit codes; Kraft 240/256, max code 239 != 255).
+#: A separate table from the 8-bit progressive one so 8-bit streams
+#: are byte-identical to what they were before 12-bit support.
+_EXT_PROG_AC_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 15)}
+    | {r << 4 for r in range(15)}
+    | {0xF0}
+)
+_EXT_PROG_AC_BITS = [0] * 16
+_EXT_PROG_AC_BITS[7] = len(_EXT_PROG_AC_VALS)
+
 #: 8×8 DCT-II basis matrix C with C[u,x] = a(u)·cos((2x+1)uπ/16):
 #: block_dct = C @ block @ C.T ; block = C.T @ coeffs @ C.
 _C = np.zeros((8, 8), dtype=np.float64)
@@ -281,14 +308,18 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
-def _fdct_quant(plane: np.ndarray, qtable_raster: np.ndarray) -> np.ndarray:
+def _fdct_quant(
+    plane: np.ndarray, qtable_raster: np.ndarray, level: float = 128.0
+) -> np.ndarray:
     """(n_blocks_y, n_blocks_x, 64) quantized zigzag coefficients for
     a level-shifted component plane whose dims are multiples of 8 —
-    every block transformed in one einsum pair."""
+    every block transformed in one einsum pair. ``level`` is the T.81
+    A.3.1 shift: 2^(P-1), i.e. 128 for 8-bit samples, 2048 for
+    12-bit."""
     h, w = plane.shape
     blocks = (
         plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
-        - 128.0
+        - level
     )
     # batched matmul (BLAS) beats einsum's generic loop ~10x here
     coeffs = _C @ blocks @ _C.T
@@ -491,6 +522,8 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
+    cmyk_transform: str = "ycck",
 ) -> bytes:
     """(h, w, 3) uint8 RGB (or (h, w) grayscale) → baseline JFIF JPEG.
 
@@ -510,36 +543,104 @@ def encode_jpeg(
     the sequential mode's, so a progressive round-trip must decode to
     exactly the sequential round-trip's pixels (the differential the
     tests pin). Restart markers are not emitted in progressive mode
-    (decode supports them; pass ``restart_interval=0``)."""
+    (decode supports them; pass ``restart_interval=0``).
+
+    ``precision=12`` writes 12-bit extended-sequential (SOF1) or
+    progressive (SOF2) per T.81: samples 0..4095 (a uint8 input is
+    shifted left 4; a wider dtype is taken as 12-bit values), level
+    shift 2048, 16-bit (Pq=1) DQT entries, and full-range Huffman
+    alphabets (DC categories to 15, AC sizes to 14 — past Annex K's
+    8-bit tables). Quant entries are clamped to >= 2 in this mode so
+    coefficient magnitudes stay inside those alphabets.
+
+    An (h, w, 4) input is Adobe CMYK, in the INVERTED representation
+    Adobe writers store (sample = max - ink, so an empty plate is
+    max): ``cmyk_transform="ycck"`` (the Photoshop norm) runs the
+    inverted CMY through the YCbCr transform with K passed through
+    and writes APP14 transform=2; ``"cmyk"`` stores the four planes
+    directly with APP14 transform=0. ``subsample`` applies to the
+    Cb/Cr planes of YCCK only (K stays full-resolution, like Y)."""
     if progressive and restart_interval:
         raise ValueError(
             "restart markers are not emitted in progressive mode"
         )
-    arr = np.asarray(pixels, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 12:
+        a = np.asarray(pixels)
+        if a.dtype == np.uint8:
+            arr = a.astype(np.int64) << 4
+        else:
+            arr = a.astype(np.int64)
+            if arr.min() < 0 or arr.max() > 4095:
+                raise ValueError("12-bit samples must be in 0..4095")
+    else:
+        arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
+    cmyk = arr.ndim == 3 and arr.shape[2] == 4
+    if cmyk and cmyk_transform not in ("ycck", "cmyk"):
+        raise ValueError(f"cmyk_transform must be 'ycck' or 'cmyk', got {cmyk_transform!r}")
+    if cmyk and progressive:
+        raise ValueError("progressive CMYK is not emitted (decode supports it)")
+    if cmyk and subsample and cmyk_transform == "cmyk":
+        raise ValueError("subsample requires the ycck transform (chroma planes)")
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    maxv = 255.0 if precision == 8 else 4095.0
+    mid = 128.0 if precision == 8 else 2048.0
 
     ql = scale_quant(QUANT_LUMA, quality)
     qc = scale_quant(QUANT_CHROMA, quality)
+    if precision == 12:
+        # keep quantized magnitudes inside the 12-bit alphabets (DC
+        # diff category <= 15, AC size <= 14): with q >= 2 the worst
+        # DC coefficient is 8*2048/2 = 8192 (diff category 15) and
+        # the worst AC ~10.5*2048/2 (size 14)
+        ql = np.maximum(ql, 2)
+        qc = np.maximum(qc, 2)
+
+    def to_ycc(r, g, b):
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + mid
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + mid
+        return [y, np.clip(cb, 0, maxv), np.clip(cr, 0, maxv)]
 
     if gray:
         planes = [arr.astype(np.float64)]
+    elif cmyk and cmyk_transform == "cmyk":
+        planes = [arr[:, :, i].astype(np.float64) for i in range(4)]
+    elif cmyk:  # ycck: inverted CMY through the YCbCr transform
+        f = arr.astype(np.float64)
+        planes = to_ycc(f[:, :, 0], f[:, :, 1], f[:, :, 2]) + [f[:, :, 3]]
     else:
         rgb = arr.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, np.clip(cb, 0, 255), np.clip(cr, 0, 255)]
+        planes = to_ycc(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
 
+    ncomp = len(planes)
     if gray:
         samp = [(1, 1)]
+        tqs = [0]
+        chroma_like = [False]
+    elif cmyk:
+        if subsample:  # ycck only (checked above)
+            samp = [(2, 2), (1, 1), (1, 1), (2, 2)]
+        else:
+            samp = [(1, 1)] * 4
+        chroma_like = (
+            [False, True, True, False]
+            if cmyk_transform == "ycck"
+            else [False] * 4
+        )
+        tqs = [1 if c else 0 for c in chroma_like]
     elif subsample:
         samp = [(2, 2), (1, 1), (1, 1)]
+        tqs = [0, 1, 1]
+        chroma_like = [False, True, True]
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
+        tqs = [0, 1, 1]
+        chroma_like = [False, True, True]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
 
@@ -555,48 +656,77 @@ def encode_jpeg(
             )
         # pad so the MCU grid tiles exactly
         plane = _pad_to(plane, 8 * sv, 8 * sh)
-        qt = ql if ci == 0 else qc
-        comp_zz.append(_fdct_quant(np.clip(plane, 0, 255), qt))
+        qt = qc if chroma_like[ci] else ql
+        comp_zz.append(_fdct_quant(np.clip(plane, 0, maxv), qt, level=mid))
 
     # --- headers -----------------------------------------------------------
     out = bytearray(b"\xff\xd8")  # SOI
-    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
-    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    if cmyk:
+        # Adobe APP14 declares the component transform (2 = YCCK,
+        # 0 = plain CMYK) and, by its presence, the inverted-sample
+        # convention Adobe writers use
+        adobe = (
+            b"Adobe"
+            + struct.pack(">H", 100)  # DCTEncode version
+            + b"\x00\x00\x00\x00"  # flags0, flags1
+            + bytes([2 if cmyk_transform == "ycck" else 0])
+        )
+        out += b"\xff\xee" + struct.pack(">H", len(adobe) + 2) + adobe
+    else:
+        app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+        out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
 
     def dqt(tid, table):
-        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
-            int(x) for x in table[ZIGZAG]
-        )
+        if precision == 12:
+            # Pq=1: 16-bit entries (and exercises that decode path)
+            body = bytes([0x10 | tid]) + b"".join(
+                struct.pack(">H", int(x)) for x in table[ZIGZAG]
+            )
+        else:
+            body = bytes([tid]) + bytes(int(x) for x in table[ZIGZAG])
+        return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
     out += dqt(0, ql)
-    if not gray:
+    if 1 in tqs:
         out += dqt(1, qc)
 
-    ncomp = 1 if gray else 3
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sh, sv = samp[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+        sof += bytes([ci + 1, (sh << 4) | sv, tqs[ci]])
+    if progressive:
+        sof_marker = b"\xff\xc2"
+    elif precision == 12:
+        sof_marker = b"\xff\xc1"  # baseline (SOF0) is 8-bit only
+    else:
+        sof_marker = b"\xff\xc0"
     out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
 
     def dht(tclass, tid, bits, vals):
         body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
-    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
-    if not gray:
-        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if precision == 12:
+        # full-range alphabets for every component (slot 0 only)
+        out += dht(0, 0, _EXT_DC_BITS, _EXT_DC_VALS)
+        out += dht(1, 0, _EXT_AC_BITS, _EXT_AC_VALS)
+        dc_l = dc_c = _canonical_codes(_EXT_DC_BITS, _EXT_DC_VALS)
+        ac_l = ac_c = _canonical_codes(_EXT_AC_BITS, _EXT_AC_VALS)
+        ths = [0] * ncomp
+    else:
+        out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        ths = [1 if c else 0 for c in chroma_like]
+        if 1 in ths:
+            out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+            out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+        dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-
-    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
@@ -604,12 +734,18 @@ def encode_jpeg(
     if progressive:
         # Annex-K AC tables lack the EOBn symbols Annex G emits:
         # override both AC table slots with the full-alphabet
-        # progressive table (DHT redefinition is legal mid-stream)
-        out += dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
-        if not gray:
-            out += dht(1, 1, _PROG_AC_BITS, _PROG_AC_VALS)
-        prog_ac = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
-        dc_code_sets = [dc_l if ci == 0 else dc_c for ci in range(ncomp)]
+        # progressive table (DHT redefinition is legal mid-stream);
+        # 12-bit uses the size<=14 variant
+        pb, pv = (
+            (_EXT_PROG_AC_BITS, _EXT_PROG_AC_VALS)
+            if precision == 12
+            else (_PROG_AC_BITS, _PROG_AC_VALS)
+        )
+        out += dht(1, 0, pb, pv)
+        if 1 in ths:
+            out += dht(1, 1, pb, pv)
+        prog_ac = _canonical_codes(pb, pv)
+        dc_code_sets = [dc_c if ths[ci] else dc_l for ci in range(ncomp)]
         ac_code_sets = [prog_ac for _ in range(ncomp)]
         # per-component OWN block grid for the non-interleaved AC
         # scans (ceil(ceil(dim·sampling/max)/8), T.81 A.2.2)
@@ -623,7 +759,7 @@ def encode_jpeg(
         def sos_header(scan_cis, ss, se, ah, al):
             sos = bytes([len(scan_cis)])
             for ci in scan_cis:
-                td = 0 if ci == 0 else 1
+                td = ths[ci]
                 sos += bytes([ci + 1, (td << 4) | td])
             sos += bytes([ss, se, (ah << 4) | al])
             return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
@@ -674,7 +810,7 @@ def encode_jpeg(
 
     sos = bytes([ncomp])
     for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([ci + 1, (ths[ci] << 4) | ths[ci]])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
@@ -692,8 +828,8 @@ def encode_jpeg(
             mcu_n += 1
             for ci in range(ncomp):
                 sh, sv = samp[ci]
-                dc_codes = dc_l if ci == 0 else dc_c
-                ac_codes = ac_l if ci == 0 else ac_c
+                dc_codes = dc_c if ths[ci] else dc_l
+                ac_codes = ac_c if ths[ci] else ac_l
                 for by in range(sv):
                     for bx in range(sh):
                         zz = comp_zz[ci][my * sv + by, mx * sh + bx]
@@ -736,10 +872,13 @@ def _bit_windows(segdata: bytes):
 
 
 def decode_jpeg(blob: bytes):
-    """Baseline sequential OR progressive (SOF2) JPEG → (h, w, 3)
-    uint8 RGB, or None on any unsupported/corrupt stream (lossless,
-    arithmetic coding, 12-bit precision, 4-component CMYK, truncated
-    data)."""
+    """Huffman-coded JPEG → (h, w, 3) uint8 RGB, or None on any
+    unsupported/corrupt stream (lossless, arithmetic coding,
+    hierarchical, truncated data). Covers baseline/extended
+    sequential AND progressive (SOF0/1/2), 8- and 12-bit precision
+    (12-bit scales to the 8-bit output contract), and 1/3/4
+    components — grayscale, YCbCr, and Adobe CMYK/YCCK via the APP14
+    transform declaration."""
     try:
         return _decode_jpeg_strict(bytes(blob))
     except Exception:
@@ -850,31 +989,40 @@ def jpeg_frame_info(blob: bytes):
 
 def native_decodable_frame(info) -> bool:
     """True when :func:`jpeg_frame_info`'s shape is one the native
-    decoder supports (8-bit baseline/extended-sequential/progressive
-    Huffman, 1 or 3 components)."""
+    decoder supports: Huffman baseline / extended-sequential /
+    progressive, 8- or 12-bit (12-bit not on SOF0 — baseline is
+    8-bit only per T.81), 1/3/4 components (grayscale, YCbCr, Adobe
+    CMYK/YCCK)."""
     return (
         info is not None
         and info["sof"] in _SOF_SUPPORTED
-        and info["precision"] == 8
-        and info["n_components"] in (1, 3)
+        and info["precision"] in (8, 12)
+        and not (info["precision"] == 12 and info["sof"] == 0xC0)
+        and info["n_components"] in (1, 3, 4)
     )
 
 
 def legitimate_undecodable_frame(info) -> bool:
     """True when the frame is a VALID JPEG flavor the native decoder
-    declines — lossless/arithmetic/hierarchical SOF, 12-bit
-    precision, or 4-component (Adobe CMYK) — i.e. the cases a PIL
-    fallback could genuinely decode and the batch kernel should gate
-    on LOUDLY. An impossible shape (precision 9, zero components —
-    bit-flipped corruption that still parses) is NOT legitimate: no
-    decoder accepts it, so it must stay an S4 per-row skip."""
-    return (
-        info is not None
-        and not native_decodable_frame(info)
-        and info["sof"] in _SOF_MARKERS
-        and info["precision"] in (8, 12)
-        and info["n_components"] in (1, 3, 4)
-    )
+    declines — lossless / arithmetic-coded / hierarchical SOFs —
+    i.e. the cases a PIL fallback could genuinely decode and the
+    batch kernel should gate on LOUDLY. (12-bit and 4-component
+    frames decode natively now, so only the exotic entropy/frame
+    modes remain here.) An impossible shape (precision 9, zero
+    components — bit-flipped corruption that still parses) is NOT
+    legitimate: no decoder accepts it, so it must stay an S4 per-row
+    skip. Lossless SOFs allow 2..16-bit sample precision (T.81
+    B.2.2), hence the wider precision window for those."""
+    if info is None or native_decodable_frame(info):
+        return False
+    if info["sof"] not in _SOF_MARKERS or info["n_components"] not in (1, 3, 4):
+        return False
+    if info["sof"] in (0xC3, 0xC7, 0xCB, 0xCF):  # lossless
+        return 2 <= info["precision"] <= 16
+    # 12-bit-on-SOF0 is malformed, not a legitimate flavor
+    if info["sof"] in _SOF_SUPPORTED:
+        return False
+    return info["precision"] in (8, 12)
 
 
 def _decode_jpeg_strict(b: bytes):
@@ -886,6 +1034,7 @@ def _decode_jpeg_strict(b: bytes):
     scan = None
     pending = None  # parsed SOS header awaiting its _SCAN_DATA span
     prog = None  # _ProgressiveState once the first SOF2 scan arrives
+    adobe = None  # APP14 color transform (None = no Adobe marker)
     # marker framing is delegated to the shared _iter_segments walk
     # (same framing jpeg_frame_info sees — they cannot drift);
     # through_scans lets the walk continue past each scan's entropy
@@ -922,18 +1071,23 @@ def _decode_jpeg_strict(b: bytes):
                 htables[(tc, th)] = _fast_tables(bits, vals)
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec = seg[0]
-            if prec != 8:
+            # baseline (SOF0) is 8-bit only per T.81; 12-bit rides
+            # extended sequential (SOF1) or progressive (SOF2)
+            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
                 return None
             h, w = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 return None
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec}
             progressive = marker == 0xC2
+        elif marker == 0xEE:  # APP14: Adobe color-transform declaration
+            if len(seg) >= 12 and seg[:5] == b"Adobe":
+                adobe = seg[11]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
@@ -982,13 +1136,13 @@ def _decode_jpeg_strict(b: bytes):
     if progressive:
         if prog is None:
             return None
-        return prog.reconstruct(qtables)
+        return prog.reconstruct(qtables, adobe)
     if frame is None or scan is None:
         return None
-    return _decode_scan(b, frame, scan, qtables, htables, restart_interval)
+    return _decode_scan(b, frame, scan, qtables, htables, restart_interval, adobe)
 
 
-def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
+def _decode_scan(b, frame, scan, qtables, htables, restart_interval, adobe=None):
     start, end, sel = scan
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     if len(comps) == 1:
@@ -1112,7 +1266,10 @@ def _decode_scan(b, frame, scan, qtables, htables, restart_interval):
             bh, bw2, _ = planes[ci].shape
             planes[ci].reshape(bh * bw2, 64)[blks, ks] = vs
 
-    return _reconstruct(planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy)
+    return _reconstruct(
+        planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy,
+        frame.get("prec", 8), adobe,
+    )
 
 
 def _split_restart_segments(raw: bytes, restart_interval: int) -> list[bytes]:
@@ -1141,11 +1298,22 @@ def _split_restart_segments(raw: bytes, restart_interval: int) -> list[bytes]:
     return segments
 
 
-def _reconstruct(planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy):
+def _reconstruct(
+    planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy, prec=8, adobe=None
+):
     """Coefficient planes → pixels: dequant + inverse zigzag + IDCT
-    (vectorized per component), chroma upsample, YCbCr→RGB. Shared by
-    the sequential and progressive paths — the modes differ only in
-    how the coefficient planes are entropy-decoded."""
+    (vectorized per component), chroma upsample, color transform.
+    Shared by the sequential and progressive paths — the modes differ
+    only in how the coefficient planes are entropy-decoded.
+
+    ``prec`` sets the T.81 level shift (2^(P-1)) and sample range;
+    12-bit decodes scale to the uint8 output contract at the end.
+    ``adobe`` is the APP14 transform for 4-component frames: 2 =
+    YCCK, anything else = plain CMYK; the marker's PRESENCE signals
+    Adobe's inverted-sample convention (sample = max - ink), its
+    absence plain ink values (the libjpeg convention)."""
+    mid = 128.0 if prec == 8 else 2048.0
+    maxv = 255.0 if prec == 8 else 4095.0
     out_planes = []
     for ci, c in enumerate(comps):
         q = qtables.get(c["tq"])
@@ -1159,7 +1327,7 @@ def _reconstruct(planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy):
         # as batched matmul (BLAS): C.T @ coeffs @ C per 8x8 block
         spatial = _C.T @ coeffs @ _C
         plane = (
-            spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+            spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + mid
         )
         # nearest upsample to full MCU-grid resolution
         fy, fx = vmax // c["v"], hmax // c["h"]
@@ -1167,21 +1335,56 @@ def _reconstruct(planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy):
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         out_planes.append(plane[: mcuy * vmax * 8, : mcux * hmax * 8])
 
+    scale = 255.0 / maxv  # 12-bit → 8-bit output contract
+
+    def to_u8(a):
+        a = np.clip(a, 0, maxv)
+        if prec != 8:
+            a = a * scale
+        return np.clip(np.round(a), 0, 255).astype(np.uint8)
+
     if len(comps) == 1:
-        y = np.clip(out_planes[0][:h, :w], 0, 255).astype(np.uint8)
+        if prec == 8:
+            # truncating astype, byte-for-byte what goldens pin
+            y = np.clip(out_planes[0][:h, :w], 0, 255).astype(np.uint8)
+        else:
+            y = to_u8(out_planes[0][:h, :w])
         return np.stack([y, y, y], axis=2)
+
+    if len(comps) == 4:
+        p = [pl[:h, :w] for pl in out_planes]
+        if adobe == 2:  # YCCK: inverted CMY rode the YCbCr transform
+            y, cb, cr = p[0], p[1] - mid, p[2] - mid
+            sc = y + 1.402 * cr
+            sm = y - 0.344136 * cb - 0.714136 * cr
+            sy_ = y + 1.772 * cb
+            sk = p[3]
+        elif adobe is not None:  # Adobe CMYK: stored inverted already
+            sc, sm, sy_, sk = p
+        else:  # no Adobe marker: plain ink values — invert to s-form
+            sc, sm, sy_, sk = (maxv - v for v in p)
+        sk = np.clip(sk, 0, maxv)
+        rgb = np.empty((h, w, 3), dtype=np.float64)
+        # s = max - ink; R = sC*sK/max (the standard multiplicative
+        # CMYK composite on the inverted representation)
+        for i, s in enumerate((sc, sm, sy_)):
+            rgb[:, :, i] = np.clip(s, 0, maxv) * sk / maxv
+        return to_u8(rgb)
+
     y = out_planes[0][:h, :w]
-    cb = out_planes[1][:h, :w] - 128.0
-    cr = out_planes[2][:h, :w] - 128.0
+    cb = out_planes[1][:h, :w] - mid
+    cr = out_planes[2][:h, :w] - mid
     # identical float64 arithmetic to the reference formulation; the
     # preallocated target just avoids np.stack's extra copy
     rgb = np.empty((h, w, 3), dtype=np.float64)
     rgb[:, :, 0] = y + 1.402 * cr
     rgb[:, :, 1] = y - 0.344136 * cb - 0.714136 * cr
     rgb[:, :, 2] = y + 1.772 * cb
-    np.round(rgb, out=rgb)
-    np.clip(rgb, 0, 255, out=rgb)
-    return rgb.astype(np.uint8)
+    if prec == 8:
+        np.round(rgb, out=rgb)
+        np.clip(rgb, 0, 255, out=rgb)
+        return rgb.astype(np.uint8)
+    return to_u8(rgb)
 
 
 class _Cursor:
@@ -1239,6 +1442,7 @@ class _ProgressiveState:
             comps = [dict(comps[0], h=1, v=1)]
         self.h, self.w = h, w
         self.comps = comps
+        self.prec = frame.get("prec", 8)
         self.hmax = max(c["h"] for c in comps)
         self.vmax = max(c["v"] for c in comps)
         if self.hmax < 1 or self.vmax < 1:
@@ -1451,7 +1655,7 @@ class _ProgressiveState:
 
     # -- output -------------------------------------------------------------
 
-    def reconstruct(self, qtables):
+    def reconstruct(self, qtables, adobe=None):
         planes = [
             np.array(self.coef[ci], dtype=np.int64).reshape(
                 self.dims[ci][0], self.dims[ci][1], 64
@@ -1461,4 +1665,5 @@ class _ProgressiveState:
         return _reconstruct(
             planes, self.comps, qtables, self.h, self.w,
             self.hmax, self.vmax, self.mcux, self.mcuy,
+            self.prec, adobe,
         )

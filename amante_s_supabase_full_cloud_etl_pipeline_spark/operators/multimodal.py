@@ -9,10 +9,11 @@ REAL for uncompressed formats:
 - :func:`decode_image` decodes 24-bit uncompressed BMP, binary PPM
   (P6), 8-bit RGB/RGBA PNG (stdlib ``zlib``, all five scanline
   filters), AND JPEG — a full native Huffman+DCT decoder in
-  :mod:`.jpeg` covering baseline sequential (4:4:4 / 4:2:0 /
-  grayscale / restart markers) and progressive SOF2 (T.81 Annex G),
-  so the dominant web-crawl image format needs no image library in
-  either of its wire shapes. WebP and lossless/arithmetic JPEG
+  :mod:`.jpeg` covering baseline/extended sequential (4:4:4 / 4:2:0
+  / grayscale / restart markers), progressive SOF2 (T.81 Annex G),
+  12-bit precision, and 4-component Adobe CMYK/YCCK, so the dominant
+  web-crawl image format needs no image library in any of its
+  Huffman-coded wire shapes. WebP and lossless/arithmetic JPEG
   decode automatically when PIL is importable (:func:`pil_available`
   probe); without PIL, those remaining formats gate behind a loud
   NotImplementedError in :func:`decode_image_batch` while per-row
@@ -164,7 +165,7 @@ def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFr
                 # gate) from "corrupt native-format data" (S4 None):
                 # unknown magic, or a JPEG whose SOF parses to a flavor
                 # the native decoder declines (lossless/arithmetic/
-                # 12-bit/CMYK). The SOF check parses markers — a raw
+                # hierarchical). The SOF check parses markers — a raw
                 # substring scan would misfire on incidental bytes
                 # inside APPn segments or the entropy stream.
                 gated = not b.startswith(_NATIVE_MAGICS)
@@ -172,7 +173,7 @@ def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFr
                     from .jpeg import jpeg_frame_info, legitimate_undecodable_frame
 
                     # only a VALID flavor the native decoder declines
-                    # (lossless/arithmetic/12-bit/CMYK) gates on
+                    # (lossless/arithmetic/hierarchical) gates on
                     # PIL; an impossible SOF shape (bit-flipped
                     # precision/component count) or no frame at all is
                     # corrupt data → S4 skip, never a job failure

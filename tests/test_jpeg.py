@@ -450,3 +450,201 @@ def test_truncation_is_none_or_identical_never_divergent():
             for cut in range(len(blob) - 40, len(blob)):
                 t = decode_jpeg(blob[:cut])
                 assert t is None or np.array_equal(t, full), (sub, prog, cut)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit precision (SOF1/SOF2, T.81 extended sequential + progressive)
+# ---------------------------------------------------------------------------
+
+
+def test_12bit_round_trip_and_progressive_identity():
+    """12-bit encode → decode: uint8 input rides the top of the 12-bit
+    range (<<4) and comes back with FAR less quantization error than
+    8-bit (the finer effective quant step is the whole point); a
+    uint16 input takes native 0..4095 samples; progressive quantizes
+    IDENTICAL coefficients, so its pixels must equal sequential's
+    exactly. Frame info: SOF1 for sequential (baseline SOF0 is 8-bit
+    only per T.81), natively decodable."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (
+        jpeg_frame_info,
+        native_decodable_frame,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (37, 29, 3), dtype=np.uint8)
+    blob = encode_jpeg(img, 95, precision=12)
+    info = jpeg_frame_info(blob)
+    assert info == {"sof": 0xC1, "precision": 12, "n_components": 3}
+    assert native_decodable_frame(info)
+    dec = decode_jpeg(blob)
+    err12 = np.abs(dec.astype(np.int32) - img.astype(np.int32)).mean()
+    err8 = np.abs(
+        decode_jpeg(encode_jpeg(img, 95)).astype(np.int32) - img.astype(np.int32)
+    ).mean()
+    assert err12 < 1.0 and err12 < err8 / 2, (err12, err8)
+
+    prog = decode_jpeg(encode_jpeg(img, 95, precision=12, progressive=True))
+    assert prog is not None and np.array_equal(dec, prog)
+
+    img16 = rng.integers(0, 4096, (16, 16, 3), dtype=np.uint16)
+    d16 = decode_jpeg(encode_jpeg(img16, 95, precision=12))
+    exp = np.round(img16.astype(np.float64) / 4095.0 * 255.0)
+    assert np.abs(d16.astype(np.float64) - exp).mean() < 1.0
+
+    g = rng.integers(0, 4096, (20, 20), dtype=np.uint16)
+    dg = decode_jpeg(encode_jpeg(g, 95, precision=12))
+    expg = np.round(g.astype(np.float64) / 4095.0 * 255.0)
+    assert np.abs(dg[:, :, 0].astype(np.float64) - expg).mean() < 0.5
+
+
+def test_12bit_alphabet_edges_and_restart():
+    """The 12-bit Huffman alphabets must absorb the worst coefficient
+    magnitudes the mode can produce: an 8x8 checkerboard of 0/4095
+    blocks at q100 maximizes DC differences (category 15), 0/4095
+    noise maximizes AC sizes (14). Quant entries are clamped >= 2 in
+    this mode precisely so those categories bound the alphabets —
+    q100's flat-1 table would otherwise overflow them. Restart
+    markers ride the same path as 8-bit."""
+    tile = np.zeros((64, 64), dtype=np.uint16)
+    for by in range(8):
+        for bx in range(8):
+            if (by + bx) % 2:
+                tile[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = 4095
+    img = np.dstack([tile, tile, tile])
+    d = decode_jpeg(encode_jpeg(img, 100, precision=12))
+    exp = np.round(tile.astype(np.float64) / 4095.0 * 255.0)
+    assert np.abs(d[:, :, 0].astype(np.float64) - exp).max() == 0.0
+
+    rng = np.random.default_rng(11)
+    noise = rng.choice([0, 4095], size=(24, 24, 3)).astype(np.uint16)
+    seq = decode_jpeg(encode_jpeg(noise, 100, precision=12))
+    prog = decode_jpeg(encode_jpeg(noise, 100, precision=12, progressive=True))
+    assert seq is not None and np.array_equal(seq, prog)
+    assert decode_jpeg(encode_jpeg(noise, 95, precision=12, restart_interval=2)) is not None
+
+
+# ---------------------------------------------------------------------------
+# Adobe CMYK / YCCK (4-component, APP14 transform)
+# ---------------------------------------------------------------------------
+
+
+def test_cmyk_ycck_and_direct_round_trip():
+    """4-component decode against ARITHMETIC oracles computed from the
+    input (not from the encoder — so a shared enc/dec misreading
+    cannot self-confirm): with stored K = max (no black ink) the
+    multiplicative composite collapses to the stored CMY as RGB; with
+    a varying K plane the expectation is stored * K/max per channel.
+    Both APP14 transforms, both precisions."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (37, 29, 3), dtype=np.uint8)
+    k255 = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    for transform in ("ycck", "cmyk"):
+        d = decode_jpeg(encode_jpeg(k255, 95, cmyk_transform=transform))
+        assert d is not None
+        err = np.abs(d.astype(np.int32) - img.astype(np.int32)).mean()
+        assert err < 4.0, (transform, err)
+
+    k = rng.integers(0, 256, img.shape[:2], dtype=np.uint8)
+    dk = decode_jpeg(encode_jpeg(np.dstack([img, k]), 95, cmyk_transform="cmyk"))
+    exp = img.astype(np.float64) * (k.astype(np.float64) / 255.0)[:, :, None]
+    assert np.abs(dk.astype(np.float64) - exp).mean() < 2.5
+
+    d12 = decode_jpeg(encode_jpeg(k255, 95, precision=12))
+    assert np.abs(d12.astype(np.int32) - img.astype(np.int32)).mean() < 1.5
+
+    # 4:2:0 YCCK on smooth content: chroma bleed stays small
+    grad = _gradient(32, 24)
+    gk = np.dstack([grad, np.full(grad.shape[:2], 255, np.uint8)])
+    ds = decode_jpeg(encode_jpeg(gk, 90, subsample=True))
+    assert np.abs(ds.astype(np.int32) - grad.astype(np.int32)).mean() < 6.0
+
+
+def test_cmyk_no_app14_means_plain_ink():
+    """Without the Adobe APP14 marker, 4-component samples are plain
+    ink values (the libjpeg convention), NOT Adobe's inverted form:
+    stripping the marker from a stored-K=255 file flips the meaning
+    to K-ink=255 = solid black."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    sc = np.dstack([img, np.full((16, 16), 255, np.uint8)])
+    blob = bytearray(encode_jpeg(sc, 95, cmyk_transform="cmyk"))
+    i = bytes(blob).find(b"\xff\xee")
+    assert i > 0
+    ln = int.from_bytes(blob[i + 2 : i + 4], "big")
+    stripped = bytes(blob[:i]) + bytes(blob[i + 2 + ln :])
+    dn = decode_jpeg(stripped)
+    assert dn is not None and dn.max() == 0  # K ink 255 -> black
+
+    # and the un-stripped file still decodes to ~the CMY image
+    d = decode_jpeg(bytes(blob))
+    assert np.abs(d.astype(np.int32) - img.astype(np.int32)).mean() < 4.0
+
+
+def test_truncation_contract_12bit_and_cmyk():
+    """The None-or-identical truncation sweep extends to the new
+    frame flavors."""
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    blobs = [
+        encode_jpeg(img, 90, precision=12),
+        encode_jpeg(img, 90, precision=12, progressive=True),
+        encode_jpeg(np.dstack([img, img[:, :, 0]]), 90),  # ycck
+    ]
+    for blob in blobs:
+        full = decode_jpeg(blob)
+        assert full is not None
+        for cut in range(len(blob) - 30, len(blob)):
+            t = decode_jpeg(blob[:cut])
+            assert t is None or np.array_equal(t, full)
+
+
+def test_gate_reclassification_12bit_cmyk_native():
+    """12-bit and 4-component frames moved from the PIL gate to the
+    native set; the gate now holds only lossless/arithmetic/
+    hierarchical. Malformed hybrids (12-bit on SOF0) are neither."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (
+        jpeg_frame_info,
+        legitimate_undecodable_frame,
+        native_decodable_frame,
+    )
+
+    img = _gradient(16, 16)
+    cm = np.dstack([img, np.full((16, 16), 255, np.uint8)])
+    for blob in (
+        encode_jpeg(img, 85, precision=12),
+        encode_jpeg(cm, 85),
+        encode_jpeg(cm, 85, precision=12),
+    ):
+        info = jpeg_frame_info(blob)
+        assert native_decodable_frame(info), info
+        assert not legitimate_undecodable_frame(info)
+        assert decode_jpeg(blob) is not None
+
+    # arithmetic-coded SOF (0xC9): legitimate but not native
+    b = bytearray(encode_jpeg(img, 85))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC9
+    info = jpeg_frame_info(bytes(b))
+    assert info["sof"] == 0xC9
+    assert not native_decodable_frame(info)
+    assert legitimate_undecodable_frame(info)
+
+    # 12-bit on SOF0 is malformed: corrupt (S4), not a PIL gate
+    b12 = bytearray(encode_jpeg(img, 85, precision=12))
+    j = b12.find(b"\xff\xc1")
+    b12[j + 1] = 0xC0
+    info0 = jpeg_frame_info(bytes(b12))
+    assert info0["sof"] == 0xC0 and info0["precision"] == 12
+    assert not native_decodable_frame(info0)
+    assert not legitimate_undecodable_frame(info0)
+    assert decode_jpeg(bytes(b12)) is None
+
+    # lossless with 16-bit precision: legitimate (T.81 B.2.2 allows
+    # 2..16 there)
+    bl = bytearray(encode_jpeg(img, 85))
+    i = bl.find(b"\xff\xc0")
+    bl[i + 1] = 0xC3
+    bl[i + 4] = 16  # precision byte inside the SOF segment
+    infol = jpeg_frame_info(bytes(bl))
+    assert infol["sof"] == 0xC3 and infol["precision"] == 16
+    assert legitimate_undecodable_frame(infol)
