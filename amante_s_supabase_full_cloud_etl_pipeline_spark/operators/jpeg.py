@@ -524,6 +524,8 @@ def encode_jpeg(
     progressive: bool = False,
     precision: int = 8,
     cmyk_transform: str = "ycck",
+    adobe_rgb: bool = False,
+    scan_layout: str = "interleaved",
 ) -> bytes:
     """(h, w, 3) uint8 RGB (or (h, w) grayscale) → baseline JFIF JPEG.
 
@@ -559,7 +561,19 @@ def encode_jpeg(
     inverted CMY through the YCbCr transform with K passed through
     and writes APP14 transform=2; ``"cmyk"`` stores the four planes
     directly with APP14 transform=0. ``subsample`` applies to the
-    Cb/Cr planes of YCCK only (K stays full-resolution, like Y)."""
+    Cb/Cr planes of YCCK only (K stays full-resolution, like Y).
+
+    ``adobe_rgb=True`` stores a 3-channel input as R,G,B planes with
+    NO color transform, declared via APP14 transform=0 (libjpeg's
+    JCS_RGB shape — rare but real in Adobe pipelines). Incompatible
+    with ``subsample`` (there are no chroma planes to subsample).
+
+    ``scan_layout="per_component"`` emits sequential frames as ONE
+    non-interleaved scan per component (T.81 A.2.2 — the multi-SOS
+    sequential shape libjpeg can write, common for CMYK/12-bit) —
+    identical quantized coefficients, so pixels must equal the
+    interleaved round-trip exactly. Sequential only, no restart
+    markers."""
     if progressive and restart_interval:
         raise ValueError(
             "restart markers are not emitted in progressive mode"
@@ -568,8 +582,14 @@ def encode_jpeg(
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     if precision == 12:
         a = np.asarray(pixels)
+        if a.size == 0:
+            raise ValueError("empty image")
         if a.dtype == np.uint8:
-            arr = a.astype(np.int64) << 4
+            # bit replication, not <<4: maps 0..255 onto the FULL
+            # 0..4095 range (255 -> 4095), so white round-trips to
+            # white instead of 254 (plain <<4 tops out at 4080 and
+            # the decode-side 255/4095 rescale would darken by ~0.4%)
+            arr = (a.astype(np.int64) << 4) | (a.astype(np.int64) >> 4)
         else:
             arr = a.astype(np.int64)
             if arr.min() < 0 or arr.max() > 4095:
@@ -584,6 +604,18 @@ def encode_jpeg(
         raise ValueError("progressive CMYK is not emitted (decode supports it)")
     if cmyk and subsample and cmyk_transform == "cmyk":
         raise ValueError("subsample requires the ycck transform (chroma planes)")
+    if adobe_rgb and (gray or cmyk):
+        raise ValueError("adobe_rgb requires a 3-channel input")
+    if adobe_rgb and subsample:
+        raise ValueError("adobe_rgb has no chroma planes to subsample")
+    if scan_layout not in ("interleaved", "per_component"):
+        raise ValueError(
+            f"scan_layout must be 'interleaved' or 'per_component', got {scan_layout!r}"
+        )
+    if scan_layout == "per_component" and (progressive or restart_interval):
+        raise ValueError(
+            "per_component scans are sequential-only, without restart markers"
+        )
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -613,6 +645,8 @@ def encode_jpeg(
     elif cmyk:  # ycck: inverted CMY through the YCbCr transform
         f = arr.astype(np.float64)
         planes = to_ycc(f[:, :, 0], f[:, :, 1], f[:, :, 2]) + [f[:, :, 3]]
+    elif adobe_rgb:  # R,G,B planes stored directly (no transform)
+        planes = [arr[:, :, i].astype(np.float64) for i in range(3)]
     else:
         rgb = arr.astype(np.float64)
         planes = to_ycc(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
@@ -622,6 +656,10 @@ def encode_jpeg(
         samp = [(1, 1)]
         tqs = [0]
         chroma_like = [False]
+    elif adobe_rgb:
+        samp = [(1, 1)] * 3
+        tqs = [0, 0, 0]
+        chroma_like = [False] * 3
     elif cmyk:
         if subsample:  # ycck only (checked above)
             samp = [(2, 2), (1, 1), (1, 1), (2, 2)]
@@ -661,15 +699,16 @@ def encode_jpeg(
 
     # --- headers -----------------------------------------------------------
     out = bytearray(b"\xff\xd8")  # SOI
-    if cmyk:
+    if cmyk or adobe_rgb:
         # Adobe APP14 declares the component transform (2 = YCCK,
-        # 0 = plain CMYK) and, by its presence, the inverted-sample
-        # convention Adobe writers use
+        # 0 = plain CMYK, or untransformed RGB for 3 components)
+        # and, for 4-component frames, the inverted-sample convention
+        # Adobe writers use
         adobe = (
             b"Adobe"
             + struct.pack(">H", 100)  # DCTEncode version
             + b"\x00\x00\x00\x00"  # flags0, flags1
-            + bytes([2 if cmyk_transform == "ycck" else 0])
+            + bytes([2 if (cmyk and cmyk_transform == "ycck") else 0])
         )
         out += b"\xff\xee" + struct.pack(">H", len(adobe) + 2) + adobe
     else:
@@ -805,6 +844,32 @@ def encode_jpeg(
         emit([0], 6, 63, 1, 0)
         for ci in range(1, ncomp):  # chroma AC refinement 1→0
             emit([ci], 1, 63, 1, 0)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    if scan_layout == "per_component":
+        # one non-interleaved scan per component, each traversing the
+        # component's OWN block grid (T.81 A.2.2), predictors reset
+        # at every SOS
+        for ci in range(ncomp):
+            sos = bytes([1, ci + 1, (ths[ci] << 4) | ths[ci], 0, 63, 0])
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            sh, sv = samp[ci]
+            xi = -(-(w * sh) // hmax)
+            yi = -(-(h * sv) // vmax)
+            cols = -(-xi // 8)
+            rows = -(-yi // 8)
+            dc_codes = dc_c if ths[ci] else dc_l
+            ac_codes = ac_c if ths[ci] else ac_l
+            writer = _BitWriter()
+            pred = 0
+            for row in range(rows):
+                for col in range(cols):
+                    pred = _encode_blocks(
+                        writer, comp_zz[ci][row, col], pred, dc_codes, ac_codes
+                    )
+            writer.flush()
+            out += writer.out
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
@@ -966,8 +1031,9 @@ def jpeg_frame_info(blob: bytes):
     ``{"sof": marker, "precision": p, "n_components": n}``.
 
     This is how callers distinguish "legitimate JPEG flavor the native
-    decoder declines" (progressive/arithmetic/12-bit/CMYK — route to
-    the PIL gate, loudly) from "corrupt data" (S4 per-row skip) —
+    decoder declines" (lossless/arithmetic-coded/hierarchical — route
+    to the PIL gate, loudly; progressive, 12-bit, and CMYK all decode
+    natively) from "corrupt data" (S4 per-row skip) —
     substring-matching for ``FF C2`` would misfire on incidental bytes
     inside APPn segments or the entropy stream."""
     try:
@@ -1031,7 +1097,7 @@ def _decode_jpeg_strict(b: bytes):
     frame = None
     progressive = False
     restart_interval = 0
-    scan = None
+    seq_scans = []  # sequential (start, end, scan_comps, sel, dri)
     pending = None  # parsed SOS header awaiting its _SCAN_DATA span
     prog = None  # _ProgressiveState once the first SOF2 scan arrives
     adobe = None  # APP14 color transform (None = no Adobe marker)
@@ -1117,9 +1183,12 @@ def _decode_jpeg_strict(b: bytes):
             scan_comps, sel, ss, se, a = pending
             pending = None
             if not progressive:
-                # sequential: exactly one scan — decode and finish
-                scan = (start, end, sel)
-                break
+                # sequential: collect every scan — T.81 allows the
+                # frame's components to arrive across several
+                # (non-)interleaved scans, not just one (DRI may also
+                # change between scans, so capture it per scan)
+                seq_scans.append((start, end, scan_comps, sel, restart_interval))
+                continue
             if prog is None:
                 prog = _ProgressiveState(frame)
             prog.apply_scan(
@@ -1137,9 +1206,17 @@ def _decode_jpeg_strict(b: bytes):
         if prog is None:
             return None
         return prog.reconstruct(qtables, adobe)
-    if frame is None or scan is None:
+    if frame is None or not seq_scans:
         return None
-    return _decode_scan(b, frame, scan, qtables, htables, restart_interval, adobe)
+    if len(seq_scans) == 1 and len(seq_scans[0][2]) == len(frame["comps"]):
+        # the overwhelmingly common shape: ONE scan interleaving every
+        # component — the specialized fast path, byte-identical to
+        # what it always decoded
+        start, end, _, sel, ri = seq_scans[0]
+        return _decode_scan(b, frame, (start, end, sel), qtables, htables, ri, adobe)
+    return _decode_sequential_multiscan(
+        b, frame, seq_scans, qtables, htables, adobe
+    )
 
 
 def _decode_scan(b, frame, scan, qtables, htables, restart_interval, adobe=None):
@@ -1298,6 +1375,158 @@ def _split_restart_segments(raw: bytes, restart_interval: int) -> list[bytes]:
     return segments
 
 
+def _decode_sequential_multiscan(b, frame, scans, qtables, htables, adobe):
+    """Sequential decode across SEVERAL scans — T.81 lets a frame's
+    components arrive in any partition of (non-)interleaved scans
+    (libjpeg's one-SOS-per-component shape is real, especially for
+    CMYK and 12-bit output). Each scan decodes into the shared
+    per-component coefficient planes with its own DC predictors and
+    restart interval; reconstruction is the shared path. The
+    one-interleaved-scan case never reaches here — it keeps the
+    specialized fast loop in :func:`_decode_scan`."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(comps) == 1:
+        comps = [dict(comps[0], h=1, v=1)]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    planes = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    ]
+    acc = [([], [], []) for _ in comps]
+    coded: set[int] = set()
+
+    for start, end, scan_comps, sel, ri in scans:
+        cis = []
+        for cid, _, _ in scan_comps:
+            if cid not in by_id:
+                return None
+            cis.append(by_id[cid])
+        tabs = []
+        for ci in cis:
+            c = comps[ci]
+            dc_t = htables.get((0, sel[c["id"]][0]))
+            ac_t = htables.get((1, sel[c["id"]][1]))
+            if dc_t is None or ac_t is None:
+                return None
+            tabs.append((dc_t[0], dc_t[1], ac_t[0], ac_t[1]))
+        interleaved = len(cis) > 1
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            # non-interleaved: the component's OWN grid (T.81 A.2.2)
+            c = comps[cis[0]]
+            xi = -(-(w * c["h"]) // hmax)  # ceil(w*h_i/hmax)
+            yi = -(-(h * c["v"]) // vmax)
+            cols = -(-xi // 8)
+            rows = -(-yi // 8)
+            n_units = rows * cols
+        segments = _split_restart_segments(b[start:end], ri)
+        per_seg = ri or n_units
+        unit = 0
+        seg_idx = 0
+        while unit < n_units:
+            if seg_idx >= len(segments):
+                return None
+            u32, total_bits = _bit_windows(segments[seg_idx])
+            seg_idx += 1
+            preds = [0] * len(cis)
+            pos = 0
+            for _ in range(min(per_seg, n_units - unit)):
+                for si, ci in enumerate(cis):
+                    c = comps[ci]
+                    dc_sym, dc_len, ac_sym, ac_len = tabs[si]
+                    blks, ks, vs = acc[ci]
+                    bw = mcux * c["h"]
+                    if interleaved:
+                        my, mx = divmod(unit, mcux)
+                        targets = [
+                            (my * c["v"] + by) * bw + mx * c["h"] + bx
+                            for by in range(c["v"])
+                            for bx in range(c["h"])
+                        ]
+                    else:
+                        row, col = divmod(unit, cols)
+                        targets = [row * bw + col]
+                    pred = preds[si]
+                    for blk in targets:
+                        if pos >= total_bits:
+                            raise EOFError("truncated entropy data")
+                        w16 = (u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                        length = dc_len[w16]
+                        if length == 0:
+                            raise ValueError("bad Huffman code")
+                        cat = dc_sym[w16]
+                        pos += length
+                        if cat:
+                            v = (
+                                (u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                            ) >> (16 - cat)
+                            pos += cat
+                            if v < (1 << (cat - 1)):
+                                v += (-1 << cat) + 1
+                            pred += v
+                        blks.append(blk)
+                        ks.append(0)
+                        vs.append(pred)
+                        k = 1
+                        while k < 64:
+                            if pos >= total_bits:
+                                raise EOFError("truncated entropy data")
+                            w16 = (u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                            length = ac_len[w16]
+                            if length == 0:
+                                raise ValueError("bad Huffman code")
+                            rs = ac_sym[w16]
+                            pos += length
+                            s = rs & 0xF
+                            if s == 0:
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                return None
+                            v = (
+                                (u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                            ) >> (16 - s)
+                            pos += s
+                            if v < (1 << (s - 1)):
+                                v += (-1 << s) + 1
+                            blks.append(blk)
+                            ks.append(k)
+                            vs.append(v)
+                            k += 1
+                    preds[si] = pred
+                unit += 1
+            if pos > total_bits:
+                raise EOFError("truncated entropy data")
+        coded.update(cis)
+
+    if len(coded) != len(comps):
+        # a stream cut BETWEEN scans leaves whole components uncoded —
+        # that must be a None (S4, same truncation contract as
+        # mid-scan cuts), never a partial-color best-effort image
+        return None
+
+    for ci in range(len(comps)):
+        blks, ks, vs = acc[ci]
+        if blks:
+            bh, bw2, _ = planes[ci].shape
+            planes[ci].reshape(bh * bw2, 64)[blks, ks] = vs
+
+    return _reconstruct(
+        planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy,
+        frame.get("prec", 8), adobe,
+    )
+
+
 def _reconstruct(
     planes, comps, qtables, h, w, hmax, vmax, mcux, mcuy, prec=8, adobe=None
 ):
@@ -1371,6 +1600,11 @@ def _reconstruct(
             rgb[:, :, i] = np.clip(s, 0, maxv) * sk / maxv
         return to_u8(rgb)
 
+    if adobe == 0:
+        # Adobe RGB: APP14 transform=0 on a 3-component frame means
+        # the samples ARE R,G,B — no YCbCr matrix (libjpeg JCS_RGB)
+        rgb = np.stack([pl[:h, :w] for pl in out_planes], axis=2)
+        return to_u8(rgb)
     y = out_planes[0][:h, :w]
     cb = out_planes[1][:h, :w] - mid
     cr = out_planes[2][:h, :w] - mid

@@ -648,3 +648,91 @@ def test_gate_reclassification_12bit_cmyk_native():
     infol = jpeg_frame_info(bytes(bl))
     assert infol["sof"] == 0xC3 and infol["precision"] == 16
     assert legitimate_undecodable_frame(infol)
+
+
+def test_multiscan_sequential_equals_interleaved():
+    """T.81 A.2.2: a sequential frame's components may arrive as one
+    non-interleaved scan each (the multi-SOS shape libjpeg writes,
+    common for CMYK/12-bit). Identical quantized coefficients, so the
+    pixels must equal the interleaved round-trip EXACTLY — across
+    color modes, chroma shapes, precisions, and odd/tiny sizes. Found
+    by self-review: before this, the multi-scan shape silently
+    decoded to None (S4 skip) instead of pixels."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (37, 29, 3), dtype=np.uint8)
+    cases = [
+        (dict(), img),
+        (dict(subsample=True), img),
+        (dict(), img[:, :, 0]),  # gray: 1 scan — stays the fast path
+        (dict(), np.dstack([img, img[:, :, 1]])),  # ycck
+        (dict(cmyk_transform="cmyk"), np.dstack([img, img[:, :, 1]])),
+        (dict(precision=12), img),
+        (dict(subsample=True), np.dstack([img, img[:, :, 1]])),
+    ]
+    for kw, im in cases:
+        inter = decode_jpeg(encode_jpeg(im, 90, **kw))
+        multi = decode_jpeg(encode_jpeg(im, 90, scan_layout="per_component", **kw))
+        assert multi is not None and np.array_equal(inter, multi), kw
+    for shape in [(1, 1), (1, 17), (16, 1), (9, 9)]:
+        im = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        for sub in (False, True):
+            a = decode_jpeg(encode_jpeg(im, 90, subsample=sub))
+            b = decode_jpeg(
+                encode_jpeg(im, 90, subsample=sub, scan_layout="per_component")
+            )
+            assert b is not None and np.array_equal(a, b), (shape, sub)
+    # truncation contract extends to the multi-scan path — sweep
+    # the whole tail HALF so cuts cross scan boundaries: a stream
+    # missing entire component scans must be None, never a
+    # partial-color image
+    small = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    blob = encode_jpeg(small, 90, scan_layout="per_component")
+    full = decode_jpeg(blob)
+    for cut in range(len(blob) // 2, len(blob)):
+        t = decode_jpeg(blob[:cut])
+        assert t is None or np.array_equal(t, full)
+    with pytest.raises(ValueError):
+        encode_jpeg(img, 90, scan_layout="per_component", progressive=True)
+    with pytest.raises(ValueError):
+        encode_jpeg(img, 90, scan_layout="per_component", restart_interval=2)
+
+
+def test_adobe_rgb_transform0_is_not_ycbcr():
+    """APP14 transform=0 on a THREE-component frame means the samples
+    are R,G,B (libjpeg JCS_RGB) — running them through the YCbCr
+    matrix is the bug this test pins (found by self-review). The same
+    stream with APP14 stripped has no transform declaration, so the
+    default YCbCr reading applies and the colors must visibly
+    diverge."""
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    blob = encode_jpeg(img, 95, adobe_rgb=True)
+    d = decode_jpeg(blob)
+    err = np.abs(d.astype(np.int32) - img.astype(np.int32)).mean()
+    assert err < 2.5, err
+    # strip APP14: decoder falls back to YCbCr and misreads the planes
+    raw = bytearray(blob)
+    i = bytes(raw).find(b"\xff\xee")
+    ln = int.from_bytes(raw[i + 2 : i + 4], "big")
+    stripped = bytes(raw[:i]) + bytes(raw[i + 2 + ln :])
+    wrong = decode_jpeg(stripped)
+    assert wrong is not None
+    werr = np.abs(wrong.astype(np.int32) - img.astype(np.int32)).mean()
+    assert werr > 10 * err, (err, werr)
+    # 12-bit Adobe RGB: bit-replicated uint8 samples survive exactly
+    d12 = decode_jpeg(encode_jpeg(img, 95, adobe_rgb=True, precision=12))
+    assert np.array_equal(d12, img)
+
+
+def test_12bit_full_range_and_empty_input():
+    """uint8 → 12-bit promotion uses bit replication (255 → 4095), so
+    pure white round-trips to 255, not the 254 a plain <<4 would give
+    (found by self-review); empty inputs raise the same loud 'empty
+    image' as the 8-bit path, not numpy's zero-size reduction
+    error."""
+    white = np.full((16, 16, 3), 255, np.uint8)
+    assert decode_jpeg(encode_jpeg(white, 100, precision=12)).min() == 255
+    black = np.zeros((16, 16, 3), np.uint8)
+    assert decode_jpeg(encode_jpeg(black, 100, precision=12)).max() == 0
+    with pytest.raises(ValueError, match="empty image"):
+        encode_jpeg(np.zeros((0, 4, 3), np.uint16), precision=12)
