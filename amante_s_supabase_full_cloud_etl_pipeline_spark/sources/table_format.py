@@ -41,7 +41,10 @@ a running query; old versions stay readable (time travel) until
 Streaming exactly-once: ``foreachBatch`` is at-least-once, so
 ``merge``/``append`` accept a ``batch_id`` that is recorded in the
 manifest; re-committing the same batch_id is a no-op, making the
-sink idempotent per micro-batch.
+sink idempotent per micro-batch. The guard compares against the most
+recent BATCHED commit, seeing through interleaved maintenance
+commits (compact/vacuum carry no batch_id) — a retry that lands
+after a handler-triggered compaction still no-ops.
 
 At 100 TB the only piece to swap is the pointer store: local-FS
 rename → a CAS on an object-store/catalog entry (S3 conditional put,
@@ -745,11 +748,24 @@ class ParquetTable:
         return version
 
     def _already_applied(self, batch_id: int | None, parent: int) -> bool:
-        return (
-            batch_id is not None
-            and parent > 0
-            and self.manifest(parent)["batch_id"] == batch_id
-        )
+        """True when ``batch_id`` matches the most recent BATCHED
+        commit — maintenance commits (compact/vacuum, batch_id None)
+        are walked past, not just the immediate parent. foreachBatch
+        only ever re-delivers the last batch, but a handler may have
+        compacted between that batch's commit and the retry's check
+        (or the retry itself compacts first); the replay guard must
+        see through those or the retry double-applies the batch. The
+        walk is bounded by the run of consecutive maintenance
+        commits."""
+        if batch_id is None:
+            return False
+        v = parent
+        while v > 0:
+            applied = self.manifest(v)["batch_id"]
+            if applied is not None:
+                return applied == batch_id
+            v -= 1
+        return False
 
     def _evolved(self, parent: int, df: DataFrame):
         """(schema_json, StructType) after additively evolving the

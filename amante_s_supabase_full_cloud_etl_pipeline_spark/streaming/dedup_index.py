@@ -198,6 +198,13 @@ def near_dup_index_writer(
     IN-list file skipping needs band_hash-ranged files to prune."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        # compact FIRST: the ledger's replay guard checks each
+        # table's LAST commit, so the fold's append must stay the
+        # final index commit of a successful handle — compacting
+        # after it would let a crash-retry re-append the batch's
+        # band rows past the compaction commit
+        if compact_at_files and len(index.files()) >= compact_at_files:
+            index.compact(sort_by=["band_hash"])
         found = fold_near_dup_index(
             index,
             batch,
@@ -213,7 +220,5 @@ def near_dup_index_writer(
             order_by=["id_a", "id_b"],
             batch_id=batch_id,
         )
-        if compact_at_files and len(index.files()) >= compact_at_files:
-            index.compact(sort_by=["band_hash"])
 
     return handle

@@ -82,6 +82,30 @@ def test_idempotent_batch_commit(spark, table):
     assert table.read().count() == 1
 
 
+def test_replay_guard_sees_through_maintenance_commits(spark, table):
+    """A retry that lands AFTER a handler-triggered compaction (a
+    batch_id-less maintenance commit) must still no-op: the guard
+    compares against the most recent BATCHED commit, not just the
+    immediate parent — otherwise any compact-inside-the-handler
+    pattern double-applies the retried batch (found building the
+    streaming BM25 index writer)."""
+    table.append(_df(spark, [(1, "a", 1)]), batch_id=3)
+    table.append(_df(spark, [(2, "b", 2)]), batch_id=4)
+    table.compact()
+    n = table.read().count()
+    v = table.current_version()
+    table.append(_df(spark, [(2, "b", 2)]), batch_id=4)  # retry post-compact
+    assert table.current_version() == v and table.read().count() == n
+    table.compact()
+    table.compact()  # several consecutive maintenance commits
+    v2 = table.current_version()
+    table.append(_df(spark, [(2, "b", 2)]), batch_id=4)
+    assert table.current_version() == v2
+    # a genuinely NEW batch still commits
+    table.append(_df(spark, [(3, "c", 3)]), batch_id=5)
+    assert table.read().count() == n + 1
+
+
 def test_concurrent_writer_conflict(spark, table):
     table.append(_df(spark, [(1, "a", 1)]))
     # a racing writer steals version 2
