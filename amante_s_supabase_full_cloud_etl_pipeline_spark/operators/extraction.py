@@ -1,0 +1,236 @@
+"""HTML → text extraction — the step a crawl-curation pipeline runs
+BEFORE every text operator in this package (quality signals, dedup,
+lang-ID, tokenization all assume plain text; a web crawl delivers
+markup).
+
+Charter extension (SURVEY.md §2.10 text-analysis family). Reference
+analog: none — the reference ingests spreadsheets; the algorithmic
+ground is public (the C4/CCNet pipelines' extract-then-filter shape;
+link-density boilerplate signals per Kohlschütter et al.'s
+boilerplate features).
+
+Two tiers, cross-checked against each other:
+
+- :func:`extract_text` — the precise tier: an Arrow-batched
+  ``mapInPandas`` kernel around stdlib ``html.parser`` (event-based,
+  lenient on real-world tag soup — never raises on bad nesting).
+  Emits the document text with block-element line structure
+  preserved, the <title>, and structural boilerplate signals
+  (link count, link-character density) downstream filters consume.
+  Python-per-row is justified exactly as for the media codecs: the
+  work is inherently per-document string parsing, embarrassingly
+  parallel, with no cross-row state.
+- :func:`strip_tags_expr` — the JVM tier: a pure
+  ``regexp_replace`` chain (zero UDF, whole-stage codegen) that
+  drops script/style/comment spans, converts block tags to
+  newlines, strips remaining tags, and unescapes the common
+  entities. It does NOT understand nesting — it is the bulk fast
+  path for tag-simple corpora, and the differential tests pin that
+  on such documents it agrees with the kernel after whitespace
+  normalization.
+
+Scale design: both tiers are map-only (no shuffle, no driver state);
+the kernel streams Arrow batches, so executor memory is bounded by
+the batch, and a corrupt document degrades to a null row (S4
+semantics), never a task failure.
+"""
+
+from __future__ import annotations
+
+from html import unescape
+from html.parser import HTMLParser
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: content of these elements is never document text
+_SKIP_TAGS = {"script", "style", "noscript", "template", "svg", "iframe"}
+
+#: elements that imply a line break around their content
+_BLOCK_TAGS = {
+    "address", "article", "aside", "blockquote", "br", "caption", "dd",
+    "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer",
+    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "li",
+    "main", "nav", "ol", "p", "pre", "section", "table", "td", "th",
+    "tr", "ul",
+}
+
+EXTRACT_SCHEMA = (
+    "doc_id long, title string, text string, n_links long, "
+    "link_density double"
+)
+
+
+class _Extractor(HTMLParser):
+    """Event visitor: text accumulation with block-boundary newlines,
+    skip-element suppression, title capture, link-character
+    accounting. convert_charrefs=True (the default) resolves
+    entities/charrefs before handle_data, so &amp; arrives as '&'."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.parts: list[str] = []
+        self.title_parts: list[str] = []
+        self.skip_depth = 0
+        self.in_title = False
+        self.anchor_depth = 0
+        self.n_links = 0
+        self.link_chars = 0
+        self.total_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self.skip_depth += 1
+        elif tag == "title":
+            self.in_title = True
+        elif tag == "a":
+            self.anchor_depth += 1
+            self.n_links += 1
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self.skip_depth:
+            self.skip_depth -= 1
+        elif tag == "title":
+            self.in_title = False
+        elif tag == "a" and self.anchor_depth:
+            self.anchor_depth -= 1
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        # void/self-closing elements (<br/>, <hr/>): block break only
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+        elif tag == "a":
+            self.n_links += 1
+
+    def handle_data(self, data):
+        if self.skip_depth:
+            return
+        if self.in_title:
+            self.title_parts.append(data)
+            return
+        self.parts.append(data)
+        stripped = len(data.strip())
+        self.total_chars += stripped
+        if self.anchor_depth:
+            self.link_chars += stripped
+
+
+def _normalize(raw: str) -> str:
+    """Whitespace canonicalization shared by both tiers: collapse
+    intra-line whitespace, drop blank lines, strip edges — the form
+    line-level dedup/boilerplate ops expect."""
+    lines = []
+    for line in raw.split("\n"):
+        line = " ".join(line.split())
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def extract_html_record(html: str | None):
+    """(title, text, n_links, link_density) for one document, or None
+    when the input is null/unparseable (S4 per-row skip). Lenient on
+    tag soup by construction — html.parser is event-based and
+    recovers from bad nesting; only a pathological input that breaks
+    the parser itself degrades to None."""
+    if html is None:
+        return None
+    try:
+        p = _Extractor()
+        p.feed(html)
+        p.close()
+    except Exception:
+        return None
+    title = " ".join("".join(p.title_parts).split())
+    text = _normalize("".join(p.parts))
+    density = (
+        float(p.link_chars) / float(p.total_chars) if p.total_chars else 0.0
+    )
+    return title, text, p.n_links, round(density, 6)
+
+
+def extract_text_kernel(
+    batches: "Iterator",
+) -> "Iterator":
+    """mapInPandas kernel: (doc_id, html) batches → EXTRACT_SCHEMA
+    rows. A failed document yields null title/text (and null signals),
+    never a task failure."""
+    import pandas as pd
+
+    for batch in batches:
+        titles, texts, links, dens = [], [], [], []
+        for html in batch["html"]:
+            rec = extract_html_record(html)
+            if rec is None:
+                titles.append(None)
+                texts.append(None)
+                links.append(None)
+                dens.append(None)
+            else:
+                t, x, n, d = rec
+                titles.append(t)
+                texts.append(x)
+                links.append(n)
+                dens.append(d)
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "title": titles,
+                "text": texts,
+                "n_links": pd.array(links, dtype="Int64"),
+                "link_density": pd.array(dens, dtype="Float64"),
+            }
+        )
+
+
+def extract_text(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, title, text, n_links, link_density) per document —
+    the precise stdlib-parser tier. Map-only; schema is
+    :data:`EXTRACT_SCHEMA`."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(html_col).alias("html")
+    ).mapInPandas(extract_text_kernel, EXTRACT_SCHEMA)
+
+
+#: entity unescapes the JVM tier performs (the named set regexps can
+#: reach without a lookup table; numeric charrefs stay literal there)
+_SQL_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST, so &amp;lt; becomes &lt; not <
+]
+
+
+def strip_tags_expr(col: Column) -> Column:
+    """JVM-side tag stripping: drop script/style/comment spans,
+    break on block tags, strip the rest, unescape the common named
+    entities, canonicalize whitespace — one codegen'd expression
+    chain, zero Python. Nesting-blind by design (see module doc);
+    the differential tests pin agreement with the kernel on
+    tag-simple documents."""
+    c = F.regexp_replace(
+        col, r"(?is)<(script|style|noscript|template|svg|iframe)\b.*?</\1\s*>", " "
+    )
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<title\b.*?</title\s*>", " ")
+    block = "|".join(sorted(_BLOCK_TAGS))
+    c = F.regexp_replace(c, rf"(?i)</?({block})\b[^>]*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in _SQL_ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    # collapse horizontal whitespace, then blank lines, then edges
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    return F.regexp_replace(c, r"^\n|\n$", "")

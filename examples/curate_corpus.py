@@ -50,7 +50,11 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.decontam import (
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.packing import (
     pack_chunk_spans,
 )
-from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import hygiene, substring_dedup
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import (
+    extraction,
+    hygiene,
+    substring_dedup,
+)
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.redact import redact_pii
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.text import (
     dup_token_count,
@@ -67,8 +71,35 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import
 
 def main(sf_dir: str, workdir: str) -> None:
     spark = get_spark("curate-corpus")
-    raw = catalog.table(spark, sf_dir, "documents")
-    n0 = raw.count()
+    plain = catalog.table(spark, sf_dir, "documents")
+    n0 = plain.count()
+
+    # -1. crawl shape: a real run starts from MARKUP, not text. The
+    # testdata is plain text, so synthesize the page each doc would
+    # have arrived as (entity-escaped body + chrome with a link-heavy
+    # footer), then run the two-tier extractor; the structural
+    # link-density signal would drop nav/footer-only pages here.
+    esc = F.col("text")
+    for pat, rep in ((r"&", "&amp;"), (r"<", "&lt;"), (r">", "&gt;")):
+        esc = F.regexp_replace(esc, pat, rep)
+    crawl = plain.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("<html><head><title>doc</title></head><body><p>"),
+            esc,
+            F.lit(
+                "</p><footer><a href='/s'>share</a>"
+                "<a href='/t'>tweet</a></footer></body></html>"
+            ),
+        ).alias("html"),
+    )
+    raw = (
+        extraction.extract_text(crawl)
+        .filter(F.col("link_density") < 0.5)
+        .select("doc_id", "text")
+        .join(plain.select("doc_id", "source"), "doc_id")
+    )
 
     # 0. hygiene: mojibake/NFC/control repair, then the compression-
     # ratio information-density signal (both Arrow kernels, map-only)

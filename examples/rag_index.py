@@ -22,7 +22,10 @@ side of the charter's similarity-search surface, composed end-to-end:
 4. HYBRID retrieval: BM25 over the chunk texts (``operators/bm25.py``
    inverted-index postings) fused with the dense ranking via
    reciprocal-rank fusion — the standard lexical+dense production
-   stack, here entirely as DataFrame plans.
+   stack, here entirely as DataFrame plans. The lexical leg is then
+   re-served from the INCREMENTALLY-FOLDED index
+   (``streaming/bm25_index.py``, three micro-batches) with a live
+   equality check against the batch scores.
 
 At 100 TB the same composition holds: chunking is a scan stage, the
 embed kernel is the GPU-bound map stage, the PQ index is the only
@@ -152,17 +155,52 @@ def main(sf_dir: str) -> None:
             f"(rrf {r['rrf_score']:.4f}, rank {r['rank']})"
         )
 
+    # ---- the lexical leg served from the STREAMED index -------------------
+    # Under continuous ingest the postings live in the incrementally-
+    # folded index (streaming/bm25_index.py). Fold the same chunks in
+    # three micro-batches and serve the identical queries: the scores
+    # must equal the batch build's exactly (shared expression tree;
+    # probe-side df over the full stored postings IS the global df).
+    import tempfile
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
+        ParquetTable,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.bm25_index import (
+        bm25_index_topk,
+        fold_bm25_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        p_tab = ParquetTable(spark, os.path.join(d, "postings"))
+        s_tab = ParquetTable(spark, os.path.join(d, "doc_stats"))
+        corpus = chunks.select(F.col("vec_id").alias("doc_id"), "chunk_text")
+        for i in range(3):
+            fold_bm25_index(
+                p_tab,
+                s_tab,
+                corpus.filter(F.col("doc_id") % 3 == i),
+                text_col="chunk_text",
+                batch_id=i,
+            )
+        streamed = bm25_index_topk(p_tab, s_tab, bm25_queries, k=5)
+        batch_rows = {tuple(r) for r in lexical.select("query_id", "doc_id", "bm25").collect()}
+        stream_rows = {tuple(r) for r in streamed.select("query_id", "doc_id", "score").collect()}
+        print(
+            "streamed lexical index: "
+            + (
+                "serves the batch scores exactly (3 folds)"
+                if batch_rows == stream_rows
+                else "DIVERGED FROM BATCH"
+            )
+        )
+
     # ---- drift monitoring + rebuild on the STREAMED index ----------------
     # Production serving uses the incrementally-folded index
     # (streaming/ann_index.py). The histogram is the drift alarm: when
     # the frozen quantizer stops fitting the distribution, one list
     # soaks up the corpus and probes degrade toward a full scan — the
     # response is re-fit + rebuild_ann_index, one batch job.
-    import tempfile
-
-    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
-        ParquetTable,
-    )
     from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.ann_index import (
         fit_coarse_centroids,
         fold_ann_index,
