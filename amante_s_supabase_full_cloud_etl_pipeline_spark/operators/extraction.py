@@ -82,7 +82,14 @@ class _Extractor(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
             self.skip_depth += 1
-        elif tag == "title":
+            return
+        if self.skip_depth:
+            # anchors/blocks inside skipped subtrees (template/svg/
+            # noscript chrome) are not rendered content: counting
+            # them would make n_links inconsistent with link_density,
+            # whose character accounting already excludes these spans
+            return
+        if tag == "title":
             self.in_title = True
         elif tag == "a":
             self.anchor_depth += 1
@@ -91,9 +98,13 @@ class _Extractor(HTMLParser):
             self.parts.append("\n")
 
     def handle_endtag(self, tag):
-        if tag in _SKIP_TAGS and self.skip_depth:
-            self.skip_depth -= 1
-        elif tag == "title":
+        if tag in _SKIP_TAGS:
+            if self.skip_depth:
+                self.skip_depth -= 1
+            return
+        if self.skip_depth:
+            return
+        if tag == "title":
             self.in_title = False
         elif tag == "a" and self.anchor_depth:
             self.anchor_depth -= 1
@@ -101,6 +112,8 @@ class _Extractor(HTMLParser):
             self.parts.append("\n")
 
     def handle_startendtag(self, tag, attrs):
+        if self.skip_depth:
+            return
         # void/self-closing elements (<br/>, <hr/>): block break only
         if tag in _BLOCK_TAGS:
             self.parts.append("\n")
@@ -229,8 +242,19 @@ def strip_tags_expr(col: Column) -> Column:
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     for ent, rep in _SQL_ENTITIES:
         c = F.regexp_replace(c, ent, rep)
-    # collapse horizontal whitespace, then blank lines, then edges
-    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    # collapse horizontal whitespace, then blank lines, then edges.
+    # The class mirrors what the kernel's str.split() treats as
+    # whitespace: Java's \s is ASCII-only and excludes NBSP & friends,
+    # so literal \xa0 /   etc. in real HTML would otherwise
+    # diverge the tiers (self-review r5)
+    hws = (
+        "[ \t\r\f\x0b\u0085\u00a0\u1680\u2000-\u200a"
+        "\u2028\u2029\u202f\u205f\u3000]"
+    )
+    c = F.regexp_replace(c, hws + "+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n+", "\n")
-    return F.regexp_replace(c, r"^\n|\n$", "")
+    # trim BOTH residual spaces and newlines at the edges (a text
+    # node before the first block tag leaves a leading space, not a
+    # newline — self-review r5)
+    return F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")

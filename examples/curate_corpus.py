@@ -94,12 +94,15 @@ def main(sf_dir: str, workdir: str) -> None:
             ),
         ).alias("html"),
     )
+    extracted = extraction.extract_text(crawl)
     raw = (
-        extraction.extract_text(crawl)
-        .filter(F.col("link_density") < 0.5)
+        extracted.filter(
+            F.col("text").isNotNull() & (F.col("link_density") < 0.5)
+        )
         .select("doc_id", "text")
         .join(plain.select("doc_id", "source"), "doc_id")
     )
+    n_extracted = raw.count()
 
     # 0. hygiene: mojibake/NFC/control repair, then the compression-
     # ratio information-density signal (both Arrow kernels, map-only)
@@ -172,7 +175,9 @@ def main(sf_dir: str, workdir: str) -> None:
         tables[split] = t
 
     # 6. mixture report + pack the train split into context chunks
-    train = tables["train"].read().join(raw.select("doc_id", "source"), "doc_id")
+    # source lives on the cheap catalog table — joining `raw` here
+    # would re-run the whole extraction kernel per action
+    train = tables["train"].read().join(plain.select("doc_id", "source"), "doc_id")
     mix = (
         train.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(token_count(F.col("text"))).alias("n_tok"))
@@ -185,8 +190,10 @@ def main(sf_dir: str, workdir: str) -> None:
 
     n_kept, n_unique, n_final = kept.count(), exact_unique.count(), deduped.count()
     n_clean = cleaned.count()
-    print(f"corpus:        {n0} docs")
-    print(f"band filter:   {n_kept} kept ({n0 - n_kept} dropped)")
+    print(f"corpus:        {n0} docs (as crawled markup)")
+    print(f"extraction:    {n_extracted} kept ({n0 - n_extracted} dropped: "
+          "parse failure or link-density chrome)")
+    print(f"band filter:   {n_kept} kept ({n_extracted - n_kept} dropped)")
     print(f"exact dedup:   {n_unique} unique")
     print(f"near-dup:      {n_final} after LSH pruning")
     print(f"decontam:      {n_clean} after eval-overlap drop")

@@ -118,7 +118,8 @@ def test_jvm_tier_agrees_with_kernel_on_tag_simple_docs(spark, sf_dir):
 def test_jvm_tier_property_plaintext_roundtrip(spark):
     """Hypothesis: plain text (no markup metacharacters) wrapped in
     nested block tags extracts back to its whitespace-normalized self
-    on BOTH tiers."""
+    on BOTH tiers — the JVM expression is evaluated per example
+    (self-review r5: the first version never actually called it)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -134,7 +135,7 @@ def test_jvm_tier_property_plaintext_roundtrip(spark):
         max_size=12,
     )
 
-    @settings(max_examples=20, deadline=None)
+    @settings(max_examples=10, deadline=None)
     @given(ws=words)
     def check(ws):
         body = " ".join(ws)
@@ -142,5 +143,52 @@ def test_jvm_tier_property_plaintext_roundtrip(spark):
         want = " ".join(body.split())
         rec = extract_html_record(html)
         assert rec is not None and rec[1] == want
+        jvm = spark.range(1).select(
+            strip_tags_expr(F.lit(html)).alias("t")
+        ).collect()[0]["t"]
+        assert jvm == want
 
     check()
+
+
+def test_tiers_agree_on_edge_text_and_odd_whitespace(spark):
+    """Self-review r5 regression pins: (a) a text node BEFORE the
+    first block tag must not leave a leading space on the JVM tier;
+    (b) literal non-ASCII whitespace (NBSP, \\x0b, \\u2028 — Java's
+    \\s misses all of them) must collapse identically on both
+    tiers."""
+    cases = [
+        "<html><body>hello<p>x</p></body></html>",
+        "<p>tail</p>trailer  ",
+        "<p>a\xa0b</p>",
+        "<p>v\x0bw</p>",
+        "<p>l m n</p>",
+        "<p>wide　gap</p>",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(cases)), "doc_id long, html string"
+    )
+    jvm = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", strip_tags_expr(F.col("html")).alias("t")
+        ).collect()
+    }
+    for i, html in enumerate(cases):
+        kernel_text = extract_html_record(html)[1]
+        assert jvm[i] == kernel_text, (html, jvm[i], kernel_text)
+    assert extract_html_record(cases[2])[1] == "a b"
+
+
+def test_links_inside_skipped_subtrees_are_not_counted():
+    """Self-review r5: anchors inside template/svg/noscript chrome
+    are not rendered — counting them while excluding their characters
+    made n_links contradict link_density."""
+    html = (
+        "<template>"
+        + "".join(f'<a href="/{i}">x</a>' for i in range(20))
+        + "</template><p>real text only</p>"
+    )
+    _, text, n_links, density = extract_html_record(html)
+    assert text == "real text only"
+    assert n_links == 0 and density == 0.0
