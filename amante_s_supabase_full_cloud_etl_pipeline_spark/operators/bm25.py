@@ -40,6 +40,29 @@ from .text import tokens
 from .topk import grouped_topk
 
 
+def tokenized_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term) — the ONE tokenization both the batch builder
+    and the streaming fold go through (a drift here would silently
+    break the streamed==batch differential, so it lives in exactly
+    one place)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+
+
+def index_rows(tokenized: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """((term, doc_id, tf), (doc_id, dl)) from a
+    :func:`tokenized_terms` frame — the df-less index rows the
+    streaming fold appends per micro-batch; :func:`build_index` adds
+    the denormalized df on top."""
+    tf = tokenized.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tokenized.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return tf, dl
+
+
 def build_index(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
@@ -54,14 +77,9 @@ def build_index(
     time, amortized over every query that probes the stored index.
     doc_stats: (doc_id, dl) token lengths. Store both bucketed by
     their key for probe-side co-location at scale."""
-    tokenized = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    )
-    tf = tokenized.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    tf, doc_stats = index_rows(tokenized_terms(docs, text_col, id_col))
     term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     postings = tf.join(term_df, "term")
-    doc_stats = tokenized.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     return postings, doc_stats
 
 

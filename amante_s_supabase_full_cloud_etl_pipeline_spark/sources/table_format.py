@@ -42,9 +42,10 @@ Streaming exactly-once: ``foreachBatch`` is at-least-once, so
 ``merge``/``append`` accept a ``batch_id`` that is recorded in the
 manifest; re-committing the same batch_id is a no-op, making the
 sink idempotent per micro-batch. The guard compares against the most
-recent BATCHED commit, seeing through interleaved maintenance
-commits (compact/vacuum carry no batch_id) — a retry that lands
-after a handler-triggered compaction still no-ops.
+recent DATA commit, seeing through commits marked as maintenance
+(compaction — a row-identical layout rewrite) — a retry that lands
+after a handler-triggered compaction still no-ops, while any real
+data commit (batched or not) shields exactly as before.
 
 At 100 TB the only piece to swap is the pointer store: local-FS
 rename → a CAS on an object-store/catalog entry (S3 conditional put,
@@ -718,6 +719,7 @@ class ParquetTable:
         batch_id: int | None,
         parent: int,
         schema: str | None = None,
+        maintenance: bool = False,
     ) -> int:
         version = parent + 1
         manifest = {
@@ -726,6 +728,10 @@ class ParquetTable:
             "manifests": self._merge_manifests(manifests),
             "batch_id": batch_id,
         }
+        if maintenance:
+            # row-identical layout rewrite (compaction): the replay
+            # guard walks PAST these, and only these
+            manifest["maintenance"] = True
         if schema:
             manifest["schema"] = schema
         if self.bloom_columns:
@@ -748,22 +754,25 @@ class ParquetTable:
         return version
 
     def _already_applied(self, batch_id: int | None, parent: int) -> bool:
-        """True when ``batch_id`` matches the most recent BATCHED
-        commit — maintenance commits (compact/vacuum, batch_id None)
-        are walked past, not just the immediate parent. foreachBatch
-        only ever re-delivers the last batch, but a handler may have
-        compacted between that batch's commit and the retry's check
-        (or the retry itself compacts first); the replay guard must
-        see through those or the retry double-applies the batch. The
-        walk is bounded by the run of consecutive maintenance
-        commits."""
+        """True when ``batch_id`` matches the most recent DATA commit
+        — commits MARKED as maintenance (compaction: row-identical
+        layout rewrites) are walked past, not just the immediate
+        parent. foreachBatch only ever re-delivers the last batch,
+        but a handler may compact between that batch's commit and the
+        retry's check (or the retry itself compacts first); the guard
+        must see through those or the retry double-applies the batch.
+        Any DATA commit — batched or plain — stops the walk, so
+        unbatched appends shield exactly as they did under the old
+        parent-only guard, and the walk is bounded by the run of
+        consecutive compaction commits. ``.get`` everywhere: legacy
+        manifests predate both fields."""
         if batch_id is None:
             return False
         v = parent
         while v > 0:
-            applied = self.manifest(v)["batch_id"]
-            if applied is not None:
-                return applied == batch_id
+            m = self.manifest(v)
+            if not m.get("maintenance"):
+                return m.get("batch_id") == batch_id
             v -= 1
         return False
 
@@ -1310,7 +1319,7 @@ class ParquetTable:
         rel = self._write_data_dir(df)
         return self._commit(
             [self._write_manifest(self._stats_for_dir(rel))], None, parent,
-            schema=self.manifest(parent).get("schema"),
+            schema=self.manifest(parent).get("schema"), maintenance=True,
         )
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

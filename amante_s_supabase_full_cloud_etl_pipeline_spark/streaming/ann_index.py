@@ -160,15 +160,18 @@ def ann_index_writer(
     file per batch (the streaming small-files problem), and the
     probed-list file skipping in :func:`ivf_index_topk` is only
     selective when files are list-ranged. Compaction is row-identical
-    and snapshot-isolated, so a crash between fold and compact loses
-    nothing (the next trigger re-checks the threshold)."""
+    and snapshot-isolated, and the replay guard walks past its
+    maintenance-marked commit, so ordering is not load-bearing for
+    exactly-once; compacting BEFORE the fold (matching the other
+    streaming-index writers) keeps the guard's walk at length zero
+    in the steady state."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        if compact_at_files and len(index.files()) >= compact_at_files:
+            index.compact(sort_by=["list_id"])
         fold_ann_index(
             index, batch, centroids, id_col=id_col, vec_col=vec_col, batch_id=batch_id
         )
-        if compact_at_files and len(index.files()) >= compact_at_files:
-            index.compact(sort_by=["list_id"])
 
     return handle
 

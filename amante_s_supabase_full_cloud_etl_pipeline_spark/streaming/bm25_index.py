@@ -35,9 +35,10 @@ Scale design:
 - scoring delegates to ``operators.bm25.bm25_score`` — ONE
   expression tree for batch and streaming, so the two paths cannot
   drift.
-- ``compact_at_files`` bounds the file count as micro-batches
-  accumulate (term-sorted rewrite keeps the probe's file skipping
-  effective), same knob as the other streaming indexes.
+- ``compact_at_files`` bounds BOTH tables' file counts as
+  micro-batches accumulate (postings term-sorted for probe file
+  skipping; doc_stats doc_id-sorted — it is read in full per probe),
+  same knob as the other streaming indexes.
 
 Assumption (documented like the ANN index's frozen quantizer): doc
 ids are unique across batches — re-ingesting a changed document is
@@ -49,8 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.bm25 import bm25_score
-from ..operators.text import tokens
+from ..operators.bm25 import bm25_score, index_rows, tokenized_terms
 from ..sources.table_format import ParquetTable
 
 #: above this many distinct probed terms, skip the IN-list file
@@ -63,17 +63,13 @@ def batch_posting_rows(
     batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
     """((term, doc_id, tf), (doc_id, dl)) for one micro-batch — the
-    same tokenization and shapes as the batch ``build_index``, minus
-    the denormalized df (recomputed probe-side; see module doc).
-    Zero-token documents appear in neither frame, matching the batch
-    builder."""
-    tokenized = batch.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    )
-    tf = tokenized.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tokenized.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    return tf, dl
+    batch ``build_index``'s own tokenization and aggregations
+    (``tokenized_terms`` + ``index_rows``: one expression tree, so
+    the streamed==batch differential cannot drift at this layer),
+    minus the denormalized df (recomputed probe-side; see module
+    doc). Zero-token documents appear in neither frame, matching the
+    batch builder."""
+    return index_rows(tokenized_terms(batch, text_col, id_col))
 
 
 def fold_bm25_index(
@@ -87,10 +83,17 @@ def fold_bm25_index(
     """Fold one micro-batch into the stored index pair. Exactly-once
     under foreachBatch replay: each table's batch_id ledger skips the
     leg it already committed, so a retry that died between the two
-    appends converges instead of double-counting."""
-    tf, dl = batch_posting_rows(batch, text_col, id_col)
-    postings.append(tf.select("term", "doc_id", "tf"), batch_id=batch_id)
-    doc_stats.append(dl.select("doc_id", "dl"), batch_id=batch_id)
+    appends converges instead of double-counting. The tokenized frame
+    persists across the two appends — they are separate actions, and
+    without the cache each would re-run the explode/tokenize pass
+    (self-review r5)."""
+    tokenized = tokenized_terms(batch, text_col, id_col).persist()
+    try:
+        tf, dl = index_rows(tokenized)
+        postings.append(tf.select("term", "doc_id", "tf"), batch_id=batch_id)
+        doc_stats.append(dl.select("doc_id", "dl"), batch_id=batch_id)
+    finally:
+        tokenized.unpersist()
 
 
 def bm25_index_topk(
@@ -112,7 +115,17 @@ def bm25_index_topk(
     :data:`_MAX_IN_LIST`); df per term is counted from the probed
     postings — the full posting set for those terms, hence the global
     value. Scoring delegates to ``bm25_score`` so batch and streaming
-    share one expression tree."""
+    share one expression tree.
+
+    Query-anytime includes BEFORE the first fold: an empty index
+    returns zero rows (doc_id typed long — nothing stored to infer
+    from), it does not raise."""
+    if postings.current_version() == 0 or doc_stats.current_version() == 0:
+        qtype = dict(queries.dtypes)["query_id"]
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"query_id {qtype}, doc_id long, score double, rank int",
+        )
     probed = [
         r["term"]
         for r in queries.select(F.explode("terms").alias("term"))
@@ -150,17 +163,21 @@ def bm25_index_writer(
               .foreachBatch(bm25_index_writer(postings, doc_stats))
               .option("checkpointLocation", ...).start())
 
-    ``compact_at_files`` > 0 compacts the postings table sorted by
-    term whenever its live file count reaches the threshold, keeping
-    the probe's per-term file skipping effective as appends
-    accumulate. Compaction runs BEFORE the fold, never after: the
-    ledger's replay guard checks the table's LAST commit, so the fold
-    must be the final commit of a successful handle — a retry then
-    hits the ledger instead of re-appending past the compaction."""
+    ``compact_at_files`` > 0 compacts BOTH tables at the threshold —
+    postings term-sorted (keeps the probe's per-term file skipping
+    effective), doc_stats doc_id-sorted (it is fully read per probe,
+    so its file count matters just as much). The replay guard walks
+    past compaction commits (they are marked as maintenance), so
+    ordering is not load-bearing for exactly-once; compacting BEFORE
+    the fold is defense-in-depth that also keeps the guard's
+    maintenance-commit walk at length zero in the steady state."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        if compact_at_files and len(postings.files()) >= compact_at_files:
-            postings.compact(sort_by=["term"])
+        if compact_at_files:
+            if len(postings.files()) >= compact_at_files:
+                postings.compact(sort_by=["term"])
+            if len(doc_stats.files()) >= compact_at_files:
+                doc_stats.compact(sort_by=["doc_id"])
         fold_bm25_index(
             postings,
             doc_stats,

@@ -198,11 +198,11 @@ def near_dup_index_writer(
     IN-list file skipping needs band_hash-ranged files to prune."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        # compact FIRST: the ledger's replay guard checks each
-        # table's LAST commit, so the fold's append must stay the
-        # final index commit of a successful handle — compacting
-        # after it would let a crash-retry re-append the batch's
-        # band rows past the compaction commit
+        # the replay guard walks past compaction commits (marked as
+        # maintenance in the manifest), so compact-vs-fold ordering
+        # is not load-bearing for exactly-once; compacting FIRST is
+        # defense-in-depth that keeps the guard's walk at length
+        # zero in the steady state
         if compact_at_files and len(index.files()) >= compact_at_files:
             index.compact(sort_by=["band_hash"])
         found = fold_near_dup_index(

@@ -147,6 +147,20 @@ def test_writer_compacts_and_survives_replay(spark, sf_dir, tmp_path):
             # crash-retry of the final batch, which also crossed the
             # compaction threshold on its first delivery
             handle(chunk, i)
-    assert len(postings.files()) <= 3  # compaction bounded the count
+    # compaction bounded BOTH tables' file counts (self-review r5:
+    # doc_stats is read in full per probe, so it compacts too)
+    assert len(postings.files()) <= 3
+    assert len(stats.files()) <= 3
     got = _rows(bm25_index_topk(postings, stats, _queries(spark), k=5))
     assert got == want
+
+
+def test_empty_index_queries_return_no_rows(spark, tmp_path):
+    """Query-anytime includes before the first fold (self-review r5:
+    this used to raise 'table is empty'): an un-folded index answers
+    with zero rows and the right columns."""
+    postings = ParquetTable(spark, str(tmp_path / "pe"))
+    stats = ParquetTable(spark, str(tmp_path / "se"))
+    out = bm25_index_topk(postings, stats, _queries(spark), k=5)
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
+    assert out.count() == 0

@@ -84,26 +84,39 @@ def test_idempotent_batch_commit(spark, table):
 
 def test_replay_guard_sees_through_maintenance_commits(spark, table):
     """A retry that lands AFTER a handler-triggered compaction (a
-    batch_id-less maintenance commit) must still no-op: the guard
-    compares against the most recent BATCHED commit, not just the
-    immediate parent — otherwise any compact-inside-the-handler
-    pattern double-applies the retried batch (found building the
-    streaming BM25 index writer)."""
+    maintenance-marked commit) must still no-op: the guard compares
+    against the most recent DATA commit, walking past compactions —
+    otherwise any compact-inside-the-handler pattern double-applies
+    the retried batch (found building the streaming BM25 index
+    writer). Plain unbatched data commits STOP the walk (the shield
+    semantics the parent-only guard had), and legacy manifests
+    without the fields are treated as data commits."""
     table.append(_df(spark, [(1, "a", 1)]), batch_id=3)
     table.append(_df(spark, [(2, "b", 2)]), batch_id=4)
     table.compact()
+    assert table.manifest(table.current_version()).get("maintenance") is True
     n = table.read().count()
     v = table.current_version()
     table.append(_df(spark, [(2, "b", 2)]), batch_id=4)  # retry post-compact
     assert table.current_version() == v and table.read().count() == n
-    table.compact()
-    table.compact()  # several consecutive maintenance commits
+    # TWO genuinely-committed consecutive maintenance commits (the
+    # second forced via sort_by + min_files=1 — a plain compact of a
+    # 1-file table no-ops without committing): the walk must cross
+    # both
+    table.compact(min_files=1, sort_by=["k"])
+    assert table.manifest(table.current_version()).get("maintenance") is True
     v2 = table.current_version()
+    assert v2 == v + 1
     table.append(_df(spark, [(2, "b", 2)]), batch_id=4)
     assert table.current_version() == v2
+    # an UNBATCHED data commit shields: the same batch_id afterwards
+    # is a new delivery, not a replay
+    table.append(_df(spark, [(8, "z", 8)]))
+    table.append(_df(spark, [(2, "b2", 9)]), batch_id=4)
+    assert table.read().count() == n + 2
     # a genuinely NEW batch still commits
     table.append(_df(spark, [(3, "c", 3)]), batch_id=5)
-    assert table.read().count() == n + 1
+    assert table.read().count() == n + 3
 
 
 def test_concurrent_writer_conflict(spark, table):
