@@ -12,30 +12,45 @@ Format essentials implemented here:
   line endings) then exactly ``Content-Length`` payload bytes, then
   two blank lines (CRLF CRLF);
 - ``response`` records wrap the full HTTP response — status line +
-  headers + body — so the DOCUMENT payload requires stripping the
-  HTTP envelope (and capturing its status/Content-Type);
+  headers + body. The DOCUMENT text therefore needs the HTTP
+  envelope stripped AND the transfer undone: ``Transfer-Encoding:
+  chunked`` framing is removed, ``Content-Encoding: gzip/deflate``
+  bodies are decompressed (brotli has no stdlib codec — such rows
+  keep the raw payload and no text), and the body is decoded using
+  the Content-Type's ``charset=`` (quoted or bare; any Python codec;
+  UTF-8 fallback) with ``errors="replace"`` — a mislabeled or
+  corrupt page yields replacement characters, NEVER a task failure.
+  That decode happens INSIDE the record-splitter kernel on purpose:
+  Spark's ``decode`` expression hard-fails the whole job on the
+  first malformed byte (MALFORMED_CHARACTER_CODING), which no crawl
+  survives;
 - ``.warc.gz`` files are MULTI-MEMBER gzip streams (one member per
-  record, per the spec's recommendation) — stdlib ``gzip``
-  transparently reads concatenated members.
+  record, per the spec's recommendation) — read STREAMING through
+  ``gzip.GzipFile``, so a truncated final member still yields every
+  record before it (matching the plain-file behavior), and the full
+  decompressed file is never materialized next to the raw bytes.
 
 Spark integration and the 100 TB story: files load through the
 ``binaryFile`` source and split into records by an Arrow-batched
-``mapInPandas`` kernel — one task per WARC file. That per-FILE
-parallelism is not a local shortcut, it is how production crawl
-processing shards: gzip members make records seekable only forward,
-so every real system (including Common Crawl's own tooling) assigns
-whole .warc.gz files to workers; a snapshot's ~100k files saturate
-any cluster. A malformed record degrades to a row with
-``parse_error`` set (S4 per-record skip), never a task failure.
-``spark.sql.files.maxPartitionBytes`` does not split binaryFile
-rows, so executor memory is bounded by the largest single WARC file
-— size shards accordingly (Common Crawl uses ~1 GiB).
+``mapInPandas`` kernel — one task per WARC file, yielding bounded
+row chunks. That per-FILE parallelism is not a local shortcut, it is
+how production crawl processing shards: gzip members are only
+forward-seekable, so every real system assigns whole .warc.gz files
+to workers; a snapshot's ~100k files saturate any cluster. A
+malformed record degrades to a row with ``parse_error`` set (S4
+per-record skip); broken framing ends that FILE's iteration (the
+Content-Length chain is the only record delimiter) after yielding
+everything before the break. ``binaryFile`` rows are not split, so
+executor memory is bounded by the largest single raw file + one row
+chunk — size shards accordingly (Common Crawl uses ~1 GiB).
 """
 
 from __future__ import annotations
 
 import gzip
 import io
+import re
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,13 +59,20 @@ from pyspark.sql import functions as F
 WARC_SCHEMA = (
     "path string, record_id string, warc_type string, target_uri string, "
     "warc_date string, content_type string, http_status int, "
-    "http_content_type string, payload binary, parse_error string"
+    "http_content_type string, payload binary, text string, "
+    "parse_error string"
 )
 
 _CRLF = b"\r\n"
 
+#: rows per pandas chunk the kernel yields (bounds executor memory to
+#: raw-file bytes + one chunk, instead of every payload at once)
+_KERNEL_CHUNK_ROWS = 1000
 
-def _read_headers(buf: io.BufferedIOBase) -> dict[str, str] | None:
+_CHARSET_RE = re.compile(r"(?i)charset=[\"']?([\w.:+-]+)")
+
+
+def _read_headers(buf) -> dict[str, str] | None:
     """One CRLF-terminated header block → {lower-name: value}, or
     None at end-of-stream. The first line must be a WARC/x.y version
     line; leading blank lines (inter-record separators) are
@@ -76,42 +98,115 @@ def _read_headers(buf: io.BufferedIOBase) -> dict[str, str] | None:
         headers[last] = value.strip().decode("utf-8", "replace")
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Undo Transfer-Encoding: chunked framing, or None when the
+    framing is broken (caller keeps the raw bytes then)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            return None
+        size_tok = body[pos:nl].strip().split(b";", 1)[0]
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = nl + 1
+        if size == 0:
+            return bytes(out)
+        chunk = body[pos : pos + size]
+        if len(chunk) != size:
+            return None
+        out += chunk
+        pos += size
+        # chunk data is followed by CRLF (tolerate LF)
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+        else:
+            return None
+
+
 def _split_http(block: bytes):
-    """(status, content_type, body) from an HTTP message block, or
-    (None, None, block) when no HTTP envelope is present."""
+    """(status, content_type, body, text) from an HTTP message block
+    — transfer undone (chunked, gzip/deflate) and the body decoded
+    per the declared charset with replacement; (None, None, block,
+    None) when no HTTP envelope is present, and text=None when the
+    body is not decodable text (non-text type, brotli, broken
+    framing)."""
     if not block.startswith(b"HTTP/"):
-        return None, None, block
-    head, sep, body = block.partition(b"\r\n\r\n")
-    if not sep:
-        head, sep, body = block.partition(b"\n\n")
-        if not sep:
-            return None, None, block
+        return None, None, block, None
+    # earliest head/body separator wins: trying CRLFCRLF first would
+    # mis-split an LF-only-header message whose BODY contains CRLFs
+    i_crlf = block.find(b"\r\n\r\n")
+    i_lf = block.find(b"\n\n")
+    if i_crlf < 0 and i_lf < 0:
+        return None, None, block, None
+    if i_crlf >= 0 and (i_lf < 0 or i_crlf <= i_lf):
+        head, body = block[:i_crlf], block[i_crlf + 4 :]
+    else:
+        head, body = block[:i_lf], block[i_lf + 2 :]
     lines = head.split(b"\n")
     try:
         status = int(lines[0].split()[1])
     except (IndexError, ValueError):
-        return None, None, block
-    ctype = None
+        return None, None, block, None
+    ctype = cenc = tenc = None
     for ln in lines[1:]:
         name, _, value = ln.partition(b":")
-        if name.strip().lower() == b"content-type":
+        key = name.strip().lower()
+        if key == b"content-type":
             ctype = value.strip().decode("utf-8", "replace")
-    return status, ctype, body
+        elif key == b"content-encoding":
+            cenc = value.strip().lower()
+        elif key == b"transfer-encoding":
+            tenc = value.strip().lower()
+
+    if tenc and b"chunked" in tenc:
+        dechunked = _dechunk(body)
+        if dechunked is None:
+            return status, ctype, body, None
+        body = dechunked
+    if cenc in (b"gzip", b"x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except (OSError, EOFError):
+            return status, ctype, body, None
+    elif cenc == b"deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -15)  # raw-deflate servers
+            except zlib.error:
+                return status, ctype, body, None
+    elif cenc not in (None, b"", b"identity"):
+        return status, ctype, body, None  # brotli etc.: no stdlib codec
+
+    text = None
+    if ctype and ctype.split(";")[0].strip().lower().startswith("text/"):
+        m = _CHARSET_RE.search(ctype)
+        charset = m.group(1) if m else "utf-8"
+        try:
+            text = body.decode(charset, errors="replace")
+        except LookupError:  # unknown label → the crawl-wide default
+            text = body.decode("utf-8", errors="replace")
+    return status, ctype, body, text
 
 
 def iter_warc_records(raw: bytes, path: str = ""):
     """Parse one WARC file's bytes (gzip'd or plain; multi-member
-    gzip per the spec) into WARC_SCHEMA-shaped dicts. A record whose
-    framing breaks yields ONE row with ``parse_error`` set and ends
-    the file's iteration (framing loss is not recoverable —
-    Content-Length is the only record delimiter)."""
+    gzip per the spec, read streaming) into WARC_SCHEMA-shaped dicts.
+    Broken framing yields ONE row with ``parse_error`` set and ends
+    the file's iteration — records BEFORE the break are yielded
+    normally (a truncated final gzip member costs that member, not
+    the file)."""
     if raw[:2] == b"\x1f\x8b":
-        try:
-            raw = gzip.decompress(raw)
-        except (OSError, EOFError) as e:  # BadGzipFile OR truncated stream
-            yield {"path": path, "parse_error": f"gzip: {e}"}
-            return
-    buf = io.BytesIO(raw)
+        buf = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    else:
+        buf = io.BytesIO(raw)
     while True:
         try:
             headers = _read_headers(buf)
@@ -126,10 +221,10 @@ def iter_warc_records(raw: bytes, path: str = ""):
             return
         wtype = headers.get("warc-type", "")
         ctype = headers.get("content-type", "")
-        status = http_ctype = None
+        status = http_ctype = text = None
         payload = block
         if wtype == "response" and ctype.startswith("application/http"):
-            status, http_ctype, payload = _split_http(block)
+            status, http_ctype, payload, text = _split_http(block)
         yield {
             "path": path,
             "record_id": headers.get("warc-record-id"),
@@ -140,28 +235,40 @@ def iter_warc_records(raw: bytes, path: str = ""):
             "http_status": status,
             "http_content_type": http_ctype,
             "payload": payload,
+            "text": text,
             "parse_error": None,
         }
 
 
+_COLS = [
+    "path", "record_id", "warc_type", "target_uri", "warc_date",
+    "content_type", "http_status", "http_content_type", "payload",
+    "text", "parse_error",
+]
+
+
 def warc_kernel(batches: "Iterator") -> "Iterator":
     """mapInPandas kernel over binaryFile rows: (path, content) →
-    WARC_SCHEMA records."""
+    WARC_SCHEMA records, yielded in bounded chunks so executor memory
+    holds the raw file plus ONE chunk of rows, not every payload at
+    once."""
     import pandas as pd
 
-    cols = [
-        "path", "record_id", "warc_type", "target_uri", "warc_date",
-        "content_type", "http_status", "http_content_type", "payload",
-        "parse_error",
-    ]
+    def frame(rows):
+        df = pd.DataFrame(rows, columns=_COLS)
+        df["http_status"] = pd.array(df["http_status"], dtype="Int32")
+        return df
+
     for batch in batches:
         rows = []
         for path, content in zip(batch["path"], batch["content"]):
             for rec in iter_warc_records(bytes(content), path):
-                rows.append([rec.get(c) for c in cols])
-        df = pd.DataFrame(rows, columns=cols)
-        df["http_status"] = pd.array(df["http_status"], dtype="Int32")
-        yield df
+                rows.append([rec.get(c) for c in _COLS])
+                if len(rows) >= _KERNEL_CHUNK_ROWS:
+                    yield frame(rows)
+                    rows = []
+        if rows:
+            yield frame(rows)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -173,39 +280,30 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def crawl_documents(spark: SparkSession, path: str) -> DataFrame:
-    """The curation-facing view: successful HTML responses only,
-    decoded to text — (doc_id, url, fetched_at, html). doc_id is the
-    64-bit hash of the record id (stable, content-independent).
-
-    Charset: the HTTP Content-Type's ``charset=`` is honored across
-    the charsets Spark's ``decode`` supports (UTF-8/16 variants,
-    ISO-8859-1, US-ASCII); windows-1252 maps to its ISO-8859-1
-    superset-in-the-printable-range (the 0x80-0x9F punctuation
-    differs — documented approximation), everything else falls back
-    to UTF-8. ``decode`` cannot take a per-row charset column, hence
-    the branch chain — still one codegen'd projection, zero UDF."""
+    """The curation-facing view: successful decodable HTML responses
+    only — (doc_id, url, fetched_at, html). The html column is the
+    kernel's charset-aware replacement-decoded text (see module doc
+    for why the decode cannot be a Spark expression). doc_id is the
+    64-bit hash of the record id, falling back to
+    path|target_uri|warc_date when a sloppy writer omitted
+    WARC-Record-ID (hashing a constant null would collide every such
+    record onto one id)."""
     recs = read_warc(spark, path)
     html = recs.filter(
         F.col("parse_error").isNull()
         & (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
         & F.col("http_content_type").rlike("(?i)text/html")
-    )
-    cs = F.lower(
-        F.regexp_extract(F.col("http_content_type"), r"(?i)charset=([\w-]+)", 1)
-    )
-    decoded = (
-        F.when(
-            cs.isin("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"),
-            F.decode("payload", "ISO-8859-1"),
-        )
-        .when(cs.isin("us-ascii", "ascii"), F.decode("payload", "US-ASCII"))
-        .when(cs.isin("utf-16", "utf16"), F.decode("payload", "UTF-16"))
-        .otherwise(F.decode("payload", "UTF-8"))
+        & F.col("text").isNotNull()
     )
     return html.select(
-        F.xxhash64("record_id").alias("doc_id"),
+        F.xxhash64(
+            F.coalesce(
+                F.col("record_id"),
+                F.concat_ws("|", "path", "target_uri", "warc_date"),
+            )
+        ).alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("fetched_at"),
-        decoded.alias("html"),
+        F.col("text").alias("html"),
     )

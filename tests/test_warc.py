@@ -94,9 +94,9 @@ def test_malformed_framing_degrades_to_error_row():
     # garbage prefix: not a WARC version line
     recs2 = list(iter_warc_records(b"NOT A WARC\r\n\r\n", "g.warc"))
     assert len(recs2) == 1 and "WARC version" in recs2[0]["parse_error"]
-    # bad gzip magic with corrupt stream
+    # bad gzip magic with corrupt stream: one error row
     recs3 = list(iter_warc_records(b"\x1f\x8bgarbage", "b.warc.gz"))
-    assert recs3[0]["parse_error"].startswith("gzip")
+    assert len(recs3) == 1 and recs3[0]["parse_error"] is not None
 
 
 def test_read_warc_and_crawl_documents(spark, tmp_path):
@@ -148,3 +148,142 @@ def test_warc_to_extraction_pipeline(spark, tmp_path):
     assert len(feats) == 1
     assert feats[0]["title"] == "T1"
     assert feats[0]["text"] == "hello warc"
+
+
+def test_truncated_gzip_member_keeps_prior_records():
+    """Self-review r5: the gzip stream is read STREAMING, so a
+    truncated final member costs that member, not the whole file
+    (gzip.decompress-up-front returned zero records for a 50k-record
+    file with one bad tail)."""
+    good = gzip.compress(
+        _record("response", _http(_HTML), uri="http://k.example/", rec_id="<urn:uuid:g>")
+    )
+    bad = gzip.compress(
+        _record("response", _http(b"lost"), uri="http://k.example/2", rec_id="<urn:uuid:h>")
+    )[:-8]
+    recs = list(iter_warc_records(good + bad, "t.warc.gz"))
+    assert recs[0]["parse_error"] is None
+    assert recs[0]["target_uri"] == "http://k.example/"
+    assert recs[-1]["parse_error"] is not None
+
+
+def test_malformed_bytes_decode_with_replacement_never_fail(spark, tmp_path):
+    """Self-review r5 (live-repro'd): Spark's decode expression
+    aborts the JOB on the first malformed byte — the kernel decodes
+    instead, with errors='replace', so a mislabeled page yields
+    replacement characters and the crawl continues."""
+    bad_utf8 = b"<p>ok \xff\xfe broken</p>"
+    d = tmp_path / "c"
+    d.mkdir()
+    (d / "x.warc").write_bytes(
+        _record("response", _http(bad_utf8), uri="http://m.example/", rec_id="<urn:uuid:m>")
+    )
+    docs = crawl_documents(spark, str(d)).collect()
+    assert len(docs) == 1
+    assert "ok \ufffd\ufffd broken" in docs[0]["html"]
+
+
+def test_charset_labels_quoted_utf16_and_unknown():
+    """Quoted charset= values (RFC 7231), UTF-16LE labels, and
+    unknown labels (fall back to UTF-8+replace) all decode in the
+    kernel."""
+    quoted = _record(
+        "response",
+        _http("<p>caf\xe9</p>".encode("latin-1"), 200, 'text/html; charset="iso-8859-1"'),
+        uri="u://q", rec_id="<urn:uuid:q>",
+    )
+    rec = next(iter_warc_records(quoted))
+    assert "café" in rec["text"]
+    u16 = "<p>wide</p>".encode("utf-16-le")
+    rec2 = next(
+        iter_warc_records(
+            _record("response", _http(u16, 200, "text/html; charset=utf-16le"),
+                    uri="u://w", rec_id="<urn:uuid:w>")
+        )
+    )
+    assert "wide" in rec2["text"]
+    rec3 = next(
+        iter_warc_records(
+            _record("response", _http(b"<p>x</p>", 200, "text/html; charset=bogus-enc"),
+                    uri="u://b", rec_id="<urn:uuid:b>")
+        )
+    )
+    assert rec3["text"] == "<p>x</p>"
+
+
+def test_http_transfer_and_content_encodings():
+    """chunked framing is removed, gzip/deflate bodies decompress,
+    brotli (no stdlib codec) yields no text but keeps the payload."""
+    body = b"<p>chunked gz</p>"
+    gz = gzip.compress(body)
+    chunked = (
+        hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n" + chunked
+    )
+    rec = next(
+        iter_warc_records(_record("response", msg, uri="u://c", rec_id="<urn:uuid:c>"))
+    )
+    assert rec["text"] == "<p>chunked gz</p>"
+    assert rec["payload"] == body
+
+    import zlib
+
+    defl = zlib.compress(b"<p>deflated</p>")
+    msg2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: deflate\r\n\r\n" + defl
+    )
+    rec2 = next(
+        iter_warc_records(_record("response", msg2, uri="u://d", rec_id="<urn:uuid:d>"))
+    )
+    assert rec2["text"] == "<p>deflated</p>"
+
+    msg3 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n" + b"\x8b\x02\x80brotli-bytes"
+    )
+    rec3 = next(
+        iter_warc_records(_record("response", msg3, uri="u://e", rec_id="<urn:uuid:e>"))
+    )
+    assert rec3["text"] is None and rec3["payload"] == b"\x8b\x02\x80brotli-bytes"
+
+
+def test_lf_only_head_with_crlf_in_body():
+    """Self-review r5: the head/body split takes the EARLIEST
+    separator — an LF-only-header message whose body contains
+    CRLFCRLF previously split inside the body."""
+    msg = (
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+        b"<p>first</p>\r\n\r\n<p>second</p>"
+    )
+    rec = next(
+        iter_warc_records(_record("response", msg, uri="u://lf", rec_id="<urn:uuid:lf>"))
+    )
+    assert rec["http_status"] == 200
+    assert rec["text"] == "<p>first</p>\r\n\r\n<p>second</p>"
+
+
+def test_missing_record_ids_do_not_collide(spark, tmp_path):
+    """Self-review r5: xxhash64(NULL) is a constant, so records from
+    writers that omit WARC-Record-ID would all share one doc_id; the
+    fallback hashes path|uri|date instead."""
+    def no_id(uri):
+        h = (
+            b"WARC/1.1\r\nWARC-Type: response\r\n"
+            b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+        )
+        payload = _http(b"<p>" + uri.encode() + b"</p>")
+        h += b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        return h + b"\r\n" + payload + b"\r\n\r\n"
+
+    d = tmp_path / "nid"
+    d.mkdir()
+    (d / "n.warc").write_bytes(no_id("http://n.example/1") + no_id("http://n.example/2"))
+    docs = crawl_documents(spark, str(d)).collect()
+    assert len(docs) == 2
+    assert len({r["doc_id"] for r in docs}) == 2
