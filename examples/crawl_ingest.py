@@ -1,0 +1,184 @@
+"""Crawl ingestion front half, end-to-end from real WARC bytes:
+
+    python examples/crawl_ingest.py [sf_dir] [workdir]
+
+1. SIMULATE the crawl: wrap every document of the corpus in the HTTP
+   response + WARC record framing it would have been captured as
+   (entity-escaped body, title, link-heavy footer chrome; one
+   gzip member per record, the spec's recommended .warc.gz shape) —
+   sharded into several files, the unit production crawl processing
+   parallelizes over. A few records are deliberately adversarial:
+   a page that lies about its charset, a gzip Content-Encoding body,
+   a duplicate page fetched under tracking-parameter URL variants.
+2. Ingest: ``sources/warc.py crawl_documents`` (record framing, HTTP
+   envelope strip, chunked/gzip undo, replace-on-malformed charset
+   decode — all inside the one record-splitter kernel).
+3. URL dedup: canonicalize (``operators/urls.py``) and keep one
+   fetch per canonical URL — the crawl-side dedup that runs BEFORE
+   any content dedup.
+4. Extract: ``operators/extraction.py extract_text`` → title, text,
+   link-density; drop chrome-dominated pages.
+5. Hand off: the surviving (doc_id, text) frame is exactly what
+   ``examples/curate_corpus.py``'s signal/dedup/pack stages consume.
+
+Everything after the simulation step is the real production path.
+"""
+
+from __future__ import annotations
+
+import gzip
+import html as html_mod
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.extraction import (
+    extract_text,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.urls import (
+    canonical_url,
+    url_host,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.session import get_spark
+from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.warc import (
+    crawl_documents,
+)
+
+
+def _http(body: bytes, ctype: str = "text/html; charset=utf-8", extra: str = "") -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n{extra}"
+        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )
+
+
+def _warc_record(uri: str, rec_id: str, payload: bytes) -> bytes:
+    head = (
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <" + rec_id.encode() + b">\r\n"
+        b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+        b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+    )
+    return head + payload + b"\r\n\r\n"
+
+
+def _page(doc_id: int, text: str) -> bytes:
+    body = html_mod.escape(text)
+    return (
+        f"<html><head><title>doc {doc_id}</title></head><body>"
+        f"<h1>doc {doc_id}</h1><p>{body}</p>"
+        f"<footer><a href='/share'>share</a><a href='/about'>about</a>"
+        f"</footer></body></html>"
+    ).encode()
+
+
+def synthesize_crawl(spark, sf_dir: str, out_dir: str, shards: int = 8) -> int:
+    """documents.parquet → sharded .warc.gz crawl simulation.
+    Returns the number of records written."""
+    rows = (
+        catalog.table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n = 0
+    handles = [
+        open(os.path.join(out_dir, f"crawl-{s:02d}.warc.gz"), "wb")
+        for s in range(shards)
+    ]
+    try:
+        for r in rows:
+            did = r["doc_id"]
+            page = _page(did, r["text"])
+            url = f"http://site{did % 23}.example/doc/{did}"
+            recs = [(url, f"urn:doc:{did}", _http(page))]
+            if did % 31 == 0:
+                # the same page refetched under a tracking variant —
+                # the URL-dedup stage must collapse it
+                recs.append(
+                    (url + "?utm_source=feed", f"urn:doc:{did}:b", _http(page))
+                )
+            if did % 37 == 0:
+                # gzip Content-Encoding body
+                recs = [
+                    (
+                        url,
+                        f"urn:doc:{did}",
+                        _http(
+                            gzip.compress(page),
+                            extra="Content-Encoding: gzip\r\n",
+                        ),
+                    )
+                ]
+            if did % 41 == 0:
+                # lies about its charset: latin-1 bytes labeled utf-8
+                # (replace-decode keeps the crawl alive)
+                recs = [
+                    (
+                        url,
+                        f"urn:doc:{did}",
+                        _http(page.replace(b"<p>", "<p>caf\xe9 ".encode("latin-1"))),
+                    )
+                ]
+            for u, rid, payload in recs:
+                handles[n % shards].write(
+                    gzip.compress(_warc_record(u, rid, payload))
+                )
+                n += 1
+    finally:
+        for h in handles:
+            h.close()
+    return n
+
+
+def main(sf_dir: str, workdir: str) -> None:
+    spark = get_spark("crawl-ingest")
+    n_src = catalog.table(spark, sf_dir, "documents").count()
+    n_written = synthesize_crawl(spark, sf_dir, workdir)
+
+    docs = crawl_documents(spark, os.path.join(workdir, "*.warc.gz"))
+    n_fetched = docs.count()
+
+    # crawl-side dedup: one fetch per canonical URL — keep-min via
+    # aggregate + semi-join, the shuffle-once shape that scales
+    # (a row_number window would single-thread each hot URL)
+    canon = docs.withColumn("curl", canonical_url(F.col("url")))
+    keep = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+    unique = canon.join(keep, ["curl", "doc_id"], "left_semi")
+    n_unique = unique.count()
+
+    feats = extract_text(unique, html_col="html")
+    kept = feats.filter(
+        F.col("text").isNotNull() & (F.col("link_density") < 0.5)
+    )
+    n_kept = kept.count()
+    hosts = (
+        canon.select(url_host(F.col("url")).alias("h"))
+        .groupBy("h")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(3)
+        .collect()
+    )
+
+    print(f"corpus:      {n_src} source docs → {n_written} WARC records (8 .warc.gz shards)")
+    print(f"ingested:    {n_fetched} pages (HTTP 200 text/html, decoded)")
+    print(f"url dedup:   {n_unique} unique canonical URLs "
+          f"({n_fetched - n_unique} tracking-variant refetches collapsed)")
+    print(f"extracted:   {n_kept} pages kept (parse ok, link density < 0.5)")
+    print(f"top hosts:   {[(r['h'], r['count']) for r in hosts]}")
+    sample = kept.orderBy("doc_id").limit(1).collect()[0]
+    print(f"sample:      title={sample['title']!r} text[:40]={sample['text'][:40]!r}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    wd = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="crawl_")
+    main(sf, wd)

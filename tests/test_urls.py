@@ -1,0 +1,93 @@
+"""URL canonicalization: RFC 3986 syntax normalizations, tracking
+strip, param sort, grouping keys — plus the property that
+canonicalization is idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.urls import (
+    canonical_url,
+    url_host,
+    url_registered_domain,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_canonical_url_normalizations(spark):
+    cases = [
+        # scheme/host case, default port, fragment
+        ("HTTP://WWW.Example.COM:80/Path#frag", "http://www.example.com/Path"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        # userinfo dropped
+        ("http://user:pw@example.com/x", "http://example.com/x"),
+        # empty path -> /
+        ("http://example.com", "http://example.com/"),
+        # tracking params stripped, remainder sorted, empty query gone
+        (
+            "http://e.com/p?utm_source=tw&b=2&a=1&fbclid=XYZ",
+            "http://e.com/p?a=1&b=2",
+        ),
+        ("http://e.com/p?utm_campaign=x", "http://e.com/p"),
+        ("http://e.com/p?z=1&y=2&gclid=g#f", "http://e.com/p?y=2&z=1"),
+        # trailing slash preserved (can be semantic)
+        ("http://e.com/a/", "http://e.com/a/"),
+        # unparseable passes through trimmed
+        ("  not a url  ", "not a url"),
+    ]
+    got = _canon(spark, [c[0] for c in cases])
+    for (src, want), g in zip(cases, got):
+        assert g == want, (src, g, want)
+
+
+def test_canonicalization_is_idempotent(spark):
+    urls = [
+        "HTTP://A.B:80/x?utm_a=1&q=2#z",
+        "https://u@h.io:443",
+        "http://e.com/p?b=2&a=1",
+    ]
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_grouping_keys(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://News.Example.CO.uk:8443/x",),
+            ("http://user@sub.a.example.com/y",),
+            ("http://localhost/z",),
+        ],
+        "url string",
+    )
+    rows = df.select(
+        url_host(F.col("url")).alias("h"),
+        url_registered_domain(F.col("url")).alias("d"),
+    ).collect()
+    assert rows[0]["h"] == "news.example.co.uk" and rows[0]["d"] == "co.uk"
+    assert rows[1]["h"] == "sub.a.example.com" and rows[1]["d"] == "example.com"
+    assert rows[2]["h"] == "localhost" and rows[2]["d"] == "localhost"
+
+
+def test_url_dedup_collapses_variants(spark):
+    """The operator's purpose: trivially-different fetches of one
+    page share a canonical key."""
+    variants = [
+        "http://Example.com:80/page?utm_source=a",
+        "HTTP://example.COM/page",
+        "http://user@example.com/page#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    n = (
+        df.select(canonical_url(F.col("url")).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert n == 1
