@@ -12,12 +12,14 @@ expressions — map-only, whole-stage codegen, zero UDF, so the
 canonical key costs one projection at 100 TB.
 
 Normalizations (in order):
-- scheme and host lowercased (RFC 3986 §6.2.2.1); userinfo dropped
+- scheme and host lowercased and percent-escape hex uppercased
+  (RFC 3986 §6.2.2.1); userinfo and the DNS-neutral trailing host
+  dot dropped
 - default ports stripped (``:80`` for http, ``:443`` for https)
 - fragment dropped (never sent to the server)
-- query: tracking parameters removed (``utm_*``, ``fbclid``,
-  ``gclid``, ``msclkid``, ``ref``, ``mc_eid``), remaining params
-  SORTED (param order is almost never semantic; sorting makes the
+- query: tracking parameters removed (``utm_*`` incl. GA4's
+  underscore names, ``fbclid``, ``gclid``, ``msclkid``, ``mc_eid`` —
+  NOT ``ref``, which is often semantic), remaining params SORTED (param order is almost never semantic; sorting makes the
   key stable), empty query dropped
 - path: empty → ``/``; trailing slash preserved (it CAN be
   semantic — /a and /a/ may differ)
@@ -32,10 +34,36 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: query parameters that never change the document
-_TRACKING = r"(?i)^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_eid)$"
+#: query parameters that never change the document. Deliberately
+#: NOT here: ``ref`` — on many sites it selects content (category /
+#: referral routing), so stripping it would false-merge distinct
+#: pages and the keep-one dedup downstream would silently drop real
+#: documents. ``utm_[a-z_]+`` covers the underscore GA4 names
+#: (utm_source_platform, utm_creative_format, ...).
+_TRACKING = r"(?i)^(utm_[a-z_]+|fbclid|gclid|msclkid|mc_eid)$"
 
 _URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*):\/\/([^\/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+_IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+
+
+def _pct_upper(col: Column) -> Column:
+    """Uppercase the two hex digits of every percent escape (RFC 3986
+    §6.2.2.1: %2f ≡ %2F). Split-on-%% + transform keeps it a pure
+    column expression; a malformed escape ("%zz") uppercases too,
+    which is harmless for a dedup key (no spec assigns the two forms
+    different meanings)."""
+    parts = F.split(col, "%")
+    fixed = F.transform(
+        parts,
+        lambda s, i: F.when(i == 0, s).otherwise(
+            F.concat(
+                F.upper(s.substr(F.lit(1), F.lit(2))),
+                s.substr(F.lit(3), F.greatest(F.length(s) - 2, F.lit(0))),
+            )
+        ),
+    )
+    return F.array_join(fixed, "%")
 
 
 def canonical_url(col: Column) -> Column:
@@ -50,9 +78,12 @@ def canonical_url(col: Column) -> Column:
     path = F.regexp_extract(url, _URL_RE, 3)
     query = F.regexp_extract(url, _URL_RE, 4)
 
-    # authority: drop userinfo, lowercase host, strip default port
-    host = F.lower(
-        F.regexp_replace(auth, r"^[^@]*@", "")  # userinfo@
+    # authority: drop userinfo, lowercase host, strip the DNS-neutral
+    # trailing dot ('e.com.' IS 'e.com'), strip default port
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(auth, r"^[^@]*@", "")),  # userinfo@
+        r"\.(?=$|:)",
+        "",
     )
     host = F.when(
         (scheme == "http") & host.endswith(":80"),
@@ -72,25 +103,31 @@ def canonical_url(col: Column) -> Column:
     )
     sorted_q = F.array_join(F.array_sort(params), "&")
 
-    norm_path = F.when(path == "", F.lit("/")).otherwise(path)
+    norm_path = _pct_upper(F.when(path == "", F.lit("/")).otherwise(path))
     rebuilt = F.concat(
         scheme,
         F.lit("://"),
         host,
         norm_path,
-        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
-            F.lit("")
-        ),
+        F.when(
+            sorted_q != "", F.concat(F.lit("?"), _pct_upper(sorted_q))
+        ).otherwise(F.lit("")),
     )
     return F.when(scheme != "", rebuilt).otherwise(url)
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased host (no userinfo, port kept off) — the per-site
-    grouping key."""
+    """Lowercased host (no userinfo, no port, no DNS-neutral trailing
+    dot) — the per-site grouping key."""
     auth = F.regexp_extract(F.trim(col), _URL_RE, 2)
-    return F.lower(
-        F.regexp_replace(F.regexp_replace(auth, r"^[^@]*@", ""), r":\d+$", "")
+    return F.regexp_replace(
+        F.lower(
+            F.regexp_replace(
+                F.regexp_replace(auth, r"^[^@]*@", ""), r":\d+$", ""
+            )
+        ),
+        r"\.$",
+        "",
     )
 
 
@@ -100,11 +137,19 @@ def url_registered_domain(col: Column) -> Column:
     mixture caps use. A real public-suffix list is data, not code;
     this two-label form is the standard approximation when the list
     isn't shipped, and the column is cheap to swap for a
-    broadcast-joined suffix table."""
+    broadcast-joined suffix table. IP-literal hosts return WHOLE
+    (an IPv4's last two octets are not a domain — collapsing
+    10.2.3.4 and 172.99.3.4 into one quota bucket would throttle
+    unrelated servers; PSL logic keeps full IPs too)."""
     host = url_host(col)
     parts = F.split(host, r"\.")
     n = F.size(parts)
     return F.when(
-        n >= 2,
-        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
-    ).otherwise(host)
+        host.rlike(_IPV4_RE) | host.startswith("["),  # IPv4 / [IPv6]
+        host,
+    ).otherwise(
+        F.when(
+            n >= 2,
+            F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+        ).otherwise(host)
+    )

@@ -142,15 +142,22 @@ def main(sf_dir: str, workdir: str) -> None:
     n_src = catalog.table(spark, sf_dir, "documents").count()
     n_written = synthesize_crawl(spark, sf_dir, workdir)
 
-    docs = crawl_documents(spark, os.path.join(workdir, "*.warc.gz"))
-    n_fetched = docs.count()
+    # cache the parsed records: every downstream action would
+    # otherwise re-run the whole WARC kernel over all shards
+    canon = crawl_documents(
+        spark, os.path.join(workdir, "*.warc.gz")
+    ).withColumn("curl", canonical_url(F.col("url"))).persist()
+    n_fetched = canon.count()
 
     # crawl-side dedup: one fetch per canonical URL — keep-min via
     # aggregate + semi-join, the shuffle-once shape that scales
-    # (a row_number window would single-thread each hot URL)
-    canon = docs.withColumn("curl", canonical_url(F.col("url")))
+    # (a row_number window would single-thread each hot URL); the
+    # final dropDuplicates guards byte-identical re-ingested records
+    # that share (curl, doc_id)
     keep = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
-    unique = canon.join(keep, ["curl", "doc_id"], "left_semi")
+    unique = canon.join(keep, ["curl", "doc_id"], "left_semi").dropDuplicates(
+        ["curl"]
+    )
     n_unique = unique.count()
 
     feats = extract_text(unique, html_col="html")
@@ -167,14 +174,21 @@ def main(sf_dir: str, workdir: str) -> None:
         .collect()
     )
 
-    print(f"corpus:      {n_src} source docs → {n_written} WARC records (8 .warc.gz shards)")
+    shards = len([f for f in os.listdir(workdir) if f.endswith(".warc.gz")])
+    print(f"corpus:      {n_src} source docs → {n_written} WARC records "
+          f"({shards} .warc.gz shards)")
     print(f"ingested:    {n_fetched} pages (HTTP 200 text/html, decoded)")
     print(f"url dedup:   {n_unique} unique canonical URLs "
-          f"({n_fetched - n_unique} tracking-variant refetches collapsed)")
+          f"({n_fetched - n_unique} canonical-key collisions collapsed)")
     print(f"extracted:   {n_kept} pages kept (parse ok, link density < 0.5)")
     print(f"top hosts:   {[(r['h'], r['count']) for r in hosts]}")
-    sample = kept.orderBy("doc_id").limit(1).collect()[0]
-    print(f"sample:      title={sample['title']!r} text[:40]={sample['text'][:40]!r}")
+    sample = kept.orderBy("doc_id").limit(1).collect()
+    if sample:
+        print(f"sample:      title={sample[0]['title']!r} "
+              f"text[:40]={sample[0]['text'][:40]!r}")
+    else:
+        print("sample:      (no page survived the filters)")
+    canon.unpersist()
     spark.stop()
 
 

@@ -91,3 +91,39 @@ def test_url_dedup_collapses_variants(spark):
         .count()
     )
     assert n == 1
+
+
+def test_review_fixes_ref_ip_trailing_dot_pct_case(spark):
+    """Self-review r5 regression pins: `ref` is often semantic (NOT
+    stripped); GA4 underscore utm names ARE stripped; IP hosts keep
+    their whole address as the quota key; trailing-dot FQDNs collapse
+    with their dotless form; percent-escape hex case normalizes."""
+    # ref preserved, GA4 utm stripped
+    assert _canon(spark, ["http://e.com/p?ref=electronics"]) == [
+        "http://e.com/p?ref=electronics"
+    ]
+    assert _canon(spark, ["http://e.com/p?utm_source_platform=x&a=1"]) == [
+        "http://e.com/p?a=1"
+    ]
+    # trailing-dot host
+    assert _canon(spark, ["http://e.com./x", "http://E.com.:80/x"]) == [
+        "http://e.com/x",
+        "http://e.com/x",
+    ]
+    # percent-escape case
+    assert _canon(
+        spark, ["http://e.com/a%2fb?q=%3a", "http://e.com/a%2Fb?q=%3A"]
+    ) == ["http://e.com/a%2Fb?q=%3A"] * 2
+    # IP-literal quota keys stay whole
+    df = spark.createDataFrame(
+        [("http://192.168.0.1/x",), ("http://10.2.3.4:8080/y",),
+         ("http://e.com./z",)],
+        "url string",
+    )
+    rows = df.select(
+        url_host(F.col("url")).alias("h"),
+        url_registered_domain(F.col("url")).alias("d"),
+    ).collect()
+    assert rows[0]["d"] == "192.168.0.1"
+    assert rows[1]["d"] == "10.2.3.4"
+    assert rows[2]["h"] == "e.com" and rows[2]["d"] == "e.com"
