@@ -192,3 +192,26 @@ def test_links_inside_skipped_subtrees_are_not_counted():
     _, text, n_links, density = extract_html_record(html)
     assert text == "real text only"
     assert n_links == 0 and density == 0.0
+
+
+def test_extraction_arbitrary_tag_soup_never_raises():
+    """Hypothesis: any text — including unbalanced tags, stray
+    metacharacters, control bytes — extracts to a record or a clean
+    None; the kernel contract is that NOTHING escapes to the task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(soup=st.text(max_size=300))
+    def check(soup):
+        rec = extract_html_record(soup)
+        if rec is not None:
+            title, text, n_links, density = rec
+            assert isinstance(text, str)
+            assert n_links >= 0 and 0.0 <= density <= 1.0
+            # normalized text never carries blank lines or edge space
+            assert text == "\n".join(
+                ln for ln in (" ".join(l.split()) for l in text.split("\n")) if ln
+            )
+
+    check()

@@ -287,3 +287,47 @@ def test_missing_record_ids_do_not_collide(spark, tmp_path):
     docs = crawl_documents(spark, str(d)).collect()
     assert len(docs) == 2
     assert len({r["doc_id"] for r in docs}) == 2
+
+
+def test_warc_roundtrip_property_fuzz():
+    """Hypothesis: any set of records (arbitrary binary payloads,
+    arbitrary URIs, plain or per-member-gzip'd) survives write →
+    parse with payloads byte-identical and order preserved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=8)
+
+    @settings(max_examples=30, deadline=None)
+    @given(ps=payloads, gz=st.booleans())
+    def check(ps, gz):
+        raw = b""
+        for i, p in enumerate(ps):
+            rec = _record(
+                "resource", p, uri=f"http://f.example/{i}",
+                rec_id=f"<urn:uuid:fz{i}>", content_type="application/octet-stream",
+            )
+            raw += gzip.compress(rec) if gz else rec
+        recs = list(iter_warc_records(raw, "fz.warc"))
+        assert [r["parse_error"] for r in recs] == [None] * len(ps)
+        assert [r["payload"] for r in recs] == ps
+        assert [r["target_uri"] for r in recs] == [
+            f"http://f.example/{i}" for i in range(len(ps))
+        ]
+
+    check()
+
+
+def test_warc_arbitrary_garbage_never_raises():
+    """Any byte soup fed to the parser yields rows (possibly one
+    error row) — never an exception escaping to the task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=400))
+    def check(junk):
+        for prefix in (b"", b"WARC/1.1\r\n", b"\x1f\x8b"):
+            list(iter_warc_records(prefix + junk, "junk.warc"))
+
+    check()
