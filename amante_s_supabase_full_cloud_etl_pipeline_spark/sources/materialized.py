@@ -74,8 +74,19 @@ class IncrementalAggView:
 
     def last_consumed_version(self) -> int:
         """Source version folded into the stored view (rides the view
-        commit's batch_id)."""
-        return self.table.manifest().get("batch_id") or 0
+        commit's batch_id). Walks past maintenance-marked commits
+        (compaction) like the replay guard does — reading only the
+        LATEST manifest would reset to 0 after a view compaction and
+        the next refresh would re-fold the source's entire history
+        into the already-populated view, double-counting every sum
+        (self-review r5)."""
+        v = self.table.current_version()
+        while v > 0:
+            m = self.table.manifest(v)
+            if not m.get("maintenance"):
+                return m.get("batch_id") or 0
+            v -= 1
+        return 0
 
     def read(self) -> DataFrame:
         return self.table.read()

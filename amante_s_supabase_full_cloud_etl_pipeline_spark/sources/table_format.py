@@ -45,7 +45,15 @@ sink idempotent per micro-batch. The guard compares against the most
 recent DATA commit, seeing through commits marked as maintenance
 (compaction — a row-identical layout rewrite) — a retry that lands
 after a handler-triggered compaction still no-ops, while any real
-data commit (batched or not) shields exactly as before.
+data commit (batched or not) shields exactly as before. Two
+consequences worth knowing: (1) compaction commits written BEFORE
+the marker existed are indistinguishable from data commits, so a
+table carrying such history should be considered re-foldable across
+its next retry (compact it once under this version before resuming
+the stream to re-establish the invariant); (2) an out-of-band
+UNBATCHED append interleaved inside a stream's crash-retry window
+stops the walk by design — don't run manual writes against a table
+whose stream may be mid-recovery.
 
 At 100 TB the only piece to swap is the pointer store: local-FS
 rename → a CAS on an object-store/catalog entry (S3 conditional put,
@@ -554,6 +562,7 @@ class ParquetTable:
                     "version": v,
                     "parent": m.get("parent"),
                     "batch_id": m.get("batch_id"),
+                    "maintenance": bool(m.get("maintenance")),
                     "n_manifests": len(ms),
                     "n_files": sum(s["n_files"] for s in ms),
                     "rows": sum(s["rows"] for s in ms),

@@ -59,19 +59,6 @@ from ..sources.table_format import ParquetTable
 _MAX_IN_LIST = 50_000
 
 
-def batch_posting_rows(
-    batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame]:
-    """((term, doc_id, tf), (doc_id, dl)) for one micro-batch — the
-    batch ``build_index``'s own tokenization and aggregations
-    (``tokenized_terms`` + ``index_rows``: one expression tree, so
-    the streamed==batch differential cannot drift at this layer),
-    minus the denormalized df (recomputed probe-side; see module
-    doc). Zero-token documents appear in neither frame, matching the
-    batch builder."""
-    return index_rows(tokenized_terms(batch, text_col, id_col))
-
-
 def fold_bm25_index(
     postings: ParquetTable,
     doc_stats: ParquetTable,
@@ -104,6 +91,7 @@ def bm25_index_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    doc_id_type: str = "long",
 ) -> DataFrame:
     """Top-k BM25 over the STORED index: (query_id, doc_id, score,
     rank), identical to running the batch ``bm25_score`` over a
@@ -118,13 +106,15 @@ def bm25_index_topk(
     share one expression tree.
 
     Query-anytime includes BEFORE the first fold: an empty index
-    returns zero rows (doc_id typed long — nothing stored to infer
-    from), it does not raise."""
+    returns zero rows, it does not raise. With nothing stored to
+    infer from, the empty frame's doc_id is typed by ``doc_id_type``
+    — pass the corpus's actual id type (e.g. ``"string"``) so the
+    pre-first-fold schema matches every later call's."""
     if postings.current_version() == 0 or doc_stats.current_version() == 0:
         qtype = dict(queries.dtypes)["query_id"]
         return queries.sparkSession.createDataFrame(
             [],
-            f"query_id {qtype}, doc_id long, score double, rank int",
+            f"query_id {qtype}, doc_id {doc_id_type}, score double, rank int",
         )
     probed = [
         r["term"]

@@ -99,6 +99,28 @@ def test_refresh_is_idempotent_and_skips_compaction(spark, source, view):
     assert _got(view) == before == _expected(source)
 
 
+def test_view_table_compaction_does_not_reset_consumption(spark, source, view):
+    """Self-review r5: compacting the VIEW's own table puts a
+    batch_id-less maintenance commit on top; last_consumed_version
+    must walk past it (like the replay guard) — reading only the
+    latest manifest returned 0 and the next refresh re-folded the
+    source's entire history into the populated view, double-counting
+    every sum."""
+    source.merge(_fact(spark, [(k, "g", 10, 1) for k in range(8)]), KEYS, ORDER)
+    view.refresh()
+    consumed = view.last_consumed_version()
+    before = _got(view)
+    view.table.compact(min_files=1, sort_by=["grp"])  # force a real commit
+    assert view.table.manifest(view.table.current_version()).get("maintenance")
+    assert view.last_consumed_version() == consumed
+    view.refresh()  # must be a no-op, not a full re-fold
+    assert _got(view) == before == _expected(source)
+    # and a genuine source change still folds incrementally
+    source.merge(_fact(spark, [(99, "g", 5, 2)]), KEYS, ORDER)
+    view.refresh()
+    assert _got(view) == _expected(source)
+
+
 def test_streaming_etl_maintains_view_per_micro_batch(spark, tmp_path):
     """The transactional POS handler refreshes attached views after
     each micro-batch commit; a crash-replayed batch leaves the view
