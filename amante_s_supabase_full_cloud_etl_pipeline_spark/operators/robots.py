@@ -45,24 +45,38 @@ def robots_allowed(
     url_col: str = "url",
     host_col: str = "host",
     body_col: str = "robots_txt",
+    fetched_col: str | None = None,
 ) -> DataFrame:
     """``urls`` + an ``allowed`` boolean per the REP (stdlib
     first-match semantics — see module doc), evaluated against
     ``robots``: a (host, robots_txt) frame. All other url columns
     pass through. See the module doc for the parse-once-per-host
-    execution shape."""
+    execution shape.
+
+    ``robots`` is collapsed to ONE row per host before the join —
+    a corpus re-checked over time legitimately carries several
+    fetches of the same host's rules, and joining them raw would
+    duplicate every URL row for that host (and score copies against
+    arbitrary bodies). Pass ``fetched_col`` (a timestamp/version
+    column on ``robots``) to keep the LATEST fetch per host; without
+    it ties break on the lexically-greatest body — deterministic,
+    but time-blind, so prefer ``fetched_col`` whenever fetch times
+    exist."""
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in urls.schema.fields
     ) + ", " + _SCHEMA_SUFFIX
     with_host = urls.withColumn("__host", url_host(F.col(url_col)))
-    joined = with_host.join(
-        robots.select(
-            F.col(host_col).alias("__host"),
-            F.col(body_col).alias("__robots"),
-        ),
-        "__host",
-        "left",
+    per_host = robots.select(
+        F.col(host_col).alias("__host"),
+        F.col(body_col).alias("__robots"),
+        *([F.col(fetched_col).alias("__fetched")] if fetched_col else []),
+    ).groupBy("__host")
+    robots_one = (
+        per_host.agg(F.max_by("__robots", "__fetched").alias("__robots"))
+        if fetched_col
+        else per_host.agg(F.max("__robots").alias("__robots"))
     )
+    joined = with_host.join(robots_one, "__host", "left")
     pass_cols = [f.name for f in urls.schema.fields]
 
     def evaluate(pdf):
@@ -95,12 +109,15 @@ def drop_disallowed(
     robots: DataFrame,
     agent: str = "*",
     url_col: str = "url",
+    fetched_col: str | None = None,
 ) -> DataFrame:
     """The filter form: only rows whose URL the host's robots.txt
     allows for ``agent`` (missing/unparseable rules allow, per the
     REP)."""
     return (
-        robots_allowed(urls, robots, agent=agent, url_col=url_col)
+        robots_allowed(
+            urls, robots, agent=agent, url_col=url_col, fetched_col=fetched_col
+        )
         .filter(F.col("allowed"))
         .drop("allowed")
     )

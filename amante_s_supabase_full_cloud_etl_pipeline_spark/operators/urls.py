@@ -95,13 +95,19 @@ def canonical_url(col: Column) -> Column:
         ).otherwise(host)
     )
 
-    # query: split params, drop tracking, sort, rejoin
+    # query: split params, drop tracking, normalize escape case PER
+    # PARAM, then sort, then rejoin. The escape-case normalization
+    # must precede the sort: 'q=%4a' and 'q=%4A' are the same param,
+    # and sorting the raw forms can order RFC-equivalent URLs'
+    # params differently (making canonical_url non-idempotent —
+    # re-canonicalizing its own output would re-sort the now-
+    # uppercased params into a different string).
     params = F.filter(
         F.split(F.regexp_replace(query, r"^\?", ""), "&"),
         lambda p: (p != "")
         & ~F.regexp_extract(p, r"^([^=]*)", 1).rlike(_TRACKING),
     )
-    sorted_q = F.array_join(F.array_sort(params), "&")
+    sorted_q = F.array_join(F.array_sort(F.transform(params, _pct_upper)), "&")
 
     norm_path = _pct_upper(F.when(path == "", F.lit("/")).otherwise(path))
     rebuilt = F.concat(
@@ -110,7 +116,7 @@ def canonical_url(col: Column) -> Column:
         host,
         norm_path,
         F.when(
-            sorted_q != "", F.concat(F.lit("?"), _pct_upper(sorted_q))
+            sorted_q != "", F.concat(F.lit("?"), sorted_q)
         ).otherwise(F.lit("")),
     )
     return F.when(scheme != "", rebuilt).otherwise(url)

@@ -122,3 +122,40 @@ def test_differential_vs_per_url_robotparser(spark, sf_dir):
         host = r["url"].split("/")[2]
         p.parse(rules[host].splitlines())
         assert got[r["doc_id"]] == p.can_fetch("*", r["url"]), r["url"]
+
+
+def test_duplicate_host_rows_collapse(spark):
+    """ADVICE r5: a robots frame carrying several fetches of one
+    host must not fan URL rows out (left join would duplicate every
+    row for that host). With fetched_col the LATEST fetch wins;
+    without it the collapse is deterministic."""
+    urls = spark.createDataFrame(
+        [(0, "http://a.example/private/x"), (1, "http://a.example/open")],
+        "doc_id long, url string",
+    )
+    jan = "User-agent: *\nDisallow:\n"            # allow everything
+    mar = "User-agent: *\nDisallow: /private/\n"  # later fetch disallows
+    robots = spark.createDataFrame(
+        [("a.example", jan, 1), ("a.example", mar, 3)],
+        "host string, robots_txt string, fetched_at int",
+    )
+    out = robots_allowed(urls, robots, fetched_col="fetched_at").collect()
+    assert len(out) == 2  # no row duplication
+    got = {r["doc_id"]: r["allowed"] for r in out}
+    assert got == {0: False, 1: True}  # March rules, not January's
+    # reversed fetch order — same answer (max_by, not first)
+    robots_rev = spark.createDataFrame(
+        [("a.example", mar, 3), ("a.example", jan, 1)],
+        "host string, robots_txt string, fetched_at int",
+    )
+    assert (
+        {r["doc_id"]: r["allowed"]
+         for r in robots_allowed(urls, robots_rev, fetched_col="fetched_at").collect()}
+        == got
+    )
+    # without fetched_col: still exactly one row per URL, deterministic
+    no_ts = robots_allowed(urls, robots.drop("fetched_at"))
+    assert no_ts.count() == 2
+    assert sorted(no_ts.collect()) == sorted(
+        robots_allowed(urls, robots_rev.drop("fetched_at")).collect()
+    )

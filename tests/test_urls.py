@@ -52,10 +52,18 @@ def test_canonicalization_is_idempotent(spark):
         "HTTP://A.B:80/x?utm_a=1&q=2#z",
         "https://u@h.io:443",
         "http://e.com/p?b=2&a=1",
+        # ADVICE r5: repeated params differing only in escape hex case
+        # must sort on the NORMALIZED form — sorting the raw forms
+        # made these two RFC-equivalent URLs canonicalize differently
+        # and made re-canonicalizing the output change it again.
+        "http://e.com/p?q=%4a&q=%4B",
+        "http://e.com/p?q=%4A&q=%4B",
     ]
     once = _canon(spark, urls)
     twice = _canon(spark, once)
     assert once == twice
+    # ...and the two escape-case variants share ONE canonical key
+    assert once[3] == once[4] == "http://e.com/p?q=%4A&q=%4B"
 
 
 def test_grouping_keys(spark):
