@@ -5,29 +5,50 @@ fetches (a page crawled in January may be disallowed by March's
 robots.txt — takedown and licensing reviews ask exactly this
 question of stored corpora).
 
-Charter extension (SURVEY.md §2.10; the rules format is the public
-Robots Exclusion Protocol and evaluation delegates to stdlib
-``urllib.robotparser`` — the semantics every Python crawler already
-has. NOTE this is the ORIGINAL first-match-in-rule-order REP, not
-RFC 9309's longest-match: an ``Allow`` wins only when it precedes
-the ``Disallow`` it carves out of. Swapping in a longest-match
-evaluator changes one closure, not the distribution shape).
+Charter extension (SURVEY.md §2.10). Two rule-evaluation modes, both
+public specs, selected per call via ``rep=``:
+
+- ``"stdlib"`` (default): the ORIGINAL first-match-in-rule-order REP
+  via ``urllib.robotparser`` — the semantics every Python crawler
+  already has. An ``Allow`` wins only when it precedes the
+  ``Disallow`` it carves out of; ``*``/``$`` are literal characters.
+- ``"rfc9309"``: RFC 9309 longest-match — what Googlebot and modern
+  crawlers implement. The rule whose pattern matches with the most
+  octets decides; ``Allow`` wins exact ties; ``*`` is a wildcard and
+  a trailing ``$`` anchors the pattern at the end of the path
+  (RFC 9309 §2.2.2-§2.2.3). ``Allow: /a/b`` therefore overrides a
+  broader ``Disallow: /a/`` regardless of order. Agent-GROUP
+  selection follows the same convention as stdlib in both modes
+  (case-insensitive substring of the agent, most-specific = longest
+  token, ``*`` as fallback; same-token groups merge per §2.2.1) so
+  the modes differ ONLY in rule matching.
 
 Scale design — the shape matters more than the parser:
 - rules are DATA: a (host, robots_txt) DataFrame, joined to the URL
   set on host. NO driver-side collect of rule bodies (a crawl has
   millions of hosts; broadcasting a dict does not survive 100 TB).
-- evaluation is ``applyInPandas`` GROUPED BY HOST: each group parses
-  its robots.txt ONCE and evaluates all of that host's URLs against
-  the parsed matcher — per-URL work is a matcher lookup, not a
-  re-parse. Host grouping is the same shuffle the politeness/quota
-  stages already need, so at scale the exchange is shared.
+- evaluation is ``applyInPandas`` grouped by (HOST, SALT): each
+  group parses its robots.txt once and evaluates its slice of the
+  host's URLs against the parsed matcher. The salt
+  (``xxhash64(url) % salt_buckets``) bounds every group to ~1/N of
+  a host's rows: a wikipedia.org-sized host carrying 10⁷–10⁸ URLs
+  would otherwise materialize as ONE straggler pandas frame that
+  must fit in a single task's memory. Re-parsing the (tiny,
+  RFC-capped-at-500-KiB) robots body once per salt bucket costs
+  microseconds; an unbounded group costs minutes and an OOM.
 - hosts with no robots row (or an unparseable body) default to
   ALLOWED — the REP's own rule for missing robots.txt.
+- several fetches of one host collapse to the LATEST before the
+  join (``max_by`` over a (fetched, body) struct — the struct is
+  never null, so rows with NULL fetch times still participate and
+  sort as OLDEST, and exact fetch-time ties break deterministically
+  on the lexically-greatest body).
 """
 
 from __future__ import annotations
 
+import re
+import urllib.parse
 import urllib.robotparser
 
 from pyspark.sql import DataFrame
@@ -36,6 +57,111 @@ from pyspark.sql import functions as F
 from .urls import url_host
 
 _SCHEMA_SUFFIX = "allowed boolean"
+
+#: default salt-bucket count for the per-host group (see module doc)
+_SALT_BUCKETS = 64
+
+
+class _Rfc9309Matcher:
+    """RFC 9309 longest-match evaluator for ONE robots.txt body and
+    ONE agent: parse once, then ``can_fetch(url)`` per URL.
+
+    Group selection (§2.2.1): groups are headed by consecutive
+    ``User-agent`` lines; all groups whose token matches the agent
+    (substring convention — see module doc) under the most-specific
+    matching token are merged; ``*`` groups only when no specific
+    token matches. Rule matching (§2.2.2-§2.2.3): a rule applies when
+    its pattern prefix-matches the URL's path+query with ``*`` as
+    any-octets and trailing ``$`` as end anchor; the longest pattern
+    wins; ``Allow`` wins length ties; empty patterns are ignored
+    (``Disallow:`` = no rule); no applicable rule = allowed."""
+
+    def __init__(self, body: str, agent: str) -> None:
+        agent_l = agent.lower()
+        groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+        uas: list[str] = []
+        rules: list[tuple[str, bool]] = []
+        in_header = False
+        for raw in body.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            key, sep, value = line.partition(":")
+            if not sep:
+                continue
+            key = key.strip().lower()
+            value = value.strip()
+            if key == "user-agent":
+                if not in_header:  # a UA line after rules starts a new group
+                    if uas:
+                        groups.append((uas, rules))
+                    uas, rules = [], []
+                    in_header = True
+                uas.append(value.split("/")[0].strip().lower())
+            elif key in ("allow", "disallow"):
+                in_header = False
+                if value:
+                    rules.append((value, key == "allow"))
+            else:  # sitemap / crawl-delay / unknown: not path rules
+                in_header = False
+        if uas:
+            groups.append((uas, rules))
+
+        specific = [
+            ua for g_uas, _ in groups for ua in g_uas if ua != "*" and ua in agent_l
+        ]
+        want = max(specific, key=len) if specific else "*"
+        self._rules: list[tuple[re.Pattern, int, bool]] = []
+        for g_uas, g_rules in groups:
+            if want in g_uas:
+                for pattern, allow in g_rules:
+                    self._rules.append(
+                        (self._compile(pattern), len(pattern), allow)
+                    )
+
+    @staticmethod
+    def _compile(pattern: str) -> re.Pattern:
+        anchored = pattern.endswith("$")
+        if anchored:
+            pattern = pattern[:-1]
+        rx = ".*".join(re.escape(p) for p in pattern.split("*"))
+        return re.compile(rx + ("$" if anchored else ""))
+
+    def can_fetch(self, url: str) -> bool:
+        try:
+            parts = urllib.parse.urlsplit(url)
+            path = parts.path or "/"
+            if parts.query:
+                path += "?" + parts.query
+        except ValueError:
+            return False
+        best_len, best_allow = -1, True
+        for rx, plen, allow in self._rules:
+            if rx.match(path) and (
+                plen > best_len or (plen == best_len and allow)
+            ):
+                best_len, best_allow = plen, allow
+        return best_allow
+
+
+def _build_matcher(body, agent: str, rep: str):
+    """Parsed matcher with a ``can_fetch(url) -> bool`` method, or
+    None when the body is null/unparseable (REP default = allow)."""
+    if body is None:
+        return None
+    try:
+        if rep == "rfc9309":
+            return _Rfc9309Matcher(str(body), agent)
+        parser = urllib.robotparser.RobotFileParser()
+        parser.parse(str(body).splitlines())
+
+        class _Std:
+            def can_fetch(self, url: str) -> bool:
+                return parser.can_fetch(agent, url)
+
+        return _Std()
+    except Exception:
+        return None
 
 
 def robots_allowed(
@@ -46,22 +172,30 @@ def robots_allowed(
     host_col: str = "host",
     body_col: str = "robots_txt",
     fetched_col: str | None = None,
+    rep: str = "stdlib",
+    salt_buckets: int = _SALT_BUCKETS,
 ) -> DataFrame:
-    """``urls`` + an ``allowed`` boolean per the REP (stdlib
-    first-match semantics — see module doc), evaluated against
-    ``robots``: a (host, robots_txt) frame. All other url columns
-    pass through. See the module doc for the parse-once-per-host
-    execution shape.
+    """``urls`` + an ``allowed`` boolean per the REP (``rep=`` picks
+    stdlib first-match or RFC 9309 longest-match — see module doc),
+    evaluated against ``robots``: a (host, robots_txt) frame. All
+    other url columns pass through. Evaluation parses each host's
+    rules once per salt bucket (``salt_buckets`` bounds the pandas
+    group a hot host can form — module doc).
 
     ``robots`` is collapsed to ONE row per host before the join —
     a corpus re-checked over time legitimately carries several
     fetches of the same host's rules, and joining them raw would
     duplicate every URL row for that host (and score copies against
     arbitrary bodies). Pass ``fetched_col`` (a timestamp/version
-    column on ``robots``) to keep the LATEST fetch per host; without
-    it ties break on the lexically-greatest body — deterministic,
-    but time-blind, so prefer ``fetched_col`` whenever fetch times
+    column on ``robots``) to keep the LATEST fetch per host; rows
+    with a NULL fetch time sort as oldest (never dropped), and exact
+    ties break on the lexically-greatest body, so the collapse is
+    deterministic in every case. Without ``fetched_col`` ties break
+    on the lexically-greatest body alone — deterministic, but
+    time-blind, so prefer ``fetched_col`` whenever fetch times
     exist."""
+    if rep not in ("stdlib", "rfc9309"):
+        raise ValueError(f"rep must be 'stdlib' or 'rfc9309', got {rep!r}")
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in urls.schema.fields
     ) + ", " + _SCHEMA_SUFFIX
@@ -71,37 +205,37 @@ def robots_allowed(
         F.col(body_col).alias("__robots"),
         *([F.col(fetched_col).alias("__fetched")] if fetched_col else []),
     ).groupBy("__host")
+    # ordering structs are never null, so max_by never discards a row
+    # (bare max_by(v, ord) ignores NULL ord values — a host whose
+    # fetch times are all NULL would silently lose its rules)
     robots_one = (
-        per_host.agg(F.max_by("__robots", "__fetched").alias("__robots"))
+        per_host.agg(
+            F.max_by(
+                "__robots", F.struct("__fetched", "__robots")
+            ).alias("__robots")
+        )
         if fetched_col
         else per_host.agg(F.max("__robots").alias("__robots"))
     )
-    joined = with_host.join(robots_one, "__host", "left")
+    joined = with_host.join(robots_one, "__host", "left").withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+    )
     pass_cols = [f.name for f in urls.schema.fields]
 
     def evaluate(pdf):
-        import pandas as pd
-
-        body = pdf["__robots"].iloc[0]
-        parser = None
-        if body is not None:
-            try:
-                parser = urllib.robotparser.RobotFileParser()
-                parser.parse(str(body).splitlines())
-            except Exception:
-                parser = None  # unparseable rules: REP default = allow
-        if parser is None:
+        matcher = _build_matcher(pdf["__robots"].iloc[0], agent, rep)
+        if matcher is None:
             allowed = [True] * len(pdf)
         else:
             allowed = [
-                parser.can_fetch(agent, u) if u is not None else False
+                matcher.can_fetch(u) if u is not None else False
                 for u in pdf[url_col]
             ]
         out = pdf[pass_cols].copy()
         out["allowed"] = allowed
         return out
 
-    return joined.groupBy("__host").applyInPandas(evaluate, out_schema)
+    return joined.groupBy("__host", "__salt").applyInPandas(evaluate, out_schema)
 
 
 def drop_disallowed(
@@ -109,14 +243,27 @@ def drop_disallowed(
     robots: DataFrame,
     agent: str = "*",
     url_col: str = "url",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
     fetched_col: str | None = None,
+    rep: str = "stdlib",
+    salt_buckets: int = _SALT_BUCKETS,
 ) -> DataFrame:
     """The filter form: only rows whose URL the host's robots.txt
     allows for ``agent`` (missing/unparseable rules allow, per the
-    REP)."""
+    REP). Accepts every :func:`robots_allowed` parameter, so it works
+    with any robots-frame column naming and either evaluator."""
     return (
         robots_allowed(
-            urls, robots, agent=agent, url_col=url_col, fetched_col=fetched_col
+            urls,
+            robots,
+            agent=agent,
+            url_col=url_col,
+            host_col=host_col,
+            body_col=body_col,
+            fetched_col=fetched_col,
+            rep=rep,
+            salt_buckets=salt_buckets,
         )
         .filter(F.col("allowed"))
         .drop("allowed")

@@ -12,9 +12,11 @@ expressions — map-only, whole-stage codegen, zero UDF, so the
 canonical key costs one projection at 100 TB.
 
 Normalizations (in order):
-- scheme and host lowercased and percent-escape hex uppercased
-  (RFC 3986 §6.2.2.1); userinfo and the DNS-neutral trailing host
-  dot dropped
+- scheme and host lowercased; userinfo and the DNS-neutral trailing
+  host dot dropped
+- percent escapes of UNRESERVED characters decoded (%41 ≡ A,
+  RFC 3986 §6.2.2.2) and the hex of every remaining escape
+  uppercased (%2f ≡ %2F, §6.2.2.1), in path and per query param
 - default ports stripped (``:80`` for http, ``:443`` for https)
 - fragment dropped (never sent to the server)
 - query: tracking parameters removed (``utm_*`` incl. GA4's
@@ -47,23 +49,54 @@ _URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*):\/\/([^\/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 _IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
 
 
-def _pct_upper(col: Column) -> Column:
-    """Uppercase the two hex digits of every percent escape (RFC 3986
-    §6.2.2.1: %2f ≡ %2F). Split-on-%% + transform keeps it a pure
-    column expression; a malformed escape ("%zz") uppercases too,
-    which is harmless for a dedup key (no spec assigns the two forms
-    different meanings)."""
+def _unreserved_map() -> Column:
+    """Literal map: UPPERCASE hex octet → the RFC 3986 §2.3 unreserved
+    character it encodes (ALPHA / DIGIT / ``-._~``). Only these may be
+    percent-DECODED without changing URI semantics (§6.2.2.2) — every
+    reserved or opaque octet must keep its escape."""
+    pairs = []
+    for ch in (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "abcdefghijklmnopqrstuvwxyz"
+        "0123456789-._~"
+    ):
+        pairs += [F.lit(f"{ord(ch):02X}"), F.lit(ch)]
+    return F.create_map(*pairs)
+
+
+def _pct_normalize(col: Column) -> Column:
+    """Percent-escape normalization per RFC 3986 §6.2.2: DECODE
+    escapes of unreserved characters (§6.2.2.2 — %41 ≡ A; leaving
+    them encoded under-merges the dedup key) and UPPERCASE the hex of
+    every remaining escape (§6.2.2.1 — %2f ≡ %2F). Split-on-%% +
+    transform keeps it a pure column expression; a malformed escape
+    ("%zz") uppercases too, which is harmless for a dedup key (no
+    spec assigns the two forms different meanings)."""
     parts = F.split(col, "%")
+    m = _unreserved_map()
     fixed = F.transform(
         parts,
         lambda s, i: F.when(i == 0, s).otherwise(
-            F.concat(
-                F.upper(s.substr(F.lit(1), F.lit(2))),
-                s.substr(F.lit(3), F.greatest(F.length(s) - 2, F.lit(0))),
-            )
+            _decode_or_upper(m, s)
         ),
     )
-    return F.array_join(fixed, "%")
+    return F.array_join(fixed, "")
+
+
+def _decode_or_upper(m: Column, s: Column) -> Column:
+    """One post-%% fragment: its first two chars are the escape's hex
+    digits. Unreserved → the literal character (escape dropped);
+    anything else → ``%`` + uppercased hex. The rest of the fragment
+    passes through."""
+    hex2 = F.upper(s.substr(F.lit(1), F.lit(2)))
+    rest = s.substr(F.lit(3), F.greatest(F.length(s) - 2, F.lit(0)))
+    decoded = F.element_at(m, hex2)
+    return F.concat(
+        F.when(decoded.isNotNull(), decoded).otherwise(
+            F.concat(F.lit("%"), hex2)
+        ),
+        rest,
+    )
 
 
 def canonical_url(col: Column) -> Column:
@@ -95,21 +128,26 @@ def canonical_url(col: Column) -> Column:
         ).otherwise(host)
     )
 
-    # query: split params, drop tracking, normalize escape case PER
-    # PARAM, then sort, then rejoin. The escape-case normalization
-    # must precede the sort: 'q=%4a' and 'q=%4A' are the same param,
-    # and sorting the raw forms can order RFC-equivalent URLs'
-    # params differently (making canonical_url non-idempotent —
-    # re-canonicalizing its own output would re-sort the now-
-    # uppercased params into a different string).
+    # query: split params, normalize escapes PER PARAM (decode
+    # unreserved, uppercase the rest), THEN drop tracking, THEN sort,
+    # then rejoin. Normalization must precede BOTH later steps:
+    # - the sort: 'q=%4a' and 'q=%4A' are the same param, and sorting
+    #   the raw forms can order RFC-equivalent URLs' params
+    #   differently (making canonical_url non-idempotent — ADVICE r5);
+    # - the tracking filter: 'utm%5Fsource' IS 'utm_source', and
+    #   filtering the raw name would keep it on the first pass but
+    #   strip it from the canonical output on a second pass (another
+    #   idempotency break).
     params = F.filter(
-        F.split(F.regexp_replace(query, r"^\?", ""), "&"),
+        F.transform(
+            F.split(F.regexp_replace(query, r"^\?", ""), "&"), _pct_normalize
+        ),
         lambda p: (p != "")
         & ~F.regexp_extract(p, r"^([^=]*)", 1).rlike(_TRACKING),
     )
-    sorted_q = F.array_join(F.array_sort(F.transform(params, _pct_upper)), "&")
+    sorted_q = F.array_join(F.array_sort(params), "&")
 
-    norm_path = _pct_upper(F.when(path == "", F.lit("/")).otherwise(path))
+    norm_path = _pct_normalize(F.when(path == "", F.lit("/")).otherwise(path))
     rebuilt = F.concat(
         scheme,
         F.lit("://"),

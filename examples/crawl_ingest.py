@@ -16,9 +16,12 @@
 3. URL dedup: canonicalize (``operators/urls.py``) and keep one
    fetch per canonical URL — the crawl-side dedup that runs BEFORE
    any content dedup.
-4. Extract: ``operators/extraction.py extract_text`` → title, text,
+4. Quota: ``operators/crawl_quota.py per_host_quota`` caps any one
+   host's contribution (deterministic content-keyed keep-k via the
+   bounded two-phase top-k — crawl politeness/budget governance).
+5. Extract: ``operators/extraction.py extract_text`` → title, text,
    link-density; drop chrome-dominated pages.
-5. Hand off: the surviving (doc_id, text) frame is exactly what
+6. Hand off: the surviving (doc_id, text) frame is exactly what
    ``examples/curate_corpus.py``'s signal/dedup/pack stages consume.
 
 Everything after the simulation step is the real production path.
@@ -39,6 +42,9 @@ from pyspark.sql import functions as F
 from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.extraction import (
     extract_text,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.crawl_quota import (
+    per_host_quota,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.urls import (
     canonical_url,
@@ -160,7 +166,12 @@ def main(sf_dir: str, workdir: str) -> None:
     )
     n_unique = unique.count()
 
-    feats = extract_text(unique, html_col="html")
+    # politeness/budget cap: at most 20 pages per host, selected
+    # deterministically (content-keyed) so reruns keep the same pages
+    quota = per_host_quota(unique, k=20, url_col="curl")
+    n_quota = quota.count()
+
+    feats = extract_text(quota, html_col="html")
     kept = feats.filter(
         F.col("text").isNotNull() & (F.col("link_density") < 0.5)
     )
@@ -180,6 +191,8 @@ def main(sf_dir: str, workdir: str) -> None:
     print(f"ingested:    {n_fetched} pages (HTTP 200 text/html, decoded)")
     print(f"url dedup:   {n_unique} unique canonical URLs "
           f"({n_fetched - n_unique} canonical-key collisions collapsed)")
+    print(f"host quota:  {n_quota} pages within the 20/host budget "
+          f"({n_unique - n_quota} over-quota pages dropped)")
     print(f"extracted:   {n_kept} pages kept (parse ok, link density < 0.5)")
     print(f"top hosts:   {[(r['h'], r['count']) for r in hosts]}")
     sample = kept.orderBy("doc_id").limit(1).collect()

@@ -58,12 +58,39 @@ def test_canonicalization_is_idempotent(spark):
         # and made re-canonicalizing the output change it again.
         "http://e.com/p?q=%4a&q=%4B",
         "http://e.com/p?q=%4A&q=%4B",
+        # VERDICT r6: %-encoded unreserved chars decode (§6.2.2.2),
+        # including a tracking param hiding behind %5F ('_') — both
+        # must be stable under re-canonicalization
+        "http://e.com/%41bc?utm%5Fsource=x&q=%7Ea",
     ]
     once = _canon(spark, urls)
     twice = _canon(spark, once)
     assert once == twice
     # ...and the two escape-case variants share ONE canonical key
-    assert once[3] == once[4] == "http://e.com/p?q=%4A&q=%4B"
+    # (%4A/%4B are unreserved J/K, so §6.2.2.2 decodes them outright)
+    assert once[3] == once[4] == "http://e.com/p?q=J&q=K"
+
+
+def test_unreserved_percent_decoding(spark):
+    """RFC 3986 §6.2.2.2: '%41bc' and 'Abc' are the SAME path — they
+    must share one canonical key. Reserved escapes stay encoded
+    (uppercased), so no wrong-merge is possible."""
+    pairs = [
+        ("http://e.com/%41bc", "http://e.com/Abc"),
+        ("http://e.com/a%2D%2e%5F%7eb", "http://e.com/a-._~b"),
+        ("http://e.com/p?q=%6a%31", "http://e.com/p?q=j1"),
+    ]
+    for enc, plain in pairs:
+        got = _canon(spark, [enc, plain])
+        assert got[0] == got[1] == plain, (enc, got)
+    # reserved octets keep their (uppercased) escapes: %2F is NOT '/'
+    assert _canon(spark, ["http://e.com/a%2fb%25c"]) == [
+        "http://e.com/a%2Fb%25c"
+    ]
+    # tracking param spelled with an encoded underscore still strips
+    assert _canon(spark, ["http://e.com/p?utm%5Fsource=x&a=1"]) == [
+        "http://e.com/p?a=1"
+    ]
 
 
 def test_grouping_keys(spark):
