@@ -50,14 +50,19 @@ def per_host_quota(
     on the remaining columns' struct order, so the output is
     deterministic for any input.
     """
-    if by == "host":
-        site = url_host(F.col(url_col))
-    elif by == "registered_domain":
-        site = url_registered_domain(F.col(url_col))
-    else:
+    if by not in ("host", "registered_domain"):
         raise ValueError(f"by must be 'host' or 'registered_domain', got {by!r}")
-    tagged = df.withColumn("__site", site).withColumn(
-        "__key", F.xxhash64(F.col(url_col))
+    # shield internal names and grouped_topk's 'rank' output from
+    # caller columns: a payload column named rank would come back
+    # ambiguous, and a pre-existing __site/__key would be clobbered
+    clashes = {
+        c: f"__cq_{c}" for c in df.columns if c in ("rank", "__site", "__key")
+    }
+    safe = df.withColumnsRenamed(clashes) if clashes else df
+    safe_url = clashes.get(url_col, url_col)
+    site_fn = url_host if by == "host" else url_registered_domain
+    tagged = safe.withColumn("__site", site_fn(F.col(safe_url))).withColumn(
+        "__key", F.xxhash64(F.col(safe_url))
     )
     kept = grouped_topk(
         tagged,
@@ -65,5 +70,7 @@ def per_host_quota(
         order_by=["__key"],
         k=k,
         ascending=["__key"],
-    )
+    ).select(*safe.columns)
+    if clashes:
+        kept = kept.withColumnsRenamed({v: c for c, v in clashes.items()})
     return kept.select(*df.columns)

@@ -18,10 +18,12 @@ public specs, selected per call via ``rep=``:
   a trailing ``$`` anchors the pattern at the end of the path
   (RFC 9309 §2.2.2-§2.2.3). ``Allow: /a/b`` therefore overrides a
   broader ``Disallow: /a/`` regardless of order. Agent-GROUP
-  selection follows the same convention as stdlib in both modes
-  (case-insensitive substring of the agent, most-specific = longest
-  token, ``*`` as fallback; same-token groups merge per §2.2.1) so
-  the modes differ ONLY in rule matching.
+  selection also differs: rfc9309 merges ALL groups sharing the
+  most-specific matching token (longest case-insensitive substring
+  of the agent; ``*`` only as fallback — §2.2.1), while stdlib
+  applies the FIRST applicable entry in file order and never
+  merges. A body with several groups naming overlapping agents can
+  therefore diverge between the modes on group choice alone.
 
 Scale design — the shape matters more than the parser:
 - rules are DATA: a (host, robots_txt) DataFrame, joined to the URL
@@ -29,13 +31,18 @@ Scale design — the shape matters more than the parser:
   millions of hosts; broadcasting a dict does not survive 100 TB).
 - evaluation is ``applyInPandas`` grouped by (HOST, SALT): each
   group parses its robots.txt once and evaluates its slice of the
-  host's URLs against the parsed matcher. The salt
-  (``xxhash64(url) % salt_buckets``) bounds every group to ~1/N of
-  a host's rows: a wikipedia.org-sized host carrying 10⁷–10⁸ URLs
-  would otherwise materialize as ONE straggler pandas frame that
-  must fit in a single task's memory. Re-parsing the (tiny,
-  RFC-capped-at-500-KiB) robots body once per salt bucket costs
-  microseconds; an unbounded group costs minutes and an OOM.
+  host's URLs against the parsed matcher. The salt is ADAPTIVE —
+  ``xxhash64(url) % ceil(host_rows / max_group_rows)`` (capped at
+  ``max_salt_buckets``) — so the crawl's long tail (millions of
+  hosts under the threshold) keeps ONE group per host and the
+  parse-once amortization, while a wikipedia.org-sized host
+  carrying 10⁷–10⁸ URLs splits into bounded groups instead of ONE
+  straggler pandas frame that must fit in a single task's memory.
+  Re-parsing the (tiny, RFC-capped-at-500-KiB) robots body once per
+  salt bucket costs microseconds; an unbounded group costs minutes
+  and an OOM. The per-host row count comes from a partial-agg
+  ``groupBy(host).count()`` — one small extra exchange carrying one
+  row per host, reused by the same-key robots join.
 - hosts with no robots row (or an unparseable body) default to
   ALLOWED — the REP's own rule for missing robots.txt.
 - several fetches of one host collapse to the LATEST before the
@@ -51,15 +58,35 @@ import re
 import urllib.parse
 import urllib.robotparser
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .urls import url_host
 
 _SCHEMA_SUFFIX = "allowed boolean"
 
-#: default salt-bucket count for the per-host group (see module doc)
-_SALT_BUCKETS = 64
+#: a host splits into ceil(rows / _MAX_GROUP_ROWS) salt buckets —
+#: small hosts keep one group (parse-once), hot hosts stay bounded
+_MAX_GROUP_ROWS = 65_536
+
+#: hard cap on buckets per host (bounds the count-join fanout even
+#: for a pathological single-host corpus)
+_MAX_SALT_BUCKETS = 1024
+
+
+def _n_salt_buckets(
+    n_rows: Column, max_group_rows: int, max_salt_buckets: int
+) -> Column:
+    """Salt-bucket count for a host with ``n_rows`` URL rows (≥ 1;
+    NULL n_rows — unmatched rows — gets 1). Exposed for the scale
+    tests, which pin the bucket arithmetic directly."""
+    return F.greatest(
+        F.least(
+            F.ceil(F.coalesce(n_rows, F.lit(1)) / F.lit(max_group_rows)),
+            F.lit(max_salt_buckets),
+        ),
+        F.lit(1),
+    )
 
 
 class _Rfc9309Matcher:
@@ -97,7 +124,13 @@ class _Rfc9309Matcher:
                         groups.append((uas, rules))
                     uas, rules = [], []
                     in_header = True
-                uas.append(value.split("/")[0].strip().lower())
+                token = value.split("/")[0].strip().lower()
+                # an EMPTY token ('User-agent:' / 'User-agent: /1.0')
+                # is garbage, not a group name: '' substring-matches
+                # every agent, so keeping it would count as a
+                # "specific" match and wrongly suppress the * group
+                if token:
+                    uas.append(token)
             elif key in ("allow", "disallow"):
                 in_header = False
                 if value:
@@ -133,7 +166,7 @@ class _Rfc9309Matcher:
             path = parts.path or "/"
             if parts.query:
                 path += "?" + parts.query
-        except ValueError:
+        except Exception:  # garbage URL: unevaluable = not allowed
             return False
         best_len, best_allow = -1, True
         for rx, plen, allow in self._rules:
@@ -157,7 +190,14 @@ def _build_matcher(body, agent: str, rep: str):
 
         class _Std:
             def can_fetch(self, url: str) -> bool:
-                return parser.can_fetch(agent, url)
+                # robotparser re-parses the URL and raises on garbage
+                # ('http://[::1/x' → ValueError) — one malformed crawl
+                # URL must not kill the stage; unevaluable = not
+                # allowed, matching the null-URL convention
+                try:
+                    return parser.can_fetch(agent, url)
+                except Exception:
+                    return False
 
         return _Std()
     except Exception:
@@ -173,14 +213,16 @@ def robots_allowed(
     body_col: str = "robots_txt",
     fetched_col: str | None = None,
     rep: str = "stdlib",
-    salt_buckets: int = _SALT_BUCKETS,
+    max_group_rows: int = _MAX_GROUP_ROWS,
+    max_salt_buckets: int = _MAX_SALT_BUCKETS,
 ) -> DataFrame:
     """``urls`` + an ``allowed`` boolean per the REP (``rep=`` picks
     stdlib first-match or RFC 9309 longest-match — see module doc),
     evaluated against ``robots``: a (host, robots_txt) frame. All
     other url columns pass through. Evaluation parses each host's
-    rules once per salt bucket (``salt_buckets`` bounds the pandas
-    group a hot host can form — module doc).
+    rules once per salt bucket; a host under ``max_group_rows`` URL
+    rows keeps ONE bucket, a hot host splits into bounded buckets
+    (adaptive salting — module doc).
 
     ``robots`` is collapsed to ONE row per host before the join —
     a corpus re-checked over time legitimately carries several
@@ -217,8 +259,24 @@ def robots_allowed(
         if fetched_col
         else per_host.agg(F.max("__robots").alias("__robots"))
     )
-    joined = with_host.join(robots_one, "__host", "left").withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+    # adaptive salt: one small partial-agg exchange (one row per
+    # host) sizes each host's bucket count; the long tail stays at
+    # one bucket per host, hot hosts split (module doc)
+    host_counts = with_host.groupBy("__host").agg(
+        F.count(F.lit(1)).alias("__n_rows")
+    )
+    joined = (
+        with_host.join(robots_one, "__host", "left")
+        .join(host_counts, "__host", "left")
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col(url_col)),
+                _n_salt_buckets(
+                    F.col("__n_rows"), max_group_rows, max_salt_buckets
+                ),
+            ),
+        )
     )
     pass_cols = [f.name for f in urls.schema.fields]
 
@@ -243,16 +301,23 @@ def drop_disallowed(
     robots: DataFrame,
     agent: str = "*",
     url_col: str = "url",
+    fetched_col: str | None = None,
+    *,
     host_col: str = "host",
     body_col: str = "robots_txt",
-    fetched_col: str | None = None,
     rep: str = "stdlib",
-    salt_buckets: int = _SALT_BUCKETS,
+    max_group_rows: int = _MAX_GROUP_ROWS,
+    max_salt_buckets: int = _MAX_SALT_BUCKETS,
 ) -> DataFrame:
     """The filter form: only rows whose URL the host's robots.txt
     allows for ``agent`` (missing/unparseable rules allow, per the
     REP). Accepts every :func:`robots_allowed` parameter, so it works
-    with any robots-frame column naming and either evaluator."""
+    with any robots-frame column naming and either evaluator.
+    ``fetched_col`` keeps its historical 5th-positional slot; the
+    newer parameters are keyword-only so existing positional callers
+    cannot silently rebind (a fetch-time column landing in
+    ``host_col`` would alias timestamps as hosts, match nothing, and
+    default every URL to allowed)."""
     return (
         robots_allowed(
             urls,
@@ -263,7 +328,8 @@ def drop_disallowed(
             body_col=body_col,
             fetched_col=fetched_col,
             rep=rep,
-            salt_buckets=salt_buckets,
+            max_group_rows=max_group_rows,
+            max_salt_buckets=max_salt_buckets,
         )
         .filter(F.col("allowed"))
         .drop("allowed")

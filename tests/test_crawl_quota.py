@@ -61,6 +61,19 @@ def test_quota_small_hosts_untouched(spark):
     assert per_host_quota(df, 5).count() == 10
 
 
+def test_quota_tolerates_reserved_column_names(spark):
+    """Self-review r7: a payload column named rank (or __site/__key)
+    must survive the round trip instead of colliding with
+    grouped_topk's output."""
+    rows = [(i, f"http://h{i % 3}.example/p/{i}", i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, rank long")
+    out = per_host_quota(df, 4)
+    assert out.columns == ["doc_id", "url", "rank"]
+    got = {r["doc_id"]: r["rank"] for r in out.collect()}
+    assert len(got) == 3 * 4
+    assert all(v == k * 10 for k, v in got.items())  # values intact
+
+
 def test_quota_by_registered_domain(spark):
     """registered_domain pools subdomains into one budget."""
     rows = [(i, f"http://sub{i % 4}.example.com/p/{i}") for i in range(40)]

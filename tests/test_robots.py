@@ -310,13 +310,18 @@ Disallow: /w2/
 
 def test_hot_host_group_is_salted(spark):
     """VERDICT r6 scale fix: one host × many URLs must not form one
-    pandas group. The group key is (host, xxhash64(url) % salt_buckets),
-    so a hot host's largest group is ~n/salt_buckets — verified here on
-    the exact salt expression, plus end-to-end correctness on 50k
-    single-host URLs."""
+    pandas group. The salt is adaptive — ceil(host_rows /
+    max_group_rows) buckets, capped — so this pins BOTH halves: a hot
+    host splits into bounded groups (correct answers at 50k rows with
+    a 4k bound) and a small host keeps exactly one bucket (the
+    parse-once amortization for the crawl's long tail)."""
     import pyspark.sql.functions as SF
 
-    n, buckets = 50_000, 16
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.robots import (
+        _n_salt_buckets,
+    )
+
+    n, bound = 50_000, 4096
     urls = spark.range(n).select(
         SF.col("id").alias("doc_id"),
         SF.concat(
@@ -327,7 +332,7 @@ def test_hot_host_group_is_salted(spark):
         [("hot.example", "User-agent: *\nDisallow: /page/1\n")],
         "host string, robots_txt string",
     )
-    out = robots_allowed(urls, robots, salt_buckets=buckets)
+    out = robots_allowed(urls, robots, max_group_rows=bound)
     agg = out.agg(
         SF.count(SF.lit(1)).alias("n"),
         SF.sum(SF.col("allowed").cast("long")).alias("n_allowed"),
@@ -335,11 +340,120 @@ def test_hot_host_group_is_salted(spark):
     assert agg["n"] == n
     # /page/1 prefix-matches 1, 1x, 1xx, 1xxx, 1xxxx
     assert agg["n_allowed"] == n - (1 + 10 + 100 + 1000 + 10000)
-    # the salt bounds every group: max group size ~ n/buckets
+    # bucket arithmetic: 50k rows / 4k bound → 13 buckets; a 10-row
+    # host → 1 bucket; NULL (unmatched) → 1; the hard cap applies
+    got = (
+        spark.createDataFrame(
+            [(50_000,), (10,), (None,), (10**9,)], "nr long"
+        )
+        .select(_n_salt_buckets(SF.col("nr"), bound, 1024).alias("b"))
+        .collect()
+    )
+    assert [r["b"] for r in got] == [13, 1, 1, 1024]
+    # and the salt really bounds the hot host's groups: uniform
+    # xxhash64 over 13 buckets keeps every group well under 2× ideal
     sizes = (
-        urls.groupBy(SF.pmod(SF.xxhash64("url"), SF.lit(buckets)).alias("s"))
+        urls.groupBy(SF.pmod(SF.xxhash64("url"), SF.lit(13)).alias("s"))
         .count()
         .collect()
     )
-    assert len(sizes) == buckets
-    assert max(r["count"] for r in sizes) < 2 * n / buckets
+    assert len(sizes) == 13
+    assert max(r["count"] for r in sizes) < 2 * n / 13
+
+
+def test_small_hosts_keep_one_group(spark):
+    """Long-tail shape: hosts under max_group_rows stay at one salt
+    bucket, so the parse-once-per-host amortization survives the
+    salting fix (self-review r7)."""
+    import pyspark.sql.functions as SF
+
+    urls = spark.range(300).select(
+        SF.col("id").alias("doc_id"),
+        SF.concat(
+            SF.lit("http://h"),
+            (SF.col("id") % 50).cast("string"),
+            SF.lit(".example/p/"),
+            SF.col("id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.example", "User-agent: *\nDisallow: /p/0\n") for i in range(50)],
+        "host string, robots_txt string",
+    )
+    out = robots_allowed(urls, robots)  # default max_group_rows
+    assert out.count() == 300
+    # with 6 rows per host every host gets exactly 1 bucket
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.robots import (
+        _MAX_GROUP_ROWS,
+        _n_salt_buckets,
+    )
+
+    one = (
+        spark.createDataFrame([(6,)], "nr long")
+        .select(_n_salt_buckets(SF.col("nr"), _MAX_GROUP_ROWS, 1024).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert one == 1
+
+
+def test_garbage_url_and_garbage_ua_do_not_crash(spark):
+    """Self-review r7: a malformed URL ('http://[::1/x' makes
+    robotparser raise) must degrade to allowed=False, not kill the
+    stage — in BOTH modes; and an empty/garbage User-agent token
+    ('User-agent:' / 'User-agent: /') must not suppress the * group
+    in rfc9309 mode."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.urls import (
+        url_host,
+    )
+
+    bad = "http://[::1/x"  # unbalanced bracket: robotparser raises
+    urls = spark.createDataFrame(
+        [(0, bad), (1, "http://a.example/ok")],
+        "doc_id long, url string",
+    )
+    # the bad URL's rules row must JOIN (otherwise missing-robots
+    # default-allow short-circuits before the parser ever runs), so
+    # key it by the host expression the operator itself derives
+    bad_host = (
+        spark.createDataFrame([(bad,)], "url string")
+        .select(url_host(F.col("url")).alias("h"))
+        .collect()[0]["h"]
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private/\n"),
+         (bad_host, "User-agent: *\nDisallow: /nothing\n")],
+        "host string, robots_txt string",
+    )
+    for rep in ("stdlib", "rfc9309"):
+        got = {
+            r["doc_id"]: r["allowed"]
+            for r in robots_allowed(urls, robots, rep=rep).collect()
+        }
+        assert got[1] is True, rep
+        assert got[0] is False, rep  # unevaluable, not a crash
+    # garbage UA lines: '' would substring-match every agent and
+    # shadow *; the parser must skip them
+    body = "User-agent:\nDisallow: /\nUser-agent: *\nDisallow:\n"
+    urls2 = spark.createDataFrame(
+        [(0, "http://b.example/any")], "doc_id long, url string"
+    )
+    robots2 = spark.createDataFrame(
+        [("b.example", body)], "host string, robots_txt string"
+    )
+    out = robots_allowed(urls2, robots2, agent="anybot", rep="rfc9309").collect()
+    assert out[0]["allowed"] is True
+
+
+def test_drop_disallowed_positional_compat(spark):
+    """fetched_col keeps its historical 5th positional slot (newer
+    params are keyword-only): a caller passing it positionally must
+    get latest-fetch semantics, not a silently-disabled filter."""
+    urls = spark.createDataFrame(
+        [(0, "http://a.example/private/x")], "doc_id long, url string"
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow:\n", 1),
+         ("a.example", "User-agent: *\nDisallow: /private/\n", 2)],
+        "host string, robots_txt string, fetched_at int",
+    )
+    assert drop_disallowed(urls, robots, "*", "url", "fetched_at").count() == 0
