@@ -1,0 +1,95 @@
+"""Driver-checked registry row for the crawl front half: WARC bytes
+→ record split / HTTP envelope undo → HTML→text extraction →
+canonical-URL dedup → robots compliance (RFC 9309 mode) — the whole
+ingest path of `examples/crawl_ingest.py` as ONE query under the
+DuckDB oracle (VERDICT r6 #1: this subsystem previously had no
+CORRECTNESS row).
+
+The input is a deterministic synthetic crawl built worker-side from
+the documents table (`sources/warc.py synthetic_warc_corpus`): per-
+record-member .warc.gz and plain .warc shards; identity / gzip /
+deflate / chunked / chunked+gzip transfer variants; latin-1 and
+quoted-charset pages; interleaved warcinfo / 404 / request / JSON
+records the filter stage must drop; tracking-variant refetches the
+canonical-URL stage must collapse; five URL spellings per residue
+class that all normalize to one canonical form. Every stage is
+deterministic (gzip mtime=0, xxhash64 ids, stdlib html parser), so
+the expected output is a committed golden table (the same full-value
+pin multimodal_image_decode uses) — DuckDB cannot parse WARC, but it
+CAN verify every byte of the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import DRIVER_SF, golden_oracle, register
+from ..sources.warc import WARC_SCHEMA, crawl_pages, synthetic_warc_corpus, warc_kernel
+from .extraction import extract_text
+from .robots import robots_allowed
+from .urls import canonical_url, url_host
+
+#: synthetic-crawl robots rules, keyed by host residue class
+#: (site{h}.example; h % 4 == 3 hosts have NO robots row → REP
+#: default allow). The rfc9309 evaluator is the one under test:
+#: the h%4==1 Allow carve-out only works under longest-match.
+_ROBOTS_BY_RESIDUE = {
+    0: "User-agent: *\nDisallow: /Doc/1\n",
+    1: "User-agent: *\nDisallow: /Doc/\nAllow: /Doc/2\n",
+    2: "User-agent: *\nDisallow: /*5$\n",
+}
+
+
+def _robots_frame(spark: SparkSession) -> DataFrame:
+    rows = [
+        (f"site{h}.example", _ROBOTS_BY_RESIDUE[h % 4])
+        for h in range(23)
+        if h % 4 != 3
+    ]
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+@register(
+    "crawl_front_half",
+    oracle=golden_oracle("crawl_front_half"),
+    golden_sf=DRIVER_SF,
+)
+def crawl_front_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per surviving page: (doc_id, url, host, allowed,
+    title, n_links, link_density, n_chars, n_tokens), ordered by
+    doc_id. doc_id < 400 keeps the corpus identical across scale
+    factors (same convention as multimodal_image_decode)."""
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    )
+    shards = synthetic_warc_corpus(docs)
+    pages = crawl_pages(shards.mapInPandas(warc_kernel, WARC_SCHEMA))
+
+    # crawl-side URL dedup: one fetch per canonical URL, keep-min id
+    # via agg + semi-join (shuffle-once; no per-URL window sort)
+    canon = pages.withColumn("curl", canonical_url(F.col("url")))
+    keep = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+    unique = canon.join(keep, ["curl", "doc_id"], "left_semi").dropDuplicates(
+        ["curl"]
+    )
+
+    feats = extract_text(unique, html_col="html")
+    enriched = unique.select("doc_id", "curl").join(feats, "doc_id")
+    flagged = robots_allowed(
+        enriched, _robots_frame(spark), url_col="curl", rep="rfc9309"
+    )
+    return flagged.select(
+        F.col("doc_id"),
+        F.col("curl").alias("url"),
+        url_host(F.col("curl")).alias("host"),
+        F.col("allowed"),
+        F.col("title"),
+        F.col("n_links"),
+        F.col("link_density"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")

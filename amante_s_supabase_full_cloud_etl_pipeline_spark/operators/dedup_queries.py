@@ -63,20 +63,6 @@ pairs AS (
 """
 
 
-@register(
-    "dedup_exact_survivors",
-    oracle="""
-    WITH fp AS (
-        SELECT doc_id, lang,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-        FROM documents
-    ),
-    canon AS (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f)
-    SELECT lang, COUNT(*) AS n_docs
-    FROM fp JOIN canon ON fp.f = canon.f AND fp.doc_id = canon.m
-    GROUP BY lang ORDER BY lang
-    """,
-)
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the canonical (min-id) copy per normalized
     fingerprint: hash-groupBy + semi join, never a text comparison.
@@ -90,6 +76,53 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang")
     )
+
+
+@register(
+    "exact_dedup_panel",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT 'fingerprint' AS leg, f AS key,
+               COUNT(*) AS n, MIN(doc_id) AS canonical_id
+        FROM fp GROUP BY f
+        UNION ALL
+        SELECT 'survivors' AS leg, lang AS key,
+               COUNT(*) AS n, CAST(-1 AS BIGINT) AS canonical_id
+        FROM fp JOIN (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f) canon
+          ON fp.f = canon.f AND fp.doc_id = canon.m
+        GROUP BY lang
+    ) ORDER BY leg, key
+    """,
+)
+def exact_dedup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup family as one labeled union (round-7 slot
+    consolidation, precedent dedup_pair_methods): the 'fingerprint'
+    leg is the md5-of-normalized-text grouping (formerly the
+    text_fingerprint_dedup row), the 'survivors' leg the per-lang
+    count after keep-min-id dedup (formerly dedup_exact_survivors;
+    canonical_id is a -1 sentinel there — doc ids are non-negative,
+    and a NULL numeric is a driver hash hazard the oracle harness
+    rejects). Both legs stay fully live-SQL-oracled."""
+    from .text_queries import text_fingerprint_dedup
+
+    fp = text_fingerprint_dedup(spark, sf_dir).select(
+        F.lit("fingerprint").alias("leg"),
+        F.col("fp").alias("key"),
+        F.col("n_copies").alias("n"),
+        "canonical_id",
+    )
+    surv = dedup_exact_survivors(spark, sf_dir).select(
+        F.lit("survivors").alias("leg"),
+        F.col("lang").alias("key"),
+        F.col("n_docs").alias("n"),
+        F.lit(-1).cast("long").alias("canonical_id"),
+    )
+    return fp.unionByName(surv).orderBy("leg", "key")
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

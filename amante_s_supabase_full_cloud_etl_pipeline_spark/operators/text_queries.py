@@ -187,19 +187,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_fingerprint_dedup",
-    oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-           COUNT(*) AS n_copies,
-           MIN(doc_id) AS canonical_id
-    FROM documents GROUP BY 1 ORDER BY fp
-    """,
-)
 def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (md5 of normalized text) + exact-dedup
     grouping — the scalable exact-dedup key (one shuffle on a
-    well-distributed hash)."""
+    well-distributed hash). Registered via the consolidated
+    ``exact_dedup_panel`` row (dedup_queries.py) since round 7 —
+    the labeled-union move that freed a driver slot for
+    ``crawl_front_half``."""
     docs = catalog.table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))

@@ -288,7 +288,15 @@ def crawl_documents(spark: SparkSession, path: str) -> DataFrame:
     path|target_uri|warc_date when a sloppy writer omitted
     WARC-Record-ID (hashing a constant null would collide every such
     record onto one id)."""
-    recs = read_warc(spark, path)
+    return crawl_pages(read_warc(spark, path))
+
+
+def crawl_pages(recs: DataFrame) -> DataFrame:
+    """:func:`crawl_documents`'s filter/projection stage on an
+    already-parsed WARC_SCHEMA records frame (factored out so
+    fixture-built records — e.g. :func:`synthetic_warc_corpus` via
+    :func:`warc_kernel` — flow through the identical production
+    path)."""
     html = recs.filter(
         F.col("parse_error").isNull()
         & (F.col("warc_type") == "response")
@@ -307,3 +315,199 @@ def crawl_documents(spark: SparkSession, path: str) -> DataFrame:
         F.col("warc_date").alias("fetched_at"),
         F.col("text").alias("html"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic crawl (fixture generator for the driver-
+# checked crawl_front_half row and the scale soak)
+# ---------------------------------------------------------------------------
+
+def _synth_page(doc_id: int, text: str) -> str:
+    """One document's HTML: escaped body, title, two footer links;
+    every 11th page adds a link-farm nav so link_density varies."""
+    import html as html_mod
+
+    nav = ""
+    if doc_id % 11 == 0:
+        nav = "<nav>" + "".join(
+            f"<a href='/t/{i}'>topic {i}</a>" for i in range(30)
+        ) + "</nav>"
+    return (
+        f"<html><head><title>Doc {doc_id}</title></head><body>{nav}"
+        f"<h1>Doc {doc_id}</h1><p>{html_mod.escape(text)}</p>"
+        f"<footer><a href='/share'>share</a><a href='/about'>about</a>"
+        f"</footer></body></html>"
+    )
+
+
+def _synth_url(doc_id: int) -> str:
+    """The page's fetch-time URL — each residue class carries a
+    different RFC 3986 normalization the canonical-URL stage must
+    undo; ALL five variants canonicalize to
+    ``http://site{d%23}.example/Doc/{d}?id={d}``."""
+    d = doc_id
+    base = f"site{d % 23}.example/Doc/{d}?id={d}"
+    v = d % 5
+    if v == 0:
+        return f"HTTP://Site{d % 23}.Example/Doc/{d}?id={d}"  # case
+    if v == 1:
+        return f"http://site{d % 23}.example:80/Doc/{d}?id={d}"  # port
+    if v == 2:
+        return f"http://site{d % 23}.example/%44oc/{d}?id={d}"  # %44='D'
+    if v == 3:
+        return f"http://{base}#sec"  # fragment
+    return f"http://{base}&utm_source=feed"  # tracking param
+
+
+def _synth_http(doc_id: int, page: str) -> bytes:
+    """The HTTP response envelope, cycling the transfer/content
+    encodings and charsets the kernel must undo (doc_id % 7):
+    identity / gzip / deflate / chunked / latin-1 / chunked+gzip /
+    quoted-charset."""
+    import gzip as gz
+    import zlib as zl
+
+    v = doc_id % 7
+    ctype = "text/html; charset=utf-8"
+    extra = ""
+    if v == 4:
+        # a page whose charset really is latin-1 (non-latin-1 chars
+        # degrade to '?', deterministically)
+        body = ("café " + page).encode("latin-1", "replace")
+        ctype = "text/html; charset=latin-1"
+    else:
+        body = page.encode("utf-8")
+    if v == 1:
+        body = gz.compress(body, mtime=0)
+        extra = "Content-Encoding: gzip\r\n"
+    elif v == 2:
+        body = zl.compress(body)
+        extra = "Content-Encoding: deflate\r\n"
+    elif v in (3, 5):
+        if v == 5:
+            body = gz.compress(body, mtime=0)
+            extra = "Content-Encoding: gzip\r\n"
+        chunks = [body[i : i + 100] for i in range(0, len(body), 100)]
+        body = b"".join(
+            b"%x\r\n%s\r\n" % (len(c), c) for c in chunks
+        ) + b"0\r\n\r\n"
+        extra += "Transfer-Encoding: chunked\r\n"
+    elif v == 6:
+        ctype = 'text/html; charset="utf-8"'
+    head = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n{extra}"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body
+
+
+def _synth_record(
+    uri: str,
+    rec_id: str,
+    payload: bytes,
+    warc_type: str = "response",
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    head = (
+        f"WARC/1.1\r\nWARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: <{rec_id}>\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    )
+    return head.encode() + payload + b"\r\n\r\n"
+
+
+def synthetic_warc_corpus(docs: DataFrame, n_files: int = 8) -> DataFrame:
+    """Deterministic (path, content) WARC shards built WORKER-side
+    from (doc_id, text) rows — the crawl-simulation fixture the
+    driver-checked ``crawl_front_half`` row ingests. Each shard holds
+    ``doc_id % n_files``'s documents in doc_id order, so the bytes
+    are identical at any partitioning; even shards are per-record-
+    member ``.warc.gz`` (the spec's recommended shape, ``mtime=0``
+    for byte determinism), odd shards plain ``.warc`` — both read
+    paths stay covered. Interleaved non-document records (warcinfo
+    header, 404s, request records, JSON responses, a duplicate fetch
+    under a tracking-variant URL) exercise the filter stage exactly
+    the way a real crawl does."""
+    schema = "path string, content binary"
+    tagged = docs.select("doc_id", "text").withColumn(
+        "__file", F.pmod(F.col("doc_id"), F.lit(n_files))
+    )
+
+    def build(pdf):
+        import gzip as gz
+        import io
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["__file"].iloc[0])
+        gzip_shard = fid % 2 == 0
+        out = io.BytesIO()
+
+        def emit(record: bytes) -> None:
+            out.write(gz.compress(record, mtime=0) if gzip_shard else record)
+
+        emit(
+            _synth_record(
+                "",
+                f"urn:synth:warcinfo:{fid}",
+                b"software: synthetic-crawl/1\r\n",
+                warc_type="warcinfo",
+                content_type="application/warc-fields",
+            )
+        )
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(doc_id)
+            url = _synth_url(d)
+            page = _synth_page(d, "" if text is None else str(text))
+            emit(_synth_record(url, f"urn:synth:doc:{d}", _synth_http(d, page)))
+            if d % 31 == 0:
+                # the same page refetched under another tracking
+                # variant — the canonical-URL dedup must collapse it
+                emit(
+                    _synth_record(
+                        url + ("&" if "?" in url else "?") + "gclid=Z9",
+                        f"urn:synth:doc:{d}:refetch",
+                        _synth_http(d, page),
+                    )
+                )
+            if d % 13 == 0:
+                emit(
+                    _synth_record(
+                        url,
+                        f"urn:synth:404:{d}",
+                        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+                        b"Content-Length: 9\r\n\r\nnot found",
+                    )
+                )
+            if d % 17 == 0:
+                emit(
+                    _synth_record(
+                        url,
+                        f"urn:synth:req:{d}",
+                        b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",
+                        warc_type="request",
+                        content_type="application/http; msgtype=request",
+                    )
+                )
+            if d % 19 == 0:
+                emit(
+                    _synth_record(
+                        url + "&fmt=json",
+                        f"urn:synth:json:{d}",
+                        b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
+                        b'Content-Length: 13\r\n\r\n{"doc": true}',
+                    )
+                )
+        ext = "warc.gz" if gzip_shard else "warc"
+        return pd.DataFrame(
+            {
+                "path": [f"synth://crawl-{fid:02d}.{ext}"],
+                "content": [out.getvalue()],
+            }
+        )
+
+    return tagged.groupBy("__file").applyInPandas(build, schema)

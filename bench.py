@@ -138,6 +138,7 @@ def _extra_queries():
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "topk_parts_per_type": dashboard.topk_parts_per_type,
+        "dedup_exact_survivors": dedup_queries.dedup_exact_survivors,
         "dedup_jaccard_pairs": dedup_queries.dedup_jaccard_pairs,
         "knn_bruteforce_cosine": similarity_queries.knn_bruteforce_cosine,
         "knn_lsh_bucketed": similarity_queries.knn_lsh_bucketed,
