@@ -61,6 +61,8 @@ def crawl_front_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     title, n_links, link_density, n_chars, n_tokens), ordered by
     doc_id. doc_id < 400 keeps the corpus identical across scale
     factors (same convention as multimodal_image_decode)."""
+    from .cache import tracked_persist
+
     docs = (
         catalog.table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 400)
@@ -70,12 +72,19 @@ def crawl_front_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = crawl_pages(shards.mapInPandas(warc_kernel, WARC_SCHEMA))
 
     # crawl-side URL dedup: one fetch per canonical URL, keep-min id
-    # via agg + semi-join (shuffle-once; no per-URL window sort)
-    canon = pages.withColumn("curl", canonical_url(F.col("url")))
-    keep = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
-    unique = canon.join(keep, ["curl", "doc_id"], "left_semi").dropDuplicates(
-        ["curl"]
+    # via agg + semi-join (shuffle-once; no per-URL window sort).
+    # The corpus-build + WARC-parse subtree feeds the agg, the
+    # semi-join probe, the extraction, and the enriched join — persist
+    # it once (released by the registry wrapper before the next query)
+    # instead of re-running the Python kernels per consumer. A
+    # doc_id hash collision inside one canonical group would surface
+    # as a loud duplicate-row oracle failure — no dropDuplicates
+    # masking it nondeterministically.
+    canon = tracked_persist(
+        pages.withColumn("curl", canonical_url(F.col("url")))
     )
+    keep = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+    unique = canon.join(keep, ["curl", "doc_id"], "left_semi")
 
     feats = extract_text(unique, html_col="html")
     enriched = unique.select("doc_id", "curl").join(feats, "doc_id")

@@ -466,10 +466,17 @@ def synthetic_warc_corpus(docs: DataFrame, n_files: int = 8) -> DataFrame:
             emit(_synth_record(url, f"urn:synth:doc:{d}", _synth_http(d, page)))
             if d % 31 == 0:
                 # the same page refetched under another tracking
-                # variant — the canonical-URL dedup must collapse it
+                # variant — the canonical-URL dedup must collapse it.
+                # Insert BEFORE any fragment: after '#' the param
+                # would sit inside the fragment and the collapse
+                # would test fragment-stripping instead
+                if "#" in url:
+                    refetch = url.replace("#", "&gclid=Z9#", 1)
+                else:
+                    refetch = url + "&gclid=Z9"
                 emit(
                     _synth_record(
-                        url + ("&" if "?" in url else "?") + "gclid=Z9",
+                        refetch,
                         f"urn:synth:doc:{d}:refetch",
                         _synth_http(d, page),
                     )
