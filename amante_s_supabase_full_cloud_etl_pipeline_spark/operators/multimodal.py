@@ -140,7 +140,7 @@ def _pil_decode(blob: bytes):
         return None
 
 
-_NATIVE_MAGICS = (b"BM", b"P6", b"\x89P", b"\xff\xd8")
+_NATIVE_MAGICS = (b"BM", b"P6", b"\x89P", b"\xff\xd8", b"GIF8")
 
 
 def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -429,6 +429,21 @@ def decode_image(blob: bytes, prefer_pil: bool | None = None):
         return _decode_ppm(b)
     if b.startswith(_PNG_SIG):
         return _decode_png(b)
+    if b[:4] == b"GIF8":
+        # GIF is LOSSLESS: PIL and the native codec produce IDENTICAL
+        # pixels (unlike JPEG's implementation-defined IDCT), so the
+        # dispatch can prefer PIL's C LZW for throughput with no
+        # golden-parity hazard; the native path is the zero-dependency
+        # fallback (cross-pinned against javax.imageio in test_gif.py)
+        if prefer_pil is None:
+            prefer_pil = pil_available()
+        if prefer_pil and pil_available():
+            arr = _pil_decode(b)
+            if arr is not None:
+                return arr
+        from .gif import decode_gif
+
+        return decode_gif(b)
     if b[:2] == b"\xff\xd8":
         if prefer_pil is None:
             prefer_pil = pil_available()
@@ -701,13 +716,15 @@ def _fan_out_ids(docs: "DataFrame") -> "DataFrame":
 
 
 def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
-    """Deterministic image corpus keyed on doc_id cycling all four
+    """Deterministic image corpus keyed on doc_id cycling all five
     NATIVE codecs — doc_id % 4: 0 → 24-bit BMP, 1 → binary PPM,
-    2 → zlib PNG, 3 → baseline JPEG (4:2:0, restart markers — the
-    web-norm shape). Generated worker-side in the Arrow kernel
-    (never a driver loop), so the corpus scales with the input
-    table; the JPEG leg puts the native Huffman+DCT codec on the
-    driver-checked ``multimodal_image_decode`` golden row."""
+    2 → zlib PNG (except doc_id % 8 == 6 → LZW GIF, half of them
+    interlaced), 3 → baseline JPEG (4:2:0, restart markers — the
+    web-norm shape; doc_id % 8 == 7 → progressive). Generated
+    worker-side in the Arrow kernel (never a driver loop), so the
+    corpus scales with the input table; the JPEG and GIF legs put
+    the native Huffman+DCT and LZW codecs on the driver-checked
+    ``multimodal_image_decode`` golden row."""
 
     def kernel(batches):
         import numpy as np
@@ -716,6 +733,9 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
         # import inside the kernel: resolution happens on the
         # executor against the package zip session.configure ships
         # via addPyFile (works even when the driver cwd ≠ repo)
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.gif import (  # noqa: E501
+            encode_gif,
+        )
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
             encode_jpeg,
         )
@@ -745,6 +765,16 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
                 elif d % 4 == 1:
                     blobs.append(encode_ppm(px))
                     types.append("image/ppm")
+                elif d % 8 == 6:
+                    # GIF leg (carved from the PNG residue class so
+                    # the JPEG class — which the bench filters on —
+                    # is untouched). These synthetic frames are all
+                    # ≤ 192 px so the ≤256-color palette constraint
+                    # always holds; every other one interlaced. GIF
+                    # is lossless, so decoded stats equal the PNG
+                    # leg's for the same doc_id.
+                    blobs.append(encode_gif(px, interlace=d % 16 == 6))
+                    types.append("image/gif")
                 elif d % 4 == 2:
                     blobs.append(encode_png(px))
                     types.append("image/png")

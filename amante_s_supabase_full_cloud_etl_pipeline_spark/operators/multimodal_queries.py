@@ -59,9 +59,10 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden_sf=DRIVER_SF,
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode over all four native codecs (24-bit BMP,
-    binary PPM, zlib PNG, baseline JPEG via the pure-numpy Huffman+DCT
-    decoder in operators/jpeg.py) on a worker-generated deterministic
+    """REAL image decode over all five native codecs (24-bit BMP,
+    binary PPM, zlib PNG, LZW GIF incl. interlace via operators/gif.py,
+    baseline JPEG via the pure-numpy Huffman+DCT decoder in
+    operators/jpeg.py) on a worker-generated deterministic
     corpus: per-channel means, luminance moments, width/height. The
     8×8 pooled-thumb "resize" output is asserted in
     tests/test_multimodal.py; doc_id < 500 keeps the corpus identical

@@ -116,9 +116,10 @@ def test_image_decode_pipeline_features(spark, sf_dir):
         assert (f["height"], f["width"]) == arr.shape[:2]
         assert abs(f["mean_r"] - round(float(arr[:, :, 0].astype(np.float64).mean()), 6)) < 1e-12
         assert len(f["thumb"]) == 64
-    # formats cycle through all four native codecs by doc_id % 4
+    # formats cycle through all five native codecs by doc_id residue
     assert blobs[0][:2] == b"BM" and blobs[1][:2] == b"P6"
     assert blobs[2][:4] == b"\x89PNG" and blobs[3][:2] == b"\xff\xd8"
+    assert blobs[6][:6] == b"GIF89a"  # d%8==6: the GIF leg
 
 
 def test_decode_batch_gates_or_decodes_by_probe(spark):
