@@ -15,8 +15,13 @@ Scope (documented, loud):
   sequential images, extension blocks skipped via their own
   sub-block framing, FIRST image frame only (an animation's later
   frames are deltas against disposal state — a feature-extraction
-  pipeline samples frame 1). Transparency index is ignored: the
-  palette color is returned (feature stats need pixels, not alpha).
+  pipeline samples frame 1). A frame smaller than / offset within
+  the logical screen composites onto a background-color canvas of
+  screen size (renderer semantics — the output shape is the canvas,
+  not the frame rect). Transparency index is ignored: the palette
+  color is returned (feature stats need pixels, not alpha).
+  Header-declared sizes are capped (``_MAX_PIXELS``) so a crafted
+  small blob cannot act as an LZW decompression bomb.
 - encode: 89a, single non/interlaced image, global table built from
   the image's unique colors — raises ``ValueError`` beyond 256
   (this encoder is a fixture/test tool, not a quantizer).
@@ -45,6 +50,14 @@ encode→decode is self-consistent AND spec-consistent):
 from __future__ import annotations
 
 _MAX_CODE = 4096
+
+#: decode size cap (pixels). A GIF header is 13 bytes but can declare
+#: a 65535x65535 canvas whose LZW stream amplifies ~2500x — an
+#: unbounded decode is a decompression bomb that OOMs the executor
+#: instead of S4-skipping the row. 2^26 px (= 8k x 8k, 192 MiB RGB)
+#: exceeds any legitimate crawl GIF; beyond it the row degrades to
+#: None like any other undecodable blob.
+_MAX_PIXELS = 1 << 26
 
 
 def _lzw_encode(indices, min_code_size: int) -> bytes:
@@ -242,9 +255,14 @@ def decode_gif(blob: bytes):
         if blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 13:
             return None
         pos = 6
-        # logical screen descriptor (canvas size unused: the frame's
-        # own descriptor governs its array shape)
+        # logical screen descriptor: canvas size + background index
+        # (frames smaller than the canvas composite onto it, like any
+        # renderer — returning bare frame rects would make the output
+        # shape depend on frame placement)
+        screen_w = int.from_bytes(blob[pos : pos + 2], "little")
+        screen_h = int.from_bytes(blob[pos + 2 : pos + 4], "little")
         packed = blob[pos + 4]
+        bg_index = blob[pos + 5]
         pos += 7
         gct = None
         if packed & 0x80:
@@ -273,12 +291,16 @@ def decode_gif(blob: bytes):
             # image descriptor
             if pos + 9 > len(blob):
                 return None
+            left = int.from_bytes(blob[pos : pos + 2], "little")
+            top = int.from_bytes(blob[pos + 2 : pos + 4], "little")
             w = int.from_bytes(blob[pos + 4 : pos + 6], "little")
             h = int.from_bytes(blob[pos + 6 : pos + 8], "little")
             ipacked = blob[pos + 8]
             pos += 9
             if w == 0 or h == 0:
                 return None
+            if w * h > _MAX_PIXELS or screen_w * screen_h > _MAX_PIXELS:
+                return None  # decompression-bomb guard (module doc)
             table = gct
             if ipacked & 0x80:  # local color table overrides
                 n = 2 << (ipacked & 0x07)
@@ -308,6 +330,27 @@ def decode_gif(blob: bytes):
                 out = np.empty_like(rows)
                 out[order, :] = rows
                 rows = out
-            return rows.copy()
+            # composite onto the logical screen when the frame does
+            # not exactly cover it (uncovered area = the background
+            # color per the spec; a frame past the canvas edge clips;
+            # a zero-size canvas degrades to the bare frame)
+            if (left, top) == (0, 0) and (w, h) == (screen_w, screen_h):
+                return rows.copy()
+            if screen_w == 0 or screen_h == 0:
+                return rows.copy()
+            # background color indexes the GLOBAL table (the local
+            # table scopes only its own frame's pixels)
+            bg = (
+                gct[bg_index]
+                if gct is not None and bg_index < len(gct)
+                else np.zeros(3, np.uint8)
+            )
+            canvas = np.broadcast_to(
+                bg, (screen_h, screen_w, 3)
+            ).astype(np.uint8).copy()
+            ch = min(h, max(screen_h - top, 0))
+            cw = min(w, max(screen_w - left, 0))
+            canvas[top : top + ch, left : left + cw] = rows[:ch, :cw]
+            return canvas
     except Exception:
         return None

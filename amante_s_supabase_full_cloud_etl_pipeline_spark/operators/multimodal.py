@@ -145,7 +145,7 @@ _NATIVE_MAGICS = (b"BM", b"P6", b"\x89P", b"\xff\xd8", b"GIF8")
 
 def decode_image_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
     """mapInPandas kernel over mixed-codec blobs: the native set
-    (BMP/PPM/PNG/baseline+progressive JPEG) decodes everywhere;
+    (BMP/PPM/PNG/LZW-GIF/baseline+progressive JPEG) decodes everywhere;
     formats outside it (WebP, lossless JPEG, ...) decode via PIL when the probe
     finds it and otherwise fail FAST and loudly — never a silent
     None-for-all. A native-format blob that fails its decoder is
@@ -430,11 +430,16 @@ def decode_image(blob: bytes, prefer_pil: bool | None = None):
     if b.startswith(_PNG_SIG):
         return _decode_png(b)
     if b[:4] == b"GIF8":
-        # GIF is LOSSLESS: PIL and the native codec produce IDENTICAL
-        # pixels (unlike JPEG's implementation-defined IDCT), so the
-        # dispatch can prefer PIL's C LZW for throughput with no
-        # golden-parity hazard; the native path is the zero-dependency
-        # fallback (cross-pinned against javax.imageio in test_gif.py)
+        # GIF is LOSSLESS and the native decoder composites onto the
+        # logical-screen canvas like PIL does, so for covered pixels
+        # the two produce IDENTICAL output (unlike JPEG's
+        # implementation-defined IDCT) — the dispatch can prefer
+        # PIL's C LZW for throughput. Residual divergence exists only
+        # for frames that UNDER-cover the canvas (our fill is the
+        # spec's background color; PIL's is palette index 0), which
+        # is why decode_image_features still pins prefer_pil=False.
+        # Native path is the zero-dependency fallback, cross-pinned
+        # against javax.imageio in test_gif.py.
         if prefer_pil is None:
             prefer_pil = pil_available()
         if prefer_pil and pil_available():

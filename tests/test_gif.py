@@ -89,27 +89,36 @@ def test_cross_codec_with_javaimageio(spark, tmp_path):
     interlaced), and we read javax.imageio's. The JVM is always
     present where Spark runs, so unlike the PIL-gated JPEG
     cross-check this one never skips."""
+    # pixel transfer to/from the JVM rides our independently-pinned
+    # BMP codec (ImageIO reads/writes BMP natively), so each image
+    # crosses py4j in ONE call instead of w*h getRGB/setRGB calls
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmp24,
+    )
+
     jvm = spark._jvm
 
     def java_read(path):
+        """GIF file → pixels, via ImageIO gif-read + bmp-write
+        (indexed→RGB first: BMPImageWriter rejects indexed rasters)."""
         img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
         if img is None:
             return None
-        w, h = img.getWidth(), img.getHeight()
-        out = np.zeros((h, w, 3), np.uint8)
-        for y in range(h):
-            for x in range(w):
-                v = img.getRGB(x, y)
-                out[y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
-        return out
+        rgb = jvm.java.awt.image.BufferedImage(
+            img.getWidth(), img.getHeight(), 1
+        )
+        rgb.getGraphics().drawImage(img, 0, 0, None)
+        bmp = path + ".bmp"
+        assert jvm.javax.imageio.ImageIO.write(rgb, "bmp", jvm.java.io.File(bmp))
+        return _decode_bmp(open(bmp, "rb").read())
 
     def java_write(px, path):
-        h, w = px.shape[:2]
-        img = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
-        for y in range(h):
-            for x in range(w):
-                r, g, b = map(int, px[y, x])
-                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        """pixels → GIF file, via ImageIO bmp-read + gif-write."""
+        bmp = path + ".src.bmp"
+        open(bmp, "wb").write(encode_bmp24(px))
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(bmp))
+        assert img is not None
         assert jvm.javax.imageio.ImageIO.write(img, "gif", jvm.java.io.File(path))
 
     for i, px in enumerate(
@@ -178,13 +187,66 @@ def test_corruption_returns_none_never_raises():
     assert decode_gif(b"GIF89a") is None
     assert decode_gif(b"NOTGIF" + b[6:]) is None
     for cut in (10, len(b) // 2, len(b) - 2):
-        assert decode_gif(b[:cut]) in (None,) or decode_gif(b[:cut]) is None
+        assert decode_gif(b[:cut]) is None
     # bit flips anywhere: decode or None, never an exception
     for pos in range(0, len(b), 7):
         mutated = bytearray(b)
         mutated[pos] ^= 0x5A
         out = decode_gif(bytes(mutated))
         assert out is None or out.dtype == np.uint8
+
+
+def test_offset_frame_composites_onto_canvas(spark, tmp_path):
+    """Self-review r7: a frame smaller than / offset within the
+    logical screen returns the SCREEN-sized canvas (background color
+    under the uncovered area, frame at its offset), matching renderer
+    semantics — verified against javax.imageio's canvas pixels for
+    the covered region."""
+    px = _entropy_image(4, 5, 6)  # 6x5 frame
+    b = bytearray(encode_gif(px))
+    # enlarge the canvas to 10x9 and offset the frame to (3, 2);
+    # background index 1
+    b[6:8] = (10).to_bytes(2, "little")
+    b[8:10] = (9).to_bytes(2, "little")
+    b[11] = 1
+    idx = bytes(b).index(b"\x2c")
+    b[idx + 1 : idx + 3] = (3).to_bytes(2, "little")  # left
+    b[idx + 3 : idx + 5] = (2).to_bytes(2, "little")  # top
+    out = decode_gif(bytes(b))
+    assert out is not None and out.shape == (9, 10, 3)
+    assert (out[2:7, 3:9] == px).all()                    # frame placed
+    assert (out[0, 0] == _pal(4)[1]).all()                # bg color fill
+    # javax.imageio returns the bare FRAME rect for offset frames
+    # (PIL and browsers composite to canvas — our choice); its frame
+    # pixels must still equal ours in the covered region
+    p = str(tmp_path / "offset.gif")
+    open(p, "wb").write(bytes(b))
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    assert (img.getHeight(), img.getWidth()) == (5, 6)
+    rgb = jvm.java.awt.image.BufferedImage(6, 5, 1)
+    rgb.getGraphics().drawImage(img, 0, 0, None)
+    bmp = p + ".bmp"
+    jvm.javax.imageio.ImageIO.write(rgb, "bmp", jvm.java.io.File(bmp))
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+        _decode_bmp,
+    )
+
+    jarr = _decode_bmp(open(bmp, "rb").read())
+    assert (jarr == out[2:7, 3:9]).all()
+
+
+def test_decompression_bomb_guard():
+    """A tiny blob declaring a huge frame must S4-skip (None), not
+    allocate gigabytes."""
+    px = _entropy_image(4, 5, 6)
+    b = bytearray(encode_gif(px))
+    idx = bytes(b).index(b"\x2c")
+    for pos in (6, idx + 5):  # screen w / frame w
+        big = bytearray(b)
+        big[pos : pos + 2] = (65_535).to_bytes(2, "little")
+        big[pos + 2 : pos + 4] = (65_535).to_bytes(2, "little")
+        assert decode_gif(bytes(big)) is None
 
 
 def test_encoder_rejects_unquantizable():
