@@ -24,15 +24,16 @@ Layering — the split keeps this module honest:
   the authoritative codec, so a schema drift can never silently
   self-confirm.
 
-Scope (documented, loud): client-side streaming, Huffman-coded
-trailer parsing, and flow-control back-pressure beyond a large
-static window are not implemented — the purpose is an EXECUTED
-serving leg (Config + ExecutePlan with Arrow results in
-tests/test_connect_serve.py), not a production driver. HPACK is used
-only on the encode side, as literal-without-indexing fields (always
-legal per RFC 7541 §6.2.2); response HEADERS are not decoded — a
-stream that ends without any DATA raises with the raw trailer bytes
-for diagnosis.
+Scope (documented, loud): client-side streaming is out; request DATA
+is chunked to the server's advertised ``MAX_FRAME_SIZE`` but bounded
+by its advertised initial stream window (a request larger than that
+raises rather than stalls — gRPC-java advertises 1 MiB, far above
+any SQL text this serves); trailer parsing handles the plain-text
+HPACK literal forms gRPC-java actually emits (``grpc-status`` /
+``grpc-message`` as incremental-indexing new-name literals — captured
+live in tests) and skips Huffman-coded or table-referenced fields it
+cannot resolve. Response flow control is pre-granted via a maximal
+window, so large Arrow result streams never stall.
 """
 
 from __future__ import annotations
@@ -51,9 +52,12 @@ _END_STREAM = 0x1
 _END_HEADERS = 0x4
 _ACK = 0x1
 
-#: our receive window — large enough that result streams in these
-#: tests never stall on flow control
+#: our receive window — large enough that result streams never stall
 _WINDOW_SIZE = (1 << 31) - 1
+
+#: conservative defaults until the server's SETTINGS arrive (RFC 9113)
+_DEFAULT_MAX_FRAME = 16_384
+_DEFAULT_INITIAL_WINDOW = 65_535
 
 
 def _frame(ftype: int, flags: int, stream: int, payload: bytes) -> bytes:
@@ -85,6 +89,63 @@ def _hpack_literal(name: bytes, value: bytes) -> bytes:
     return bytes(out)
 
 
+def _hpack_plain_fields(block: bytes) -> dict[str, str]:
+    """Best-effort HPACK decode for STATUS CHECKING: returns the
+    literal fields whose name and value are plain-coded (the form
+    gRPC-java emits for grpc-status/grpc-message — verified against
+    live captures). Indexed fields, table-referenced names, and
+    Huffman strings are structurally SKIPPED (lengths are always
+    readable), never misread."""
+    out: dict[str, str] = {}
+    i = 0
+    n = len(block)
+
+    def read_int(prefix_bits: int) -> int:
+        nonlocal i
+        mask = (1 << prefix_bits) - 1
+        v = block[i] & mask
+        i += 1
+        if v == mask:
+            shift = 0
+            while i < n:
+                b = block[i]
+                i += 1
+                v += (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        return v
+
+    def read_str():
+        nonlocal i
+        huff = block[i] & 0x80
+        ln = read_int(7)
+        s = block[i : i + ln]
+        i += ln
+        return None if huff else s
+
+    try:
+        while i < n:
+            b = block[i]
+            if b & 0x80:  # indexed field: just the index
+                read_int(7)
+                continue
+            if b & 0xE0 == 0x20:  # dynamic table size update
+                read_int(5)
+                continue
+            prefix = 6 if b & 0xC0 == 0x40 else 4  # incr-index / (never-)plain
+            name_idx = read_int(prefix)
+            name = read_str() if name_idx == 0 else None
+            value = read_str()
+            if name is not None and value is not None:
+                out[name.decode("ascii", "replace")] = value.decode(
+                    "utf-8", "replace"
+                )
+    except IndexError:
+        pass  # torn block: keep what parsed
+    return out
+
+
 class GrpcCallError(RuntimeError):
     pass
 
@@ -98,17 +159,17 @@ def grpc_call(
 ) -> list[bytes]:
     """One gRPC call: serialized ``request`` → the (possibly
     server-streamed) list of serialized response messages. Handles
-    the h2 preface/SETTINGS exchange, PING keep-alives, gRPC message
-    framing across DATA frames, and connection+stream flow-control
-    windows sized so the response never stalls."""
+    the h2 preface/SETTINGS exchange, PING keep-alives, DATA chunking
+    to the server's max frame size, gRPC message framing across DATA
+    frames, trailer ``grpc-status`` checking, and flow control (our
+    receive window is pre-granted maximal; the request is bounded by
+    the server's advertised initial window). Raises
+    :class:`GrpcCallError` on any failure, including timeout."""
+    deadline = time.monotonic() + timeout
     s = socket.create_connection((host, port), timeout=timeout)
     try:
-        # SETTINGS: raise INITIAL_WINDOW_SIZE (id 4) so the one
-        # stream we open gets the big window from the start
         settings = (4).to_bytes(2, "big") + _WINDOW_SIZE.to_bytes(4, "big")
         s.sendall(_PREFACE + _frame(_SETTINGS, 0, 0, settings))
-        # connection-level window top-up (stream windows are covered
-        # by the SETTINGS above)
         s.sendall(
             _frame(_WINDOW, 0, 0, (_WINDOW_SIZE - 65_535).to_bytes(4, "big"))
         )
@@ -124,20 +185,44 @@ def grpc_call(
             )
         )
         grpc_msg = b"\x00" + len(request).to_bytes(4, "big") + request
-        s.sendall(
-            _frame(_HEADERS, _END_HEADERS, 1, headers)
-            + _frame(_DATA, _END_STREAM, 1, grpc_msg)
-        )
+        s.sendall(_frame(_HEADERS, _END_HEADERS, 1, headers))
 
-        buf = b""
-        body = b""
-        trailers = b""
+        # the request body waits for the server's SETTINGS so we
+        # honor ITS max frame size and initial stream window
+        server_max_frame = _DEFAULT_MAX_FRAME
+        server_window = _DEFAULT_INITIAL_WINDOW
+        sent_request = False
+
+        buf = bytearray()
+        body = bytearray()
+        resp_headers = bytearray()
+        trailers = bytearray()
+        block = None  # (is_trailer, bytearray) while END_HEADERS unseen
         done = False
-        deadline = time.monotonic() + timeout
+
+        def send_request_body():
+            nonlocal sent_request
+            if len(grpc_msg) > server_window:
+                raise GrpcCallError(
+                    f"request of {len(grpc_msg)} bytes exceeds the "
+                    f"server's initial stream window {server_window} "
+                    "(client-side flow-control waits are out of scope)"
+                )
+            for off in range(0, len(grpc_msg), server_max_frame):
+                chunk = grpc_msg[off : off + server_max_frame]
+                last = off + server_max_frame >= len(grpc_msg)
+                s.sendall(_frame(_DATA, _END_STREAM if last else 0, 1, chunk))
+            sent_request = True
+
         while not done:
-            if time.monotonic() > deadline:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
                 raise GrpcCallError(f"gRPC call to {path} timed out")
-            chunk = s.recv(1 << 16)
+            s.settimeout(remaining)
+            try:
+                chunk = s.recv(1 << 16)
+            except (socket.timeout, TimeoutError):
+                raise GrpcCallError(f"gRPC call to {path} timed out")
             if not chunk:
                 raise GrpcCallError(f"connection closed mid-call to {path}")
             buf += chunk
@@ -147,19 +232,29 @@ def grpc_call(
                 stream = int.from_bytes(buf[5:9], "big") & 0x7FFFFFFF
                 if len(buf) < 9 + ln:
                     break
-                payload, buf = buf[9 : 9 + ln], buf[9 + ln :]
+                payload = bytes(buf[9 : 9 + ln])
+                del buf[: 9 + ln]
                 if ftype == _SETTINGS and not flags & _ACK:
+                    for off in range(0, len(payload) - 5, 6):
+                        sid = int.from_bytes(payload[off : off + 2], "big")
+                        val = int.from_bytes(payload[off + 2 : off + 6], "big")
+                        if sid == 4:
+                            server_window = val
+                        elif sid == 5:
+                            server_max_frame = val
                     s.sendall(_frame(_SETTINGS, _ACK, 0, b""))
+                    if not sent_request:
+                        send_request_body()
                 elif ftype == _PING and not flags & _ACK:
                     s.sendall(_frame(_PING, _ACK, 0, payload))
                 elif ftype == _DATA and stream == 1:
                     body += payload
                     if flags & _END_STREAM:
                         done = True
-                elif ftype in (_HEADERS, _CONT) and stream == 1:
-                    trailers += payload
-                    if flags & _END_STREAM:
-                        done = True
+                elif ftype == _HEADERS and stream == 1:
+                    block = (bool(flags & _END_STREAM), bytearray(payload))
+                elif ftype == _CONT and stream == 1 and block is not None:
+                    block[1].extend(payload)
                 elif ftype == _RST:
                     raise GrpcCallError(
                         f"stream reset by server: {payload.hex()}"
@@ -168,6 +263,22 @@ def grpc_call(
                     raise GrpcCallError(
                         "GOAWAY: " + payload[8:].decode("utf-8", "replace")
                     )
+                if block is not None and ftype in (_HEADERS, _CONT) and (
+                    flags & _END_HEADERS
+                ):
+                    is_trailer, blk = block
+                    (trailers if is_trailer else resp_headers).extend(blk)
+                    if is_trailer:
+                        done = True
+                    block = None
+
+        fields = _hpack_plain_fields(bytes(trailers))
+        status = fields.get("grpc-status")
+        if status is not None and status != "0":
+            raise GrpcCallError(
+                f"grpc-status {status} from {path}: "
+                + fields.get("grpc-message", "(no plain-coded message)")
+            )
         # split the gRPC length-prefixed message stream
         msgs = []
         pos = 0
@@ -175,30 +286,44 @@ def grpc_call(
             if body[pos] != 0:
                 raise GrpcCallError("compressed gRPC message (unsupported)")
             mlen = int.from_bytes(body[pos + 1 : pos + 5], "big")
-            msgs.append(body[pos + 5 : pos + 5 + mlen])
+            msgs.append(bytes(body[pos + 5 : pos + 5 + mlen]))
             pos += 5 + mlen
-        if not msgs and trailers:
-            # headers are HPACK-encoded (often Huffman): not decoded
-            # here — surface the raw bytes for diagnosis
+        if not msgs and status is None and trailers:
             raise GrpcCallError(
-                f"no response messages; trailers: {trailers.hex()}"
+                f"no response messages and no parseable grpc-status; "
+                f"trailers: {bytes(trailers).hex()}"
             )
         return msgs
     finally:
         s.close()
 
 
-def start_connect_server(spark, port: int | None = None) -> int:
+def _service_module(spark):
+    """The SparkConnectService Scala singleton (MODULE$): object
+    members without static forwarders — ``localPort()`` among them —
+    live on the module instance, not the companion class."""
+    pkg = spark._jvm.org.apache.spark.sql.connect.service
+    return getattr(getattr(pkg, "SparkConnectService$"), "MODULE$")
+
+
+def start_connect_server(spark) -> int:
     """Start the in-process Spark Connect gRPC service on the
-    session's SparkContext (idempotent) and return its port."""
+    session's SparkContext (idempotent — the service logs and
+    returns when already running) and return the port it actually
+    LISTENS on (``localPort``, not a conf echo: the binding port is a
+    SparkConf read at service start, so a runtime-conf write could
+    not change it anyway)."""
     jvm = spark._jvm
-    if port is not None:
-        spark.conf.set("spark.connect.grpc.binding.port", str(port))
-    try:
-        jvm.org.apache.spark.sql.connect.service.SparkConnectService.start(
-            spark.sparkContext._jsc.sc()
-        )
-    except Exception as e:  # already running: that's fine
-        if "already" not in str(e).lower():
-            raise
-    return int(spark.conf.get("spark.connect.grpc.binding.port", "15002"))
+    jvm.org.apache.spark.sql.connect.service.SparkConnectService.start(
+        spark.sparkContext._jsc.sc()
+    )
+    return int(_service_module(spark).localPort())
+
+
+def stop_connect_server(spark) -> None:
+    """Stop the in-process Connect service (Scala default args
+    forwarded explicitly — py4j has no default-argument support)."""
+    mod = _service_module(spark)
+    mod.stop(
+        getattr(mod, "stop$default$1")(), getattr(mod, "stop$default$2")()
+    )

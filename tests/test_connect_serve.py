@@ -15,8 +15,10 @@ import pyarrow as pa
 import pytest
 
 from amante_s_supabase_full_cloud_etl_pipeline_spark.connect_client import (
+    GrpcCallError,
     grpc_call,
     start_connect_server,
+    stop_connect_server,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.serve import (
     create_serving_views,
@@ -28,9 +30,19 @@ _HOST = "127.0.0.1"
 @pytest.fixture(scope="module")
 def connect_port(spark):
     try:
-        return start_connect_server(spark)
-    except Exception as exc:  # pip-minimal distro without the jar
-        pytest.skip(f"spark-connect service unavailable: {exc}")
+        port = start_connect_server(spark)
+    except Exception as exc:
+        # skip ONLY for genuine unavailability (pip-minimal distro
+        # without the connect jar) — any other startup failure must
+        # FAIL, or the executed-leg claim silently stops being true
+        if "ClassNotFound" in str(exc) or "NoClassDefFound" in str(exc):
+            pytest.skip(f"spark-connect classes unavailable: {exc}")
+        raise
+    yield port
+    try:
+        stop_connect_server(spark)
+    except Exception:
+        pass  # teardown best-effort: the session is shared
 
 
 def _proto(spark):
@@ -118,6 +130,16 @@ def test_execute_plan_serves_registry_view(spark, sf_dir, connect_port):
     want = [r.asDict() for r in spark.sql(q).collect()]
     assert got == want
     assert len(got) == 5  # five regions
+
+
+def test_error_surfaces_grpc_status(spark, connect_port):
+    """Self-review r7: a failing ExecutePlan must raise with the
+    trailer's grpc-status instead of returning an empty (or partial)
+    message list as success."""
+    with pytest.raises(GrpcCallError, match="grpc-status"):
+        _execute_sql(
+            spark, connect_port, "SELECT * FROM definitely_missing_table_xyz"
+        )
 
 
 def test_execute_plan_inline_expression(spark, connect_port):
