@@ -51,6 +51,32 @@ _DATA, _HEADERS, _RST, _SETTINGS, _PING, _GOAWAY, _WINDOW, _CONT = (
 _END_STREAM = 0x1
 _END_HEADERS = 0x4
 _ACK = 0x1
+_PADDED = 0x8
+_PRIORITY = 0x20
+
+
+def _frame_body(ftype: int, flags: int, payload: bytes) -> bytes:
+    """The actual content of a DATA/HEADERS payload after stripping
+    the optional PADDED (RFC 9113 §6.1/§6.2: leading pad-length byte
+    + that many trailing pad octets) and, on HEADERS, PRIORITY
+    (5-byte stream-dependency block) prefixes. gRPC-java does not
+    pad today, but a padded frame spliced verbatim would inject the
+    pad bytes into the gRPC message stream and silently mis-frame
+    the Arrow results (ADVICE r7) — so malformed padding is a LOUD
+    error, never a guess."""
+    if flags & _PADDED:
+        if not payload or payload[0] + 1 > len(payload):
+            raise GrpcCallError(
+                "malformed PADDED frame: pad length exceeds payload"
+            )
+        payload = payload[1 : len(payload) - payload[0]]
+    if ftype == _HEADERS and flags & _PRIORITY:
+        if len(payload) < 5:
+            raise GrpcCallError(
+                "malformed HEADERS frame: truncated priority block"
+            )
+        payload = payload[5:]
+    return payload
 
 #: our receive window — large enough that result streams never stall
 _WINDOW_SIZE = (1 << 31) - 1
@@ -162,9 +188,11 @@ def grpc_call(
     the h2 preface/SETTINGS exchange, PING keep-alives, DATA chunking
     to the server's max frame size, gRPC message framing across DATA
     frames, trailer ``grpc-status`` checking, and flow control (our
-    receive window is pre-granted maximal; the request is bounded by
-    the server's advertised initial window). Raises
-    :class:`GrpcCallError` on any failure, including timeout."""
+    receive window is pre-granted maximal; the request obeys the
+    server's stream AND connection send windows, replenished by its
+    WINDOW_UPDATE frames, so requests larger than the initial window
+    stream out in waves). Raises :class:`GrpcCallError` on any
+    failure, including timeout."""
     deadline = time.monotonic() + timeout
     s = socket.create_connection((host, port), timeout=timeout)
     try:
@@ -190,8 +218,11 @@ def grpc_call(
         # the request body waits for the server's SETTINGS so we
         # honor ITS max frame size and initial stream window
         server_max_frame = _DEFAULT_MAX_FRAME
-        server_window = _DEFAULT_INITIAL_WINDOW
-        sent_request = False
+        initial_window = _DEFAULT_INITIAL_WINDOW
+        stream_window = _DEFAULT_INITIAL_WINDOW
+        conn_window = _DEFAULT_INITIAL_WINDOW
+        settings_seen = False
+        send_off = 0
 
         buf = bytearray()
         body = bytearray()
@@ -200,29 +231,41 @@ def grpc_call(
         block = None  # (is_trailer, bytearray) while END_HEADERS unseen
         done = False
 
-        def send_request_body():
-            nonlocal sent_request
-            if len(grpc_msg) > server_window:
-                raise GrpcCallError(
-                    f"request of {len(grpc_msg)} bytes exceeds the "
-                    f"server's initial stream window {server_window} "
-                    "(client-side flow-control waits are out of scope)"
-                )
-            for off in range(0, len(grpc_msg), server_max_frame):
-                chunk = grpc_msg[off : off + server_max_frame]
-                last = off + server_max_frame >= len(grpc_msg)
+        def pump_request():
+            """Send as much of the request body as flow control
+            currently allows — bounded by BOTH the stream and the
+            connection send window (RFC 9113 §5.2). WINDOW_UPDATE
+            frames re-invoke it, so a request larger than the
+            server's initial window streams out in waves instead of
+            failing (VERDICT r7 #8); a server that never replenishes
+            hits the call deadline, which reports the stall."""
+            nonlocal send_off, stream_window, conn_window
+            while send_off < len(grpc_msg):
+                budget = min(server_max_frame, stream_window, conn_window)
+                if budget <= 0:
+                    return
+                chunk = grpc_msg[send_off : send_off + budget]
+                send_off += len(chunk)
+                stream_window -= len(chunk)
+                conn_window -= len(chunk)
+                last = send_off >= len(grpc_msg)
                 s.sendall(_frame(_DATA, _END_STREAM if last else 0, 1, chunk))
-            sent_request = True
 
         while not done:
             remaining = deadline - time.monotonic()
+            stalled = (
+                f" ({len(grpc_msg) - send_off} request bytes still "
+                "pending on flow control)"
+                if send_off < len(grpc_msg)
+                else ""
+            )
             if remaining <= 0:
-                raise GrpcCallError(f"gRPC call to {path} timed out")
+                raise GrpcCallError(f"gRPC call to {path} timed out{stalled}")
             s.settimeout(remaining)
             try:
                 chunk = s.recv(1 << 16)
             except (socket.timeout, TimeoutError):
-                raise GrpcCallError(f"gRPC call to {path} timed out")
+                raise GrpcCallError(f"gRPC call to {path} timed out{stalled}")
             if not chunk:
                 raise GrpcCallError(f"connection closed mid-call to {path}")
             buf += chunk
@@ -239,20 +282,40 @@ def grpc_call(
                         sid = int.from_bytes(payload[off : off + 2], "big")
                         val = int.from_bytes(payload[off + 2 : off + 6], "big")
                         if sid == 4:
-                            server_window = val
+                            # §6.9.2: a changed INITIAL_WINDOW_SIZE
+                            # adjusts existing stream windows by the
+                            # delta (the connection window is only
+                            # ever grown by WINDOW_UPDATE)
+                            stream_window += val - initial_window
+                            initial_window = val
                         elif sid == 5:
                             server_max_frame = val
                     s.sendall(_frame(_SETTINGS, _ACK, 0, b""))
-                    if not sent_request:
-                        send_request_body()
+                    settings_seen = True
+                    pump_request()
+                elif ftype == _WINDOW:
+                    incr = (
+                        int.from_bytes(payload[:4], "big") & 0x7FFFFFFF
+                        if len(payload) >= 4
+                        else 0
+                    )
+                    if stream == 0:
+                        conn_window += incr
+                    elif stream == 1:
+                        stream_window += incr
+                    if settings_seen:
+                        pump_request()
                 elif ftype == _PING and not flags & _ACK:
                     s.sendall(_frame(_PING, _ACK, 0, payload))
                 elif ftype == _DATA and stream == 1:
-                    body += payload
+                    body += _frame_body(ftype, flags, payload)
                     if flags & _END_STREAM:
                         done = True
                 elif ftype == _HEADERS and stream == 1:
-                    block = (bool(flags & _END_STREAM), bytearray(payload))
+                    block = (
+                        bool(flags & _END_STREAM),
+                        bytearray(_frame_body(ftype, flags, payload)),
+                    )
                 elif ftype == _CONT and stream == 1 and block is not None:
                     block[1].extend(payload)
                 elif ftype == _RST:

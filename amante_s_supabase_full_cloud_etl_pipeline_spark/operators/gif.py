@@ -246,6 +246,49 @@ def _read_subblocks(blob: bytes, pos: int):
         pos += size
 
 
+def first_frame_covers_canvas(blob: bytes):
+    """True iff the FIRST image frame exactly covers the logical
+    screen ((left, top) == (0, 0), frame size == screen size) — the
+    case where every decoder's output is identical for a lossless
+    GIF. False means uncovered canvas exists, where fill color is
+    renderer-defined (we use the spec background color, PIL uses
+    palette index 0) — dispatch must pin ONE decoder there or the
+    same blob decodes differently across environments (ADVICE r7).
+    None when the header/framing is unreadable (let the full decoder
+    produce the S4 None). Header walk only — no LZW work."""
+    try:
+        if blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 13:
+            return None
+        screen_w = int.from_bytes(blob[6:8], "little")
+        screen_h = int.from_bytes(blob[8:10], "little")
+        packed = blob[10]
+        pos = 13
+        if packed & 0x80:
+            pos += 3 * (2 << (packed & 0x07))
+        while True:
+            if pos >= len(blob):
+                return None
+            block = blob[pos]
+            pos += 1
+            if block == 0x3B:
+                return None  # trailer before any image
+            if block == 0x21:  # extension
+                pos += 1
+                data, pos = _read_subblocks(blob, pos)
+                if data is None:
+                    return None
+                continue
+            if block != 0x2C or pos + 9 > len(blob):
+                return None
+            left = int.from_bytes(blob[pos : pos + 2], "little")
+            top = int.from_bytes(blob[pos + 2 : pos + 4], "little")
+            w = int.from_bytes(blob[pos + 4 : pos + 6], "little")
+            h = int.from_bytes(blob[pos + 6 : pos + 8], "little")
+            return (left, top) == (0, 0) and (w, h) == (screen_w, screen_h)
+    except Exception:
+        return None
+
+
 def decode_gif(blob: bytes):
     """GIF bytes → (h, w, 3) uint8 RGB of the FIRST image frame, or
     None when the data is corrupt (see module doc for scope)."""

@@ -431,23 +431,27 @@ def decode_image(blob: bytes, prefer_pil: bool | None = None):
         return _decode_png(b)
     if b[:4] == b"GIF8":
         # GIF is LOSSLESS and the native decoder composites onto the
-        # logical-screen canvas like PIL does, so for covered pixels
+        # logical-screen canvas like PIL does, so for COVERED pixels
         # the two produce IDENTICAL output (unlike JPEG's
         # implementation-defined IDCT) — the dispatch can prefer
-        # PIL's C LZW for throughput. Residual divergence exists only
-        # for frames that UNDER-cover the canvas (our fill is the
-        # spec's background color; PIL's is palette index 0), which
-        # is why decode_image_features still pins prefer_pil=False.
-        # Native path is the zero-dependency fallback, cross-pinned
-        # against javax.imageio in test_gif.py.
+        # PIL's C LZW for throughput. Divergence exists only for
+        # frames that UNDER-cover the canvas (our fill is the spec's
+        # background color; PIL's is palette index 0), so those route
+        # to the NATIVE decoder even when prefer_pil is unset —
+        # decode_image output must not depend on whether PIL happens
+        # to be installed (ADVICE r7). Native is also the
+        # zero-dependency fallback, cross-pinned against
+        # javax.imageio in test_gif.py.
+        from .gif import decode_gif, first_frame_covers_canvas
+
         if prefer_pil is None:
-            prefer_pil = pil_available()
+            prefer_pil = pil_available() and bool(
+                first_frame_covers_canvas(b)
+            )
         if prefer_pil and pil_available():
             arr = _pil_decode(b)
             if arr is not None:
                 return arr
-        from .gif import decode_gif
-
         return decode_gif(b)
     if b[:2] == b"\xff\xd8":
         if prefer_pil is None:

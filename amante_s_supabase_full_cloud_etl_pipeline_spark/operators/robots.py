@@ -17,13 +17,18 @@ public specs, selected per call via ``rep=``:
   octets decides; ``Allow`` wins exact ties; ``*`` is a wildcard and
   a trailing ``$`` anchors the pattern at the end of the path
   (RFC 9309 §2.2.2-§2.2.3). ``Allow: /a/b`` therefore overrides a
-  broader ``Disallow: /a/`` regardless of order. Agent-GROUP
-  selection also differs: rfc9309 merges ALL groups sharing the
-  most-specific matching token (longest case-insensitive substring
-  of the agent; ``*`` only as fallback — §2.2.1), while stdlib
-  applies the FIRST applicable entry in file order and never
-  merges. A body with several groups naming overlapping agents can
-  therefore diverge between the modes on group choice alone.
+  broader ``Disallow: /a/`` regardless of order. Rule patterns and
+  URL paths are percent-normalized before matching (§2.2.2 via RFC
+  3986: unreserved escapes decoded, remaining hex uppercased), so
+  ``Disallow: /a%2fb`` matches the canonical ``/a%2Fb`` spelling.
+  Agent-GROUP selection also differs: rfc9309 merges ALL groups
+  whose product token EQUALS the agent's product token
+  (case-insensitive whole-token comparison per §2.2.1 — token
+  ``bot`` does NOT capture agent ``examplebot``; ``*`` only as
+  fallback), while stdlib applies the FIRST applicable entry in
+  file order, never merges, and matches by substring. A body with
+  several groups naming overlapping agents can therefore diverge
+  between the modes on group choice alone.
 
 Scale design — the shape matters more than the parser:
 - rules are DATA: a (host, robots_txt) DataFrame, joined to the URL
@@ -65,6 +70,32 @@ from .urls import url_host
 
 _SCHEMA_SUFFIX = "allowed boolean"
 
+#: RFC 3986 §2.3 unreserved characters — the only octets whose
+#: percent escapes may be decoded without changing URI semantics
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _pct_normalize_py(s: str) -> str:
+    """RFC 3986 §6.2.2 percent normalization — the Python-side twin
+    of ``urls._pct_normalize``: decode escapes of UNRESERVED
+    characters (%41 ≡ A), uppercase the hex of every remaining
+    escape (%2f ≡ %2F). RFC 9309 §2.2.2 compares rule patterns
+    against the percent-encoded path, so BOTH sides must normalize
+    identically or ``Disallow: /a%2fb`` never matches the canonical
+    ``/a%2Fb`` spelling. ``*`` and ``$`` are reserved sub-delims —
+    their escapes (%2A, %24) stay ENCODED, so normalization can
+    never conjure a wildcard or anchor out of literal data."""
+
+    def _sub(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(_sub, s)
+
 #: a host splits into ceil(rows / _MAX_GROUP_ROWS) salt buckets —
 #: small hosts keep one group (parse-once), hot hosts stay bounded
 _MAX_GROUP_ROWS = 65_536
@@ -94,17 +125,22 @@ class _Rfc9309Matcher:
     ONE agent: parse once, then ``can_fetch(url)`` per URL.
 
     Group selection (§2.2.1): groups are headed by consecutive
-    ``User-agent`` lines; all groups whose token matches the agent
-    (substring convention — see module doc) under the most-specific
-    matching token are merged; ``*`` groups only when no specific
-    token matches. Rule matching (§2.2.2-§2.2.3): a rule applies when
-    its pattern prefix-matches the URL's path+query with ``*`` as
-    any-octets and trailing ``$`` as end anchor; the longest pattern
-    wins; ``Allow`` wins length ties; empty patterns are ignored
-    (``Disallow:`` = no rule); no applicable rule = allowed."""
+    ``User-agent`` lines; ALL groups whose product token EQUALS the
+    agent's product token (case-insensitive whole-token comparison —
+    the part before ``/`` on both sides; token ``bot`` does NOT
+    capture agent ``examplebot``) are merged; ``*`` groups only when
+    no token matches. Rule matching (§2.2.2-§2.2.3): patterns and the
+    URL's path+query are percent-normalized (RFC 3986 §6.2.2 —
+    module doc) before comparison; a rule applies when its pattern
+    prefix-matches the path+query with ``*`` as any-octets and
+    trailing ``$`` as end anchor; the longest pattern wins (length
+    measured on the normalized pattern, the octets actually
+    compared); ``Allow`` wins length ties; empty patterns are
+    ignored (``Disallow:`` = no rule); no applicable rule =
+    allowed."""
 
     def __init__(self, body: str, agent: str) -> None:
-        agent_l = agent.lower()
+        agent_token = agent.split("/")[0].strip().lower()
         groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
         uas: list[str] = []
         rules: list[tuple[str, bool]] = []
@@ -126,9 +162,8 @@ class _Rfc9309Matcher:
                     in_header = True
                 token = value.split("/")[0].strip().lower()
                 # an EMPTY token ('User-agent:' / 'User-agent: /1.0')
-                # is garbage, not a group name: '' substring-matches
-                # every agent, so keeping it would count as a
-                # "specific" match and wrongly suppress the * group
+                # is garbage, not a group name — and an agent whose
+                # own product token is empty must not "match" it
                 if token:
                     uas.append(token)
             elif key in ("allow", "disallow"):
@@ -140,16 +175,20 @@ class _Rfc9309Matcher:
         if uas:
             groups.append((uas, rules))
 
-        specific = [
-            ua for g_uas, _ in groups for ua in g_uas if ua != "*" and ua in agent_l
-        ]
-        want = max(specific, key=len) if specific else "*"
+        # §2.2.1 whole-token match: a group applies iff its token
+        # EQUALS the agent's product token (case-insensitive); all
+        # matching groups merge; '*' only when none matches
+        matched = agent_token != "*" and any(
+            ua == agent_token for g_uas, _ in groups for ua in g_uas
+        )
+        want = agent_token if matched else "*"
         self._rules: list[tuple[re.Pattern, int, bool]] = []
         for g_uas, g_rules in groups:
             if want in g_uas:
                 for pattern, allow in g_rules:
+                    norm = _pct_normalize_py(pattern)
                     self._rules.append(
-                        (self._compile(pattern), len(pattern), allow)
+                        (self._compile(norm), len(norm), allow)
                     )
 
     @staticmethod
@@ -166,6 +205,7 @@ class _Rfc9309Matcher:
             path = parts.path or "/"
             if parts.query:
                 path += "?" + parts.query
+            path = _pct_normalize_py(path)
         except Exception:  # garbage URL: unevaluable = not allowed
             return False
         best_len, best_allow = -1, True

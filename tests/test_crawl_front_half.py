@@ -1,20 +1,17 @@
 """The driver-checked crawl_front_half row, pinned against
-INDEPENDENT per-stage references: robots flags vs a direct
-_Rfc9309Matcher evaluation, canonical URLs vs the expected plain
-form, titles/hosts vs the synthesis rule, and the URL-dedup collapse
-arithmetic. (The registry oracle re-checks the committed golden; this
-file checks the golden is RIGHT.)"""
+INDEPENDENT per-stage references: robots flags vs HAND-enumerated
+RFC 9309 outcomes per rule family (no import of the evaluator under
+test), canonical URLs vs the expected plain form, titles/hosts vs
+the synthesis rule, and the URL-dedup collapse arithmetic. (The
+registry oracle re-checks the committed golden; this file checks the
+golden is RIGHT.)"""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.crawl_queries import (
-    _ROBOTS_BY_RESIDUE,
     crawl_front_half,
-)
-from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.robots import (
-    _Rfc9309Matcher,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.warc import (
     WARC_SCHEMA,
@@ -39,14 +36,27 @@ def test_crawl_front_half_stage_references(spark, sf_dir):
         assert r["title"] == f"Doc {d}"
         # link accounting: 2 footer links, +30 nav links every 11th
         assert r["n_links"] == (32 if d % 11 == 0 else 2)
-        # robots: independent longest-match evaluation
+        # robots: HAND-enumerated RFC 9309 longest-match outcomes per
+        # residue family (VERDICT r7 #6 / ADVICE: the expectation must
+        # NOT come from the _Rfc9309Matcher under test). Path+query of
+        # every canonical URL is f"/Doc/{d}?id={d}".
         h = d % 23
-        if h % 4 == 3:
-            want = True  # no robots row
+        pathq = f"/Doc/{d}?id={d}"
+        if h % 4 == 0:
+            # "Disallow: /Doc/1" — prefix match, so every doc whose
+            # number starts with digit 1 (1, 10-19, 100-199, ...)
+            want = not pathq.startswith("/Doc/1")
+        elif h % 4 == 1:
+            # "Disallow: /Doc/" (len 5) vs "Allow: /Doc/2" (len 6):
+            # longest-match lets the Allow carve out docs starting
+            # with digit 2; everything else under /Doc/ is disallowed
+            want = pathq.startswith("/Doc/2")
+        elif h % 4 == 2:
+            # "Disallow: /*5$" — anchored at the END of path+query,
+            # so it bites exactly when the id= value ends in 5
+            want = not pathq.endswith("5")
         else:
-            want = _Rfc9309Matcher(_ROBOTS_BY_RESIDUE[h % 4], "*").can_fetch(
-                r["url"]
-            )
+            want = True  # no robots row: REP default allow
         assert r["allowed"] is want, (d, h, r["url"])
 
     # the three rule families all produce BOTH outcomes somewhere

@@ -236,6 +236,44 @@ def test_offset_frame_composites_onto_canvas(spark, tmp_path):
     assert (jarr == out[2:7, 3:9]).all()
 
 
+def test_dispatch_is_environment_independent(monkeypatch):
+    """ADVICE r7: decode_image's GIF output must not depend on
+    whether PIL is installed. Frames that UNDER-cover the canvas
+    (where fill color is renderer-defined) must route to the native
+    decoder even when a PIL probe is present; full-coverage frames
+    (identical output by losslessness) may take the PIL fast path."""
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import (
+        multimodal,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.gif import (
+        first_frame_covers_canvas,
+    )
+
+    full = encode_gif(_entropy_image(3, 4, 5))
+    under = bytearray(encode_gif(_entropy_image(3, 4, 5)))
+    under[6:8] = (8).to_bytes(2, "little")  # canvas wider than frame
+    under = bytes(under)
+    assert first_frame_covers_canvas(full) is True
+    assert first_frame_covers_canvas(under) is False
+    assert first_frame_covers_canvas(b"GIF89a\x00") is None
+    assert first_frame_covers_canvas(b"NOPE") is None
+
+    sentinel = np.zeros((1, 1, 3), np.uint8)
+    monkeypatch.setattr(multimodal, "pil_available", lambda: True)
+    monkeypatch.setattr(multimodal, "_pil_decode", lambda b: sentinel)
+    # under-coverage: the fake "PIL" must be IGNORED — native result
+    got = multimodal.decode_image(under)
+    assert got.shape == (4, 8, 3)
+    assert (got == decode_gif(under)).all()
+    # full coverage: the PIL fast path is allowed
+    assert multimodal.decode_image(full) is sentinel
+    # explicit pin still forces native in both cases
+    assert (multimodal.decode_image(full, prefer_pil=False)
+            == decode_gif(full)).all()
+
+
 def test_decompression_bomb_guard():
     """A tiny blob declaring a huge frame must S4-skip (None), not
     allocate gigabytes."""

@@ -444,6 +444,64 @@ def test_garbage_url_and_garbage_ua_do_not_crash(spark):
     assert out[0]["allowed"] is True
 
 
+def test_rfc9309_percent_normalization():
+    """ADVICE r7: §2.2.2 matching happens on percent-NORMALIZED
+    octets (RFC 3986 §6.2.2) — rule and path spellings that encode
+    the same octets must match regardless of hex case or unreserved
+    escaping; reserved escapes stay encoded so %2A/%24 never become
+    wildcard/anchor metacharacters."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.robots import (
+        _Rfc9309Matcher,
+    )
+
+    # lowercase %2f in the rule vs canonical uppercase %2F in the URL
+    m = _Rfc9309Matcher("User-agent: *\nDisallow: /a%2fb\n", "*")
+    assert m.can_fetch("http://x.example/a%2Fb") is False
+    assert m.can_fetch("http://x.example/a%2fb") is False  # and vice versa
+    assert m.can_fetch("http://x.example/a/b") is True  # a real slash differs
+    # unreserved escape in the rule (%44 = 'D') vs plain path — both ways
+    m2 = _Rfc9309Matcher("User-agent: *\nDisallow: /%44oc/\n", "*")
+    assert m2.can_fetch("http://x.example/Doc/1") is False
+    m3 = _Rfc9309Matcher("User-agent: *\nDisallow: /Doc/\n", "*")
+    assert m3.can_fetch("http://x.example/%44oc/1") is False
+    # %2A is a LITERAL asterisk octet, not a wildcard
+    m4 = _Rfc9309Matcher("User-agent: *\nDisallow: /p%2Aq\n", "*")
+    assert m4.can_fetch("http://x.example/pXXXq") is True
+    assert m4.can_fetch("http://x.example/p%2Aq") is False
+    # longest-match length is measured on NORMALIZED octets: the
+    # Disallow '/%44oc/' is 7 raw but 5 normalized octets, so the
+    # 6-octet Allow '/Doc/2' must outrank it
+    m5 = _Rfc9309Matcher(
+        "User-agent: *\nDisallow: /%44oc/\nAllow: /Doc/2\n", "*"
+    )
+    assert m5.can_fetch("http://x.example/Doc/2x") is True
+
+
+def test_rfc9309_whole_token_group_match():
+    """ADVICE r7: §2.2.1 group selection compares whole product
+    tokens case-insensitively — token 'bot' must NOT capture agent
+    'examplebot', and the agent's version suffix is ignored."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.robots import (
+        _Rfc9309Matcher,
+    )
+
+    body = (
+        "User-agent: bot\nDisallow: /b/\n\n"
+        "User-agent: examplebot\nDisallow: /e/\n\n"
+        "User-agent: *\nDisallow: /star/\n"
+    )
+    # substring would have merged the 'bot' group here; exact match picks
+    # only the examplebot group (case-insensitive, version stripped)
+    m = _Rfc9309Matcher(body, "ExampleBot/2.1")
+    assert m.can_fetch("http://x.example/e/1") is False
+    assert m.can_fetch("http://x.example/b/1") is True
+    assert m.can_fetch("http://x.example/star/1") is True
+    # an agent matching NO token falls back to *
+    m2 = _Rfc9309Matcher(body, "otherbot")
+    assert m2.can_fetch("http://x.example/star/1") is False
+    assert m2.can_fetch("http://x.example/e/1") is True
+
+
 def test_drop_disallowed_positional_compat(spark):
     """fetched_col keeps its historical 5th positional slot (newer
     params are keyword-only): a caller passing it positionally must
