@@ -249,7 +249,19 @@ def grpc_call(
                 stream_window -= len(chunk)
                 conn_window -= len(chunk)
                 last = send_off >= len(grpc_msg)
-                s.sendall(_frame(_DATA, _END_STREAM if last else 0, 1, chunk))
+                try:
+                    s.sendall(
+                        _frame(_DATA, _END_STREAM if last else 0, 1, chunk)
+                    )
+                except GrpcCallError:
+                    raise
+                except (socket.timeout, TimeoutError, OSError) as exc:
+                    # sendall can block past the deadline when the
+                    # kernel send buffer fills — the documented
+                    # contract is GrpcCallError on ANY failure
+                    raise GrpcCallError(
+                        f"send failed mid-request to {path}: {exc!r}"
+                    )
 
         while not done:
             remaining = deadline - time.monotonic()
@@ -334,6 +346,15 @@ def grpc_call(
                     if is_trailer:
                         done = True
                     block = None
+                if done:
+                    # the stream is complete: stop parsing buffered
+                    # frames. A server that responds before the whole
+                    # request body is sent (reachable now that large
+                    # requests wait on flow control) legally follows
+                    # its trailers with RST_STREAM(NO_ERROR) to cancel
+                    # the unneeded rest (RFC 9113 §8.1) — processing
+                    # that RST would mask the real response/grpc-status
+                    break
 
         fields = _hpack_plain_fields(bytes(trailers))
         status = fields.get("grpc-status")

@@ -430,25 +430,25 @@ def decode_image(blob: bytes, prefer_pil: bool | None = None):
     if b.startswith(_PNG_SIG):
         return _decode_png(b)
     if b[:4] == b"GIF8":
-        # GIF is LOSSLESS and the native decoder composites onto the
-        # logical-screen canvas like PIL does, so for COVERED pixels
-        # the two produce IDENTICAL output (unlike JPEG's
-        # implementation-defined IDCT) — the dispatch can prefer
-        # PIL's C LZW for throughput. Divergence exists only for
-        # frames that UNDER-cover the canvas (our fill is the spec's
-        # background color; PIL's is palette index 0), so those route
-        # to the NATIVE decoder even when prefer_pil is unset —
+        # GIF decodes NATIVE by default (ADVICE r7 + self-review r8):
         # decode_image output must not depend on whether PIL happens
-        # to be installed (ADVICE r7). Native is also the
-        # zero-dependency fallback, cross-pinned against
-        # javax.imageio in test_gif.py.
+        # to be installed, and PIL diverges from the native decoder
+        # on under-covering frames (fill color: spec background vs
+        # palette index 0) AND on corrupt streams it tolerates but we
+        # reject (palette-index overflow) — coverage checks can't see
+        # the latter without doing the LZW work. An EXPLICIT
+        # prefer_pil=True opts into PIL's C LZW for throughput, and
+        # even then only for frames that exactly cover the canvas
+        # (where lossless decode makes the outputs identical); the
+        # native path is cross-pinned against javax.imageio in
+        # test_gif.py.
         from .gif import decode_gif, first_frame_covers_canvas
 
-        if prefer_pil is None:
-            prefer_pil = pil_available() and bool(
-                first_frame_covers_canvas(b)
-            )
-        if prefer_pil and pil_available():
+        if (
+            prefer_pil
+            and pil_available()
+            and first_frame_covers_canvas(b)
+        ):
             arr = _pil_decode(b)
             if arr is not None:
                 return arr

@@ -76,25 +76,36 @@ _UNRESERVED = frozenset(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )
 
-_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
-
-
 def _pct_normalize_py(s: str) -> str:
-    """RFC 3986 §6.2.2 percent normalization — the Python-side twin
-    of ``urls._pct_normalize``: decode escapes of UNRESERVED
-    characters (%41 ≡ A), uppercase the hex of every remaining
-    escape (%2f ≡ %2F). RFC 9309 §2.2.2 compares rule patterns
-    against the percent-encoded path, so BOTH sides must normalize
-    identically or ``Disallow: /a%2fb`` never matches the canonical
-    ``/a%2Fb`` spelling. ``*`` and ``$`` are reserved sub-delims —
-    their escapes (%2A, %24) stay ENCODED, so normalization can
-    never conjure a wildcard or anchor out of literal data."""
-
-    def _sub(m: re.Match) -> str:
-        ch = chr(int(m.group(1), 16))
-        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
-
-    return _PCT_RE.sub(_sub, s)
+    """RFC 3986 §6.2.2 percent normalization — the EXACT Python-side
+    twin of ``urls._pct_normalize`` (same split-on-% shape, same
+    treatment of malformed escapes): decode escapes of UNRESERVED
+    characters (%41 ≡ A), uppercase the first two characters after
+    every other ``%`` (%2f ≡ %2F — and "%zz" becomes "%ZZ" exactly
+    as the column expression does, so a rule pattern and a
+    canonical_url-normalized path with the same malformed spelling
+    still match). RFC 9309 §2.2.2 compares rule patterns against the
+    percent-encoded path, so BOTH sides must normalize identically
+    or ``Disallow: /a%2fb`` never matches the canonical ``/a%2Fb``
+    spelling. ``*`` and ``$`` are reserved sub-delims — their
+    escapes (%2A, %24) stay ENCODED, so normalization can never
+    conjure a wildcard or anchor out of literal data."""
+    parts = s.split("%")
+    out = [parts[0]]
+    for frag in parts[1:]:
+        hex2 = frag[:2].upper()
+        rest = frag[2:]
+        ch = None
+        if len(hex2) == 2:
+            try:
+                ch = chr(int(hex2, 16))
+            except ValueError:
+                ch = None
+        if ch is not None and ch in _UNRESERVED:
+            out.append(ch + rest)
+        else:
+            out.append("%" + hex2 + rest)
+    return "".join(out)
 
 #: a host splits into ceil(rows / _MAX_GROUP_ROWS) salt buckets —
 #: small hosts keep one group (parse-once), hot hosts stay bounded

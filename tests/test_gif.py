@@ -237,11 +237,13 @@ def test_offset_frame_composites_onto_canvas(spark, tmp_path):
 
 
 def test_dispatch_is_environment_independent(monkeypatch):
-    """ADVICE r7: decode_image's GIF output must not depend on
-    whether PIL is installed. Frames that UNDER-cover the canvas
-    (where fill color is renderer-defined) must route to the native
-    decoder even when a PIL probe is present; full-coverage frames
-    (identical output by losslessness) may take the PIL fast path."""
+    """ADVICE r7 + self-review r8: decode_image's GIF output must
+    not depend on whether PIL is installed — the DEFAULT path is
+    always the native decoder (PIL also diverges on corrupt streams
+    it tolerates, which no header check can predict). An EXPLICIT
+    prefer_pil=True opts into the PIL fast path, and even then only
+    for frames that exactly cover the canvas (where losslessness
+    makes outputs identical); under-covering frames stay native."""
     import numpy as np
 
     from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import (
@@ -263,13 +265,16 @@ def test_dispatch_is_environment_independent(monkeypatch):
     sentinel = np.zeros((1, 1, 3), np.uint8)
     monkeypatch.setattr(multimodal, "pil_available", lambda: True)
     monkeypatch.setattr(multimodal, "_pil_decode", lambda b: sentinel)
-    # under-coverage: the fake "PIL" must be IGNORED — native result
+    # DEFAULT: the fake "PIL" must be IGNORED for every GIF — native
     got = multimodal.decode_image(under)
     assert got.shape == (4, 8, 3)
     assert (got == decode_gif(under)).all()
-    # full coverage: the PIL fast path is allowed
-    assert multimodal.decode_image(full) is sentinel
-    # explicit pin still forces native in both cases
+    assert (multimodal.decode_image(full) == decode_gif(full)).all()
+    # explicit opt-in: PIL fast path for covering frames ONLY
+    assert multimodal.decode_image(full, prefer_pil=True) is sentinel
+    assert (multimodal.decode_image(under, prefer_pil=True)
+            == decode_gif(under)).all()
+    # explicit pin still forces native
     assert (multimodal.decode_image(full, prefer_pil=False)
             == decode_gif(full)).all()
 

@@ -477,6 +477,39 @@ def test_rfc9309_percent_normalization():
     assert m5.can_fetch("http://x.example/Doc/2x") is True
 
 
+def test_pct_normalize_py_twins_column_expression(spark):
+    """Self-review r8: _pct_normalize_py must be the EXACT twin of
+    urls._pct_normalize — including malformed escapes ('%zz' →
+    '%ZZ'), short escapes ('%a' → '%A'), and a bare trailing '%' —
+    or a rule pattern and a canonical_url-normalized path with the
+    same spelling stop matching."""
+    from pyspark.sql import functions as SF
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.robots import (
+        _pct_normalize_py,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.urls import (
+        _pct_normalize,
+    )
+
+    cases = [
+        "/a%2fb", "/a%2Fb", "/%41%62c", "/x%zz", "/x%ZZ", "/p%2Aq",
+        "/t%24", "/short%a", "/trail%", "/%", "/plain/path", "",
+        "/%e4%b8%ad", "/mixed%4a%4A%zz%", "/q?x=%7e&y=%7E",
+    ]
+    got_py = [_pct_normalize_py(c) for c in cases]
+    got_col = [
+        r["n"]
+        for r in spark.createDataFrame(
+            list(enumerate(cases)), "i long, s string"
+        )
+        .select("i", _pct_normalize(SF.col("s")).alias("n"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_py == got_col
+
+
 def test_rfc9309_whole_token_group_match():
     """ADVICE r7: §2.2.1 group selection compares whole product
     tokens case-insensitively — token 'bot' must NOT capture agent
