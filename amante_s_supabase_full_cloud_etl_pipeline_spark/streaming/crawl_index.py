@@ -1,0 +1,218 @@
+"""Streaming crawl ingest with a persistent canonical-URL seen-index
+— the incremental twin of the batch crawl front half (VERDICT r7 #1).
+
+Batch ``crawl_front_half`` dedups canonical URLs with a keep-min agg
+over the WHOLE corpus — correct for a one-shot run, but a crawl's
+modus operandi is incremental shard arrival (the reference's own
+contract: its file-consumption loop, ref ``main.py:419-441,465-469``,
+processes whatever landed since last time). A batch re-run over a new
+shard re-admits every URL the previous run already kept; this module
+closes that with the continuous-crawl pattern every other retrieval
+surface here already has (``dedup_index`` / ``ann_index`` /
+``bm25_index``): a persistent canonical-URL index on the table
+format, folded exactly-once per micro-batch.
+
+Winner semantics — MIN doc_id per canonical URL, maintained as an
+invariant of the stored index, NOT first-arrival-wins. First-seen
+semantics depend on shard chunking (whichever batch a URL happens to
+arrive in first supplies the winner), so no differential against the
+batch operator could hold under re-chunking. Min is associative and
+commutative, so folding batches in ANY partition of the shard set —
+across restarts, replays, and re-orderings — converges the index to
+EXACTLY the batch keep-set: ``index == crawl_front_half``'s dedup
+stage row-for-row. tests/test_crawl_index.py pins that equality under
+several chunkings, a foreachBatch replay, and a real checkpoint
+restart.
+
+Each fold:
+
+1. canonicalizes the batch's URLs (``operators/urls.py`` — the same
+   expression the batch path uses) and collapses the batch to its
+   per-URL winner (keep-min agg + semi-join; no per-URL window),
+2. probes the STORED index by curl equi-join — reading only
+   key-range-intersecting files (plus an IN-list file prune when the
+   batch is small enough for a bounded driver list),
+3. emits the CHANGED rows — URLs never seen before, plus URLs whose
+   new fetch beats the stored winner — with their full payload
+   (html and all) for downstream extraction,
+4. merges the changed rows' slim projection (curl, doc_id, url,
+   fetched_at — html never enters the index) into the index,
+   exactly-once under foreachBatch replay via the table format's
+   batch_id ledger.
+
+Scale design:
+- per-batch work is bounded by the batch: the probe and the merge
+  both touch only files whose curl range intersects the batch
+  (two-level manifest pruning); ``compact(sort_by=["curl"])`` keeps
+  the layout range-partitioned so a point-keyed micro-batch touches
+  a handful of files. The index row is ~a URL string, not a page.
+- no window functions, no driver collect of page data (the IN-list
+  prune collects at most ``_MAX_IN_LIST`` curl strings and degrades
+  to the plain equi-join beyond that).
+- a replayed batch recomputes ``changed`` against an index that
+  already holds its winners → empty; the downstream writer commits
+  derived tables BEFORE the index so a crash between the two
+  commits replays into convergence, never into loss.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.urls import canonical_url
+from ..sources.table_format import ParquetTable
+
+#: above this many distinct curls in a batch, skip the IN-list file
+#: prune and rely on the key-range prune + equi-join alone
+_MAX_IN_LIST = 10_000
+
+#: the index's slim row — everything BUT the page payload
+_INDEX_COLS = ["curl", "doc_id", "url", "fetched_at"]
+
+
+def crawl_batch_winners(
+    pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """One row per canonical URL within ``pages``: the min-doc_id
+    fetch, with a ``curl`` column added (keep-min agg + semi-join —
+    the same shuffle-once shape as the batch path; dropDuplicates
+    guards byte-identical re-ingested records sharing (curl,
+    doc_id))."""
+    canon = pages.withColumn("curl", canonical_url(F.col(url_col)))
+    keep = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+    return canon.join(keep, ["curl", "doc_id"], "left_semi").dropDuplicates(
+        ["curl"]
+    )
+
+
+def _compute_changed(
+    index: ParquetTable, pages: DataFrame, url_col: str
+) -> DataFrame:
+    """The changed winner rows a batch contributes against the
+    CURRENT index snapshot — first-seen URLs plus strictly-better
+    (smaller doc_id) refetches — eagerly materialized so later
+    commits cannot shift what the caller observed."""
+    winners = crawl_batch_winners(pages, url_col=url_col)
+    winners.persist()
+    try:
+        stored = None
+        if index.current_version() > 0:
+            filters = None
+            touched = [
+                r["curl"]
+                for r in winners.select("curl")
+                .limit(_MAX_IN_LIST + 1)
+                .collect()
+            ]
+            if len(touched) <= _MAX_IN_LIST:
+                filters = [("curl", "in", touched)]
+            stored = index.read(filters=filters).select(
+                "curl", F.col("doc_id").alias("__stored_doc_id")
+            )
+        if stored is None:
+            changed = winners
+        else:
+            changed = (
+                winners.join(stored, "curl", "left")
+                .filter(
+                    F.col("__stored_doc_id").isNull()
+                    | (F.col("doc_id") < F.col("__stored_doc_id"))
+                )
+                .drop("__stored_doc_id")
+            )
+        return changed.localCheckpoint(eager=True)
+    finally:
+        winners.unpersist()
+
+
+def fold_crawl_url_index(
+    index: ParquetTable,
+    pages: DataFrame,
+    batch_id: int | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Process one micro-batch of crawl pages (``crawl_pages`` shape:
+    doc_id, url, fetched_at, html, ...): returns the CHANGED winner
+    rows — first-seen URLs plus strictly-better (smaller doc_id)
+    refetches — with all payload columns, and merges their slim
+    projection into ``index`` (exactly-once via ``batch_id``).
+
+    The returned frame is materialized BEFORE the merge commits, so
+    a batch never compares against its own rows; on replay the index
+    already holds the winners, ``changed`` comes back empty, and the
+    ledger skips the merge — idempotent."""
+    out = _compute_changed(index, pages, url_col)
+    # an empty changed-set skips the merge entirely: merge with no
+    # key bounds cannot prune and would rewrite the whole index for
+    # a no-op batch (replay stays idempotent — an empty fold has
+    # nothing a ledger entry would need to guard)
+    if out.limit(1).count() > 0:
+        index.merge(
+            out.select(*_INDEX_COLS),
+            keys=["curl"],
+            order_by=["doc_id"],
+            batch_id=batch_id,
+        )
+    return out
+
+
+def crawl_index_writer(
+    index: ParquetTable,
+    pages_table: ParquetTable | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    url_col: str = "url",
+    compact_at_files: int = 0,
+):
+    """``foreachBatch`` handler maintaining the URL index and (when
+    given) a derived pages table exactly-once:
+
+        (crawl_stream.writeStream
+            .foreachBatch(crawl_index_writer(index, pages_table,
+                                             transform=extract))
+            .option("checkpointLocation", ...).start())
+
+    ``transform`` maps the changed winner rows (full payload) to the
+    derived shape — e.g. ``extract_text`` + feature projection; it
+    must keep the ``curl`` column, the derived table's merge key, so
+    a later strictly-better refetch REPLACES the page downstream
+    instead of duplicating it.
+
+    Commit order is derived-table FIRST, index second (both on this
+    batch_id): a crash between the two replays into an empty
+    ``changed`` only when the index committed, and the index commits
+    last — so the derived merge has always either committed or will
+    recompute identical rows. ``compact_at_files`` > 0 compacts the
+    index sorted by curl when its live file count reaches the
+    threshold, keeping the probe's key-range pruning effective."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if compact_at_files and len(index.files()) >= compact_at_files:
+            index.compact(sort_by=["curl"])
+        # compute changed against the pre-commit snapshot, commit the
+        # DERIVED table first, the index LAST: a replayed batch
+        # recomputes an empty `changed` only when the index already
+        # committed, and index-committed implies the derived merge
+        # committed earlier in the original attempt — so the empty
+        # replay can never skip derived rows that were lost
+        changed = _compute_changed(index, batch, url_col)
+        if changed.limit(1).count() == 0:
+            return  # no-op batch: a boundless merge would rewrite all
+        if pages_table is not None:
+            derived = transform(changed) if transform is not None else changed
+            pages_table.merge(
+                derived,
+                keys=["curl"],
+                order_by=["doc_id"],
+                batch_id=batch_id,
+            )
+        index.merge(
+            changed.select(*_INDEX_COLS),
+            keys=["curl"],
+            order_by=["doc_id"],
+            batch_id=batch_id,
+        )
+
+    return handle
