@@ -65,9 +65,11 @@ from pyspark.sql import functions as F
 from ..operators.urls import canonical_url
 from ..sources.table_format import ParquetTable
 
-#: above this many distinct curls in a batch, skip the IN-list file
-#: prune and rely on the key-range prune + equi-join alone
-_MAX_IN_LIST = 10_000
+#: above this many distinct curls in a batch, the file prune degrades
+#: from an IN-list to the batch's (min, max) curl RANGE — still
+#: two-level manifest pruning, never a full-index scan (same bound as
+#: the dedup_index / bm25_index probes)
+_MAX_IN_LIST = 50_000
 
 #: the index's slim row — everything BUT the page payload
 _INDEX_COLS = ["curl", "doc_id", "url", "fetched_at"]
@@ -76,15 +78,28 @@ _INDEX_COLS = ["curl", "doc_id", "url", "fetched_at"]
 def crawl_batch_winners(
     pages: DataFrame, url_col: str = "url"
 ) -> DataFrame:
-    """One row per canonical URL within ``pages``: the min-doc_id
-    fetch, with a ``curl`` column added (keep-min agg + semi-join —
-    the same shuffle-once shape as the batch path; dropDuplicates
-    guards byte-identical re-ingested records sharing (curl,
-    doc_id))."""
-    canon = pages.withColumn("curl", canonical_url(F.col(url_col)))
-    keep = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
-    return canon.join(keep, ["curl", "doc_id"], "left_semi").dropDuplicates(
-        ["curl"]
+    """One row per canonical URL within ``pages``: the winner under a
+    TOTAL deterministic order — min of struct(doc_id, <remaining
+    columns>) — with a ``curl`` column added. One hash aggregation
+    with map-side partials; no window, no semi-join. Using the whole
+    row as the tie-break (not just doc_id) matters for the streaming
+    contract: two fetches colliding on (curl, doc_id) with different
+    payloads still pick the SAME winner in every chunking and every
+    replay, so the index and any derived table can never disagree.
+    Rows with a NULL url are DROPPED (a URL-less page has no
+    canonical identity to dedup on — callers wanting them must route
+    them before this stage)."""
+    canon = pages.filter(F.col(url_col).isNotNull()).withColumn(
+        "curl", canonical_url(F.col(url_col))
+    )
+    others = [c for c in canon.columns if c not in ("curl", "doc_id")]
+    won = canon.groupBy("curl").agg(
+        F.min(F.struct("doc_id", *others)).alias("__w")
+    )
+    return won.select(
+        "curl",
+        F.col("__w.doc_id").alias("doc_id"),
+        *[F.col(f"__w.{c}").alias(c) for c in others],
     )
 
 
@@ -100,15 +115,32 @@ def _compute_changed(
     try:
         stored = None
         if index.current_version() > 0:
-            filters = None
             touched = [
                 r["curl"]
                 for r in winners.select("curl")
                 .limit(_MAX_IN_LIST + 1)
                 .collect()
             ]
+            if not touched:
+                # empty batch: nothing to probe, nothing changed —
+                # and index.read() would still plan every live file's
+                # footer just to produce zero rows
+                return winners.localCheckpoint(eager=True)
             if len(touched) <= _MAX_IN_LIST:
                 filters = [("curl", "in", touched)]
+            else:
+                # too many keys for a driver list: degrade to the
+                # batch's FULL key range (an agg, not the truncated
+                # sample above — its min/max would under-cover) so
+                # two-level manifest pruning still applies (the
+                # merge side does the same)
+                bounds = winners.agg(
+                    F.min("curl").alias("lo"), F.max("curl").alias("hi")
+                ).collect()[0]
+                filters = [
+                    ("curl", ">=", bounds["lo"]),
+                    ("curl", "<=", bounds["hi"]),
+                ]
             stored = index.read(filters=filters).select(
                 "curl", F.col("doc_id").alias("__stored_doc_id")
             )
@@ -128,6 +160,24 @@ def _compute_changed(
         winners.unpersist()
 
 
+def _merge_changed(
+    index: ParquetTable, changed: DataFrame, batch_id: int | None
+) -> None:
+    """Merge the changed rows' slim projection into the index —
+    skipped entirely for an empty changed-set (a merge with no key
+    bounds cannot prune and would rewrite the whole index for a
+    no-op batch; replay stays idempotent — an empty fold has nothing
+    a ledger entry would need to guard). Retries commit conflicts:
+    an out-of-band maintenance commit must not kill the stream."""
+    if changed.limit(1).count() > 0:
+        index.merge_with_retry(
+            changed.select(*_INDEX_COLS),
+            keys=["curl"],
+            order_by=["doc_id"],
+            batch_id=batch_id,
+        )
+
+
 def fold_crawl_url_index(
     index: ParquetTable,
     pages: DataFrame,
@@ -143,19 +193,17 @@ def fold_crawl_url_index(
     The returned frame is materialized BEFORE the merge commits, so
     a batch never compares against its own rows; on replay the index
     already holds the winners, ``changed`` comes back empty, and the
-    ledger skips the merge — idempotent."""
+    ledger skips the merge — idempotent.
+
+    The return value is for INSPECTION (counts, logging, tests) —
+    do NOT persist it to another store from an at-least-once
+    context: the index commits before this returns, so a crash in
+    the caller's write replays into an EMPTY changed-set and the
+    rows are lost downstream forever. To maintain a derived table,
+    use :func:`crawl_index_writer`, which commits derived tables
+    BEFORE the index."""
     out = _compute_changed(index, pages, url_col)
-    # an empty changed-set skips the merge entirely: merge with no
-    # key bounds cannot prune and would rewrite the whole index for
-    # a no-op batch (replay stays idempotent — an empty fold has
-    # nothing a ledger entry would need to guard)
-    if out.limit(1).count() > 0:
-        index.merge(
-            out.select(*_INDEX_COLS),
-            keys=["curl"],
-            order_by=["doc_id"],
-            batch_id=batch_id,
-        )
+    _merge_changed(index, out, batch_id)
     return out
 
 
@@ -175,10 +223,14 @@ def crawl_index_writer(
             .option("checkpointLocation", ...).start())
 
     ``transform`` maps the changed winner rows (full payload) to the
-    derived shape — e.g. ``extract_text`` + feature projection; it
-    must keep the ``curl`` column, the derived table's merge key, so
-    a later strictly-better refetch REPLACES the page downstream
-    instead of duplicating it.
+    derived shape — e.g. ``extract_text`` + feature projection. It
+    must keep the ``curl`` column — the derived table's merge key,
+    so a later strictly-better refetch REPLACES the page downstream
+    instead of duplicating it — and must emit EXACTLY ONE row per
+    curl: the keyed merge dedups on curl, so a transform fanning a
+    page into several rows (chunkers, per-link exploders) would
+    silently keep one arbitrary row. Route multi-row shapes to
+    their own sink keyed accordingly, outside this writer.
 
     Commit order is derived-table FIRST, index second (both on this
     batch_id): a crash between the two replays into an empty
@@ -202,17 +254,12 @@ def crawl_index_writer(
             return  # no-op batch: a boundless merge would rewrite all
         if pages_table is not None:
             derived = transform(changed) if transform is not None else changed
-            pages_table.merge(
+            pages_table.merge_with_retry(
                 derived,
                 keys=["curl"],
                 order_by=["doc_id"],
                 batch_id=batch_id,
             )
-        index.merge(
-            changed.select(*_INDEX_COLS),
-            keys=["curl"],
-            order_by=["doc_id"],
-            batch_id=batch_id,
-        )
+        _merge_changed(index, changed, batch_id)
 
     return handle

@@ -247,7 +247,7 @@ def test_real_binaryfile_stream_with_checkpoint_restart(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "stream did not finish in time"
 
     for r in shard_rows[:4]:
         (src / os.path.basename(r["path"])).write_bytes(bytes(r["content"]))
@@ -288,6 +288,71 @@ def test_writer_inline_compaction_bounds_files(spark, tmp_path):
         )
     assert len(index.files()) < 4
     assert index.read().count() == 4
+
+
+def test_tie_break_is_total_and_null_urls_drop(spark, tmp_path):
+    """Self-review r8: two fetches colliding on (curl, doc_id) with
+    DIFFERENT payloads must pick the same winner in every chunking
+    (the winner is min over the whole row struct, not an arbitrary
+    dropDuplicates survivor), and a NULL url row is dropped — it has
+    no canonical identity to dedup on."""
+    rows = [
+        (7, "http://a.example/p", "t1", "<p>BBB</p>"),
+        (7, "http://a.example/p", "t1", "<p>AAA</p>"),  # same key, diff html
+        (9, None, "t1", "<p>lost uri</p>"),
+    ]
+    # chunking 1: both collision rows in one batch
+    i1 = ParquetTable(spark, str(tmp_path / "t1"))
+    out1 = fold_crawl_url_index(index=i1, pages=_page_rows(spark, rows), batch_id=0)
+    # chunking 2: collision rows arrive in separate batches
+    i2 = ParquetTable(spark, str(tmp_path / "t2"))
+    fold_crawl_url_index(i2, _page_rows(spark, rows[:1]), batch_id=0)
+    fold_crawl_url_index(i2, _page_rows(spark, rows[1:]), batch_id=1)
+
+    w1 = {(r["curl"], r["doc_id"], r["html"]) for r in out1.collect()}
+    assert w1 == {("http://a.example/p", 7, "<p>AAA</p>")}  # min struct
+    assert _winner_set(i1.read()) == _winner_set(i2.read()) == {
+        ("http://a.example/p", 7)
+    }
+
+
+def test_probe_range_fallback_beyond_in_list(spark, tmp_path, monkeypatch):
+    """Batches with more distinct curls than the IN-list bound degrade
+    to a key-RANGE file prune — answers must be identical."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming import (
+        crawl_index as ci,
+    )
+
+    monkeypatch.setattr(ci, "_MAX_IN_LIST", 3)
+    index = ParquetTable(spark, str(tmp_path / "idx_rng"))
+    b0 = _page_rows(
+        spark,
+        [(i, f"http://h{i}.example/p", "t", f"<p>{i}</p>") for i in range(8)],
+    )
+    assert fold_crawl_url_index(index, b0, batch_id=0).count() == 8
+    # second batch: 5 seen URLs (2 better, 3 worse) + 2 fresh — well
+    # past the patched IN bound, so the probe takes the range path
+    b1 = _page_rows(
+        spark,
+        [(-1, "http://h1.example/p", "t", "<p>better1</p>"),
+         (-2, "http://h2.example/p", "t", "<p>better2</p>"),
+         (99, "http://h3.example/p", "t", "<p>worse</p>"),
+         (98, "http://h4.example/p", "t", "<p>worse</p>"),
+         (97, "http://h5.example/p", "t", "<p>worse</p>"),
+         (50, "http://new1.example/p", "t", "<p>new</p>"),
+         (51, "http://new2.example/p", "t", "<p>new</p>")],
+    )
+    out = {(r["curl"], r["doc_id"]) for r in fold_crawl_url_index(index, b1, batch_id=1).collect()}
+    assert out == {
+        ("http://h1.example/p", -1),
+        ("http://h2.example/p", -2),
+        ("http://new1.example/p", 50),
+        ("http://new2.example/p", 51),
+    }
+    want = {(f"http://h{i}.example/p", i) for i in range(8)} - {
+        ("http://h1.example/p", 1), ("http://h2.example/p", 2)
+    } | out
+    assert _winner_set(index.read()) == want
 
 
 def test_empty_batch_is_safe(spark, tmp_path):
