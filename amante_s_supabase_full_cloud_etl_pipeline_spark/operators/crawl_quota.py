@@ -31,8 +31,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
 from .topk import grouped_topk
 from .urls import url_host, url_registered_domain
+
+_INT_MAX = 2**31 - 1
+
+
+def _shield(
+    df: DataFrame, url_col: str, names: tuple[str, ...]
+) -> tuple[DataFrame, str, dict[str, str]]:
+    """Rename caller columns that clash with internal working names or
+    grouped_topk's ``rank`` output (a payload column named rank would
+    come back ambiguous, a pre-existing __site/__key would be
+    clobbered). Returns (shielded df, shielded url column name, the
+    rename map — invert it to restore caller names on the way out)."""
+    clashes = {c: f"__cq_{c}" for c in df.columns if c in names}
+    safe = df.withColumnsRenamed(clashes) if clashes else df
+    return safe, clashes.get(url_col, url_col), clashes
+
+
+def _unshield(df: DataFrame, clashes: dict[str, str]) -> DataFrame:
+    return (
+        df.withColumnsRenamed({v: c for c, v in clashes.items()})
+        if clashes
+        else df
+    )
 
 
 def per_host_quota(
@@ -40,30 +64,37 @@ def per_host_quota(
     k: int,
     url_col: str = "url",
     by: str = "host",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """At most ``k`` rows per site, selected as the ``k`` smallest
     ``xxhash64(url)`` values (a deterministic uniform sample of the
     site's URLs — see module doc). ``by`` picks the site key:
     ``"host"`` (default) or ``"registered_domain"`` (quota shared
-    across subdomains — the usual politeness unit). Input columns
-    pass through unchanged; ties (the same URL fetched twice) break
-    on the remaining columns' struct order, so the output is
-    deterministic for any input.
+    across subdomains — the usual politeness unit). With
+    ``by="registered_domain"``, pass ``psl`` (an
+    :func:`.psl.psl_frame` rules table) for public-suffix-list-exact
+    site keys — the two-label default collapses every ``*.co.uk``
+    registrant into ONE bucket, which is precisely the hosts a
+    politeness quota must keep apart. Input columns pass through
+    unchanged; ties (the same URL fetched twice) break on the
+    remaining columns' struct order, so the output is deterministic
+    for any input.
     """
     if by not in ("host", "registered_domain"):
         raise ValueError(f"by must be 'host' or 'registered_domain', got {by!r}")
-    # shield internal names and grouped_topk's 'rank' output from
-    # caller columns: a payload column named rank would come back
-    # ambiguous, and a pre-existing __site/__key would be clobbered
-    clashes = {
-        c: f"__cq_{c}" for c in df.columns if c in ("rank", "__site", "__key")
-    }
-    safe = df.withColumnsRenamed(clashes) if clashes else df
-    safe_url = clashes.get(url_col, url_col)
-    site_fn = url_host if by == "host" else url_registered_domain
-    tagged = safe.withColumn("__site", site_fn(F.col(safe_url))).withColumn(
-        "__key", F.xxhash64(F.col(safe_url))
-    )
+    if psl is not None and by != "registered_domain":
+        raise ValueError("psl only applies to by='registered_domain'")
+    safe, safe_url, clashes = _shield(df, url_col, ("rank", "__site", "__key"))
+    if psl is not None:
+        from .psl import with_registered_domain
+
+        tagged = with_registered_domain(
+            safe, url_col=safe_url, psl=psl, out_col="__site"
+        )
+    else:
+        site_fn = url_host if by == "host" else url_registered_domain
+        tagged = safe.withColumn("__site", site_fn(F.col(safe_url)))
+    tagged = tagged.withColumn("__key", F.xxhash64(F.col(safe_url)))
     kept = grouped_topk(
         tagged,
         group_by=["__site"],
@@ -71,6 +102,115 @@ def per_host_quota(
         k=k,
         ascending=["__key"],
     ).select(*safe.columns)
-    if clashes:
-        kept = kept.withColumnsRenamed({v: c for c, v in clashes.items()})
-    return kept.select(*df.columns)
+    return _unshield(kept, clashes).select(*df.columns)
+
+
+def politeness_budget(
+    urls: DataFrame,
+    robots: DataFrame,
+    window_seconds: float,
+    agent: str = "*",
+    url_col: str = "url",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    fetched_col: str | None = None,
+    rep: str = "stdlib",
+    default_delay: float | None = None,
+) -> DataFrame:
+    """The "how fast" leg of crawl governance (robots = may we,
+    :func:`per_host_quota` = how much): keep per host at most the
+    number of fetches its declared ``Crawl-delay`` permits inside a
+    ``window_seconds`` fetch window — ``max(1, floor(window /
+    delay))`` (every host gets at least one fetch; a zero/negative
+    delay means no limit). Hosts declaring NO delay — including
+    hosts with no robots row at all — are unlimited unless
+    ``default_delay`` imposes one; a host with an EXPLICIT
+    zero/negative delay stays unlimited even then. A delay so small
+    that the cap would exceed INT32_MAX is likewise no limit (never
+    an overflowing cast). Selection is the same deterministic
+    content-keyed k-smallest-hash sample as :func:`per_host_quota` —
+    rerunning keeps the same pages.
+
+    Scale shape: delays come from :func:`.robots.host_crawl_delays`
+    (one row per host); the per-host cap varies, so rows are ranked
+    once by the bounded two-phase :func:`.topk.grouped_topk` with
+    ``k`` = the LARGEST cap any limited host carries (one scalar
+    driver agg over the per-host delay frame — never per-URL data),
+    then filtered to each host's own cap. Unlimited hosts bypass the
+    rank entirely. No per-host window sort anywhere. The per-host
+    caps subtree (robots parse + latest-fetch collapse) feeds both
+    that scalar and the returned plan, so it is tracked-persisted —
+    never parsed twice."""
+    from .robots import host_crawl_delays
+
+    delays = host_crawl_delays(
+        robots,
+        agent=agent,
+        host_col=host_col,
+        body_col=body_col,
+        fetched_col=fetched_col,
+        rep=rep,
+    )
+    eff = F.coalesce(
+        F.col("crawl_delay"), F.lit(default_delay).cast("double")
+    )
+    raw = F.floor(F.lit(float(window_seconds)) / eff)  # bigint, never cast hot
+    caps = tracked_persist(
+        delays.select(
+            F.col("host").alias("__site"),
+            # caps at/above INT32_MAX are indistinguishable from no
+            # limit — route them to the unlimited branch instead of
+            # overflowing the int cast (ANSI mode throws CAST_OVERFLOW
+            # on e.g. Crawl-delay: 1e-8; legacy would wrap negative
+            # and silently drop every page of the host)
+            F.when(
+                (eff > 0) & (raw < F.lit(_INT_MAX)),
+                F.greatest(raw, F.lit(1)).cast("int"),
+            ).alias("__cap"),
+            F.lit(True).alias("__has_robots"),
+        )
+    )
+
+    # hosts absent from the robots frame declare no delay either, so
+    # default_delay governs them too (applied after the left join via
+    # __has_robots — the caps-frame coalesce can't see absent hosts)
+    default_cap = None
+    if default_delay is not None and default_delay > 0:
+        dc = int(float(window_seconds) // float(default_delay))
+        if dc < _INT_MAX:
+            default_cap = max(1, dc)
+
+    safe, safe_url, clashes = _shield(
+        urls, url_col, ("rank", "__site", "__key", "__cap", "__has_robots")
+    )
+    tagged = (
+        safe.withColumn("__site", url_host(F.col(safe_url)))
+        .join(caps, "__site", "left")
+        .withColumn(
+            "__cap",
+            F.when(
+                F.col("__has_robots").isNull(),
+                F.lit(default_cap).cast("int"),
+            ).otherwise(F.col("__cap")),
+        )
+    )
+
+    unlimited = tagged.filter(F.col("__cap").isNull()).select(*safe.columns)
+    limited = tagged.filter(F.col("__cap").isNotNull())
+    k_max = caps.agg(F.max("__cap").alias("m")).collect()[0]["m"]
+    if default_cap is not None:
+        k_max = default_cap if k_max is None else max(k_max, default_cap)
+    if k_max is None:
+        kept = safe.select(*safe.columns)  # no limited host anywhere
+    else:
+        ranked = grouped_topk(
+            limited.withColumn("__key", F.xxhash64(F.col(safe_url))),
+            group_by=["__site"],
+            order_by=["__key"],
+            k=int(k_max),
+            ascending=["__key"],
+        )
+        kept = unlimited.unionByName(
+            ranked.filter(F.col("rank") <= F.col("__cap")).select(*safe.columns)
+        )
+    return _unshield(kept, clashes).select(*urls.columns)

@@ -63,6 +63,7 @@ import re
 import urllib.parse
 import urllib.robotparser
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -152,9 +153,10 @@ class _Rfc9309Matcher:
 
     def __init__(self, body: str, agent: str) -> None:
         agent_token = agent.split("/")[0].strip().lower()
-        groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+        groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
         uas: list[str] = []
         rules: list[tuple[str, bool]] = []
+        delay: float | None = None
         in_header = False
         for raw in body.splitlines():
             line = raw.split("#", 1)[0].strip()
@@ -168,8 +170,8 @@ class _Rfc9309Matcher:
             if key == "user-agent":
                 if not in_header:  # a UA line after rules starts a new group
                     if uas:
-                        groups.append((uas, rules))
-                    uas, rules = [], []
+                        groups.append((uas, rules, delay))
+                    uas, rules, delay = [], [], None
                     in_header = True
                 token = value.split("/")[0].strip().lower()
                 # an EMPTY token ('User-agent:' / 'User-agent: /1.0')
@@ -181,26 +183,43 @@ class _Rfc9309Matcher:
                 in_header = False
                 if value:
                     rules.append((value, key == "allow"))
-            else:  # sitemap / crawl-delay / unknown: not path rules
+            elif key == "crawl-delay":
+                # not in RFC 9309, but a de-facto member of the group
+                # it appears in (Bing/Yandex semantics); float form
+                # accepted, last occurrence in a group wins
+                in_header = False
+                try:
+                    delay = float(value)
+                except ValueError:
+                    pass
+            else:  # sitemap / unknown: not path rules
                 in_header = False
         if uas:
-            groups.append((uas, rules))
+            groups.append((uas, rules, delay))
 
         # §2.2.1 whole-token match: a group applies iff its token
         # EQUALS the agent's product token (case-insensitive); all
         # matching groups merge; '*' only when none matches
         matched = agent_token != "*" and any(
-            ua == agent_token for g_uas, _ in groups for ua in g_uas
+            ua == agent_token for g_uas, _, _ in groups for ua in g_uas
         )
         want = agent_token if matched else "*"
         self._rules: list[tuple[re.Pattern, int, bool]] = []
-        for g_uas, g_rules in groups:
+        #: crawl-delay for the selected group(s); merged groups take
+        #: the MAX (the conservative politeness choice); None when no
+        #: applicable group declares one
+        self.crawl_delay: float | None = None
+        for g_uas, g_rules, g_delay in groups:
             if want in g_uas:
                 for pattern, allow in g_rules:
                     norm = _pct_normalize_py(pattern)
                     self._rules.append(
                         (self._compile(norm), len(norm), allow)
                     )
+                if g_delay is not None and (
+                    self.crawl_delay is None or g_delay > self.crawl_delay
+                ):
+                    self.crawl_delay = g_delay
 
     @staticmethod
     def _compile(pattern: str) -> re.Pattern:
@@ -255,6 +274,86 @@ def _build_matcher(body, agent: str, rep: str):
         return None
 
 
+def _latest_per_host(
+    robots: DataFrame,
+    host_col: str,
+    body_col: str,
+    fetched_col: str | None,
+) -> DataFrame:
+    """``robots`` collapsed to ONE (__host, __robots) row per host —
+    the latest fetch when ``fetched_col`` is given. Ordering structs
+    are never null, so max_by never discards a row (bare max_by(v,
+    ord) ignores NULL ord values — a host whose fetch times are all
+    NULL would silently lose its rules); exact ties break on the
+    lexically-greatest body, so the collapse is deterministic."""
+    per_host = robots.select(
+        F.col(host_col).alias("__host"),
+        F.col(body_col).alias("__robots"),
+        *([F.col(fetched_col).alias("__fetched")] if fetched_col else []),
+    ).groupBy("__host")
+    return (
+        per_host.agg(
+            F.max_by(
+                "__robots", F.struct("__fetched", "__robots")
+            ).alias("__robots")
+        )
+        if fetched_col
+        else per_host.agg(F.max("__robots").alias("__robots"))
+    )
+
+
+def host_crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    fetched_col: str | None = None,
+    rep: str = "stdlib",
+) -> DataFrame:
+    """(host, crawl_delay double) — each host's declared
+    ``Crawl-delay`` for ``agent``, one row per host (latest fetch via
+    ``fetched_col``, like :func:`robots_allowed`); null when the host
+    declares none (or the body is unparseable). Crawl-delay is not in
+    RFC 9309 but is honored by major crawlers (Bing, Yandex); the two
+    ``rep`` modes inherit their group-selection semantics:
+
+    - ``"stdlib"``: ``urllib.robotparser.crawl_delay`` — first
+      applicable entry, INTEGER seconds only (stdlib ignores float
+      values; that is its documented behavior, kept verbatim);
+    - ``"rfc9309"``: §2.2.1 whole-token group selection, float
+      values accepted, merged groups take the MAX declared delay
+      (the conservative politeness choice).
+
+    Map-only: one vectorized evaluation per host row — the frame is
+    already one-row-per-host, so no salting is needed (rule bodies
+    are RFC-capped at 500 KiB; there is no hot-group hazard)."""
+    if rep not in ("stdlib", "rfc9309"):
+        raise ValueError(f"rep must be 'stdlib' or 'rfc9309', got {rep!r}")
+    one = _latest_per_host(robots, host_col, body_col, fetched_col)
+
+    def delay_of(body) -> float | None:
+        if body is None:
+            return None
+        try:
+            if rep == "rfc9309":
+                return _Rfc9309Matcher(str(body), agent).crawl_delay
+            parser = urllib.robotparser.RobotFileParser()
+            parser.parse(str(body).splitlines())
+            d = parser.crawl_delay(agent)
+            return None if d is None else float(d)
+        except Exception:
+            return None
+
+    @F.pandas_udf("double")
+    def delays(bodies: pd.Series) -> pd.Series:
+        return bodies.map(delay_of).astype("float64")
+
+    return one.select(
+        F.col("__host").alias("host"),
+        delays(F.col("__robots")).alias("crawl_delay"),
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     robots: DataFrame,
@@ -293,23 +392,7 @@ def robots_allowed(
         f"`{f.name}` {f.dataType.simpleString()}" for f in urls.schema.fields
     ) + ", " + _SCHEMA_SUFFIX
     with_host = urls.withColumn("__host", url_host(F.col(url_col)))
-    per_host = robots.select(
-        F.col(host_col).alias("__host"),
-        F.col(body_col).alias("__robots"),
-        *([F.col(fetched_col).alias("__fetched")] if fetched_col else []),
-    ).groupBy("__host")
-    # ordering structs are never null, so max_by never discards a row
-    # (bare max_by(v, ord) ignores NULL ord values — a host whose
-    # fetch times are all NULL would silently lose its rules)
-    robots_one = (
-        per_host.agg(
-            F.max_by(
-                "__robots", F.struct("__fetched", "__robots")
-            ).alias("__robots")
-        )
-        if fetched_col
-        else per_host.agg(F.max("__robots").alias("__robots"))
-    )
+    robots_one = _latest_per_host(robots, host_col, body_col, fetched_col)
     # adaptive salt: one small partial-agg exchange (one row per
     # host) sizes each host's bucket count; the long tail stays at
     # one bucket per host, hot hosts split (module doc)

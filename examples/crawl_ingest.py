@@ -18,7 +18,11 @@
    any content dedup.
 4. Quota: ``operators/crawl_quota.py per_host_quota`` caps any one
    host's contribution (deterministic content-keyed keep-k via the
-   bounded two-phase top-k — crawl politeness/budget governance).
+   bounded two-phase top-k — crawl politeness/budget governance),
+   then ``politeness_budget`` additionally bounds each host to what
+   its declared Crawl-delay permits inside a fetch window — the
+   full governance triad: robots = may we, quota = how much,
+   Crawl-delay = how fast.
 5. Extract: ``operators/extraction.py extract_text`` → title, text,
    link-density; drop chrome-dominated pages.
 6. Hand off: the surviving (doc_id, text) frame is exactly what
@@ -45,6 +49,7 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.extraction import
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.crawl_quota import (
     per_host_quota,
+    politeness_budget,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.urls import (
     canonical_url,
@@ -171,7 +176,19 @@ def main(sf_dir: str, workdir: str) -> None:
     quota = per_host_quota(unique, k=20, url_col="curl")
     n_quota = quota.count()
 
-    feats = extract_text(quota, html_col="html")
+    # rate governance: every 4th host declares a Crawl-delay; a
+    # 60-second fetch window then bounds its page count to
+    # floor(60 / delay) (delay 12 → 5 pages)
+    robots = spark.createDataFrame(
+        [(f"site{h}.example", "User-agent: *\nCrawl-delay: 12\n")
+         for h in range(0, 23, 4)],
+        "host string, robots_txt string",
+    )
+    budget = politeness_budget(quota, robots, window_seconds=60.0,
+                               url_col="curl")
+    n_budget = budget.count()
+
+    feats = extract_text(budget, html_col="html")
     kept = feats.filter(
         F.col("text").isNotNull() & (F.col("link_density") < 0.5)
     )
@@ -193,6 +210,8 @@ def main(sf_dir: str, workdir: str) -> None:
           f"({n_fetched - n_unique} canonical-key collisions collapsed)")
     print(f"host quota:  {n_quota} pages within the 20/host budget "
           f"({n_unique - n_quota} over-quota pages dropped)")
+    print(f"crawl-delay: {n_budget} pages within the 60s politeness "
+          f"window ({n_quota - n_budget} rate-capped pages deferred)")
     print(f"extracted:   {n_kept} pages kept (parse ok, link density < 0.5)")
     print(f"top hosts:   {[(r['h'], r['count']) for r in hosts]}")
     sample = kept.orderBy("doc_id").limit(1).collect()

@@ -1,0 +1,158 @@
+"""Public-suffix-list registered domains as data (VERDICT r7 #4):
+toy-PSL differential against hand-derived spec outcomes (normal,
+wildcard, exception, default rules), the two-label fallback, and the
+per_host_quota composition that motivates the feature."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.psl import (
+    parse_psl,
+    psl_frame,
+    registered_domain_map,
+    with_registered_domain,
+)
+
+_TOY_PSL = """
+// toy public suffix list
+com
+uk
+co.uk
+com.au
+// the Cook Islands wildcard + its exception, straight from the spec
+*.ck
+!www.ck
+"""
+
+
+def test_parse_psl():
+    assert parse_psl(_TOY_PSL.splitlines()) == [
+        ("com", "normal"),
+        ("uk", "normal"),
+        ("co.uk", "normal"),
+        ("com.au", "normal"),
+        ("ck", "wildcard"),
+        ("www.ck", "exception"),
+    ]
+
+
+#: host → expected registered domain, each derived BY HAND from the
+#: publicsuffix.org algorithm (exception prevails; else most labels;
+#: else the implicit * rule; registered = suffix + one label).
+#: Deviation rows (host IS a suffix / IP literal → host itself) are
+#: marked.
+_CASES = {
+    "a.co.uk": "a.co.uk",
+    "b.a.co.uk": "a.co.uk",          # the two-label form would say co.uk
+    "x.com.au": "x.com.au",
+    "deep.x.com.au": "x.com.au",
+    "example.com": "example.com",
+    "a.b.example.com": "example.com",
+    "plain.uk": "plain.uk",          # 'uk' itself is a listed suffix
+    "foo.bar.ck": "foo.bar.ck",      # *.ck: bar.ck is the suffix
+    "x.foo.bar.ck": "foo.bar.ck",
+    "www.ck": "www.ck",              # !www.ck: suffix is ck
+    "sub.www.ck": "www.ck",
+    "nosuffixrule.zz": "nosuffixrule.zz",   # default * rule
+    "a.nosuffixrule.zz": "nosuffixrule.zz",
+    "co.uk": "co.uk",                # deviation: suffix-only → itself
+    "bar.ck": "bar.ck",              # deviation: *.ck makes it a suffix
+    "com": "com",                    # deviation: bare TLD
+    "10.2.3.4": "10.2.3.4",          # deviation: IP literal kept whole
+}
+
+
+def test_registered_domain_map_against_hand_derivation(spark):
+    psl = psl_frame(spark, _TOY_PSL.splitlines())
+    hosts = spark.createDataFrame([(h,) for h in _CASES], "host string")
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in registered_domain_map(hosts, psl).collect()
+    }
+    assert got == _CASES
+
+
+def test_with_registered_domain_modes(spark):
+    psl = psl_frame(spark, _TOY_PSL.splitlines())
+    df = spark.createDataFrame(
+        [(1, "http://A.co.uk/x"), (2, "https://b.a.co.uk:443/y?z=1")],
+        "id long, url string",
+    )
+    exact = {
+        r["id"]: r["registered_domain"]
+        for r in with_registered_domain(df, psl=psl).collect()
+    }
+    assert exact == {1: "a.co.uk", 2: "a.co.uk"}
+    twolabel = {
+        r["id"]: r["registered_domain"]
+        for r in with_registered_domain(df, psl=None).collect()
+    }
+    assert twolabel == {1: "co.uk", 2: "co.uk"}  # the collapse psl fixes
+
+
+def test_quota_with_psl_keeps_cctld_registrants_apart(spark):
+    """The motivating case: 3 unrelated .co.uk sites × 4 pages each.
+    Two-label merges them into ONE co.uk bucket (k=4 keeps 4 pages
+    total); PSL-exact gives each registrant its own bucket (12)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.crawl_quota import (
+        per_host_quota,
+    )
+
+    rows = [
+        (f"http://{site}.co.uk/page/{i}",)
+        for site in ("alpha", "beta", "gamma")
+        for i in range(4)
+    ]
+    urls = spark.createDataFrame(rows, "url string")
+    psl = psl_frame(spark, _TOY_PSL.splitlines())
+
+    merged = per_host_quota(urls, k=4, by="registered_domain")
+    assert merged.count() == 4  # the mis-throttle
+    exact = per_host_quota(urls, k=4, by="registered_domain", psl=psl)
+    assert exact.count() == 12
+    per_site = {
+        r["d"]: r["c"]
+        for r in exact.select(
+            F.regexp_extract("url", r"http://(\w+)", 1).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert per_site == {"alpha": 4, "beta": 4, "gamma": 4}
+    with pytest.raises(ValueError, match="registered_domain"):
+        per_host_quota(urls, k=4, by="host", psl=psl)
+
+
+def test_null_and_unparseable_hosts(spark):
+    psl = psl_frame(spark, _TOY_PSL.splitlines())
+    hosts = spark.createDataFrame([(None,), ("",)], "host string")
+    got = registered_domain_map(hosts, psl).collect()
+    # nothing crashes; degenerate hosts map to themselves/null
+    assert {r["host"] for r in got} == {None, ""}
+
+
+def test_with_registered_domain_shields_internal_host_col(spark):
+    """A caller payload column named __rd_host must survive (review:
+    withColumn used to overwrite it and the trailing drop deleted
+    it); out_col='__rd_host' is refused loudly."""
+    import pytest
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.psl import (
+        psl_frame,
+        with_registered_domain,
+    )
+
+    psl = psl_frame(spark, ["com", "uk", "co.uk"])
+    df = spark.createDataFrame(
+        [("http://a.b.co.uk/x", "payload")],
+        "url string, __rd_host string",
+    )
+    out = with_registered_domain(df, psl=psl)
+    row = out.collect()[0]
+    assert row["__rd_host"] == "payload"
+    assert row["registered_domain"] == "b.co.uk"
+    assert set(out.columns) == {"url", "__rd_host", "registered_domain"}
+    with pytest.raises(ValueError, match="__rd_host"):
+        with_registered_domain(df, psl=psl, out_col="__rd_host")

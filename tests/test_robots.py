@@ -535,6 +535,57 @@ def test_rfc9309_whole_token_group_match():
     assert m2.can_fetch("http://x.example/e/1") is True
 
 
+def test_host_crawl_delays_both_modes(spark):
+    """Crawl-delay extraction (VERDICT r7 #7): per-agent group
+    selection in each mode's own semantics — stdlib integer-only
+    first-entry, rfc9309 whole-token merge with max-of-merged —
+    latest fetch per host, null for missing/garbage."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.robots import (
+        host_crawl_delays,
+    )
+
+    body_star = "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+    body_float = "User-agent: *\nCrawl-delay: 2.5\n"
+    body_merge = (
+        "User-agent: fastbot\nCrawl-delay: 1\nDisallow: /a\n\n"
+        "User-agent: *\nCrawl-delay: 9\n\n"
+        "User-agent: fastbot\nCrawl-delay: 3\nDisallow: /b\n"
+    )
+    body_garbage = "User-agent: *\nCrawl-delay: soon\n"
+    robots = spark.createDataFrame(
+        [
+            ("a.example", body_star, 1),
+            ("a.example", "User-agent: *\nCrawl-delay: 7\n", 2),  # latest wins
+            ("f.example", body_float, 1),
+            ("m.example", body_merge, 1),
+            ("g.example", body_garbage, 1),
+            ("n.example", "User-agent: *\nDisallow: /\n", 1),  # none declared
+        ],
+        "host string, robots_txt string, fetched_at int",
+    )
+
+    def delays(agent, rep):
+        return {
+            r["host"]: r["crawl_delay"]
+            for r in host_crawl_delays(
+                robots, agent=agent, fetched_col="fetched_at", rep=rep
+            ).collect()
+        }
+
+    rfc = delays("fastbot", "rfc9309")
+    assert rfc["a.example"] == 7.0  # latest fetch, not max of fetches
+    assert rfc["f.example"] == 2.5  # float accepted in rfc9309 mode
+    assert rfc["m.example"] == 3.0  # merged fastbot groups: max(1, 3), not *'s 9
+    assert rfc["g.example"] is None
+    assert rfc["n.example"] is None
+
+    std = delays("otherbot", "stdlib")
+    assert std["a.example"] == 7.0
+    assert std["m.example"] == 9.0  # stdlib: first applicable entry = *
+    # stdlib ignores non-integer values — documented stdlib semantics
+    assert std["f.example"] is None
+
+
 def test_drop_disallowed_positional_compat(spark):
     """fetched_col keeps its historical 5th positional slot (newer
     params are keyword-only): a caller passing it positionally must
