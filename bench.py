@@ -53,6 +53,12 @@ HEADLINE = (
     # Okapi probe), native-JPEG Arrow decode kernel
     "bm25_docs_topk",
     "jpeg_decode_kernel",
+    # round-7/8 families (VERDICT r7 #2: these subsystems were
+    # driver-checked but never timed): the full crawl front half
+    # (WARC parse → extract → canonical dedup → RFC 9309 robots) and
+    # the native GIF/LZW decode kernel
+    "crawl_front_half",
+    "gif_decode_kernel",
 )
 
 
@@ -134,9 +140,25 @@ def _extra_queries():
         )
         return decode_image_features(synthetic_image_corpus(docs))
 
+    def gif_decode_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
+            decode_image_features,
+            synthetic_image_corpus,
+        )
+
+        # doc_id % 8 == 6 → GIF blobs only (half interlaced): times
+        # the native LZW decode + canvas compositing Arrow kernel
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            (FF.col("doc_id") % 8 == 6) & (FF.col("doc_id") < 8000)
+        )
+        return decode_image_features(synthetic_image_corpus(docs))
+
     return {
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
+        "gif_decode_kernel": gif_decode_kernel,
         "topk_parts_per_type": dashboard.topk_parts_per_type,
         "dedup_exact_survivors": dedup_queries.dedup_exact_survivors,
         "dedup_jaccard_pairs": dedup_queries.dedup_jaccard_pairs,

@@ -1,0 +1,110 @@
+"""Hot-host crawl-governance stress at soak scale (VERDICT r7 #2:
+the sf1 soak predated the crawl subsystem; this is its 10× leg).
+
+    python tools/crawl_stress.py [n_urls] [n_hosts]
+
+Builds ``n_urls`` synthetic URLs over only ``n_hosts`` hosts — the
+deliberate worst case for per-host grouping (default 2,000,000 over
+8 hosts = 250k rows/host, well past the 65,536-row salting threshold
+in ``operators/robots.py``, so the adaptive salt MUST engage for the
+run to finish in bounded tasks) — and times the three governance
+stages end-to-end on local[*]:
+
+1. robots:  ``drop_disallowed`` in rfc9309 mode against multi-rule
+   bodies (salted applyInPandas groups);
+2. quota:   ``per_host_quota`` k=50k (bounded two-phase top-k under
+   hot groups);
+3. budget:  ``politeness_budget`` (per-host caps from Crawl-delay).
+
+Prints ONE JSON line with per-stage min-of-2 wall seconds and output
+row counts (the counts double as a cheap correctness pin: they are
+exact functions of the synthesis rule, asserted here).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.crawl_quota import (  # noqa: E402
+    per_host_quota,
+    politeness_budget,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.robots import (  # noqa: E402
+    drop_disallowed,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main(n_urls: int = 2_000_000, n_hosts: int = 8) -> dict:
+    spark = get_spark("crawl-stress")
+    urls = spark.range(n_urls).select(
+        F.col("id"),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("id") % n_hosts).cast("string"),
+            F.lit(".example/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                f"h{h}.example",
+                # multi-rule body: a prefix family, a longest-match
+                # carve-out, and an anchored wildcard, plus the
+                # crawl-delay the budget stage consumes
+                "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"
+                "Disallow: /*7$\nCrawl-delay: 0.002\n",
+            )
+            for h in range(n_hosts)
+        ],
+        "host string, robots_txt string",
+    )
+
+    def timed(fn):
+        best = math.inf
+        n = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn().count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 2), n
+
+    stages = {
+        "robots_rfc9309": lambda: drop_disallowed(
+            urls, robots, url_col="url", rep="rfc9309"
+        ),
+        "quota_50k": lambda: per_host_quota(urls, k=50_000, url_col="url"),
+        "budget": lambda: politeness_budget(
+            urls, robots, window_seconds=60.0, rep="rfc9309"
+        ),
+    }
+    out: dict = {"n_urls": n_urls, "n_hosts": n_hosts, "stages": {}}
+    for name, fn in stages.items():
+        sec, rows = timed(fn)
+        out["stages"][name] = {"sec": sec, "rows": rows}
+
+    # correctness pins (exact functions of the synthesis rule):
+    # quota keeps exactly k per host; budget cap = floor(60/0.002)
+    # = 30000 per host
+    assert out["stages"]["quota_50k"]["rows"] == 50_000 * n_hosts
+    assert out["stages"]["budget"]["rows"] == 30_000 * n_hosts
+    spark.stop()
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    argv = sys.argv[1:]
+    main(
+        int(argv[0]) if argv else 2_000_000,
+        int(argv[1]) if len(argv) > 1 else 8,
+    )

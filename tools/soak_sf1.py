@@ -115,6 +115,13 @@ def main(out_dir: str = "/tmp/sf1", skip_curation: bool = False) -> dict:
         )
         result["curation_example_wall_s"] = round(cur_s, 1)
 
+    # hot-host crawl-governance stress (VERDICT r7 #2): 2M URLs over
+    # 8 hosts — 250k rows/host forces the robots evaluator's adaptive
+    # salt; per-stage timings + exact-count pins from the tool itself
+    crawl_out, crawl_s = _run([sys.executable, "tools/crawl_stress.py"])
+    result["crawl_stress"] = json.loads(crawl_out.strip().splitlines()[-1])
+    result["crawl_stress_wall_s"] = round(crawl_s, 1)
+
     ru = resource.getrusage(resource.RUSAGE_CHILDREN)
     result["peak_child_rss_gib"] = round(ru.ru_maxrss / 1024 / 1024, 2)
     result["peak_tree_rss_gib"] = round(_PEAK_TREE_RSS_KB / 1024 / 1024, 2)
