@@ -1019,6 +1019,134 @@ def sample_video_features(media: DataFrame, every: int = 2, round_to: int = 6) -
     return media.mapInPandas(kernel, VIDEO_FEATURE_SCHEMA)
 
 
+def synthetic_gif_animation_corpus(docs: DataFrame, n_frames: int = 6) -> DataFrame:
+    """Deterministic ANIMATED GIFs keyed on doc_id: a sprite moving
+    across a fixed canvas, disposal method cycling per doc
+    (doc_id % 3 → 1 do-not-dispose / 2 restore-to-background /
+    3 restore-to-previous), transparency on odd docs, every third
+    doc's frames interlaced — the delta-compositing worst cases a
+    crawl carries. Sprite colors are drawn from an 8-level-per-
+    channel grid with a per-doc constant blue, so the union palette
+    stays ≤ 65 colors for ANY n_frames (the encoder's 256-color
+    limit must never bound the advertised parameter)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.gif import (  # noqa: E501
+            encode_gif_animation,
+        )
+
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                cw, chh = 16 + d % 5, 12 + d % 4
+                frames = []
+                for fidx in range(n_frames):
+                    fw, fh = 5 + fidx % 3, 4 + fidx % 2
+                    yy, xx = np.mgrid[0:fh, 0:fw]
+                    px = np.stack(
+                        [
+                            ((xx * 31 + d + fidx * 17) % 8) * 32,
+                            ((yy * 29 + d * 5 + fidx * 23) % 8) * 32,
+                            np.full_like(xx, (d % 8) * 32),
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    frame = {
+                        "pixels": px,
+                        "left": (fidx * 3 + d) % (cw - fw),
+                        "top": (fidx * 2) % (chh - fh),
+                        "disposal": 1 + d % 3,
+                        "interlace": d % 3 == 0,
+                    }
+                    if d % 2 == 1:
+                        # the sprite's own top-left color is transparent
+                        frame["transparent_rgb"] = tuple(int(v) for v in px[0, 0])
+                    frames.append(frame)
+                blobs.append(
+                    encode_gif_animation(
+                        frames, screen=(cw, chh), bg_rgb=(8, 8, 8)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs,
+                 "media_type": ["image/gif"] * len(blobs)}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return _fan_out_ids(docs).mapInPandas(kernel, schema)
+
+
+def gif_frame_features(
+    media: DataFrame, every: int = 2, round_to: int = 6,
+    max_frames: int = 256,
+) -> DataFrame:
+    """The GIF twin of :func:`sample_video_features` (VERDICT r7 #5):
+    disposal-composited every-k frame sampling over animated GIF
+    blobs → per-doc stats (true frame count via the cheap framing
+    walk, sampled count, canvas size, mean luminance, mean absolute
+    inter-frame luma delta = motion). Corrupt/truncated blobs drop
+    (S4). Same VIDEO_FEATURE_SCHEMA so downstream stats compose."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.gif import (  # noqa: E501
+            count_gif_frames,
+            decode_gif_frames,
+        )
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                b = bytes(blob or b"")
+                kept = decode_gif_frames(b, every=every, max_frames=max_frames)
+                if not kept:
+                    continue
+                n_total = count_gif_frames(b)
+                lumas = [
+                    0.299 * f[:, :, 0].astype(np.float64)
+                    + 0.587 * f[:, :, 1].astype(np.float64)
+                    + 0.114 * f[:, :, 2].astype(np.float64)
+                    for f in kept
+                ]
+                motion = (
+                    float(np.mean([np.abs(b2 - a).mean() for a, b2 in zip(lumas, lumas[1:])]))
+                    if len(lumas) > 1
+                    else 0.0
+                )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": int(n_total) if n_total is not None else len(kept),
+                        "n_sampled": len(kept),
+                        "width": kept[0].shape[1],
+                        "height": kept[0].shape[0],
+                        "luma_mean": round(float(np.mean([m.mean() for m in lumas])), round_to),
+                        "motion": round(motion, round_to),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_sampled", "width", "height",
+                    "luma_mean", "motion",
+                ],
+            )
+
+    return media.mapInPandas(kernel, VIDEO_FEATURE_SCHEMA)
+
+
 def decode_image_features(media: DataFrame, round_to: int = 6) -> DataFrame:
     """REAL decode → feature-extract → resize over BMP/PPM blobs:
     per-channel means, luminance moments, 8×8 mean-pooled thumb.
