@@ -59,6 +59,30 @@ def _unshield(df: DataFrame, clashes: dict[str, str]) -> DataFrame:
     )
 
 
+def site_of(
+    df: DataFrame,
+    url_col: str,
+    by: str = "host",
+    psl: DataFrame | None = None,
+    out_col: str = "__site",
+) -> DataFrame:
+    """``df`` + a site-key column: the single dispatch (host /
+    two-label registered domain / PSL-exact registered domain) shared
+    by :func:`per_host_quota`, :func:`politeness_budget` and the
+    streaming quota index — one place for site-key semantics, so the
+    batch and streaming forms can never diverge."""
+    if by not in ("host", "registered_domain"):
+        raise ValueError(f"by must be 'host' or 'registered_domain', got {by!r}")
+    if psl is not None and by != "registered_domain":
+        raise ValueError("psl only applies to by='registered_domain'")
+    if psl is not None:
+        from .psl import with_registered_domain
+
+        return with_registered_domain(df, url_col=url_col, psl=psl, out_col=out_col)
+    site_fn = url_host if by == "host" else url_registered_domain
+    return df.withColumn(out_col, site_fn(F.col(url_col)))
+
+
 def per_host_quota(
     df: DataFrame,
     k: int,
@@ -80,21 +104,10 @@ def per_host_quota(
     remaining columns' struct order, so the output is deterministic
     for any input.
     """
-    if by not in ("host", "registered_domain"):
-        raise ValueError(f"by must be 'host' or 'registered_domain', got {by!r}")
-    if psl is not None and by != "registered_domain":
-        raise ValueError("psl only applies to by='registered_domain'")
     safe, safe_url, clashes = _shield(df, url_col, ("rank", "__site", "__key"))
-    if psl is not None:
-        from .psl import with_registered_domain
-
-        tagged = with_registered_domain(
-            safe, url_col=safe_url, psl=psl, out_col="__site"
-        )
-    else:
-        site_fn = url_host if by == "host" else url_registered_domain
-        tagged = safe.withColumn("__site", site_fn(F.col(safe_url)))
-    tagged = tagged.withColumn("__key", F.xxhash64(F.col(safe_url)))
+    tagged = site_of(safe, safe_url, by=by, psl=psl, out_col="__site").withColumn(
+        "__key", F.xxhash64(F.col(safe_url))
+    )
     kept = grouped_topk(
         tagged,
         group_by=["__site"],

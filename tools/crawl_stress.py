@@ -93,10 +93,11 @@ def main(n_urls: int = 2_000_000, n_hosts: int = 8) -> dict:
         out["stages"][name] = {"sec": sec, "rows": rows}
 
     # correctness pins (exact functions of the synthesis rule):
-    # quota keeps exactly k per host; budget cap = floor(60/0.002)
-    # = 30000 per host
-    assert out["stages"]["quota_50k"]["rows"] == 50_000 * n_hosts
-    assert out["stages"]["budget"]["rows"] == 30_000 * n_hosts
+    # quota keeps min(k, rows/host) per host; budget cap =
+    # floor(60 / 0.002) = 30000 per host, likewise clipped
+    per_host = n_urls // n_hosts
+    assert out["stages"]["quota_50k"]["rows"] == min(50_000, per_host) * n_hosts
+    assert out["stages"]["budget"]["rows"] == min(30_000, per_host) * n_hosts
     spark.stop()
     print(json.dumps(out))
     return out
