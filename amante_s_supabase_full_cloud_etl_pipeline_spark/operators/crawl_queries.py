@@ -74,7 +74,7 @@ def crawl_front_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crawl-side URL dedup: one fetch per canonical URL, keep-min id
     # via agg + semi-join (shuffle-once; no per-URL window sort).
     # The corpus-build + WARC-parse subtree feeds the agg, the
-    # semi-join probe, the extraction, and the enriched join — persist
+    # semi-join probe, and the extraction — persist
     # it once (released by the registry wrapper before the next query)
     # instead of re-running the Python kernels per consumer. A
     # doc_id hash collision inside one canonical group would surface
@@ -86,8 +86,10 @@ def crawl_front_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
     unique = canon.join(keep, ["curl", "doc_id"], "left_semi")
 
-    feats = extract_text(unique, html_col="html")
-    enriched = unique.select("doc_id", "curl").join(feats, "doc_id")
+    # curl rides THROUGH the extraction kernel (passthrough) — the
+    # former doc_id re-join back to `unique` was a whole shuffle join
+    # to recover a column the kernel already had in hand
+    enriched = extract_text(unique, html_col="html", passthrough=("curl",))
     flagged = robots_allowed(
         enriched, _robots_frame(spark), url_col="curl", rep="rfc9309"
     )

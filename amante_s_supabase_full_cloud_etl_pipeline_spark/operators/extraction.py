@@ -202,14 +202,56 @@ def extract_text_kernel(
 
 
 def extract_text(
-    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, title, text, n_links, link_density) per document —
     the precise stdlib-parser tier. Map-only; schema is
-    :data:`EXTRACT_SCHEMA`."""
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.col(html_col).alias("html")
-    ).mapInPandas(extract_text_kernel, EXTRACT_SCHEMA)
+    :data:`EXTRACT_SCHEMA` plus any ``passthrough`` columns, echoed
+    row-aligned through the kernel. Passthrough exists for exactly
+    one reason: without it a caller needing one upstream column next
+    to the extraction (the crawl path's canonical URL) must re-JOIN
+    the kernel output back to its own input on doc_id — a whole
+    shuffle join to recover a column the kernel had in hand."""
+    if isinstance(passthrough, str):  # a bare name iterates to chars
+        passthrough = (passthrough,)
+    base = [F.col(id_col).alias("doc_id"), F.col(html_col).alias("html")]
+    extra = list(passthrough)
+    # casefolded: Spark resolves names case-insensitively by default,
+    # so a 'Title' passthrough would collide with 'title' downstream
+    folded = [c.lower() for c in extra]
+    clash = set(folded) & {
+        "doc_id", "title", "text", "n_links", "link_density", "html",
+    }
+    if clash or len(set(folded)) != len(folded):
+        raise ValueError(
+            "passthrough clashes with output columns or repeats a "
+            f"name: {sorted(clash) or sorted(extra)}"
+        )
+    src = df.select(*base, *[F.col(c) for c in extra])
+    if not extra:
+        return src.mapInPandas(extract_text_kernel, EXTRACT_SCHEMA)
+    schema = EXTRACT_SCHEMA + ", " + ", ".join(
+        f"`{c}` {src.schema[c].dataType.simpleString()}" for c in extra
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            out = next(extract_text_kernel(iter([batch])))
+            # the echo relies on the inner kernel's one-aligned-frame-
+            # per-batch contract — loud if that ever changes
+            if len(out) != len(batch):
+                raise AssertionError(
+                    "extract_text_kernel no longer yields one row per "
+                    "input row; passthrough alignment would corrupt"
+                )
+            for c in extra:
+                out[c] = batch[c].reset_index(drop=True)
+            yield out
+
+    return src.mapInPandas(kernel, schema)
 
 
 #: entity unescapes the JVM tier performs (the named set regexps can

@@ -215,3 +215,34 @@ def test_extraction_arbitrary_tag_soup_never_raises():
             )
 
     check()
+
+
+def test_extract_text_passthrough(spark):
+    """Passthrough columns echo row-aligned through the kernel (no
+    re-join needed); clashes with output names are refused."""
+    import pytest
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.extraction import (
+        extract_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><head><title>A</title></head><body>aa</body></html>",
+             "http://x/1", 10.5),
+            (2, "<html><head><title>B</title></head><body>bb</body></html>",
+             "http://x/2", 20.5),
+        ],
+        "doc_id long, html string, curl string, score double",
+    ).repartition(2)
+    out = extract_text(df, passthrough=("curl", "score")).orderBy("doc_id")
+    rows = out.collect()
+    assert [(r["doc_id"], r["title"], r["curl"], r["score"]) for r in rows] == [
+        (1, "A", "http://x/1", 10.5),
+        (2, "B", "http://x/2", 20.5),
+    ]
+    # identical extraction values as the join-free baseline
+    base = {r["doc_id"]: r["text"] for r in extract_text(df).collect()}
+    assert {r["doc_id"]: r["text"] for r in rows} == base
+    with pytest.raises(ValueError, match="clash"):
+        extract_text(df, passthrough=("title",))
