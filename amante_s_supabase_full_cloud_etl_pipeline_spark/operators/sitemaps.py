@@ -350,3 +350,58 @@ def sitemap_frontier(
         url_host(F.col("curl")).alias("host"),
         F.col("__w.lastmod").alias("lastmod"),
     )
+
+
+def refresh_candidates(
+    frontier: DataFrame,
+    seen: DataFrame,
+    fetched_col: str = "fetched_at",
+) -> DataFrame:
+    """Which frontier URLs deserve a (re)fetch — the join between
+    discovery and the incremental crawl: ``frontier`` rows
+    (:func:`sitemap_frontier` shape, keyed ``curl`` with ``lastmod``)
+    against ``seen`` — the canonical-URL seen-index contents
+    (``streaming/crawl_index.py`` ``index.read()``, keyed ``curl``
+    with ``fetched_col``). Emits frontier columns + ``reason``:
+
+    - ``never_fetched`` — no seen row for the canonical URL (a
+      non-null join marker, so a seen row whose stored stamp is NULL
+      still counts as seen);
+    - ``modified`` — the sitemap claims ``lastmod`` strictly newer
+      than the stored fetch stamp: compared as TIMESTAMPS when both
+      sides parse (``try_to_timestamp`` — W3C datetimes with
+      differing UTC offsets order correctly), falling back to the
+      lexical string order when either side does not parse (then
+      both sides must share one format; a crawl storing epoch ints
+      should format them before calling). A seen row with a NULL
+      stamp and a lastmod claim counts as modified (the stamp's
+      absence cannot prove freshness).
+
+    URLs seen and unmodified (or whose sitemap makes no lastmod
+    claim) drop — politely skipping the refetch is the point. Note
+    the seen-index's ``fetched_at`` is a MAX fold across refetches
+    (``streaming/crawl_index.py``), so acting on ``modified`` and
+    folding the refetch CLEARS the flag for the next cycle. One left
+    join on curl, same key the seen-index is compacted by, so the
+    probe prunes; no windows."""
+    stored = seen.select(
+        F.col("curl"),
+        F.col(fetched_col).alias("__fetched"),
+        F.lit(True).alias("__seen"),
+    )
+    joined = frontier.join(stored, "curl", "left")
+    lm_ts = F.try_to_timestamp(F.col("lastmod"))
+    st_ts = F.try_to_timestamp(F.col("__fetched"))
+    newer = (
+        F.when(F.col("__fetched").isNull(), F.lit(True))
+        .when(lm_ts.isNotNull() & st_ts.isNotNull(), lm_ts > st_ts)
+        .otherwise(F.col("lastmod") > F.col("__fetched"))
+    )
+    reason = F.when(F.col("__seen").isNull(), F.lit("never_fetched")).when(
+        F.col("lastmod").isNotNull() & newer, F.lit("modified")
+    )
+    return (
+        joined.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .drop("__fetched", "__seen")
+    )

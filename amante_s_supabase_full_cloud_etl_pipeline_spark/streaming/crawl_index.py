@@ -24,6 +24,17 @@ stage row-for-row. tests/test_crawl_index.py pins that equality under
 several chunkings, a foreachBatch replay, and a real checkpoint
 restart.
 
+The index's ``fetched_at`` column is a separate MAX fold — the
+LATEST fetch stamp ever seen for the canonical URL, even when the
+refetch loses the content contest (same/worse doc_id emits nothing
+downstream, but the stamp still advances). Without it, refresh
+scheduling (``operators/sitemaps.py refresh_candidates``) would
+compare sitemap ``lastmod`` claims against a stamp frozen at the
+winner's first fetch and re-flag the same URL "modified" on every
+discovery cycle forever. Max is as associative as min, so the
+chunking-invariance argument is unchanged; the EMITTED winner rows
+keep their own fetch stamp (they are that fetch's payload).
+
 Each fold:
 
 1. canonicalizes the batch's URLs (``operators/urls.py`` — the same
@@ -105,14 +116,27 @@ def crawl_batch_winners(
 
 def _compute_changed(
     index: ParquetTable, pages: DataFrame, url_col: str
-) -> DataFrame:
-    """The changed winner rows a batch contributes against the
-    CURRENT index snapshot — first-seen URLs plus strictly-better
-    (smaller doc_id) refetches — eagerly materialized so later
-    commits cannot shift what the caller observed."""
+) -> tuple[DataFrame, DataFrame]:
+    """(changed, merge_rows) for a batch against the CURRENT index
+    snapshot, both eagerly materialized so later commits cannot shift
+    what the caller observed. ``changed`` = the EMITTED winner rows
+    (first-seen URLs plus strictly-better refetches, full payload,
+    their own fetch stamp). ``merge_rows`` = the slim index upserts:
+    the changed rows with ``fetched_at`` folded to the max stamp ever
+    seen for the curl, PLUS content-unchanged curls whose batch
+    carried a newer stamp (emit nothing, advance the stamp — module
+    doc)."""
     winners = crawl_batch_winners(pages, url_col=url_col)
     winners.persist()
     try:
+        # per-curl MAX fetch stamp of the whole batch (the winner
+        # row's own stamp may not be the batch's newest for that curl)
+        stamps = (
+            pages.filter(F.col(url_col).isNotNull())
+            .withColumn("curl", canonical_url(F.col(url_col)))
+            .groupBy("curl")
+            .agg(F.max("fetched_at").alias("__batch_stamp"))
+        )
         stored = None
         if index.current_version() > 0:
             touched = [
@@ -125,7 +149,8 @@ def _compute_changed(
                 # empty batch: nothing to probe, nothing changed —
                 # and index.read() would still plan every live file's
                 # footer just to produce zero rows
-                return winners.localCheckpoint(eager=True)
+                empty = winners.localCheckpoint(eager=True)
+                return empty, empty.select(*_INDEX_COLS)
             if len(touched) <= _MAX_IN_LIST:
                 filters = [("curl", "in", touched)]
             else:
@@ -142,36 +167,83 @@ def _compute_changed(
                     ("curl", "<=", bounds["hi"]),
                 ]
             stored = index.read(filters=filters).select(
-                "curl", F.col("doc_id").alias("__stored_doc_id")
+                "curl",
+                F.col("doc_id").alias("__stored_doc_id"),
+                F.col("url").alias("__stored_url"),
+                F.col("fetched_at").alias("__stored_stamp"),
             )
         if stored is None:
-            changed = winners
-        else:
-            changed = (
-                winners.join(stored, "curl", "left")
-                .filter(
-                    F.col("__stored_doc_id").isNull()
-                    | (F.col("doc_id") < F.col("__stored_doc_id"))
+            changed = winners.localCheckpoint(eager=True)
+            merge_rows = (
+                changed.join(stamps, "curl", "left")
+                .select(
+                    "curl",
+                    "doc_id",
+                    "url",
+                    F.greatest("fetched_at", "__batch_stamp").alias(
+                        "fetched_at"
+                    ),
                 )
-                .drop("__stored_doc_id")
+                .localCheckpoint(eager=True)
             )
-        return changed.localCheckpoint(eager=True)
+            return changed, merge_rows
+        joined = winners.join(stamps, "curl", "left").join(
+            stored, "curl", "left"
+        )
+        joined.persist()
+        try:
+            is_new = F.col("__stored_doc_id").isNull() | (
+                F.col("doc_id") < F.col("__stored_doc_id")
+            )
+            changed = joined.filter(is_new).drop(
+                "__stored_doc_id", "__stored_url", "__stored_stamp",
+                "__batch_stamp",
+            ).localCheckpoint(eager=True)
+            newer_stamp = (
+                F.col("__stored_stamp").isNull()
+                & F.col("__batch_stamp").isNotNull()
+            ) | (F.col("__batch_stamp") > F.col("__stored_stamp"))
+            merge_rows = (
+                joined.filter(is_new)
+                .select(
+                    "curl",
+                    "doc_id",
+                    "url",
+                    F.greatest(
+                        "fetched_at", "__batch_stamp", "__stored_stamp"
+                    ).alias("fetched_at"),
+                )
+                .unionByName(
+                    # content unchanged, stamp newer: keep the stored
+                    # winner's identity, advance only the stamp
+                    joined.filter(~is_new & newer_stamp).select(
+                        "curl",
+                        F.col("__stored_doc_id").alias("doc_id"),
+                        F.col("__stored_url").alias("url"),
+                        F.col("__batch_stamp").alias("fetched_at"),
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+            return changed, merge_rows
+        finally:
+            joined.unpersist()
     finally:
         winners.unpersist()
 
 
 def _merge_changed(
-    index: ParquetTable, changed: DataFrame, batch_id: int | None
+    index: ParquetTable, merge_rows: DataFrame, batch_id: int | None
 ) -> None:
-    """Merge the changed rows' slim projection into the index —
-    skipped entirely for an empty changed-set (a merge with no key
-    bounds cannot prune and would rewrite the whole index for a
-    no-op batch; replay stays idempotent — an empty fold has nothing
-    a ledger entry would need to guard). Retries commit conflicts:
-    an out-of-band maintenance commit must not kill the stream."""
-    if changed.limit(1).count() > 0:
+    """Merge the slim index upserts — skipped entirely for an empty
+    set (a merge with no key bounds cannot prune and would rewrite
+    the whole index for a no-op batch; replay stays idempotent — an
+    empty fold has nothing a ledger entry would need to guard).
+    Retries commit conflicts: an out-of-band maintenance commit must
+    not kill the stream."""
+    if merge_rows.limit(1).count() > 0:
         index.merge_with_retry(
-            changed.select(*_INDEX_COLS),
+            merge_rows.select(*_INDEX_COLS),
             keys=["curl"],
             order_by=["doc_id"],
             batch_id=batch_id,
@@ -202,8 +274,8 @@ def fold_crawl_url_index(
     rows are lost downstream forever. To maintain a derived table,
     use :func:`crawl_index_writer`, which commits derived tables
     BEFORE the index."""
-    out = _compute_changed(index, pages, url_col)
-    _merge_changed(index, out, batch_id)
+    out, merge_rows = _compute_changed(index, pages, url_col)
+    _merge_changed(index, merge_rows, batch_id)
     return out
 
 
@@ -249,10 +321,10 @@ def crawl_index_writer(
         # committed, and index-committed implies the derived merge
         # committed earlier in the original attempt — so the empty
         # replay can never skip derived rows that were lost
-        changed = _compute_changed(index, batch, url_col)
-        if changed.limit(1).count() == 0:
+        changed, merge_rows = _compute_changed(index, batch, url_col)
+        if merge_rows.limit(1).count() == 0:
             return  # no-op batch: a boundless merge would rewrite all
-        if pages_table is not None:
+        if pages_table is not None and changed.limit(1).count() > 0:
             derived = transform(changed) if transform is not None else changed
             pages_table.merge_with_retry(
                 derived,
@@ -260,6 +332,6 @@ def crawl_index_writer(
                 order_by=["doc_id"],
                 batch_id=batch_id,
             )
-        _merge_changed(index, changed, batch_id)
+        _merge_changed(index, merge_rows, batch_id)
 
     return handle

@@ -117,17 +117,22 @@ def test_winner_replacement_and_worse_refetch(spark, tmp_path):
     out1 = fold_crawl_url_index(index, b1, batch_id=1).collect()
     assert [(r["doc_id"], r["html"]) for r in out1] == [(5, "<html>v5</html>")]
 
-    # worse refetch: silent, index unchanged — and NO commit at all
-    # (an empty changed-set must not trigger a boundless full-table
-    # merge rewrite)
-    v = index.current_version()
+    # worse refetch with a NEWER stamp: emits nothing downstream, but
+    # the index's fetched_at is a MAX fold (refresh scheduling needs
+    # the latest fetch time) — winner identity stays, stamp advances
     b2 = _page_rows(spark, [(20, "http://a.example/p", "t2", "<html>v20</html>")])
     assert fold_crawl_url_index(index, b2, batch_id=2).count() == 0
-    assert index.current_version() == v
     stored = index.read().collect()
-    assert [(r["curl"], r["doc_id"]) for r in stored] == [
-        ("http://a.example/p", 5)
+    assert [(r["curl"], r["doc_id"], r["fetched_at"]) for r in stored] == [
+        ("http://a.example/p", 5, "t2")
     ]
+    # worse refetch with an OLDER stamp: silent AND no commit at all
+    # (an empty merge-set must not trigger a boundless full-table
+    # merge rewrite)
+    v = index.current_version()
+    b3 = _page_rows(spark, [(30, "http://a.example/p", "t0", "<html>v30</html>")])
+    assert fold_crawl_url_index(index, b3, batch_id=3).count() == 0
+    assert index.current_version() == v
     # html never enters the index (slim row)
     assert "html" not in index.read().columns
 
@@ -362,3 +367,82 @@ def test_empty_batch_is_safe(spark, tmp_path):
     )
     assert fold_crawl_url_index(index, empty, batch_id=0).count() == 0
     assert index.current_version() >= 0
+
+
+def test_stamp_max_fold_is_chunking_invariant(spark, tmp_path):
+    """fetched_at is a MAX fold independent of the winner contest:
+    any arrival order of (better-content, newer-stamp) fetches
+    converges to (min doc_id, max stamp)."""
+    rows = [
+        (10, "http://c.example/p", "2026-01-01", "<p>a</p>"),
+        (5, "http://c.example/p?utm_source=x", "2026-02-01", "<p>b</p>"),
+        (20, "http://c.example/p", "2026-03-01", "<p>c</p>"),
+    ]
+    import itertools
+
+    for pi, perm in enumerate(itertools.permutations(range(3))):
+        index = ParquetTable(spark, str(tmp_path / f"idx_perm{pi}"))
+        for b, i in enumerate(perm):
+            fold_crawl_url_index(
+                index, _page_rows(spark, [rows[i]]), batch_id=b
+            )
+        got = index.read().collect()
+        assert [
+            (r["curl"], r["doc_id"], r["fetched_at"]) for r in got
+        ] == [("http://c.example/p", 5, "2026-03-01")], perm
+
+
+def test_refresh_candidates_round_trip_converges(spark, tmp_path):
+    """The refresh loop CLOSES (review r8): a 'modified' URL, once
+    refetched and folded — even when the refetch loses the content
+    contest — stops being flagged; a seen row with a NULL stamp is
+    NOT 'never_fetched' (the marker, not the payload, decides); and
+    W3C offsets compare as instants, not strings."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.sitemaps import (
+        refresh_candidates,
+    )
+
+    index = ParquetTable(spark, str(tmp_path / "idx_rt"))
+    fold_crawl_url_index(
+        index,
+        _page_rows(
+            spark,
+            [
+                (1, "http://r.example/a", "2026-03-01T00:00:00Z", "<p>a</p>"),
+                (2, "http://r.example/nullstamp", None, "<p>n</p>"),
+                # fetched 08:00Z; the sitemap claims 09:00+09:00 =
+                # 00:00Z — LEXICALLY newer, actually OLDER
+                (3, "http://r.example/tz", "2026-05-01T08:00:00Z", "<p>t</p>"),
+            ],
+        ),
+        batch_id=0,
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("http://r.example/a", "http://r.example/a", "r.example",
+             "2026-04-01T00:00:00Z"),
+            ("http://r.example/nullstamp", "http://r.example/nullstamp",
+             "r.example", None),
+            ("http://r.example/tz", "http://r.example/tz", "r.example",
+             "2026-05-01T09:00:00+09:00"),
+        ],
+        "url string, curl string, host string, lastmod string",
+    )
+    got = {
+        r["curl"]: r["reason"]
+        for r in refresh_candidates(frontier, index.read()).collect()
+    }
+    # null-stamp row is SEEN (no claim → drop); tz row is NOT newer
+    assert got == {"http://r.example/a": "modified"}
+
+    # refetch /a with a WORSE doc_id but a newer stamp, fold it —
+    # the flag must clear on the next cycle
+    fold_crawl_url_index(
+        index,
+        _page_rows(
+            spark,
+            [(9, "http://r.example/a", "2026-04-02T00:00:00Z", "<p>a2</p>")],
+        ),
+        batch_id=1,
+    )
+    assert refresh_candidates(frontier, index.read()).count() == 0

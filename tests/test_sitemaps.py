@@ -266,3 +266,50 @@ def test_dtd_entity_bodies_are_refused(spark):
     out = parse_sitemaps(_fetched(spark, [("u://lol", laughs)])).collect()
     assert len(out) == 1
     assert "DTD" in out[0]["parse_error"]
+
+
+def test_refresh_candidates_against_seen_index(spark, tmp_path):
+    """Discovery composes with the streaming seen-index: never-seen
+    URLs and lastmod-newer URLs are refetch candidates; seen-and-
+    unchanged (or claim-free) URLs drop."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.sitemaps import (
+        refresh_candidates,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
+        ParquetTable,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.crawl_index import (
+        fold_crawl_url_index,
+    )
+
+    sm = _urlset(
+        [
+            ("http://h.example/new", "2026-05-01", None, None),
+            ("http://h.example/changed", "2026-05-01", None, None),
+            ("http://h.example/stale", "2026-01-01", None, None),
+            ("http://h.example/noclaim", None, None, None),
+        ]
+    )
+    frontier = sitemap_frontier(
+        parse_sitemaps(_fetched(spark, [("http://h.example/sm.xml", sm)]))
+    )
+
+    index = ParquetTable(spark, str(tmp_path / "seen"))
+    pages = spark.createDataFrame(
+        [
+            (1, "http://h.example/changed", "2026-03-15", "<p>c</p>"),
+            (2, "http://h.example/stale", "2026-03-15", "<p>s</p>"),
+            (3, "http://h.example/noclaim", "2026-03-15", "<p>n</p>"),
+        ],
+        "doc_id long, url string, fetched_at string, html string",
+    )
+    fold_crawl_url_index(index, pages, batch_id=0)
+
+    got = {
+        r["curl"]: r["reason"]
+        for r in refresh_candidates(frontier, index.read()).collect()
+    }
+    assert got == {
+        "http://h.example/new": "never_fetched",
+        "http://h.example/changed": "modified",
+    }
