@@ -468,3 +468,58 @@ def drop_disallowed(
         .filter(F.col("allowed"))
         .drop("allowed")
     )
+
+
+def stale_robots(
+    robots: DataFrame,
+    now,
+    max_age_hours: float = 24.0,
+    host_col: str = "host",
+    fetched_col: str = "fetched_at",
+) -> DataFrame:
+    """RFC 9309 §2.4 cache freshness — the robots-refetch worklist:
+    (host, last_fetched, age_hours) for every host whose LATEST
+    stored robots fetch is older than ``max_age_hours`` before
+    ``now`` (the spec: cached robots "SHOULD NOT be used for more
+    than 24 hours"). A host whose stamps are all NULL (or do not
+    parse as timestamps) is stale — an unknowable age can't prove
+    freshness, and silently trusting it would let one bad stamp pin
+    ancient rules forever. Stamps parse BEFORE the per-host max (a
+    raw-string max would let one garbage stamp lexically shadow a
+    genuinely fresh fetch) and dispatch on the column type: native
+    timestamps pass through, numerics are epoch seconds, strings go
+    through ``try_to_timestamp``. ``now`` is passed in, never read
+    from the clock (determinism — the repo-wide rule for replayable
+    plans) and must be given: a NULL now would silently flag the
+    whole fleet stale. One per-host max aggregation; map-only after
+    it."""
+    from pyspark.sql import types as T
+
+    if now is None:
+        raise ValueError("now must be an explicit timestamp, not None")
+    dt = robots.schema[fetched_col].dataType
+    col = F.col(fetched_col)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        ts = col.cast("timestamp")
+    elif isinstance(
+        dt,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    ):
+        ts = F.timestamp_seconds(col)
+    else:
+        ts = F.try_to_timestamp(col.cast("string"))
+    latest = robots.groupBy(F.col(host_col).alias("host")).agg(
+        F.max(ts).alias("last_fetched")
+    )
+    now_ts = F.to_timestamp(F.lit(now))
+    age_h = (
+        now_ts.cast("double") - F.col("last_fetched").cast("double")
+    ) / F.lit(3600.0)
+    return (
+        latest.withColumn("age_hours", age_h)
+        .filter(
+            F.col("age_hours").isNull()
+            | (F.col("age_hours") > F.lit(float(max_age_hours)))
+        )
+    )

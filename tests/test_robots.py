@@ -599,3 +599,60 @@ def test_drop_disallowed_positional_compat(spark):
         "host string, robots_txt string, fetched_at int",
     )
     assert drop_disallowed(urls, robots, "*", "url", "fetched_at").count() == 0
+
+
+def test_stale_robots_worklist(spark):
+    """§2.4 freshness: latest-fetch per host vs a caller-supplied
+    `now`; unknown/unparseable stamps are stale; fresh hosts drop."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.robots import (
+        stale_robots,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("fresh.example", "User-agent: *\n", "2026-08-15T06:00:00"),
+            ("fresh.example", "User-agent: *\n", "2026-08-13T00:00:00"),
+            ("old.example", "User-agent: *\n", "2026-08-13T00:00:00"),
+            ("nul.example", "User-agent: *\n", None),
+            ("garbage.example", "User-agent: *\n", "soon"),
+        ],
+        "host string, robots_txt string, fetched_at string",
+    )
+    got = {
+        r["host"]: r["age_hours"]
+        for r in stale_robots(robots, "2026-08-15T12:00:00").collect()
+    }
+    assert set(got) == {"old.example", "nul.example", "garbage.example"}
+    assert abs(got["old.example"] - 60.0) < 1e-6  # 2.5 days
+    assert got["nul.example"] is None and got["garbage.example"] is None
+    # a tighter budget pulls fresh.example in too (6h old vs 4h max)
+    assert (
+        stale_robots(robots, "2026-08-15T12:00:00", max_age_hours=4.0).count()
+        == 4
+    )
+
+    # a garbage stamp must not lexically shadow a FRESH fetch of the
+    # same host (review: stamps parse BEFORE the per-host max)
+    mixed = spark.createDataFrame(
+        [("m.example", "x", "soon"), ("m.example", "x", "2026-08-15T11:00:00")],
+        "host string, robots_txt string, fetched_at string",
+    )
+    assert stale_robots(mixed, "2026-08-15T12:00:00").count() == 0
+
+    # epoch-numeric stamps dispatch on type (the sibling APIs accept
+    # them); native timestamps pass through
+    import datetime
+
+    epoch = spark.createDataFrame(
+        [("e.example", "x", 1786536000),   # 2026-08-12ish: stale
+         ("f.example", "x", 1787140500)],  # ~30min before now: fresh
+        "host string, robots_txt string, fetched_at long",
+    )
+    now = datetime.datetime(2026, 8, 15, 12, 0, 0)
+    got_e = [r["host"] for r in stale_robots(epoch, now).collect()]
+    assert got_e == ["e.example"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="now"):
+        stale_robots(robots, None)

@@ -313,3 +313,70 @@ def test_refresh_candidates_against_seen_index(spark, tmp_path):
         "http://h.example/new": "never_fetched",
         "http://h.example/changed": "modified",
     }
+
+
+def test_urlset_roundtrip_property(spark):
+    """Generator round-trip: arbitrary URL/lastmod/priority entry
+    lists (XML-escaped, incl. &, unicode paths, 0-priority) survive
+    build → parse exactly, in order."""
+    from xml.sax.saxutils import escape
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # XML 1.0 forbids C0 controls and noncharacters (parse_error is
+    # CORRECT for them — hypothesis found the first class itself);
+    # surrogates don't encode; Unicode whitespace (Zs/Zl/Zp) would be
+    # strip()ed by the parser's child_text, failing exact round-trip
+    path_chars = st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            exclude_categories=["Cc", "Cs", "Cn", "Zs", "Zl", "Zp"],
+            exclude_characters="<>\"'\r\n ",
+        ),
+        min_size=0,
+        max_size=20,
+    )
+    entry = st.tuples(
+        path_chars,
+        st.one_of(st.none(), st.dates().map(str)),
+        st.one_of(
+            st.none(),
+            st.floats(min_value=0.0, max_value=1.0).map(
+                lambda f: round(f, 3)
+            ),
+        ),
+    )
+
+    @given(st.lists(entry, min_size=1, max_size=12))
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(entries):
+        body = (
+            '<?xml version="1.0" encoding="UTF-8"?><urlset %s>' % _NS
+            + "".join(
+                "<url><loc>%s</loc>%s%s</url>"
+                % (
+                    escape(f"http://rt.example/{p}"),
+                    f"<lastmod>{lm}</lastmod>" if lm else "",
+                    f"<priority>{pr}</priority>" if pr is not None else "",
+                )
+                for p, lm, pr in entries
+            )
+            + "</urlset>"
+        ).encode()
+        got = sorted(
+            parse_sitemaps(_fetched(spark, [("u://rt", body)])).collect(),
+            key=lambda r: r["position"],
+        )
+        assert all(r["parse_error"] is None for r in got)
+        assert [
+            (r["loc"], r["lastmod"], r["priority"]) for r in got
+        ] == [
+            (f"http://rt.example/{p}", lm, pr) for p, lm, pr in entries
+        ]
+
+    check()
