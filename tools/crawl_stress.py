@@ -92,6 +92,35 @@ def main(n_urls: int = 2_000_000, n_hosts: int = 8) -> dict:
         sec, rows = timed(fn)
         out["stages"][name] = {"sec": sec, "rows": rows}
 
+    # streaming governance: fold the same corpus into the persistent
+    # per-site quota index in 4 chunks (hot-host probe + rank-slot
+    # merge per fold) — the incremental twin's wall time at the same
+    # scale as the batch stages above
+    import tempfile
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (  # noqa: E501
+        ParquetTable,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.quota_index import (  # noqa: E501
+        fold_quota_index,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="crawl_stress_")
+    index = ParquetTable(spark, os.path.join(workdir, "qidx"))
+    chunks = 4
+    t0 = time.perf_counter()
+    for i in range(chunks):
+        fold_quota_index(
+            index,
+            urls.filter((F.col("id") % chunks) == i),
+            k=50_000,
+            batch_id=i,
+        )
+    fold_sec = round(time.perf_counter() - t0, 2)
+    idx_rows = index.read().count()
+    out["stages"]["quota_index_fold_x4"] = {"sec": fold_sec, "rows": idx_rows}
+    assert idx_rows == min(50_000, n_urls // n_hosts) * n_hosts
+
     # correctness pins (exact functions of the synthesis rule):
     # quota keeps min(k, rows/host) per host; budget cap =
     # floor(60 / 0.002) = 30000 per host, likewise clipped
