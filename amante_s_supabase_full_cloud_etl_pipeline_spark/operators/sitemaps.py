@@ -340,15 +340,22 @@ def sitemap_frontier(
         F.col("loc").alias("url"),
         canonical_url(F.col("loc")).alias("curl"),
         F.col("lastmod"),
+        F.col("changefreq"),
+        F.col("priority"),
     )
+    # freshest lastmod claim wins the row; priority is the MAX claim
+    # across duplicates (a scheduler should honor the strongest ask)
     won = pages.groupBy("curl").agg(
-        F.max(F.struct("lastmod", "url")).alias("__w")
+        F.max(F.struct("lastmod", "url", "changefreq")).alias("__w"),
+        F.max("priority").alias("priority"),
     )
     return won.select(
         F.col("__w.url").alias("url"),
         "curl",
         url_host(F.col("curl")).alias("host"),
         F.col("__w.lastmod").alias("lastmod"),
+        F.col("__w.changefreq").alias("changefreq"),
+        "priority",
     )
 
 

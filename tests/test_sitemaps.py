@@ -172,8 +172,8 @@ def test_frontier_dedup_and_governance_composition(spark):
 
     sm = _urlset(
         [
-            ("http://f.example/p?id=1&amp;utm_source=x", "2026-01-01", None, None),
-            ("HTTP://F.EXAMPLE:80/p?id=1", "2026-02-01", None, None),  # same canon
+            ("http://f.example/p?id=1&amp;utm_source=x", "2026-01-01", "daily", 0.9),
+            ("HTTP://F.EXAMPLE:80/p?id=1", "2026-02-01", "weekly", 0.4),  # same canon
             ("http://f.example/blocked/1", "2026-01-01", None, None),
         ]
         + [(f"http://f.example/many/{i}", None, None, None) for i in range(10)]
@@ -187,6 +187,10 @@ def test_frontier_dedup_and_governance_composition(spark):
     dup = rows["http://f.example/p?id=1"]
     assert dup["lastmod"] == "2026-02-01"  # freshest claim won
     assert dup["host"] == "f.example"
+    # scheduler hints survive: changefreq from the winning claim,
+    # priority = the strongest ask across duplicates
+    assert dup["changefreq"] == "weekly"
+    assert dup["priority"] == 0.9
 
     robots = spark.createDataFrame(
         [("f.example", "User-agent: *\nDisallow: /blocked/\n")],
