@@ -37,6 +37,13 @@ from .urls import url_host, url_registered_domain
 
 _INT_MAX = 2**31 - 1
 
+#: per-window fetch caps above this are treated as unlimited (see the
+#: politeness_budget caps comment): bounds grouped_topk's k — and with
+#: it the final per-site fold buffer — while remaining far above any
+#: budget that actually throttles (65,536 fetches per politeness
+#: window; the same order as the robots evaluator's salting threshold)
+_CAP_CEILING = 1 << 16
+
 
 def _shield(
     df: DataFrame, url_col: str, names: tuple[str, ...]
@@ -139,8 +146,11 @@ def politeness_budget(
     hosts with no robots row at all — are unlimited unless
     ``default_delay`` imposes one; a host with an EXPLICIT
     zero/negative delay stays unlimited even then. A delay so small
-    that the cap would exceed INT32_MAX is likewise no limit (never
-    an overflowing cast). Selection is the same deterministic
+    that the cap would exceed ``_CAP_CEILING`` (65,536 fetches per
+    window) is likewise no limit — such a budget throttles nothing,
+    and treating it as a cap would both overflow the INT32 cast and
+    un-bound the shared top-k (see the caps comment). Selection is
+    the same deterministic
     content-keyed k-smallest-hash sample as :func:`per_host_quota` —
     rerunning keeps the same pages.
 
@@ -171,13 +181,20 @@ def politeness_budget(
     caps = tracked_persist(
         delays.select(
             F.col("host").alias("__site"),
-            # caps at/above INT32_MAX are indistinguishable from no
-            # limit — route them to the unlimited branch instead of
-            # overflowing the int cast (ANSI mode throws CAST_OVERFLOW
-            # on e.g. Crawl-delay: 1e-8; legacy would wrap negative
-            # and silently drop every page of the host)
+            # caps above the ceiling are indistinguishable from no
+            # limit — route them to the unlimited branch. The ceiling
+            # serves two hazards at once: an INT32 overflow on the
+            # cast (ANSI throws CAST_OVERFLOW on e.g. Crawl-delay:
+            # 1e-8; legacy would wrap negative and silently drop every
+            # page of the host), and — the subtler one — ONE tiny but
+            # non-overflowing delay setting grouped_topk's k for EVERY
+            # limited host: k in the hundreds of millions un-bounds
+            # the final per-site fold buffer, the exact hazard the
+            # two-phase top-k exists to prevent. A budget permitting
+            # more than _CAP_CEILING fetches per window throttles
+            # nothing real.
             F.when(
-                (eff > 0) & (raw < F.lit(_INT_MAX)),
+                (eff > 0) & (raw <= F.lit(_CAP_CEILING)),
                 F.greatest(raw, F.lit(1)).cast("int"),
             ).alias("__cap"),
             F.lit(True).alias("__has_robots"),
@@ -190,7 +207,7 @@ def politeness_budget(
     default_cap = None
     if default_delay is not None and default_delay > 0:
         dc = int(float(window_seconds) // float(default_delay))
-        if dc < _INT_MAX:
+        if dc <= _CAP_CEILING:
             default_cap = max(1, dc)
 
     safe, safe_url, clashes = _shield(

@@ -233,8 +233,13 @@ def extract_text(
     src = df.select(*base, *[F.col(c) for c in extra])
     if not extra:
         return src.mapInPandas(extract_text_kernel, EXTRACT_SCHEMA)
+    # use the RESOLVED field names (Spark resolves F.col case-
+    # insensitively, so the caller's spelling may differ from the
+    # schema's — a case-mismatched passthrough would KeyError in the
+    # schema lookup and in the kernel's pandas access otherwise)
+    resolved = [f.name for f in src.schema.fields[len(base):]]
     schema = EXTRACT_SCHEMA + ", " + ", ".join(
-        f"`{c}` {src.schema[c].dataType.simpleString()}" for c in extra
+        f"`{c}` {src.schema[c].dataType.simpleString()}" for c in resolved
     )
 
     def kernel(batches):
@@ -247,7 +252,7 @@ def extract_text(
                     "extract_text_kernel no longer yields one row per "
                     "input row; passthrough alignment would corrupt"
                 )
-            for c in extra:
+            for c in resolved:
                 out[c] = batch[c].reset_index(drop=True)
             yield out
 

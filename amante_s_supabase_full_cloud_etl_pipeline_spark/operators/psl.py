@@ -172,10 +172,18 @@ def with_registered_domain(
     precision."""
     if out_col == "__rd_host":
         raise ValueError("out_col may not be the internal name __rd_host")
+    if out_col == url_col:
+        raise ValueError("out_col may not equal url_col")
     if psl is None:
         from .urls import url_registered_domain
 
         return df.withColumn(out_col, url_registered_domain(F.col(url_col)))
+    # REPLACE semantics, matching the two-label branch's withColumn:
+    # a pre-existing out_col (re-enriching a two-label-tagged frame
+    # with PSL precision — the advertised swappable-precision use)
+    # would otherwise come back DUPLICATED by the join
+    if out_col in df.columns:
+        df = df.drop(out_col)
     # shield a caller payload column named __rd_host — withColumn
     # would overwrite it and the trailing drop would delete it
     clashes = {c: f"__psl_{c}" for c in df.columns if c == "__rd_host"}

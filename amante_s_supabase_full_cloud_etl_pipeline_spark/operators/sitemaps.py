@@ -105,6 +105,9 @@ def host_sitemaps(
             "host",
             F.when(
                 url.rlike(r"(?i)^https?://"), url
+            )
+            .when(  # protocol-relative '//cdn.example/map.xml'
+                url.startswith("//"), F.concat(F.lit("http:"), url)
             )  # relative form: resolve against the host (http default —
             # the stored fetch layer normalizes scheme upstream)
             .otherwise(

@@ -926,6 +926,25 @@ class ParquetTable:
                     raise
         raise AssertionError("unreachable")
 
+    def delete_where_with_retry(
+        self,
+        filters: Sequence[tuple],
+        batch_id: int | None = None,
+        max_attempts: int = 5,
+    ) -> int:
+        """Optimistic-concurrency loop around :meth:`delete_where` —
+        the same contract :meth:`merge_with_retry` gives merges: an
+        out-of-band maintenance commit (compaction) must not kill a
+        streaming caller; a loser of the version race re-reads the
+        new snapshot and retries."""
+        for attempt in range(max_attempts):
+            try:
+                return self.delete_where(filters, batch_id=batch_id)
+            except CommitConflict:
+                if attempt == max_attempts - 1:
+                    raise
+        raise AssertionError("unreachable")
+
     def merge_writer(self, keys: Sequence[str], order_by: Sequence[str]):
         """``foreachBatch`` handler: exactly-once keyed MERGE per
         micro-batch (idempotent under replay via batch_id)."""

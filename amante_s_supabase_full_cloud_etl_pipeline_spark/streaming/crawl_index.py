@@ -86,6 +86,18 @@ _MAX_IN_LIST = 50_000
 _INDEX_COLS = ["curl", "doc_id", "url", "fetched_at"]
 
 
+def _canonized(pages: DataFrame, url_col: str) -> DataFrame:
+    """The shared pre-aggregation projection: non-null url AND
+    non-null doc_id (a NULL doc_id has no winner identity — the batch
+    dedup stage's F.min ignores it and its semi-join can never match
+    it, so admitting it here would diverge the index from the batch
+    keep-set AND re-emit forever, min-struct sorting nulls first),
+    plus the canonical-URL key."""
+    return pages.filter(
+        F.col(url_col).isNotNull() & F.col("doc_id").isNotNull()
+    ).withColumn("curl", canonical_url(F.col(url_col)))
+
+
 def crawl_batch_winners(
     pages: DataFrame, url_col: str = "url"
 ) -> DataFrame:
@@ -97,12 +109,13 @@ def crawl_batch_winners(
     contract: two fetches colliding on (curl, doc_id) with different
     payloads still pick the SAME winner in every chunking and every
     replay, so the index and any derived table can never disagree.
-    Rows with a NULL url are DROPPED (a URL-less page has no
-    canonical identity to dedup on — callers wanting them must route
-    them before this stage)."""
-    canon = pages.filter(F.col(url_col).isNotNull()).withColumn(
-        "curl", canonical_url(F.col(url_col))
-    )
+    Rows with a NULL url or NULL doc_id are DROPPED (no canonical
+    identity / no winner identity — see :func:`_canonized`; callers
+    wanting them must route them before this stage)."""
+    return _winners_of(_canonized(pages, url_col))
+
+
+def _winners_of(canon: DataFrame) -> DataFrame:
     others = [c for c in canon.columns if c not in ("curl", "doc_id")]
     won = canon.groupBy("curl").agg(
         F.min(F.struct("doc_id", *others)).alias("__w")
@@ -126,16 +139,18 @@ def _compute_changed(
     seen for the curl, PLUS content-unchanged curls whose batch
     carried a newer stamp (emit nothing, advance the stamp — module
     doc)."""
-    winners = crawl_batch_winners(pages, url_col=url_col)
+    # ONE canonicalized pass feeds both aggregations (winners + the
+    # per-curl max stamp) — unpersisted, each would re-run the whole
+    # upstream pages subtree (WARC parse kernels included)
+    canon = _canonized(pages, url_col)
+    canon.persist()
+    winners = _winners_of(canon)
     winners.persist()
     try:
         # per-curl MAX fetch stamp of the whole batch (the winner
         # row's own stamp may not be the batch's newest for that curl)
-        stamps = (
-            pages.filter(F.col(url_col).isNotNull())
-            .withColumn("curl", canonical_url(F.col(url_col)))
-            .groupBy("curl")
-            .agg(F.max("fetched_at").alias("__batch_stamp"))
+        stamps = canon.groupBy("curl").agg(
+            F.max("fetched_at").alias("__batch_stamp")
         )
         stored = None
         if index.current_version() > 0:
@@ -171,6 +186,9 @@ def _compute_changed(
                 F.col("doc_id").alias("__stored_doc_id"),
                 F.col("url").alias("__stored_url"),
                 F.col("fetched_at").alias("__stored_stamp"),
+                # join-miss detection rides a NON-NULL marker, never a
+                # payload column (the refresh_candidates rule)
+                F.lit(True).alias("__seen"),
             )
         if stored is None:
             changed = winners.localCheckpoint(eager=True)
@@ -192,12 +210,12 @@ def _compute_changed(
         )
         joined.persist()
         try:
-            is_new = F.col("__stored_doc_id").isNull() | (
+            is_new = F.col("__seen").isNull() | (
                 F.col("doc_id") < F.col("__stored_doc_id")
             )
             changed = joined.filter(is_new).drop(
                 "__stored_doc_id", "__stored_url", "__stored_stamp",
-                "__batch_stamp",
+                "__batch_stamp", "__seen",
             ).localCheckpoint(eager=True)
             newer_stamp = (
                 F.col("__stored_stamp").isNull()
@@ -230,6 +248,7 @@ def _compute_changed(
             joined.unpersist()
     finally:
         winners.unpersist()
+        canon.unpersist()
 
 
 def _merge_changed(
@@ -296,7 +315,9 @@ def crawl_index_writer(
 
     ``transform`` maps the changed winner rows (full payload) to the
     derived shape — e.g. ``extract_text`` + feature projection. It
-    must keep the ``curl`` column — the derived table's merge key,
+    must keep BOTH the ``curl`` column — the derived table's merge
+    key — AND ``doc_id`` (the merge's within-batch tiebreak orders on
+    it; a transform dropping it fails the merge loudly),
     so a later strictly-better refetch REPLACES the page downstream
     instead of duplicating it — and must emit EXACTLY ONE row per
     curl: the keyed merge dedups on curl, so a transform fanning a

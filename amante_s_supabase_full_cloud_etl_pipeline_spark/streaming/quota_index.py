@@ -248,24 +248,6 @@ def fold_quota_index(
     return delta
 
 
-def _delete_with_retry(
-    table: ParquetTable, filters, max_attempts: int = 5
-) -> None:
-    """Optimistic-concurrency loop around ``delete_where`` — an
-    out-of-band maintenance commit (compaction) must not kill the
-    stream, the same contract the merge legs get from
-    ``merge_with_retry``."""
-    from ..sources.table_format import CommitConflict
-
-    for attempt in range(max_attempts):
-        try:
-            table.delete_where(filters)
-            return
-        except CommitConflict:
-            if attempt == max_attempts - 1:
-                raise
-
-
 def quota_index_writer(
     index: ParquetTable,
     k: int,
@@ -295,11 +277,11 @@ def quota_index_writer(
     leg committed) — the :func:`.crawl_index.crawl_index_writer`
     ordering argument.
 
-    Eviction deletes collect the evicted URL strings to the driver,
-    bounded at ``_MAX_IN_LIST`` — a single micro-batch displacing
-    more members than that fails LOUDLY (shrink the batch) rather
-    than growing an unbounded driver list; the bound matches the
-    probe's own site-list bound and the no-silent-caps rule."""
+    Eviction deletes stream through the driver in bounded
+    ``_MAX_IN_LIST`` chunks (``toLocalIterator``) — a single
+    micro-batch may displace arbitrarily many members without ever
+    holding more than one chunk driver-side, and each chunk's delete
+    is idempotent so a crash mid-wave replays into convergence."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         if compact_at_files and len(index.files()) >= compact_at_files:
@@ -319,23 +301,27 @@ def quota_index_writer(
                     order_by=["key"],
                     batch_id=batch_id,
                 )
-            evicted = [
-                r["url"]
-                for r in delta.filter(F.col("change") == "evicted")
+            # evictions stream through the driver in bounded
+            # chunks (toLocalIterator holds ONE partition at a time,
+            # never the whole list) — an arbitrarily displacing batch
+            # deletes in _MAX_IN_LIST waves instead of either growing
+            # an unbounded driver list or raising an error a
+            # checkpoint replay would re-hit forever
+            chunk: list = []
+            for row in (
+                delta.filter(F.col("change") == "evicted")
                 .select("url")
-                .limit(_MAX_IN_LIST + 1)
-                .collect()
-            ]
-            if len(evicted) > _MAX_IN_LIST:
-                raise ValueError(
-                    f"batch {batch_id} evicts more than {_MAX_IN_LIST} "
-                    "members in one micro-batch — shrink the batch "
-                    "(trigger interval / maxFilesPerTrigger) so the "
-                    "driver-side eviction list stays bounded"
-                )
-            if evicted:
-                _delete_with_retry(
-                    admitted_table, [("url", "in", evicted)]
+                .toLocalIterator()
+            ):
+                chunk.append(row["url"])
+                if len(chunk) >= _MAX_IN_LIST:
+                    admitted_table.delete_where_with_retry(
+                        [("url", "in", chunk)]
+                    )
+                    chunk = []
+            if chunk:
+                admitted_table.delete_where_with_retry(
+                    [("url", "in", chunk)]
                 )
         _merge_slots(index, slot_diff, batch_id, known_nonempty=True)
 

@@ -446,3 +446,28 @@ def test_refresh_candidates_round_trip_converges(spark, tmp_path):
         batch_id=1,
     )
     assert refresh_candidates(frontier, index.read()).count() == 0
+
+
+def test_null_doc_id_pages_never_enter_the_index(spark, tmp_path):
+    """Review r8: the batch dedup stage's F.min ignores NULL doc_ids
+    and its semi-join can't match them — the streaming winners must
+    drop them too, or min-struct (nulls first) would elect them and
+    the row would re-emit as 'changed' forever."""
+    index = ParquetTable(spark, str(tmp_path / "idx_null"))
+    b0 = _page_rows(
+        spark,
+        [
+            (None, "http://n.example/p", "t0", "<p>ghost</p>"),
+            (7, "http://n.example/p", "t0", "<p>real</p>"),
+            (None, "http://n.example/only-null", "t0", "<p>x</p>"),
+        ],
+    )
+    out = fold_crawl_url_index(index, b0, batch_id=0).collect()
+    assert [(r["curl"], r["doc_id"]) for r in out] == [
+        ("http://n.example/p", 7)
+    ]
+    # replay-to-empty holds (the old bug re-emitted forever)
+    assert fold_crawl_url_index(index, b0, batch_id=1).count() == 0
+    assert [(r["curl"], r["doc_id"]) for r in index.read().collect()] == [
+        ("http://n.example/p", 7)
+    ]

@@ -246,3 +246,23 @@ def test_extract_text_passthrough(spark):
     assert {r["doc_id"]: r["text"] for r in rows} == base
     with pytest.raises(ValueError, match="clash"):
         extract_text(df, passthrough=("title",))
+
+
+def test_extract_text_passthrough_case_mismatch(spark):
+    """Spark resolves F.col case-insensitively but names the select
+    output with the caller's spelling — the passthrough schema/kernel
+    lookups must use those RESOLVED field names (review r8), so a
+    case-variant spelling works end-to-end and echoes under it."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.extraction import (
+        extract_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<html><head><title>A</title></head><body>a</body></html>",
+          "http://x/1")],
+        "doc_id long, html string, curl string",
+    )
+    out = extract_text(df, passthrough=("Curl",))
+    assert out.columns[-1] == "Curl"  # caller's spelling, resolved ok
+    row = out.collect()[0]
+    assert row["Curl"] == "http://x/1" and row["title"] == "A"

