@@ -68,7 +68,7 @@ class _Extractor(HTMLParser):
     accounting. convert_charrefs=True (the default) resolves
     entities/charrefs before handle_data, so &amp; arrives as '&'."""
 
-    def __init__(self) -> None:
+    def __init__(self, collect_hrefs: bool = False) -> None:
         super().__init__()
         self.parts: list[str] = []
         self.title_parts: list[str] = []
@@ -78,6 +78,19 @@ class _Extractor(HTMLParser):
         self.n_links = 0
         self.link_chars = 0
         self.total_chars = 0
+        #: raw href values of counted anchors (same skip-subtree rule
+        #: as n_links), collected only when asked — the text path pays
+        #: nothing for the link-graph feature
+        self.collect_hrefs = collect_hrefs
+        self.hrefs: list[str] = []
+
+    def _note_href(self, attrs) -> None:
+        if not self.collect_hrefs:
+            return
+        for k, v in attrs:
+            if k == "href" and v:
+                self.hrefs.append(v)
+                return
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
@@ -94,6 +107,7 @@ class _Extractor(HTMLParser):
         elif tag == "a":
             self.anchor_depth += 1
             self.n_links += 1
+            self._note_href(attrs)
         if tag in _BLOCK_TAGS:
             self.parts.append("\n")
 
@@ -119,6 +133,7 @@ class _Extractor(HTMLParser):
             self.parts.append("\n")
         elif tag == "a":
             self.n_links += 1
+            self._note_href(attrs)
 
     def handle_data(self, data):
         if self.skip_depth:
@@ -305,3 +320,92 @@ def strip_tags_expr(col: Column) -> Column:
     # node before the first block tag leaves a leading space, not a
     # newline — self-review r5)
     return F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")
+
+
+LINKS_SCHEMA = "doc_id long, src string, dst string"
+
+
+def extract_links_record(html: str | None, base_url: str | None):
+    """Absolute out-link URLs of one document, or None when the input
+    is null/unparseable (S4). Relative hrefs resolve against
+    ``base_url`` (RFC 3986 §5 via urljoin); fragment-only,
+    ``javascript:``/``mailto:``/``tel:``/``data:`` and other
+    non-http(s) links drop — they are not fetchable pages. The same
+    skip-subtree rule as ``n_links`` applies (chrome inside
+    script/template/svg is not a rendered link)."""
+    import urllib.parse
+
+    if html is None:
+        return None
+    try:
+        p = _Extractor(collect_hrefs=True)
+        p.feed(html)
+        p.close()
+    except Exception:
+        return None
+    out = []
+    for href in p.hrefs:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        try:
+            absolute = (
+                urllib.parse.urljoin(base_url, href) if base_url else href
+            )
+            absolute = urllib.parse.urldefrag(absolute)[0]
+            scheme = urllib.parse.urlsplit(absolute).scheme.lower()
+        except ValueError:
+            continue  # malformed href: not a link, not a row failure
+        if scheme in ("http", "https"):
+            out.append(absolute)
+    return out
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The crawl LINK GRAPH edge list: one (doc_id, src, dst) row per
+    fetchable out-link of each page — the input shape for
+    :mod:`.pagerank` and for frontier expansion. Both endpoints are
+    CANONICALIZED (``urls.canonical_url``, a post-kernel column
+    expression): without it, rank votes split across trivially
+    different spellings of one page (tracking params, case, default
+    ports) — each becoming a phantom dangling node. Rows with a null
+    id/url drop BEFORE the kernel (S4; a null in the batch would also
+    coerce the Arrow long column to float64, corrupting hash-range
+    ids). Map-only; parallel duplicate links within one page are KEPT
+    (PageRank dedups, frontier expansion dedups by canonical URL)."""
+    from .urls import canonical_url
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, src, html in zip(
+                batch["doc_id"], batch["url"], batch["html"]
+            ):
+                links = extract_links_record(html, src)
+                if links is None:
+                    continue
+                for dst in links:
+                    rows.append(
+                        {"doc_id": int(doc_id), "src": src, "dst": dst}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "src", "dst"])
+
+    edges = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        F.col(html_col).alias("html"),
+    ).filter(
+        F.col("doc_id").isNotNull() & F.col("url").isNotNull()
+    ).mapInPandas(kernel, LINKS_SCHEMA)
+    return edges.select(
+        "doc_id",
+        canonical_url(F.col("src")).alias("src"),
+        canonical_url(F.col("dst")).alias("dst"),
+    )

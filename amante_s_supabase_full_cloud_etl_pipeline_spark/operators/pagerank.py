@@ -1,0 +1,147 @@
+"""Distributed PageRank over the crawl link graph — the centrality
+signal a frontier scheduler and a corpus-quality weighting both
+consume (Page/Brin/Motwani/Winograd 1999; the damped random-surfer
+model is public).
+
+Charter extension (SURVEY.md §2.10 crawl family; reference analog:
+none). Where it slots: :func:`..operators.extraction.extract_links`
+emits (src, dst) edges from fetched pages; this module folds them to
+a per-node score; the frontier (:mod:`.sitemaps`) or a curation
+mixture (:mod:`.sampling`) weights by it.
+
+Semantics (the textbook formulation, pinned differentially against
+an independent dense power iteration in tests):
+
+- nodes = union of sources and destinations; parallel edges collapse
+  (a page linking twice is one vote) and self-loops drop;
+- rank_0 = 1/N; each iteration
+  ``rank' = (1-alpha)/N + alpha * (in-contributions + dangling/N)``
+  where a node's contribution is rank/out_degree and DANGLING nodes
+  (no out-links — every crawl frontier's leaves) donate their whole
+  rank uniformly, keeping the distribution summing to 1;
+- stops at ``max_iters`` or when the L1 delta falls under ``tol``.
+
+Scale shape: the degree-weighted edge list is computed once and
+persisted, the dangling node set once and checkpointed; each iteration is ONE equi-join of the rank
+vector onto the edges (both keyed by node — co-partitioned after the
+first shuffle, and bucketable at 100 TB) + one aggregation by dst,
+plus two scalar aggs (dangling mass, delta) that collect single
+numbers — never node data. Hub skew (millions of in-links to one
+page) lands in the dst aggregation, which is a hash agg with
+map-side partials — not a window, not a collect. The driver loop is
+bounded by ``max_iters`` (classic Spark iterative pattern; each
+iteration's rank frame is localCheckpoint'ed, truncating the logical
+plan to a leaf — a persist alone leaves a max_iters-deep nested join
+tree that OOMs the driver at analysis time).
+
+Float caveat (why no DuckDB value-hash oracle): double summation
+order varies with partitioning, so ranks are reproducible only to
+~1e-12; the differential tests compare against the independent dense
+reference with an absolute tolerance instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank) over the directed graph in ``edges`` — see the
+    module doc for semantics. Returns after ``max_iters`` iterations
+    or when the L1 change falls under ``tol``; ranks sum to 1."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    # nodes come from the RAW endpoints: a page whose only out-link
+    # is its (dropped) self-loop still exists — it just dangles
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = raw.filter(F.col("src") != F.col("dst")).distinct()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # edges carrying the sender's out-degree: the per-iteration join
+    # then only touches the rank vector
+    weighted = e.join(out_deg, "src")
+    weighted.persist()
+    nodes.persist()
+    try:
+        n = nodes.count()  # materializes the nodes persist
+        if n == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
+        # the dangling NODE SET is static — checkpoint it once, so
+        # the per-iteration dangling-mass scalar is a semi-join of
+        # the current rank vector against a leaf, never a re-run of
+        # the edge distinct + degree shuffles
+        dangling_nodes = nodes.join(
+            out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        return _iterate(
+            weighted, nodes, dangling_nodes, n, alpha, max_iters, tol
+        )
+    finally:
+        weighted.unpersist()
+        nodes.unpersist()
+
+
+def _iterate(weighted, nodes, dangling_nodes, n, alpha, max_iters, tol):
+
+    # each iteration's rank vector is localCheckpoint'ed: the blocks
+    # make the next iteration read materialized data, and — the part
+    # persist() alone does NOT give — the LOGICAL plan truncates to a
+    # leaf, so 20 iterations cost 20 flat plans instead of one
+    # 20-deep nested join tree that OOMs the driver at analysis time
+    # (the classic Spark iterative-algorithm hazard; clustering.py's
+    # Lloyd's loop sidesteps it with driver-side centroid literals,
+    # but a rank VECTOR must stay distributed)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iters):
+        contrib_edges = weighted.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        )
+        contribs = contrib_edges.groupBy(
+            F.col("dst").alias("node")
+        ).agg(F.sum(F.col("rank") / F.col("out_deg")).alias("__in"))
+        # dangling mass: rank held by nodes with no out-links — ONE
+        # scalar agg (semi-join against the static checkpointed set)
+        dangling = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.withColumnRenamed("rank", "__new")
+            .join(ranks, "node")
+            .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

@@ -1,0 +1,169 @@
+"""Link-graph extraction + distributed PageRank: href collection and
+RFC 3986 resolution rules, then the join-based damped power iteration
+pinned against an INDEPENDENT dense-matrix reference (textbook
+Google-matrix formulation — different code shape entirely), plus
+closed-form graphs, dangling handling, and convergence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.extraction import (
+    extract_links,
+    extract_links_record,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pagerank import (
+    pagerank,
+)
+
+
+def _dense_pagerank(edge_list, alpha, iters):
+    """Independent reference: build the dense Google matrix and
+    power-iterate. Parallel edges collapse, self-loops drop, dangling
+    columns become uniform — the published formulation, not the
+    join-based fold under test."""
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    for src, dst in set(edge_list):
+        if src != dst:
+            a[idx[dst], idx[src]] = 1.0
+    col_sums = a.sum(axis=0)
+    for j in range(n):
+        if col_sums[j] > 0:
+            a[:, j] /= col_sums[j]
+        else:
+            a[:, j] = 1.0 / n  # dangling: uniform column
+    g = alpha * a + (1.0 - alpha) / n * np.ones((n, n))
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = g @ r
+    return dict(zip(nodes, r))
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_differential_vs_dense_reference(spark):
+    """A fixed irregular graph (hubs, a dangling sink, a cycle,
+    parallel duplicate edges, one self-loop): the distributed fold
+    matches the dense reference at every node after the same number
+    of iterations."""
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "d"),
+        ("f", "a"), ("f", "b"), ("f", "c"), ("f", "d"), ("f", "e"),
+        ("g", "g"),            # self-loop: dropped; g becomes dangling
+        ("a", "b"),            # parallel duplicate: one vote
+        ("h", "f"), ("c", "h"),
+        # 'sink' has in-links only: the dangling node every crawl has
+        ("b", "sink"), ("e", "sink"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(5)
+    got = _ranks(pagerank(df, alpha=0.85, max_iters=30, tol=0.0))
+    want = _dense_pagerank(edges, alpha=0.85, iters=30)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-9), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_closed_forms(spark):
+    """A directed cycle is uniform at any alpha; a star's center
+    accumulates the leaves' damped mass."""
+    cycle = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 5}") for i in range(5)],
+        "src string, dst string",
+    )
+    got = _ranks(pagerank(cycle, alpha=0.85, max_iters=25))
+    for v in got.values():
+        assert v == pytest.approx(0.2, abs=1e-9)
+
+    star = spark.createDataFrame(
+        [(f"leaf{i}", "center") for i in range(4)],
+        "src string, dst string",
+    )
+    got = _ranks(pagerank(star, alpha=0.85, max_iters=40, tol=0.0))
+    want = _dense_pagerank(
+        [(f"leaf{i}", "center") for i in range(4)], alpha=0.85, iters=40
+    )
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-9)
+    assert got["center"] == max(got.values())
+
+
+def test_convergence_early_stop_and_validation(spark):
+    cycle = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 4}") for i in range(4)],
+        "src string, dst string",
+    )
+    # uniform from iteration 0 on a cycle: tol triggers immediately
+    got = _ranks(pagerank(cycle, alpha=0.85, max_iters=100, tol=1e-3))
+    assert all(v == pytest.approx(0.25, abs=1e-12) for v in got.values())
+    with pytest.raises(ValueError, match="alpha"):
+        pagerank(cycle, alpha=1.5)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+
+
+def test_extract_links_record_resolution_rules():
+    html = (
+        "<html><body>"
+        "<a href='/rel'>r</a>"
+        "<a href='sub/page.html'>s</a>"
+        "<a href='http://other.example/abs'>abs</a>"
+        "<a href='#frag'>f</a>"
+        "<a href='https://x.example/p#sec'>defrag</a>"
+        "<a href='mailto:a@b.c'>m</a>"
+        "<a href='javascript:void(0)'>j</a>"
+        "<a href='tel:+123'>t</a>"
+        "<template><a href='/chrome'>no</a></template>"
+        "<a href=''>empty</a>"
+        "</body></html>"
+    )
+    got = extract_links_record(html, "http://site.example/dir/page")
+    assert got == [
+        "http://site.example/rel",
+        "http://site.example/dir/sub/page.html",
+        "http://other.example/abs",
+        "https://x.example/p",
+    ]
+    assert extract_links_record(None, "http://x") is None
+
+
+def test_link_graph_to_pagerank_composition(spark):
+    """Pages → edge list → ranks: the crawl centrality path end to
+    end; the hub page every other page links to ranks first."""
+    pages = spark.createDataFrame(
+        [
+            (
+                i,
+                f"http://s{i}.example/",
+                "<html><body><a href='http://hub.example/'>hub</a>"
+                + f"<a href='http://s{(i + 1) % 4}.example/'>next</a>"
+                "</body></html>",
+            )
+            for i in range(4)
+        ]
+        + [(9, "http://hub.example/", "<html><body>no links</body></html>")],
+        "doc_id long, url string, html string",
+    )
+    edges = extract_links(pages)
+    assert edges.count() == 8
+    # endpoints are canonicalized: a tracking-variant link must merge
+    # with the plain spelling instead of becoming a phantom node
+    variant = spark.createDataFrame(
+        [(7, "http://v.example/",
+          "<html><body><a href='http://hub.example/?utm_source=x'>h</a>"
+          "</body></html>")],
+        "doc_id long, url string, html string",
+    )
+    vedge = extract_links(variant).collect()[0]
+    assert vedge["dst"] == "http://hub.example/"
+    ranks = _ranks(pagerank(edges, max_iters=30))
+    assert max(ranks, key=ranks.get) == "http://hub.example/"
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
