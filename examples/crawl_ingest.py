@@ -193,6 +193,22 @@ def main(sf_dir: str, workdir: str) -> None:
         F.col("text").isNotNull() & (F.col("link_density") < 0.5)
     )
     n_kept = kept.count()
+
+    # link graph: out-link edges from the governed pages → PageRank
+    # (the frontier-prioritization / corpus-centrality signal); every
+    # page's footer links its host's /about and /share pages, which
+    # therefore out-rank the content pages
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.extraction import (  # noqa: E501
+        extract_links,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pagerank import (  # noqa: E501
+        pagerank,
+    )
+
+    edges = extract_links(budget, html_col="html", url_col="curl")
+    ranks = pagerank(edges, max_iters=10)
+    top_ranked = ranks.orderBy(F.desc("rank")).limit(3).collect()
+    n_edges = edges.count()
     hosts = (
         canon.select(url_host(F.col("url")).alias("h"))
         .groupBy("h")
@@ -213,6 +229,8 @@ def main(sf_dir: str, workdir: str) -> None:
     print(f"crawl-delay: {n_budget} pages within the 60s politeness "
           f"window ({n_quota - n_budget} rate-capped pages deferred)")
     print(f"extracted:   {n_kept} pages kept (parse ok, link density < 0.5)")
+    print(f"link graph:  {n_edges} edges; top PageRank: "
+          f"{[(r['node'], round(r['rank'], 5)) for r in top_ranked]}")
     print(f"top hosts:   {[(r['h'], r['count']) for r in hosts]}")
     sample = kept.orderBy("doc_id").limit(1).collect()
     if sample:
