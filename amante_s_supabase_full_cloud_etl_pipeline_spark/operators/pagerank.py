@@ -46,6 +46,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _graph(edges: DataFrame, src_col: str, dst_col: str):
+    """Shared cleanup for both centrality folds: (nodes, edge set).
+    Nodes come from the RAW endpoints — a page whose only out-link is
+    its (dropped) self-loop still exists, it just dangles; self-loops
+    drop and parallel edges collapse in the edge set."""
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return nodes, raw.filter(F.col("src") != F.col("dst")).distinct()
+
+
 def pagerank(
     edges: DataFrame,
     alpha: float = 0.85,
@@ -59,17 +75,7 @@ def pagerank(
     or when the L1 change falls under ``tol``; ranks sum to 1."""
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    raw = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    # nodes come from the RAW endpoints: a page whose only out-link
-    # is its (dropped) self-loop still exists — it just dangles
-    nodes = (
-        raw.select(F.col("src").alias("node"))
-        .unionByName(raw.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    e = raw.filter(F.col("src") != F.col("dst")).distinct()
+    nodes, e = _graph(edges, src_col, dst_col)
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # edges carrying the sender's out-degree: the per-iteration join
     # then only touches the rank vector
@@ -135,13 +141,121 @@ def _iterate(weighted, nodes, dangling_nodes, n, alpha, max_iters, tol):
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.withColumnRenamed("rank", "__new")
-            .join(ranks, "node")
-            .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))))
-            .collect()[0][0]
-        )
+        if tol > 0:  # delta job is pure cost when it can't fire
+            delta = (
+                new_ranks.withColumnRenamed("rank", "__new")
+                .join(ranks, "node")
+                .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))))
+                .collect()[0][0]
+            )
+            if delta is not None and delta < tol:
+                ranks = new_ranks
+                break
         ranks = new_ranks
-        if delta is not None and delta < tol:
-            break
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities, the other classic link
+    signal — SIAM/JACM 1999): (node, hub, authority) with each score
+    vector L1-normalized per iteration. ``authority' ∝ Σ hub(in-
+    neighbors)``, ``hub' ∝ Σ authority(out-neighbors)`` — a page
+    pointing at many good pages is a hub (a crawl seed-list signal),
+    a page pointed at by many good hubs is an authority (a corpus
+    quality weight). Same graph cleanup as :func:`pagerank` (nodes
+    from raw endpoints, self-loops dropped, parallel edges collapse)
+    and the same iteration discipline: per iteration, one edge join
+    + groupBy sum per direction, two node left-joins, one scalar
+    normalization agg, and (when ``tol > 0``) one delta join+agg —
+    per-iteration localCheckpoint truncating the plan, L1-delta
+    early stop. Pinned against an independent dense
+    adjacency-matrix reference in tests (same float caveat as
+    PageRank: tolerance comparison, no value-hash oracle)."""
+    nodes, e = _graph(edges, src_col, dst_col)
+    e.persist()
+    nodes.persist()
+    try:
+        n = nodes.count()
+        if n == 0:
+            return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+                "authority", F.lit(0.0)
+            )
+        scores = nodes.select(
+            "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("authority")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_iters):
+            # authority' = sum of in-neighbor hubs; hub' = sum of
+            # out-neighbor authorities (both from the PREVIOUS vector)
+            auth_in = (
+                e.join(
+                    scores.select(
+                        F.col("node").alias("src"), F.col("hub")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("__a"))
+            )
+            hub_in = (
+                e.join(
+                    scores.select(
+                        F.col("node").alias("dst"), F.col("authority")
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("__h"))
+            )
+            unnorm = (
+                nodes.join(auth_in, "node", "left")
+                .join(hub_in, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("__h"), F.lit(0.0)).alias("hub"),
+                    F.coalesce(F.col("__a"), F.lit(0.0)).alias("authority"),
+                )
+            )
+            unnorm.persist()
+            try:
+                sums = unnorm.agg(
+                    F.sum("hub").alias("hs"), F.sum("authority").alias("as_")
+                ).collect()[0]
+                hs = sums["hs"] or 1.0
+                as_ = sums["as_"] or 1.0
+                new_scores = unnorm.select(
+                    "node",
+                    (F.col("hub") / F.lit(hs)).alias("hub"),
+                    (F.col("authority") / F.lit(as_)).alias("authority"),
+                ).localCheckpoint(eager=True)
+            finally:
+                unnorm.unpersist()
+            if tol > 0:  # delta job is pure cost when it can't fire
+                delta = (
+                    new_scores.select(
+                        "node",
+                        F.col("hub").alias("__nh"),
+                        F.col("authority").alias("__na"),
+                    )
+                    .join(scores, "node")
+                    .agg(
+                        F.sum(
+                            F.abs(F.col("__nh") - F.col("hub"))
+                            + F.abs(F.col("__na") - F.col("authority"))
+                        )
+                    )
+                    .collect()[0][0]
+                )
+                if delta is not None and delta < tol:
+                    scores = new_scores
+                    break
+            scores = new_scores
+        return scores
+    finally:
+        e.unpersist()
+        nodes.unpersist()

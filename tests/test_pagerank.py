@@ -167,3 +167,76 @@ def test_link_graph_to_pagerank_composition(spark):
     ranks = _ranks(pagerank(edges, max_iters=30))
     assert max(ranks, key=ranks.get) == "http://hub.example/"
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def _dense_hits(edge_list, iters):
+    """Independent HITS reference: adjacency matrix, alternate
+    a = A^T h, h = A a, L1-normalize each — Kleinberg's formulation,
+    not the join fold under test."""
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    for src, dst in set(edge_list):
+        if src != dst:
+            a[idx[src], idx[dst]] = 1.0
+    h = np.full(n, 1.0 / n)
+    au = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        new_au = a.T @ h
+        new_h = a @ au
+        au = new_au / (new_au.sum() or 1.0)
+        h = new_h / (new_h.sum() or 1.0)
+    return (
+        dict(zip(nodes, h)),
+        dict(zip(nodes, au)),
+    )
+
+
+def test_hits_differential_vs_dense_reference(spark):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pagerank import (
+        hits,
+    )
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "d"),
+        ("f", "a"), ("f", "b"), ("f", "c"), ("f", "d"), ("f", "e"),
+        ("g", "g"), ("a", "b"), ("h", "f"), ("c", "h"),
+        ("b", "sink"), ("e", "sink"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(3)
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, max_iters=25, tol=0.0).collect()
+    }
+    want_h, want_a = _dense_hits(edges, iters=25)
+    assert set(got) == set(want_h)
+    for node in want_h:
+        assert got[node][0] == pytest.approx(want_h[node], abs=1e-9), node
+        assert got[node][1] == pytest.approx(want_a[node], abs=1e-9), node
+    # f links to five pages: the strongest hub; c is the top authority
+    assert max(got, key=lambda k: got[k][0]) == "f"
+    assert max(got, key=lambda k: got[k][1]) == "c"
+
+
+def test_hits_shapes_and_empty(spark):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pagerank import (
+        hits,
+    )
+
+    star = spark.createDataFrame(
+        [(f"leaf{i}", "center") for i in range(4)],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(star, max_iters=10).collect()
+    }
+    # the center is the sole authority; leaves are equal hubs
+    assert got["center"][1] == pytest.approx(1.0, abs=1e-9)
+    assert got["center"][0] == pytest.approx(0.0, abs=1e-12)
+    for i in range(4):
+        assert got[f"leaf{i}"][0] == pytest.approx(0.25, abs=1e-9)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits(empty).count() == 0
