@@ -225,8 +225,17 @@ def politeness_budget(
         )
     )
 
-    unlimited = tagged.filter(F.col("__cap").isNull()).select(*safe.columns)
-    limited = tagged.filter(F.col("__cap").isNotNull())
+    # rows whose URL yields no host (garbage strings: url_host()
+    # returns '' on no-match, NULL on NULL input) have no site to
+    # budget — pass them through rather than letting them compete as
+    # ONE shared pseudo-host group that default_cap would silently
+    # truncate (every other path in this module passes garbage URLs
+    # through for downstream validation)
+    no_site = F.col("__site").isNull() | (F.col("__site") == F.lit(""))
+    unlimited = tagged.filter(F.col("__cap").isNull() | no_site).select(
+        *safe.columns
+    )
+    limited = tagged.filter(F.col("__cap").isNotNull() & ~no_site)
     k_max = caps.agg(F.max("__cap").alias("m")).collect()[0]["m"]
     if default_cap is not None:
         k_max = default_cap if k_max is None else max(k_max, default_cap)

@@ -641,10 +641,14 @@ def decode_gif_frames(
     including the lazy one a 0-size screen adopts from frame 1's
     (top + h, left + w) extent, whose offsets a crafted blob controls
     — is capped at ``_MAX_PIXELS``; at most ``max_frames`` frames are
-    processed; and the CUMULATIVE decoded pixels across frames are
-    capped at ``max_total_pixels`` (default ``_MAX_PIXELS`` — the
-    same total LZW exposure as the single-image path, where
-    max_frames alone would multiply it 256×). Compare
+    processed; and the CUMULATIVE decoded pixels across frames PLUS
+    the pixels of every emitted canvas copy are capped together at
+    ``max_total_pixels`` (default ``_MAX_PIXELS`` — the same total
+    LZW exposure as the single-image path, where max_frames alone
+    would multiply it 256×; emitted canvases are counted because the
+    returned ``frames`` list is what is actually retained in memory —
+    a max-size screen plus many 1-pixel frames passes the other two
+    guards while accumulating frames × canvas bytes). Compare
     :func:`count_gif_frames` to detect the frame cap; nothing is
     silent."""
     import numpy as np
@@ -715,6 +719,14 @@ def decode_gif_frames(
             else:
                 region[...] = table[sub]
             if n_seen % every == 0:
+                # emitted canvas copies count against the same budget:
+                # a tiny blob with a max-size screen and many 1-pixel
+                # frames would otherwise accumulate frames × canvas
+                # bytes (e.g. 256 × 192 MB) while passing both the
+                # per-canvas and decoded-pixel guards
+                total_px += canvas.shape[0] * canvas.shape[1]
+                if total_px > max_total_pixels:
+                    return None
                 frames.append(canvas.copy())
             # apply disposal AFTER the frame was shown
             if disposal == 2:

@@ -46,6 +46,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a ``localCheckpoint``'ed
+    frame NOW instead of at the next driver GC. Spark has no public
+    "unpersist a checkpoint" call — the blocks live until the
+    ContextCleaner notices the RDD is unreachable — so an iterative
+    loop that rebinds its rank vector each round would otherwise hold
+    up to ``max_iters`` materialized vectors in executor storage.
+    The checkpointed RDD is the one the frame's LogicalRDD leaf
+    wraps; best-effort (classic mode only) — on Connect or API drift
+    this silently degrades to the GC-eventually behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _graph(edges: DataFrame, src_col: str, dst_col: str):
     """Shared cleanup for both centrality folds: (nodes, edge set).
     Nodes come from the RAW endpoints — a page whose only out-link is
@@ -93,9 +109,12 @@ def pagerank(
         dangling_nodes = nodes.join(
             out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
         ).localCheckpoint(eager=True)
-        return _iterate(
-            weighted, nodes, dangling_nodes, n, alpha, max_iters, tol
-        )
+        try:
+            return _iterate(
+                weighted, nodes, dangling_nodes, n, alpha, max_iters, tol
+            )
+        finally:
+            _free_checkpoint(dangling_nodes)
     finally:
         weighted.unpersist()
         nodes.unpersist()
@@ -149,8 +168,12 @@ def _iterate(weighted, nodes, dangling_nodes, n, alpha, max_iters, tol):
                 .collect()[0][0]
             )
             if delta is not None and delta < tol:
+                _free_checkpoint(ranks)
                 ranks = new_ranks
                 break
+        # new_ranks is materialized (eager) and the delta was read —
+        # the previous vector is never touched again; free it now
+        _free_checkpoint(ranks)
         ranks = new_ranks
     return ranks
 
@@ -252,8 +275,12 @@ def hits(
                     .collect()[0][0]
                 )
                 if delta is not None and delta < tol:
+                    _free_checkpoint(scores)
                     scores = new_scores
                     break
+            # previous score vector is never read again — free its
+            # checkpoint blocks now rather than at the next driver GC
+            _free_checkpoint(scores)
             scores = new_scores
         return scores
     finally:

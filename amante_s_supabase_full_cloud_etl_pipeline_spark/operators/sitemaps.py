@@ -380,11 +380,14 @@ def refresh_candidates(
     - ``modified`` — the sitemap claims ``lastmod`` strictly newer
       than the stored fetch stamp: compared as TIMESTAMPS when both
       sides parse (``try_to_timestamp`` — W3C datetimes with
-      differing UTC offsets order correctly), falling back to the
-      lexical string order when either side does not parse (then
-      both sides must share one format; a crawl storing epoch ints
-      should format them before calling). A seen row with a NULL
-      stamp and a lastmod claim counts as modified (the stamp's
+      differing UTC offsets order correctly); when exactly ONE side
+      parses the row counts as modified (a lexical compare across
+      formats is an arbitrary verdict, and unknowable freshness
+      cannot prove the fetch is current); lexical string order is
+      the fallback only when BOTH sides fail to parse (then both
+      must share one format; a crawl storing epoch ints should
+      format them before calling). A seen row with a NULL stamp and
+      a lastmod claim likewise counts as modified (the stamp's
       absence cannot prove freshness).
 
     URLs seen and unmodified (or whose sitemap makes no lastmod
@@ -405,6 +408,14 @@ def refresh_candidates(
     newer = (
         F.when(F.col("__fetched").isNull(), F.lit(True))
         .when(lm_ts.isNotNull() & st_ts.isNotNull(), lm_ts > st_ts)
+        # exactly ONE side parses (the both-parse branch already
+        # fired): a lexical compare across formats (W3C string vs
+        # e.g. an epoch int formatted as string) is an arbitrary
+        # verdict — treat as modified, since unknowable freshness
+        # cannot prove the stored fetch is current
+        .when(lm_ts.isNotNull() | st_ts.isNotNull(), F.lit(True))
+        # both unparseable: the sides share one (non-timestamp)
+        # format by contract, so lexical order is meaningful
         .otherwise(F.col("lastmod") > F.col("__fetched"))
     )
     reason = F.when(F.col("__seen").isNull(), F.lit("never_fetched")).when(

@@ -212,3 +212,33 @@ def test_politeness_budget_review_edges(spark):
     )
     assert back.columns == ["__cap", "__has_robots", "url"]
     assert back.count() == out.count()
+
+
+def test_politeness_budget_hostless_rows_pass_through(spark):
+    """Rows whose URL yields no host have no site to budget — they
+    pass through (for downstream validation to route), instead of
+    pooling into ONE shared NULL pseudo-host that default_delay's cap
+    would silently truncate."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.crawl_quota import (
+        politeness_budget,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"garbage-{i}",) for i in range(5)]
+        + [(f"http://real.example/p/{i}",) for i in range(5)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("real.example", "User-agent: *\nCrawl-delay: 30\n")],
+        "host string, robots_txt string",
+    )
+    out = politeness_budget(
+        urls, robots, window_seconds=60.0, rep="rfc9309", default_delay=20.0
+    ).collect()
+    got = sorted(r["url"] for r in out)
+    # all 5 hostless rows survive (default cap floor(60/20)=3 must
+    # NOT apply to them); real.example is capped at floor(60/30)=2
+    assert [u for u in got if u.startswith("garbage")] == [
+        f"garbage-{i}" for i in range(5)
+    ]
+    assert len([u for u in got if u.startswith("http")]) == 2

@@ -564,6 +564,21 @@ def test_animation_review_edges():
     assert decode_gif_frames(many, max_total_pixels=10) is None
     assert len(decode_gif_frames(many)) == 7
 
+    # (e) EMITTED canvases count against the budget too: a 50x50
+    # screen with 8 one-pixel frames decodes only 8 px, but each
+    # frames.append copies the whole 2500-px canvas — the retained
+    # output, not the LZW work, is the bomb (the real-world shape is
+    # an 8192x8192 screen x 256 frames = ~48 GB of appends that the
+    # decoded-pixel and per-canvas guards both wave through)
+    dot = np.full((1, 1, 3), _R, np.uint8)
+    wide = encode_gif_animation(
+        [{"pixels": dot, "disposal": 1}] * 8,
+        screen=(50, 50), bg_rgb=_BG,
+    )
+    assert decode_gif_frames(wide, max_total_pixels=2600) is None
+    got = decode_gif_frames(wide)  # default budget: fine
+    assert len(got) == 8 and got[0].shape == (50, 50, 3)
+
 
 def test_animation_corpus_palette_is_bounded(spark):
     """The advertised n_frames parameter must never trip the encoder's

@@ -319,6 +319,52 @@ def test_refresh_candidates_against_seen_index(spark, tmp_path):
     }
 
 
+def test_refresh_candidates_mixed_stamp_formats(spark):
+    """Freshness verdicts when stamps don't parse as timestamps:
+    exactly ONE side parsing means modified (lexical order across
+    formats is an arbitrary verdict — e.g. a W3C lastmod sorts BELOW
+    an epoch-int stored stamp, which would wrongly prove freshness);
+    lexical order applies only when BOTH sides are unparseable and
+    therefore share one caller-chosen format."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.sitemaps import (
+        refresh_candidates,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            # W3C lastmod vs epoch-int stored stamp: lexically
+            # "2026-05-01" < "9999999999" — the old fallback said
+            # unmodified; one-side-parses must say modified
+            ("http://h.example/w3c-vs-epoch", "2026-05-01"),
+            # garbage lastmod vs parseable stored stamp: unknowable
+            # claim -> conservative modified
+            ("http://h.example/garbage-claim", "recently"),
+            # both unparseable, shared format: lexical order holds
+            ("http://h.example/epoch-newer", "9999999999"),
+            ("http://h.example/epoch-older", "1000000000"),
+        ],
+        "curl string, lastmod string",
+    )
+    seen = spark.createDataFrame(
+        [
+            ("http://h.example/w3c-vs-epoch", "9999999999"),
+            ("http://h.example/garbage-claim", "2026-03-15"),
+            ("http://h.example/epoch-newer", "5000000000"),
+            ("http://h.example/epoch-older", "5000000000"),
+        ],
+        "curl string, fetched_at string",
+    )
+    got = {
+        r["curl"].rsplit("/", 1)[1]: r["reason"]
+        for r in refresh_candidates(frontier, seen).collect()
+    }
+    assert got == {
+        "w3c-vs-epoch": "modified",
+        "garbage-claim": "modified",
+        "epoch-newer": "modified",
+    }  # epoch-older drops: both unparseable, lexically stale
+
+
 def test_urlset_roundtrip_property(spark):
     """Generator round-trip: arbitrary URL/lastmod/priority entry
     lists (XML-escaped, incl. &, unicode paths, 0-priority) survive
