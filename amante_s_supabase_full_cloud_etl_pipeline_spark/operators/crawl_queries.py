@@ -51,16 +51,12 @@ def _robots_frame(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "host string, robots_txt string")
 
 
-@register(
-    "crawl_front_half",
-    oracle=golden_oracle("crawl_front_half"),
-    golden_sf=DRIVER_SF,
-)
-def crawl_front_half(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per surviving page: (doc_id, url, host, allowed,
-    title, n_links, link_density, n_chars, n_tokens), ordered by
-    doc_id. doc_id < 400 keeps the corpus identical across scale
-    factors (same convention as multimodal_image_decode)."""
+def _pipeline(spark: SparkSession, sf_dir: str):
+    """(unique canonical pages with html, 9-column page frame) — the
+    shared front-half body. ``front_half_pages`` is the narrow shape
+    the bench times for cross-round comparability; the registered
+    ``crawl_front_half`` row adds the link-graph centrality column
+    on top (VERDICT r8 #2)."""
     from .cache import tracked_persist
 
     docs = (
@@ -93,7 +89,7 @@ def crawl_front_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = robots_allowed(
         enriched, _robots_frame(spark), url_col="curl", rep="rfc9309"
     )
-    return flagged.select(
+    pages = flagged.select(
         F.col("doc_id"),
         F.col("curl").alias("url"),
         url_host(F.col("curl")).alias("host"),
@@ -103,4 +99,59 @@ def crawl_front_half(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("link_density"),
         F.length("text").cast("long").alias("n_chars"),
         F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
-    ).orderBy("doc_id")
+    )
+    return unique, pages
+
+
+def front_half_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-free front half — the shape benched as
+    ``crawl_front_half`` since r8 (kept narrow so per-round bench
+    numbers stay comparable; the iterative centrality fold is timed
+    separately as ``pagerank_crawl_graph``)."""
+    _, pages = _pipeline(spark, sf_dir)
+    return pages.orderBy("doc_id")
+
+
+@register(
+    "crawl_front_half",
+    oracle=golden_oracle("crawl_front_half"),
+    golden_sf=DRIVER_SF,
+)
+def crawl_front_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per surviving page: (doc_id, url, host, allowed,
+    title, n_links, link_density, n_chars, n_tokens, rank), ordered
+    by doc_id. doc_id < 400 keeps the corpus identical across scale
+    factors (same convention as multimodal_image_decode).
+
+    ``rank`` is the page's PageRank in the corpus's own link graph
+    (``extract_links`` over the canonical pages — nav/footer links
+    fan out to per-host hub targets), the frontier-prioritization
+    signal `examples/crawl_ingest.py` consumes — anchored here under
+    the driver's value-hash gate (VERDICT r8 #2: the link-graph
+    family had pytest differentials but no driver row).
+
+    Determinism ADR: the fold runs a FIXED 12 iterations (tol=0),
+    not to convergence — a tolerance stop would make the iteration
+    COUNT the fragile quantity (delta crossing tol is itself subject
+    to the ~1e-12 partial-sum variance the module doc documents),
+    while a fixed count pins the exact arithmetic; the values then
+    reproduce to ~1e-12 across partitionings and are rounded to 1e-6
+    (six orders above the variance) so the golden value-hash is
+    stable. Pages absent from the graph (unparseable html) carry
+    rank 0.0 rather than dropping the page row."""
+    unique, pages = _pipeline(spark, sf_dir)
+    from .extraction import extract_links
+    from .pagerank import pagerank
+
+    edges = extract_links(unique, html_col="html", url_col="curl")
+    ranks = pagerank(edges, max_iters=12, tol=0.0).select(
+        F.col("node").alias("url"), F.col("rank")
+    )
+    return (
+        pages.join(ranks, "url", "left")
+        .select(
+            *[c for c in pages.columns],
+            F.round(F.coalesce(F.col("rank"), F.lit(0.0)), 6).alias("rank"),
+        )
+        .orderBy("doc_id")
+    )

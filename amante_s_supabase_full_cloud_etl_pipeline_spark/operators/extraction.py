@@ -409,3 +409,63 @@ def extract_links(
         canonical_url(F.col("src")).alias("src"),
         canonical_url(F.col("dst")).alias("dst"),
     )
+
+
+LINK_LISTS_SCHEMA = "doc_id long, url string, dsts array<string>"
+
+
+def extract_link_lists(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row PER PAGE: (doc_id, src, dsts) where ``dsts`` is the
+    page's fetchable out-links in DOCUMENT order — the per-page shape
+    the streaming edge index stores (one keyed-MERGE row per page;
+    :mod:`..streaming.edge_index`). Exactly :func:`extract_links`
+    reshaped: ``explode(dsts)`` reproduces its (src, dst) multiset
+    row-for-row (intra-page duplicate links kept, both endpoints
+    canonicalized — pinned differentially in tests). The array order
+    is deterministic at any partitioning because it is produced
+    INSIDE the kernel from one html string — a ``collect_list`` over
+    the exploded shape would depend on shuffle arrival order.
+
+    A page whose html is null/unparseable emits an EMPTY list, not a
+    dropped row: the edge index REPLACES a page's stored list with
+    the new winner's row, and a dropped row would leave the loser
+    fetch's edges behind forever."""
+    from .urls import canonical_url
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, src, html in zip(
+                batch["doc_id"], batch["url"], batch["html"]
+            ):
+                links = extract_links_record(html, src)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "url": src,
+                        "dsts": links if links is not None else [],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "dsts"])
+
+    lists = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        F.col(html_col).alias("html"),
+    ).filter(
+        F.col("doc_id").isNotNull() & F.col("url").isNotNull()
+    ).mapInPandas(kernel, LINK_LISTS_SCHEMA)
+    return lists.select(
+        "doc_id",
+        canonical_url(F.col("url")).alias("src"),
+        F.transform(F.col("dsts"), lambda d: canonical_url(d)).alias(
+            "dsts"
+        ),
+    )

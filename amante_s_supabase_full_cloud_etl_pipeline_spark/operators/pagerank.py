@@ -24,9 +24,11 @@ an independent dense power iteration in tests):
 Scale shape: the degree-weighted edge list is computed once and
 persisted, the dangling node set once and checkpointed; each iteration is ONE equi-join of the rank
 vector onto the edges (both keyed by node — co-partitioned after the
-first shuffle, and bucketable at 100 TB) + one aggregation by dst,
-plus two scalar aggs (dangling mass, delta) that collect single
-numbers — never node data. Hub skew (millions of in-links to one
+first shuffle, and bucketable at 100 TB) + one aggregation by dst;
+the dangling-mass scalar rides in as a broadcast one-row crossJoin
+(so an iteration is ONE job — at small scale the wall is job-launch
+dominated) and the optional convergence delta is the only per-
+iteration driver collect, a single number — never node data. Hub skew (millions of in-links to one
 page) lands in the dst aggregation, which is a hash agg with
 map-side partials — not a window, not a collect. The driver loop is
 bounded by ``max_iters`` (classic Spark iterative pattern; each
@@ -44,6 +46,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def synthetic_link_graph(
+    spark, n_nodes: int, n_edges: int, seed: int = 0x11ec
+) -> DataFrame:
+    """Deterministic power-law (src, dst) edge list — the scale
+    fixture :mod:`bench` and ``tools/crawl_stress.py`` time the
+    centrality folds on. Sources are hash-uniform; destinations are
+    LOG-uniform over [0, n_nodes) (``floor(n_nodes ** u)`` for
+    hash-uniform u — the standard inverse-CDF draw whose density is
+    ∝ 1/k, i.e. Zipf(≈1) in-degree), reproducing the web's hub skew:
+    node 0 collects ~ln(n)× the median in-degree, which is exactly
+    the load the dst-side hash aggregation must absorb without a hot
+    partition. Node ids are URL-shaped STRINGS because that is what
+    the real graph (:func:`..operators.extraction.extract_links`
+    canonical URLs) joins on — hashing longs would flatter the
+    bench. Pure column expressions over ``spark.range`` (xxhash64,
+    no Python), identical at any partitioning."""
+    e = spark.range(n_edges)
+    u01 = (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1 << 30))
+        / F.lit(float(1 << 30))
+    )
+    src_i = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(n_nodes))
+    dst_i = F.floor(F.pow(F.lit(float(n_nodes)), u01)) - F.lit(1)
+    page = lambda i: F.concat(  # noqa: E731
+        F.lit("https://s"),
+        F.pmod(i, F.lit(997)),
+        F.lit(".example/p/"),
+        i,
+    )
+    return e.select(page(src_i).alias("src"), page(dst_i).alias("dst"))
 
 
 def _free_checkpoint(df: DataFrame) -> None:
@@ -85,10 +119,15 @@ def pagerank(
     tol: float = 1e-6,
     src_col: str = "src",
     dst_col: str = "dst",
+    on_iteration=None,
 ) -> DataFrame:
     """(node, rank) over the directed graph in ``edges`` — see the
     module doc for semantics. Returns after ``max_iters`` iterations
-    or when the L1 change falls under ``tol``; ranks sum to 1."""
+    or when the L1 change falls under ``tol``; ranks sum to 1.
+    ``on_iteration(i)``, when given, fires after iteration ``i``'s
+    rank vector has fully materialized — long-run progress reporting
+    and the per-iteration wall-clock probe ``tools/crawl_stress.py``
+    uses to pin that iteration cost stays flat."""
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     nodes, e = _graph(edges, src_col, dst_col)
@@ -111,7 +150,14 @@ def pagerank(
         ).localCheckpoint(eager=True)
         try:
             return _iterate(
-                weighted, nodes, dangling_nodes, n, alpha, max_iters, tol
+                weighted,
+                nodes,
+                dangling_nodes,
+                n,
+                alpha,
+                max_iters,
+                tol,
+                on_iteration,
             )
         finally:
             _free_checkpoint(dangling_nodes)
@@ -120,7 +166,16 @@ def pagerank(
         nodes.unpersist()
 
 
-def _iterate(weighted, nodes, dangling_nodes, n, alpha, max_iters, tol):
+def _iterate(
+    weighted,
+    nodes,
+    dangling_nodes,
+    n,
+    alpha,
+    max_iters,
+    tol,
+    on_iteration=None,
+):
 
     # each iteration's rank vector is localCheckpoint'ed: the blocks
     # make the next iteration read materialized data, and — the part
@@ -133,28 +188,33 @@ def _iterate(weighted, nodes, dangling_nodes, n, alpha, max_iters, tol):
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True
     )
-    for _ in range(max_iters):
+    for _it in range(max_iters):
         contrib_edges = weighted.join(
             ranks.withColumnRenamed("node", "src"), "src"
         )
         contribs = contrib_edges.groupBy(
             F.col("dst").alias("node")
         ).agg(F.sum(F.col("rank") / F.col("out_deg")).alias("__in"))
-        # dangling mass: rank held by nodes with no out-links — ONE
-        # scalar agg (semi-join against the static checkpointed set)
-        dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # dangling mass: rank held by nodes with no out-links — a
+        # ONE-ROW agg (semi-join against the static checkpointed set)
+        # ridden in as a broadcast scalar crossJoin instead of a
+        # driver collect: the iteration is then a SINGLE job (the
+        # eager checkpoint), not a scalar job + a checkpoint job —
+        # at bench scale the per-iteration wall is job-launch
+        # dominated, so halving the job count halves the iteration
+        dangling = F.broadcast(
+            ranks.join(dangling_nodes, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
         )
-        base = (1.0 - alpha) / n + alpha * dangling / n
         new_ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(dangling)
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha / n) * F.col("__dm")
                     + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("rank"),
             )
@@ -170,11 +230,15 @@ def _iterate(weighted, nodes, dangling_nodes, n, alpha, max_iters, tol):
             if delta is not None and delta < tol:
                 _free_checkpoint(ranks)
                 ranks = new_ranks
+                if on_iteration is not None:
+                    on_iteration(_it)
                 break
         # new_ranks is materialized (eager) and the delta was read —
         # the previous vector is never touched again; free it now
         _free_checkpoint(ranks)
         ranks = new_ranks
+        if on_iteration is not None:
+            on_iteration(_it)
     return ranks
 
 
@@ -246,16 +310,34 @@ def hits(
             )
             unnorm.persist()
             try:
-                sums = unnorm.agg(
-                    F.sum("hub").alias("hs"), F.sum("authority").alias("as_")
-                ).collect()[0]
-                hs = sums["hs"] or 1.0
-                as_ = sums["as_"] or 1.0
-                new_scores = unnorm.select(
-                    "node",
-                    (F.col("hub") / F.lit(hs)).alias("hub"),
-                    (F.col("authority") / F.lit(as_)).alias("authority"),
-                ).localCheckpoint(eager=True)
+                # normalization sums ride in as a broadcast scalar
+                # crossJoin (same single-job-per-iteration shape as
+                # pagerank's dangling mass — a collect would add a
+                # whole driver job per iteration); 0-sum degenerate
+                # vectors divide by 1 instead
+                sums = F.broadcast(
+                    unnorm.agg(
+                        F.nullif(F.sum("hub"), F.lit(0.0)).alias("__hs"),
+                        F.nullif(F.sum("authority"), F.lit(0.0)).alias(
+                            "__as"
+                        ),
+                    )
+                )
+                new_scores = (
+                    unnorm.crossJoin(sums)
+                    .select(
+                        "node",
+                        (
+                            F.col("hub")
+                            / F.coalesce(F.col("__hs"), F.lit(1.0))
+                        ).alias("hub"),
+                        (
+                            F.col("authority")
+                            / F.coalesce(F.col("__as"), F.lit(1.0))
+                        ).alias("authority"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
             finally:
                 unnorm.unpersist()
             if tol > 0:  # delta job is pure cost when it can't fire

@@ -304,6 +304,7 @@ def crawl_index_writer(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     url_col: str = "url",
     compact_at_files: int = 0,
+    derived_tables: tuple = (),
 ):
     """``foreachBatch`` handler maintaining the URL index and (when
     given) a derived pages table exactly-once:
@@ -325,34 +326,46 @@ def crawl_index_writer(
     silently keep one arbitrary row. Route multi-row shapes to
     their own sink keyed accordingly, outside this writer.
 
-    Commit order is derived-table FIRST, index second (both on this
-    batch_id): a crash between the two replays into an empty
-    ``changed`` only when the index committed, and the index commits
-    last — so the derived merge has always either committed or will
-    recompute identical rows. ``compact_at_files`` > 0 compacts the
-    index sorted by curl when its live file count reaches the
-    threshold, keeping the probe's key-range pruning effective."""
+    ``derived_tables`` is the general form: a sequence of
+    ``(ParquetTable, transform)`` pairs all maintained from the same
+    changed-rows computation under the same one-row-per-curl
+    contract — e.g. a feature table AND the link-graph edge table
+    (:mod:`.edge_index`) from one stream. ``(pages_table,
+    transform)`` is sugar for one leading pair.
+
+    Commit order is derived tables FIRST (in sequence), index LAST
+    (all on this batch_id): a crash anywhere in the chain replays
+    into an empty ``changed`` only when the index committed, and the
+    index commits last — so every derived merge has either committed
+    (its own ledger skips the replay) or will recompute identical
+    rows. ``compact_at_files`` > 0 compacts the index sorted by curl
+    when its live file count reaches the threshold, keeping the
+    probe's key-range pruning effective."""
+    derived = tuple(derived_tables)
+    if pages_table is not None:
+        derived = ((pages_table, transform),) + derived
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         if compact_at_files and len(index.files()) >= compact_at_files:
             index.compact(sort_by=["curl"])
         # compute changed against the pre-commit snapshot, commit the
-        # DERIVED table first, the index LAST: a replayed batch
+        # DERIVED tables first, the index LAST: a replayed batch
         # recomputes an empty `changed` only when the index already
-        # committed, and index-committed implies the derived merge
+        # committed, and index-committed implies every derived merge
         # committed earlier in the original attempt — so the empty
         # replay can never skip derived rows that were lost
         changed, merge_rows = _compute_changed(index, batch, url_col)
         if merge_rows.limit(1).count() == 0:
             return  # no-op batch: a boundless merge would rewrite all
-        if pages_table is not None and changed.limit(1).count() > 0:
-            derived = transform(changed) if transform is not None else changed
-            pages_table.merge_with_retry(
-                derived,
-                keys=["curl"],
-                order_by=["doc_id"],
-                batch_id=batch_id,
-            )
+        if derived and changed.limit(1).count() > 0:
+            for table, tf in derived:
+                rows = tf(changed) if tf is not None else changed
+                table.merge_with_retry(
+                    rows,
+                    keys=["curl"],
+                    order_by=["doc_id"],
+                    batch_id=batch_id,
+                )
         _merge_changed(index, merge_rows, batch_id)
 
     return handle
