@@ -322,7 +322,6 @@ def strip_tags_expr(col: Column) -> Column:
     return F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")
 
 
-LINKS_SCHEMA = "doc_id long, src string, dst string"
 
 
 def extract_links_record(html: str | None, base_url: str | None):
@@ -377,38 +376,17 @@ def extract_links(
     id/url drop BEFORE the kernel (S4; a null in the batch would also
     coerce the Arrow long column to float64, corrupting hash-range
     ids). Map-only; parallel duplicate links within one page are KEPT
-    (PageRank dedups, frontier expansion dedups by canonical URL)."""
-    from .urls import canonical_url
+    (PageRank dedups, frontier expansion dedups by canonical URL).
 
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for doc_id, src, html in zip(
-                batch["doc_id"], batch["url"], batch["html"]
-            ):
-                links = extract_links_record(html, src)
-                if links is None:
-                    continue
-                for dst in links:
-                    rows.append(
-                        {"doc_id": int(doc_id), "src": src, "dst": dst}
-                    )
-            yield pd.DataFrame(rows, columns=["doc_id", "src", "dst"])
-
-    edges = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(url_col).alias("url"),
-        F.col(html_col).alias("html"),
-    ).filter(
-        F.col("doc_id").isNotNull() & F.col("url").isNotNull()
-    ).mapInPandas(kernel, LINKS_SCHEMA)
-    return edges.select(
-        "doc_id",
-        canonical_url(F.col("src")).alias("src"),
-        canonical_url(F.col("dst")).alias("dst"),
-    )
+    ONE kernel serves both edge shapes: this is
+    ``explode(extract_link_lists(...).dsts)`` — a null/unparseable
+    html emits an empty list there and therefore no edge rows here,
+    and both endpoints arrive canonicalized. Deriving the exploded
+    form from the per-page form (instead of keeping two kernels)
+    means a future link-semantics change cannot diverge the batch
+    and streaming edge sets."""
+    lists = extract_link_lists(df, html_col, url_col, id_col)
+    return lists.select("doc_id", "src", F.explode("dsts").alias("dst"))
 
 
 LINK_LISTS_SCHEMA = "doc_id long, url string, dsts array<string>"

@@ -21,9 +21,12 @@ table of the canonical-URL seen-index
 inherits the seen-index's whole correctness story — winner
 determinism under any shard chunking, exactly-once batch_id folds,
 derived-before-index commit order across crashes and replays. This
-module contributes only the transform (pages → per-page edge rows)
-and the read path (stored rows → the (src, dst) edge list the
-centrality folds consume).
+module contributes the transform (pages → per-page edge rows), the
+read path (stored rows → the (src, dst) edge list the centrality
+folds consume), and :func:`fold_crawl_with_edges` — the
+non-streaming composition preserving the writer's edges-before-
+seen-index commit order (committing the seen-index first would lose
+a crashed batch's edges forever: its changed rows replay as empty).
 
 Differential contract (pinned in tests/test_edge_index.py):
 ``stored_link_edges(table)`` after folding shards in ANY chunking,
@@ -72,19 +75,56 @@ def fold_edge_index(
     changed: DataFrame,
     batch_id: int | None = None,
 ) -> None:
-    """Fold one batch of CHANGED winner pages (the return value of
-    ``fold_crawl_url_index`` or the writer's transform input) into
-    the edge table — the non-streaming composition hook. Exactly-once
-    under replay via ``batch_id``; an empty batch merges nothing (a
-    boundless merge would rewrite the whole table for a no-op)."""
-    rows = link_graph_transform(changed)
-    if rows.limit(1).count() > 0:
+    """Merge one batch of CHANGED winner pages into the edge table.
+    Exactly-once under replay via ``batch_id``; an empty batch merges
+    nothing (a boundless merge would rewrite the whole table for a
+    no-op) — probed on ``changed`` itself, a checkpointed leaf, since
+    the transform emits exactly one row per input row (probing the
+    transform output would re-run the html kernel just to count).
+
+    COMMIT-ORDER WARNING: in an at-least-once context this merge must
+    commit BEFORE the seen-index does — the batch's ``changed`` rows
+    recompute as EMPTY on replay once the seen-index holds its
+    winners, so edges committed after a crash-between-commits would
+    be lost forever (``crawl_index.py``'s do-not-persist-the-return
+    rule). Use :func:`fold_crawl_with_edges` or
+    ``crawl_index_writer(derived_tables=...)``, which both order the
+    commits safely; call this directly only with changed rows whose
+    seen-index commit has NOT yet happened."""
+    if changed.limit(1).count() > 0:
         table.merge_with_retry(
-            rows.select(*EDGE_INDEX_COLS),
+            link_graph_transform(changed).select(*EDGE_INDEX_COLS),
             keys=["curl"],
             order_by=["doc_id"],
             batch_id=batch_id,
         )
+
+
+def fold_crawl_with_edges(
+    seen: ParquetTable,
+    edges: ParquetTable,
+    pages: DataFrame,
+    batch_id: int | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """One micro-batch maintaining the canonical-URL seen-index AND
+    the edge table in the writer's safe commit order — the
+    non-streaming composition hook (``examples/incremental_crawl.py``
+    drives it directly so each fold's effect is observable). Computes
+    the changed winners against the pre-commit seen snapshot, commits
+    the EDGE table first, the seen-index LAST (both on ``batch_id``):
+    a crash between the two replays into the same changed rows (the
+    seen-index is unchanged), the edge ledger skips its already-
+    applied merge, and the seen-index commits — convergent, never
+    lossy. Returns the changed winner rows for inspection."""
+    from .crawl_index import _compute_changed, _merge_changed
+
+    changed, merge_rows = _compute_changed(seen, pages, url_col)
+    if merge_rows.limit(1).count() == 0:
+        return changed  # no-op batch: neither table commits
+    fold_edge_index(edges, changed, batch_id=batch_id)
+    _merge_changed(seen, merge_rows, batch_id)
+    return changed
 
 
 def stored_link_edges(table: ParquetTable) -> DataFrame:

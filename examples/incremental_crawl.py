@@ -56,11 +56,8 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.session import get_spark
 from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (
     ParquetTable,
 )
-from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.crawl_index import (
-    fold_crawl_url_index,
-)
 from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.edge_index import (
-    fold_edge_index,
+    fold_crawl_with_edges,
     stored_link_edges,
 )
 
@@ -142,11 +139,12 @@ def main() -> None:
         )
 
     def fold(pages, batch_id: int) -> int:
-        """One micro-batch: seen-index fold + derived edge fold —
-        the crawl_index_writer body."""
-        changed = fold_crawl_url_index(seen, pages, batch_id=batch_id)
-        fold_edge_index(edges, changed, batch_id=batch_id)
-        return changed.count()
+        """One micro-batch: edge fold THEN seen-index fold — the
+        crawl_index_writer commit order (edges first, so a crash
+        between the commits replays losslessly)."""
+        return fold_crawl_with_edges(
+            seen, edges, pages, batch_id=batch_id
+        ).count()
 
     # ── crawl 1: discover, govern, fetch in two micro-batches ──
     frontier = _discover(spark, "v1")

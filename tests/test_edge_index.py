@@ -29,10 +29,9 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.warc import (
 from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.crawl_index import (
     crawl_batch_winners,
     crawl_index_writer,
-    fold_crawl_url_index,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.edge_index import (
-    fold_edge_index,
+    fold_crawl_with_edges,
     link_graph_transform,
     stored_link_edges,
 )
@@ -115,20 +114,48 @@ def test_folded_edges_equal_batch_under_chunkings(
             chunk = pages.filter(
                 F.pmod(F.xxhash64(F.col("doc_id")), F.lit(chunks)) == i
             )
-            changed = fold_crawl_url_index(seen, chunk, batch_id=i)
-            fold_edge_index(edges, changed, batch_id=i)
+            fold_crawl_with_edges(seen, edges, chunk, batch_id=i)
         v = edges.current_version()
         assert _edge_multiset(stored_link_edges(edges)) == want
 
-        # replay of the last fold: ledger skips, nothing changes
+        # replay of the last fold: ledgers skip, nothing changes
         chunk = pages.filter(
             F.pmod(F.xxhash64(F.col("doc_id")), F.lit(chunks))
             == chunks - 1
         )
-        replay = fold_crawl_url_index(seen, chunk, batch_id=chunks - 1)
-        fold_edge_index(edges, replay, batch_id=chunks - 1)
+        fold_crawl_with_edges(seen, edges, chunk, batch_id=chunks - 1)
         assert edges.current_version() == v
         assert _edge_multiset(stored_link_edges(edges)) == want
+
+        # crash-window replay: edge ledger already holds a batch the
+        # seen-index never committed (the crash the commit order
+        # exists for) — refolding converges both tables, losslessly
+        late = ParquetTable(spark, str(tmp_path / f"late{chunks}"))
+        seen2 = ParquetTable(spark, str(tmp_path / f"seen2_{chunks}"))
+        first = pages.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(chunks)) == 0
+        )
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.crawl_index import (  # noqa: E501
+            _compute_changed,
+        )
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.edge_index import (  # noqa: E501
+            fold_edge_index,
+        )
+
+        # simulate: edges committed, seen-index commit crashed
+
+        changed, _ = _compute_changed(seen2, first, "url")
+        fold_edge_index(late, changed, batch_id=0)
+        # retry of the whole fold: edge merge skipped by ledger,
+        # seen-index commits — no loss, no duplication
+        fold_crawl_with_edges(seen2, late, first, batch_id=0)
+        winners0 = crawl_batch_winners(first).persist()
+        try:
+            assert _edge_multiset(stored_link_edges(late)) == _edge_multiset(
+                _batch_edges(winners0)
+            )
+        finally:
+            winners0.unpersist()
     finally:
         pages.unpersist()
 
@@ -148,8 +175,7 @@ def test_replacement_clears_stale_edges(spark, tmp_path):
     edges = ParquetTable(spark, str(tmp_path / "edges_r"))
 
     def fold(rows, bid):
-        changed = fold_crawl_url_index(seen, _page_rows(spark, rows), batch_id=bid)
-        fold_edge_index(edges, changed, batch_id=bid)
+        fold_crawl_with_edges(seen, edges, _page_rows(spark, rows), batch_id=bid)
 
     fold([(10, "http://a.example/p", "t0",
            "<html><body><a href='/old1'>x</a><a href='/old2'>y</a>"
