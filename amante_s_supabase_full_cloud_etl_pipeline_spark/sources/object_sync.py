@@ -72,7 +72,16 @@ class DriveRestFetcher:
     ``http.server`` stub and deployments point it at
     ``https://www.googleapis.com/drive/v3`` (or any API gateway with
     the same shape). ``token`` (OAuth bearer) rides the
-    Authorization header when given.
+    Authorization header when given; for EXPIRING credentials pass
+    ``token_provider`` instead — a zero-arg callable returning a
+    fresh bearer (the reference's service-account flow refreshes
+    tokens, ref main.py:414-416). The provider is called once
+    lazily, its token cached across requests, and on an HTTP 401 the
+    cache is dropped, the provider consulted again, and the request
+    retried ONCE — a second 401 propagates (a refreshed-but-rejected
+    token is a config error, not staleness; retry loops would mask
+    it). A static ``token`` never retries: re-sending the same bytes
+    cannot succeed.
 
     - ``list()``: GET ``{base}/files?q='<folder>' in parents and
       trashed=false`` with ``pageToken`` pagination — every page is
@@ -92,28 +101,55 @@ class DriveRestFetcher:
         token: str | None = None,
         page_size: int = 100,
         timeout: float = 30.0,
+        token_provider=None,
     ):
+        if token is not None and token_provider is not None:
+            raise ValueError(
+                "pass token OR token_provider, not both (a static "
+                "token would shadow every refresh)"
+            )
         self.base_url = base_url.rstrip("/")
         self.folder_id = folder_id
         self.token = token
         self.page_size = page_size
         self.timeout = timeout
+        self.token_provider = token_provider
+
+    def _bearer(self) -> str | None:
+        if self.token is None and self.token_provider is not None:
+            self.token = self.token_provider()
+        return self.token
 
     def _get(self, url: str) -> bytes:
+        import urllib.error
         import urllib.request
 
-        req = urllib.request.Request(url)
-        if self.token:
-            req.add_header("Authorization", f"Bearer {self.token}")
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            data = resp.read()
-            clen = resp.headers.get("Content-Length")
-            if clen is not None and len(data) != int(clen):
-                raise OSError(
-                    f"truncated response from {url}: got {len(data)} "
-                    f"of {clen} bytes"
-                )
-            return data
+        def attempt() -> bytes:
+            req = urllib.request.Request(url)
+            bearer = self._bearer()
+            if bearer:
+                req.add_header("Authorization", f"Bearer {bearer}")
+            with urllib.request.urlopen(
+                req, timeout=self.timeout
+            ) as resp:
+                data = resp.read()
+                clen = resp.headers.get("Content-Length")
+                if clen is not None and len(data) != int(clen):
+                    raise OSError(
+                        f"truncated response from {url}: got "
+                        f"{len(data)} of {clen} bytes"
+                    )
+                return data
+
+        try:
+            return attempt()
+        except urllib.error.HTTPError as e:
+            if e.code != 401 or self.token_provider is None:
+                raise
+            e.close()
+            # expired credential: drop the cache, refresh, retry ONCE
+            self.token = None
+            return attempt()
 
     def list(self) -> list[tuple[str, str]]:
         import json

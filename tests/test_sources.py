@@ -134,9 +134,13 @@ def test_object_sync_rename_collision_refused(tmp_path):
 class _DriveStub:
     """Local http.server speaking the Drive v3 REST shape: paginated
     files().list + alt=media downloads, plus a file that truncates
-    mid-transfer (Content-Length larger than the body)."""
+    mid-transfer (Content-Length larger than the body). With
+    ``valid_tokens`` set, any request not carrying ``Bearer <one of
+    them>`` is rejected 401 (the expiring-credential leg)."""
 
-    def __init__(self, files, page_size=2, truncate_ids=()):
+    def __init__(
+        self, files, page_size=2, truncate_ids=(), valid_tokens=None
+    ):
         import http.server
         import json
         import threading
@@ -145,6 +149,7 @@ class _DriveStub:
         stub = self
         self.files = files  # [(file_id, name, payload)]
         self.requests = []
+        self.rejected = 0  # 401s served (valid_tokens mode)
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -152,6 +157,16 @@ class _DriveStub:
 
             def do_GET(self):
                 stub.requests.append(self.path)
+                if valid_tokens is not None:
+                    auth = self.headers.get("Authorization", "")
+                    if auth not in {
+                        f"Bearer {t}" for t in valid_tokens
+                    }:
+                        stub.rejected += 1
+                        self.send_response(401)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
                 parsed = urllib.parse.urlparse(self.path)
                 qs = urllib.parse.parse_qs(parsed.query)
                 if parsed.path == "/files":
@@ -268,6 +283,100 @@ def test_drive_rest_fetcher_truncated_download_never_lands(tmp_path):
             assert (landing / "b.csv").read_bytes() == b"torn-payload"
         finally:
             stub2.stop()
+    finally:
+        stub.stop()
+
+
+def test_drive_rest_fetcher_token_refresh_on_401(tmp_path):
+    """Expiring-credential flow (VERDICT r8 #8): the provider's first
+    token is already stale when the first request goes out; the 401
+    triggers exactly one refresh, the retry lands the file exactly
+    once, and every later request reuses the fresh token without
+    further provider calls or 401s."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.object_sync import (
+        DriveRestFetcher,
+        sync_to_landing,
+    )
+
+    files = [("id-a", "a.csv", b"aaa"), ("id-b", "b.csv", b"bb")]
+    stub = _DriveStub(files, valid_tokens={"fresh"})
+    calls = []
+
+    def provider():
+        calls.append(None)
+        return "stale" if len(calls) == 1 else "fresh"
+
+    try:
+        fetcher = DriveRestFetcher(
+            stub.base_url, "folder123", token_provider=provider
+        )
+        landing = tmp_path / "landing"
+        landed = sync_to_landing(fetcher, str(landing))
+        assert landed == ["a.csv", "b.csv"]
+        assert (landing / "a.csv").read_bytes() == b"aaa"
+        assert (landing / "b.csv").read_bytes() == b"bb"
+        # one lazy call + one refresh; the fresh token then serves the
+        # remaining list page(s) and both downloads with no more 401s
+        assert len(calls) == 2
+        assert stub.rejected == 1
+    finally:
+        stub.stop()
+
+
+def test_drive_rest_fetcher_second_401_propagates():
+    """A refreshed-but-still-rejected token is a config error: the
+    fetcher retries ONCE, then surfaces the 401 (no retry loop)."""
+    import urllib.error
+
+    import pytest
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.object_sync import (
+        DriveRestFetcher,
+    )
+
+    stub = _DriveStub([("id-a", "a.csv", b"x")], valid_tokens=set())
+    calls = []
+
+    def provider():
+        calls.append(None)
+        return f"never-valid-{len(calls)}"
+
+    try:
+        fetcher = DriveRestFetcher(
+            stub.base_url, "folder123", token_provider=provider
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            fetcher.list()
+        assert exc.value.code == 401
+        assert len(calls) == 2  # lazy + one refresh, then give up
+        assert stub.rejected == 2
+    finally:
+        stub.stop()
+
+
+def test_drive_rest_fetcher_static_token_never_retries():
+    """A static token 401s straight through — re-sending the same
+    bytes cannot succeed, so there's nothing to retry."""
+    import urllib.error
+
+    import pytest
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.object_sync import (
+        DriveRestFetcher,
+    )
+
+    stub = _DriveStub([("id-a", "a.csv", b"x")], valid_tokens={"other"})
+    try:
+        fetcher = DriveRestFetcher(
+            stub.base_url, "folder123", token="stale"
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            fetcher.list()
+        assert stub.rejected == 1  # exactly one attempt
+        with pytest.raises(ValueError):
+            DriveRestFetcher(
+                stub.base_url, "f", token="t", token_provider=lambda: "t"
+            )
     finally:
         stub.stop()
 
