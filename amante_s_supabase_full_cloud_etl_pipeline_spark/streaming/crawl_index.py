@@ -298,6 +298,44 @@ def fold_crawl_url_index(
     return out
 
 
+def fold_crawl_batch(
+    index: ParquetTable,
+    batch: DataFrame,
+    batch_id: int | None = None,
+    url_col: str = "url",
+    derived: tuple = (),
+) -> DataFrame:
+    """One micro-batch fold of the seen-index plus any derived
+    tables, in the ONE safe commit order — the body
+    :func:`crawl_index_writer`'s handler runs per batch, exposed so
+    non-streaming callers (examples, tests,
+    :func:`.edge_index.fold_crawl_with_edges`) execute the exact
+    same sequence instead of hand-copying it.
+
+    ``derived`` is ``crawl_index_writer``'s ``derived_tables`` shape:
+    ``(ParquetTable, transform_or_None)`` pairs, each committed from
+    the same changed-rows computation BEFORE the index commits (all
+    on ``batch_id``): a crash anywhere replays into an empty
+    ``changed`` only when the index committed, and index-committed
+    implies every derived merge committed earlier — so the empty
+    replay can never skip derived rows that were lost. Returns the
+    changed winner rows (for inspection)."""
+    changed, merge_rows = _compute_changed(index, batch, url_col)
+    if merge_rows.limit(1).count() == 0:
+        return changed  # no-op batch: nothing commits
+    if derived and changed.limit(1).count() > 0:
+        for table, tf in derived:
+            rows = tf(changed) if tf is not None else changed
+            table.merge_with_retry(
+                rows,
+                keys=["curl"],
+                order_by=["doc_id"],
+                batch_id=batch_id,
+            )
+    _merge_changed(index, merge_rows, batch_id)
+    return changed
+
+
 def crawl_index_writer(
     index: ParquetTable,
     pages_table: ParquetTable | None = None,
@@ -348,24 +386,8 @@ def crawl_index_writer(
     def handle(batch: DataFrame, batch_id: int) -> None:
         if compact_at_files and len(index.files()) >= compact_at_files:
             index.compact(sort_by=["curl"])
-        # compute changed against the pre-commit snapshot, commit the
-        # DERIVED tables first, the index LAST: a replayed batch
-        # recomputes an empty `changed` only when the index already
-        # committed, and index-committed implies every derived merge
-        # committed earlier in the original attempt — so the empty
-        # replay can never skip derived rows that were lost
-        changed, merge_rows = _compute_changed(index, batch, url_col)
-        if merge_rows.limit(1).count() == 0:
-            return  # no-op batch: a boundless merge would rewrite all
-        if derived and changed.limit(1).count() > 0:
-            for table, tf in derived:
-                rows = tf(changed) if tf is not None else changed
-                table.merge_with_retry(
-                    rows,
-                    keys=["curl"],
-                    order_by=["doc_id"],
-                    batch_id=batch_id,
-                )
-        _merge_changed(index, merge_rows, batch_id)
+        fold_crawl_batch(
+            index, batch, batch_id, url_col, derived=derived
+        )
 
     return handle

@@ -78,9 +78,13 @@ def fold_edge_index(
     """Merge one batch of CHANGED winner pages into the edge table.
     Exactly-once under replay via ``batch_id``; an empty batch merges
     nothing (a boundless merge would rewrite the whole table for a
-    no-op) — probed on ``changed`` itself, a checkpointed leaf, since
-    the transform emits exactly one row per input row (probing the
-    transform output would re-run the html kernel just to count).
+    no-op) — probed on ``changed`` filtered by the transform's own
+    row-survival predicate (non-null doc_id and curl; the kernel
+    emits exactly one row per surviving input row), so the probe
+    never runs the html kernel just to count AND never commits a
+    batch_id for a merge the transform filtered down to nothing —
+    an empty commit would both rewrite the whole table for a no-op
+    and make the ledger skip a later REAL fold reusing the id.
 
     COMMIT-ORDER WARNING: in an at-least-once context this merge must
     commit BEFORE the seen-index does — the batch's ``changed`` rows
@@ -91,9 +95,12 @@ def fold_edge_index(
     ``crawl_index_writer(derived_tables=...)``, which both order the
     commits safely; call this directly only with changed rows whose
     seen-index commit has NOT yet happened."""
-    if changed.limit(1).count() > 0:
+    survivors = changed.filter(
+        F.col("doc_id").isNotNull() & F.col("curl").isNotNull()
+    )
+    if survivors.limit(1).count() > 0:
         table.merge_with_retry(
-            link_graph_transform(changed).select(*EDGE_INDEX_COLS),
+            link_graph_transform(survivors).select(*EDGE_INDEX_COLS),
             keys=["curl"],
             order_by=["doc_id"],
             batch_id=batch_id,
@@ -110,21 +117,24 @@ def fold_crawl_with_edges(
     """One micro-batch maintaining the canonical-URL seen-index AND
     the edge table in the writer's safe commit order — the
     non-streaming composition hook (``examples/incremental_crawl.py``
-    drives it directly so each fold's effect is observable). Computes
-    the changed winners against the pre-commit seen snapshot, commits
-    the EDGE table first, the seen-index LAST (both on ``batch_id``):
-    a crash between the two replays into the same changed rows (the
-    seen-index is unchanged), the edge ledger skips its already-
-    applied merge, and the seen-index commits — convergent, never
-    lossy. Returns the changed winner rows for inspection."""
-    from .crawl_index import _compute_changed, _merge_changed
+    drives it directly so each fold's effect is observable). This is
+    exactly ``crawl_index_writer(derived_tables=((edges,
+    link_graph_transform),))``'s per-batch body —
+    :func:`.crawl_index.fold_crawl_batch`, the ONE implementation of
+    the edges-before-seen-index commit order (a crash between the
+    two commits replays into the same changed rows, the edge ledger
+    skips its already-applied merge, the seen-index commits —
+    convergent, never lossy). Returns the changed winner rows for
+    inspection."""
+    from .crawl_index import fold_crawl_batch
 
-    changed, merge_rows = _compute_changed(seen, pages, url_col)
-    if merge_rows.limit(1).count() == 0:
-        return changed  # no-op batch: neither table commits
-    fold_edge_index(edges, changed, batch_id=batch_id)
-    _merge_changed(seen, merge_rows, batch_id)
-    return changed
+    return fold_crawl_batch(
+        seen,
+        pages,
+        batch_id,
+        url_col,
+        derived=((edges, link_graph_transform),),
+    )
 
 
 def stored_link_edges(table: ParquetTable) -> DataFrame:

@@ -7,17 +7,23 @@ numbers VERDICT r8 recomputed by hand (shared-20 total 14.57s →
 13.39s, zero beyond-spread regressions).
 """
 
+import importlib.util
 import json
 import os
 import subprocess
 import sys
 
-sys.path.insert(
-    0, os.path.join(os.path.dirname(__file__), "..", "tools")
-)
-from bench_compare import compare, load  # noqa: E402
-
 REPO = os.path.join(os.path.dirname(__file__), "..")
+
+# spec-based load of the single tool file — a sys.path.insert of
+# tools/ would let every later-collected test module resolve
+# same-named imports to tools/ copies for the whole pytest session
+_spec = importlib.util.spec_from_file_location(
+    "bench_compare", os.path.join(REPO, "tools", "bench_compare.py")
+)
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+compare, load = _mod.compare, _mod.load
 
 
 def _meas(queries, spread=None):
@@ -69,6 +75,40 @@ def test_r7_r8_artifacts_match_verdict_numbers():
         "crawl_front_half",
         "gif_decode_kernel",
     }
+
+
+def test_load_rejects_failed_run_and_non_dict(tmp_path):
+    import pytest
+
+    null_parsed = tmp_path / "failed.json"
+    null_parsed.write_text('{"rc": 1, "parsed": null}')
+    with pytest.raises(SystemExit):
+        load(str(null_parsed))
+    non_dict = tmp_path / "list.json"
+    non_dict.write_text("[1, 2]")
+    with pytest.raises(SystemExit):
+        load(str(non_dict))
+    # queries present but not a dict (a stray scalar) also rejects
+    bad_q = tmp_path / "badq.json"
+    bad_q.write_text('{"queries": 7}')
+    with pytest.raises(SystemExit):
+        load(str(bad_q))
+
+
+def test_cli_disjoint_sets_exit_2(tmp_path):
+    tool = os.path.join(REPO, "tools", "bench_compare.py")
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps(_meas({"old_q": 1.0})))
+    b.write_text(json.dumps(_meas({"new_q": 9.0})))
+    r = subprocess.run(
+        [sys.executable, tool, str(a), str(b)],
+        capture_output=True, text=True,
+    )
+    # a vacuously-green gate would hide an across-the-board
+    # regression behind a rename — disjoint sets are an error
+    assert r.returncode == 2
+    assert "NO SHARED QUERIES" in r.stdout
 
 
 def test_cli_exit_codes(tmp_path):

@@ -166,6 +166,38 @@ def _page_rows(spark, rows):
     )
 
 
+def test_fold_edge_index_all_filtered_batch_burns_no_batch_id(
+    spark, tmp_path
+):
+    """A direct fold whose rows are ALL dropped by the transform's
+    null filter (doc_id/curl) must commit NOTHING — an empty merge
+    would both rewrite the whole table for a no-op and record the
+    batch_id, making the ledger skip a later REAL fold reusing it
+    (lost edges)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.edge_index import (  # noqa: E501
+        fold_edge_index,
+    )
+
+    table = ParquetTable(spark, str(tmp_path / "edges_nf"))
+    junk = spark.createDataFrame(
+        [
+            (None, "http://a.example/x", "<a href='/y'>y</a>"),
+            (2, None, "<a href='/y'>y</a>"),
+        ],
+        "doc_id long, curl string, html string",
+    )
+    fold_edge_index(table, junk, batch_id=7)
+    # the SAME batch_id must still be live for a real fold
+    real = spark.createDataFrame(
+        [(3, "http://a.example/p", "<a href='/q'>q</a>")],
+        "doc_id long, curl string, html string",
+    )
+    fold_edge_index(table, real, batch_id=7)
+    assert _edge_multiset(stored_link_edges(table)) == {
+        ("http://a.example/p", "http://a.example/q"): 1
+    }
+
+
 def test_replacement_clears_stale_edges(spark, tmp_path):
     """A strictly-better refetch REPLACES the page's whole stored
     edge list atomically (curl-keyed row, not pair-keyed rows): links

@@ -35,10 +35,16 @@ def load(path: str) -> dict:
     a driver-wrapped BENCH_r*.json or a raw bench.py JSON line."""
     with open(path) as f:
         doc = json.load(f)
-    meas = doc.get("parsed", doc)
-    if "queries" not in meas:
+    # 'parsed' may be null (driver recorded a failed run) or the doc
+    # may not be a dict at all — both must land on the clean message,
+    # not a TypeError
+    meas = doc if isinstance(doc, dict) else {}
+    if isinstance(meas.get("parsed"), dict):
+        meas = meas["parsed"]
+    if not isinstance(meas.get("queries"), dict):
         raise SystemExit(
-            f"{path}: no 'queries' key (not a bench artifact?)"
+            f"{path}: no 'queries' key (not a bench artifact, or a "
+            f"failed run?)"
         )
     return meas
 
@@ -90,6 +96,14 @@ def main(argv: list[str]) -> int:
         return 2
     a, b = load(argv[1]), load(argv[2])
     out = compare(a, b)
+    if not out["shared"]:
+        # disjoint query sets (renamed headline set? wrong file?):
+        # there is nothing to compare, and exiting 0 would green-gate
+        # an across-the-board regression vacuously
+        print("NO SHARED QUERIES between the two artifacts")
+        print(f"only in A: {', '.join(out['only_a']) or '(none)'}")
+        print(f"only in B: {', '.join(out['only_b']) or '(none)'}")
+        return 2
     w = max((len(r["query"]) for r in out["rows"]), default=5)
     print(f"{'query':<{w}}  {'A':>7}  {'B':>7}  {'delta':>7}  "
           f"{'bound':>6}  flag")

@@ -88,6 +88,14 @@ def _run(cmd: list[str], env: dict | None = None) -> tuple[str, float]:
     stop.set()
     t.join(timeout=5)
     if proc.returncode != 0:
+        # surface the child's actual failure — the bare
+        # CalledProcessError hides stderr, leaving "exit status 1"
+        # as the only diagnostic for a 10-minute run
+        sys.stderr.write(
+            f"--- {' '.join(cmd)} failed (rc={proc.returncode}); "
+            f"stderr tail ---\n" + "\n".join(err.splitlines()[-30:])
+            + "\n"
+        )
         raise subprocess.CalledProcessError(proc.returncode, cmd, out, err)
     return out, time.time() - t0
 
