@@ -1,0 +1,820 @@
+"""MP4 / ISO-BMFF container metadata and keyframe sampling — the
+video leg of the multimodal family (charter extension, SURVEY.md
+§2.10; reference analog: none — ref main.py handles tabular blobs
+only).
+
+What a 100 TB video corpus needs FIRST is not a codec: it is the
+container walk — duration, track layout, codec fourcc, frame count,
+and the keyframe byte-ranges that let a pipeline ship ONLY the
+sampled sync frames to a downstream decoder instead of whole files.
+All of that is pure public-spec structure (ISO/IEC 14496-12 box
+grammar; the box layouts below cite the section they implement), and
+all of it runs here as map-only Arrow kernels over opaque ``binary``
+columns — no codec library, no JVM round-trips, no shuffle.
+
+Scope (mirrors the ADR that gates WebP/arithmetic-JPEG in
+:mod:`.multimodal`): H.264/H.265/AAC BITSTREAM decode stays gated —
+a codec needs fixed probability/transform tables a clean-room build
+cannot verify offline, and :func:`decode_mp4_samples` raises a loud
+NotImplementedError naming the gate. The container layer is complete
+and real:
+
+- :func:`parse_mp4_meta` — bounded box walker: ``ftyp`` brand,
+  ``mvhd`` movie duration (versions 0 AND 1), per-``trak`` handler /
+  codec fourcc / visual dimensions / sample count (``stts``) /
+  keyframe count (``stss``; absent ⇒ every sample is sync, §8.6.2) /
+  track duration (``mdhd``), 64-bit ``largesize`` headers and
+  ``co64`` offsets. Truncated or non-BMFF bytes → ``None`` (the S4
+  skip contract every other media parser here follows), never an
+  exception; depth / box-count / track / sample-count bomb caps make
+  a hostile blob cost O(caps), not O(claimed).
+- :func:`keyframe_byte_ranges` — resolves every-k-th SYNC sample to
+  its absolute (offset, size) byte range via the §8.7 sample tables
+  (``stsc`` chunk mapping × ``stco``/``co64`` chunk offsets ×
+  ``stsz`` sizes) — hand-derivable, and pinned in tests by CRCs of
+  the actual payload bytes the ranges slice.
+- :func:`mp4_meta` / :func:`sample_mp4_keyframes` — the Arrow
+  ``mapInPandas`` kernels (one row per track / per sampled
+  keyframe), partition-sized upstream like every media kernel here
+  (:func:`.multimodal.documents_as_media` budgeting applies).
+- :func:`encode_mp4` — the deterministic fixture encoder (ftyp +
+  mdat + moov with correct cross-referencing sample tables) used by
+  the synthetic corpus and the round-trip tests; byte-level
+  hand-built fixtures in tests/test_mp4.py keep the parser honest
+  against the spec rather than against this encoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: bomb caps: a hostile blob can CLAIM anything; we never allocate
+#: or loop past these. Generous against real files (a 2-hour movie
+#: at 30 fps is ~216k samples per track).
+_MAX_DEPTH = 8
+_MAX_BOXES = 4096
+_MAX_TRACKS = 64
+_MAX_SAMPLES = 1 << 22  # 4M samples per track
+_MAX_STTS_ENTRIES = 1 << 16
+_MAX_STSC_ENTRIES = 1 << 16
+
+#: containers the metadata walk recurses into (§4.2: a container
+#: box's payload is a sequence of boxes)
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+class _Truncated(Exception):
+    """Internal: structure runs past the blob / a box lies about its
+    size. Callers convert to the None (S4 skip) contract."""
+
+
+def _u8(b, o):
+    if o + 1 > len(b):
+        raise _Truncated()
+    return b[o]
+
+
+def _u16(b, o):
+    if o + 2 > len(b):
+        raise _Truncated()
+    return struct.unpack_from(">H", b, o)[0]
+
+
+def _u32(b, o):
+    if o + 4 > len(b):
+        raise _Truncated()
+    return struct.unpack_from(">I", b, o)[0]
+
+
+def _u64(b, o):
+    if o + 8 > len(b):
+        raise _Truncated()
+    return struct.unpack_from(">Q", b, o)[0]
+
+
+def _walk(blob: bytes, start: int, end: int, depth: int, counter: list):
+    """Yield (type, payload_start, payload_end) for each box in
+    [start, end). §4.2 header: u32 size, 4CC type; size==1 → u64
+    largesize follows; size==0 → box extends to the END of the
+    enclosing scope (legal only for the last box)."""
+    if depth > _MAX_DEPTH:
+        raise _Truncated()
+    o = start
+    while o < end:
+        counter[0] += 1
+        if counter[0] > _MAX_BOXES:
+            raise _Truncated()
+        size = _u32(blob, o)
+        btype = blob[o + 4:o + 8]
+        if len(btype) < 4:
+            raise _Truncated()
+        header = 8
+        if size == 1:
+            size = _u64(blob, o + 8)
+            header = 16
+        elif size == 0:
+            size = end - o
+        if size < header or o + size > end:
+            raise _Truncated()
+        yield btype, o + header, o + size
+        o += size
+
+
+def _boxes(blob, start, end, depth, counter):
+    return list(_walk(blob, start, end, depth, counter))
+
+
+def _fullbox(blob, s):
+    """§4.2 FullBox: u8 version + 24-bit flags prepended."""
+    return _u8(blob, s), _u32(blob, s) & 0xFFFFFF, s + 4
+
+
+def _parse_mvhd(blob, s, e):
+    v, _, o = _fullbox(blob, s)
+    # reads are bounded by the BOX end, not just the blob end — an
+    # undersized box must refuse, not read its sibling's bytes
+    if v == 1:  # §8.2.2: 64-bit creation/modification/duration
+        if o + 28 > e:
+            raise _Truncated()
+        timescale = _u32(blob, o + 16)
+        duration = _u64(blob, o + 20)
+    else:
+        if o + 16 > e:
+            raise _Truncated()
+        timescale = _u32(blob, o + 8)
+        duration = _u32(blob, o + 12)
+    return timescale, duration
+
+
+def _parse_mdhd(blob, s, e):
+    v, _, o = _fullbox(blob, s)
+    if v == 1:
+        if o + 28 > e:
+            raise _Truncated()
+        timescale = _u32(blob, o + 16)
+        duration = _u64(blob, o + 20)
+    else:
+        if o + 16 > e:
+            raise _Truncated()
+        timescale = _u32(blob, o + 8)
+        duration = _u32(blob, o + 12)
+    return timescale, duration
+
+
+def _parse_hdlr(blob, s, e):
+    _, _, o = _fullbox(blob, s)
+    # §8.4.3: u32 pre_defined, 4CC handler_type
+    if o + 8 > e:
+        raise _Truncated()
+    return blob[o + 4:o + 8].decode("latin-1")
+
+
+def _parse_stsd(blob, s, e, counter):
+    """First sample entry's 4CC = the codec; visual entries carry
+    width/height at §12.1.3's fixed offsets (16 reserved/pre_defined
+    bytes after the 8-byte SampleEntry base)."""
+    v, _, o = _fullbox(blob, s)
+    if o + 4 > e:
+        raise _Truncated()
+    n = _u32(blob, o)
+    if n == 0:
+        return None, None, None
+    entries = _boxes(blob, o + 4, e, _MAX_DEPTH, counter)
+    if not entries:
+        raise _Truncated()
+    etype, es, ee = entries[0]
+    codec = etype.decode("latin-1")
+    width = height = None
+    # VisualSampleEntry needs 8 (base) + 16 + 2 + 2 bytes minimum
+    if ee - es >= 28:
+        w = _u16(blob, es + 24)
+        h = _u16(blob, es + 26)
+        if 0 < w <= 1 << 14 and 0 < h <= 1 << 14:
+            width, height = w, h
+    return codec, width, height
+
+
+def _parse_stts(blob, s, e):
+    """§8.6.1.2 decoding-time table → total sample count."""
+    _, _, o = _fullbox(blob, s)
+    if o + 4 > e:
+        raise _Truncated()
+    n = _u32(blob, o)
+    if n > _MAX_STTS_ENTRIES or o + 4 + n * 8 > e:
+        raise _Truncated()
+    total = 0
+    for i in range(n):
+        total += _u32(blob, o + 4 + i * 8)
+    if total > _MAX_SAMPLES:
+        raise _Truncated()
+    return total
+
+
+def _parse_stss(blob, s, e):
+    """§8.6.2 sync-sample numbers (1-based, ascending)."""
+    _, _, o = _fullbox(blob, s)
+    if o + 4 > e:
+        raise _Truncated()
+    n = _u32(blob, o)
+    if n > _MAX_SAMPLES or o + 4 + n * 4 > e:
+        raise _Truncated()
+    return [_u32(blob, o + 4 + i * 4) for i in range(n)]
+
+
+def _parse_stsz(blob, s, e, blob_len):
+    """§8.7.3.2: (uniform_size, count) or per-sample sizes. The
+    per-sample branch is byte-backed by construction (the box must
+    CONTAIN n*4 bytes); the uniform branch has no such tie, so a
+    20-byte box could claim 4M samples and make the caller
+    materialize 4M-entry lists — bound the CLAIM by the blob: the
+    samples must physically fit, so n*uniform > len(blob) is a lie
+    (cost-amplification guard, not just bounds)."""
+    _, _, o = _fullbox(blob, s)
+    if o + 8 > e:
+        raise _Truncated()
+    uniform = _u32(blob, o)
+    n = _u32(blob, o + 4)
+    if n > _MAX_SAMPLES:
+        raise _Truncated()
+    if uniform:
+        if n * uniform > blob_len:
+            raise _Truncated()
+        return [uniform] * n
+    if o + 8 + n * 4 > e:
+        raise _Truncated()
+    return [_u32(blob, o + 8 + i * 4) for i in range(n)]
+
+
+def _parse_stsc(blob, s, e):
+    """§8.7.4: (first_chunk, samples_per_chunk, desc_idx) runs."""
+    _, _, o = _fullbox(blob, s)
+    if o + 4 > e:
+        raise _Truncated()
+    n = _u32(blob, o)
+    if n > _MAX_STSC_ENTRIES or o + 4 + n * 12 > e:
+        raise _Truncated()
+    return [
+        (_u32(blob, o + 4 + i * 12), _u32(blob, o + 8 + i * 12))
+        for i in range(n)
+    ]
+
+
+def _parse_stco(blob, s, e, wide):
+    """§8.7.5 chunk offsets (stco u32 / co64 u64) — absolute file
+    offsets."""
+    _, _, o = _fullbox(blob, s)
+    if o + 4 > e:
+        raise _Truncated()
+    n = _u32(blob, o)
+    step = 8 if wide else 4
+    if n > _MAX_SAMPLES or o + 4 + n * step > e:
+        raise _Truncated()
+    rd = _u64 if wide else _u32
+    return [rd(blob, o + 4 + i * step) for i in range(n)]
+
+
+def _trak_tables(blob, s, e, counter):
+    """ONE recursive descent over a trak's subtree collecting every
+    leaf box's (start, end) span — containers are entered exactly
+    once (no double walk, no double-count against _MAX_BOXES), and
+    nothing is parsed here: callers parse only the tables they need
+    (the metadata walk skips the §8.7 offset tables; the range walk
+    skips mdhd/hdlr/stsd)."""
+    tables: dict = {}
+    stack = [(s, e, 2)]
+    while stack:
+        fs, fe, depth = stack.pop()
+        for btype, bs, be in _walk(blob, fs, fe, depth, counter):
+            tables.setdefault(btype, (bs, be))
+            if btype in _CONTAINERS:
+                stack.append((bs, be, depth + 1))
+    return tables
+
+
+def _parse_trak(blob, tables, counter):
+    track: dict = {
+        "handler": None, "codec": None, "width": None,
+        "height": None, "n_samples": None, "n_keyframes": None,
+        "duration_ms": None,
+    }
+    if b"mdhd" in tables:
+        ts, dur = _parse_mdhd(blob, *tables[b"mdhd"])
+        if ts:
+            track["duration_ms"] = int(dur * 1000 // ts)
+    if b"hdlr" in tables:
+        track["handler"] = _parse_hdlr(blob, *tables[b"hdlr"])
+    if b"stsd" in tables:
+        codec, w, h = _parse_stsd(blob, *tables[b"stsd"], counter)
+        track.update(codec=codec, width=w, height=h)
+    n_samples = None
+    if b"stts" in tables:
+        n_samples = _parse_stts(blob, *tables[b"stts"])
+        track["n_samples"] = n_samples
+    if b"stss" in tables:
+        track["n_keyframes"] = len(_parse_stss(blob, *tables[b"stss"]))
+    elif n_samples is not None:
+        # §8.6.2: no sync table ⇒ every sample is a sync sample
+        track["n_keyframes"] = n_samples
+    return track
+
+
+def _top_level(blob, counter):
+    """Top-level box spans, TOLERANT of a malformed tail: real files
+    carry trailing padding from sloppy muxers, and a moov-first
+    (faststart) file with a torn mdat still has complete metadata —
+    boxes parsed before the tail broke stay usable. Malformedness
+    INSIDE a kept box still refuses in the caller's parse."""
+    spans = []
+    try:
+        for item in _walk(blob, 0, len(blob), 1, counter):
+            spans.append(item)
+    except (_Truncated, struct.error):
+        pass
+    return spans
+
+
+def parse_mp4_meta(blob: bytes | None) -> dict | None:
+    """Container metadata for one ISO-BMFF blob, or ``None`` for
+    truncated / hostile / non-BMFF bytes (S4 skip — same contract as
+    every decoder in :mod:`.multimodal`). See the module doc for the
+    exact fields; ``tracks`` is ordered as the ``trak`` boxes appear."""
+    if not blob or len(blob) < 16:
+        return None
+    counter = [0]
+    try:
+        out: dict = {
+            "brand": None, "duration_ms": None, "n_tracks": 0,
+            "tracks": [],
+        }
+        saw_bmff = False
+        for btype, s, e in _top_level(blob, counter):
+            if btype == b"ftyp":
+                out["brand"] = blob[s:s + 4].decode("latin-1")
+                saw_bmff = True
+            elif btype == b"moov":
+                saw_bmff = True
+                for it, is_, ie in _walk(blob, s, e, 2, counter):
+                    if it == b"mvhd":
+                        ts, dur = _parse_mvhd(blob, is_, ie)
+                        if ts:
+                            out["duration_ms"] = int(dur * 1000 // ts)
+                    elif it == b"trak":
+                        if out["n_tracks"] >= _MAX_TRACKS:
+                            raise _Truncated()
+                        tables = _trak_tables(blob, is_, ie, counter)
+                        out["tracks"].append(
+                            _parse_trak(blob, tables, counter)
+                        )
+                        out["n_tracks"] += 1
+        return out if saw_bmff else None
+    except (_Truncated, struct.error):
+        return None
+
+
+def keyframe_byte_ranges(
+    blob: bytes | None, every: int = 1
+) -> list[dict] | None:
+    """Every ``every``-th SYNC sample of each track, resolved to its
+    absolute byte range: the charter's "frame-sample" step done at
+    the container layer, so a pipeline ships ~k keyframe payloads per
+    file instead of the file. Per kept sample:
+    ``{track_idx, sample_number (1-based), offset, size}`` — offsets
+    from the §8.7 walk: stsc maps sample→chunk (runs of
+    first_chunk/samples_per_chunk, last run open-ended), stco/co64
+    gives the chunk's file offset, preceding same-chunk sample sizes
+    (stsz) give the intra-chunk displacement. Ranges outside the blob
+    (a moov referencing absent mdat bytes — truncated download) →
+    ``None``."""
+    if every < 1:  # a caller bug, not hostile data — be loud
+        raise ValueError(f"every must be >= 1, got {every}")
+    if not blob:
+        return None
+    counter = [0]
+    try:
+        kept: list[dict] = []
+        for btype, s, e in _top_level(blob, counter):
+            if btype != b"moov":
+                continue
+            t_idx = -1
+            for it, is_, ie in _walk(blob, s, e, 2, counter):
+                if it != b"trak":
+                    continue
+                t_idx += 1
+                if t_idx >= _MAX_TRACKS:
+                    raise _Truncated()
+                tables = _trak_tables(blob, is_, ie, counter)
+                need = (b"stsz", b"stsc")
+                if any(k not in tables for k in need):
+                    continue
+                sizes = _parse_stsz(blob, *tables[b"stsz"], len(blob))
+                stsc = _parse_stsc(blob, *tables[b"stsc"])
+                if b"co64" in tables:
+                    chunks = _parse_stco(blob, *tables[b"co64"], True)
+                elif b"stco" in tables:
+                    chunks = _parse_stco(blob, *tables[b"stco"], False)
+                else:
+                    continue
+                if b"stss" in tables:
+                    sync = _parse_stss(blob, *tables[b"stss"])
+                else:
+                    sync = list(range(1, len(sizes) + 1))
+                offsets = _sample_offsets(sizes, stsc, chunks)
+                if offsets is None:
+                    raise _Truncated()
+                for sn in sync[::every]:
+                    if not 1 <= sn <= len(sizes):
+                        raise _Truncated()
+                    off, size = offsets[sn - 1], sizes[sn - 1]
+                    if off + size > len(blob):
+                        raise _Truncated()
+                    kept.append(
+                        {"track_idx": t_idx, "sample_number": sn,
+                         "offset": off, "size": size}
+                    )
+        return kept
+    except (_Truncated, struct.error):
+        return None
+
+
+def _sample_offsets(sizes, stsc, chunks):
+    """Absolute offset per sample (0-based list) from the three §8.7
+    tables; None if the tables disagree (more samples than the chunk
+    map covers, chunk index past stco, non-ascending runs)."""
+    if not stsc or not chunks:
+        return None
+    offsets = []
+    sample = 0
+    n = len(sizes)
+    for run_idx, (first_chunk, per_chunk) in enumerate(stsc):
+        if first_chunk < 1 or per_chunk < 1:
+            return None
+        last_chunk = (
+            stsc[run_idx + 1][0] - 1
+            if run_idx + 1 < len(stsc)
+            else len(chunks)
+        )
+        if last_chunk < first_chunk:
+            return None
+        for chunk in range(first_chunk, last_chunk + 1):
+            if chunk > len(chunks):
+                return None
+            pos = chunks[chunk - 1]
+            for _ in range(per_chunk):
+                if sample >= n:
+                    return offsets
+                offsets.append(pos)
+                pos += sizes[sample]
+                sample += 1
+    return offsets if sample >= n else None
+
+
+def decode_mp4_samples(blob: bytes, codec: str = "avc1"):
+    """Bitstream decode is OUT OF SCOPE by the same ADR that gates
+    WebP/arithmetic JPEG (SURVEY §2.10): H.264/AAC need fixed CABAC /
+    transform tables a clean-room build cannot verify offline, and a
+    guessed-table codec self-confirms. The container layer above is
+    complete; plug a real decoder in HERE when one is available."""
+    raise NotImplementedError(
+        f"{codec} bitstream decode is gated (clean-room ADR, SURVEY "
+        "§2.10): container metadata and keyframe byte-ranges are "
+        "implemented; sample payload decode requires a codec library."
+    )
+
+
+# ── fixture encoder ─────────────────────────────────────────────
+
+
+def _box(btype: bytes, payload: bytes, large: bool = False) -> bytes:
+    if large:
+        return struct.pack(">I", 1) + btype + struct.pack(
+            ">Q", 16 + len(payload)
+        ) + payload
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", version << 24) + payload)
+
+
+def encode_mp4(
+    tracks: list[dict],
+    movie_timescale: int = 1000,
+    movie_duration: int = 4000,
+    brand: bytes = b"isom",
+    mvhd_version: int = 0,
+    co64: bool = False,
+    large_mdat: bool = False,
+) -> bytes:
+    """Deterministic fixture MP4: ``ftyp`` + one ``mdat`` holding all
+    tracks' samples contiguously + trailing ``moov`` whose sample
+    tables cross-reference the real mdat offsets (mdat-before-moov is
+    the common camera layout and makes offsets computable in one
+    pass). Per track dict: ``handler`` (``"vide"``/``"soun"``),
+    ``codec`` (4CC str), ``samples`` (list of bytes), optional
+    ``width``/``height``, ``timescale``, ``sample_delta``,
+    ``keyframes`` (1-based sample numbers; omitted ⇒ no stss box ⇒
+    all-sync per §8.6.2), ``samples_per_chunk``."""
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0x200) + b"isommp42")
+    payload = b"".join(
+        b"".join(t["samples"]) for t in tracks
+    )
+    mdat = _box(b"mdat", payload, large=large_mdat)
+    mdat_header = 16 if large_mdat else 8
+    base = len(ftyp) + mdat_header
+
+    if mvhd_version == 1:
+        mvhd = _full(
+            b"mvhd", 1,
+            struct.pack(">QQIQ", 0, 0, movie_timescale, movie_duration)
+            + b"\x00" * 80,
+        )
+    else:
+        mvhd = _full(
+            b"mvhd", 0,
+            # §8.2.2 v0: 16 bytes of times/timescale/duration then
+            # rate+volume+reserved+matrix+pre_defined+next_track_ID
+            # = exactly 80 bytes
+            struct.pack(">IIII", 0, 0, movie_timescale, movie_duration)
+            + b"\x00" * 80,
+        )
+
+    traks = []
+    cursor = base
+    for tid, t in enumerate(tracks, start=1):
+        samples = t["samples"]
+        spc = t.get("samples_per_chunk", max(len(samples), 1))
+        timescale = t.get("timescale", 600)
+        delta = t.get("sample_delta", 20)
+        tkhd = _full(
+            b"tkhd", 0,
+            struct.pack(">IIIII", 0, 0, tid, 0, len(samples) * delta)
+            + b"\x00" * 52
+            + struct.pack(
+                ">II",
+                (t.get("width") or 0) << 16,
+                (t.get("height") or 0) << 16,
+            ),
+        )
+        mdhd = _full(
+            b"mdhd", 0,
+            struct.pack(
+                ">IIII", 0, 0, timescale, len(samples) * delta
+            )
+            + struct.pack(">HH", 0x55C4, 0),  # 'und' language
+        )
+        hdlr = _full(
+            b"hdlr", 0,
+            struct.pack(">I", 0)
+            + t["handler"].encode("latin-1")
+            + b"\x00" * 12
+            + b"fixture\x00",
+        )
+        codec = t["codec"].encode("latin-1")
+        if t.get("width"):
+            entry = _box(
+                codec,
+                b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 16
+                + struct.pack(">HH", t["width"], t["height"])
+                + b"\x00" * 50,
+            )
+        else:
+            entry = _box(
+                codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20
+            )
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        stts = _full(
+            b"stts", 0,
+            struct.pack(">III", 1, len(samples), delta)
+            if samples
+            else struct.pack(">I", 0),
+        )
+        stsz = _full(
+            b"stsz", 0,
+            struct.pack(">II", 0, len(samples))
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+        n_chunks = (len(samples) + spc - 1) // spc if samples else 0
+        stsc = _full(
+            b"stsc", 0,
+            struct.pack(">I", 1) + struct.pack(">III", 1, spc, 1)
+            if samples
+            else struct.pack(">I", 0),
+        )
+        chunk_offsets = []
+        pos = cursor
+        for c in range(n_chunks):
+            chunk_offsets.append(pos)
+            for s in samples[c * spc:(c + 1) * spc]:
+                pos += len(s)
+        cursor = pos
+        if co64:
+            stco = _full(
+                b"co64", 0,
+                struct.pack(">I", n_chunks)
+                + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+            )
+        else:
+            stco = _full(
+                b"stco", 0,
+                struct.pack(">I", n_chunks)
+                + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+            )
+        boxes = stsd + stts + stsc + stsz + stco
+        if "keyframes" in t:
+            boxes += _full(
+                b"stss", 0,
+                struct.pack(">I", len(t["keyframes"]))
+                + b"".join(
+                    struct.pack(">I", k) for k in t["keyframes"]
+                ),
+            )
+        stbl = _box(b"stbl", boxes)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks.append(_box(b"trak", tkhd + mdia))
+
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    return ftyp + mdat + moov
+
+
+# ── Spark kernels ───────────────────────────────────────────────
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("movie_duration_ms", LongType()),
+        StructField("n_tracks", LongType()),
+        StructField("track_idx", LongType()),
+        StructField("handler", StringType()),
+        StructField("codec", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_keyframes", LongType()),
+        StructField("track_duration_ms", LongType()),
+    ]
+)
+
+KEYFRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("track_idx", LongType()),
+        StructField("sample_number", LongType()),
+        StructField("offset", LongType()),
+        StructField("size", LongType()),
+        StructField("payload_crc32", LongType()),
+    ]
+)
+
+_META_COLS = [f.name for f in MP4_META_SCHEMA.fields]
+_KF_COLS = [f.name for f in KEYFRAME_SCHEMA.fields]
+
+
+def mp4_meta(media: DataFrame) -> DataFrame:
+    """One row per TRACK (long format — the join-friendly shape;
+    movie-level fields repeat per row): the container walk as an
+    Arrow kernel. Corrupt / truncated / non-BMFF blobs emit nothing
+    (S4 skip). Expects (doc_id, blob)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                meta = parse_mp4_meta(
+                    bytes(blob) if blob is not None else None
+                )
+                if meta is None:
+                    continue
+                for idx, tr in enumerate(meta["tracks"]):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "brand": meta["brand"],
+                            "movie_duration_ms": meta["duration_ms"],
+                            "n_tracks": meta["n_tracks"],
+                            "track_idx": idx,
+                            "handler": tr["handler"],
+                            "codec": tr["codec"],
+                            "width": tr["width"],
+                            "height": tr["height"],
+                            "n_samples": tr["n_samples"],
+                            "n_keyframes": tr["n_keyframes"],
+                            "track_duration_ms": tr["duration_ms"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=_META_COLS)
+
+    return media.mapInPandas(kernel, MP4_META_SCHEMA)
+
+
+def sample_mp4_keyframes(media: DataFrame, every: int = 1) -> DataFrame:
+    """Every ``every``-th sync sample per track as (offset, size) +
+    a CRC32 of the payload bytes the range slices — the proof the
+    range landed on the sample, and the column a downstream decoder
+    stage would consume instead of the whole blob. Corrupt blobs and
+    out-of-blob ranges emit nothing (S4). Expects (doc_id, blob)."""
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                b = bytes(blob) if blob is not None else None
+                ranges = keyframe_byte_ranges(b, every)
+                if not ranges:
+                    continue
+                for r in ranges:
+                    payload = b[r["offset"]:r["offset"] + r["size"]]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "track_idx": r["track_idx"],
+                            "sample_number": r["sample_number"],
+                            "offset": r["offset"],
+                            "size": r["size"],
+                            "payload_crc32": zlib.crc32(payload),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=_KF_COLS)
+
+    return media.mapInPandas(kernel, KEYFRAME_SCHEMA)
+
+
+def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
+    """Deterministic fixture MP4s keyed on doc_id: a video track
+    (avc1-shaped entries, opaque payloads, every-3rd sample sync) +
+    an audio track on even docs; every 5th doc co64, every 7th a
+    version-1 mvhd — cycling the wire shapes the parser must hold.
+    Same (doc_id, blob, media_type) contract as the other synthetic
+    corpora in :mod:`.multimodal`."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                vsamples = [
+                    bytes([(d + i) % 256]) * (20 + (d + i) % 40)
+                    for i in range(n_samples)
+                ]
+                tracks = [
+                    {
+                        "handler": "vide", "codec": "avc1",
+                        "width": 64 + d % 16 * 4,
+                        "height": 36 + d % 9 * 4,
+                        "samples": vsamples,
+                        "keyframes": list(range(1, n_samples + 1, 3)),
+                        "samples_per_chunk": 4,
+                    }
+                ]
+                if d % 2 == 0:
+                    tracks.append(
+                        {
+                            "handler": "soun", "codec": "mp4a",
+                            "samples": [
+                                bytes([(d * 3 + i) % 256]) * 8
+                                for i in range(n_samples * 2)
+                            ],
+                        }
+                    )
+                blobs.append(
+                    encode_mp4(
+                        tracks,
+                        movie_duration=1000 + d % 50 * 100,
+                        co64=d % 5 == 0,
+                        mvhd_version=1 if d % 7 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs,
+                 "media_type": ["video/mp4"] * len(blobs)}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    from .multimodal import _fan_out_ids
+
+    return _fan_out_ids(docs).mapInPandas(kernel, schema)

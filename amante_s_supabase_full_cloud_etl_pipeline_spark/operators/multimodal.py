@@ -28,6 +28,10 @@ REAL for uncompressed formats:
   P6 frames (ffmpeg's image2pipe ppm output) as the video container:
   exact per-header frame boundaries, every-k sampling, inter-frame
   motion stats — the charter's frame-sample step with a real parser.
+  REAL video containers live in :mod:`.mp4`: the full ISO-BMFF box
+  walk (duration/tracks/codec/keyframes) plus keyframe byte-range
+  sampling, with H.264/AAC bitstream decode gated by the same ADR
+  that gates WebP here.
 - :func:`image_feature_kernel` is the Arrow ``mapInPandas`` kernel:
   decode → stats (per-channel means, luminance moments) → resize
   (mean-pooled 8×8 thumb — the "resize" step of the charter).

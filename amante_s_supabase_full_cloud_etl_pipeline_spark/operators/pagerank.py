@@ -120,6 +120,8 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     on_iteration=None,
+    init_ranks: DataFrame | None = None,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) over the directed graph in ``edges`` — see the
     module doc for semantics. Returns after ``max_iters`` iterations
@@ -127,7 +129,35 @@ def pagerank(
     ``on_iteration(i)``, when given, fires after iteration ``i``'s
     rank vector has fully materialized — long-run progress reporting
     and the per-iteration wall-clock probe ``tools/crawl_stress.py``
-    uses to pin that iteration cost stays flat."""
+    uses to pin that iteration cost stays flat.
+
+    ``init_ranks`` — a previous (node, rank) vector to WARM-START
+    from, e.g. the ranks computed before the last micro-batch folded
+    new edges into :mod:`..streaming.edge_index`'s table. Sound
+    because the damped iteration is an affine L1-contraction (factor
+    ``alpha``) with a unique fixed point: ANY starting vector
+    converges to the same ranks, a warm start merely begins closer,
+    so an incremental crawl pays iterations proportional to how much
+    the graph actually moved instead of re-paying the cold-start
+    distance every generation (tests pin warm==cold to 1e-9/node AND
+    strictly fewer iterations after a small delta). Nodes new to the
+    graph default to 1/N, vanished nodes drop via the join, and the
+    vector is L1-renormalized (one broadcast-scalar crossJoin, at
+    start only) so the dangling-mass accounting starts mass-
+    consistent.
+
+    ``personalization`` — a (node, weight) SEED distribution for
+    topic-sensitive PageRank (Haveliwala, WWW 2002; the crawl-
+    frontier form: seed the trusted hosts, rank measures proximity
+    to them). Teleport AND dangling mass both follow the seed
+    vector: ``rank' = (1-alpha)·p + alpha·(in-contribs +
+    dangling·p)`` — the random surfer whose jumps land on ``p``.
+    Weights must be non-negative with a positive total over the
+    graph's nodes (ValueError otherwise — an all-zero teleport has
+    no stationary interpretation); renormalized over the CURRENT
+    node set, absent nodes get 0. Iteration cost is unchanged: p
+    rides as a column of the static node frame — no extra join,
+    still one job per iteration."""
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     nodes, e = _graph(edges, src_col, dst_col)
@@ -141,6 +171,7 @@ def pagerank(
         n = nodes.count()  # materializes the nodes persist
         if n == 0:
             return nodes.withColumn("rank", F.lit(0.0))
+        nodes_p = _teleport_vector(nodes, n, personalization)
         # the dangling NODE SET is static — checkpoint it once, so
         # the per-iteration dangling-mass scalar is a semi-join of
         # the current rank vector against a leaf, never a re-run of
@@ -151,33 +182,122 @@ def pagerank(
         try:
             return _iterate(
                 weighted,
-                nodes,
+                nodes_p,
                 dangling_nodes,
-                n,
                 alpha,
                 max_iters,
                 tol,
                 on_iteration,
+                _init_vector(nodes, n, init_ranks),
             )
         finally:
             _free_checkpoint(dangling_nodes)
+            _free_checkpoint(nodes_p)
     finally:
         weighted.unpersist()
         nodes.unpersist()
 
 
+def _teleport_vector(
+    nodes: DataFrame, n: int, personalization: DataFrame | None
+) -> DataFrame:
+    """(node, __p) — the teleport distribution as a checkpointed
+    column of the node set: uniform 1/N without personalization,
+    else the seed weights sum-merged (duplicate rows), aligned to
+    the current nodes (absent → 0), validated non-negative with a
+    positive total, and renormalized to sum 1."""
+    if personalization is None:
+        return nodes.withColumn("__p", F.lit(1.0 / n)).localCheckpoint(
+            eager=True
+        )
+    seeds = personalization.groupBy("node").agg(
+        F.sum("weight").alias("__w")
+    )
+    aligned = nodes.join(seeds, "node", "left").select(
+        "node", F.coalesce(F.col("__w"), F.lit(0.0)).alias("__w")
+    )
+    aligned.persist()
+    try:
+        row = aligned.agg(
+            F.min("__w").alias("lo"), F.sum("__w").alias("tot")
+        ).collect()[0]
+        if row["lo"] is not None and row["lo"] < 0.0:
+            raise ValueError(
+                "personalization weights must be non-negative"
+            )
+        if not row["tot"] or row["tot"] <= 0.0:
+            raise ValueError(
+                "personalization must put positive weight on at "
+                "least one node of the graph"
+            )
+        return aligned.select(
+            "node", (F.col("__w") / F.lit(float(row["tot"]))).alias("__p")
+        ).localCheckpoint(eager=True)
+    finally:
+        aligned.unpersist()
+
+
+def _init_vector(
+    nodes: DataFrame, n: int, init_ranks: DataFrame | None
+) -> DataFrame:
+    """The iteration's starting vector, localCheckpoint'ed (see the
+    comment in :func:`_iterate` for why checkpoint, not persist):
+    uniform 1/N cold, or the caller's previous vector warm — aligned
+    to the CURRENT node set (new nodes 1/N, vanished nodes dropped
+    by the left join) and L1-renormalized so the mass-conservation
+    invariant (ranks sum → 1) starts exact rather than merely
+    converging back. A degenerate all-zero init divides by 1 and
+    still converges — the affine map restores total mass
+    geometrically."""
+    if init_ranks is None:
+        return nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+            eager=True
+        )
+    # sum-merge duplicate node rows first: a caller handing a
+    # unioned / un-distinct'ed vector would otherwise fan out
+    # through the left join and double-count that node's OUTGOING
+    # rank every iteration — a silently wrong fixed point
+    prev = init_ranks.groupBy("node").agg(
+        F.sum("rank").alias("__prev")
+    )
+    warm = nodes.join(prev, "node", "left").select(
+        "node",
+        F.coalesce(F.col("__prev"), F.lit(1.0 / n)).alias("rank"),
+    )
+    # persist: the renormalization agg AND the checkpoint job below
+    # both consume this frame (same reason hits() persists unnorm)
+    warm.persist()
+    try:
+        total = F.broadcast(
+            warm.agg(F.nullif(F.sum("rank"), F.lit(0.0)).alias("__s"))
+        )
+        return (
+            warm.crossJoin(total)
+            .select(
+                "node",
+                (
+                    F.col("rank") / F.coalesce(F.col("__s"), F.lit(1.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        warm.unpersist()
+
+
 def _iterate(
     weighted,
-    nodes,
+    nodes_p,
     dangling_nodes,
-    n,
     alpha,
     max_iters,
     tol,
-    on_iteration=None,
+    on_iteration,
+    ranks,
 ):
 
-    # each iteration's rank vector is localCheckpoint'ed: the blocks
+    # each iteration's rank vector is localCheckpoint'ed (ranks
+    # arrives already checkpointed from _init_vector): the blocks
     # make the next iteration read materialized data, and — the part
     # persist() alone does NOT give — the LOGICAL plan truncates to a
     # leaf, so 20 iterations cost 20 flat plans instead of one
@@ -185,9 +305,6 @@ def _iterate(
     # (the classic Spark iterative-algorithm hazard; clustering.py's
     # Lloyd's loop sidesteps it with driver-side centroid literals,
     # but a rank VECTOR must stay distributed)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-        eager=True
-    )
     for _it in range(max_iters):
         contrib_edges = weighted.join(
             ranks.withColumnRenamed("node", "src"), "src"
@@ -207,14 +324,18 @@ def _iterate(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
             )
         )
+        # teleport and dangling redistribution both land on the
+        # static __p column (uniform 1/N, or the personalization
+        # seeds) — for uniform p this is exactly the classic
+        # (1-alpha)/N + alpha·dm/N within one ulp
         new_ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes_p.join(contribs, "node", "left")
             .crossJoin(dangling)
             .select(
                 "node",
                 (
-                    F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha / n) * F.col("__dm")
+                    (F.lit(1.0 - alpha) + F.lit(alpha) * F.col("__dm"))
+                    * F.col("__p")
                     + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("rank"),
             )

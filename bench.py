@@ -59,6 +59,10 @@ HEADLINE = (
     # the native GIF/LZW decode kernel
     "crawl_front_half",
     "gif_decode_kernel",
+    # round-9 family: MP4/ISO-BMFF container walk + keyframe
+    # byte-range sampling (the video-corpus triage step — measured
+    # the same round it lands, per the r7/r8 precedent)
+    "mp4_keyframe_kernel",
 )
 
 
@@ -155,12 +159,32 @@ def _extra_queries():
         )
         return decode_image_features(synthetic_image_corpus(docs))
 
+    def mp4_keyframe_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (
+            sample_mp4_keyframes,
+            synthetic_mp4_corpus,
+        )
+
+        # container walk + keyframe byte-range resolution + payload
+        # CRC over fixture MP4s (co64 / mvhd-v1 / audio-track shapes
+        # cycle by doc_id) — the map-only video-triage kernel; named
+        # for the kernel it times (sample_mp4_keyframes, which
+        # subsumes the box walk)
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 8000
+        )
+        corpus = synthetic_mp4_corpus(docs).select("doc_id", "blob")
+        return sample_mp4_keyframes(corpus, every=3)
+
     from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.crawl_queries import (
         front_half_pages,
     )
 
     return {
         "crawl_front_half": front_half_pages,
+        "mp4_keyframe_kernel": mp4_keyframe_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,

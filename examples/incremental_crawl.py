@@ -159,7 +159,7 @@ def main() -> None:
           f"({seen.read().count()} in seen-index)")
     assert admitted == n_work  # everything was new
 
-    ranks1 = pagerank(stored_link_edges(edges), max_iters=10)
+    ranks1 = pagerank(stored_link_edges(edges), max_iters=40)
     top1 = ranks1.orderBy(F.desc("rank")).limit(3).collect()
     print(f"link graph:  {edges.read().count()} page rows; top ranks "
           f"{[(r['node'], round(r['rank'], 4)) for r in top1]}")
@@ -198,9 +198,41 @@ def main() -> None:
     print(f"converged:   third pass flags {len(left)} "
           f"(all robots-disallowed: {left})")
     assert all(c.endswith("/p/5") for c in left)
-    ranks2 = pagerank(stored_link_edges(edges), max_iters=10)
+    # warm-start from the pre-refresh ranks: the fixed point is the
+    # same (affine contraction), so the re-rank pays iterations for
+    # the one-page delta, not the cold-start distance
+    cold_iters, warm_iters = [], []
+    pagerank(stored_link_edges(edges), max_iters=40,
+             on_iteration=cold_iters.append)
+    ranks2 = pagerank(
+        stored_link_edges(edges),
+        max_iters=40,
+        init_ranks=ranks1,
+        on_iteration=warm_iters.append,
+    )
+    assert len(warm_iters) < len(cold_iters)
     print(f"final graph: {stored_link_edges(edges).count()} edges, "
-          f"{ranks2.count()} ranked nodes")
+          f"{ranks2.count()} ranked nodes (re-rank after the one-page "
+          f"delta: {len(warm_iters)} warm iterations vs "
+          f"{len(cold_iters)} cold)")
+
+    # ── topic-sensitive frontier signal: seed the trusted host's
+    # pages; mass flows along their links, so h0's hub must outrank
+    # the structurally-identical h1/h2 hubs ──
+    seeds = spark.createDataFrame(
+        [(f"http://h0.example/p/{i}", 1.0) for i in range(5)],
+        "node string, weight double",
+    )
+    pranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            stored_link_edges(edges), max_iters=40, personalization=seeds
+        ).collect()
+    }
+    assert pranks["http://h0.example/hub"] > pranks["http://h1.example/hub"]
+    top_p = sorted(pranks, key=pranks.get, reverse=True)[:2]
+    print(f"seeded rank: teleport on h0 pages → top {top_p}")
+    assert all(n.startswith("http://h0.example/") for n in top_p)
     spark.stop()
 
 

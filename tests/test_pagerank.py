@@ -272,3 +272,183 @@ def test_iteration_checkpoints_are_released(spark):
     scores = hits(edges, max_iters=8, tol=0.0)
     scores.count()
     assert n_persistent() <= base + 2  # + the hits result vector
+
+
+def test_warm_start_same_fixed_point_fewer_iterations(spark):
+    """The damped iteration is an affine contraction with a unique
+    fixed point, so a warm start from a PREVIOUS generation's ranks
+    must land on the same converged vector — and, after a small graph
+    delta, in strictly fewer iterations (the incremental-crawl payoff
+    the example composes)."""
+    base = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "d"), ("e", "a"),
+        ("f", "b"), ("f", "c"), ("g", "a"), ("g", "f"),
+    ]
+    g1 = spark.createDataFrame(base, "src string, dst string")
+    g2 = spark.createDataFrame(
+        base + [("b", "d")], "src string, dst string"
+    )
+    ranks1 = pagerank(g1, max_iters=60, tol=1e-10)
+
+    cold_iters, warm_iters = [], []
+    cold = _ranks(
+        pagerank(g2, max_iters=60, tol=1e-10,
+                 on_iteration=cold_iters.append)
+    )
+    warm = _ranks(
+        pagerank(g2, max_iters=60, tol=1e-10,
+                 on_iteration=warm_iters.append, init_ranks=ranks1)
+    )
+    assert warm.keys() == cold.keys()
+    for node in cold:
+        assert warm[node] == pytest.approx(cold[node], abs=1e-9)
+    # deterministic fixture: one added edge moves the fixed point a
+    # little, so starting from gen-1's converged vector must beat
+    # the cold 1/N start outright
+    assert len(warm_iters) < len(cold_iters)
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_warm_start_aligns_node_set_and_renormalizes(spark):
+    """Init vectors from a DIFFERENT node set: vanished nodes drop,
+    new nodes default 1/N, and the skewed remainder is renormalized —
+    the result still matches a cold run on the current graph."""
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    init = spark.createDataFrame(
+        # 'zz' vanished; 'd' missing (new); mass sums to 9, not 1
+        [("a", 4.0), ("b", 2.0), ("c", 2.0), ("zz", 1.0)],
+        "node string, rank double",
+    )
+    cold = _ranks(pagerank(g, max_iters=80, tol=1e-11))
+    warm = _ranks(pagerank(g, max_iters=80, tol=1e-11, init_ranks=init))
+    assert warm.keys() == cold.keys() == {"a", "b", "c", "d"}
+    for node in cold:
+        assert warm[node] == pytest.approx(cold[node], abs=1e-9)
+    # degenerate all-zero init: divides by 1, mass regrows to 1
+    zeros = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0)], "node string, rank double"
+    )
+    got = _ranks(pagerank(g, max_iters=80, tol=1e-11, init_ranks=zeros))
+    for node in cold:
+        assert got[node] == pytest.approx(cold[node], abs=1e-9)
+    # DUPLICATE node rows (a unioned / un-distinct'ed vector) must
+    # sum-merge, not fan out through the join — a duplicated row
+    # would double-count that node's outgoing rank every iteration
+    # (review catch)
+    dup = spark.createDataFrame(
+        [("a", 0.3), ("a", 0.3), ("b", 0.2), ("c", 0.2)],
+        "node string, rank double",
+    )
+    got_dup = pagerank(g, max_iters=80, tol=1e-11, init_ranks=dup)
+    assert got_dup.count() == 4  # one row per node, no fan-out
+    for node, rank in _ranks(got_dup).items():
+        assert rank == pytest.approx(cold[node], abs=1e-9)
+
+
+def _dense_personalized(edge_list, alpha, iters, seeds):
+    """Independent dense reference for TOPIC-SENSITIVE PageRank
+    (Haveliwala 2002): teleport vector p from the seed dict
+    (renormalized over the node set, absent nodes 0), dangling
+    columns become p instead of uniform."""
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    p = np.array([float(seeds.get(u, 0.0)) for u in nodes])
+    p = p / p.sum()
+    a = np.zeros((n, n))
+    for src, dst in set(edge_list):
+        if src != dst:
+            a[idx[dst], idx[src]] = 1.0
+    col_sums = a.sum(axis=0)
+    for j in range(n):
+        if col_sums[j] > 0:
+            a[:, j] /= col_sums[j]
+        else:
+            a[:, j] = p  # dangling: redistribute onto the seeds
+    g = alpha * a + (1.0 - alpha) * np.outer(p, np.ones(n))
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = g @ r
+    return dict(zip(nodes, r))
+
+
+def test_personalized_differential_vs_dense_reference(spark):
+    """Seeded teleport (two seed nodes, unequal weights, one seed
+    dangling so its mass re-lands on the seeds) matches the dense
+    reference at every node; uniform seeds reproduce the classic
+    ranks."""
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "d"),
+        ("f", "a"), ("f", "b"), ("f", "c"), ("f", "d"), ("f", "e"),
+        ("b", "g"),  # g dangling
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    seeds = {"a": 3.0, "g": 1.0}
+    seed_df = spark.createDataFrame(
+        list(seeds.items()), "node string, weight double"
+    )
+    iters = 25
+    got = _ranks(
+        pagerank(edges, alpha=0.85, max_iters=iters, tol=0.0,
+                 personalization=seed_df)
+    )
+    want = _dense_personalized(edge_list, 0.85, iters, seeds)
+    assert got.keys() == want.keys()
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # seeds benefit: the seeded nodes outrank their classic scores
+    classic = _ranks(pagerank(edges, alpha=0.85, max_iters=iters, tol=0.0))
+    assert got["a"] > classic["a"] and got["g"] > classic["g"]
+    # uniform seeds == classic (same fixed point)
+    uni = spark.createDataFrame(
+        [(u, 7.5) for u in classic],  # any equal weight
+        "node string, weight double",
+    )
+    got_uni = _ranks(
+        pagerank(edges, alpha=0.85, max_iters=iters, tol=0.0,
+                 personalization=uni)
+    )
+    for node in classic:
+        assert got_uni[node] == pytest.approx(classic[node], abs=1e-12)
+
+
+def test_personalized_validation_and_alignment(spark):
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        pagerank(g, personalization=spark.createDataFrame(
+            [("a", -1.0), ("b", 2.0)], "node string, weight double"
+        ))
+    with pytest.raises(ValueError, match="positive weight"):
+        pagerank(g, personalization=spark.createDataFrame(
+            [("zz", 5.0)], "node string, weight double"  # not in graph
+        ))
+    with pytest.raises(ValueError, match="positive weight"):
+        pagerank(g, personalization=spark.createDataFrame(
+            [("a", 0.0)], "node string, weight double"
+        ))
+    # duplicate seed rows sum-merge; off-graph seeds drop
+    seeded = pagerank(
+        g, max_iters=30, tol=0.0,
+        personalization=spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("zz", 9.0)],
+            "node string, weight double",
+        ),
+    )
+    merged = pagerank(
+        g, max_iters=30, tol=0.0,
+        personalization=spark.createDataFrame(
+            [("a", 2.0)], "node string, weight double"
+        ),
+    )
+    a, b = _ranks(seeded), _ranks(merged)
+    assert a.keys() == b.keys() == {"a", "b", "c"}
+    for node in a:
+        assert a[node] == pytest.approx(b[node], abs=1e-12)

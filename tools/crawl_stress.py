@@ -182,6 +182,49 @@ def main(n_urls: int = 2_000_000, n_hosts: int = 8) -> dict:
         f"per-iteration cost is not flat: {iter_secs}"
     )
 
+    # warm-restart leg: the incremental-crawl payoff at scale — after
+    # a 1% edge delta, re-ranking from the previous converged vector
+    # must need FEWER iterations than a cold start. alpha=0.5 keeps
+    # the leg bounded (L1 contraction 0.5^k → tol=1e-4 in ~13 cold
+    # iterations vs ~57 at 0.85); per-iteration cost is alpha-
+    # independent, so the iteration-count comparison transfers.
+    delta_graph = graph.unionByName(
+        synthetic_link_graph(spark, n_nodes, n_edges // 100, seed=0x9E37)
+    )
+    base_iters: list[int] = []
+    t0 = time.perf_counter()
+    base_ranks = pagerank(
+        graph, alpha=0.5, tol=1e-4, max_iters=30,
+        on_iteration=base_iters.append,
+    )
+    base_sec = round(time.perf_counter() - t0, 2)
+    cold_iters: list[int] = []
+    t0 = time.perf_counter()
+    pagerank(
+        delta_graph, alpha=0.5, tol=1e-4, max_iters=30,
+        on_iteration=cold_iters.append,
+    )
+    cold_sec = round(time.perf_counter() - t0, 2)
+    warm_iters: list[int] = []
+    t0 = time.perf_counter()
+    warm_ranks = pagerank(
+        delta_graph, alpha=0.5, tol=1e-4, max_iters=30,
+        on_iteration=warm_iters.append, init_ranks=base_ranks,
+    )
+    warm_sec = round(time.perf_counter() - t0, 2)
+    n_warm = warm_ranks.count()
+    out["stages"]["pagerank_warm_restart_1pct_delta"] = {
+        "base_iters": len(base_iters), "base_sec": base_sec,
+        "cold_iters": len(cold_iters), "cold_sec": cold_sec,
+        "warm_iters": len(warm_iters), "warm_sec": warm_sec,
+        "rows": n_warm,
+    }
+    assert len(warm_iters) < len(cold_iters), (
+        f"warm restart did not converge faster: "
+        f"{len(warm_iters)} vs {len(cold_iters)}"
+    )
+    assert n_warm >= n_ranked  # the delta only adds nodes
+
     t0 = time.perf_counter()
     hs = hits(graph, max_iters=3, tol=0.0)
     h_sum = hs.agg(F.sum("hub"), F.sum("authority")).collect()[0]
