@@ -33,6 +33,16 @@ and real:
   (``stsc`` chunk mapping × ``stco``/``co64`` chunk offsets ×
   ``stsz`` sizes) — hand-derivable, and pinned in tests by CRCs of
   the actual payload bytes the ranges slice.
+- **Fragmented MP4** (§8.8 — the DASH / streaming-camera layout):
+  both walks fold ``moof``/``traf``/``trun`` runs with the full
+  defaults-inheritance chain (per-sample > first-sample-flags >
+  ``tfhd`` > ``trex``), base offsets per §8.8.7 (explicit,
+  default-base-is-moof, or first-traf default — a later traf with
+  neither is ambiguous and refuses), runs without a data offset
+  continuing after the previous run, sample numbering and the
+  every-k cadence continuous across fragments, and movie/track
+  durations falling back to ``mehd`` / summed fragment durations
+  when the moov headers carry 0 (the normal fMP4 shape).
 - :func:`mp4_meta` / :func:`sample_mp4_keyframes` — the Arrow
   ``mapInPandas`` kernels (one row per track / per sampled
   keyframe), partition-sized upstream like every media kernel here
@@ -102,10 +112,12 @@ def _u64(b, o):
 
 
 def _walk(blob: bytes, start: int, end: int, depth: int, counter: list):
-    """Yield (type, payload_start, payload_end) for each box in
-    [start, end). §4.2 header: u32 size, 4CC type; size==1 → u64
-    largesize follows; size==0 → box extends to the END of the
-    enclosing scope (legal only for the last box)."""
+    """Yield (type, payload_start, payload_end, box_start) for each
+    box in [start, end). §4.2 header: u32 size, 4CC type; size==1 →
+    u64 largesize follows; size==0 → box extends to the END of the
+    enclosing scope (legal only for the last box). box_start is the
+    first byte of the HEADER — §8.8.7 fragment data offsets are
+    relative to it, so payload_start alone is not enough."""
     if depth > _MAX_DEPTH:
         raise _Truncated()
     o = start
@@ -125,7 +137,7 @@ def _walk(blob: bytes, start: int, end: int, depth: int, counter: list):
             size = end - o
         if size < header or o + size > end:
             raise _Truncated()
-        yield btype, o + header, o + size
+        yield btype, o + header, o + size, o
         o += size
 
 
@@ -191,7 +203,7 @@ def _parse_stsd(blob, s, e, counter):
     entries = _boxes(blob, o + 4, e, _MAX_DEPTH, counter)
     if not entries:
         raise _Truncated()
-    etype, es, ee = entries[0]
+    etype, es, ee = entries[0][:3]
     codec = etype.decode("latin-1")
     width = height = None
     # VisualSampleEntry needs 8 (base) + 16 + 2 + 2 bytes minimum
@@ -293,7 +305,7 @@ def _trak_tables(blob, s, e, counter):
     stack = [(s, e, 2)]
     while stack:
         fs, fe, depth = stack.pop()
-        for btype, bs, be in _walk(blob, fs, fe, depth, counter):
+        for btype, bs, be, _ in _walk(blob, fs, fe, depth, counter):
             tables.setdefault(btype, (bs, be))
             if btype in _CONTAINERS:
                 stack.append((bs, be, depth + 1))
@@ -302,13 +314,23 @@ def _trak_tables(blob, s, e, counter):
 
 def _parse_trak(blob, tables, counter):
     track: dict = {
-        "handler": None, "codec": None, "width": None,
-        "height": None, "n_samples": None, "n_keyframes": None,
-        "duration_ms": None,
+        "track_id": None, "handler": None, "codec": None,
+        "width": None, "height": None, "n_samples": None,
+        "n_keyframes": None, "duration_ms": None,
     }
+    timescale = None
+    if b"tkhd" in tables:
+        # best-effort: track_id only matters for fragment matching,
+        # so a corrupt tkhd must not refuse an otherwise-parsable
+        # progressive file (it degrades fragment folds for that trak)
+        try:
+            track["track_id"] = _parse_tkhd_id(blob, *tables[b"tkhd"])
+        except _Truncated:
+            pass
     if b"mdhd" in tables:
         ts, dur = _parse_mdhd(blob, *tables[b"mdhd"])
         if ts:
+            timescale = ts
             track["duration_ms"] = int(dur * 1000 // ts)
     if b"hdlr" in tables:
         track["handler"] = _parse_hdlr(blob, *tables[b"hdlr"])
@@ -324,7 +346,250 @@ def _parse_trak(blob, tables, counter):
     elif n_samples is not None:
         # §8.6.2: no sync table ⇒ every sample is a sync sample
         track["n_keyframes"] = n_samples
+    track["_timescale"] = timescale
     return track
+
+
+def _parse_tkhd_id(blob, s, e):
+    """§8.3.2: track_ID at +8 (v0: u32 times) / +16 (v1: u64)."""
+    v, _, o = _fullbox(blob, s)
+    pos = o + (16 if v == 1 else 8)
+    if pos + 4 > e:
+        raise _Truncated()
+    return _u32(blob, pos)
+
+
+# ── movie fragments (§8.8 — the DASH / streaming-camera layout) ──
+
+#: §8.8.3.1 sample_flags bit: set ⇒ NOT a sync sample
+_NON_SYNC = 0x00010000
+
+
+def _parse_trex(blob, s, e):
+    """§8.8.3 per-track fragment defaults:
+    (track_id, default_duration, default_size, default_flags)."""
+    _, _, o = _fullbox(blob, s)
+    if o + 20 > e:
+        raise _Truncated()
+    return (_u32(blob, o), _u32(blob, o + 8), _u32(blob, o + 12),
+            _u32(blob, o + 16))
+
+
+def _parse_mehd(blob, s, e):
+    """§8.8.2 total movie duration including fragments."""
+    v, _, o = _fullbox(blob, s)
+    if o + (8 if v == 1 else 4) > e:
+        raise _Truncated()
+    if v == 1:
+        return _u64(blob, o)
+    return _u32(blob, o)
+
+
+def _parse_tfhd(blob, s, e):
+    """§8.8.7: (track_id, base_data_offset|None, default_size|None,
+    default_flags|None, default_base_is_moof)."""
+    _, flags, o = _fullbox(blob, s)
+    if o + 4 > e:
+        raise _Truncated()
+    track_id = _u32(blob, o)
+    o += 4
+    base = None
+    if flags & 0x000001:
+        base = _u64(blob, o)
+        o += 8
+    if flags & 0x000002:  # sample-description-index
+        o += 4
+    d_dur = None
+    if flags & 0x000008:
+        d_dur = _u32(blob, o)
+        o += 4
+    d_size = None
+    if flags & 0x000010:
+        d_size = _u32(blob, o)
+        o += 4
+    d_flags = None
+    if flags & 0x000020:
+        d_flags = _u32(blob, o)
+        o += 4
+    if o > e:
+        raise _Truncated()
+    return track_id, base, d_dur, d_size, d_flags, bool(flags & 0x020000)
+
+
+def _parse_trun(blob, s, e):
+    """§8.8.8 track fragment run: (data_offset|None,
+    first_sample_flags|None, n, entries|None). ``entries`` is the
+    per-sample (duration|None, size|None, flags|None) list when any
+    per-sample field is present — byte-backed by the box (n ×
+    entry_size must fit) — and ``None`` for a field-less run, whose
+    count is NOT byte-backed here: the caller must bound the implied
+    payload (n × default size) against the blob before iterating
+    (the trun twin of the uniform-stsz bomb guard)."""
+    _, flags, o = _fullbox(blob, s)
+    if o + 4 > e:
+        raise _Truncated()
+    n = _u32(blob, o)
+    o += 4
+    if n > _MAX_SAMPLES:
+        raise _Truncated()
+    data_offset = None
+    if flags & 0x000001:
+        if o + 4 > e:
+            raise _Truncated()
+        data_offset = struct.unpack_from(">i", blob, o)[0]
+        o += 4
+    first_flags = None
+    if flags & 0x000004:
+        if o + 4 > e:
+            raise _Truncated()
+        first_flags = _u32(blob, o)
+        o += 4
+    per = [
+        bool(flags & 0x000100),  # duration
+        bool(flags & 0x000200),  # size
+        bool(flags & 0x000400),  # flags
+        bool(flags & 0x000800),  # composition time offset
+    ]
+    entry = 4 * sum(per)
+    if not entry:
+        return data_offset, first_flags, n, None
+    if o + n * entry > e:
+        raise _Truncated()
+    samples = []
+    for _ in range(n):
+        dur = size = sflags = None
+        if per[0]:
+            dur = _u32(blob, o)
+            o += 4
+        if per[1]:
+            size = _u32(blob, o)
+            o += 4
+        if per[2]:
+            sflags = _u32(blob, o)
+            o += 4
+        if per[3]:
+            o += 4
+        samples.append((dur, size, sflags))
+    return data_offset, first_flags, n, samples
+
+
+def _fragment_runs(blob, top, counter):
+    """Walk every top-level ``moof``: per traf yield
+    (track_id, [(offset, size, is_sync, duration), ...]). Offsets
+    resolve per §8.8.7: explicit base_data_offset, else the moof's
+    first byte (default-base-is-moof, and the spec default for the
+    FIRST traf), else — for subsequent trafs — the end of the
+    preceding track fragment's data (§8.8.7.1). A trun without
+    data_offset continues where the previous run ended. Sync per
+    §8.8.8 precedence: per-sample flags > first-sample-flags
+    (sample 0) > tfhd default > trex default; none anywhere ⇒ sync
+    (mirrors the stss-absent rule).
+
+    Bomb guards (the fragment twin of the uniform-stsz check):
+    negative resolved offsets refuse; the CUMULATIVE claimed payload
+    across all runs is bounded by the blob length (samples must
+    physically exist), and the cumulative sample count by
+    ``_MAX_SAMPLES`` — so a tiny blob claiming 4M samples per trun
+    costs O(cap), not O(claimed)."""
+    if not any(b[0] == b"moof" for b in top):
+        return 0, []  # progressive file: skip the trex walk entirely
+    trex: dict = {}
+    for btype, s, e, _b0 in top:
+        if btype != b"moov":
+            continue
+        for it, is_, ie, _bs in _walk(blob, s, e, 2, counter):
+            if it == b"mvex":
+                for jt, js, je, _js in _walk(blob, is_, ie, 3, counter):
+                    if jt == b"trex":
+                        tid, t_dur, t_size, t_flags = _parse_trex(
+                            blob, js, je
+                        )
+                        trex[tid] = (t_dur, t_size, t_flags)
+    n_fragments = 0
+    runs: list = []
+    claimed_bytes = 0
+    total_samples = 0
+    for btype, s, e, box_start in top:
+        if btype != b"moof":
+            continue
+        n_fragments += 1
+        moof_start = box_start  # §8.8.7: offsets from the HEADER byte
+        first_traf = True
+        prev_end = None  # end of the preceding traf's data (§8.8.7.1)
+        for it, is_, ie, _mb in _walk(blob, s, e, 2, counter):
+            if it != b"traf":
+                continue
+            boxes = _boxes(blob, is_, ie, 3, counter)
+            truns = [b for b in boxes if b[0] == b"trun"]
+            tfhds = [b for b in boxes if b[0] == b"tfhd"]
+            if not tfhds:
+                raise _Truncated()
+            tid, base, d_dur, d_size, d_flags, base_is_moof = (
+                _parse_tfhd(blob, tfhds[0][1], tfhds[0][2])
+            )
+            tx_dur, tx_size, tx_flags = trex.get(
+                tid, (None, None, None)
+            )
+            if base is None:
+                if base_is_moof or first_traf:
+                    base = moof_start
+                elif prev_end is not None:
+                    base = prev_end  # §8.8.7.1 subsequent-traf default
+                else:
+                    raise _Truncated()
+            first_traf = False
+            pos = base
+            samples: list = []
+            for _, ts_, te_, _tb in truns:
+                data_offset, first_flags, n, entries = _parse_trun(
+                    blob, ts_, te_
+                )
+                if data_offset is not None:
+                    pos = base + data_offset
+                total_samples += n
+                if total_samples > _MAX_SAMPLES:
+                    raise _Truncated()
+                if entries is None:
+                    # field-less run: every sample inherits the
+                    # default size — bound the implied payload BEFORE
+                    # materializing anything
+                    u_size = d_size if d_size is not None else tx_size
+                    if not u_size:  # None or 0: unknowable/degenerate
+                        raise _Truncated()
+                    claimed_bytes += n * u_size
+                    if claimed_bytes > len(blob):
+                        raise _Truncated()
+                    entries = [(None, None, None)] * n
+                for i, (dur, size, sflags) in enumerate(entries):
+                    eff_size = size if size is not None else (
+                        d_size if d_size is not None else tx_size
+                    )
+                    if eff_size is None:
+                        raise _Truncated()  # size unknowable
+                    if size is not None:
+                        claimed_bytes += eff_size
+                        if claimed_bytes > len(blob):
+                            raise _Truncated()
+                    eff_flags = sflags
+                    if eff_flags is None and i == 0 and first_flags is not None:
+                        eff_flags = first_flags
+                    if eff_flags is None:
+                        eff_flags = d_flags if d_flags is not None else tx_flags
+                    is_sync = (
+                        True if eff_flags is None
+                        else not (eff_flags & _NON_SYNC)
+                    )
+                    eff_dur = dur if dur is not None else (
+                        d_dur if d_dur is not None else tx_dur
+                    )
+                    if pos < 0:  # signed trun offsets must not
+                        raise _Truncated()  # resolve before the file
+                    samples.append((pos, eff_size, is_sync, eff_dur))
+                    pos += eff_size
+            prev_end = pos
+            if samples:
+                runs.append((tid, samples))
+    return n_fragments, runs
 
 
 def _top_level(blob, counter):
@@ -353,20 +618,30 @@ def parse_mp4_meta(blob: bytes | None) -> dict | None:
     try:
         out: dict = {
             "brand": None, "duration_ms": None, "n_tracks": 0,
-            "tracks": [],
+            "n_fragments": 0, "tracks": [],
         }
         saw_bmff = False
-        for btype, s, e in _top_level(blob, counter):
+        top = _top_level(blob, counter)
+        mvhd_ts = None
+        mehd_dur = None
+        for btype, s, e, _b0 in top:
             if btype == b"ftyp":
                 out["brand"] = blob[s:s + 4].decode("latin-1")
                 saw_bmff = True
             elif btype == b"moov":
                 saw_bmff = True
-                for it, is_, ie in _walk(blob, s, e, 2, counter):
+                for it, is_, ie, _tb in _walk(blob, s, e, 2, counter):
                     if it == b"mvhd":
                         ts, dur = _parse_mvhd(blob, is_, ie)
                         if ts:
+                            mvhd_ts = ts
                             out["duration_ms"] = int(dur * 1000 // ts)
+                    elif it == b"mvex":
+                        for jt, js, je, _jb in _walk(
+                            blob, is_, ie, 3, counter
+                        ):
+                            if jt == b"mehd":
+                                mehd_dur = _parse_mehd(blob, js, je)
                     elif it == b"trak":
                         if out["n_tracks"] >= _MAX_TRACKS:
                             raise _Truncated()
@@ -375,9 +650,70 @@ def parse_mp4_meta(blob: bytes | None) -> dict | None:
                             _parse_trak(blob, tables, counter)
                         )
                         out["n_tracks"] += 1
+        if saw_bmff:
+            try:
+                _fold_fragments(
+                    blob, top, counter, out, mvhd_ts, mehd_dur
+                )
+            except _Truncated:
+                # a corrupt FRAGMENT layer degrades to moov-only
+                # metadata (same spirit as the tolerant tail): the
+                # moof count is still reported, sample counts stay
+                # whatever the moov tables said. Byte ranges
+                # (keyframe_byte_ranges) still refuse outright —
+                # metadata is descriptive, ranges must be exact.
+                out["n_fragments"] = sum(
+                    1 for b in top if b[0] == b"moof"
+                )
+            for tr in out["tracks"]:
+                tr.pop("_timescale", None)
+                tr.pop("_frag_ms", None)
         return out if saw_bmff else None
     except (_Truncated, struct.error):
         return None
+
+
+def _fold_fragments(blob, top, counter, out, mvhd_ts, mehd_dur):
+    """Fold §8.8 movie-fragment samples into the moov-level counts:
+    per-track n_samples / n_keyframes accumulate the trun entries
+    (matched on tkhd track_ID), track duration falls back to the
+    summed fragment durations when the mdhd duration is 0 (the
+    normal fMP4 shape), and the movie duration falls back to
+    ``mehd`` then to the longest track."""
+    n_fragments, runs = _fragment_runs(blob, top, counter)
+    out["n_fragments"] = n_fragments
+    if not n_fragments:
+        return
+    by_id = {
+        tr["track_id"]: tr
+        for tr in out["tracks"]
+        if tr["track_id"] is not None
+    }
+    for tid, samples in runs:
+        tr = by_id.get(tid)
+        if tr is None:
+            continue
+        tr["n_samples"] = (tr["n_samples"] or 0) + len(samples)
+        tr["n_keyframes"] = (tr["n_keyframes"] or 0) + sum(
+            1 for _, _, is_sync, _ in samples if is_sync
+        )
+        durs = [d for _, _, _, d in samples if d is not None]
+        if tr.get("_timescale") and durs:
+            tr["_frag_ms"] = tr.get("_frag_ms", 0) + sum(durs)
+    for tr in out["tracks"]:
+        frag_ms = tr.pop("_frag_ms", None)
+        ts = tr.get("_timescale")
+        if not tr["duration_ms"] and frag_ms is not None and ts:
+            tr["duration_ms"] = int(frag_ms * 1000 // ts)
+    if not out["duration_ms"]:
+        if mehd_dur is not None and mvhd_ts:
+            out["duration_ms"] = int(mehd_dur * 1000 // mvhd_ts)
+        else:
+            best = max(
+                (tr["duration_ms"] or 0 for tr in out["tracks"]),
+                default=0,
+            )
+            out["duration_ms"] = best or out["duration_ms"]
 
 
 def keyframe_byte_ranges(
@@ -393,7 +729,15 @@ def keyframe_byte_ranges(
     gives the chunk's file offset, preceding same-chunk sample sizes
     (stsz) give the intra-chunk displacement. Ranges outside the blob
     (a moov referencing absent mdat bytes — truncated download) →
-    ``None``."""
+    ``None``.
+
+    Fragmented files (§8.8): samples live in moof/mdat pairs, so
+    the walk additionally folds :func:`_fragment_runs` — sync
+    flagged per sample (``sample_is_non_sync_sample``), offsets from
+    the tfhd base + trun data offsets, sample numbering CONTINUING
+    from the (usually empty) moov tables across fragments in file
+    order, and the every-k cadence running over the track's whole
+    sync sequence rather than resetting per fragment."""
     if every < 1:  # a caller bug, not hostile data — be loud
         raise ValueError(f"every must be >= 1, got {every}")
     if not blob:
@@ -401,21 +745,34 @@ def keyframe_byte_ranges(
     counter = [0]
     try:
         kept: list[dict] = []
-        for btype, s, e in _top_level(blob, counter):
+        top = _top_level(blob, counter)
+        track_order: list[int] = []  # tkhd ids in trak order
+        moov_counts: dict = {}  # track_idx -> samples in moov tables
+        moov_sync_counts: dict = {}  # track_idx -> sync count in moov
+        for btype, s, e, _b0 in top:
             if btype != b"moov":
                 continue
             t_idx = -1
-            for it, is_, ie in _walk(blob, s, e, 2, counter):
+            for it, is_, ie, _tb in _walk(blob, s, e, 2, counter):
                 if it != b"trak":
                     continue
                 t_idx += 1
                 if t_idx >= _MAX_TRACKS:
                     raise _Truncated()
                 tables = _trak_tables(blob, is_, ie, counter)
+                try:
+                    track_order.append(
+                        _parse_tkhd_id(blob, *tables[b"tkhd"])
+                        if b"tkhd" in tables else -1
+                    )
+                except _Truncated:
+                    track_order.append(-1)  # degrades fragment match
                 need = (b"stsz", b"stsc")
                 if any(k not in tables for k in need):
                     continue
                 sizes = _parse_stsz(blob, *tables[b"stsz"], len(blob))
+                if not sizes:  # fMP4: empty moov tables, no ranges
+                    continue
                 stsc = _parse_stsc(blob, *tables[b"stsc"])
                 if b"co64" in tables:
                     chunks = _parse_stco(blob, *tables[b"co64"], True)
@@ -430,6 +787,8 @@ def keyframe_byte_ranges(
                 offsets = _sample_offsets(sizes, stsc, chunks)
                 if offsets is None:
                     raise _Truncated()
+                moov_counts[t_idx] = len(sizes)
+                moov_sync_counts[t_idx] = len(sync)
                 for sn in sync[::every]:
                     if not 1 <= sn <= len(sizes):
                         raise _Truncated()
@@ -440,6 +799,42 @@ def keyframe_byte_ranges(
                         {"track_idx": t_idx, "sample_number": sn,
                          "offset": off, "size": size}
                     )
+        n_fragments, runs = _fragment_runs(blob, top, counter)
+        if n_fragments:
+            id_to_idx = {tid: i for i, tid in enumerate(track_order)}
+            # continue sample numbering per track; keep the every-k
+            # cadence over the track's WHOLE sync sequence, not reset
+            # per fragment
+            next_no: dict = {}
+            sync_seen: dict = {}
+            for tid, samples in runs:
+                t_idx = id_to_idx.get(tid)
+                if t_idx is None:
+                    continue
+                base_no = next_no.get(
+                    t_idx, moov_counts.get(t_idx, 0)
+                )
+                for off, size, is_sync, _dur in samples:
+                    base_no += 1
+                    if not is_sync:
+                        continue
+                    # the cadence runs over the track's WHOLE sync
+                    # sequence: seed with the moov sync count so a
+                    # hybrid file doesn't restart the stride at the
+                    # moov/fragment boundary
+                    k = sync_seen.get(
+                        t_idx, moov_sync_counts.get(t_idx, 0)
+                    )
+                    sync_seen[t_idx] = k + 1
+                    if k % every:
+                        continue
+                    if off + size > len(blob):
+                        raise _Truncated()
+                    kept.append(
+                        {"track_idx": t_idx, "sample_number": base_no,
+                         "offset": off, "size": size}
+                    )
+                next_no[t_idx] = base_no
         return kept
     except (_Truncated, struct.error):
         return None
@@ -505,6 +900,51 @@ def _full(btype: bytes, version: int, payload: bytes) -> bytes:
     return _box(btype, struct.pack(">I", version << 24) + payload)
 
 
+def _trak_header_boxes(t: dict, tid: int, mdhd_duration: int,
+                       tkhd_duration: int, timescale: int) -> tuple:
+    """tkhd + mdhd + hdlr + stsd bytes shared by BOTH fixture
+    encoders — one copy of the header byte layouts, so a spec fix
+    (e.g. the r9 mvhd-padding correction) cannot silently diverge
+    between the progressive and fragmented fixtures."""
+    tkhd = _full(
+        b"tkhd", 0,
+        struct.pack(">IIIII", 0, 0, tid, 0, tkhd_duration)
+        + b"\x00" * 52
+        + struct.pack(
+            ">II",
+            (t.get("width") or 0) << 16,
+            (t.get("height") or 0) << 16,
+        ),
+    )
+    mdhd = _full(
+        b"mdhd", 0,
+        struct.pack(">IIII", 0, 0, timescale, mdhd_duration)
+        + struct.pack(">HH", 0x55C4, 0),  # 'und' language
+    )
+    hdlr = _full(
+        b"hdlr", 0,
+        struct.pack(">I", 0)
+        + t["handler"].encode("latin-1")
+        + b"\x00" * 12
+        + b"fixture\x00",
+    )
+    codec = t["codec"].encode("latin-1")
+    if t.get("width"):
+        entry = _box(
+            codec,
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HH", t["width"], t["height"])
+            + b"\x00" * 50,
+        )
+    else:
+        entry = _box(
+            codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20
+        )
+    stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+    return tkhd, mdhd, hdlr, stsd
+
+
 def encode_mp4(
     tracks: list[dict],
     movie_timescale: int = 1000,
@@ -554,44 +994,10 @@ def encode_mp4(
         spc = t.get("samples_per_chunk", max(len(samples), 1))
         timescale = t.get("timescale", 600)
         delta = t.get("sample_delta", 20)
-        tkhd = _full(
-            b"tkhd", 0,
-            struct.pack(">IIIII", 0, 0, tid, 0, len(samples) * delta)
-            + b"\x00" * 52
-            + struct.pack(
-                ">II",
-                (t.get("width") or 0) << 16,
-                (t.get("height") or 0) << 16,
-            ),
+        tkhd, mdhd, hdlr, stsd = _trak_header_boxes(
+            t, tid, len(samples) * delta, len(samples) * delta,
+            timescale,
         )
-        mdhd = _full(
-            b"mdhd", 0,
-            struct.pack(
-                ">IIII", 0, 0, timescale, len(samples) * delta
-            )
-            + struct.pack(">HH", 0x55C4, 0),  # 'und' language
-        )
-        hdlr = _full(
-            b"hdlr", 0,
-            struct.pack(">I", 0)
-            + t["handler"].encode("latin-1")
-            + b"\x00" * 12
-            + b"fixture\x00",
-        )
-        codec = t["codec"].encode("latin-1")
-        if t.get("width"):
-            entry = _box(
-                codec,
-                b"\x00" * 6 + struct.pack(">H", 1)
-                + b"\x00" * 16
-                + struct.pack(">HH", t["width"], t["height"])
-                + b"\x00" * 50,
-            )
-        else:
-            entry = _box(
-                codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20
-            )
-        stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
         stts = _full(
             b"stts", 0,
             struct.pack(">III", 1, len(samples), delta)
@@ -647,6 +1053,130 @@ def encode_mp4(
     return ftyp + mdat + moov
 
 
+def encode_fmp4(
+    tracks: list[dict],
+    fragments: list[list[dict]],
+    movie_timescale: int = 1000,
+    explicit_base: bool = False,
+) -> bytes:
+    """Deterministic FRAGMENTED fixture (the DASH / streaming-camera
+    layout): ``ftyp`` + ``moov`` (tracks with EMPTY §8.7 sample
+    tables + ``mvex``/``trex`` defaults) + one ``moof``+``mdat``
+    pair per entry of ``fragments``. Each fragment entry is a list
+    of per-track dicts ``{track_id, samples: [bytes], sync: set of
+    1-based in-fragment numbers, size_mode: 'per_sample'|'default',
+    flags_mode: 'per_sample'|'first'|'default'}`` — cycling how real
+    muxers spread sizes/flags across trun fields, tfhd defaults and
+    trex defaults. ``explicit_base`` uses tfhd base-data-offset
+    instead of default-base-is-moof."""
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5dash")
+
+    mvhd = _full(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, movie_timescale, 0) + b"\x00" * 80,
+    )
+    traks = b""
+    trexs = b""
+    for t in tracks:
+        tid = t["track_id"]
+        tkhd, mdhd, hdlr, stsd = _trak_header_boxes(
+            t, tid, 0, 0, t.get("timescale", 600)
+        )
+        empty = (
+            stsd
+            + _full(b"stts", 0, struct.pack(">I", 0))
+            + _full(b"stsc", 0, struct.pack(">I", 0))
+            + _full(b"stsz", 0, struct.pack(">II", 0, 0))
+            + _full(b"stco", 0, struct.pack(">I", 0))
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", _box(b"stbl", empty)))
+        traks += _box(b"trak", tkhd + mdia)
+        # trex: track_id, default_sample_description_index, then
+        # default duration / size / flags (§8.8.3)
+        trexs += _full(
+            b"trex", 0,
+            struct.pack(
+                ">IIIII", tid, 1,
+                t.get("default_duration", 20),
+                t.get("trex_default_size", 0),
+                t.get("trex_default_flags", _NON_SYNC),
+            ),
+        )
+    moov = _box(b"moov", mvhd + traks + _box(b"mvex", trexs))
+
+    out = ftyp + moov
+    for seq, frag in enumerate(fragments, start=1):
+        def build(moof_size_guess: int) -> tuple[bytes, bytes]:
+            mfhd = _full(b"mfhd", 0, struct.pack(">I", seq))
+            trafs = b""
+            payload = b""
+            for ft in frag:
+                samples = ft["samples"]
+                sync = ft.get("sync", set(range(1, len(samples) + 1)))
+                size_mode = ft.get("size_mode", "per_sample")
+                flags_mode = ft.get("flags_mode", "per_sample")
+                sflag = lambda i: (  # noqa: E731
+                    0 if (i + 1) in sync else _NON_SYNC
+                )
+                tf_flags = 0x020000  # default-base-is-moof
+                tf_body = struct.pack(">I", ft["track_id"])
+                if explicit_base:
+                    tf_flags = 0x000001
+                    tf_body += struct.pack(
+                        ">Q", len(out) + moof_size_guess + 8
+                    )
+                if size_mode == "default":
+                    # the ONE default size covers every sample: a
+                    # varying-size list would self-corrupt the
+                    # fixture's byte ranges with no error
+                    assert samples and all(
+                        len(sm) == len(samples[0]) for sm in samples
+                    ), "size_mode='default' requires uniform samples"
+                    tf_flags |= 0x000010
+                    tf_body += struct.pack(">I", len(samples[0]))
+                if flags_mode == "default":
+                    tf_flags |= 0x000020
+                    tf_body += struct.pack(">I", _NON_SYNC)
+                tfhd = _box(
+                    b"tfhd",
+                    struct.pack(">I", tf_flags) + tf_body,
+                )
+                tr_flags = 0x000001  # data-offset always present
+                if size_mode == "per_sample":
+                    tr_flags |= 0x000200
+                if flags_mode == "per_sample":
+                    tr_flags |= 0x000400
+                elif flags_mode == "first":
+                    tr_flags |= 0x000004
+                tr_body = struct.pack(">I", len(samples))
+                # relative to the tfhd base: the mdat payload start
+                # when explicit, the moof's first byte otherwise
+                data_off = (
+                    len(payload) if explicit_base
+                    else moof_size_guess + 8 + len(payload)
+                )
+                tr_body += struct.pack(">i", data_off)
+                if flags_mode == "first":
+                    tr_body += struct.pack(">I", sflag(0))
+                for i, sm in enumerate(samples):
+                    if size_mode == "per_sample":
+                        tr_body += struct.pack(">I", len(sm))
+                    if flags_mode == "per_sample":
+                        tr_body += struct.pack(">I", sflag(i))
+                trun = _box(b"trun", struct.pack(">I", tr_flags) + tr_body)
+                trafs += _box(b"traf", tfhd + trun)
+                payload += b"".join(samples)
+            return _box(b"moof", mfhd + trafs), payload
+
+        # two-pass: sizes are deterministic, so building once with
+        # guess 0 fixes the moof size, then rebuild with real offsets
+        moof0, _ = build(0)
+        moof, payload = build(len(moof0))
+        assert len(moof) == len(moof0)
+        out += moof + _box(b"mdat", payload)
+    return out
+
+
 # ── Spark kernels ───────────────────────────────────────────────
 
 MP4_META_SCHEMA = StructType(
@@ -655,7 +1185,9 @@ MP4_META_SCHEMA = StructType(
         StructField("brand", StringType()),
         StructField("movie_duration_ms", LongType()),
         StructField("n_tracks", LongType()),
+        StructField("n_fragments", LongType()),
         StructField("track_idx", LongType()),
+        StructField("track_id", LongType()),
         StructField("handler", StringType()),
         StructField("codec", StringType()),
         StructField("width", LongType()),
@@ -705,7 +1237,9 @@ def mp4_meta(media: DataFrame) -> DataFrame:
                             "brand": meta["brand"],
                             "movie_duration_ms": meta["duration_ms"],
                             "n_tracks": meta["n_tracks"],
+                            "n_fragments": meta["n_fragments"],
                             "track_idx": idx,
+                            "track_id": tr["track_id"],
                             "handler": tr["handler"],
                             "codec": tr["codec"],
                             "width": tr["width"],
@@ -760,9 +1294,11 @@ def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
     """Deterministic fixture MP4s keyed on doc_id: a video track
     (avc1-shaped entries, opaque payloads, every-3rd sample sync) +
     an audio track on even docs; every 5th doc co64, every 7th a
-    version-1 mvhd — cycling the wire shapes the parser must hold.
-    Same (doc_id, blob, media_type) contract as the other synthetic
-    corpora in :mod:`.multimodal`."""
+    version-1 mvhd, and every doc_id % 3 == 1 FRAGMENTED (§8.8
+    moof/mdat layout, 3 fragments, per-sample trun flags) — cycling
+    the wire shapes the parser must hold. Same (doc_id, blob,
+    media_type) contract as the other synthetic corpora in
+    :mod:`.multimodal`."""
 
     def kernel(batches):
         import pandas as pd
@@ -775,6 +1311,45 @@ def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
                     bytes([(d + i) % 256]) * (20 + (d + i) % 40)
                     for i in range(n_samples)
                 ]
+                asamples = [
+                    bytes([(d * 3 + i) % 256]) * 8
+                    for i in range(n_samples * 2)
+                ]
+                if d % 3 == 1:
+                    per = n_samples // 3
+                    tracks = [
+                        {"track_id": 1, "handler": "vide",
+                         "codec": "avc1", "width": 64 + d % 16 * 4,
+                         "height": 36 + d % 9 * 4, "timescale": 600,
+                         "default_duration": 20},
+                    ]
+                    if d % 2 == 0:
+                        tracks.append(
+                            {"track_id": 2, "handler": "soun",
+                             "codec": "mp4a", "timescale": 48000,
+                             "default_duration": 1024}
+                        )
+                    frags = []
+                    for f in range(3):
+                        ft = [
+                            {"track_id": 1,
+                             "samples": vsamples[f * per:(f + 1) * per],
+                             "sync": {1, 4}}
+                        ]
+                        if d % 2 == 0:
+                            ft.append(
+                                {"track_id": 2,
+                                 "samples": asamples[
+                                     f * per * 2:(f + 1) * per * 2
+                                 ]}
+                            )
+                        frags.append(ft)
+                    blobs.append(
+                        encode_fmp4(
+                            tracks, frags, explicit_base=d % 5 == 0
+                        )
+                    )
+                    continue
                 tracks = [
                     {
                         "handler": "vide", "codec": "avc1",
@@ -789,10 +1364,7 @@ def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
                     tracks.append(
                         {
                             "handler": "soun", "codec": "mp4a",
-                            "samples": [
-                                bytes([(d * 3 + i) % 256]) * 8
-                                for i in range(n_samples * 2)
-                            ],
+                            "samples": asamples,
                         }
                     )
                 blobs.append(

@@ -94,9 +94,10 @@ def test_hand_built_fixture_parses_exactly():
         "brand": "mp42",
         "duration_ms": 2500,  # 2500 / 1000 ts
         "n_tracks": 1,
+        "n_fragments": 0,
         "tracks": [
             {
-                "handler": "vide", "codec": "avc1",
+                "track_id": 1, "handler": "vide", "codec": "avc1",
                 "width": 320, "height": 180,
                 "n_samples": 3, "n_keyframes": 2,
                 "duration_ms": 2000,  # 1200 / 600 ts
@@ -283,14 +284,14 @@ def test_bomb_guards():
         nested = _b(b"moov", nested)
     got = parse_mp4_meta(_b(b"ftyp", b"isom" + b"\x00" * 8) + nested)
     assert got == {"brand": "isom", "duration_ms": None,
-                   "n_tracks": 0, "tracks": []}
+                   "n_tracks": 0, "n_fragments": 0, "tracks": []}
     # a TRAILING box whose declared size exceeds the blob is tail
     # junk: boxes already parsed are kept (tolerant tail), and the
     # liar contributes nothing
     lying = struct.pack(">I", 1 << 30) + b"moov" + b"\x00" * 32
     got2 = parse_mp4_meta(_b(b"ftyp", b"isom" + b"\x00" * 8) + lying)
     assert got2 == {"brand": "isom", "duration_ms": None,
-                    "n_tracks": 0, "tracks": []}
+                    "n_tracks": 0, "n_fragments": 0, "tracks": []}
     # a LEADING liar means no box ever parses → not a BMFF file
     assert parse_mp4_meta(lying + _b(b"ftyp", b"isom" + b"\x00" * 8)) is None
 
@@ -355,3 +356,365 @@ def test_spark_keyframe_kernel_crc_and_s4_skip(spark):
 def test_every_validation_is_loud():
     with pytest.raises(ValueError, match="every"):
         keyframe_byte_ranges(_hand_built(), every=0)
+
+
+# ── movie fragments (§8.8 — DASH / streaming-camera layout) ──
+
+
+def _hand_built_fmp4() -> bytes:
+    """ftyp + moov(one video trak, EMPTY sample tables, mvex/trex
+    defaults dur=10/size=0/flags=non-sync) + ONE moof with tfhd
+    (default-base-is-moof) and TWO truns — the first with explicit
+    data offset, per-sample sizes and flags; the second with NO data
+    offset (continues after the first run, §8.8.8) inheriting sizes
+    from tfhd default-sample-size. Written box-by-box from the spec,
+    independent of encode_fmp4."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        _NON_SYNC,
+    )
+
+    ftyp = _b(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5")
+    mvhd = _fb(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, 0) + b"\x00" * 80)
+    tkhd = _fb(b"tkhd", 0, struct.pack(">IIIII", 0, 0, 7, 0, 0)
+               + b"\x00" * 52 + struct.pack(">II", 16 << 16, 9 << 16))
+    mdhd = _fb(b"mdhd", 0, struct.pack(">IIII", 0, 0, 100, 0)
+               + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _fb(b"hdlr", 0, struct.pack(">I", 0) + b"vide"
+               + b"\x00" * 12 + b"\x00")
+    avc1 = _b(b"avc1", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+              + struct.pack(">HH", 16, 9) + b"\x00" * 50)
+    stbl = _b(b"stbl",
+              _fb(b"stsd", 0, struct.pack(">I", 1) + avc1)
+              + _fb(b"stts", 0, struct.pack(">I", 0))
+              + _fb(b"stsc", 0, struct.pack(">I", 0))
+              + _fb(b"stsz", 0, struct.pack(">II", 0, 0))
+              + _fb(b"stco", 0, struct.pack(">I", 0)))
+    trak = _b(b"trak", tkhd + _b(b"mdia", mdhd + hdlr + _b(b"minf", stbl)))
+    trex = _fb(b"trex", 0, struct.pack(">IIIII", 7, 1, 10, 0, _NON_SYNC))
+    moov = _b(b"moov", mvhd + trak + _b(b"mvex", trex))
+
+    # fragment: run 1 = samples of 4 and 5 bytes (sync, non-sync),
+    # run 2 = two samples inheriting tfhd default size 6 (flags from
+    # trex default = non-sync)
+    tfhd = _b(b"tfhd", struct.pack(">I", 0x020000 | 0x000010)
+              + struct.pack(">II", 7, 6))  # track 7, default size 6
+    samples = [b"AAAA", b"BBBBB", b"CCCCCC", b"DDDDDD"]
+    trun1 = _b(b"trun", struct.pack(">I", 0x1 | 0x200 | 0x400)
+               + struct.pack(">I", 2)
+               + struct.pack(">i", 0)       # patched below
+               + struct.pack(">II", 4, 0)   # sample 1: sync
+               + struct.pack(">II", 5, _NON_SYNC))
+    trun2 = _b(b"trun", struct.pack(">I", 0) + struct.pack(">I", 2))
+    moof_payload = _fb(b"mfhd", 0, struct.pack(">I", 1)) \
+        + _b(b"traf", tfhd + trun1 + trun2)
+    moof = _b(b"moof", moof_payload)
+    # data offset = moof size + mdat header (payload right after)
+    patched = bytearray(moof)
+    pos = patched.index(b"trun") + 4 + 4 + 4  # type + fullbox + count
+    patched[pos:pos + 4] = struct.pack(">i", len(moof) + 8)
+    mdat = _b(b"mdat", b"".join(samples))
+    return ftyp + moov + bytes(patched) + mdat
+
+
+def test_fmp4_hand_built_fragment():
+    blob = _hand_built_fmp4()
+    m = parse_mp4_meta(blob)
+    assert m["n_fragments"] == 1
+    assert m["n_tracks"] == 1
+    tr = m["tracks"][0]
+    assert tr["track_id"] == 7
+    assert tr["n_samples"] == 4          # 2 per-size + 2 default-size
+    assert tr["n_keyframes"] == 1        # only run-1 sample 1
+    assert tr["duration_ms"] == 400      # 4 × trex default 10 / ts 100
+    assert m["duration_ms"] == 400       # mvhd 0 → longest track
+    ranges = keyframe_byte_ranges(blob)
+    # the one sync sample is the first: 4 bytes right after the moof
+    assert len(ranges) == 1
+    r = ranges[0]
+    assert blob[r["offset"]:r["offset"] + r["size"]] == b"AAAA"
+    assert r["sample_number"] == 1
+    # run 2's samples continue after run 1 (no data offset): verify
+    # via a fixture variant where trex default flags mark ALL sync
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        _NON_SYNC,
+    )
+    all_sync = bytearray(blob)
+    tpos = all_sync.index(b"trex") + 4 + 4 + 16  # default_flags field
+    all_sync[tpos:tpos + 4] = struct.pack(">I", 0)
+    got = keyframe_byte_ranges(bytes(all_sync))
+    # per-sample flags still win for run 1's sample 2 (non-sync);
+    # run 2's two samples now sync and sit at +9 and +15
+    payloads = [bytes(all_sync)[r["offset"]:r["offset"] + r["size"]]
+                for r in got]
+    assert payloads == [b"AAAA", b"CCCCCC", b"DDDDDD"]
+    assert [r["sample_number"] for r in got] == [1, 3, 4]
+
+
+@pytest.mark.parametrize("explicit_base", [False, True])
+def test_fmp4_round_trip_modes(explicit_base):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        encode_fmp4,
+    )
+
+    tracks = [
+        {"track_id": 1, "handler": "vide", "codec": "avc1",
+         "width": 64, "height": 36, "timescale": 600,
+         "default_duration": 20},
+        {"track_id": 2, "handler": "soun", "codec": "mp4a",
+         "timescale": 48000, "default_duration": 1024},
+    ]
+    frags = []
+    for f in range(3):
+        frags.append([
+            {"track_id": 1,
+             "samples": [bytes([f * 16 + i]) * (12 + i) for i in range(4)],
+             "sync": {1, 3},
+             "size_mode": "per_sample",
+             "flags_mode": ["per_sample", "first", "per_sample"][f]},
+            {"track_id": 2,
+             "samples": [bytes([0xA0 + f]) * 8] * 6,
+             "size_mode": "default",
+             "flags_mode": "per_sample"},
+        ])
+    blob = encode_fmp4(tracks, frags, explicit_base=explicit_base)
+    m = parse_mp4_meta(blob)
+    assert m["n_fragments"] == 3
+    vid, aud = m["tracks"]
+    assert (vid["n_samples"], aud["n_samples"]) == (12, 18)
+    # flags_mode "first" (frag 2) marks only sample 1 sync (rest
+    # inherit trex default non-sync): 2 + 1 + 2 sync for video
+    assert vid["n_keyframes"] == 5
+    assert aud["n_keyframes"] == 18
+    assert vid["duration_ms"] == 400  # 12 × 20 / 600
+    assert aud["duration_ms"] == 384  # 18 × 1024 / 48000
+    # every=2 cadence runs across FRAGMENTS, not per fragment:
+    # video sync sequence positions 0,2,4 → frag1 s1, frag2 s1(=5), frag3 s3(=11)
+    got = [r for r in keyframe_byte_ranges(blob, every=2)
+           if r["track_idx"] == 0]
+    assert [r["sample_number"] for r in got] == [1, 5, 11]
+    for r in got:
+        payload = blob[r["offset"]:r["offset"] + r["size"]]
+        f, i = divmod(r["sample_number"] - 1, 4)
+        assert payload == bytes([f * 16 + i]) * (12 + i)
+
+
+def test_fmp4_boundary_tear_and_ambiguous_base():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        encode_fmp4,
+    )
+
+    tracks = [{"track_id": 1, "handler": "vide", "codec": "avc1",
+               "width": 8, "height": 6, "timescale": 600,
+               "default_duration": 20}]
+    frags = [[{"track_id": 1, "samples": [bytes([f]) * 10] * 3,
+               "sync": {1}}] for f in range(3)]
+    blob = encode_fmp4(tracks, frags)
+    full = keyframe_byte_ranges(blob)
+    assert [r["sample_number"] for r in full] == [1, 4, 7]
+    # tear INSIDE the last mdat but AFTER the last sync sample's
+    # bytes: every kept range is still byte-backed, so sampling
+    # proceeds (the torn tail only held non-sync samples)
+    assert [r["sample_number"] for r in keyframe_byte_ranges(blob[:-5])] \
+        == [1, 4, 7]
+    # tear INTO the last sync sample's own bytes → that range cannot
+    # be satisfied → refuse outright (never emit a partial payload)
+    last = full[-1]
+    assert keyframe_byte_ranges(
+        blob[:last["offset"] + last["size"] - 1]
+    ) is None
+    # tear at the FRAGMENT BOUNDARY (half the third moof header):
+    # complete pairs before the tear stay fully resolvable
+    third_moof = blob.index(b"moof", blob.index(b"moof", blob.index(b"moof") + 1) + 1)
+    torn = blob[:third_moof + 2]
+    got = keyframe_byte_ranges(torn)
+    assert [r["sample_number"] for r in got] == [1, 4]
+    m = parse_mp4_meta(torn)
+    assert m["n_fragments"] == 2 and m["tracks"][0]["n_samples"] == 6
+    # a SECOND traf with neither explicit base nor default-base-is-
+    # moof takes §8.8.7.1's default — the end of the preceding
+    # traf's data. Stripping the flag from an encoder output whose
+    # trun still carries a moof-relative data offset makes the
+    # resolved range run past the blob: RANGES refuse, while the
+    # METADATA degrades descriptively (counts still reported)
+    two = [{"track_id": 1, "handler": "vide", "codec": "avc1",
+            "width": 8, "height": 6},
+           {"track_id": 2, "handler": "soun", "codec": "mp4a"}]
+    f2 = [[{"track_id": 1, "samples": [b"x" * 4]},
+           {"track_id": 2, "samples": [b"y" * 4]}]]
+    b2 = bytearray(encode_fmp4(two, f2))
+    second_tfhd = b2.index(b"tfhd", b2.index(b"tfhd") + 1)
+    flags_at = second_tfhd + 4 + 1  # skip type + version byte
+    flags = int.from_bytes(b2[flags_at:flags_at + 3], "big") & ~0x020000
+    b2[flags_at:flags_at + 3] = flags.to_bytes(3, "big")
+    assert keyframe_byte_ranges(bytes(b2)) is None
+    m2 = parse_mp4_meta(bytes(b2))
+    assert m2 is not None and m2["n_fragments"] == 1
+
+
+def test_fmp4_second_traf_continuation_base():
+    """§8.8.7.1 POSITIVE case: a second traf with neither explicit
+    base nor default-base-is-moof, and a trun with NO data offset,
+    reads from the end of the preceding traf's data — hand-built so
+    the byte layout (t2's payload directly after t1's) is pinned
+    independent of the encoder."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        _NON_SYNC,
+    )
+
+    def trak(tid, handler, codec):
+        tkhd = _fb(b"tkhd", 0, struct.pack(">IIIII", 0, 0, tid, 0, 0)
+                   + b"\x00" * 60)
+        mdhd = _fb(b"mdhd", 0, struct.pack(">IIII", 0, 0, 100, 0)
+                   + struct.pack(">HH", 0x55C4, 0))
+        hdlr = _fb(b"hdlr", 0, struct.pack(">I", 0) + handler
+                   + b"\x00" * 12 + b"\x00")
+        entry = _b(codec, b"\x00" * 6 + struct.pack(">H", 1)
+                   + b"\x00" * 20)
+        stbl = _b(b"stbl", _fb(b"stsd", 0, struct.pack(">I", 1) + entry)
+                  + _fb(b"stts", 0, struct.pack(">I", 0))
+                  + _fb(b"stsc", 0, struct.pack(">I", 0))
+                  + _fb(b"stsz", 0, struct.pack(">II", 0, 0))
+                  + _fb(b"stco", 0, struct.pack(">I", 0)))
+        return _b(b"trak", tkhd + _b(b"mdia", mdhd + hdlr
+                                     + _b(b"minf", stbl)))
+
+    ftyp = _b(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5")
+    mvex = _b(b"mvex",
+              _fb(b"trex", 0, struct.pack(">IIIII", 1, 1, 10, 0, 0))
+              + _fb(b"trex", 0, struct.pack(">IIIII", 2, 1, 10, 0, 0)))
+    moov = _b(b"moov",
+              _fb(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                  + b"\x00" * 80)
+              + trak(1, b"vide", b"avc1") + trak(2, b"soun", b"mp4a")
+              + mvex)
+    # traf 1: default-base-is-moof, explicit offset, 2 samples of 3
+    # bytes (per-sample sizes); traf 2: NO base flags, NO data
+    # offset → continues right after traf 1's 6 bytes
+    tfhd1 = _b(b"tfhd", struct.pack(">I", 0x020000)
+               + struct.pack(">I", 1))
+    trun1 = _b(b"trun", struct.pack(">I", 0x1 | 0x200)
+               + struct.pack(">I", 2) + struct.pack(">i", 0)
+               + struct.pack(">II", 3, 3))  # patched below
+    tfhd2 = _b(b"tfhd", struct.pack(">I", 0x000010)
+               + struct.pack(">II", 2, 4))  # default size 4
+    trun2 = _b(b"trun", struct.pack(">I", 0) + struct.pack(">I", 2))
+    moof = _b(b"moof", _fb(b"mfhd", 0, struct.pack(">I", 1))
+              + _b(b"traf", tfhd1 + trun1) + _b(b"traf", tfhd2 + trun2))
+    patched = bytearray(moof)
+    pos = patched.index(b"trun") + 4 + 4 + 4
+    patched[pos:pos + 4] = struct.pack(">i", len(moof) + 8)
+    payload = b"AAA" + b"BBB" + b"CCCC" + b"DDDD"
+    blob = ftyp + moov + bytes(patched) + _b(b"mdat", payload)
+    m = parse_mp4_meta(blob)
+    assert [t["n_samples"] for t in m["tracks"]] == [2, 2]
+    got = keyframe_byte_ranges(blob)
+    payloads = [blob[r["offset"]:r["offset"] + r["size"]] for r in got]
+    assert payloads == [b"AAA", b"BBB", b"CCCC", b"DDDD"]
+    assert _NON_SYNC  # sanity: constant imported (flags path live)
+
+
+def test_fmp4_review_hardening():
+    """Review catches, pinned: (a) a field-less trun claiming 4M
+    samples is refused by the claimed-payload bound before any list
+    materializes; (b) a negative resolved sample offset refuses
+    rather than slicing from the blob's END via Python indexing;
+    (c) an undersized mehd refuses instead of reading its sibling's
+    bytes as the movie duration; (d) a corrupt tkhd degrades
+    track_id to None without refusing a progressive file."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        encode_fmp4,
+    )
+
+    tracks = [{"track_id": 1, "handler": "vide", "codec": "avc1",
+               "width": 8, "height": 6, "timescale": 600,
+               "default_duration": 20}]
+    frags = [[{"track_id": 1, "samples": [b"p" * 6] * 3,
+               "sync": {1}, "size_mode": "default",
+               "flags_mode": "per_sample"}]]
+    blob = encode_fmp4(tracks, frags)
+
+    # (a) bump the field-less... this fixture's trun has per-sample
+    # flags; build the bomb via a default-size trun whose count is
+    # patched to 4M (sizes come from tfhd default 6 → claimed 24MB
+    # >> blob) — both walks refuse, metadata degrades to moov-only
+    bomb = bytearray(blob)
+    tpos = bomb.index(b"trun") + 4 + 4  # type + fullbox → count field
+    bomb[tpos:tpos + 4] = struct.pack(">I", 1 << 22)
+    assert keyframe_byte_ranges(bytes(bomb)) is None
+    m = parse_mp4_meta(bytes(bomb))
+    # degraded to the moov tables' own (empty → 0) count: the 4M
+    # claim was never folded in
+    assert m is not None and m["tracks"][0]["n_samples"] == 0
+
+    # (b) negative data offset: patch trun's data_offset to a large
+    # negative → resolved pos < 0 → refuse (metadata degrades)
+    neg = bytearray(blob)
+    opos = neg.index(b"trun") + 4 + 4 + 4  # count → data_offset
+    neg[opos:opos + 4] = struct.pack(">i", -10_000)
+    assert keyframe_byte_ranges(bytes(neg)) is None
+
+    # (c) undersized mehd between siblings: its duration must not be
+    # read from the following trex's bytes
+    stub_mehd = _fb(b"mehd", 0, b"")
+    trex = _fb(b"trex", 0, struct.pack(">IIIII", 1, 1, 10, 0, 0))
+    mvex_at = blob.index(b"mvex") - 4
+    mvex_end = mvex_at + struct.unpack(">I", blob[mvex_at:mvex_at + 4])[0]
+    new_mvex = _b(b"mvex", stub_mehd + trex)
+    reweave = blob[:mvex_at] + new_mvex + blob[mvex_end:]
+    # moov size fields no longer match → the moov walk refuses and
+    # the whole parse degrades; the point is NO garbage duration
+    got = parse_mp4_meta(reweave)
+    assert got is None or got["duration_ms"] in (None, 0, 100)
+
+    # (d) GENUINELY short tkhd (v1 header on a 12-byte payload) in a
+    # progressive file: replace the hand-built fixture's 92-byte
+    # tkhd with a 20-byte stub + a 72-byte free pad so every other
+    # box keeps its offsets — parse keeps everything else, only
+    # track_id degrades
+    prog = _hand_built()
+    tk_at = prog.index(b"tkhd") - 4
+    stub = _fb(b"tkhd", 1, struct.pack(">II", 0, 0))  # 20 bytes
+    pad = _b(b"free", b"\x00" * 64)  # 72 bytes
+    bad = prog[:tk_at] + stub + pad + prog[tk_at + 92:]
+    assert len(bad) == len(prog)
+    m = parse_mp4_meta(bad)
+    assert m is not None
+    assert m["tracks"][0]["track_id"] is None  # degraded, not fatal
+    assert m["tracks"][0]["n_samples"] == 3
+    assert [r["sample_number"] for r in keyframe_byte_ranges(bad)] \
+        == [1, 3]
+
+
+def test_fmp4_hybrid_cadence_continues_across_boundary():
+    """A hybrid progressive+fragmented track: the every-k stride
+    runs over the WHOLE sync sequence (moov syncs then fragment
+    syncs), not restarting at the boundary (review catch)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        _NON_SYNC,
+    )
+
+    # moov part: 3 samples, all sync (no stss) → sync positions 0-2
+    base_blob = encode_mp4(
+        [{"handler": "vide", "codec": "avc1", "width": 8, "height": 6,
+          "samples": [b"M1x", b"M2x", b"M3x"]}]
+    )
+    # graft a fragment of 2 further sync samples onto the same trak:
+    # build tfhd(default-base-is-moof)+trun(explicit sizes+flags)
+    tfhd = _b(b"tfhd", struct.pack(">I", 0x020000) + struct.pack(">I", 1))
+    trun = _b(b"trun", struct.pack(">I", 0x1 | 0x200 | 0x400)
+              + struct.pack(">I", 2) + struct.pack(">i", 0)
+              + struct.pack(">II", 4, 0)
+              + struct.pack(">II", 4, 0))
+    moof = _b(b"moof", _fb(b"mfhd", 0, struct.pack(">I", 1))
+              + _b(b"traf", tfhd + trun))
+    patched = bytearray(moof)
+    pos = patched.index(b"trun") + 4 + 4 + 4
+    patched[pos:pos + 4] = struct.pack(">i", len(moof) + 8)
+    blob = base_blob + bytes(patched) + _b(b"mdat", b"F1yy" + b"F2yy")
+    # whole sync sequence: M1 M2 M3 F1 F2 (positions 0..4);
+    # every=2 → positions 0, 2, 4 → M1, M3, F2 — NOT F1
+    got = keyframe_byte_ranges(blob, every=2)
+    payloads = [blob[r["offset"]:r["offset"] + r["size"]] for r in got]
+    assert payloads == [b"M1x", b"M3x", b"F2yy"]
+    assert [r["sample_number"] for r in got] == [1, 3, 5]
+    assert _NON_SYNC  # constant stays imported
