@@ -1,0 +1,262 @@
+"""Content-defined chunking (FastCDC-style) — sub-document dedup
+granularity for an LLM training corpus (charter extension, SURVEY.md
+§2.10; reference analog: none).
+
+Why a crawl corpus needs it: exact dedup (:mod:`.dedup`) hashes the
+WHOLE document, so a boilerplate re-render with one changed byte
+survives; MinHash catches it probabilistically at document scope.
+Content-defined chunking cuts each document at positions chosen by
+the CONTENT (a rolling gear hash crossing a threshold), so an edit
+only perturbs the chunks that overlap it — every other chunk keeps
+its boundary AND its hash (the shift-robustness fixed-size blocking
+lacks, and the property the tests pin). Chunk-hash grouping then
+exposes shared boilerplate, near-identical mirrors, and partial
+plagiarism at O(corpus bytes) cost with no pairwise comparison.
+
+Algorithm (FastCDC, Xia et al., USENIX ATC 2016 — published):
+gear rolling hash ``fp = ((fp << 1) + gear[byte]) mod 2^64`` over a
+256-entry table, normalized chunking with TWO masks — a harder mask
+(more bits) before the average target makes early cuts rare, an
+easier mask after it makes late cuts likely — bounded by hard
+min/max sizes. The gear table here is derived deterministically
+from SHA-256 of the byte index (clean-room, reproducible across
+workers and rounds; the paper leaves the table's randomness source
+open).
+
+Scale shape: chunking is a map-only Arrow kernel (one pass per
+document, no shuffle); chunk-level grouping is ONE hash aggregation
+on ``chunk_hash`` with map-side partials; the pair view caps each
+posting list like :mod:`.dedup`'s banded joins — never all-pairs,
+no driver collects.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: deterministic 256-entry gear table: first 8 bytes of
+#: SHA-256(index) — reproducible everywhere, no magic constants
+_GEAR = [
+    int.from_bytes(hashlib.sha256(bytes([i])).digest()[:8], "big")
+    for i in range(256)
+]
+_MASK64 = (1 << 64) - 1
+
+
+def _masks(avg_size: int) -> tuple[int, int]:
+    """FastCDC's normalized-chunking masks (NC2): ``bits+2`` leading
+    mask bits before the average point (cuts rare), ``bits-2`` after
+    it (cuts likely), where ``bits = log2(avg_size)``."""
+    bits = max(avg_size.bit_length() - 1, 3)
+    hard = (1 << (bits + 2)) - 1
+    easy = (1 << (bits - 2)) - 1
+    # spread the mask bits across the word like the paper's padded
+    # masks: a left shift keeps the compared bits away from the
+    # low-entropy end of the gear sum
+    return hard << 16 & _MASK64, easy << 16 & _MASK64
+
+
+def cdc_chunks(
+    data: bytes,
+    min_size: int = 2048,
+    avg_size: int = 8192,
+    max_size: int = 65536,
+) -> list[dict]:
+    """Chunk one byte string: ``[{offset, length, chunk_hash}, ...]``
+    covering ``data`` exactly (offsets contiguous, lengths in
+    ``[min_size, max_size]`` except a possibly-short final chunk).
+    ``chunk_hash`` is a 16-byte BLAKE2b hex of the chunk's bytes —
+    the dedup key. Deterministic: same bytes ⇒ same chunks anywhere.
+    """
+    if not 0 < min_size <= avg_size <= max_size:
+        raise ValueError(
+            f"need 0 < min_size <= avg_size <= max_size, got "
+            f"{min_size}/{avg_size}/{max_size}"
+        )
+    mask_hard, mask_easy = _masks(avg_size)
+    n = len(data)
+    out: list[dict] = []
+    start = 0
+    gear = _GEAR
+    while start < n:
+        remaining = n - start
+        if remaining <= min_size:
+            end = n
+        else:
+            limit = min(remaining, max_size)
+            normal = min(avg_size, limit)
+            fp = 0
+            i = min_size
+            end = None
+            while i < normal:
+                fp = ((fp << 1) + gear[data[start + i]]) & _MASK64
+                if not fp & mask_hard:
+                    end = start + i + 1
+                    break
+                i += 1
+            if end is None:
+                while i < limit:
+                    fp = ((fp << 1) + gear[data[start + i]]) & _MASK64
+                    if not fp & mask_easy:
+                        end = start + i + 1
+                        break
+                    i += 1
+            if end is None:
+                end = start + limit
+        chunk = data[start:end]
+        out.append(
+            {
+                "offset": start,
+                "length": end - start,
+                "chunk_hash": hashlib.blake2b(
+                    chunk, digest_size=16
+                ).hexdigest(),
+            }
+        )
+        start = end
+    return out
+
+
+CDC_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("chunk_hash", StringType()),
+    ]
+)
+
+_CHUNK_COLS = [f.name for f in CDC_CHUNK_SCHEMA.fields]
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 2048,
+) -> DataFrame:
+    """Map-only Arrow kernel: one row per content-defined chunk of
+    each document's UTF-8 bytes. The small defaults suit the test
+    tables' short documents; a real corpus uses the byte-scale
+    defaults of :func:`cdc_chunks`. Null text emits nothing (S4)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                if text is None:
+                    continue
+                for idx, ch in enumerate(
+                    cdc_chunks(
+                        text.encode("utf-8", "surrogatepass"),
+                        min_size,
+                        avg_size,
+                        max_size,
+                    )
+                ):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "chunk_idx": idx,
+                            "offset": ch["offset"],
+                            "length": ch["length"],
+                            "chunk_hash": ch["chunk_hash"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=_CHUNK_COLS)
+
+    return docs.select(
+        F.col(id_col).alias(id_col), text_col
+    ).mapInPandas(kernel, CDC_CHUNK_SCHEMA)
+
+
+def shared_chunk_pairs(
+    chunks: DataFrame,
+    max_posting: int = 64,
+    min_chunk_bytes: int = 64,
+) -> DataFrame:
+    """Document pairs ranked by how many chunk hashes they share —
+    the sub-document near-dup signal. ONE aggregation per chunk hash
+    builds a posting list CAPPED at ``max_posting`` docs (a
+    boilerplate chunk shared by thousands of pages would otherwise
+    explode quadratically — same discipline as :mod:`.dedup`'s
+    banded joins; capped lists under-count ubiquitous boilerplate,
+    which is exactly the sharing that is NOT a dedup signal), then
+    pairs explode per list and re-aggregate:
+    (doc_a, doc_b, shared_chunks) with doc_a < doc_b.
+    ``min_chunk_bytes`` drops the sub-``min_size`` final-chunk tails
+    the chunker's bound exempts — two documents sharing only a tiny
+    tail are not a near-dup signal."""
+    posting = (
+        chunks.filter(F.col("length") >= min_chunk_bytes)
+        .select("chunk_hash", "doc_id")
+        .groupBy("chunk_hash")
+        .agg(F.slice(F.sort_array(F.collect_set("doc_id")), 1,
+                     max_posting).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pairs = posting.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "docs",
+                        lambda a: F.transform(
+                            "docs",
+                            lambda b: F.when(
+                                a < b, F.struct(
+                                    a.alias("doc_a"), b.alias("doc_b")
+                                )
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p.isNotNull(),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+
+
+def chunk_dedup_stats(
+    chunks: DataFrame, min_chunk_bytes: int = 64
+) -> DataFrame:
+    """Corpus-level duplication profile in ONE aggregation pass:
+    per chunk hash, how many documents carry it and how many bytes
+    the duplicates cost — the table a curation pass sorts to find
+    boilerplate worth stripping. ``min_chunk_bytes`` keeps trivial
+    sub-``min_size`` tail chunks out of the profile (observed live:
+    7-byte tails reported as "duplicates" before the filter)."""
+    return (
+        chunks.filter(F.col("length") >= min_chunk_bytes)
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.first("length").alias("chunk_bytes"),
+            (
+                (F.count(F.lit(1)) - F.lit(1)) * F.first("length")
+            ).alias("duplicate_bytes"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

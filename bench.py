@@ -59,10 +59,12 @@ HEADLINE = (
     # the native GIF/LZW decode kernel
     "crawl_front_half",
     "gif_decode_kernel",
-    # round-9 family: MP4/ISO-BMFF container walk + keyframe
-    # byte-range sampling (the video-corpus triage step — measured
-    # the same round it lands, per the r7/r8 precedent)
+    # round-9 families: MP4/ISO-BMFF container walk + keyframe
+    # byte-range sampling (the video-corpus triage step) and
+    # content-defined chunking (sub-document dedup granularity) —
+    # measured the same round they land, per the r7/r8 precedent
     "mp4_keyframe_kernel",
+    "cdc_chunk_stats",
 )
 
 
@@ -182,9 +184,21 @@ def _extra_queries():
         front_half_pages,
     )
 
+    def cdc_chunk_stats(spark, sf_dir):
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cdc import (
+            chunk_dedup_stats,
+            chunk_documents,
+        )
+
+        # FastCDC gear chunking over every document + the one-pass
+        # duplication profile — map-only kernel + one hash agg
+        docs = catalog.table(spark, sf_dir, "documents")
+        return chunk_dedup_stats(chunk_documents(docs))
+
     return {
         "crawl_front_half": front_half_pages,
         "mp4_keyframe_kernel": mp4_keyframe_kernel,
+        "cdc_chunk_stats": cdc_chunk_stats,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
