@@ -179,9 +179,13 @@ def chunk_documents(
                     )
             yield pd.DataFrame(rows, columns=_CHUNK_COLS)
 
-    return docs.select(
-        F.col(id_col).alias(id_col), text_col
-    ).mapInPandas(kernel, CDC_CHUNK_SCHEMA)
+    return (
+        docs.select(F.col(id_col).alias(id_col), text_col)
+        .filter(
+            F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .mapInPandas(kernel, CDC_CHUNK_SCHEMA)
+    )
 
 
 def shared_chunk_pairs(
@@ -190,24 +194,36 @@ def shared_chunk_pairs(
     min_chunk_bytes: int = 64,
 ) -> DataFrame:
     """Document pairs ranked by how many chunk hashes they share —
-    the sub-document near-dup signal. ONE aggregation per chunk hash
-    builds a posting list CAPPED at ``max_posting`` docs (a
-    boilerplate chunk shared by thousands of pages would otherwise
-    explode quadratically — same discipline as :mod:`.dedup`'s
-    banded joins; capped lists under-count ubiquitous boilerplate,
-    which is exactly the sharing that is NOT a dedup signal), then
-    pairs explode per list and re-aggregate:
+    the sub-document near-dup signal. Chunk hashes carried by MORE
+    than ``max_posting`` documents are dropped before any list
+    builds (a boilerplate chunk shared by thousands of pages would
+    otherwise explode quadratically AND bloat its aggregation
+    buffer — same discipline as :mod:`.dedup`'s banded joins;
+    ubiquity is boilerplate, not a dedup signal), then the surviving
+    posting lists explode to pairs and re-aggregate:
     (doc_a, doc_b, shared_chunks) with doc_a < doc_b.
     ``min_chunk_bytes`` drops the sub-``min_size`` final-chunk tails
     the chunker's bound exempts — two documents sharing only a tiny
     tail are not a near-dup signal."""
+    sized = chunks.filter(
+        F.col("length") >= min_chunk_bytes
+    ).select("chunk_hash", "doc_id")
+    # frequency pre-filter FIRST (one count agg — cheap, bounded
+    # buffers), so a boilerplate chunk shared by a million pages
+    # never materializes a million-element collect_set buffer; such
+    # chunks are dropped outright — ubiquity is boilerplate, not a
+    # dedup signal (review catch: the old slice-after-collect capped
+    # the OUTPUT but not the aggregation buffer)
+    eligible = (
+        sized.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_posting))
+        .select("chunk_hash")
+    )
     posting = (
-        chunks.filter(F.col("length") >= min_chunk_bytes)
-        .select("chunk_hash", "doc_id")
+        sized.join(eligible, "chunk_hash", "left_semi")
         .groupBy("chunk_hash")
-        .agg(F.slice(F.sort_array(F.collect_set("doc_id")), 1,
-                     max_posting).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
     )
     pairs = posting.select(
         F.explode(

@@ -59,6 +59,7 @@ from __future__ import annotations
 import struct
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -68,10 +69,13 @@ from pyspark.sql.types import (
 )
 
 #: bomb caps: a hostile blob can CLAIM anything; we never allocate
-#: or loop past these. Generous against real files (a 2-hour movie
-#: at 30 fps is ~216k samples per track).
+#: or loop past these. Generous against real files: a 2-hour movie
+#: at 30 fps is ~216k samples per track, and an hour of 2-second
+#: DASH segments is ~9k boxes (moof+mfhd+traf+tfhd+trun+mdat per
+#: fragment) — the box cap must clear that by orders of magnitude
+#: (review catch: 4096 silently dropped a 700-fragment capture).
 _MAX_DEPTH = 8
-_MAX_BOXES = 4096
+_MAX_BOXES = 1 << 20
 _MAX_TRACKS = 64
 _MAX_SAMPLES = 1 << 22  # 4M samples per track
 _MAX_STTS_ENTRIES = 1 << 16
@@ -85,6 +89,14 @@ _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 class _Truncated(Exception):
     """Internal: structure runs past the blob / a box lies about its
     size. Callers convert to the None (S4 skip) contract."""
+
+
+class _Bomb(_Truncated):
+    """A resource CAP tripped (box count, depth, sample count).
+    Distinct from byte truncation because the tolerant top-level
+    walk may keep boxes parsed before a truncated TAIL, but a cap
+    trip must refuse the whole blob — keeping a partial prefix of a
+    bomb would report silently wrong metadata."""
 
 
 def _u8(b, o):
@@ -119,12 +131,12 @@ def _walk(blob: bytes, start: int, end: int, depth: int, counter: list):
     first byte of the HEADER — §8.8.7 fragment data offsets are
     relative to it, so payload_start alone is not enough."""
     if depth > _MAX_DEPTH:
-        raise _Truncated()
+        raise _Bomb()
     o = start
     while o < end:
         counter[0] += 1
         if counter[0] > _MAX_BOXES:
-            raise _Truncated()
+            raise _Bomb()
         size = _u32(blob, o)
         btype = blob[o + 4:o + 8]
         if len(btype) < 4:
@@ -150,6 +162,12 @@ def _fullbox(blob, s):
     return _u8(blob, s), _u32(blob, s) & 0xFFFFFF, s + 4
 
 
+def _duration_or_none(duration, bits):
+    """§8.2.2.3: all-ones duration = "unknown" (live captures whose
+    muxer could not know the length) — surface None, not ~83 days."""
+    return None if duration == (1 << bits) - 1 else duration
+
+
 def _parse_mvhd(blob, s, e):
     v, _, o = _fullbox(blob, s)
     # reads are bounded by the BOX end, not just the blob end — an
@@ -158,12 +176,12 @@ def _parse_mvhd(blob, s, e):
         if o + 28 > e:
             raise _Truncated()
         timescale = _u32(blob, o + 16)
-        duration = _u64(blob, o + 20)
+        duration = _duration_or_none(_u64(blob, o + 20), 64)
     else:
         if o + 16 > e:
             raise _Truncated()
         timescale = _u32(blob, o + 8)
-        duration = _u32(blob, o + 12)
+        duration = _duration_or_none(_u32(blob, o + 12), 32)
     return timescale, duration
 
 
@@ -173,12 +191,12 @@ def _parse_mdhd(blob, s, e):
         if o + 28 > e:
             raise _Truncated()
         timescale = _u32(blob, o + 16)
-        duration = _u64(blob, o + 20)
+        duration = _duration_or_none(_u64(blob, o + 20), 64)
     else:
         if o + 16 > e:
             raise _Truncated()
         timescale = _u32(blob, o + 8)
-        duration = _u32(blob, o + 12)
+        duration = _duration_or_none(_u32(blob, o + 12), 32)
     return timescale, duration
 
 
@@ -331,7 +349,8 @@ def _parse_trak(blob, tables, counter):
         ts, dur = _parse_mdhd(blob, *tables[b"mdhd"])
         if ts:
             timescale = ts
-            track["duration_ms"] = int(dur * 1000 // ts)
+            if dur is not None:
+                track["duration_ms"] = int(dur * 1000 // ts)
     if b"hdlr" in tables:
         track["handler"] = _parse_hdlr(blob, *tables[b"hdlr"])
     if b"stsd" in tables:
@@ -602,6 +621,8 @@ def _top_level(blob, counter):
     try:
         for item in _walk(blob, 0, len(blob), 1, counter):
             spans.append(item)
+    except _Bomb:
+        raise  # cap trip: partial-prefix metadata would be WRONG
     except (_Truncated, struct.error):
         pass
     return spans
@@ -635,7 +656,10 @@ def parse_mp4_meta(blob: bytes | None) -> dict | None:
                         ts, dur = _parse_mvhd(blob, is_, ie)
                         if ts:
                             mvhd_ts = ts
-                            out["duration_ms"] = int(dur * 1000 // ts)
+                            if dur is not None:
+                                out["duration_ms"] = int(
+                                    dur * 1000 // ts
+                                )
                     elif it == b"mvex":
                         for jt, js, je, _jb in _walk(
                             blob, is_, ie, 3, counter
@@ -1251,7 +1275,9 @@ def mp4_meta(media: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=_META_COLS)
 
-    return media.mapInPandas(kernel, MP4_META_SCHEMA)
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, MP4_META_SCHEMA)
 
 
 def sample_mp4_keyframes(media: DataFrame, every: int = 1) -> DataFrame:
@@ -1287,7 +1313,9 @@ def sample_mp4_keyframes(media: DataFrame, every: int = 1) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=_KF_COLS)
 
-    return media.mapInPandas(kernel, KEYFRAME_SCHEMA)
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, KEYFRAME_SCHEMA)
 
 
 def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:

@@ -221,7 +221,19 @@ def _teleport_vector(
         row = aligned.agg(
             F.min("__w").alias("lo"), F.sum("__w").alias("tot")
         ).collect()[0]
-        if row["lo"] is not None and row["lo"] < 0.0:
+        import math
+
+        # NaN bypasses every comparison below (NaN < 0 and NaN <= 0
+        # are both False), so non-finite weights must refuse
+        # EXPLICITLY — an all-NaN teleport silently poisons every
+        # rank (review catch)
+        if row["lo"] is None or not math.isfinite(row["lo"]) or (
+            row["tot"] is not None and not math.isfinite(row["tot"])
+        ):
+            raise ValueError(
+                "personalization weights must be finite"
+            )
+        if row["lo"] < 0.0:
             raise ValueError(
                 "personalization weights must be non-negative"
             )
@@ -260,9 +272,18 @@ def _init_vector(
     prev = init_ranks.groupBy("node").agg(
         F.sum("rank").alias("__prev")
     )
+    # non-finite previous ranks (NaN/inf from a poisoned upstream)
+    # repair to the cold 1/N — sound because the init vector affects
+    # only convergence speed, never the fixed point; letting a NaN
+    # through would poison every subsequent iteration
+    finite_prev = F.when(
+        F.isnan(F.col("__prev"))
+        | (F.abs(F.col("__prev")) == float("inf")),
+        F.lit(None),
+    ).otherwise(F.col("__prev"))
     warm = nodes.join(prev, "node", "left").select(
         "node",
-        F.coalesce(F.col("__prev"), F.lit(1.0 / n)).alias("rank"),
+        F.coalesce(finite_prev, F.lit(1.0 / n)).alias("rank"),
     )
     # persist: the renormalization agg AND the checkpoint job below
     # both consume this frame (same reason hits() persists unnorm)

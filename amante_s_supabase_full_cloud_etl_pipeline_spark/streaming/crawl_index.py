@@ -326,6 +326,14 @@ def fold_crawl_batch(
     if derived and changed.limit(1).count() > 0:
         for table, tf in derived:
             rows = tf(changed) if tf is not None else changed
+            # a transform may filter the batch to NOTHING: an empty
+            # merge has null key bounds → no manifest prunes → every
+            # live file rewrites for a no-op, AND the ledger records
+            # the batch_id, making a replayed real fold skip (the
+            # guard fold_edge_index documents — enforce it for EVERY
+            # derived table, probing the transform's own output)
+            if tf is not None and rows.limit(1).count() == 0:
+                continue
             table.merge_with_retry(
                 rows,
                 keys=["curl"],

@@ -155,16 +155,32 @@ def test_sharing_views_hand_derived(spark):
 
 
 def test_posting_cap_bounds_pair_explosion(spark):
-    """A chunk shared by MANY docs (ubiquitous boilerplate) must not
-    explode quadratically: the posting list caps at max_posting, so
-    pair counts stay bounded."""
+    """A chunk shared by MANY docs (ubiquitous boilerplate) is
+    DROPPED before any posting list builds: with the cap below the
+    corpus's sharing degree nothing pairs at all, and raising the
+    cap restores the pairs — quadratic explosion (and the unbounded
+    agg buffer) can't happen."""
     boiler = "".join(random.Random(30).choices("abcdefg \n", k=1500))
     docs = spark.createDataFrame(
         [(i, f"doc {i} header " * 3 + boiler) for i in range(40)],
         "doc_id long, text string",
     )
     chunks = chunk_documents(docs)
-    pairs = shared_chunk_pairs(chunks, max_posting=8)
-    # at most C(8,2) pairs per chunk hash, NOT C(40,2)
-    assert pairs.count() <= 28 * chunks.select("chunk_hash").distinct().count()
+    # every shared chunk is carried by ~all 40 docs > cap 8 → dropped
+    assert shared_chunk_pairs(chunks, max_posting=8).count() == 0
+    # cap above the sharing degree: the boilerplate pairs appear,
+    # bounded by C(40,2) per surviving chunk
+    pairs = shared_chunk_pairs(chunks, max_posting=64)
+    assert pairs.count() > 0
     assert pairs.agg({"shared_chunks": "max"}).collect()[0][0] >= 1
+    # null ids/text are S4-skipped, not a kernel crash (review catch)
+    with_null = docs.unionByName(
+        docs.sparkSession.createDataFrame(
+            [(None, "some text"), (99, None)],
+            "doc_id long, text string",
+        )
+    )
+    got = chunk_documents(with_null)
+    assert got.filter("doc_id = 99").count() == 0
+    assert got.filter("doc_id is null").count() == 0
+    assert got.select("doc_id").distinct().count() == 40

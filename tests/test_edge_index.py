@@ -311,3 +311,46 @@ def test_writer_derived_edge_table_with_checkpoint_restart(
     ranks = pagerank(stored_link_edges(edges), max_iters=5, tol=0.0)
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_writer_derived_path_skips_all_filtered_merge(spark, tmp_path):
+    """The GENERIC derived-tables path (fold_crawl_batch) must skip
+    a merge the transform filtered to nothing — an empty merge has
+    null key bounds (full-table rewrite) and burns the batch_id so a
+    replayed REAL fold would skip (review catch: fold_edge_index
+    guarded this but the writer path bypassed the guard)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.crawl_index import (  # noqa: E501
+        fold_crawl_batch,
+    )
+
+    seen = ParquetTable(spark, str(tmp_path / "seen_g"))
+    derived = ParquetTable(spark, str(tmp_path / "derived_g"))
+
+    def drop_all(changed):
+        return changed.filter("doc_id < 0").select(
+            "curl", "doc_id", F.lit("x").alias("payload")
+        )
+
+    pages = spark.createDataFrame(
+        [(1, "http://a.example/p", "2026-01-01")],
+        "doc_id long, url string, fetched_at string",
+    )
+    fold_crawl_batch(
+        seen, pages, batch_id=5, derived=((derived, drop_all),)
+    )
+    assert seen.read().count() == 1  # the index committed
+    assert derived.files() == []  # nothing committed, no table yet
+    # batch_id 5 must STILL be live for a real derived fold
+    def keep_all(changed):
+        return changed.select(
+            "curl", "doc_id", F.lit("y").alias("payload")
+        )
+
+    pages2 = spark.createDataFrame(
+        [(2, "http://b.example/q", "2026-01-02")],
+        "doc_id long, url string, fetched_at string",
+    )
+    fold_crawl_batch(
+        seen, pages2, batch_id=5, derived=((derived, keep_all),)
+    )
+    assert derived.read().count() == 1

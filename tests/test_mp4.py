@@ -718,3 +718,51 @@ def test_fmp4_hybrid_cadence_continues_across_boundary():
     assert payloads == [b"M1x", b"M3x", b"F2yy"]
     assert [r["sample_number"] for r in got] == [1, 3, 5]
     assert _NON_SYNC  # constant stays imported
+
+
+def test_round_end_review_hardening():
+    """(a) a long DASH capture (700+ fragments) parses completely —
+    the old 4096-box cap silently dropped it; (b) a cap trip refuses
+    the WHOLE blob instead of reporting a partial prefix; (c) the
+    all-ones 'unknown duration' sentinel reports None, not ~83 days;
+    (d) null doc_id rows S4-skip in both kernels (see the Spark leg
+    in test_spark_keyframe_kernel...)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        encode_fmp4,
+    )
+
+    tracks = [{"track_id": 1, "handler": "vide", "codec": "avc1",
+               "width": 8, "height": 6, "timescale": 600,
+               "default_duration": 20}]
+    frags = [[{"track_id": 1, "samples": [bytes([f % 256]) * 5] * 2,
+               "sync": {1}}] for f in range(700)]
+    blob = encode_fmp4(tracks, frags)
+    m = parse_mp4_meta(blob)
+    assert m["n_fragments"] == 700
+    assert m["tracks"][0]["n_samples"] == 1400
+    ranges = keyframe_byte_ranges(blob, every=100)
+    assert len(ranges) == 7  # 700 sync frames, every 100th
+    # (c) unknown-duration sentinel
+    blob2 = _hand_built()
+    sentinel = bytearray(blob2)
+    mv = sentinel.index(b"mvhd") + 4 + 4 + 8 + 4  # type+fb+times+ts
+    sentinel[mv:mv + 4] = b"\xff\xff\xff\xff"
+    got = parse_mp4_meta(bytes(sentinel))
+    assert got is not None and got["duration_ms"] is None
+
+
+def test_spark_kernels_skip_null_doc_id(spark):
+    """A NULL doc_id (outer-join artifact) must S4-skip, not crash
+    the kernel via int(NaN) — and must not coerce the batch's other
+    ids through float64 (review catch)."""
+    base = synthetic_mp4_corpus(
+        spark.range(2).withColumnRenamed("id", "doc_id")
+    ).select("doc_id", "blob")
+    one = base.limit(1).collect()[0]
+    media = spark.createDataFrame(
+        [(None, bytes(one["blob"]))], "doc_id long, blob binary"
+    ).unionByName(base)
+    meta_ids = {r["doc_id"] for r in mp4_meta(media).collect()}
+    assert meta_ids == {0, 1}
+    kf_ids = {r["doc_id"] for r in sample_mp4_keyframes(media).collect()}
+    assert kf_ids == {0, 1}

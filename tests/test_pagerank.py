@@ -452,3 +452,32 @@ def test_personalized_validation_and_alignment(spark):
     assert a.keys() == b.keys() == {"a", "b", "c"}
     for node in a:
         assert a[node] == pytest.approx(b[node], abs=1e-12)
+
+
+def test_personalization_rejects_non_finite_weights(spark):
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    for bad in (float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="finite"):
+            pagerank(g, personalization=spark.createDataFrame(
+                [("a", bad), ("b", 1.0)], "node string, weight double"
+            ))
+    # a NaN in the WARM-START vector silently repairs to 1/N (init
+    # affects convergence only, never the fixed point): the result
+    # is FINITE and converging toward the cold answer — the 2-cycle
+    # fixed point is exactly uniform, so the cold run starts there
+    # while the repaired-skewed start still contracts (0.85^k),
+    # hence the loose tolerance at 50 iterations
+    cold = _ranks(pagerank(g, max_iters=50, tol=1e-11))
+    poisoned = spark.createDataFrame(
+        [("a", float("nan")), ("b", 0.7)], "node string, rank double"
+    )
+    warm = _ranks(pagerank(g, max_iters=50, tol=1e-11,
+                           init_ranks=poisoned))
+    import math
+
+    for node in cold:
+        assert math.isfinite(warm[node])
+        assert warm[node] == pytest.approx(cold[node], abs=1e-4)
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
