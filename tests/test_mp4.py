@@ -766,3 +766,49 @@ def test_spark_kernels_skip_null_doc_id(spark):
     assert meta_ids == {0, 1}
     kf_ids = {r["doc_id"] for r in sample_mp4_keyframes(media).collect()}
     assert kf_ids == {0, 1}
+
+
+def test_hypothesis_mp4_roundtrip_and_range_exactness():
+    """Property: for ANY sample-size list and keyframe subset, the
+    encoder→parser round trip preserves counts and every resolved
+    byte range slices exactly its sample's payload."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 300), min_size=1, max_size=24),
+        spc=st.integers(1, 9),
+        co64=st.booleans(),
+        data=st.data(),
+    )
+    def prop(sizes, spc, co64, data):
+        samples = [
+            bytes([(i * 37 + 11) % 256]) * n
+            for i, n in enumerate(sizes)
+        ]
+        keyframes = sorted(
+            data.draw(
+                st.sets(
+                    st.integers(1, len(samples)),
+                    min_size=1,
+                    max_size=len(samples),
+                )
+            )
+        )
+        blob = encode_mp4(
+            [{"handler": "vide", "codec": "avc1", "width": 8,
+              "height": 6, "samples": samples,
+              "keyframes": keyframes, "samples_per_chunk": spc}],
+            co64=co64,
+        )
+        m = parse_mp4_meta(blob)
+        assert m["tracks"][0]["n_samples"] == len(samples)
+        assert m["tracks"][0]["n_keyframes"] == len(keyframes)
+        ranges = keyframe_byte_ranges(blob)
+        assert [r["sample_number"] for r in ranges] == keyframes
+        for r in ranges:
+            i = r["sample_number"] - 1
+            assert blob[r["offset"]:r["offset"] + r["size"]] == samples[i]
+
+    prop()

@@ -481,3 +481,43 @@ def test_personalization_rejects_non_finite_weights(spark):
         assert math.isfinite(warm[node])
         assert warm[node] == pytest.approx(cold[node], abs=1e-4)
     assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_warm_start_composes_with_personalization(spark):
+    """init_ranks and personalization TOGETHER: the fixed point is
+    the personalized one (teleport decides the answer, init only the
+    starting distance), and warm-starting from the previous
+    personalized vector reaches it in fewer iterations after a
+    delta."""
+    base = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "d"), ("e", "a"),
+        ("f", "b"), ("f", "c"), ("g", "a"), ("g", "f"),
+    ]
+    g1 = spark.createDataFrame(base, "src string, dst string")
+    g2 = spark.createDataFrame(
+        base + [("c", "e")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("a", 2.0), ("f", 1.0)], "node string, weight double"
+    )
+    ranks1 = pagerank(g1, max_iters=80, tol=1e-10,
+                      personalization=seeds)
+    cold_iters, warm_iters = [], []
+    cold = _ranks(pagerank(g2, max_iters=80, tol=1e-10,
+                           personalization=seeds,
+                           on_iteration=cold_iters.append))
+    warm = _ranks(pagerank(g2, max_iters=80, tol=1e-10,
+                           personalization=seeds, init_ranks=ranks1,
+                           on_iteration=warm_iters.append))
+    for node in cold:
+        assert warm[node] == pytest.approx(cold[node], abs=1e-9)
+    assert len(warm_iters) < len(cold_iters)
+    # warm-starting from the CLASSIC vector must still land on the
+    # PERSONALIZED fixed point (init cannot change the answer)
+    classic = pagerank(g2, max_iters=80, tol=1e-10)
+    crossed = _ranks(pagerank(g2, max_iters=120, tol=1e-10,
+                              personalization=seeds,
+                              init_ranks=classic))
+    for node in cold:
+        assert crossed[node] == pytest.approx(cold[node], abs=1e-8)
