@@ -679,6 +679,14 @@ def parse_mp4_meta(blob: bytes | None) -> dict | None:
                 _fold_fragments(
                     blob, top, counter, out, mvhd_ts, mehd_dur
                 )
+            except _Bomb:
+                # a resource-cap bomb (box-count / depth budget) is
+                # hostile structure, not mere corruption: refuse the
+                # whole blob, same as a bomb at top level. Without
+                # this re-raise the _Truncated handler below would
+                # swallow it (_Bomb subclasses _Truncated) and the
+                # blob would degrade to moov-only metadata.
+                raise
             except _Truncated:
                 # a corrupt FRAGMENT layer degrades to moov-only
                 # metadata (same spirit as the tolerant tail): the

@@ -313,27 +313,46 @@ def fold_crawl_batch(
     same sequence instead of hand-copying it.
 
     ``derived`` is ``crawl_index_writer``'s ``derived_tables`` shape:
-    ``(ParquetTable, transform_or_None)`` pairs, each committed from
-    the same changed-rows computation BEFORE the index commits (all
-    on ``batch_id``): a crash anywhere replays into an empty
-    ``changed`` only when the index committed, and index-committed
-    implies every derived merge committed earlier — so the empty
-    replay can never skip derived rows that were lost. Returns the
-    changed winner rows (for inspection)."""
+    ``(ParquetTable, transform_or_None)`` pairs — optionally
+    ``(ParquetTable, transform, survives)`` triples where
+    ``survives`` is a predicate over the CHANGED rows (a pyspark
+    ``Column`` or a SQL string — ``DataFrame.filter`` takes both)
+    declaring which inputs the transform keeps (the transform
+    must be row-preserving over survivors: each surviving input row
+    yields exactly one output row, non-survivors yield none). Each
+    is committed from the same changed-rows computation BEFORE the
+    index commits (all on ``batch_id``): a crash anywhere replays
+    into an empty ``changed`` only when the index committed, and
+    index-committed implies every derived merge committed earlier —
+    so the empty replay can never skip derived rows that were lost.
+    Returns the changed winner rows (for inspection)."""
     changed, merge_rows = _compute_changed(index, batch, url_col)
     if merge_rows.limit(1).count() == 0:
         return changed  # no-op batch: nothing commits
     if derived and changed.limit(1).count() > 0:
-        for table, tf in derived:
-            rows = tf(changed) if tf is not None else changed
+        for entry in derived:
+            table, tf = entry[0], entry[1]
+            survives = entry[2] if len(entry) > 2 else None
             # a transform may filter the batch to NOTHING: an empty
             # merge has null key bounds → no manifest prunes → every
             # live file rewrites for a no-op, AND the ledger records
             # the batch_id, making a replayed real fold skip (the
             # guard fold_edge_index documents — enforce it for EVERY
-            # derived table, probing the transform's own output)
-            if tf is not None and rows.limit(1).count() == 0:
-                continue
+            # derived table). With a survival predicate the probe
+            # runs over the CHECKPOINTED changed rows (cheap filter)
+            # instead of executing the transform kernel an extra
+            # time just to count (ADVICE r9).
+            if tf is None:
+                rows = changed
+            elif survives is not None:
+                src = changed.filter(survives)
+                if src.limit(1).count() == 0:
+                    continue
+                rows = tf(src)
+            else:
+                rows = tf(changed)
+                if rows.limit(1).count() == 0:
+                    continue
             table.merge_with_retry(
                 rows,
                 keys=["curl"],
@@ -373,7 +392,11 @@ def crawl_index_writer(
     their own sink keyed accordingly, outside this writer.
 
     ``derived_tables`` is the general form: a sequence of
-    ``(ParquetTable, transform)`` pairs all maintained from the same
+    ``(ParquetTable, transform)`` pairs — or ``(ParquetTable,
+    transform, survives)`` triples, where ``survives`` is a Column
+    predicate over the changed rows letting the empty-batch probe
+    skip executing the transform kernel (see
+    :func:`fold_crawl_batch`) — all maintained from the same
     changed-rows computation under the same one-row-per-curl
     contract — e.g. a feature table AND the link-graph edge table
     (:mod:`.edge_index`) from one stream. ``(pages_table,

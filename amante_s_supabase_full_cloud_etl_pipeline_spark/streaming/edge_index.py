@@ -53,6 +53,16 @@ from ..sources.table_format import ParquetTable
 #: the edge table's row — everything the centrality folds need
 EDGE_INDEX_COLS = ["curl", "doc_id", "dsts"]
 
+#: row-survival predicate of :func:`link_graph_transform` — the html
+#: kernel emits exactly one row per input row with non-null doc_id
+#: and curl, none otherwise. Passed as the third element of the
+#: ``derived_tables`` triple so :func:`.crawl_index.fold_crawl_batch`
+#: probes batch emptiness on the checkpointed changed rows instead of
+#: executing the kernel an extra time just to count (ADVICE r9).
+#: A SQL string, not an ``F.col`` Column — module import must not
+#: require an active SparkContext.
+EDGE_SURVIVES = "doc_id IS NOT NULL AND curl IS NOT NULL"
+
 
 def link_graph_transform(changed: DataFrame) -> DataFrame:
     """``derived_tables`` transform for
@@ -119,7 +129,7 @@ def fold_crawl_with_edges(
     non-streaming composition hook (``examples/incremental_crawl.py``
     drives it directly so each fold's effect is observable). This is
     exactly ``crawl_index_writer(derived_tables=((edges,
-    link_graph_transform),))``'s per-batch body —
+    link_graph_transform, EDGE_SURVIVES),))``'s per-batch body —
     :func:`.crawl_index.fold_crawl_batch`, the ONE implementation of
     the edges-before-seen-index commit order (a crash between the
     two commits replays into the same changed rows, the edge ledger
@@ -133,7 +143,7 @@ def fold_crawl_with_edges(
         pages,
         batch_id,
         url_col,
-        derived=((edges, link_graph_transform),),
+        derived=((edges, link_graph_transform, EDGE_SURVIVES),),
     )
 
 

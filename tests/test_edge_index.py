@@ -354,3 +354,53 @@ def test_writer_derived_path_skips_all_filtered_merge(spark, tmp_path):
         seen, pages2, batch_id=5, derived=((derived, keep_all),)
     )
     assert derived.read().count() == 1
+
+
+def test_survival_predicate_skips_transform(spark, tmp_path):
+    """ADVICE r9: a derived triple's survival predicate is probed on
+    the checkpointed changed rows — the transform kernel must NOT
+    execute when every row fails the predicate, and the batch_id
+    must stay live for a later real fold (the empty-merge guard),
+    exactly like the transform-output probe it replaces."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.crawl_index import (  # noqa: E501
+        fold_crawl_batch,
+    )
+
+    seen = ParquetTable(spark, str(tmp_path / "seen_s"))
+    derived = ParquetTable(spark, str(tmp_path / "derived_s"))
+    calls = []
+
+    def tf(changed):
+        calls.append(1)
+        return changed.select(
+            "curl", "doc_id", F.lit("z").alias("payload")
+        )
+
+    pages = spark.createDataFrame(
+        [(1, "http://a.example/p", "2026-01-01")],
+        "doc_id long, url string, fetched_at string",
+    )
+    # every changed row fails the predicate → transform never runs,
+    # nothing commits, the index itself still folds
+    fold_crawl_batch(
+        seen, pages, batch_id=7,
+        derived=((derived, tf, F.col("doc_id") < 0),),
+    )
+    assert seen.read().count() == 1
+    assert derived.files() == []
+    assert calls == []  # the kernel was never invoked
+    # a later REAL fold reusing the id commits — the ledger did not
+    # record the skipped batch
+    pages2 = spark.createDataFrame(
+        [(2, "http://b.example/q", "2026-01-02")],
+        "doc_id long, url string, fetched_at string",
+    )
+    fold_crawl_batch(
+        seen, pages2, batch_id=7,
+        derived=((derived, tf, F.col("doc_id") > 0),),
+    )
+    assert derived.read().count() == 1
+    assert calls == [1]  # invoked exactly once, on the surviving fold
+    # and the transform received ONLY survivors: the stored row is
+    # the surviving page
+    assert derived.read().collect()[0]["doc_id"] == 2

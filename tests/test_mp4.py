@@ -296,6 +296,30 @@ def test_bomb_guards():
     assert parse_mp4_meta(lying + _b(b"ftyp", b"isom" + b"\x00" * 8)) is None
 
 
+def test_bomb_inside_fragment_refuses_whole_blob():
+    """ADVICE r9: a resource-cap bomb INSIDE a moof must refuse the
+    whole blob (None), not degrade to moov-only metadata — _Bomb is
+    a _Truncated subclass, and the tolerant fragment-fold handler
+    used to swallow it. The same bomb at top level already refused;
+    the two placements must agree."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        _MAX_BOXES,
+    )
+
+    filler = (struct.pack(">I", 8) + b"free") * (_MAX_BOXES + 2)
+    ftyp = _b(b"ftyp", b"isom" + b"\x00" * 8)
+    moov = _b(b"moov", _fb(b"mvhd", 0, struct.pack(">IIII", 0, 0, 600, 600)
+                           + b"\x00" * 76))
+    # box-count bomb nested in a moof → whole blob refused
+    assert parse_mp4_meta(ftyp + moov + _b(b"moof", filler)) is None
+    # the same filler at TOP level also refuses (placement parity)
+    assert parse_mp4_meta(ftyp + moov + filler) is None
+    # and a moof-free file with the same moov still parses (sanity:
+    # the refusal above is the bomb, not the fixture)
+    ok = parse_mp4_meta(ftyp + moov)
+    assert ok is not None and ok["n_fragments"] == 0
+
+
 def test_decode_gate_is_loud():
     with pytest.raises(NotImplementedError, match="avc1"):
         decode_mp4_samples(b"xx", "avc1")
