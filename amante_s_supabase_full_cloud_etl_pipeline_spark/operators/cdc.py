@@ -225,6 +225,18 @@ def shared_chunk_pairs(
         .groupBy("chunk_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
     )
+    return pairs_from_posting(posting)
+
+
+def pairs_from_posting(posting: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, shared_chunks) from capped per-hash posting
+    lists ``(chunk_hash, docs array<long>)`` — the pair-explode tail
+    shared by batch :func:`shared_chunk_pairs` and the streaming
+    chunk-hash index's read path
+    (:func:`..streaming.chunk_index.stored_shared_chunk_pairs`), so
+    online and offline agree on the pair semantics by construction.
+    Caller guarantees the lists are already ubiquity-capped (the
+    explode is quadratic in list length)."""
     pairs = posting.select(
         F.explode(
             F.filter(

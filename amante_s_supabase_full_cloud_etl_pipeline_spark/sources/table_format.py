@@ -738,8 +738,10 @@ class ParquetTable:
             "batch_id": batch_id,
         }
         if maintenance:
-            # row-identical layout rewrite (compaction): the replay
-            # guard walks PAST these, and only these
+            # a commit carrying NO new data — compaction's row-
+            # identical layout rewrite, or rewrite()'s semantic-
+            # preserving re-aggregation: the replay guard walks PAST
+            # these, and only these
             manifest["maintenance"] = True
         if schema:
             manifest["schema"] = schema
@@ -764,8 +766,9 @@ class ParquetTable:
 
     def _already_applied(self, batch_id: int | None, parent: int) -> bool:
         """True when ``batch_id`` matches the most recent DATA commit
-        — commits MARKED as maintenance (compaction: row-identical
-        layout rewrites) are walked past, not just the immediate
+        — commits MARKED as maintenance (compaction's row-identical
+        layout rewrites, :meth:`rewrite`'s semantic-preserving
+        re-aggregations) are walked past, not just the immediate
         parent. foreachBatch only ever re-delivers the last batch,
         but a handler may compact between that batch's commit and the
         retry's check (or the retry itself compacts first); the guard
@@ -828,6 +831,39 @@ class ParquetTable:
         return self._commit(
             [self._write_manifest(self._stats_for_dir(rel))],
             batch_id, parent, schema=schema_json,
+        )
+
+    def rewrite(self, df: DataFrame) -> int:
+        """MAINTENANCE rewrite: replace the table contents with a
+        frame the CALLER derived from the current snapshot —
+        committed maintenance-marked, so the replay guard
+        (:meth:`_already_applied`) walks past it to the last DATA
+        batch_id exactly as it does for :meth:`compact`. Unlike
+        compact the ROWS may change; the caller asserts semantic
+        equivalence under the table's read path (the canonical use:
+        pre-aggregating redundant additive partial rows — e.g. the
+        streaming chunk-hash index's per-batch count partials — where
+        the summed row reads identically to the partials it folds).
+
+        Why this must NOT be :meth:`overwrite`: an overwrite is a
+        DATA commit (batch_id None) that STOPS the replay-guard walk,
+        so a foreachBatch retry arriving after the rewrite would
+        re-apply its batch — exactly-once breaks. Maintenance marking
+        keeps the last real batch_id visible through the rewrite.
+
+        Single-writer: derive ``df`` from ``current_version()`` with
+        no concurrent folds in flight — a racing commit loses to
+        O_EXCL (CommitConflict), but the conflict protects the
+        version chain, not the caller's derivation."""
+        parent = self.current_version()
+        df = prepare_for_load(df)
+        schema_json = json.dumps(
+            _evolve_schema(None, df.schema).jsonValue()
+        )
+        rel = self._write_data_dir(df)
+        return self._commit(
+            [self._write_manifest(self._stats_for_dir(rel))],
+            None, parent, schema=schema_json, maintenance=True,
         )
 
     def merge(

@@ -119,6 +119,31 @@ def test_replay_guard_sees_through_maintenance_commits(spark, table):
     assert table.read().count() == n + 3
 
 
+def test_rewrite_is_maintenance_and_preserves_ledger(spark, table):
+    """rewrite() replaces rows (here: pre-aggregating additive
+    partials) under a maintenance-marked commit — a retry landing
+    after the rewrite must still skip (the chunk-index count
+    compaction depends on this; an overwrite() here would stop the
+    guard's walk and double-apply the retried batch)."""
+    table.append(_df(spark, [(1, "a", 1), (1, "a", 2)]), batch_id=3)
+    from pyspark.sql import functions as F
+
+    folded = table.read().groupBy("k", "v").agg(
+        F.sum("ts").cast("int").alias("ts")
+    ).select("k", "v", "ts")
+    table.rewrite(folded)
+    assert table.manifest(table.current_version()).get("maintenance") is True
+    assert table.read().count() == 1
+    assert table.read().collect()[0]["ts"] == 3
+    v = table.current_version()
+    # retry of batch 3 after the rewrite: guard walks past it, skips
+    table.append(_df(spark, [(1, "a", 1), (1, "a", 2)]), batch_id=3)
+    assert table.current_version() == v
+    # a NEW batch still commits
+    table.append(_df(spark, [(2, "b", 5)]), batch_id=4)
+    assert table.read().count() == 2
+
+
 def test_concurrent_writer_conflict(spark, table):
     table.append(_df(spark, [(1, "a", 1)]))
     # a racing writer steals version 2
