@@ -82,36 +82,8 @@ def cdc_chunks(
             f"need 0 < min_size <= avg_size <= max_size, got "
             f"{min_size}/{avg_size}/{max_size}"
         )
-    mask_hard, mask_easy = _masks(avg_size)
-    n = len(data)
     out: list[dict] = []
-    start = 0
-    gear = _GEAR
-    while start < n:
-        remaining = n - start
-        if remaining <= min_size:
-            end = n
-        else:
-            limit = min(remaining, max_size)
-            normal = min(avg_size, limit)
-            fp = 0
-            i = min_size
-            end = None
-            while i < normal:
-                fp = ((fp << 1) + gear[data[start + i]]) & _MASK64
-                if not fp & mask_hard:
-                    end = start + i + 1
-                    break
-                i += 1
-            if end is None:
-                while i < limit:
-                    fp = ((fp << 1) + gear[data[start + i]]) & _MASK64
-                    if not fp & mask_easy:
-                        end = start + i + 1
-                        break
-                    i += 1
-            if end is None:
-                end = start + limit
+    for start, end in _chunk_spans(data, min_size, avg_size, max_size):
         chunk = data[start:end]
         out.append(
             {
@@ -122,8 +94,134 @@ def cdc_chunks(
                 ).hexdigest(),
             }
         )
-        start = end
     return out
+
+
+def _chunk_spans(
+    data: bytes,
+    min_size: int,
+    avg_size: int,
+    max_size: int,
+    use_numpy: bool | None = None,
+) -> list[tuple[int, int]]:
+    """Cut ``data`` into contiguous (start, end) spans. Two
+    bit-identical implementations (differential-tested against each
+    other in tests/test_cdc.py):
+
+    - scalar: the reference per-byte gear loop (always available);
+    - vectorized (default when numpy imports): precompute, in
+      ``T = mask_hard.bit_length()`` numpy shift-add passes over the
+      whole document, the POSITION-ONLY fingerprint ``FP[p] =
+      Σ_{k<T} gear[data[p-k]] << k  (mod 2^64)`` and the positions
+      where each mask clears. Why only T terms and no per-chunk
+      state: a term shifted by ``k`` touches only bits ≥ k, and both
+      masks live below bit T — so once a chunk's accumulation window
+      reaches T bytes, the scalar fingerprint's MASKED bits equal
+      ``FP[p]`` no matter where the chunk started. Each chunk then
+      costs a ≤T-byte scalar startup walk (the partial-window
+      prefix, where the scalar fp genuinely depends on the cut
+      history) plus two binary searches into the precomputed hit
+      arrays — per-document work drops from O(bytes) Python-level
+      iterations to O(T·bytes) SIMD ops + O(chunks · T) Python ones
+      (measured ~15× on 8 KiB-average chunking; SURVEY §2.10).
+
+    ``use_numpy``: None = auto (import-gated, and only for inputs
+    ≥ ``_VECTOR_MIN_BYTES`` — measured crossover: below ~2-4 KiB the
+    per-call numpy setup costs more than the scalar loop saves, and
+    auto must never REGRESS the short-document corpora the sf tables
+    model), True/False pin a path (tests). The vector path always
+    falls back to scalar for data shorter than one steady window."""
+    mask_hard, mask_easy = _masks(avg_size)
+    n = len(data)
+    steady = min_size + mask_hard.bit_length() - 1
+    np = None
+    if (
+        use_numpy is True
+        or (use_numpy is None and n >= _VECTOR_MIN_BYTES)
+    ) and n > steady:
+        try:
+            import numpy as _np
+
+            np = _np
+        except ImportError:
+            if use_numpy:
+                raise
+    hard_hits = easy_hits = None
+    if np is not None:
+        T = mask_hard.bit_length()
+        buf = np.frombuffer(data, dtype=np.uint8)
+        # prefix-doubling: S_{2h}[p] = S_h[p] + (S_h[p-h] << h) gives
+        # Σ_{k<H} gear[data[p-k]] << k in ⌈log2 T⌉ passes instead of
+        # T — the extra terms k ∈ [T, H) only touch bits ≥ T, above
+        # both masks, so masked bits stay exact. (The RHS expression
+        # materializes before +=, so the overlapping views are safe.)
+        fp_arr = _gear_np(np)[buf]
+        h = 1
+        while h < T:
+            fp_arr[h:] += fp_arr[: n - h] << np.uint64(h)
+            h *= 2
+        hard_hits = np.flatnonzero((fp_arr & np.uint64(mask_hard)) == 0)
+        easy_hits = np.flatnonzero((fp_arr & np.uint64(mask_easy)) == 0)
+    spans: list[tuple[int, int]] = []
+    gear = _GEAR
+    start = 0
+    while start < n:
+        remaining = n - start
+        if remaining <= min_size:
+            end = n
+        else:
+            limit = min(remaining, max_size)
+            normal = min(avg_size, limit)
+            fp = 0
+            i = min_size
+            end = None
+            # scalar startup: the partial-window prefix (and, with no
+            # numpy, the whole chunk — bound = limit)
+            hard_stop = min(normal, steady) if np is not None else normal
+            while i < hard_stop:
+                fp = ((fp << 1) + gear[data[start + i]]) & _MASK64
+                if not fp & mask_hard:
+                    end = start + i + 1
+                    break
+                i += 1
+            if end is None and np is not None and i < normal:
+                # steady hard region: first precomputed hard hit
+                j = int(np.searchsorted(hard_hits, start + i))
+                if j < len(hard_hits) and hard_hits[j] < start + normal:
+                    end = int(hard_hits[j]) + 1
+                else:
+                    i = normal
+            if end is None:
+                easy_stop = min(limit, steady) if np is not None else limit
+                while i < easy_stop:
+                    fp = ((fp << 1) + gear[data[start + i]]) & _MASK64
+                    if not fp & mask_easy:
+                        end = start + i + 1
+                        break
+                    i += 1
+            if end is None and np is not None and i < limit:
+                j = int(np.searchsorted(easy_hits, start + i))
+                if j < len(easy_hits) and easy_hits[j] < start + limit:
+                    end = int(easy_hits[j]) + 1
+            if end is None:
+                end = start + limit
+        spans.append((start, end))
+        start = end
+    return spans
+
+
+#: auto-mode size floor for the vectorized scan (see _chunk_spans)
+_VECTOR_MIN_BYTES = 4096
+
+_GEAR_NP = None
+
+
+def _gear_np(np):
+    """The gear table as a cached uint64 numpy array (vector path)."""
+    global _GEAR_NP
+    if _GEAR_NP is None:
+        _GEAR_NP = np.array(_GEAR, dtype=np.uint64)
+    return _GEAR_NP
 
 
 CDC_CHUNK_SCHEMA = StructType(
@@ -220,12 +318,26 @@ def shared_chunk_pairs(
         .filter((F.col("__n") > 1) & (F.col("__n") <= max_posting))
         .select("chunk_hash")
     )
-    posting = (
-        sized.join(eligible, "chunk_hash", "left_semi")
+    return pairs_from_posting(capped_posting_lists(sized, eligible))
+
+
+def capped_posting_lists(
+    rows: DataFrame, eligible: DataFrame
+) -> DataFrame:
+    """Sorted distinct-document posting lists ``(chunk_hash, docs
+    array<long>)`` for the eligible hashes only — the semi-join +
+    bounded ``collect_set`` shared by batch
+    :func:`shared_chunk_pairs` and the streaming index's read path
+    (review catch: the two used to spell it separately, so a change
+    to the list semantics could silently desynchronize them).
+    ``rows`` carries (chunk_hash, doc_id); ``eligible`` is the
+    already-ubiquity-capped hash set, so every aggregation buffer is
+    bounded by the cap."""
+    return (
+        rows.join(eligible, "chunk_hash", "left_semi")
         .groupBy("chunk_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
     )
-    return pairs_from_posting(posting)
 
 
 def pairs_from_posting(posting: DataFrame) -> DataFrame:

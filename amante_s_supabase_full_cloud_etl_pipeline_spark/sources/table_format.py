@@ -788,6 +788,14 @@ class ParquetTable:
             v -= 1
         return False
 
+    def applied(self, batch_id: int | None) -> bool:
+        """Public replay probe: has ``batch_id`` already committed as
+        this table's most recent data batch? Lets a multi-table fold
+        skip recomputing an already-applied micro-batch up front
+        (every write method still re-checks under its own commit, so
+        this is an optimization, never the correctness gate)."""
+        return self._already_applied(batch_id, self.current_version())
+
     def _evolved(self, parent: int, df: DataFrame):
         """(schema_json, StructType) after additively evolving the
         parent schema with the batch's. Legacy tables whose manifests

@@ -67,7 +67,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.cdc import chunk_documents, pairs_from_posting
+from ..operators.cdc import (
+    capped_posting_lists,
+    chunk_documents,
+    pairs_from_posting,
+)
 from ..sources.table_format import ParquetTable
 
 #: counts-table row: per-batch partial of the per-hash profile
@@ -94,15 +98,35 @@ def fold_chunk_index(
     the per-hash count partials to ``counts`` and the per-(hash, doc)
     posting rows to ``postings`` — both exactly-once under replay via
     ``batch_id`` (independent ledgers; a crash between the two
-    commits replays into one skip + one apply, converging — neither
-    table's rows derive from the other's state, so commit order is
-    not load-bearing). An empty batch commits nothing (no ledger
-    entry burned, no empty files). Returns the batch's count partials
-    for inspection.
+    commits replays into one skip + one apply, converging). An empty
+    batch commits nothing (no ledger entry burned, no empty files).
+    Returns the batch's count partials for inspection — EMPTY when
+    both ledgers already carry the batch (a fully-applied replay
+    skips the chunking kernel outright; review catch).
+
+    COMMIT ORDER IS LOAD-BEARING FOR READERS (review catch): counts
+    commit FIRST, postings second, and the read path pins postings
+    before counts — so a reader concurrent with a fold (or during a
+    crash window between the commits) always sees a counts snapshot
+    covering at least the postings snapshot's batches. The stale
+    direction is then conservative: the ubiquity filter judges a
+    hash on counts at-least-as-new as the posting rows it admits, so
+    a hash that a new batch blows past the cap can never pull its
+    exploded posting list through a stale eligibility verdict. The
+    reverse order would let exactly that happen — the quadratic
+    blowup the cap exists to prevent.
 
     The chunker params must stay FIXED across a table's lifetime
     (they define what a chunk is); the dedup knobs — cap, tail
     filter — belong to the READ calls instead."""
+    if (
+        batch_id is not None
+        and counts.applied(batch_id)
+        and postings.applied(batch_id)
+    ):
+        return chunk_documents(
+            batch.limit(0), text_col, id_col, min_size, avg_size, max_size
+        )
     chunks = chunk_documents(
         batch, text_col, id_col, min_size, avg_size, max_size
     )
@@ -123,8 +147,8 @@ def fold_chunk_index(
             F.max("length").alias("chunk_bytes"),
             F.count(F.lit(1)).alias("n_occ"),
         )
-        postings.append(post.select(*POSTINGS_COLS), batch_id=batch_id)
         counts.append(partial.select(*COUNTS_COLS), batch_id=batch_id)
+        postings.append(post.select(*POSTINGS_COLS), batch_id=batch_id)
         return partial
     finally:
         chunks.unpersist()
@@ -182,9 +206,19 @@ def stored_shared_chunk_pairs(
     counts (2 ≤ n_docs ≤ ``max_posting``), then only the surviving
     hashes' posting rows build lists — aggregation buffers stay ≤
     cap elements exactly as in the batch operator, no matter how
-    boilerplate-heavy the corpus grew. The pair explode is the batch
-    operator's own tail (:func:`..operators.cdc.pairs_from_posting`),
-    so online and offline pair semantics agree by construction."""
+    boilerplate-heavy the corpus grew. The list build and pair
+    explode are the batch operator's own
+    (:func:`..operators.cdc.capped_posting_lists` /
+    :func:`~..operators.cdc.pairs_from_posting`), so online and
+    offline pair semantics agree by construction.
+
+    Snapshot order (review catch, the fold docstring's mirror):
+    postings pin FIRST, counts second — with the fold committing
+    counts first, the counts snapshot always covers the postings
+    snapshot's batches, so the eligibility verdict is never staler
+    than the posting rows it admits and every buffer honors the cap
+    even mid-fold or in a crash window."""
+    post_rows = postings.read().select("chunk_hash", "doc_id")
     eligible = (
         stored_chunk_counts(counts)
         .filter(
@@ -194,13 +228,7 @@ def stored_shared_chunk_pairs(
         )
         .select("chunk_hash")
     )
-    posting = (
-        postings.read()
-        .join(eligible, "chunk_hash", "left_semi")
-        .groupBy("chunk_hash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
-    )
-    return pairs_from_posting(posting)
+    return pairs_from_posting(capped_posting_lists(post_rows, eligible))
 
 
 def compact_chunk_counts(counts: ParquetTable) -> int:

@@ -186,6 +186,46 @@ def test_posting_cap_bounds_pair_explosion(spark):
     assert got.select("doc_id").distinct().count() == 40
 
 
+def test_vectorized_spans_equal_scalar():
+    """The numpy prefix-doubling cut scan must be BIT-IDENTICAL to
+    the per-byte reference loop — hypothesis over random bytes and
+    size triples, plus fixed low-entropy/repetitive cases (where the
+    gear sum's masked bits are least random) and boundary sizes
+    around one steady window."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cdc import (  # noqa: E501
+        _chunk_spans,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=20_000),
+        mn=st.integers(8, 256),
+        factor=st.integers(1, 8),
+        cap=st.integers(1, 8),
+    )
+    def prop(data, mn, factor, cap):
+        avg = mn * factor
+        mx = avg * cap
+        assert _chunk_spans(data, mn, avg, mx, use_numpy=False) == (
+            _chunk_spans(data, mn, avg, mx, use_numpy=True)
+        )
+
+    prop()
+    text = b"the quick brown fox jumps over the lazy dog. " * 3000
+    for params in [(64, 256, 2048), (2048, 8192, 65536)]:
+        assert _chunk_spans(text, *params, use_numpy=False) == (
+            _chunk_spans(text, *params, use_numpy=True)
+        )
+    for n in (0, 1, 63, 64, 65, 90, 91, 92, 200):
+        blob = bytes(range(256))[:n] if n <= 256 else b""
+        assert _chunk_spans(blob, 64, 64, 64, use_numpy=False) == (
+            _chunk_spans(blob, 64, 64, 64, use_numpy=True)
+        )
+
+
 def test_hypothesis_cdc_invariants():
     """Property: for ANY bytes and ANY valid size triple, chunks
     cover the input exactly, respect the bounds, and are

@@ -193,6 +193,92 @@ def test_count_compaction_preserves_reads_and_ledger(
     )
 
 
+def test_replay_skips_kernel_and_crash_window_is_cap_safe(
+    spark, tmp_path
+):
+    """Self-review catches, pinned: (a) a FULLY-applied replay
+    returns an empty frame without re-running the chunking kernel or
+    touching either table; (b) commit order is counts-first with the
+    postings-first read pin, so in the crash window (counts carries
+    a batch postings lacks) the eligibility verdict is the NEWER
+    counts — a hash blown past the cap by the half-committed batch
+    is excluded even though its posting rows are stale — and the
+    replay heals the window back to batch equality."""
+    boiler = " ".join(f"boilerplate sentence number {i}." for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, boiler + f" unique tail of document {i} " * 8) for i in range(6)],
+        "doc_id long, text string",
+    )
+    counts = ParquetTable(spark, str(tmp_path / "xc"))
+    postings = ParquetTable(spark, str(tmp_path / "xp"))
+    fold_chunk_index(counts, postings, docs.filter("doc_id < 3"), batch_id=0)
+
+    # (a) fully-applied replay: no new versions, empty return
+    vc, vp = counts.current_version(), postings.current_version()
+    out = fold_chunk_index(
+        counts, postings, docs.filter("doc_id < 3"), batch_id=0
+    )
+    assert out.count() == 0
+    assert counts.current_version() == vc
+    assert postings.current_version() == vp
+
+    # (b) simulate the crash window: batch 1 commits counts, then
+    # dies before the postings append (the fold's commit order)
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cdc import (  # noqa: E501
+        chunk_documents as _cd,
+    )
+
+    batch1 = docs.filter("doc_id >= 3")
+    ch = _cd(batch1)
+    partial = ch.groupBy("chunk_hash").agg(
+        F.max("length").alias("chunk_bytes"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    counts.append(
+        partial.select("chunk_hash", "chunk_bytes", "n_docs",
+                       "n_occurrences"),
+        batch_id=1,
+    )
+    # with all 6 docs counted, the boilerplate hashes exceed cap=4:
+    # the stale postings (3 docs) must NOT pair through them
+    window_pairs = _pairs_set(
+        stored_shared_chunk_pairs(counts, postings, max_posting=4)
+    )
+    shared_all = stored_chunk_counts(counts).filter("n_docs > 4")
+    assert shared_all.count() > 0  # the blown-cap hashes exist
+    blown = {r["chunk_hash"] for r in shared_all.collect()}
+    admitted = {
+        r["chunk_hash"]
+        for r in stored_chunk_counts(counts)
+        .filter((F.col("n_docs") > 1) & (F.col("n_docs") <= 4))
+        .collect()
+    }
+    assert not blown & admitted  # newer counts judged, not stale ones
+    # the window read is exactly: stale (batch-0) posting rows under
+    # the NEW eligibility — i.e. batch pairs over batch-0 docs with
+    # the hashes the full-corpus counts blew past the cap removed
+    b0_chunks = chunk_documents(docs.filter("doc_id < 3"))
+    survived = _pairs_set(
+        shared_chunk_pairs(
+            b0_chunks.join(
+                shared_all.select("chunk_hash"), "chunk_hash",
+                "left_anti",
+            ),
+            4,
+        )
+    )
+    assert window_pairs == survived
+    # the replay heals: counts ledger skips, postings applies
+    fold_chunk_index(counts, postings, batch1, batch_id=1)
+    want_stats, want_pairs = _batch_views(docs, max_posting=4)
+    assert _stats_set(stored_chunk_dedup_stats(counts)) == want_stats
+    assert (
+        _pairs_set(stored_shared_chunk_pairs(counts, postings, 4))
+        == want_pairs
+    )
+
+
 def test_empty_and_null_batches_commit_nothing(spark, tmp_path):
     counts = ParquetTable(spark, str(tmp_path / "ec"))
     postings = ParquetTable(spark, str(tmp_path / "ep"))
