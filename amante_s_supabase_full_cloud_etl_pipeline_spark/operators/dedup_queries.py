@@ -22,6 +22,7 @@ from ..registry import (  # noqa: F401
     golden_table,
     register,
 )
+from .cdc import chunk_dedup_stats, chunk_documents
 from .components import connected_components, dup_group_stats, keep_group_canonical
 from .dedup import drop_exact_dups, jaccard_pairs, minhash_candidates, simhash_near_pairs
 from .similarity import embedding_near_dup_pairs
@@ -78,9 +79,39 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_chunk_stats_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cdc leg of ``exact_dedup_panel`` (VERDICT r9 #2): the
+    FastCDC duplication profile (``operators/cdc.py
+    chunk_dedup_stats`` over ``chunk_documents``) reshaped onto the
+    panel's labeled-union columns — ``key`` packs the hex chunk hash
+    with the distinct-document count and chunk byte size
+    (``hash:n_docs:chunk_bytes``), ``n`` is the occurrence count and
+    ``canonical_id`` carries ``duplicate_bytes`` (column reuse, the
+    ``dedup_pair_methods`` precedent — int counts + hex hashes,
+    exactly hashable). Golden leg: DuckDB cannot run the gear
+    chunker."""
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    stats = chunk_dedup_stats(chunk_documents(docs))
+    return stats.select(
+        F.concat_ws(
+            ":",
+            "chunk_hash",
+            F.col("n_docs").cast("string"),
+            F.col("chunk_bytes").cast("string"),
+        ).alias("key"),
+        F.col("n_occurrences").alias("n"),
+        F.col("duplicate_bytes").alias("canonical_id"),
+    ).orderBy("key")
+
+
+golden_table("cdc_chunk_stats_leg", cdc_chunk_stats_leg)
+
+
 @register(
     "exact_dedup_panel",
-    oracle="""
+    oracle=f"""
     WITH fp AS (
         SELECT doc_id, lang,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
@@ -96,18 +127,26 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fp JOIN (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f) canon
           ON fp.f = canon.f AND fp.doc_id = canon.m
         GROUP BY lang
+        UNION ALL
+        SELECT 'cdc' AS leg, key, n, canonical_id
+        FROM read_parquet('{GOLDEN_DIR}/cdc_chunk_stats_leg.parquet')
     ) ORDER BY leg, key
     """,
+    golden_sf=DRIVER_SF,
 )
 def exact_dedup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup family as one labeled union (round-7 slot
-    consolidation, precedent dedup_pair_methods): the 'fingerprint'
-    leg is the md5-of-normalized-text grouping (formerly the
-    text_fingerprint_dedup row), the 'survivors' leg the per-lang
-    count after keep-min-id dedup (formerly dedup_exact_survivors;
-    canonical_id is a -1 sentinel there — doc ids are non-negative,
-    and a NULL numeric is a driver hash hazard the oracle harness
-    rejects). Both legs stay fully live-SQL-oracled."""
+    """Exact/sub-document dedup family as one labeled union (round-7
+    slot consolidation + r10 cdc leg, precedent dedup_pair_methods):
+    the 'fingerprint' leg is the md5-of-normalized-text grouping
+    (formerly the text_fingerprint_dedup row), the 'survivors' leg
+    the per-lang count after keep-min-id dedup (formerly
+    dedup_exact_survivors; canonical_id is a -1 sentinel there — doc
+    ids are non-negative, and a NULL numeric is a driver hash hazard
+    the oracle harness rejects), and the 'cdc' leg the FastCDC
+    sub-document duplication profile (golden —
+    :func:`cdc_chunk_stats_leg` documents its column mapping). The
+    first two legs stay fully live-SQL-oracled at any sf; the cdc
+    golden pins the gear chunker's exact values at the driver SF."""
     from .text_queries import text_fingerprint_dedup
 
     fp = text_fingerprint_dedup(spark, sf_dir).select(
@@ -122,7 +161,10 @@ def exact_dedup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n"),
         F.lit(-1).cast("long").alias("canonical_id"),
     )
-    return fp.unionByName(surv).orderBy("leg", "key")
+    cdc = cdc_chunk_stats_leg(spark, sf_dir).select(
+        F.lit("cdc").alias("leg"), "key", "n", "canonical_id"
+    )
+    return fp.unionByName(surv).unionByName(cdc).orderBy("leg", "key")
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..registry import DRIVER_SF, golden_oracle, register
+from ..registry import (
+    DRIVER_SF,
+    GOLDEN_DIR,
+    golden_oracle,
+    golden_table,
+    register,
+)
+from .mp4 import mp4_meta, synthetic_mp4_corpus
 from .multimodal import (
     attach_media_meta,
     decode_image_features,
@@ -24,33 +31,93 @@ from .multimodal import (
 )
 
 
+#: corpus bound for the mp4 leg — below every scale factor's doc
+#: count, so the synthetic fixture set (and the golden) is identical
+#: at sf0.001/0.01/0.1 (the image-decode row's doc_id < 500 pattern)
+_MP4_LEG_DOCS = 120
+
+
+def mp4_track_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mp4 leg of ``multimodal_media_meta`` (VERDICT r9 #2): the
+    full §8.8-aware container walk (``operators/mp4.py mp4_meta``)
+    over the deterministic synthetic corpus — progressive AND
+    fragmented shapes, co64 / v1-mvhd / audio-track variants all
+    cycling by doc_id. Every field the parser emits is pinned:
+    the identity/shape fields pack into one ``key`` string
+    (null → ``-`` sentinel), the three count fields ride the
+    labeled-union numeric columns (n = n_samples, v1 = n_keyframes,
+    v2 = track_duration_ms; -1 for null — a NULL numeric is a
+    driver hash hazard)."""
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MP4_LEG_DOCS)
+        .select("doc_id")
+    )
+    meta = mp4_meta(synthetic_mp4_corpus(docs).select("doc_id", "blob"))
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    return meta.select(
+        F.concat_ws(
+            "|",
+            s("doc_id"), s("track_idx"), s("brand"), s("handler"),
+            s("codec"), s("width"), s("height"), s("track_id"),
+            s("n_tracks"), s("n_fragments"), s("movie_duration_ms"),
+        ).alias("key"),
+        F.coalesce(F.col("n_samples"), F.lit(-1)).alias("n"),
+        F.coalesce(F.col("n_keyframes"), F.lit(-1)).alias("v1"),
+        F.coalesce(F.col("track_duration_ms"), F.lit(-1)).alias("v2"),
+    ).orderBy("key")
+
+
+golden_table("mp4_track_meta", mp4_track_meta_leg)
+
+
 @register(
     "multimodal_media_meta",
-    oracle="""
-    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-                WHEN doc_id % 3 = 1 THEN 'audio/wav'
-                ELSE 'video/mp4' END AS media_type,
-           COUNT(*) AS n_blobs,
-           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
-           COUNT(DISTINCT md5(text)) AS distinct_contents
-    FROM documents
-    GROUP BY 1 ORDER BY media_type
+    oracle=f"""
+    SELECT * FROM (
+        SELECT 'blob_meta' AS leg,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS key,
+               COUNT(*) AS n,
+               CAST(SUM(strlen(text)) AS BIGINT) AS v1,
+               COUNT(DISTINCT md5(text)) AS v2
+        FROM documents GROUP BY 2
+        UNION ALL
+        SELECT 'mp4_track' AS leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/mp4_track_meta.parquet')
+    ) ORDER BY leg, key
     """,
+    golden_sf=DRIVER_SF,
 )
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary metadata extraction (length/md5/typed columns) —
-    no decode, pure JVM expressions over blobs."""
+    """Multimodal metadata family as one labeled union (r10
+    consolidation keeping the registry at 50 slots — VERDICT r9 #2;
+    precedent ``dedup_pair_methods``): the 'blob_meta' leg is the
+    opaque-binary metadata extraction (length/md5/typed columns — no
+    decode, pure JVM expressions; live SQL oracle at any sf), the
+    'mp4_track' leg the per-track ISO-BMFF container walk over the
+    synthetic fixture corpus (progressive + fragmented §8.8 shapes;
+    golden leg — DuckDB cannot parse MP4). Column meaning is
+    leg-dependent, documented on :func:`mp4_track_meta_leg`."""
     docs = catalog.table(spark, sf_dir, "documents")
     media = attach_media_meta(documents_as_media(docs))
-    return (
-        media.groupBy(F.col("media_meta.media_type").alias("media_type"))
+    blob = (
+        media.groupBy(F.col("media_meta.media_type").alias("key"))
         .agg(
-            F.count(F.lit(1)).alias("n_blobs"),
-            F.sum("media_meta.byte_length").alias("total_bytes"),
-            F.countDistinct("media_meta.content_md5").alias("distinct_contents"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("media_meta.byte_length").alias("v1"),
+            F.countDistinct("media_meta.content_md5").alias("v2"),
         )
-        .orderBy("media_type")
+        .select(F.lit("blob_meta").alias("leg"), "key", "n", "v1", "v2")
     )
+    mp4 = mp4_track_meta_leg(spark, sf_dir).select(
+        F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
+    )
+    return blob.unionByName(mp4).orderBy("leg", "key")
 
 
 @register(
