@@ -306,6 +306,69 @@ def _init_vector(
         warm.unpersist()
 
 
+def _iteration_body(weighted, nodes_p, dangling_nodes, alpha, ranks):
+    """ONE rank update, un-checkpointed: equi-join of the rank
+    vector onto the degree-weighted edges + hash agg by dst, the
+    dangling mass as a ONE-ROW agg (semi-join against the static
+    checkpointed set) ridden in as a broadcast scalar crossJoin
+    instead of a driver collect — the iteration is then a SINGLE job
+    (the eager checkpoint), not a scalar job + a checkpoint job; at
+    bench scale the per-iteration wall is job-launch dominated, so
+    halving the job count halves the iteration. Teleport and
+    dangling redistribution both land on the static __p column
+    (uniform 1/N, or the personalization seeds) — for uniform p this
+    is exactly the classic (1-alpha)/N + alpha·dm/N within one ulp."""
+    contribs = (
+        weighted.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("__in"))
+    )
+    dangling = F.broadcast(
+        ranks.join(dangling_nodes, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+    )
+    return (
+        nodes_p.join(contribs, "node", "left")
+        .crossJoin(dangling)
+        .select(
+            "node",
+            (
+                (F.lit(1.0 - alpha) + F.lit(alpha) * F.col("__dm"))
+                * F.col("__p")
+                + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    )
+
+
+def pagerank_iteration_plan(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The per-iteration rank-update frame over ``edges``, returned
+    UN-EXECUTED for plan inspection (``tools/dump_plans.py``): the
+    timed bench path (:func:`pagerank`) is a driver loop whose
+    eager checkpoints truncate every iteration's lineage, so a plain
+    ``explain`` of its RESULT shows only the final vector scan —
+    this exposes the actual steady-state iteration body instead. The
+    body is the very :func:`_iteration_body` the loop runs; only the
+    input vector here is the init vector rather than a checkpointed
+    previous iteration (same shape: a (node, rank) leaf)."""
+    nodes, e = _graph(edges, src_col, dst_col)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    weighted = e.join(out_deg, "src")
+    n = nodes.count()
+    nodes_p = _teleport_vector(nodes, n, None)
+    dangling_nodes = nodes.join(
+        out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    return _iteration_body(weighted, nodes_p, dangling_nodes, alpha, ranks)
+
+
 def _iterate(
     weighted,
     nodes_p,
@@ -327,41 +390,9 @@ def _iterate(
     # Lloyd's loop sidesteps it with driver-side centroid literals,
     # but a rank VECTOR must stay distributed)
     for _it in range(max_iters):
-        contrib_edges = weighted.join(
-            ranks.withColumnRenamed("node", "src"), "src"
-        )
-        contribs = contrib_edges.groupBy(
-            F.col("dst").alias("node")
-        ).agg(F.sum(F.col("rank") / F.col("out_deg")).alias("__in"))
-        # dangling mass: rank held by nodes with no out-links — a
-        # ONE-ROW agg (semi-join against the static checkpointed set)
-        # ridden in as a broadcast scalar crossJoin instead of a
-        # driver collect: the iteration is then a SINGLE job (the
-        # eager checkpoint), not a scalar job + a checkpoint job —
-        # at bench scale the per-iteration wall is job-launch
-        # dominated, so halving the job count halves the iteration
-        dangling = F.broadcast(
-            ranks.join(dangling_nodes, "node", "left_semi").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
-            )
-        )
-        # teleport and dangling redistribution both land on the
-        # static __p column (uniform 1/N, or the personalization
-        # seeds) — for uniform p this is exactly the classic
-        # (1-alpha)/N + alpha·dm/N within one ulp
-        new_ranks = (
-            nodes_p.join(contribs, "node", "left")
-            .crossJoin(dangling)
-            .select(
-                "node",
-                (
-                    (F.lit(1.0 - alpha) + F.lit(alpha) * F.col("__dm"))
-                    * F.col("__p")
-                    + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new_ranks = _iteration_body(
+            weighted, nodes_p, dangling_nodes, alpha, ranks
+        ).localCheckpoint(eager=True)
         if tol > 0:  # delta job is pure cost when it can't fire
             delta = (
                 new_ranks.withColumnRenamed("rank", "__new")

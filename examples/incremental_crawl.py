@@ -223,16 +223,34 @@ def main() -> None:
         [(f"http://h0.example/p/{i}", 1.0) for i in range(5)],
         "node string, weight double",
     )
-    pranks = {
-        r["node"]: r["rank"]
-        for r in pagerank(
-            stored_link_edges(edges), max_iters=40, personalization=seeds
-        ).collect()
-    }
+    prank_df = pagerank(
+        stored_link_edges(edges), max_iters=40, personalization=seeds
+    )
+    pranks = {r["node"]: r["rank"] for r in prank_df.collect()}
     assert pranks["http://h0.example/hub"] > pranks["http://h1.example/hub"]
     top_p = sorted(pranks, key=pranks.get, reverse=True)[:2]
     print(f"seeded rank: teleport on h0 pages → top {top_p}")
     assert all(n.startswith("http://h0.example/") for n in top_p)
+
+    # ── ...and the personalized rank AS the frontier priority (the
+    # Haveliwala crawl-frontier form the operator docstring cites):
+    # the next generation's governed worklist fetches in order of
+    # proximity to the trusted seeds — every h0 page precedes every
+    # h1/h2 page, because off-seed-component mass is exactly zero ──
+    queue = (
+        govern(_discover(spark, "v2"))
+        .join(prank_df.withColumnRenamed("node", "curl"), "curl", "left")
+        .select(
+            "curl", F.coalesce("rank", F.lit(0.0)).alias("priority")
+        )
+        .orderBy(F.desc("priority"), "curl")
+    )
+    ordered = [r["curl"] for r in queue.collect()]
+    n_h0 = sum(1 for c in ordered if c.startswith("http://h0."))
+    assert n_h0 > 0
+    assert all(c.startswith("http://h0.") for c in ordered[:n_h0])
+    print(f"frontier:    seeded priority puts all {n_h0} h0 URLs ahead "
+          f"of {len(ordered) - n_h0} off-topic URLs")
     spark.stop()
 
 
