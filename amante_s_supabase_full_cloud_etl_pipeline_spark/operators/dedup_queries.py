@@ -109,15 +109,17 @@ def cdc_chunk_stats_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 golden_table("cdc_chunk_stats_leg", cdc_chunk_stats_leg)
 
 
-@register(
-    "exact_dedup_panel",
-    oracle=f"""
-    WITH fp AS (
+#: the panel's LIVE arms, shared between the registered (golden-
+#: pinned, sf0.01-checked) oracle and the any-SF live-leg compare in
+#: tests/test_consolidated_live_legs.py — golden_sf pins the WHOLE
+#: row's check to the driver SF, so the live legs keep their own
+#: any-SF differential there (review catch)
+PANEL_FP_CTE = """fp AS (
         SELECT doc_id, lang,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
         FROM documents
-    )
-    SELECT * FROM (
+    )"""
+PANEL_LIVE_ARMS = """
         SELECT 'fingerprint' AS leg, f AS key,
                COUNT(*) AS n, MIN(doc_id) AS canonical_id
         FROM fp GROUP BY f
@@ -127,6 +129,36 @@ golden_table("cdc_chunk_stats_leg", cdc_chunk_stats_leg)
         FROM fp JOIN (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f) canon
           ON fp.f = canon.f AND fp.doc_id = canon.m
         GROUP BY lang
+"""
+
+
+def panel_live_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fingerprint + survivors legs (live-SQL-oracled at ANY sf —
+    the pre-r10 coverage, kept via
+    tests/test_consolidated_live_legs.py)."""
+    from .text_queries import text_fingerprint_dedup
+
+    fp = text_fingerprint_dedup(spark, sf_dir).select(
+        F.lit("fingerprint").alias("leg"),
+        F.col("fp").alias("key"),
+        F.col("n_copies").alias("n"),
+        "canonical_id",
+    )
+    surv = dedup_exact_survivors(spark, sf_dir).select(
+        F.lit("survivors").alias("leg"),
+        F.col("lang").alias("key"),
+        F.col("n_docs").alias("n"),
+        F.lit(-1).cast("long").alias("canonical_id"),
+    )
+    return fp.unionByName(surv)
+
+
+@register(
+    "exact_dedup_panel",
+    oracle=f"""
+    WITH {PANEL_FP_CTE}
+    SELECT * FROM (
+        {PANEL_LIVE_ARMS}
         UNION ALL
         SELECT 'cdc' AS leg, key, n, canonical_id
         FROM read_parquet('{GOLDEN_DIR}/cdc_chunk_stats_leg.parquet')
@@ -145,26 +177,18 @@ def exact_dedup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle harness rejects), and the 'cdc' leg the FastCDC
     sub-document duplication profile (golden —
     :func:`cdc_chunk_stats_leg` documents its column mapping). The
-    first two legs stay fully live-SQL-oracled at any sf; the cdc
-    golden pins the gear chunker's exact values at the driver SF."""
-    from .text_queries import text_fingerprint_dedup
-
-    fp = text_fingerprint_dedup(spark, sf_dir).select(
-        F.lit("fingerprint").alias("leg"),
-        F.col("fp").alias("key"),
-        F.col("n_copies").alias("n"),
-        "canonical_id",
-    )
-    surv = dedup_exact_survivors(spark, sf_dir).select(
-        F.lit("survivors").alias("leg"),
-        F.col("lang").alias("key"),
-        F.col("n_docs").alias("n"),
-        F.lit(-1).cast("long").alias("canonical_id"),
-    )
+    first two legs keep their own any-SF live-SQL differential
+    (tests/test_consolidated_live_legs.py — golden_sf pins THIS
+    row's check to the driver SF); the cdc golden pins the gear
+    chunker's exact values there."""
     cdc = cdc_chunk_stats_leg(spark, sf_dir).select(
         F.lit("cdc").alias("leg"), "key", "n", "canonical_id"
     )
-    return fp.unionByName(surv).unionByName(cdc).orderBy("leg", "key")
+    return (
+        panel_live_legs(spark, sf_dir)
+        .unionByName(cdc)
+        .orderBy("leg", "key")
+    )
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,10 +74,11 @@ def mp4_track_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 golden_table("mp4_track_meta", mp4_track_meta_leg)
 
 
-@register(
-    "multimodal_media_meta",
-    oracle=f"""
-    SELECT * FROM (
+#: the live arm's SQL, shared between the registered (golden-pinned)
+#: oracle and the any-SF live-leg compare in
+#: tests/test_consolidated_live_legs.py (review catch: golden_sf pins
+#: the whole row's check to the driver SF)
+BLOB_META_SQL = """
         SELECT 'blob_meta' AS leg,
                CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
@@ -86,6 +87,31 @@ golden_table("mp4_track_meta", mp4_track_meta_leg)
                CAST(SUM(strlen(text)) AS BIGINT) AS v1,
                COUNT(DISTINCT md5(text)) AS v2
         FROM documents GROUP BY 2
+"""
+
+
+def blob_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opaque-binary metadata leg (live-SQL-oracled at ANY sf —
+    the pre-r10 coverage, kept via
+    tests/test_consolidated_live_legs.py)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    media = attach_media_meta(documents_as_media(docs))
+    return (
+        media.groupBy(F.col("media_meta.media_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("media_meta.byte_length").alias("v1"),
+            F.countDistinct("media_meta.content_md5").alias("v2"),
+        )
+        .select(F.lit("blob_meta").alias("leg"), "key", "n", "v1", "v2")
+    )
+
+
+@register(
+    "multimodal_media_meta",
+    oracle=f"""
+    SELECT * FROM (
+        {BLOB_META_SQL}
         UNION ALL
         SELECT 'mp4_track' AS leg, key, n, v1, v2
         FROM read_parquet('{GOLDEN_DIR}/mp4_track_meta.parquet')
@@ -102,22 +128,17 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     'mp4_track' leg the per-track ISO-BMFF container walk over the
     synthetic fixture corpus (progressive + fragmented §8.8 shapes;
     golden leg — DuckDB cannot parse MP4). Column meaning is
-    leg-dependent, documented on :func:`mp4_track_meta_leg`."""
-    docs = catalog.table(spark, sf_dir, "documents")
-    media = attach_media_meta(documents_as_media(docs))
-    blob = (
-        media.groupBy(F.col("media_meta.media_type").alias("key"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("media_meta.byte_length").alias("v1"),
-            F.countDistinct("media_meta.content_md5").alias("v2"),
-        )
-        .select(F.lit("blob_meta").alias("leg"), "key", "n", "v1", "v2")
-    )
+    leg-dependent, documented on :func:`mp4_track_meta_leg`. The
+    blob leg keeps its own any-SF live differential in
+    tests/test_consolidated_live_legs.py."""
     mp4 = mp4_track_meta_leg(spark, sf_dir).select(
         F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
     )
-    return blob.unionByName(mp4).orderBy("leg", "key")
+    return (
+        blob_meta_leg(spark, sf_dir)
+        .unionByName(mp4)
+        .orderBy("leg", "key")
+    )
 
 
 @register(

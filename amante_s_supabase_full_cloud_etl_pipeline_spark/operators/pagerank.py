@@ -354,18 +354,28 @@ def pagerank_iteration_plan(
     eager checkpoints truncate every iteration's lineage, so a plain
     ``explain`` of its RESULT shows only the final vector scan —
     this exposes the actual steady-state iteration body instead. The
-    body is the very :func:`_iteration_body` the loop runs; only the
-    input vector here is the init vector rather than a checkpointed
-    previous iteration (same shape: a (node, rank) leaf)."""
+    inputs are staged exactly as the loop stages them (review catch:
+    an un-staged dump recorded phantom subtrees the loop never
+    executes): ``weighted`` persisted and materialized
+    (InMemoryRelation), ``nodes_p`` / ``dangling_nodes`` / the rank
+    vector checkpointed leaves. The persisted/checkpointed inputs are
+    deliberately NOT released — the returned frame references them;
+    plan-dump processes are short-lived."""
     nodes, e = _graph(edges, src_col, dst_col)
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     weighted = e.join(out_deg, "src")
+    weighted.persist()
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    weighted.count()  # materialize, as the loop's first action does
     nodes_p = _teleport_vector(nodes, n, None)
     dangling_nodes = nodes.join(
         out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
-    )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
     return _iteration_body(weighted, nodes_p, dangling_nodes, alpha, ranks)
 
 

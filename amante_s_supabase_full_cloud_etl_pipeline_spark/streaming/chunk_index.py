@@ -119,28 +119,32 @@ def fold_chunk_index(
     The chunker params must stay FIXED across a table's lifetime
     (they define what a chunk is); the dedup knobs — cap, tail
     filter — belong to the READ calls instead."""
+    def partial_agg(chunk_rows):
+        return chunk_rows.groupBy("chunk_hash").agg(
+            F.max("length").alias("chunk_bytes"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+
     if (
         batch_id is not None
         and counts.applied(batch_id)
         and postings.applied(batch_id)
     ):
-        return chunk_documents(
-            batch.limit(0), text_col, id_col, min_size, avg_size, max_size
+        # empty with the RETURN schema (the count-partials shape, not
+        # the chunk-rows shape — review catch)
+        return partial_agg(
+            chunk_documents(
+                batch.limit(0), text_col, id_col,
+                min_size, avg_size, max_size,
+            )
         )
     chunks = chunk_documents(
         batch, text_col, id_col, min_size, avg_size, max_size
     )
     chunks.persist()  # one Arrow kernel pass feeds both aggregations
     try:
-        partial = (
-            chunks.groupBy("chunk_hash")
-            .agg(
-                F.max("length").alias("chunk_bytes"),
-                F.countDistinct("doc_id").alias("n_docs"),
-                F.count(F.lit(1)).alias("n_occurrences"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        partial = partial_agg(chunks).localCheckpoint(eager=True)
         if partial.limit(1).count() == 0:
             return partial
         post = chunks.groupBy("chunk_hash", "doc_id").agg(

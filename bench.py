@@ -252,21 +252,19 @@ def pagerank_throughput(spark, sf_dir: str) -> tuple[float, float]:
     return min(times), max(times) - min(times)
 
 
-def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> tuple[float, float]:
-    """(min_sec, spread_sec) over 3 timed passes of the full POS
-    transform kernel on a synthetic n-order input built by cycling the
-    fixture's product grammar — the ETL flagship path at volume
-    (explode + regex + dim joins)."""
+def synthetic_pos_raw(spark, n_orders: int = 1_000_000):
+    """The bench's synthetic n-order POS input, built by cycling the
+    fixture's product grammar — ONE definition shared by the timed
+    pass (:func:`pos_kernel_throughput`) and the plan dump
+    (``tools/dump_plans.py``), so PLANS.md records exactly the frame
+    the bench times."""
     from pyspark.sql import functions as F
 
     from amante_s_supabase_full_cloud_etl_pipeline_spark.plans import pos_fixture
-    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans.pos_kernel import (
-        transform_pos,
-    )
 
     products = [r[2] for r in pos_fixture.POS_ROWS if r[2]]
     prod_arr = F.array(*[F.lit(p) for p in products])
-    raw = spark.range(n_orders).select(
+    return spark.range(n_orders).select(
         F.concat(F.lit("ORD"), F.col("id")).alias("Order ID"),
         F.when(F.col("id") % 2 == 0, "Dine-in").otherwise("Takeaway").alias("Type/Channel"),
         F.element_at(prod_arr, (F.col("id") % len(products) + 1).cast("int")).alias("Products"),
@@ -278,7 +276,18 @@ def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> tuple[float, floa
         .cast("string")
         .alias("Payment time"),
     )
-    fact = transform_pos(raw, spark)
+
+
+def pos_kernel_throughput(spark, n_orders: int = 1_000_000) -> tuple[float, float]:
+    """(min_sec, spread_sec) over 3 timed passes of the full POS
+    transform kernel on a synthetic n-order input built by cycling the
+    fixture's product grammar — the ETL flagship path at volume
+    (explode + regex + dim joins)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.plans.pos_kernel import (
+        transform_pos,
+    )
+
+    fact = transform_pos(synthetic_pos_raw(spark, n_orders), spark)
     # The kernel is one large WholeStageCodegen unit; C2 JIT keeps
     # compiling through the first post-warm-up pass (observed 11s on
     # pass 1 vs 1.7s on pass 3 in a fresh JVM). One warm-up pass, then
