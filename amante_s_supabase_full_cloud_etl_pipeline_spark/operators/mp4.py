@@ -82,8 +82,9 @@ _MAX_STTS_ENTRIES = 1 << 16
 _MAX_STSC_ENTRIES = 1 << 16
 
 #: containers the metadata walk recurses into (§4.2: a container
-#: box's payload is a sequence of boxes)
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+#: box's payload is a sequence of boxes). edts (§8.6.5) holds the
+#: edit list that shifts media time to presentation time — r10.
+_CONTAINERS = {b"moov", b"trak", b"edts", b"mdia", b"minf", b"stbl"}
 
 
 class _Truncated(Exception):
@@ -249,6 +250,151 @@ def _parse_stts(blob, s, e):
     return total
 
 
+def _stts_durations(blob, s, e):
+    """§8.6.1.2 decoding-time table → per-sample duration list (media
+    timescale) — the expansion the elst trim needs to place the
+    presentation start on a sample. Same caps as :func:`_parse_stts`
+    (entry count byte-backed, total samples ≤ _MAX_SAMPLES)."""
+    _, _, o = _fullbox(blob, s)
+    if o + 4 > e:
+        raise _Truncated()
+    n = _u32(blob, o)
+    if n > _MAX_STTS_ENTRIES or o + 4 + n * 8 > e:
+        raise _Truncated()
+    durs: list[int] = []
+    for i in range(n):
+        count = _u32(blob, o + 4 + i * 8)
+        if len(durs) + count > _MAX_SAMPLES:
+            raise _Truncated()
+        durs.extend([_u32(blob, o + 8 + i * 8)] * count)
+    return durs
+
+
+def _parse_elst(blob, s, e):
+    """§8.6.6 edit list → [(segment_duration, media_time,
+    media_rate_integer)]. ``segment_duration`` is in the MOVIE
+    timescale (presentation time this edit occupies), ``media_time``
+    in the MEDIA timescale (-1 = empty edit: presentation delay with
+    no media). v0 = u32/i32 entries, v1 = u64/i64. Entry count is
+    byte-backed against the payload (the natural bomb bound)."""
+    v, _, o = _fullbox(blob, s)
+    if o + 4 > e:
+        raise _Truncated()
+    n = _u32(blob, o)
+    o += 4
+    entry = 20 if v == 1 else 12
+    if o + n * entry > e:
+        raise _Truncated()
+    out = []
+    for _ in range(n):
+        if v == 1:
+            seg_dur = _u64(blob, o)
+            media_time = struct.unpack_from(">q", blob, o + 8)[0]
+            rate = struct.unpack_from(">h", blob, o + 16)[0]
+        else:
+            seg_dur = _u32(blob, o)
+            media_time = struct.unpack_from(">i", blob, o + 4)[0]
+            rate = struct.unpack_from(">h", blob, o + 8)[0]
+        out.append((seg_dur, media_time, rate))
+        o += entry
+    return out
+
+
+def _elst_trim(entries):
+    """The media-timescale presentation start: the first NON-EMPTY
+    edit's media_time (§8.6.6 — samples before it are decoded but
+    not presented). None when the list has no non-empty edit (all
+    presentation time is empty delay — nothing presented)."""
+    for _seg, media_time, _rate in entries:
+        if media_time >= 0:
+            return media_time
+    return None
+
+
+def _parse_sidx(blob, s, e):
+    """§8.16.3 segment index → (timescale, first_offset,
+    [(is_index, size, duration, starts_with_sap)]). Byte ranges are
+    relative to the ANCHOR (first byte after the enclosing sidx box,
+    plus first_offset) — the caller owns that arithmetic because it
+    knows the box end."""
+    v, _, o = _fullbox(blob, s)
+    if o + 8 > e:
+        raise _Truncated()
+    timescale = _u32(blob, o + 4)  # reference_ID at o, unused here
+    o += 8
+    if v == 1:
+        if o + 16 > e:
+            raise _Truncated()
+        first_offset = _u64(blob, o + 8)
+        o += 16
+    else:
+        if o + 8 > e:
+            raise _Truncated()
+        first_offset = _u32(blob, o + 4)
+        o += 8
+    if o + 4 > e:
+        raise _Truncated()
+    count = _u16(blob, o + 2)  # u16 reserved, u16 reference_count
+    o += 4
+    if o + count * 12 > e:
+        raise _Truncated()
+    refs = []
+    for _ in range(count):
+        w1 = _u32(blob, o)
+        dur = _u32(blob, o + 4)
+        w3 = _u32(blob, o + 8)
+        refs.append(
+            (bool(w1 >> 31), w1 & 0x7FFFFFFF, dur, bool(w3 >> 31))
+        )
+        o += 12
+    return timescale, first_offset, refs
+
+
+def mp4_segment_index(blob: bytes | None) -> list[dict] | None:
+    """DASH subsegment addressing from the TOP-LEVEL ``sidx``
+    (§8.16.3): ``[{seg_idx, offset, size, duration_ms,
+    starts_with_sap, is_index}, ...]`` — the byte ranges a ranged
+    reader fetches to pull one subsegment (moof+mdat pair) without
+    scanning the file. Ranges are validated against the blob; a
+    range past the end refuses outright (``None``) — like
+    :func:`keyframe_byte_ranges`, addressing must be exact.
+    Hierarchical indexes (reference_type = 1) are returned flagged
+    ``is_index`` with their ranges, not followed. Blobs with no
+    top-level sidx return ``None``."""
+    if not blob or len(blob) < 16:
+        return None
+    counter = [0]
+    try:
+        for btype, s, e, _b0 in _top_level(blob, counter):
+            if btype != b"sidx":
+                continue
+            timescale, first_offset, refs = _parse_sidx(blob, s, e)
+            anchor = e + first_offset
+            out = []
+            pos = anchor
+            for i, (is_index, size, dur, sap) in enumerate(refs):
+                if pos + size > len(blob):
+                    raise _Truncated()
+                out.append(
+                    {
+                        "seg_idx": i,
+                        "offset": pos,
+                        "size": size,
+                        "duration_ms": (
+                            int(dur * 1000 // timescale)
+                            if timescale else None
+                        ),
+                        "starts_with_sap": sap,
+                        "is_index": is_index,
+                    }
+                )
+                pos += size
+            return out
+        return None
+    except (_Truncated, struct.error):
+        return None
+
+
 def _parse_stss(blob, s, e):
     """§8.6.2 sync-sample numbers (1-based, ascending)."""
     _, _, o = _fullbox(blob, s)
@@ -365,6 +511,13 @@ def _parse_trak(blob, tables, counter):
     elif n_samples is not None:
         # §8.6.2: no sync table ⇒ every sample is a sync sample
         track["n_keyframes"] = n_samples
+    track["media_start_ms"] = None
+    if b"elst" in tables:
+        entries = _parse_elst(blob, *tables[b"elst"])
+        track["_elst"] = entries
+        trim = _elst_trim(entries)
+        if trim is not None and timescale:
+            track["media_start_ms"] = int(trim * 1000 // timescale)
     track["_timescale"] = timescale
     return track
 
@@ -698,6 +851,18 @@ def parse_mp4_meta(blob: bytes | None) -> dict | None:
                     1 for b in top if b[0] == b"moof"
                 )
             for tr in out["tracks"]:
+                # §8.6.6: an edit list REDEFINES the track's
+                # presentation duration — the sum of its segment
+                # durations, in the MOVIE timescale. Applied after
+                # the fragment fold because presentation time trumps
+                # both the mdhd duration and the summed fragment
+                # durations (the fields it exists to reshape).
+                elst = tr.pop("_elst", None)
+                if elst and mvhd_ts:
+                    tr["duration_ms"] = int(
+                        sum(seg for seg, _mt, _r in elst)
+                        * 1000 // mvhd_ts
+                    )
                 tr.pop("_timescale", None)
                 tr.pop("_frag_ms", None)
         return out if saw_bmff else None
@@ -781,6 +946,8 @@ def keyframe_byte_ranges(
         track_order: list[int] = []  # tkhd ids in trak order
         moov_counts: dict = {}  # track_idx -> samples in moov tables
         moov_sync_counts: dict = {}  # track_idx -> sync count in moov
+        trims: dict = {}  # track_idx -> elst presentation start
+        moov_time: dict = {}  # track_idx -> moov tables' total duration
         for btype, s, e, _b0 in top:
             if btype != b"moov":
                 continue
@@ -799,6 +966,24 @@ def keyframe_byte_ranges(
                     )
                 except _Truncated:
                     track_order.append(-1)  # degrades fragment match
+                # §8.6.6 edit list: samples before the presentation
+                # start (first non-empty edit's media_time, media
+                # timescale — stts/trun units, no conversion) are
+                # decoded but never shown; they must not consume the
+                # every-k cadence or ship as "keyframes". Parsed
+                # BEFORE the empty-tables bail so fragmented tracks
+                # get their trim too. None = all edits empty: the
+                # track presents nothing at all.
+                trim = 0
+                if b"elst" in tables:
+                    trim = _elst_trim(
+                        _parse_elst(blob, *tables[b"elst"])
+                    )
+                trims[t_idx] = trim
+                durs = None
+                if b"stts" in tables:
+                    durs = _stts_durations(blob, *tables[b"stts"])
+                    moov_time[t_idx] = sum(durs)
                 need = (b"stsz", b"stsc")
                 if any(k not in tables for k in need):
                     continue
@@ -816,6 +1001,22 @@ def keyframe_byte_ranges(
                     sync = _parse_stss(blob, *tables[b"stss"])
                 else:
                     sync = list(range(1, len(sizes) + 1))
+                if trim is None:
+                    sync = []  # nothing presented
+                elif trim:
+                    # the stts expansion places the presentation
+                    # start on a sample; an elst with no stts to
+                    # place against refuses (ranges must be exact)
+                    if durs is None:
+                        raise _Truncated()
+                    cum = 0
+                    first_presented = len(durs) + 1  # 1-based
+                    for i, d in enumerate(durs):
+                        if cum + d > trim:
+                            first_presented = i + 1
+                            break
+                        cum += d
+                    sync = [sn for sn in sync if sn >= first_presented]
                 offsets = _sample_offsets(sizes, stsc, chunks)
                 if offsets is None:
                     raise _Truncated()
@@ -839,6 +1040,10 @@ def keyframe_byte_ranges(
             # per fragment
             next_no: dict = {}
             sync_seen: dict = {}
+            # decode clock per track, for the elst trim: starts at
+            # the moov tables' total duration (hybrid files), 0 for
+            # pure fMP4; advances by each fragment sample's duration
+            clock: dict = {}
             for tid, samples in runs:
                 t_idx = id_to_idx.get(tid)
                 if t_idx is None:
@@ -846,9 +1051,24 @@ def keyframe_byte_ranges(
                 base_no = next_no.get(
                     t_idx, moov_counts.get(t_idx, 0)
                 )
-                for off, size, is_sync, _dur in samples:
+                trim = trims.get(t_idx, 0)
+                cum = clock.get(t_idx, moov_time.get(t_idx, 0))
+                for off, size, is_sync, dur in samples:
                     base_no += 1
-                    if not is_sync:
+                    presented = True
+                    if trim is None:
+                        presented = False  # all-empty edits
+                    elif cum < trim:
+                        # still before the presentation start: the
+                        # sample is presented iff its decode window
+                        # reaches past the trim. A missing duration
+                        # here is unplaceable — refuse (exactness);
+                        # once past the trim, durations are moot.
+                        if dur is None:
+                            raise _Truncated()
+                        presented = cum + dur > trim
+                        cum += dur
+                    if not is_sync or not presented:
                         continue
                     # the cadence runs over the track's WHOLE sync
                     # sequence: seed with the moov sync count so a
@@ -867,6 +1087,7 @@ def keyframe_byte_ranges(
                          "offset": off, "size": size}
                     )
                 next_no[t_idx] = base_no
+                clock[t_idx] = cum
         return kept
     except (_Truncated, struct.error):
         return None
@@ -977,6 +1198,24 @@ def _trak_header_boxes(t: dict, tid: int, mdhd_duration: int,
     return tkhd, mdhd, hdlr, stsd
 
 
+def _edts_box(entries: list[tuple]) -> bytes:
+    """``edts``/``elst`` bytes from [(segment_duration, media_time,
+    media_rate_integer)] — v1 when any value needs 64 bits (or a
+    negative media_time beyond -1 is wanted in i64), else v0. Shared
+    by both fixture encoders."""
+    v1 = any(
+        seg > 0xFFFFFFFF or mt > 0x7FFFFFFF for seg, mt, _r in entries
+    )
+    body = struct.pack(">I", len(entries))
+    for seg, mt, rate in entries:
+        if v1:
+            body += struct.pack(">Qq", seg, mt)
+        else:
+            body += struct.pack(">Ii", seg, mt)
+        body += struct.pack(">hH", rate, 0)
+    return _box(b"edts", _full(b"elst", 1 if v1 else 0, body))
+
+
 def encode_mp4(
     tracks: list[dict],
     movie_timescale: int = 1000,
@@ -1079,7 +1318,8 @@ def encode_mp4(
         stbl = _box(b"stbl", boxes)
         minf = _box(b"minf", stbl)
         mdia = _box(b"mdia", mdhd + hdlr + minf)
-        traks.append(_box(b"trak", tkhd + mdia))
+        edts = _edts_box(t["elst"]) if t.get("elst") else b""
+        traks.append(_box(b"trak", tkhd + edts + mdia))
 
     moov = _box(b"moov", mvhd + b"".join(traks))
     return ftyp + mdat + moov
@@ -1090,6 +1330,7 @@ def encode_fmp4(
     fragments: list[list[dict]],
     movie_timescale: int = 1000,
     explicit_base: bool = False,
+    sidx: bool = False,
 ) -> bytes:
     """Deterministic FRAGMENTED fixture (the DASH / streaming-camera
     layout): ``ftyp`` + ``moov`` (tracks with EMPTY §8.7 sample
@@ -1100,7 +1341,11 @@ def encode_fmp4(
     flags_mode: 'per_sample'|'first'|'default'}`` — cycling how real
     muxers spread sizes/flags across trun fields, tfhd defaults and
     trex defaults. ``explicit_base`` uses tfhd base-data-offset
-    instead of default-base-is-moof."""
+    instead of default-base-is-moof. ``sidx`` emits a §8.16.3
+    segment index between the moov and the first fragment — one
+    reference per moof+mdat pair (the DASH addressing shape),
+    timescale/durations from the FIRST track, starts_with_SAP set
+    when that track's fragment opens on a sync sample."""
     ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5dash")
 
     mvhd = _full(
@@ -1122,7 +1367,8 @@ def encode_fmp4(
             + _full(b"stco", 0, struct.pack(">I", 0))
         )
         mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", _box(b"stbl", empty)))
-        traks += _box(b"trak", tkhd + mdia)
+        edts = _edts_box(t["elst"]) if t.get("elst") else b""
+        traks += _box(b"trak", tkhd + edts + mdia)
         # trex: track_id, default_sample_description_index, then
         # default duration / size / flags (§8.8.3)
         trexs += _full(
@@ -1137,6 +1383,14 @@ def encode_fmp4(
     moov = _box(b"moov", mvhd + traks + _box(b"mvex", trexs))
 
     out = ftyp + moov
+    sidx_at = None
+    if sidx:
+        # reserve the exact footprint so explicit-base offsets (which
+        # read len(out)) account for it; patched with the real box
+        # once every fragment's size is known
+        sidx_at = len(out)
+        out += b"\x00" * (32 + 12 * len(fragments))
+    seg_refs: list[tuple] = []
     for seq, frag in enumerate(fragments, start=1):
         def build(moof_size_guess: int) -> tuple[bytes, bytes]:
             mfhd = _full(b"mfhd", 0, struct.pack(">I", seq))
@@ -1205,7 +1459,37 @@ def encode_fmp4(
         moof0, _ = build(0)
         moof, payload = build(len(moof0))
         assert len(moof) == len(moof0)
-        out += moof + _box(b"mdat", payload)
+        seg = moof + _box(b"mdat", payload)
+        out += seg
+        ref_id = tracks[0]["track_id"]
+        ft = next(
+            (f for f in frag if f["track_id"] == ref_id), None
+        )
+        dur = (
+            len(ft["samples"]) * tracks[0].get("default_duration", 20)
+            if ft else 0
+        )
+        sap = bool(
+            ft
+            and 1 in ft.get(
+                "sync", set(range(1, len(ft["samples"]) + 1))
+            )
+        )
+        seg_refs.append((len(seg), dur, sap))
+    if sidx:
+        body = struct.pack(
+            ">II", tracks[0]["track_id"], tracks[0].get("timescale", 600)
+        )
+        body += struct.pack(">II", 0, 0)  # v0 ept + first_offset
+        body += struct.pack(">HH", 0, len(seg_refs))
+        for size, dur, sap in seg_refs:
+            body += struct.pack(
+                ">III", size & 0x7FFFFFFF, dur,
+                (0x80000000 | (1 << 28)) if sap else 0,
+            )
+        box = _full(b"sidx", 0, body)
+        assert len(box) == 32 + 12 * len(seg_refs)
+        out = out[:sidx_at] + box + out[sidx_at + len(box):]
     return out
 
 

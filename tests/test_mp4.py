@@ -33,13 +33,14 @@ def _fb(btype: bytes, version: int, payload: bytes) -> bytes:
     return _b(btype, struct.pack(">I", version << 24) + payload)
 
 
-def _hand_built() -> bytes:
+def _hand_built(extra_trak_children: bytes = b"") -> bytes:
     """A minimal valid MP4 written box-by-box from the spec, NOT via
     encode_mp4: ftyp(mp42) + mdat with 3 samples of 5/6/7 bytes +
     moov(mvhd ts=1000 dur=2500, one video trak: mdhd ts=600 dur=1200,
     hdlr vide, stsd avc1 320x180, stts 3 samples, stsz [5,6,7],
     stsc one run of 3/chunk, stco one chunk at the mdat payload,
-    stss sync=[1,3])."""
+    stss sync=[1,3]). ``extra_trak_children`` splices hand-built
+    sibling boxes (e.g. an edts) between tkhd and mdia."""
     ftyp = _b(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42isom")
     samples = [b"\x11" * 5, b"\x22" * 6, b"\x33" * 7]
     mdat = _b(b"mdat", b"".join(samples))
@@ -82,7 +83,7 @@ def _hand_built() -> bytes:
     stbl = _b(b"stbl", stsd + stts + stsz + stsc + stco + stss)
     minf = _b(b"minf", stbl)
     mdia = _b(b"mdia", mdhd + hdlr + minf)
-    trak = _b(b"trak", tkhd + mdia)
+    trak = _b(b"trak", tkhd + extra_trak_children + mdia)
     moov = _b(b"moov", mvhd + trak)
     return ftyp + mdat + moov
 
@@ -101,6 +102,7 @@ def test_hand_built_fixture_parses_exactly():
                 "width": 320, "height": 180,
                 "n_samples": 3, "n_keyframes": 2,
                 "duration_ms": 2000,  # 1200 / 600 ts
+                "media_start_ms": None,  # no edit list
             }
         ],
     }
@@ -836,3 +838,205 @@ def test_hypothesis_mp4_roundtrip_and_range_exactness():
             assert blob[r["offset"]:r["offset"] + r["size"]] == samples[i]
 
     prop()
+
+
+# ── r10: edit lists (§8.6.5-8.6.6) + segment index (§8.16.3) ─────
+
+
+def _elst_v0(entries) -> bytes:
+    """Hand-built edts/elst bytes straight from §8.6.6 (independent
+    of the encoder's _edts_box): v0 entries of (segment_duration u32,
+    media_time i32, rate i16.i16)."""
+    body = struct.pack(">I", len(entries))
+    for seg, mt in entries:
+        body += struct.pack(">Ii", seg, mt) + struct.pack(">hH", 1, 0)
+    return _b(b"edts", _fb(b"elst", 0, body))
+
+
+def test_elst_shifts_duration_and_keyframe_cadence():
+    """The fixture's stts is 3 samples × 400 (media ts 600); an edit
+    starting at media_time 400 trims sample 1: presentation duration
+    comes from the elst (movie ts 1000), media_start_ms from the
+    media timescale, and the keyframe walk must skip the TRIMMED sync
+    sample 1 — shipping it as a 'keyframe' would hand a decoder a
+    frame the file says is never shown."""
+    blob = _hand_built(_elst_v0([(800, 400)]))
+    m = parse_mp4_meta(blob)
+    tr = m["tracks"][0]
+    assert tr["duration_ms"] == 800  # 800 / 1000 movie ts
+    assert tr["media_start_ms"] == 666  # 400 * 1000 // 600
+    assert tr["n_samples"] == 3 and tr["n_keyframes"] == 2
+    got = keyframe_byte_ranges(blob)
+    assert [r["sample_number"] for r in got] == [3]  # sync 1 trimmed
+    # the un-edited fixture keeps both syncs (the control)
+    assert [r["sample_number"] for r in keyframe_byte_ranges(_hand_built())] == [1, 3]
+
+
+def test_elst_leading_empty_edit_delays_without_trimming():
+    """A leading EMPTY edit (media_time -1) is presentation delay:
+    duration sums both segments, the trim comes from the first
+    NON-empty entry (0 here ⇒ nothing trimmed)."""
+    blob = _hand_built(_elst_v0([(500, -1), (1200, 0)]))
+    m = parse_mp4_meta(blob)
+    tr = m["tracks"][0]
+    assert tr["duration_ms"] == 1700  # (500 + 1200) / 1000
+    assert tr["media_start_ms"] == 0
+    assert [r["sample_number"] for r in keyframe_byte_ranges(blob)] == [1, 3]
+
+
+def test_elst_all_empty_edits_present_nothing():
+    blob = _hand_built(_elst_v0([(500, -1)]))
+    m = parse_mp4_meta(blob)
+    assert m["tracks"][0]["media_start_ms"] is None
+    assert m["tracks"][0]["duration_ms"] == 500
+    assert keyframe_byte_ranges(blob) == []
+
+
+def test_elst_v1_and_encoder_roundtrip():
+    """encode_mp4's edts (v1 forced by a >u32 segment_duration) must
+    parse back to the same presentation semantics."""
+    samples = [b"a" * 9, b"b" * 8, b"c" * 7, b"d" * 6]
+    blob = encode_mp4(
+        [{"handler": "vide", "codec": "avc1", "width": 8, "height": 6,
+          "samples": samples, "keyframes": [1, 3],
+          "sample_delta": 100, "timescale": 600,
+          "elst": [(1 << 33, 100, 1)]}],
+        movie_timescale=1000,
+    )
+    tr = parse_mp4_meta(blob)["tracks"][0]
+    assert tr["duration_ms"] == (1 << 33) * 1000 // 1000
+    assert tr["media_start_ms"] == 100 * 1000 // 600
+    # trim at media 100 = inside sample 1's [0, 100) window? No —
+    # cum+d > trim ⇒ sample 1 ends exactly AT 100, not past it:
+    # sample 2 is the first presented ⇒ sync 1 trimmed, sync 3 kept
+    assert [r["sample_number"] for r in keyframe_byte_ranges(blob)] == [3]
+
+
+def test_elst_truncated_refuses():
+    # claimed 2 entries, bytes for 1 → structure lies, blob refused
+    body = struct.pack(">I", 2) + struct.pack(">Ii", 800, 0) + struct.pack(">hH", 1, 0)
+    blob = _hand_built(_b(b"edts", _fb(b"elst", 0, body)))
+    assert parse_mp4_meta(blob) is None
+    assert keyframe_byte_ranges(blob) is None
+
+
+def test_elst_trim_without_stts_refuses_ranges():
+    """An elst trim with no stts to place it against cannot resolve
+    which samples are presented — ranges refuse (exactness), while
+    the un-trimmed walk of the same tables still works."""
+    blob = _hand_built(_elst_v0([(800, 400)]))
+    # surgically blank the stts box type so the table disappears
+    # (its bytes stay → sizes still parse; the walk skips unknowns)
+    mutated = bytearray(blob)
+    mutated[mutated.index(b"stts"):mutated.index(b"stts") + 4] = b"free"
+    assert keyframe_byte_ranges(bytes(mutated)) is None
+
+
+def test_fmp4_elst_trim_spans_fragments():
+    """Fragmented: the decode clock accumulates trun durations across
+    moof boundaries, so a trim larger than fragment 1 suppresses its
+    syncs and resumes the cadence mid-stream."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (
+        encode_fmp4,
+    )
+
+    tracks = [{"track_id": 1, "handler": "vide", "codec": "avc1",
+               "width": 8, "height": 6, "timescale": 600,
+               "default_duration": 100,
+               "elst": [(2000, 250, 1)]}]
+    frags = [
+        [{"track_id": 1, "samples": [b"p" * 5] * 3, "sync": {1, 3}}],
+        [{"track_id": 1, "samples": [b"q" * 5] * 3, "sync": {1, 3}}],
+    ]
+    blob = encode_fmp4(tracks, frags)
+    tr = parse_mp4_meta(blob)["tracks"][0]
+    assert tr["media_start_ms"] == 250 * 1000 // 600
+    # decode windows: f1 s1 [0,100) s2 [100,200) s3 [200,300),
+    # f2 s4 [300,400) s5 [400,500) s6 [500,600); trim 250 ⇒ first
+    # presented is s3 (in-fragment sync #3), then f2's syncs s4, s6
+    got = keyframe_byte_ranges(blob)
+    assert [r["sample_number"] for r in got] == [3, 4, 6]
+    # control: no elst keeps syncs 1,3,4,6
+    blob2 = encode_fmp4(
+        [dict(tracks[0], elst=None)], frags
+    )
+    assert [r["sample_number"] for r in keyframe_byte_ranges(blob2)] == [1, 3, 4, 6]
+
+
+def test_sidx_segment_index_addresses_fragments():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (
+        encode_fmp4,
+        mp4_segment_index,
+    )
+
+    tracks = [{"track_id": 1, "handler": "vide", "codec": "avc1",
+               "width": 8, "height": 6, "timescale": 600,
+               "default_duration": 100}]
+    frags = [
+        [{"track_id": 1, "samples": [b"p" * 5] * 4, "sync": {1}}],
+        [{"track_id": 1, "samples": [b"q" * 7] * 2, "sync": set()}],
+        [{"track_id": 1, "samples": [b"r" * 3] * 6, "sync": {1, 4}}],
+    ]
+    blob = encode_fmp4(tracks, frags, sidx=True)
+    segs = mp4_segment_index(blob)
+    assert [s["seg_idx"] for s in segs] == [0, 1, 2]
+    # every range slices exactly one moof+mdat pair, contiguous to EOF
+    pos = segs[0]["offset"]
+    for s in segs:
+        assert s["offset"] == pos
+        assert blob[s["offset"] + 4:s["offset"] + 8] == b"moof"
+        assert not s["is_index"]
+        pos += s["size"]
+    assert pos == len(blob)
+    assert [s["duration_ms"] for s in segs] == [
+        400 * 1000 // 600, 200 * 1000 // 600, 600 * 1000 // 600
+    ]
+    assert [s["starts_with_sap"] for s in segs] == [True, False, True]
+    # the sidx does not disturb the container walk or the ranges
+    m = parse_mp4_meta(blob)
+    assert m["n_fragments"] == 3
+    assert [r["sample_number"] for r in keyframe_byte_ranges(blob)] == [1, 7, 10]
+    # a sidx-free file has no segment index
+    assert mp4_segment_index(encode_fmp4(tracks, frags)) is None
+
+
+def test_sidx_hand_built_with_offset_and_index_ref():
+    """Hand-built §8.16.3 bytes: v1 fields, a non-zero first_offset,
+    and a hierarchical (reference_type=1) entry flagged not
+    followed. A range past the blob refuses outright."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (
+        mp4_segment_index,
+    )
+
+    ftyp = _b(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5")
+    pad = _b(b"free", b"\x00" * 4)
+    seg1 = _b(b"skip", b"A" * 12)
+    seg2 = _b(b"skip", b"B" * 6)
+
+    def sidx(count_refs):
+        body = struct.pack(">II", 1, 1000)  # ref id, timescale
+        body += struct.pack(">QQ", 0, len(pad))  # v1 ept, first_offset
+        body += struct.pack(">HH", 0, len(count_refs))
+        for is_idx, size, dur, sap in count_refs:
+            body += struct.pack(
+                ">III", (0x80000000 if is_idx else 0) | size, dur,
+                0x90000000 if sap else 0,
+            )
+        return _fb(b"sidx", 1, body)
+
+    sx = sidx([(True, len(seg1), 500, True), (False, len(seg2), 250, False)])
+    blob = ftyp + sx + pad + seg1 + seg2
+    segs = mp4_segment_index(blob)
+    assert segs is not None and len(segs) == 2
+    anchor = len(ftyp) + len(sx) + len(pad)  # box end + first_offset
+    assert segs[0] == {"seg_idx": 0, "offset": anchor,
+                       "size": len(seg1), "duration_ms": 500,
+                       "starts_with_sap": True, "is_index": True}
+    assert segs[1]["offset"] == anchor + len(seg1)
+    assert segs[1]["is_index"] is False and segs[1]["duration_ms"] == 250
+    # a reference running past the blob refuses (addressing is exact)
+    bad = sidx([(False, len(seg1) + len(seg2) + 999, 1, False)])
+    assert mp4_segment_index(ftyp + bad + pad + seg1 + seg2) is None
+    # truncated entry table refuses too
+    cut = sx[:-4]
+    assert mp4_segment_index(ftyp + cut + pad) is None

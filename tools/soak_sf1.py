@@ -130,6 +130,17 @@ def main(out_dir: str = "/tmp/sf1", skip_curation: bool = False) -> dict:
     result["crawl_stress"] = json.loads(crawl_out.strip().splitlines()[-1])
     result["crawl_stress_wall_s"] = round(crawl_s, 1)
 
+    # streaming chunk-hash index at sf1 (r10): fold the whole corpus
+    # in micro-batches through the real writer, time reads, pin
+    # streamed==batch count/sum equality at scale
+    chunk_out, chunk_s = _run(
+        [sys.executable, "tools/chunk_index_stress.py", out_dir]
+    )
+    result["chunk_index_stress"] = json.loads(
+        chunk_out.strip().splitlines()[-1]
+    )
+    result["chunk_index_stress_wall_s"] = round(chunk_s, 1)
+
     ru = resource.getrusage(resource.RUSAGE_CHILDREN)
     result["peak_child_rss_gib"] = round(ru.ru_maxrss / 1024 / 1024, 2)
     result["peak_tree_rss_gib"] = round(_PEAK_TREE_RSS_KB / 1024 / 1024, 2)
