@@ -303,8 +303,12 @@ def _parse_elst(blob, s, e):
 def _elst_trim(entries):
     """The media-timescale presentation start: the first NON-EMPTY
     edit's media_time (§8.6.6 — samples before it are decoded but
-    not presented). None when the list has no non-empty edit (all
-    presentation time is empty delay — nothing presented)."""
+    not presented). A ZERO-ENTRY list is an identity edit (no-op →
+    trim 0, review catch: it used to read as nothing-presented);
+    None only when every entry is an empty edit (all presentation
+    time is delay — nothing presented)."""
+    if not entries:
+        return 0
     for _seg, media_time, _rate in entries:
         if media_time >= 0:
             return media_time
@@ -856,13 +860,17 @@ def parse_mp4_meta(blob: bytes | None) -> dict | None:
                 # durations, in the MOVIE timescale. Applied after
                 # the fragment fold because presentation time trumps
                 # both the mdhd duration and the summed fragment
-                # durations (the fields it exists to reshape).
+                # durations (the fields it exists to reshape). An
+                # all-zero total is the CMAF/ffmpeg shape where the
+                # muxer wrote moov before knowing the duration
+                # (segment_duration 0 = unspecified) — keep the
+                # computed duration then (review catch: the override
+                # used to clobber it with 0).
                 elst = tr.pop("_elst", None)
                 if elst and mvhd_ts:
-                    tr["duration_ms"] = int(
-                        sum(seg for seg, _mt, _r in elst)
-                        * 1000 // mvhd_ts
-                    )
+                    total = sum(seg for seg, _mt, _r in elst)
+                    if total:
+                        tr["duration_ms"] = int(total * 1000 // mvhd_ts)
                 tr.pop("_timescale", None)
                 tr.pop("_frag_ms", None)
         return out if saw_bmff else None
@@ -981,7 +989,11 @@ def keyframe_byte_ranges(
                     )
                 trims[t_idx] = trim
                 durs = None
-                if b"stts" in tables:
+                # the per-sample expansion is only needed to PLACE a
+                # trim (progressive placement / fragment clock start)
+                # — the no-elst common case must not pay for it
+                # (review catch: hot-kernel overhead)
+                if trim and b"stts" in tables:
                     durs = _stts_durations(blob, *tables[b"stts"])
                     moov_time[t_idx] = sum(durs)
                 need = (b"stsz", b"stsc")
@@ -1061,9 +1073,16 @@ def keyframe_byte_ranges(
                     elif cum < trim:
                         # still before the presentation start: the
                         # sample is presented iff its decode window
-                        # reaches past the trim. A missing duration
-                        # here is unplaceable — refuse (exactness);
-                        # once past the trim, durations are moot.
+                        # reaches past the trim. A missing (None)
+                        # duration here is UNPLACEABLE — refuse
+                        # (exactness). A KNOWN-zero duration places
+                        # exactly: a zero-width window never crosses
+                        # the trim, so a file whose own durations sum
+                        # below its media_time presents nothing —
+                        # the same answer the progressive placement
+                        # gives for a trim past the stts total
+                        # (pinned in tests). Once past the trim,
+                        # durations are moot.
                         if dur is None:
                             raise _Truncated()
                         presented = cum + dur > trim
@@ -1511,6 +1530,7 @@ MP4_META_SCHEMA = StructType(
         StructField("n_samples", LongType()),
         StructField("n_keyframes", LongType()),
         StructField("track_duration_ms", LongType()),
+        StructField("media_start_ms", LongType()),
     ]
 )
 
@@ -1563,6 +1583,7 @@ def mp4_meta(media: DataFrame) -> DataFrame:
                             "n_samples": tr["n_samples"],
                             "n_keyframes": tr["n_keyframes"],
                             "track_duration_ms": tr["duration_ms"],
+                            "media_start_ms": tr["media_start_ms"],
                         }
                     )
             yield pd.DataFrame(rows, columns=_META_COLS)
@@ -1614,11 +1635,13 @@ def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
     """Deterministic fixture MP4s keyed on doc_id: a video track
     (avc1-shaped entries, opaque payloads, every-3rd sample sync) +
     an audio track on even docs; every 5th doc co64, every 7th a
-    version-1 mvhd, and every doc_id % 3 == 1 FRAGMENTED (§8.8
-    moof/mdat layout, 3 fragments, per-sample trun flags) — cycling
-    the wire shapes the parser must hold. Same (doc_id, blob,
-    media_type) contract as the other synthetic corpora in
-    :mod:`.multimodal`."""
+    version-1 mvhd, every doc_id % 3 == 1 FRAGMENTED (§8.8
+    moof/mdat layout, 3 fragments, per-sample trun flags), and —
+    r10 — every progressive doc_id % 11 == 3 carries an EDIT LIST
+    trimming its first sample (media_time 20 at delta 20) with a
+    deterministic presentation duration — cycling the wire shapes
+    the parser must hold. Same (doc_id, blob, media_type) contract
+    as the other synthetic corpora in :mod:`.multimodal`."""
 
     def kernel(batches):
         import pandas as pd
@@ -1680,6 +1703,10 @@ def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
                         "samples_per_chunk": 4,
                     }
                 ]
+                if d % 11 == 3:
+                    # §8.6.6 edit: trim the first sample (delta 20)
+                    # and set a deterministic presentation duration
+                    tracks[0]["elst"] = [(700 + d % 7 * 20, 20, 1)]
                 if d % 2 == 0:
                     tracks.append(
                         {

@@ -41,7 +41,8 @@ def mp4_track_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mp4 leg of ``multimodal_media_meta`` (VERDICT r9 #2): the
     full §8.8-aware container walk (``operators/mp4.py mp4_meta``)
     over the deterministic synthetic corpus — progressive AND
-    fragmented shapes, co64 / v1-mvhd / audio-track variants all
+    fragmented shapes, co64 / v1-mvhd / audio-track / edit-list
+    (r10: elst-trimmed docs, media_start_ms in the key) variants all
     cycling by doc_id. Every field the parser emits is pinned:
     the identity/shape fields pack into one ``key`` string
     (null → ``-`` sentinel), the three count fields ride the
@@ -64,6 +65,7 @@ def mp4_track_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
             s("doc_id"), s("track_idx"), s("brand"), s("handler"),
             s("codec"), s("width"), s("height"), s("track_id"),
             s("n_tracks"), s("n_fragments"), s("movie_duration_ms"),
+            s("media_start_ms"),
         ).alias("key"),
         F.coalesce(F.col("n_samples"), F.lit(-1)).alias("n"),
         F.coalesce(F.col("n_keyframes"), F.lit(-1)).alias("v1"),

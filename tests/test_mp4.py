@@ -1040,3 +1040,81 @@ def test_sidx_hand_built_with_offset_and_index_ref():
     # truncated entry table refuses too
     cut = sx[:-4]
     assert mp4_segment_index(ftyp + cut + pad) is None
+
+
+def test_elst_cmaf_shapes_review_pins():
+    """Self-review catches, pinned: (a) a zero-total edit list (the
+    CMAF/ffmpeg moov-before-duration shape, segment_duration=0) must
+    NOT clobber the computed duration; (b) a ZERO-ENTRY elst is an
+    identity edit — nothing trimmed, nothing suppressed; (c) a
+    KNOWN-zero-duration timeline places a trim exactly: media_time
+    beyond the file's own total presents nothing (the progressive
+    past-the-end placement gives the same answer), while an UNKNOWN
+    duration still refuses."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (
+        encode_fmp4,
+    )
+
+    # (a) progressive: elst [(0, 0)] keeps the mdhd duration
+    blob = _hand_built(_elst_v0([(0, 0)]))
+    tr = parse_mp4_meta(blob)["tracks"][0]
+    assert tr["duration_ms"] == 2000 and tr["media_start_ms"] == 0
+    assert [r["sample_number"] for r in keyframe_byte_ranges(blob)] == [1, 3]
+    # (a) fragmented: elst [(0, 0)] keeps the summed-fragment duration
+    tracks = [{"track_id": 1, "handler": "vide", "codec": "avc1",
+               "width": 8, "height": 6, "timescale": 600,
+               "default_duration": 100, "elst": [(0, 0, 1)]}]
+    frags = [[{"track_id": 1, "samples": [b"p" * 5] * 3, "sync": {1}}]]
+    fblob = encode_fmp4(tracks, frags)
+    ftr = parse_mp4_meta(fblob)["tracks"][0]
+    assert ftr["duration_ms"] == 300 * 1000 // 600
+
+    # (b) zero-entry elst: identity, full cadence kept
+    empty = _b(b"edts", _fb(b"elst", 0, struct.pack(">I", 0)))
+    blob2 = _hand_built(empty)
+    tr2 = parse_mp4_meta(blob2)["tracks"][0]
+    assert tr2["duration_ms"] == 2000 and tr2["media_start_ms"] == 0
+    assert [r["sample_number"] for r in keyframe_byte_ranges(blob2)] == [1, 3]
+
+    # (c) all-zero KNOWN durations with a trim past them: the file
+    # itself says the media occupies no time, so a presentation
+    # starting at 50 shows nothing — exact, not a refusal
+    ztracks = [dict(tracks[0], default_duration=0,
+                    elst=[(2000, 50, 1)])]
+    zblob = encode_fmp4(ztracks, frags)
+    assert keyframe_byte_ranges(zblob) == []
+    # progressive mirror: trim past the stts total → nothing
+    pblob = _hand_built(_elst_v0([(800, 1200)]))  # == total media
+    assert keyframe_byte_ranges(pblob) == []
+
+
+def test_corpus_elst_docs_round_trip_through_kernels(spark):
+    """doc_id % 11 == 3 progressive corpus docs carry an edit list:
+    the meta kernel surfaces media_start_ms (the r10 field is live
+    Spark-side, not driver-parse-only — review catch) and the
+    keyframe kernel's cadence skips the trimmed first sync."""
+    import pandas as pd
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (
+        keyframe_byte_ranges as kbr,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 4, 14, 25]}), "doc_id long"
+    )
+    corpus = synthetic_mp4_corpus(docs).select("doc_id", "blob")
+    meta = {
+        (r["doc_id"], r["track_idx"]): r
+        for r in mp4_meta(corpus).collect()
+    }
+    # progressive % 11 == 3 docs: 3 (3 % 3 == 0) and 14 (14 % 3 == 2)
+    # carry the elst; 4 is plain progressive; 25 (% 3 == 1) is
+    # fragmented and elst-free in this corpus
+    assert meta[(3, 0)]["media_start_ms"] == 20 * 1000 // 600
+    assert meta[(14, 0)]["media_start_ms"] == 20 * 1000 // 600
+    assert meta[(4, 0)]["media_start_ms"] is None
+    # elst presentation duration: 700 + d%7*20 over movie ts 1000
+    assert meta[(3, 0)]["track_duration_ms"] == 700 + 3 % 7 * 20
+    # the trimmed first sync (sample 1) is absent from the ranges
+    blob3 = bytes(corpus.filter("doc_id = 3").collect()[0]["blob"])
+    assert [r["sample_number"] for r in kbr(blob3)][0] != 1
