@@ -150,18 +150,40 @@ def _chunk_spans(
     if np is not None:
         T = mask_hard.bit_length()
         buf = np.frombuffer(data, dtype=np.uint8)
-        # prefix-doubling: S_{2h}[p] = S_h[p] + (S_h[p-h] << h) gives
-        # Σ_{k<H} gear[data[p-k]] << k in ⌈log2 T⌉ passes instead of
-        # T — the extra terms k ∈ [T, H) only touch bits ≥ T, above
-        # both masks, so masked bits stay exact. (The RHS expression
-        # materializes before +=, so the overlapping views are safe.)
-        fp_arr = _gear_np(np)[buf]
-        h = 1
-        while h < T:
-            fp_arr[h:] += fp_arr[: n - h] << np.uint64(h)
-            h *= 2
-        hard_hits = np.flatnonzero((fp_arr & np.uint64(mask_hard)) == 0)
-        easy_hits = np.flatnonzero((fp_arr & np.uint64(mask_easy)) == 0)
+        # BLOCKWISE precompute (cross-cutting review catch): the
+        # fingerprint array costs ~16-24 bytes of transients per
+        # input byte, so a single full-length pass would spend GBs
+        # on a giant blob; processing in _VECTOR_BLOCK windows with
+        # a (T-1)-byte lookback bounds the peak at a constant. Each
+        # block's positions carry a FULL T-term window (the lookback
+        # supplies the history), so masked bits — hence hit
+        # positions — are identical to the monolithic pass.
+        hard_parts, easy_parts = [], []
+        mh, me = np.uint64(mask_hard), np.uint64(mask_easy)
+        b0 = 0
+        while b0 < n:
+            b1 = min(n, b0 + _VECTOR_BLOCK)
+            lo = max(0, b0 - (T - 1))
+            # prefix-doubling: S_{2h}[p] = S_h[p] + (S_h[p-h] << h)
+            # gives Σ_{k<H} gear[data[p-k]] << k in ⌈log2 T⌉ passes
+            # instead of T — the extra terms k ∈ [T, H) only touch
+            # bits ≥ T, above both masks, so masked bits stay exact.
+            # (The RHS expression materializes before +=, so the
+            # overlapping views are safe.)
+            fp_arr = _gear_np(np)[buf[lo:b1]]
+            m = b1 - lo
+            h = 1
+            while h < T:
+                fp_arr[h:] += fp_arr[: m - h] << np.uint64(h)
+                h *= 2
+            seg = fp_arr[b0 - lo:]
+            hard_parts.append(np.flatnonzero((seg & mh) == 0) + b0)
+            easy_parts.append(np.flatnonzero((seg & me) == 0) + b0)
+            b0 = b1
+        hard_hits = np.concatenate(hard_parts) if hard_parts else None
+        easy_hits = np.concatenate(easy_parts) if easy_parts else None
+        if hard_hits is None:
+            np = None  # zero-length guard: scalar loop handles it
     spans: list[tuple[int, int]] = []
     gear = _GEAR
     start = 0
@@ -212,6 +234,11 @@ def _chunk_spans(
 
 #: auto-mode size floor for the vectorized scan (see _chunk_spans)
 _VECTOR_MIN_BYTES = 4096
+
+#: blockwise precompute window: bounds the scan's transient memory
+#: at ~24 bytes × this, independent of blob size (a monolithic pass
+#: on a 256 MB text cell would spend ~5 GB of uint64 transients)
+_VECTOR_BLOCK = 8 << 20
 
 _GEAR_NP = None
 

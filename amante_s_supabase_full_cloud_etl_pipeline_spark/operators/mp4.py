@@ -43,6 +43,23 @@ and real:
   every-k cadence continuous across fragments, and movie/track
   durations falling back to ``mehd`` / summed fragment durations
   when the moov headers carry 0 (the normal fMP4 shape).
+- **Edit lists** (§8.6.5-8.6.6, r10): ``edts``/``elst`` v0/v1 —
+  a non-zero segment total REDEFINES the track's presentation
+  duration, ``media_start_ms`` reports the presentation trim, and
+  keyframe selection is edit-aware: sync samples before the first
+  non-empty edit's media_time never ship as keyframes or consume
+  the every-k cadence (placed via the stts expansion for
+  progressive tracks, via a decode clock accumulating trun
+  durations across moof boundaries for fragmented ones; a trim with
+  no timing to place against refuses). A zero-entry list is an
+  identity edit; a zero segment total (the CMAF moov-before-
+  duration shape) leaves the computed duration alone.
+- **Segment index** (§8.16.3, r10): :func:`mp4_segment_index` —
+  validated per-subsegment byte ranges + durations + SAP flags from
+  the top-level ``sidx`` (v0/v1, ``first_offset`` honored,
+  hierarchical references flagged, ranges past the blob refuse) —
+  the DASH addressing a ranged reader uses to fetch one subsegment
+  without scanning the file.
 - :func:`mp4_meta` / :func:`sample_mp4_keyframes` — the Arrow
   ``mapInPandas`` kernels (one row per track / per sampled
   keyframe), partition-sized upstream like every media kernel here
@@ -306,13 +323,39 @@ def _elst_trim(entries):
     not presented). A ZERO-ENTRY list is an identity edit (no-op →
     trim 0, review catch: it used to read as nothing-presented);
     None only when every entry is an empty edit (all presentation
-    time is delay — nothing presented)."""
+    time is delay — nothing presented). Metadata-side view: for a
+    multi-edit list this is the FIRST presented segment's start —
+    the RANGES walk uses :func:`_elst_window`, which refuses shapes
+    it cannot place exactly."""
     if not entries:
         return 0
     for _seg, media_time, _rate in entries:
         if media_time >= 0:
             return media_time
     return None
+
+
+def _elst_window(entries):
+    """(trim, seg_dur_movie) — the presented MEDIA window for the
+    ranges walk. Exactly-handled shapes: empty list / no elst →
+    (0, None); all-empty edits → (None, None) (nothing presented);
+    leading empty edits + ONE non-empty edit → (its media_time, its
+    segment_duration or None when 0 = unspecified/to-end).
+    MULTIPLE non-empty edits (loop/jump-back playlists) REFUSE
+    (cross-cutting review catch): collapsing them to a start trim
+    would silently drop keyframes a later edit presents — the module
+    rule is exact ranges or None, never silently-incomplete ones."""
+    non_empty = [
+        (seg, mt) for seg, mt, _r in entries if mt >= 0
+    ]
+    if not entries:
+        return 0, None
+    if not non_empty:
+        return None, None
+    if len(non_empty) > 1:
+        raise _Truncated()
+    seg, mt = non_empty[0]
+    return mt, seg or None
 
 
 def _parse_sidx(blob, s, e):
@@ -954,13 +997,20 @@ def keyframe_byte_ranges(
         track_order: list[int] = []  # tkhd ids in trak order
         moov_counts: dict = {}  # track_idx -> samples in moov tables
         moov_sync_counts: dict = {}  # track_idx -> sync count in moov
-        trims: dict = {}  # track_idx -> elst presentation start
+        trims: dict = {}  # track_idx -> (elst start, end) media window
         moov_time: dict = {}  # track_idx -> moov tables' total duration
         for btype, s, e, _b0 in top:
             if btype != b"moov":
                 continue
             t_idx = -1
+            mvhd_ts = None
             for it, is_, ie, _tb in _walk(blob, s, e, 2, counter):
+                if it == b"mvhd":
+                    # movie timescale: elst segment durations live in
+                    # it; only consulted when an end-bounded edit
+                    # needs converting to media time
+                    ts, _d = _parse_mvhd(blob, is_, ie)
+                    mvhd_ts = ts or None
                 if it != b"trak":
                     continue
                 t_idx += 1
@@ -974,26 +1024,40 @@ def keyframe_byte_ranges(
                     )
                 except _Truncated:
                     track_order.append(-1)  # degrades fragment match
-                # §8.6.6 edit list: samples before the presentation
-                # start (first non-empty edit's media_time, media
-                # timescale — stts/trun units, no conversion) are
-                # decoded but never shown; they must not consume the
-                # every-k cadence or ship as "keyframes". Parsed
-                # BEFORE the empty-tables bail so fragmented tracks
-                # get their trim too. None = all edits empty: the
-                # track presents nothing at all.
-                trim = 0
+                # §8.6.6 edit list: samples outside the presented
+                # media window [trim, end) — start in media units
+                # (stts/trun timescale, no conversion), end from the
+                # edit's MOVIE-timescale duration — are decoded but
+                # never shown; they must not consume the every-k
+                # cadence or ship as "keyframes". Parsed BEFORE the
+                # empty-tables bail so fragmented tracks get their
+                # window too. trim None = all edits empty: the track
+                # presents nothing. Shapes beyond one non-empty edit
+                # refuse inside _elst_window.
+                trim, end_media = 0, None
                 if b"elst" in tables:
-                    trim = _elst_trim(
+                    trim, seg_movie = _elst_window(
                         _parse_elst(blob, *tables[b"elst"])
                     )
-                trims[t_idx] = trim
+                    if seg_movie is not None:
+                        # converting the movie-ts duration needs both
+                        # timescales — absent either, the end is
+                        # unplaceable: refuse (exactness)
+                        if not mvhd_ts or b"mdhd" not in tables:
+                            raise _Truncated()
+                        md_ts, _dur = _parse_mdhd(
+                            blob, *tables[b"mdhd"]
+                        )
+                        if not md_ts:
+                            raise _Truncated()
+                        end_media = trim + seg_movie * md_ts // mvhd_ts
+                trims[t_idx] = (trim, end_media)
                 durs = None
                 # the per-sample expansion is only needed to PLACE a
-                # trim (progressive placement / fragment clock start)
-                # — the no-elst common case must not pay for it
-                # (review catch: hot-kernel overhead)
-                if trim and b"stts" in tables:
+                # window (progressive placement / fragment clock
+                # start) — the no-elst common case must not pay for
+                # it (review catch: hot-kernel overhead)
+                if (trim or end_media is not None) and b"stts" in tables:
                     durs = _stts_durations(blob, *tables[b"stts"])
                     moov_time[t_idx] = sum(durs)
                 need = (b"stsz", b"stsc")
@@ -1015,20 +1079,32 @@ def keyframe_byte_ranges(
                     sync = list(range(1, len(sizes) + 1))
                 if trim is None:
                     sync = []  # nothing presented
-                elif trim:
-                    # the stts expansion places the presentation
-                    # start on a sample; an elst with no stts to
-                    # place against refuses (ranges must be exact)
+                elif trim or end_media is not None:
+                    # the stts expansion places the presented window
+                    # on samples; an elst with no stts to place
+                    # against refuses (ranges must be exact). A
+                    # sample is presented iff its decode window
+                    # overlaps [trim, end_media).
                     if durs is None:
                         raise _Truncated()
+                    first_presented = None
+                    last_presented = 0
                     cum = 0
-                    first_presented = len(durs) + 1  # 1-based
                     for i, d in enumerate(durs):
-                        if cum + d > trim:
-                            first_presented = i + 1
+                        start_t, cum = cum, cum + d
+                        if end_media is not None and start_t >= end_media:
                             break
-                        cum += d
-                    sync = [sn for sn in sync if sn >= first_presented]
+                        if cum > trim:
+                            if first_presented is None:
+                                first_presented = i + 1
+                            last_presented = i + 1
+                    if first_presented is None:
+                        sync = []
+                    else:
+                        sync = [
+                            sn for sn in sync
+                            if first_presented <= sn <= last_presented
+                        ]
                 offsets = _sample_offsets(sizes, stsc, chunks)
                 if offsets is None:
                     raise _Truncated()
@@ -1063,26 +1139,28 @@ def keyframe_byte_ranges(
                 base_no = next_no.get(
                     t_idx, moov_counts.get(t_idx, 0)
                 )
-                trim = trims.get(t_idx, 0)
+                trim, end_media = trims.get(t_idx, (0, None))
                 cum = clock.get(t_idx, moov_time.get(t_idx, 0))
                 for off, size, is_sync, dur in samples:
                     base_no += 1
                     presented = True
                     if trim is None:
                         presented = False  # all-empty edits
-                    elif cum < trim:
-                        # still before the presentation start: the
-                        # sample is presented iff its decode window
-                        # reaches past the trim. A missing (None)
-                        # duration here is UNPLACEABLE — refuse
-                        # (exactness). A KNOWN-zero duration places
-                        # exactly: a zero-width window never crosses
-                        # the trim, so a file whose own durations sum
-                        # below its media_time presents nothing —
-                        # the same answer the progressive placement
-                        # gives for a trim past the stts total
-                        # (pinned in tests). Once past the trim,
-                        # durations are moot.
+                    elif end_media is not None and cum >= end_media:
+                        presented = False  # clock past the window end
+                    elif cum < trim or end_media is not None:
+                        # the clock is still needed — before the
+                        # presentation start, or tracking toward a
+                        # bounded end. A missing (None) duration here
+                        # is UNPLACEABLE — refuse (exactness). A
+                        # KNOWN-zero duration places exactly: a
+                        # zero-width window never crosses the trim,
+                        # so a file whose own durations sum below its
+                        # media_time presents nothing — the same
+                        # answer the progressive placement gives for
+                        # a trim past the stts total (pinned in
+                        # tests). Once past the trim with no end
+                        # bound, durations are moot.
                         if dur is None:
                             raise _Truncated()
                         presented = cum + dur > trim

@@ -112,6 +112,40 @@ def _graph(edges: DataFrame, src_col: str, dst_col: str):
     return nodes, raw.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _staged_inputs(edges: DataFrame, src_col: str, dst_col: str):
+    """The ONE definition of how the iteration's static inputs are
+    staged — shared by :func:`pagerank` (the timed loop) and
+    :func:`pagerank_iteration_plan` (the PLANS.md artifact), so the
+    dumped plan can never drift from the frame the loop actually
+    runs (review catch: a re-spelled staging once recorded phantom
+    subtrees). Returns ``(nodes, weighted, n, stage)`` with
+    ``nodes``/``weighted`` PERSISTED and ``n`` counted (materializing
+    them); ``stage(personalization)`` then builds the checkpointed
+    ``(nodes_p, dangling_nodes)`` leaves. The caller owns releases:
+    unpersist nodes/weighted, ``_free_checkpoint`` the leaves."""
+    nodes, e = _graph(edges, src_col, dst_col)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # edges carrying the sender's out-degree: the per-iteration join
+    # then only touches the rank vector
+    weighted = e.join(out_deg, "src")
+    weighted.persist()
+    nodes.persist()
+    n = nodes.count()  # materializes the nodes persist
+
+    def stage(personalization):
+        nodes_p = _teleport_vector(nodes, n, personalization)
+        # the dangling NODE SET is static — checkpoint it once, so
+        # the per-iteration dangling-mass scalar is a semi-join of
+        # the current rank vector against a leaf, never a re-run of
+        # the edge distinct + degree shuffles
+        dangling_nodes = nodes.join(
+            out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        return nodes_p, dangling_nodes
+
+    return nodes, weighted, n, stage
+
+
 def pagerank(
     edges: DataFrame,
     alpha: float = 0.85,
@@ -160,25 +194,13 @@ def pagerank(
     still one job per iteration."""
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    nodes, e = _graph(edges, src_col, dst_col)
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # edges carrying the sender's out-degree: the per-iteration join
-    # then only touches the rank vector
-    weighted = e.join(out_deg, "src")
-    weighted.persist()
-    nodes.persist()
+    nodes, weighted, n, stage = _staged_inputs(
+        edges, src_col, dst_col
+    )
     try:
-        n = nodes.count()  # materializes the nodes persist
         if n == 0:
             return nodes.withColumn("rank", F.lit(0.0))
-        nodes_p = _teleport_vector(nodes, n, personalization)
-        # the dangling NODE SET is static — checkpoint it once, so
-        # the per-iteration dangling-mass scalar is a semi-join of
-        # the current rank vector against a leaf, never a re-run of
-        # the edge distinct + degree shuffles
-        dangling_nodes = nodes.join(
-            out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
-        ).localCheckpoint(eager=True)
+        nodes_p, dangling_nodes = stage(personalization)
         try:
             return _iterate(
                 weighted,
@@ -354,25 +376,20 @@ def pagerank_iteration_plan(
     eager checkpoints truncate every iteration's lineage, so a plain
     ``explain`` of its RESULT shows only the final vector scan —
     this exposes the actual steady-state iteration body instead. The
-    inputs are staged exactly as the loop stages them (review catch:
-    an un-staged dump recorded phantom subtrees the loop never
-    executes): ``weighted`` persisted and materialized
+    inputs come from the loop's own :func:`_staged_inputs` (review
+    catch: a re-spelled staging once recorded phantom subtrees the
+    loop never executes): ``weighted`` persisted and materialized
     (InMemoryRelation), ``nodes_p`` / ``dangling_nodes`` / the rank
     vector checkpointed leaves. The persisted/checkpointed inputs are
     deliberately NOT released — the returned frame references them;
     plan-dump processes are short-lived."""
-    nodes, e = _graph(edges, src_col, dst_col)
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    weighted = e.join(out_deg, "src")
-    weighted.persist()
-    n = nodes.count()
+    nodes, weighted, n, stage = _staged_inputs(edges, src_col, dst_col)
     if n == 0:
+        nodes.unpersist()
+        weighted.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     weighted.count()  # materialize, as the loop's first action does
-    nodes_p = _teleport_vector(nodes, n, None)
-    dangling_nodes = nodes.join(
-        out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+    nodes_p, dangling_nodes = stage(None)
     ranks = nodes.select(
         "node", F.lit(1.0 / n).alias("rank")
     ).localCheckpoint(eager=True)

@@ -65,6 +65,10 @@ HEADLINE = (
     # measured the same round they land, per the r7/r8 precedent
     "mp4_keyframe_kernel",
     "cdc_chunk_stats",
+    # round-10: blob-scale chunking at production params — the shape
+    # the numpy prefix-doubling scan exists for (sf documents are all
+    # <4 KiB and take the scalar path)
+    "cdc_blob_chunking",
 )
 
 
@@ -195,10 +199,40 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents")
         return chunk_dedup_stats(chunk_documents(docs))
 
+    def cdc_blob_chunking(spark, sf_dir):
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cdc import (
+            chunk_documents,
+        )
+
+        # r10: blob-scale chunking at PRODUCTION params (8 KiB avg)
+        # — 16 × ~2 MB synthetic texts, the shape that exercises the
+        # numpy prefix-doubling cut scan (sf documents are all <4 KiB
+        # and take the scalar path; a vector-path regression would be
+        # invisible to cdc_chunk_stats). Content is deterministic and
+        # varies per doc so chunk hashes don't collapse. Much of the
+        # measured wall is the Arrow hop of the ~32 MB text to the
+        # kernel — the honest cost of any Python-side blob kernel.
+        blobs = spark.range(16).select(
+            F.col("id").alias("doc_id"),
+            F.repeat(
+                F.concat(
+                    F.lit("synthetic corpus blob "),
+                    F.col("id").cast("string"),
+                    F.lit(" with content-defined boundaries "),
+                    F.sha2(F.col("id").cast("string"), 256),
+                ),
+                16384,
+            ).alias("text"),
+        )
+        return chunk_documents(
+            blobs, min_size=2048, avg_size=8192, max_size=65536
+        )
+
     return {
         "crawl_front_half": front_half_pages,
         "mp4_keyframe_kernel": mp4_keyframe_kernel,
         "cdc_chunk_stats": cdc_chunk_stats,
+        "cdc_blob_chunking": cdc_blob_chunking,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,

@@ -219,6 +219,20 @@ def test_vectorized_spans_equal_scalar():
         assert _chunk_spans(text, *params, use_numpy=False) == (
             _chunk_spans(text, *params, use_numpy=True)
         )
+    # the BLOCKWISE precompute (memory bound for giant blobs) must be
+    # hit-identical across block boundaries — force tiny blocks so a
+    # modest input crosses many, including mid-chunk boundaries
+    import amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cdc as cdc_mod
+
+    orig_block = cdc_mod._VECTOR_BLOCK
+    cdc_mod._VECTOR_BLOCK = 1000
+    try:
+        for params in [(64, 256, 2048), (8, 32, 256)]:
+            assert _chunk_spans(text[:50_000], *params, use_numpy=True) == (
+                _chunk_spans(text[:50_000], *params, use_numpy=False)
+            )
+    finally:
+        cdc_mod._VECTOR_BLOCK = orig_block
     for n in (0, 1, 63, 64, 65, 90, 91, 92, 200):
         blob = bytes(range(256))[:n] if n <= 256 else b""
         assert _chunk_spans(blob, 64, 64, 64, use_numpy=False) == (

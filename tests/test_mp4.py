@@ -875,13 +875,46 @@ def test_elst_shifts_duration_and_keyframe_cadence():
 def test_elst_leading_empty_edit_delays_without_trimming():
     """A leading EMPTY edit (media_time -1) is presentation delay:
     duration sums both segments, the trim comes from the first
-    NON-empty entry (0 here ⇒ nothing trimmed)."""
-    blob = _hand_built(_elst_v0([(500, -1), (1200, 0)]))
+    NON-empty entry (0 here ⇒ nothing trimmed; its 2000 movie-ts
+    duration covers the full 1200 media units, so nothing is
+    end-trimmed either)."""
+    blob = _hand_built(_elst_v0([(500, -1), (2000, 0)]))
     m = parse_mp4_meta(blob)
     tr = m["tracks"][0]
-    assert tr["duration_ms"] == 1700  # (500 + 1200) / 1000
+    assert tr["duration_ms"] == 2500  # (500 + 2000) / 1000
     assert tr["media_start_ms"] == 0
     assert [r["sample_number"] for r in keyframe_byte_ranges(blob)] == [1, 3]
+
+
+def test_elst_end_bound_and_multi_edit_refusal():
+    """Cross-cutting review catches, pinned: (a) a single edit whose
+    movie-ts duration ends inside the media drops the sync samples
+    past the presentation END (1200 movie ts = 720 media units @
+    600/1000 — sample 3 starts at 800, not presented); (b) MULTIPLE
+    non-empty edits (loop/jump-back playlists) refuse outright —
+    collapsing them to a start trim would silently drop keyframes a
+    later edit presents, and the module rule is exact ranges or
+    None. Metadata stays descriptive for both."""
+    bounded = _hand_built(_elst_v0([(1200, 0)]))
+    assert [r["sample_number"] for r in keyframe_byte_ranges(bounded)] == [1]
+    tr = parse_mp4_meta(bounded)["tracks"][0]
+    assert tr["duration_ms"] == 1200 and tr["media_start_ms"] == 0
+    # end bound + start trim together: [400, 400+480) covers only
+    # sample 2 (syncs are 1,3 → nothing survives)
+    both = _hand_built(_elst_v0([(800, 400)]))
+    # 800 movie ts → 480 media; window [400, 880): sample 3 starts
+    # at 800 < 880 → presented; sample 1 trimmed
+    assert [r["sample_number"] for r in keyframe_byte_ranges(both)] == [3]
+    narrow = _hand_built(_elst_v0([(300, 400)]))
+    # 300 movie → 180 media; window [400, 580): only sample 2 (not
+    # a sync) → no keyframes, exactly
+    assert keyframe_byte_ranges(narrow) == []
+    # (b) two non-empty edits → refuse
+    multi = _hand_built(_elst_v0([(500, 800), (500, 0)]))
+    assert keyframe_byte_ranges(multi) is None
+    m = parse_mp4_meta(multi)  # metadata remains descriptive
+    assert m is not None and m["tracks"][0]["duration_ms"] == 1000
+    assert m["tracks"][0]["media_start_ms"] == 800 * 1000 // 600
 
 
 def test_elst_all_empty_edits_present_nothing():
