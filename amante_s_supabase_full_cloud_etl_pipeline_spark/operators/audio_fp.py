@@ -1,0 +1,239 @@
+"""Audio near-dup fingerprinting — the AUDIO tier of the dedup
+family (charter extension, SURVEY.md §2.10; reference analog: none).
+
+Why a 100 TB multimodal corpus needs it: exact dedup catches
+byte-identical audio; nothing else catches the SAME recording at a
+different volume, with light noise, or re-quantized — the dominant
+duplicate shape of scraped audio. Text has MinHash, images have the
+decode-feature distance, documents have CDC chunk hashes; audio had
+only exact-bytes.
+
+Bit derivation — after Haitsma & Kalker ("A Highly Robust Audio
+Fingerprinting System", ISMIR 2002), clean-room from the paper:
+frame the waveform (1024-sample Hann windows, 50% hop), power
+spectrum via numpy rFFT (no audio libs — numpy is baked in), fold
+into ``_N_BANDS + 1`` log-spaced energy bands between 300 and
+3000 Hz (band edges scale from the file's own sample rate), one bit
+per adjacent band pair from the SIGN of the energy difference::
+
+    bit(n, m) = 1  iff  E[n, m] > E[n, m + 1]
+
+DOCUMENTED DEVIATION from the paper: H&K additionally differentiate
+along time (their matcher does Hamming-distance search over long
+blocks, where near-zero derivative bits are tolerable). An
+EXACT-MATCH posting index — the shape every dedup tier here uses —
+needs stable bits, and the temporal derivative of quasi-stationary
+audio is near zero almost everywhere, so its signs are noise
+(measured: <15% of frame hashes survive light noise with the
+temporal term, vs the spatial term's exact volume invariance).
+The spatial sign is still per-frame-gain invariant (a frame's gain
+scales every band together).
+
+Matching primitive — the repo's simhash MULTI-PROBE pattern
+(:mod:`.dedup`): consecutive frames concatenate into a 32-bit key,
+and each key emits itself plus its 32 one-bit flips (33 probes).
+Two keys within Hamming distance 2 share a probe by construction
+(flip one differing bit on each side), so light noise — a few
+flipped sign bits — still collides, while the 32-bit space keeps the
+chance floor for unrelated audio at ~0 (measured: noisy copies share
+100+ probe keys, unrelated recordings share none). Pair semantics
+then reuse the CDC machinery verbatim
+(:func:`..operators.cdc.capped_posting_lists` /
+:func:`~..operators.cdc.pairs_from_posting`): a ubiquity cap on
+document frequency (near-silence and common tones are the audio
+boilerplate), capped lists exploded to pairs.
+
+Scale shape: fingerprinting is a map-only Arrow kernel (one rFFT
+pass per blob, no shuffle); probes are a bounded 33× expansion of
+frame rows; the pair query is the same two aggregations as the
+chunk-hash pairs — bounded buffers, no all-pairs, no driver
+collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .cdc import capped_posting_lists, pairs_from_posting
+from .multimodal import decode_wav
+
+#: frame layout: 1024-sample Hann windows, 50% hop — at 16 kHz each
+#: frame covers 64 ms and one lands every 32 ms
+_N_FFT = 1024
+_HOP = 512
+#: 17 bands → 16 bits per frame (one bit per adjacent band pair)
+_N_BANDS = 16
+_F_LO = 300.0
+_F_HI = 3000.0
+
+
+def frame_fingerprints(samples, rate: int) -> list[int]:
+    """Per-frame 16-bit sub-fingerprints for a mono float waveform —
+    the driver-side reference the Spark kernel is differential-tested
+    against. Exactly invariant to volume scaling (signs of band
+    differences). Shorter than one window, or a rate that puts the
+    3 kHz band edge past Nyquist → empty list."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = x.size
+    if n < _N_FFT or rate <= 0 or rate < 2 * _F_HI:
+        return []
+    n_frames = 1 + (n - _N_FFT) // _HOP
+    window = np.hanning(_N_FFT)
+    frames = np.lib.stride_tricks.as_strided(
+        x,
+        shape=(n_frames, _N_FFT),
+        strides=(x.strides[0] * _HOP, x.strides[0]),
+        writeable=False,
+    )
+    spec = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
+    # log-spaced band edges between 300 and 3000 Hz, mapped to rFFT
+    # bins from the file's OWN rate — the same recording stored at
+    # another PCM rate lands on the same perceptual bands
+    edges_hz = np.geomspace(_F_LO, _F_HI, _N_BANDS + 2)
+    bins = np.clip(
+        (edges_hz * _N_FFT / rate).astype(int), 1, _N_FFT // 2
+    )
+    energies = np.empty((n_frames, _N_BANDS + 1))
+    for b in range(_N_BANDS + 1):
+        lo, hi = bins[b], max(bins[b + 1], bins[b] + 1)
+        energies[:, b] = spec[:, lo:hi].sum(axis=1)
+    bits = (energies[:, :-1] > energies[:, 1:]).astype(np.uint32)
+    weights = (1 << np.arange(_N_BANDS, dtype=np.uint32))
+    return [int(v) for v in (bits * weights).sum(axis=1)]
+
+
+def probe_keys(fps: list[int]) -> list[int]:
+    """Multi-probe key set for one recording: consecutive frames
+    concatenate into 32-bit keys; each key emits itself + its 32
+    one-bit flips. Any two recordings whose aligned keys sit within
+    Hamming distance 2 share a probe (flip one differing bit on each
+    side). Returned DISTINCT — the posting index is per-(key, doc)."""
+    out: set[int] = set()
+    for a, b in zip(fps, fps[1:]):
+        v = (a << _N_BANDS) | b
+        out.add(v)
+        for bit in range(2 * _N_BANDS):
+            out.add(v ^ (1 << bit))
+    return sorted(out)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+_FP_COLS = [f.name for f in AUDIO_FP_SCHEMA.fields]
+
+AUDIO_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("probe", LongType()),
+    ]
+)
+
+_PROBE_COLS = [f.name for f in AUDIO_PROBE_SCHEMA.fields]
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Map-only Arrow kernel: one row per frame sub-fingerprint of
+    each blob — (doc_id, frame_idx, fp). Corrupt / compressed / too-
+    short blobs emit nothing (S4 skip, same contract as every media
+    kernel). Expects (doc_id, blob)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                decoded = decode_wav(
+                    bytes(blob) if blob is not None else b""
+                )
+                if decoded is None:
+                    continue
+                for i, v in enumerate(frame_fingerprints(*decoded)):
+                    rows.append(
+                        {"doc_id": int(doc_id), "frame_idx": i, "fp": v}
+                    )
+            yield pd.DataFrame(rows, columns=_FP_COLS)
+
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, AUDIO_FP_SCHEMA)
+
+
+def audio_probes(media: DataFrame) -> DataFrame:
+    """Map-only Arrow kernel: the DISTINCT multi-probe keys per blob
+    — (doc_id, probe). The 33× expansion happens worker-side (never
+    a Spark explode of a driver list), S4 skip as above."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                decoded = decode_wav(
+                    bytes(blob) if blob is not None else b""
+                )
+                if decoded is None:
+                    continue
+                for v in probe_keys(frame_fingerprints(*decoded)):
+                    rows.append({"doc_id": int(doc_id), "probe": v})
+            yield pd.DataFrame(rows, columns=_PROBE_COLS)
+
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, AUDIO_PROBE_SCHEMA)
+
+
+def shared_audio_pairs(
+    probes: DataFrame, max_posting: int = 64, min_shared: int = 8
+) -> DataFrame:
+    """Document pairs ranked by shared probe keys — the audio
+    near-dup signal, built on the CDC pair machinery so all the
+    dedup tiers agree on pair semantics. Probe keys carried by more
+    than ``max_posting`` documents are dropped before any list
+    builds (near-silence / common tones are the audio boilerplate —
+    ubiquity is not a dup signal, and the cap bounds every
+    aggregation buffer); pairs sharing fewer than ``min_shared``
+    probes are the multi-probe collision floor and are cut
+    (measured: noisy copies share 100+, unrelated recordings 0).
+    Columns: (doc_a, doc_b, shared_probes)."""
+    rows = probes.select(
+        F.col("probe").cast("string").alias("chunk_hash"), "doc_id"
+    )
+    eligible = (
+        rows.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_posting))
+        .select("chunk_hash")
+    )
+    pairs = pairs_from_posting(capped_posting_lists(rows, eligible))
+    return pairs.filter(
+        F.col("shared_chunks") >= min_shared
+    ).select(
+        "doc_a", "doc_b", F.col("shared_chunks").alias("shared_probes")
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame, max_posting: int = 64, min_shared: int = 8
+) -> DataFrame:
+    """End-to-end: blobs → probe keys → shared-probe pairs. One
+    kernel pass + two hash aggregations; the composition a curation
+    pipeline calls."""
+    return shared_audio_pairs(
+        audio_probes(media), max_posting, min_shared
+    )

@@ -69,6 +69,9 @@ HEADLINE = (
     # the numpy prefix-doubling scan exists for (sf documents are all
     # <4 KiB and take the scalar path)
     "cdc_blob_chunking",
+    # round-10: audio near-dup fingerprint kernel (RIFF decode +
+    # framed rFFT + multi-probe keys) — measured the round it lands
+    "audio_fp_kernel",
 )
 
 
@@ -199,6 +202,25 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents")
         return chunk_dedup_stats(chunk_documents(docs))
 
+    def audio_fp_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.audio_fp import (  # noqa: E501
+            audio_probes,
+        )
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+            synthetic_audio_corpus,
+        )
+
+        # r10: RIFF decode → framed rFFT → 16-bit band-sign prints →
+        # 33× multi-probe keys, over the deterministic PCM corpus —
+        # the audio near-dup triage kernel (map-only)
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 8000
+        )
+        corpus = synthetic_audio_corpus(docs).select("doc_id", "blob")
+        return audio_probes(corpus)
+
     def cdc_blob_chunking(spark, sf_dir):
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cdc import (
             chunk_documents,
@@ -233,6 +255,7 @@ def _extra_queries():
         "mp4_keyframe_kernel": mp4_keyframe_kernel,
         "cdc_chunk_stats": cdc_chunk_stats,
         "cdc_blob_chunking": cdc_blob_chunking,
+        "audio_fp_kernel": audio_fp_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
