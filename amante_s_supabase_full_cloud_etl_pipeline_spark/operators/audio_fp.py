@@ -60,7 +60,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .cdc import capped_posting_lists, pairs_from_posting
+from .cdc import (
+    capped_posting_lists,
+    eligible_hashes,
+    pairs_from_posting,
+)
 from .multimodal import decode_wav
 
 #: frame layout: 1024-sample Hann windows, 50% hop — at 16 kHz each
@@ -71,6 +75,9 @@ _HOP = 512
 _N_BANDS = 16
 _F_LO = 300.0
 _F_HI = 3000.0
+#: frames per rFFT block — bounds the kernel's transient memory at
+#: ~_FRAME_BLOCK × _N_FFT × 24 B (~100 MB) regardless of blob length
+_FRAME_BLOCK = 4096
 
 
 def frame_fingerprints(samples, rate: int) -> list[int]:
@@ -87,13 +94,6 @@ def frame_fingerprints(samples, rate: int) -> list[int]:
         return []
     n_frames = 1 + (n - _N_FFT) // _HOP
     window = np.hanning(_N_FFT)
-    frames = np.lib.stride_tricks.as_strided(
-        x,
-        shape=(n_frames, _N_FFT),
-        strides=(x.strides[0] * _HOP, x.strides[0]),
-        writeable=False,
-    )
-    spec = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
     # log-spaced band edges between 300 and 3000 Hz, mapped to rFFT
     # bins from the file's OWN rate — the same recording stored at
     # another PCM rate lands on the same perceptual bands
@@ -101,13 +101,29 @@ def frame_fingerprints(samples, rate: int) -> list[int]:
     bins = np.clip(
         (edges_hz * _N_FFT / rate).astype(int), 1, _N_FFT // 2
     )
-    energies = np.empty((n_frames, _N_BANDS + 1))
-    for b in range(_N_BANDS + 1):
-        lo, hi = bins[b], max(bins[b + 1], bins[b] + 1)
-        energies[:, b] = spec[:, lo:hi].sum(axis=1)
-    bits = (energies[:, :-1] > energies[:, 1:]).astype(np.uint32)
     weights = (1 << np.arange(_N_BANDS, dtype=np.uint32))
-    return [int(v) for v in (bits * weights).sum(axis=1)]
+    out: list[int] = []
+    # BLOCKWISE frames (review catch, the cdc.py precedent): the
+    # windowed frame matrix + spectrum are ~20 bytes of transients
+    # per input byte, so one monolithic pass over a long recording
+    # would OOM a task; per-frame values are independent, so blocks
+    # concatenate exactly.
+    for f0 in range(0, n_frames, _FRAME_BLOCK):
+        f1 = min(n_frames, f0 + _FRAME_BLOCK)
+        frames = np.lib.stride_tricks.as_strided(
+            x[f0 * _HOP:],
+            shape=(f1 - f0, _N_FFT),
+            strides=(x.strides[0] * _HOP, x.strides[0]),
+            writeable=False,
+        )
+        spec = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
+        energies = np.empty((f1 - f0, _N_BANDS + 1))
+        for b in range(_N_BANDS + 1):
+            lo, hi = bins[b], max(bins[b + 1], bins[b] + 1)
+            energies[:, b] = spec[:, lo:hi].sum(axis=1)
+        bits = (energies[:, :-1] > energies[:, 1:]).astype(np.uint32)
+        out.extend(int(v) for v in (bits * weights).sum(axis=1))
+    return out
 
 
 def probe_keys(fps: list[int]) -> list[int]:
@@ -214,13 +230,9 @@ def shared_audio_pairs(
     rows = probes.select(
         F.col("probe").cast("string").alias("chunk_hash"), "doc_id"
     )
-    eligible = (
-        rows.groupBy("chunk_hash")
-        .agg(F.countDistinct("doc_id").alias("__n"))
-        .filter((F.col("__n") > 1) & (F.col("__n") <= max_posting))
-        .select("chunk_hash")
+    pairs = pairs_from_posting(
+        capped_posting_lists(rows, eligible_hashes(rows, max_posting))
     )
-    pairs = pairs_from_posting(capped_posting_lists(rows, eligible))
     return pairs.filter(
         F.col("shared_chunks") >= min_shared
     ).select(
@@ -231,9 +243,16 @@ def shared_audio_pairs(
 def audio_near_dup_pairs(
     media: DataFrame, max_posting: int = 64, min_shared: int = 8
 ) -> DataFrame:
-    """End-to-end: blobs → probe keys → shared-probe pairs. One
-    kernel pass + two hash aggregations; the composition a curation
-    pipeline calls."""
+    """End-to-end: blobs → probe keys → shared-probe pairs. The
+    probe frame feeds BOTH the eligibility aggregation and the
+    posting semi-join, so it is tracked-persisted here — unpersisted
+    the lineage would run the decode + rFFT + multi-probe kernel
+    twice, the dominant cost of the audio tier (review catch).
+    Released by the registry/bench cache lifecycle
+    (:func:`.cache.release_tracked`); ad-hoc callers can release
+    the same way."""
+    from .cache import tracked_persist
+
     return shared_audio_pairs(
-        audio_probes(media), max_posting, min_shared
+        tracked_persist(audio_probes(media)), max_posting, min_shared
     )

@@ -333,19 +333,30 @@ def shared_chunk_pairs(
     sized = chunks.filter(
         F.col("length") >= min_chunk_bytes
     ).select("chunk_hash", "doc_id")
-    # frequency pre-filter FIRST (one count agg — cheap, bounded
-    # buffers), so a boilerplate chunk shared by a million pages
-    # never materializes a million-element collect_set buffer; such
-    # chunks are dropped outright — ubiquity is boilerplate, not a
-    # dedup signal (review catch: the old slice-after-collect capped
-    # the OUTPUT but not the aggregation buffer)
-    eligible = (
-        sized.groupBy("chunk_hash")
+    return pairs_from_posting(
+        capped_posting_lists(sized, eligible_hashes(sized, max_posting))
+    )
+
+
+def eligible_hashes(rows: DataFrame, max_posting: int) -> DataFrame:
+    """The ubiquity-cap eligibility set: hashes carried by more than
+    one and at most ``max_posting`` distinct documents. Frequency
+    pre-filter FIRST (one count agg — cheap, bounded buffers), so a
+    boilerplate hash shared by a million pages never materializes a
+    million-element collect_set buffer; such hashes are dropped
+    outright — ubiquity is boilerplate, not a dedup signal (review
+    catch: the old slice-after-collect capped the OUTPUT but not the
+    aggregation buffer). ONE definition shared by every posting-
+    based dedup tier (chunks, the streaming index's batch twin,
+    audio probes — review catch: a re-spelled copy could silently
+    desynchronize the cap semantics). ``rows`` carries
+    (chunk_hash, doc_id)."""
+    return (
+        rows.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("__n"))
         .filter((F.col("__n") > 1) & (F.col("__n") <= max_posting))
         .select("chunk_hash")
     )
-    return pairs_from_posting(capped_posting_lists(sized, eligible))
 
 
 def capped_posting_lists(

@@ -611,6 +611,11 @@ def decode_wav(blob: bytes):
         cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # a truncated fmt chunk is malformed, not an exception:
+            # struct.error here used to escape the S4 contract and
+            # kill the Spark task (r10 review catch)
+            if len(body) < 16:
+                return None
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

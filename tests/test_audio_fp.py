@@ -156,3 +156,44 @@ def test_ubiquity_cap_and_corrupt_blobs(spark):
     assert loose.count() == 10  # all C(5,2) silence pairs
     strict = shared_audio_pairs(probes, max_posting=4, min_shared=8)
     assert strict.count() < 10
+
+
+def test_truncated_fmt_chunk_skips_not_crashes(spark):
+    """Review catch (runtime-confirmed): a RIFF blob whose fmt chunk
+    is truncated used to raise struct.error out of decode_wav,
+    killing the Spark task instead of the S4 per-row skip every
+    media kernel promises."""
+    import struct
+
+    bad = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x00" * 8
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    assert decode_wav(bad) is None
+    ok = encode_wav_pcm16(
+        (np.zeros(2048)).astype(np.int16), RATE
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(bad)), (2, bytearray(ok))],
+        "doc_id long, blob binary",
+    )
+    got = audio_fingerprints(media).select("doc_id").distinct().collect()
+    assert {r["doc_id"] for r in got} == {2}
+    assert audio_probes(media).filter("doc_id = 1").count() == 0
+
+
+def test_blockwise_framing_is_exact():
+    """The bounded-memory frame blocks concatenate to exactly the
+    monolithic result — force a tiny block so a short signal crosses
+    many boundaries."""
+    import amante_s_supabase_full_cloud_etl_pipeline_spark.operators.audio_fp as afp
+
+    x = _voice_like(6)
+    want = frame_fingerprints(x, RATE)
+    orig = afp._FRAME_BLOCK
+    afp._FRAME_BLOCK = 3
+    try:
+        assert frame_fingerprints(x, RATE) == want
+    finally:
+        afp._FRAME_BLOCK = orig
