@@ -12,22 +12,26 @@ Bit derivation — after Haitsma & Kalker ("A Highly Robust Audio
 Fingerprinting System", ISMIR 2002), clean-room from the paper:
 frame the waveform (1024-sample Hann windows, 50% hop), power
 spectrum via numpy rFFT (no audio libs — numpy is baked in), fold
-into ``_N_BANDS + 1`` log-spaced energy bands between 300 and
-3000 Hz (band edges scale from the file's own sample rate), one bit
-per adjacent band pair from the SIGN of the energy difference::
+into ``_N_BANDS`` log-spaced energy bands between 300 and 3000 Hz
+(band edges scale from the file's own sample rate), one bit per band
+from its energy against the frame's MEAN band energy::
 
-    bit(n, m) = 1  iff  E[n, m] > E[n, m + 1]
+    bit(n, m) = 1  iff  E[n, m] > mean_k E[n, k]
 
-DOCUMENTED DEVIATION from the paper: H&K additionally differentiate
-along time (their matcher does Hamming-distance search over long
-blocks, where near-zero derivative bits are tolerable). An
-EXACT-MATCH posting index — the shape every dedup tier here uses —
-needs stable bits, and the temporal derivative of quasi-stationary
-audio is near zero almost everywhere, so its signs are noise
-(measured: <15% of frame hashes survive light noise with the
-temporal term, vs the spatial term's exact volume invariance).
-The spatial sign is still per-frame-gain invariant (a frame's gain
-scales every band together).
+DOCUMENTED DEVIATIONS from the paper, both measured: (a) H&K
+differentiate adjacent bands along frequency AND time — their
+matcher does Hamming-distance search over long blocks, where
+near-zero difference bits are tolerable. An EXACT-MATCH posting
+index — the shape every dedup tier here uses — needs stable bits:
+the temporal derivative of quasi-stationary audio is near zero
+almost everywhere (signs = noise), and adjacent-band signs are
+noise for SPARSE spectra (most adjacent pairs compare two empty
+bands; measured: 0 probe survivals at light noise on tonal
+signals). (b) The frame-mean reference keeps every bit decisive —
+tonal bands sit stably above the mean, empty bands stably below —
+and stays per-frame-gain invariant (the mean scales with the
+bands), so volume changes are an EXACT invariance and light/heavy
+noise keeps ~100+ shared probes per second of audio.
 
 Matching primitive — the repo's simhash MULTI-PROBE pattern
 (:mod:`.dedup`): consecutive frames concatenate into a 32-bit key,
@@ -71,7 +75,7 @@ from .multimodal import decode_wav
 #: frame covers 64 ms and one lands every 32 ms
 _N_FFT = 1024
 _HOP = 512
-#: 17 bands → 16 bits per frame (one bit per adjacent band pair)
+#: 16 bands → 16 bits per frame (one bit per band vs the frame mean)
 _N_BANDS = 16
 _F_LO = 300.0
 _F_HI = 3000.0
@@ -97,7 +101,7 @@ def frame_fingerprints(samples, rate: int) -> list[int]:
     # log-spaced band edges between 300 and 3000 Hz, mapped to rFFT
     # bins from the file's OWN rate — the same recording stored at
     # another PCM rate lands on the same perceptual bands
-    edges_hz = np.geomspace(_F_LO, _F_HI, _N_BANDS + 2)
+    edges_hz = np.geomspace(_F_LO, _F_HI, _N_BANDS + 1)
     bins = np.clip(
         (edges_hz * _N_FFT / rate).astype(int), 1, _N_FFT // 2
     )
@@ -117,11 +121,13 @@ def frame_fingerprints(samples, rate: int) -> list[int]:
             writeable=False,
         )
         spec = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
-        energies = np.empty((f1 - f0, _N_BANDS + 1))
-        for b in range(_N_BANDS + 1):
+        energies = np.empty((f1 - f0, _N_BANDS))
+        for b in range(_N_BANDS):
             lo, hi = bins[b], max(bins[b + 1], bins[b] + 1)
             energies[:, b] = spec[:, lo:hi].sum(axis=1)
-        bits = (energies[:, :-1] > energies[:, 1:]).astype(np.uint32)
+        bits = (
+            energies > energies.mean(axis=1, keepdims=True)
+        ).astype(np.uint32)
         out.extend(int(v) for v in (bits * weights).sum(axis=1))
     return out
 
