@@ -87,9 +87,11 @@ _FRAME_BLOCK = 4096
 def frame_fingerprints(samples, rate: int) -> list[int]:
     """Per-frame 16-bit sub-fingerprints for a mono float waveform —
     the driver-side reference the Spark kernel is differential-tested
-    against. Exactly invariant to volume scaling (signs of band
-    differences). Shorter than one window, or a rate that puts the
-    3 kHz band edge past Nyquist → empty list."""
+    against. One bit per log band: its energy against the frame's
+    MEAN band energy (module doc: why not the paper's adjacent-band
+    difference) — exactly invariant to volume scaling, since the
+    mean scales with the bands. Shorter than one window, or a rate
+    that puts the 3 kHz band edge past Nyquist → empty list."""
     import numpy as np
 
     x = np.asarray(samples, dtype=np.float64)

@@ -310,6 +310,36 @@ def _filter_condition(filters: Sequence[tuple]):
     return cond
 
 
+def read_pruned_by_keys(
+    table: "ParquetTable",
+    keys: DataFrame,
+    key_col: str,
+    max_in_list: int = 50_000,
+) -> DataFrame | None:
+    """Read ``table`` pruned to the key values present in
+    ``keys[key_col]`` when their distinct count fits a bounded driver
+    IN list (file-stat skipping); degrade to a full read otherwise —
+    the downstream equi-join is correct either way. None when the
+    table has no committed version yet. ONE definition of the
+    probe-the-store-by-batch-keys choreography every streaming index
+    fold uses (review catch: dedup_index and audio_index used to
+    spell it separately, the desynchronization hazard the repo keeps
+    re-learning)."""
+    if table.current_version() == 0:
+        return None
+    touched = [
+        r[key_col]
+        for r in keys.select(key_col)
+        .distinct()
+        .limit(max_in_list + 1)
+        .collect()
+    ]
+    filters = None
+    if len(touched) <= max_in_list:
+        filters = [(key_col, "in", touched)]
+    return table.read(filters=filters)
+
+
 class CommitConflict(Exception):
     """Another writer committed this version first — reload the
     snapshot and retry."""

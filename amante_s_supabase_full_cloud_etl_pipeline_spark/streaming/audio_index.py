@@ -56,13 +56,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.audio_fp import audio_probes
-from ..sources.table_format import ParquetTable
-
-#: above this many distinct probe keys in a batch, skip the IN-list
-#: pruning and rely on the equi-join alone (driver lists stay
-#: bounded; the join is correct either way)
-_MAX_IN_LIST = 50_000
+from ..operators.audio_fp import audio_probes, shared_audio_pairs
+from ..sources.table_format import ParquetTable, read_pruned_by_keys
 
 
 def fold_audio_index(
@@ -83,19 +78,9 @@ def fold_audio_index(
     rows = audio_probes(batch)
     rows.persist()
     try:
-        stored = None
-        if index.current_version() > 0:
-            filters = None
-            touched = [
-                r["probe"]
-                for r in rows.select("probe")
-                .distinct()
-                .limit(_MAX_IN_LIST + 1)
-                .collect()
-            ]
-            if len(touched) <= _MAX_IN_LIST:
-                filters = [("probe", "in", touched)]
-            stored = index.read(filters=filters).select(
+        stored = read_pruned_by_keys(index, rows, "probe")
+        if stored is not None:
+            stored = stored.select(
                 "probe", F.col("doc_id").alias("doc_s")
             )
         both = rows.select("probe", "doc_id")
@@ -161,8 +146,6 @@ def stored_audio_pairs(
     like every index here; equals
     :func:`..operators.audio_fp.shared_audio_pairs` over the union
     of all folded batches (the equivalence tests pin it)."""
-    from ..operators.audio_fp import shared_audio_pairs
-
     return shared_audio_pairs(
         index.read().select("doc_id", "probe"), max_posting, min_shared
     )
@@ -182,12 +165,19 @@ def audio_index_writer(
             .foreachBatch(audio_index_writer(index, pairs))
             .option("checkpointLocation", ...).start())
 
-    Pairs merge on (doc_a, doc_b) so a replayed batch converges; the
-    merged ``shared_probes`` keeps the larger observation (a pair
-    re-surfaced by a later batch can only have MORE shared probes —
-    the store grew). ``compact_at_files`` bounds the index's live
-    file count, sorted by probe so the fold's IN-prune keeps
-    skipping files."""
+    Pairs merge on (doc_a, doc_b) so a replayed batch converges —
+    LATEST observation wins (the merge's replace semantics): cap
+    eligibility only SHRINKS as the corpus grows, so a later
+    observation of the same pair is the more conservative one,
+    closer to the exact :func:`stored_audio_pairs` view (review
+    catch: an earlier docstring claimed keep-larger, which the merge
+    never implemented and which has the monotonicity backwards). A
+    pair-less batch skips the merge outright — an empty merge has
+    null key bounds, so nothing prunes and the whole pair table
+    rewrites for a no-op (the crawl-index guard; replay stays
+    convergent because the fold recomputes identical pairs).
+    ``compact_at_files`` bounds the index's live file count, sorted
+    by probe so the fold's IN-prune keeps skipping files."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         if compact_at_files and len(index.files()) >= compact_at_files:
@@ -199,11 +189,13 @@ def audio_index_writer(
             max_posting=max_posting,
             min_shared=min_shared,
         )
-        pairs.merge(
-            found,
-            keys=["doc_a", "doc_b"],
-            order_by=["shared_probes"],
-            batch_id=batch_id,
-        )
+        # found is eagerly checkpointed — the probe is cheap
+        if found.limit(1).count():
+            pairs.merge(
+                found,
+                keys=["doc_a", "doc_b"],
+                order_by=["shared_probes"],
+                batch_id=batch_id,
+            )
 
     return handle

@@ -45,12 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_bands, minhash_signature, shingle_set
-from ..sources.table_format import ParquetTable
-
-#: above this many distinct band hashes in a batch, skip the IN-list
-#: pruning and rely on the equi-join alone (a driver IN list must stay
-#: bounded; the join is correct either way)
-_MAX_IN_LIST = 50_000
+from ..sources.table_format import ParquetTable, read_pruned_by_keys
 
 
 def batch_band_rows(
@@ -127,15 +122,9 @@ def fold_near_dup_index(
         )
 
         cross = None
-        if index.current_version() > 0:
-            filters = None
-            touched = [
-                r["band_hash"]
-                for r in rows.select("band_hash").distinct().limit(_MAX_IN_LIST + 1).collect()
-            ]
-            if len(touched) <= _MAX_IN_LIST:
-                filters = [("band_hash", "in", touched)]
-            stored = index.read(filters=filters).select(
+        stored_raw = read_pruned_by_keys(index, rows, "band_hash")
+        if stored_raw is not None:
+            stored = stored_raw.select(
                 F.col("doc_id").alias("id_s"),
                 F.col("sig").alias("sig_s"),
                 "band",
@@ -214,11 +203,16 @@ def near_dup_index_writer(
             id_col=id_col,
             batch_id=batch_id,
         )
-        pairs.merge(
-            found,
-            keys=["id_a", "id_b"],
-            order_by=["id_a", "id_b"],
-            batch_id=batch_id,
-        )
+        # a pair-less batch skips the merge outright: an empty merge
+        # has null key bounds → nothing prunes → the whole pair table
+        # rewrites for a no-op (r10 review catch, the crawl-index
+        # guard; found is eagerly checkpointed, the probe is cheap)
+        if found.limit(1).count():
+            pairs.merge(
+                found,
+                keys=["id_a", "id_b"],
+                order_by=["id_a", "id_b"],
+                batch_id=batch_id,
+            )
 
     return handle

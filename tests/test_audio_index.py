@@ -150,6 +150,35 @@ def test_cap_crossed_across_batches(spark, tmp_path):
     # discovery-candidate semantics) — but never in the exact view
 
 
+def test_cross_batch_discovery(spark, tmp_path):
+    """The batch-vs-STORE join is the reason the index exists: a
+    near-dup whose two recordings arrive in DIFFERENT batches must
+    be emitted by the later fold (review catch: every other test's
+    pairs landed in-batch, so a broken cross join passed)."""
+    rng = np.random.default_rng(11)
+    x = _voice_like(200)
+    y = 0.6 * x + 0.02 * rng.standard_normal(x.size)
+    others = [_voice_like(300 + d) for d in range(2)]
+    rows = [
+        (d, bytearray(
+            encode_wav_pcm16((w * 20_000).astype(np.int16), RATE)
+        ))
+        for d, w in enumerate([x, others[0], others[1], y])
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, blob binary")
+    index = ParquetTable(spark, str(tmp_path / "ac"))
+    # batch 0: the original + one unrelated; batch 1: the copy
+    p0 = _pairs(fold_audio_index(index, media.filter("doc_id < 3"), batch_id=0))
+    assert (0, 3) not in p0  # doc 3 not ingested yet
+    p1 = _pairs(fold_audio_index(index, media.filter("doc_id = 3"), batch_id=1))
+    assert (0, 3) in p1  # discovered ACROSS batches, via the store
+    assert p1[(0, 3)] >= 8
+    # and the exact view agrees with batch end-to-end
+    assert _pairs(stored_audio_pairs(index)) == _pairs(
+        audio_near_dup_pairs(media)
+    )
+
+
 def test_replay_is_exactly_once(spark, tmp_path):
     media = _corpus(spark, n_pairs=2, n_single=2)
     index = ParquetTable(spark, str(tmp_path / "ar"))
