@@ -17,14 +17,22 @@ def _n_cached(spark) -> int:
 def test_registry_releases_previous_querys_caches(spark):
     registry.load_all_queries()
     cache.release_tracked()
+    # DELTA-based, not absolute-zero: earlier tests' localCheckpoint
+    # blocks linger in getPersistentRDDs until the ContextCleaner
+    # collects them (GC-timing dependent), so an absolute == 0 was
+    # latently flaky against suite ordering (fired once the r10
+    # audio suites ran first). What this test owns is the REGISTRY
+    # contract: the next query releases the previous one's tracked
+    # caches — a delta against the pre-query baseline.
+    base = _n_cached(spark)
 
     jaccard = registry.QUERIES["dedup_pair_methods"]
     jaccard(spark, SF).collect()
-    assert _n_cached(spark) > 0  # posting table persisted during the action
+    assert _n_cached(spark) > base  # posting table persisted
 
     # invoking ANY next registry query frees the previous one's caches
     registry.QUERIES["text_token_stats"](spark, SF).collect()
-    assert _n_cached(spark) == 0
+    assert _n_cached(spark) <= base
 
     cache.release_tracked()
 
