@@ -52,6 +52,15 @@ pass per blob, no shuffle); probes are a bounded 33× expansion of
 frame rows; the pair query is the same two aggregations as the
 chunk-hash pairs — bounded buffers, no all-pairs, no driver
 collects.
+
+SCOPE LIMIT (documented, not a bug): the SAME recording stored at a
+different sample RATE is not matched — the 1024-sample frame covers
+a different time span, so frames don't align even though the band
+edges scale. The standard front-end is resampling to a canonical
+rate before fingerprinting; a clean-room polyphase resampler is a
+deliberate non-goal this round (the dominant duplicate shapes —
+volume change, re-quantization, light noise, byte-identical
+re-uploads — are covered).
 """
 
 from __future__ import annotations

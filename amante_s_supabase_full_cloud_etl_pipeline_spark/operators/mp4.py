@@ -1709,6 +1709,65 @@ def sample_mp4_keyframes(media: DataFrame, every: int = 1) -> DataFrame:
     ).mapInPandas(kernel, KEYFRAME_SCHEMA)
 
 
+MP4_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("seg_idx", LongType()),
+        StructField("offset", LongType()),
+        StructField("size", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("starts_with_sap", LongType()),
+        StructField("is_index", LongType()),
+        StructField("payload_crc32", LongType()),
+    ]
+)
+
+_SEG_COLS = [f.name for f in MP4_SEGMENT_SCHEMA.fields]
+
+
+def mp4_segments(media: DataFrame) -> DataFrame:
+    """One row per ``sidx`` subsegment — the DASH addressing table as
+    an Arrow kernel: (doc_id, seg_idx, offset, size, duration_ms,
+    starts_with_sap, is_index, payload_crc32). The CRC proves each
+    range sliced the bytes it claims (the `sample_mp4_keyframes`
+    convention — a downstream ranged reader consumes the offsets,
+    the CRC is the audit column). Blobs without a top-level sidx —
+    or with one whose ranges run past the blob — emit nothing (S4).
+    Expects (doc_id, blob)."""
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                b = bytes(blob) if blob is not None else None
+                segs = mp4_segment_index(b)
+                if not segs:
+                    continue
+                for s in segs:
+                    payload = b[s["offset"]:s["offset"] + s["size"]]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "seg_idx": s["seg_idx"],
+                            "offset": s["offset"],
+                            "size": s["size"],
+                            "duration_ms": s["duration_ms"],
+                            "starts_with_sap": int(s["starts_with_sap"]),
+                            "is_index": int(s["is_index"]),
+                            "payload_crc32": zlib.crc32(payload),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=_SEG_COLS)
+
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, MP4_SEGMENT_SCHEMA)
+
+
 def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
     """Deterministic fixture MP4s keyed on doc_id: a video track
     (avc1-shaped entries, opaque payloads, every-3rd sample sync) +
@@ -1767,7 +1826,11 @@ def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
                         frags.append(ft)
                     blobs.append(
                         encode_fmp4(
-                            tracks, frags, explicit_base=d % 5 == 0
+                            tracks, frags,
+                            explicit_base=d % 5 == 0,
+                            # r10: half the fragmented docs carry a
+                            # DASH segment index
+                            sidx=d % 6 == 1,
                         )
                     )
                     continue

@@ -1151,3 +1151,54 @@ def test_corpus_elst_docs_round_trip_through_kernels(spark):
     # the trimmed first sync (sample 1) is absent from the ranges
     blob3 = bytes(corpus.filter("doc_id = 3").collect()[0]["blob"])
     assert [r["sample_number"] for r in kbr(blob3)][0] != 1
+
+
+def test_mp4_segments_kernel(spark):
+    """The sidx addressing table as a Spark kernel: rows only for
+    corpus docs carrying a segment index (fragmented, doc_id % 6 ==
+    1), each range CRC-verified against the driver parse, contiguous
+    to EOF; sidx-free and corrupt blobs emit nothing (S4)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (
+        mp4_segment_index,
+        mp4_segments,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 4, 7, 13, 99]}), "doc_id long"
+    )
+    corpus = synthetic_mp4_corpus(docs).select("doc_id", "blob")
+    # poison one row (S4) — replace doc 99's blob with junk
+    corpus = corpus.withColumn(
+        "blob",
+        SF.when(
+            corpus.doc_id == 99, SF.lit(b"garbage bytes, not bmff")
+        ).otherwise(corpus.blob),
+    )
+    got: dict = {}
+    for r in mp4_segments(corpus).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    # 1, 7, 13 are fragmented (≡1 mod 3) and ≡1 mod 6; 4 is
+    # progressive (no sidx); 99 is poisoned
+    assert set(got) == {1, 7, 13}
+    blobs = {
+        r["doc_id"]: bytes(r["blob"])
+        for r in synthetic_mp4_corpus(docs).select("doc_id", "blob").collect()
+    }
+    for d, rows in got.items():
+        rows.sort(key=lambda r: r["seg_idx"])
+        want = mp4_segment_index(blobs[d])
+        assert [r["seg_idx"] for r in rows] == [s["seg_idx"] for s in want]
+        pos = rows[0]["offset"]
+        for r, s in zip(rows, want):
+            assert (r["offset"], r["size"]) == (s["offset"], s["size"])
+            assert r["offset"] == pos
+            payload = blobs[d][r["offset"]:r["offset"] + r["size"]]
+            assert r["payload_crc32"] == zlib.crc32(payload)
+            assert payload[4:8] == b"moof"
+            pos += r["size"]
+        assert pos == len(blobs[d])  # contiguous to EOF
