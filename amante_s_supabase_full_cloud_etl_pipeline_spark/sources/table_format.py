@@ -317,14 +317,23 @@ def read_pruned_by_keys(
     max_in_list: int = 50_000,
 ) -> DataFrame | None:
     """Read ``table`` pruned to the key values present in
-    ``keys[key_col]`` when their distinct count fits a bounded driver
-    IN list (file-stat skipping); degrade to a full read otherwise —
-    the downstream equi-join is correct either way. None when the
-    table has no committed version yet. ONE definition of the
-    probe-the-store-by-batch-keys choreography every streaming index
-    fold uses (review catch: dedup_index and audio_index used to
-    spell it separately, the desynchronization hazard the repo keeps
-    re-learning)."""
+    ``keys[key_col]``: a bounded driver IN list when the distinct
+    count fits (file-stat skipping), else the batch's FULL key range
+    (min/max agg — the truncated sample above would under-cover) so
+    two-level pruning still applies; the downstream equi-join is
+    correct either way. None when the table has no committed version
+    yet — or when the batch carries NO keys at all (review catch: an
+    ``in []`` filter prunes every file and then plans every live
+    footer through the all-pruned fallback just to return zero rows;
+    callers already treat None as nothing-to-probe). ONE definition
+    of the probe-the-store-by-batch-keys choreography the MinHash,
+    audio, and BM25 folds use (review catch: re-spelled copies are
+    the desynchronization hazard the repo keeps re-learning; the
+    crawl seen-index keeps its own richer form — interleaved with
+    its empty-batch early return and marker columns — documented
+    there)."""
+    from pyspark.sql import functions as F
+
     if table.current_version() == 0:
         return None
     touched = [
@@ -334,9 +343,18 @@ def read_pruned_by_keys(
         .limit(max_in_list + 1)
         .collect()
     ]
-    filters = None
+    if not touched:
+        return None
     if len(touched) <= max_in_list:
         filters = [(key_col, "in", touched)]
+    else:
+        bounds = keys.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        filters = [
+            (key_col, ">=", bounds["lo"]),
+            (key_col, "<=", bounds["hi"]),
+        ]
     return table.read(filters=filters)
 
 

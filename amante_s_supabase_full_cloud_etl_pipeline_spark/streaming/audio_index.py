@@ -197,5 +197,12 @@ def audio_index_writer(
                 order_by=["shared_probes"],
                 batch_id=batch_id,
             )
+        elif pairs.current_version() == 0:
+            # bootstrap the table schema so consumers can read() an
+            # EMPTY pair table on a duplicate-free stream (review
+            # catch: the merge skip left version 0, where read()
+            # raises) — a zero-row APPEND is O(1), unlike the empty
+            # MERGE's full-table rewrite the skip exists to avoid
+            pairs.append(found, batch_id=batch_id)
 
     return handle

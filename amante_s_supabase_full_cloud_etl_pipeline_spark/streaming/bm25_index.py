@@ -51,13 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.bm25 import bm25_score, index_rows, tokenized_terms
-from ..sources.table_format import ParquetTable
-
-#: above this many distinct probed terms, skip the IN-list file
-#: pruning and scan-join instead (driver IN lists must stay bounded;
-#: the equi-join is correct either way) — mirrors dedup_index
-_MAX_IN_LIST = 50_000
-
+from ..sources.table_format import ParquetTable, read_pruned_by_keys
 
 def fold_bm25_index(
     postings: ParquetTable,
@@ -99,8 +93,9 @@ def bm25_index_topk(
     equality).
 
     One driver job on the query batch yields the probed-term list
-    (for IN-list file pruning of the postings read, capped at
-    :data:`_MAX_IN_LIST`); df per term is counted from the probed
+    (IN-list file pruning of the postings read via the shared
+    :func:`..sources.table_format.read_pruned_by_keys`, range-degrade
+    past its cap); df per term is counted from the probed
     postings — the full posting set for those terms, hence the global
     value. Scoring delegates to ``bm25_score`` so batch and streaming
     share one expression tree.
@@ -110,23 +105,19 @@ def bm25_index_topk(
     infer from, the empty frame's doc_id is typed by ``doc_id_type``
     — pass the corpus's actual id type (e.g. ``"string"``) so the
     pre-first-fold schema matches every later call's."""
-    if postings.current_version() == 0 or doc_stats.current_version() == 0:
+    stored = None
+    if postings.current_version() > 0 and doc_stats.current_version() > 0:
+        stored = read_pruned_by_keys(
+            postings,
+            queries.select(F.explode("terms").alias("term")),
+            "term",
+        )
+    if stored is None:  # pre-first-fold index, or a term-less probe
         qtype = dict(queries.dtypes)["query_id"]
         return queries.sparkSession.createDataFrame(
             [],
             f"query_id {qtype}, doc_id {doc_id_type}, score double, rank int",
         )
-    probed = [
-        r["term"]
-        for r in queries.select(F.explode("terms").alias("term"))
-        .distinct()
-        .limit(_MAX_IN_LIST + 1)
-        .collect()
-    ]
-    filters = None
-    if len(probed) <= _MAX_IN_LIST:
-        filters = [("term", "in", probed)]
-    stored = postings.read(filters=filters)
     term_df = stored.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     with_df = stored.join(term_df, "term").select("term", "doc_id", "tf", "df")
     return bm25_score(

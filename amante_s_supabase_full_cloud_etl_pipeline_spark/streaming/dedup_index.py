@@ -214,5 +214,9 @@ def near_dup_index_writer(
                 order_by=["id_a", "id_b"],
                 batch_id=batch_id,
             )
+        elif pairs.current_version() == 0:
+            # bootstrap the schema so read() works on a dup-free
+            # stream (zero-row append — O(1), no rewrite)
+            pairs.append(found, batch_id=batch_id)
 
     return handle

@@ -245,3 +245,34 @@ def test_empty_and_corrupt_batches_are_safe(spark, tmp_path):
     )
     assert fold_audio_index(index, junk, batch_id=1).count() == 0
     assert index.current_version() == 0 or index.read().count() == 0
+
+
+def test_duplicate_free_stream_leaves_readable_empty_pair_table(
+    spark, tmp_path
+):
+    """Review catch: the empty-merge skip used to leave the pairs
+    table at version 0, where read() raises — a duplicate-free
+    stream must still bootstrap a readable EMPTY table (zero-row
+    append, no rewrite)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.audio_index import (  # noqa: E501
+        audio_index_writer,
+    )
+
+    index = ParquetTable(spark, str(tmp_path / "di"))
+    pairs = ParquetTable(spark, str(tmp_path / "dp"))
+    handle = audio_index_writer(index, pairs)
+    media = spark.createDataFrame(
+        [
+            (d, bytearray(encode_wav_pcm16(
+                (_voice_like(900 + d) * 20_000).astype(np.int16), RATE
+            )))
+            for d in range(2)
+        ],
+        "doc_id long, blob binary",
+    )
+    handle(media, 0)
+    assert pairs.read().count() == 0  # readable, empty — not a raise
+    assert pairs.current_version() == 1
+    # replay converges (the bootstrap append recorded the batch_id)
+    handle(media, 0)
+    assert pairs.current_version() == 1

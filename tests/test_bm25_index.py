@@ -111,18 +111,31 @@ def test_replay_folds_exactly_once(spark, sf_dir, tmp_path):
     assert n_postings == build_index(docs)[0].count()
 
 
-def test_probe_prune_path_equals_full_scan(spark, sf_dir, tmp_path, monkeypatch):
-    """Forcing the IN-list cap to 0 disables file pruning; results
-    must be identical either way (the prune is an optimization, never
-    a filter)."""
+def test_probe_prune_path_equals_range_degrade(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Forcing the shared helper's IN-list cap to 0 switches the
+    postings read to the key-RANGE degrade path; results must be
+    identical either way (pruning is an optimization, never a
+    filter). The probe now rides table_format.read_pruned_by_keys —
+    one choreography across the streaming index folds."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources import (
+        table_format,
+    )
+
     docs = _docs(spark, sf_dir)
     postings = ParquetTable(spark, str(tmp_path / "pf"))
     stats = ParquetTable(spark, str(tmp_path / "sf"))
     fold_bm25_index(postings, stats, docs, batch_id=0)
     pruned = _rows(bm25_index_topk(postings, stats, _queries(spark), k=5))
-    monkeypatch.setattr(bm25_index, "_MAX_IN_LIST", 0)
-    full = _rows(bm25_index_topk(postings, stats, _queries(spark), k=5))
-    assert pruned == full == _batch_want(spark, sf_dir)
+    orig = table_format.read_pruned_by_keys
+    monkeypatch.setattr(
+        bm25_index,
+        "read_pruned_by_keys",
+        lambda table, keys, key_col: orig(table, keys, key_col, 0),
+    )
+    degraded = _rows(bm25_index_topk(postings, stats, _queries(spark), k=5))
+    assert pruned == degraded == _batch_want(spark, sf_dir)
 
 
 def test_writer_compacts_and_survives_replay(spark, sf_dir, tmp_path):

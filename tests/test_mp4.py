@@ -1182,8 +1182,9 @@ def test_mp4_segments_kernel(spark):
     got: dict = {}
     for r in mp4_segments(corpus).collect():
         got.setdefault(r["doc_id"], []).append(r)
-    # 1, 7, 13 are fragmented (≡1 mod 3) and ≡1 mod 6; 4 is
-    # progressive (no sidx); 99 is poisoned
+    # 1, 7, 13 are fragmented (≡1 mod 3) and ≡1 mod 6 (sidx); 4 is
+    # fragmented too (4 % 3 == 1) but sidx-FREE (4 % 6 != 1); 99 is
+    # poisoned (S4)
     assert set(got) == {1, 7, 13}
     blobs = {
         r["doc_id"]: bytes(r["blob"])
