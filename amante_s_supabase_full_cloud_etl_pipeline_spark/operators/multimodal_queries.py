@@ -23,6 +23,7 @@ from ..registry import (
     register,
 )
 from .mp4 import mp4_meta, synthetic_mp4_corpus
+from .pdf import pdf_meta, pdf_text, synthetic_pdf_corpus
 from .multimodal import (
     attach_media_meta,
     decode_image_features,
@@ -76,6 +77,66 @@ def mp4_track_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 golden_table("mp4_track_meta", mp4_track_meta_leg)
 
 
+#: corpus bound for the pdf legs — same rationale as _MP4_LEG_DOCS
+#: (identical fixture set at every sf); 120 cycles all the corpus
+#: wire shapes (%2 xref-stream, %3 flate, %4 unicode, %13 clipped
+#: trailer, %17 garbage)
+_PDF_LEG_DOCS = 120
+
+
+def pdf_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pdf legs of ``multimodal_media_meta`` (same consolidation
+    pattern as the r10 mp4/cdc anchors): both kernels of
+    ``operators/pdf.py`` over the deterministic synthetic corpus —
+    classic-xref AND xref-stream/ObjStm layouts, Flate, Type0
+    unicode, clipped-trailer recovery, garbage S4 skips.
+
+    - leg ``pdf_doc``: one row per parsed document; key packs
+      doc_id|version|title|producer, n = n_pages, v1 = n_objects,
+      v2 = packed flags (encrypted·8 + recovered·4 + xref_stream·2 +
+      objstm — a NULL-free single numeric).
+    - leg ``pdf_page``: one row per extracted page; key packs
+      doc_id|page|md5(text) — the md5 makes this a FULL value pin of
+      the extracted text; n = n_chars, v1 = unmapped_chars,
+      v2 = crc32(text) (second independent hash of the value)."""
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PDF_LEG_DOCS)
+        .select("doc_id")
+    )
+    corpus = synthetic_pdf_corpus(docs).select("doc_id", "blob")
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    doc_leg = pdf_meta(corpus).select(
+        F.lit("pdf_doc").alias("leg"),
+        F.concat_ws(
+            "|", s("doc_id"), s("version"), s("title"), s("producer")
+        ).alias("key"),
+        F.col("n_pages").alias("n"),
+        F.col("n_objects").alias("v1"),
+        (
+            F.col("encrypted") * 8 + F.col("recovered_xref") * 4
+            + F.col("has_xref_stream") * 2 + F.col("has_object_streams")
+        ).alias("v2"),
+    )
+    page_leg = pdf_text(corpus).select(
+        F.lit("pdf_page").alias("leg"),
+        F.concat_ws(
+            "|", s("doc_id"), s("page"),
+            F.md5(F.coalesce(F.col("text"), F.lit("\x00damaged"))),
+        ).alias("key"),
+        F.col("n_chars").alias("n"),
+        F.col("unmapped_chars").alias("v1"),
+        F.crc32(F.coalesce(F.col("text"), F.lit(""))).alias("v2"),
+    )
+    return doc_leg.unionByName(page_leg).orderBy("leg", "key")
+
+
+golden_table("pdf_corpus_meta", pdf_corpus_meta_leg)
+
+
 #: the live arm's SQL, shared between the registered (golden-pinned)
 #: oracle and the any-SF live-leg compare in
 #: tests/test_consolidated_live_legs.py (review catch: golden_sf pins
@@ -117,6 +178,9 @@ def blob_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'mp4_track' AS leg, key, n, v1, v2
         FROM read_parquet('{GOLDEN_DIR}/mp4_track_meta.parquet')
+        UNION ALL
+        SELECT leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/pdf_corpus_meta.parquet')
     ) ORDER BY leg, key
     """,
     golden_sf=DRIVER_SF,
@@ -129,16 +193,20 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode, pure JVM expressions; live SQL oracle at any sf), the
     'mp4_track' leg the per-track ISO-BMFF container walk over the
     synthetic fixture corpus (progressive + fragmented §8.8 shapes;
-    golden leg — DuckDB cannot parse MP4). Column meaning is
-    leg-dependent, documented on :func:`mp4_track_meta_leg`. The
-    blob leg keeps its own any-SF live differential in
-    tests/test_consolidated_live_legs.py."""
+    golden leg — DuckDB cannot parse MP4), and the 'pdf_doc' /
+    'pdf_page' legs the ISO 32000 structure walk + per-page text
+    extraction (golden legs; the page key's md5(text) is a full
+    value pin of the extracted text). Column meaning is
+    leg-dependent, documented on :func:`mp4_track_meta_leg` /
+    :func:`pdf_corpus_meta_leg`. The blob leg keeps its own any-SF
+    live differential in tests/test_consolidated_live_legs.py."""
     mp4 = mp4_track_meta_leg(spark, sf_dir).select(
         F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
     )
     return (
         blob_meta_leg(spark, sf_dir)
         .unionByName(mp4)
+        .unionByName(pdf_corpus_meta_leg(spark, sf_dir))
         .orderBy("leg", "key")
     )
 

@@ -72,6 +72,9 @@ HEADLINE = (
     # round-10: audio near-dup fingerprint kernel (RIFF decode +
     # framed rFFT + multi-probe keys) — measured the round it lands
     "audio_fp_kernel",
+    # round-10: PDF structure walk + per-page text extraction (the
+    # document-triage kernel) — measured the round it lands
+    "pdf_text_kernel",
 )
 
 
@@ -221,6 +224,25 @@ def _extra_queries():
         corpus = synthetic_audio_corpus(docs).select("doc_id", "blob")
         return audio_probes(corpus)
 
+    def pdf_text_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf import (  # noqa: E501
+            pdf_text,
+            synthetic_pdf_corpus,
+        )
+
+        # r10: ISO 32000 structure walk + per-page text extraction
+        # over fixture PDFs (classic/xref-stream layouts, Flate,
+        # Type0 unicode, clipped-trailer recovery cycle by doc_id)
+        # — the document-triage kernel of the multimodal family
+        # (map-only)
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 8000
+        )
+        corpus = synthetic_pdf_corpus(docs).select("doc_id", "blob")
+        return pdf_text(corpus)
+
     def cdc_blob_chunking(spark, sf_dir):
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cdc import (
             chunk_documents,
@@ -256,6 +278,7 @@ def _extra_queries():
         "cdc_chunk_stats": cdc_chunk_stats,
         "cdc_blob_chunking": cdc_blob_chunking,
         "audio_fp_kernel": audio_fp_kernel,
+        "pdf_text_kernel": pdf_text_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
