@@ -615,6 +615,16 @@ def decode_stream(stream: Stream, doc=None, budget: list | None = None) -> bytes
     kernel instead)."""
     if budget is None:
         budget = [_MAX_DOC_INFLATE]
+    # shared streams (ToUnicode CMaps, Form XObjects Do'd on many
+    # pages) decode ONCE per document — both for the O(pages) CPU
+    # and so the inflate budget is charged exactly once (a re-charge
+    # per page falsely bombs large documents). Stream objects are
+    # held in the doc cache, so id() is stable for the doc lifetime.
+    cache_key = ("decoded", id(stream)) if doc is not None else None
+    if cache_key is not None:
+        hit = doc._cache.get(cache_key)
+        if hit is not None:
+            return hit
     d = stream.dict
     filters = d.get("Filter")
     if doc is not None:
@@ -648,7 +658,10 @@ def decode_stream(stream: Stream, doc=None, budget: list | None = None) -> bytes
         elif fname in ("RunLengthDecode", "RL"):
             data = _runlength(data)
         elif fname in _IMAGE_FILTERS:
-            return data  # still-encoded image payload
+            # still-encoded image payload
+            if cache_key is not None:
+                doc._cache[cache_key] = data
+            return data
         elif fname == "Crypt":
             raise _Truncated("Crypt filter")
         else:
@@ -657,6 +670,8 @@ def decode_stream(stream: Stream, doc=None, budget: list | None = None) -> bytes
             raise _Bomb("doc inflate cap")
         if pp and fname in ("FlateDecode", "Fl", "LZWDecode", "LZW"):
             data = _predictor(data, pp)
+    if cache_key is not None:
+        doc._cache[cache_key] = data
     return data
 
 
@@ -774,15 +789,19 @@ class _PdfDoc:
                 except ValueError:
                     raise _Truncated("xref entry bytes")
                 num = first + i
-                if typ == b"n" and num not in self.xref:
-                    self.xref[num] = ("n", off)
-                # 'f' (free) entries add nothing
-                p += 20 if len(entry) == 20 and entry[19:20] in (
-                    b"\n", b"\r", b" "
-                ) else 20
-                # some writers emit 19-byte rows (single EOL); scan
-                # forward to the next digit/kw robustly
-                while p < len(self.buf) and self.buf[p] in b"\r\n":
+                if num not in self.xref:
+                    if typ == b"n":
+                        self.xref[num] = ("n", off)
+                    elif typ == b"f":
+                        # a newer section's FREE entry must shadow
+                        # any 'n' entry an older /Prev section still
+                        # carries (§7.5.4 — deletion supersedes)
+                        self.xref[num] = ("f",)
+                # rows are 20 bytes (two-char EOL) or 19 (single EOL,
+                # some writers): advance past the 18 data bytes and
+                # resync over the EOL/space tail
+                p += 18
+                while p < len(self.buf) and self.buf[p] in b" \r\n":
                     p += 1
                 if p < len(self.buf) and self.buf[p] not in b"0123456789tf":
                     raise _Truncated("xref entry stride")
@@ -836,7 +855,10 @@ class _PdfDoc:
                     self.xref[num] = ("n", f2)
                 elif t == 2:
                     self.xref[num] = ("o", f2, f3)
-                # t == 0: free
+                elif t == 0:
+                    # free — recorded so older sections can't
+                    # resurrect a deleted object (§7.5.4)
+                    self.xref[num] = ("f",)
         return d
 
     # -- recovery --------------------------------------------------
@@ -954,7 +976,7 @@ class _PdfDoc:
         if key in self._cache:
             return self._cache[key]
         entry = self.xref.get(key)
-        if entry is None:
+        if entry is None or entry[0] == "f":
             self._cache[key] = None
             return None
         self._cache[key] = None  # cycle guard during load
@@ -1134,7 +1156,9 @@ def parse_pdf_meta(blob: bytes | None) -> dict | None:
         return {
             "version": version[:3],
             "n_pages": len(pages),
-            "n_objects": len(doc.xref),
+            "n_objects": sum(
+                1 for v in doc.xref.values() if v[0] != "f"
+            ),
             "encrypted": encrypted,
             "has_xref_stream": doc.has_xref_stream,
             "has_object_streams": doc.has_object_streams,
@@ -1386,6 +1410,11 @@ class _Font:
                     unmapped += 1
                 else:
                     out.append(ch)
+            if len(raw) % n:
+                # a dangling partial code is damage — surface it as
+                # U+FFFD and COUNT it, per the module contract
+                out.append("�")
+                unmapped += 1
         return "".join(out), unmapped
 
 
@@ -1401,9 +1430,27 @@ def _fallback_font() -> _Font:
 
 
 def _load_font(doc: _PdfDoc, font_obj) -> _Font:
+    # fonts are shared across pages (one /Font dict referenced by
+    # every page's resources) — build the decode table once per
+    # document, not once per page (see decode_stream's cache note)
+    fkey = (
+        ("font", font_obj.num, font_obj.gen)
+        if isinstance(font_obj, Ref) else None
+    )
+    if fkey is not None:
+        hit = doc._cache.get(fkey)
+        if hit is not None:
+            return hit
     font = doc.resolve(font_obj)
     if not isinstance(font, dict):
         return _fallback_font()
+    out = _load_font_uncached(doc, font)
+    if fkey is not None:
+        doc._cache[fkey] = out
+    return out
+
+
+def _load_font_uncached(doc: _PdfDoc, font: dict) -> _Font:
     subtype = str(font.get("Subtype", ""))
     # ToUnicode wins wherever present — it maps the CODES as written
     cmap = None
@@ -2011,34 +2058,36 @@ def encode_pdf(
         objstm_body,
     )
 
-    # xref stream: W [1 2 2], rows for 0..xrefstm_num
+    # xref stream: W [1 ow 2] — the offset width is derived from the
+    # largest offset the file will carry (the xref stream itself sits
+    # last, so its own offset bounds every other one), like real
+    # writers do; a fixed 2 would overflow past a 64 KiB fixture
+    xref_off = len(buf)
+    ow = max(2, (xref_off.bit_length() + 7) // 8)
     size = xrefstm_num + 1
     rows = bytearray()
     for num in range(size):
         if num == 0:
-            rows += bytes([0]) + (0).to_bytes(2, "big") + (
+            rows += bytes([0]) + (0).to_bytes(ow, "big") + (
                 65535
             ).to_bytes(2, "big")
         elif num in inner_off:
-            rows += bytes([2]) + objstm_num.to_bytes(2, "big") + (
+            rows += bytes([2]) + objstm_num.to_bytes(ow, "big") + (
                 plain.index(num)
             ).to_bytes(2, "big")
-        elif num in offsets or num == xrefstm_num:
-            off = offsets.get(num, 0)  # self offset patched below
-            rows += bytes([1]) + off.to_bytes(2, "big") + (
+        elif num == xrefstm_num:
+            rows += bytes([1]) + xref_off.to_bytes(ow, "big") + (
+                0
+            ).to_bytes(2, "big")
+        elif num in offsets:
+            rows += bytes([1]) + offsets[num].to_bytes(ow, "big") + (
                 0
             ).to_bytes(2, "big")
         else:
-            rows += bytes([0]) + b"\x00\x00\x00\x00"
-    xref_off = len(buf)
-    # patch the xref stream's own offset into its row
-    self_row = 1 + xrefstm_num * 5
-    rows[self_row:self_row + 3] = bytes([1]) + xref_off.to_bytes(
-        2, "big"
-    )
-    # PNG up-predictor over 5-byte rows, then Flate — the layout
-    # real writers emit, so the predictor path is exercised
-    stride = 5
+            rows += bytes([0]) + bytes(ow + 2)
+    # PNG up-predictor over the rows, then Flate — the layout real
+    # writers emit, so the predictor path is exercised
+    stride = 1 + ow + 2
     pred_rows = bytearray()
     prev = bytes(stride)
     for r in range(0, len(rows), stride):
@@ -2051,9 +2100,9 @@ def encode_pdf(
     xref_body = zlib.compress(bytes(pred_rows), 6)
     xref_dict = {
         "Type": Name("XRef"), "Size": size,
-        "W": [1, 2, 2], "Root": catalog_ref,
+        "W": [1, ow, 2], "Root": catalog_ref,
         "Filter": Name("FlateDecode"),
-        "DecodeParms": {"Predictor": 12, "Columns": 5},
+        "DecodeParms": {"Predictor": 12, "Columns": stride},
         "Length": len(xref_body),
     }
     if info_ref is not None:

@@ -679,3 +679,155 @@ class TestKernels:
                for r in agg.collect()}
         for d, (chars, pages) in out.items():
             assert chars > 0 and pages == 1 + d % 3
+
+
+# ── review-pass regressions (r10 code-review findings) ──────────
+
+
+def test_19_byte_xref_rows_parse_without_recovery():
+    # single-EOL 19-byte rows (finding 1): stride must resync
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R >>",
+    }
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(buf)
+    buf += b"xref\n0 4\n0000000000 65535 f\n"  # 19-byte rows
+    for num in (1, 2, 3):
+        buf += b"%010d 00000 n\n" % offsets[num]
+    buf += (b"trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % xref_off)
+    m = parse_pdf_meta(bytes(buf))
+    assert m and m["n_pages"] == 1 and not m["recovered_xref"], m
+    assert m["n_objects"] == 3
+
+
+def test_free_entry_in_update_shadows_older_section():
+    # finding 4: an incremental update FREES page object 4's content;
+    # a conforming reader must not resurrect the old object
+    base_objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 "
+           b"/Resources << /Font << /F1 7 0 R >> >> >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 36 >>\nstream\n"
+           b"BT /F1 8 Tf 1 1 Td (doomed) Tj ET\nendstream",
+        5: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        6: b"<< /Length 37 >>\nstream\n"
+           b"BT /F1 8 Tf 1 1 Td (survivor) Tj ET\nendstream",
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /H "
+           b"/Encoding /WinAnsiEncoding >>",
+    }
+    base = _classic_pdf(base_objs)
+    start1 = base.rfind(b"startxref")
+    xref1_off = int(base[start1:].split()[1])
+    upd = bytearray(base)
+    xref2_off = len(upd)
+    upd += b"xref\n4 1\n0000000000 65535 f \n"  # free object 4
+    upd += (b"trailer\n<< /Size 8 /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF" % (xref1_off, xref2_off))
+    t = extract_pdf_text(bytes(upd))
+    assert t is not None and len(t) == 2
+    # freed content object → page 1 has no readable content (empty),
+    # page 2 untouched; the OLD 'doomed' text must not appear
+    assert t[0]["text"] in ("", None)
+    assert t[1]["text"] == "survivor"
+
+
+def test_shared_streams_decode_once_per_document(monkeypatch):
+    # finding 2: a ToUnicode CMap shared by many pages must inflate
+    # exactly once per document (budget + CPU)
+    import amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf as pdfmod
+
+    calls = {"n": 0}
+    real = pdfmod._flate
+
+    def counting(data, budget):
+        calls["n"] += 1
+        return real(data, budget)
+
+    monkeypatch.setattr(pdfmod, "_flate", counting)
+    cmap = zlib.compress(
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <0001> <0041> endbfchar\n"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /S "
+        b"/Encoding /Identity-H /ToUnicode 9 0 R >>"
+    )
+    content = b"BT /F1 10 Tf 0 0 Td <0001> Tj ET"
+    n_pages = 4
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [%s] /Count %d "
+           b"/Resources << /Font << /F1 8 0 R >> >> >>"
+           % (b" ".join(b"%d 0 R" % (10 + i) for i in range(n_pages)),
+              n_pages),
+        8: font,
+        9: b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap)
+           + cmap + b"\nendstream",
+    }
+    for i in range(n_pages):
+        objs[10 + i] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>"
+            % (20 + i)
+        )
+        objs[20 + i] = (
+            b"<< /Length %d >>\nstream\n" % len(content) + content
+            + b"\nendstream"
+        )
+    t = extract_pdf_text(_classic_pdf(objs))
+    assert [p["text"] for p in t] == ["A"] * n_pages
+    assert calls["n"] == 1, calls
+
+
+def test_dangling_multibyte_code_counts_unmapped():
+    # finding 5: odd-length show string under a 2-byte font
+    cmap = (
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <0001> <0041> endbfchar\n"
+    )
+    extra = {
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /S "
+           b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        6: b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+           + b"\nendstream",
+    }
+    blob = _page_fixture(
+        b"BT /F1 10 Tf 0 0 Td <000102> Tj ET", extra=extra
+    )
+    t = extract_pdf_text(blob)
+    assert t[0]["text"] == "A�"
+    assert t[0]["unmapped_chars"] == 1
+
+
+def test_encoder_xref_stream_self_entry_is_correct():
+    # finding 3: the xref stream's own entry must carry its real
+    # offset (§7.5.8 requires it), not a patch landed one byte off
+    blob = encode_pdf([["self entry"]], xref_stream=True)
+    start = int(blob[blob.rfind(b"startxref"):].split()[1])
+    doc = _PdfDoc(blob)
+    self_num = max(
+        n for n, e in doc.xref.items() if e[0] == "n"
+    )
+    assert doc.xref[self_num] == ("n", start)
+    # and the object at that offset really is the XRef stream
+    obj, num = doc._parse_indirect_at(start)
+    assert num == self_num and str(obj.dict.get("Type")) == "XRef"
+
+
+def test_encoder_survives_64k_offsets():
+    # finding 6: offsets past 64 KiB need a wider W field
+    pages = [["Line %d of page %d." % (i, p) for i in range(40)]
+             for p in range(60)]
+    blob = encode_pdf(pages, xref_stream=True)
+    assert len(blob) > (1 << 16)
+    m = parse_pdf_meta(blob)
+    assert m and m["n_pages"] == 60 and not m["recovered_xref"]
+    t = extract_pdf_text(blob)
+    assert t[10]["text"].startswith("Line 0 of page 10.")
