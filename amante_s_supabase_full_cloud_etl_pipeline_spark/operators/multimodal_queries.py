@@ -93,8 +93,10 @@ def pdf_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - leg ``pdf_doc``: one row per parsed document; key packs
       doc_id|version|title|producer, n = n_pages, v1 = n_objects,
-      v2 = packed flags (encrypted·8 + recovered·4 + xref_stream·2 +
-      objstm — a NULL-free single numeric).
+      v2 = packed flags (decryptable·16 + encrypted·8 + recovered·4 +
+      xref_stream·2 + objstm — a NULL-free single numeric; the
+      corpus cycles RC4/AES empty-user-password docs AND
+      real-password refusals, so both encrypted states pin).
     - leg ``pdf_page``: one row per extracted page; key packs
       doc_id|page|md5(text) — the md5 makes this a FULL value pin of
       the extracted text; n = n_chars, v1 = unmapped_chars,
@@ -117,7 +119,8 @@ def pdf_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pages").alias("n"),
         F.col("n_objects").alias("v1"),
         (
-            F.col("encrypted") * 8 + F.col("recovered_xref") * 4
+            F.col("decryptable") * 16 + F.col("encrypted") * 8
+            + F.col("recovered_xref") * 4
             + F.col("has_xref_stream") * 2 + F.col("has_object_streams")
         ).alias("v2"),
     )

@@ -688,6 +688,7 @@ class _PdfDoc:
     __slots__ = (
         "buf", "xref", "trailer", "_cache", "budget",
         "has_xref_stream", "has_object_streams", "recovered",
+        "crypt", "crypt_excluded",
     )
 
     def __init__(self, buf: bytes):
@@ -699,6 +700,8 @@ class _PdfDoc:
         self.has_xref_stream = False
         self.has_object_streams = False
         self.recovered = False
+        self.crypt = None
+        self.crypt_excluded = set()
         try:
             self._load_xref_chain()
         except _Bomb:
@@ -710,6 +713,71 @@ class _PdfDoc:
             self._recover_scan()
         if "Root" not in self.trailer:
             raise _Truncated("no document catalog")
+        self._setup_decryption()
+
+    def _setup_decryption(self):
+        """§7.6: if the trailer names an /Encrypt dictionary, try
+        the EMPTY-user-password standard handler (the permissions-
+        only shape a crawl actually meets). Success arms per-object
+        decryption; any refusal (non-empty password, R5/R6, exotic
+        handler) leaves crypt None — structure parses, text is
+        refused, nothing is guessed."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        from .pdf_crypt import _Unsupported, build_decryptor
+
+        try:
+            enc = self.resolve(enc_ref)
+            if not isinstance(enc, dict):
+                return
+            ids = self.trailer.get("ID")
+            id0 = b""
+            if isinstance(ids, list) and ids:
+                first = self.resolve(ids[0])
+                if isinstance(first, bytes):
+                    id0 = first
+            self.crypt = build_decryptor(
+                {k: self.resolve(v) for k, v in enc.items()}, id0
+            )
+            if isinstance(enc_ref, Ref):
+                self.crypt_excluded.add(enc_ref.num)
+            # anything fetched before the key existed carries raw
+            # ciphertext strings — drop it and re-parse lazily
+            self._cache.clear()
+        except _Bomb:
+            raise
+        except (_Unsupported, _Truncated, ValueError, TypeError):
+            self.crypt = None
+
+    def _decrypt_object(self, obj, num: int, gen: int):
+        """Recursively decrypt the strings (and stream payload) of
+        one top-level indirect object (§7.6.2: encryption applies
+        per containing object). XRef streams are never encrypted;
+        ObjStm MEMBERS are covered by the container's decryption and
+        never pass through here (type-2 fetches skip it)."""
+        if isinstance(obj, bytes):
+            try:
+                return self.crypt.decrypt_string(obj, num, gen)
+            except ValueError:
+                return obj
+        if isinstance(obj, list):
+            return [self._decrypt_object(x, num, gen) for x in obj]
+        if isinstance(obj, Stream):
+            if str(obj.dict.get("Type")) == "XRef":
+                return obj
+            d = self._decrypt_object(obj.dict, num, gen)
+            try:
+                raw = self.crypt.decrypt_stream(obj.raw, num, gen)
+            except ValueError:
+                raw = obj.raw
+            return Stream(d, raw)
+        if isinstance(obj, dict):
+            return {
+                k: self._decrypt_object(v, num, gen)
+                for k, v in obj.items()
+            }
+        return obj
 
     # -- xref chain ------------------------------------------------
 
@@ -810,7 +878,9 @@ class _PdfDoc:
     def _load_xref_stream(self, offset: int) -> dict:
         """Cross-reference stream (§7.5.8): /W field widths over
         /Index subsections, usually Flate + PNG predictor 12."""
-        stream, num = self._parse_indirect_at(offset, want_stream=True)
+        stream, num, _gen = self._parse_indirect_at(
+            offset, want_stream=True
+        )
         d = stream.dict
         if str(d.get("Type")) != "XRef":
             raise _Truncated("xref stream type")
@@ -931,6 +1001,7 @@ class _PdfDoc:
         ):
             raise _Truncated("not an indirect object at %d" % offset)
         obj = _parse_object(lex)
+        gen_num = gen
         lex._skip_ws()
         if self.buf[lex.pos:lex.pos + 6] == b"stream":
             if not isinstance(obj, dict):
@@ -965,7 +1036,7 @@ class _PdfDoc:
             obj = Stream(obj, bytes(raw))
         if want_stream and not isinstance(obj, Stream):
             raise _Truncated("expected stream object")
-        return obj, num
+        return obj, num, gen_num
 
     def get(self, ref):
         """Fetch an indirect object (cached); returns None for
@@ -982,7 +1053,7 @@ class _PdfDoc:
         self._cache[key] = None  # cycle guard during load
         if entry[0] == "n":
             try:
-                obj, num = self._parse_indirect_at(entry[1])
+                obj, num, gen = self._parse_indirect_at(entry[1])
             except _Bomb:
                 raise
             except _Truncated:
@@ -995,6 +1066,10 @@ class _PdfDoc:
                     self._cache.pop(key, None)
                     return self.get(ref)
                 obj = None
+            if obj is not None and self.crypt is not None and (
+                num not in self.crypt_excluded
+            ):
+                obj = self._decrypt_object(obj, num, gen)
             self._cache[key] = obj
             return obj
         # type-2: inside an object stream (§7.5.7)
@@ -1153,6 +1228,10 @@ def parse_pdf_meta(blob: bytes | None) -> dict | None:
         info = doc.resolve(doc.trailer.get("Info"))
         info = info if isinstance(info, dict) else {}
         encrypted = doc.trailer.get("Encrypt") is not None
+        # with an armed empty-user-password decryptor the Info
+        # strings decode like any other; without one they are
+        # ciphertext — don't report garbage
+        readable = not encrypted or doc.crypt is not None
         return {
             "version": version[:3],
             "n_pages": len(pages),
@@ -1160,17 +1239,16 @@ def parse_pdf_meta(blob: bytes | None) -> dict | None:
                 1 for v in doc.xref.values() if v[0] != "f"
             ),
             "encrypted": encrypted,
+            "decryptable": encrypted and doc.crypt is not None,
             "has_xref_stream": doc.has_xref_stream,
             "has_object_streams": doc.has_object_streams,
             "recovered_xref": doc.recovered,
-            # encrypted docs' Info strings are ciphertext — don't
-            # report garbage
-            "title": None if encrypted else _text_string(
+            "title": _text_string(
                 doc.resolve(info.get("Title"))
-            ),
-            "producer": None if encrypted else _text_string(
+            ) if readable else None,
+            "producer": _text_string(
                 doc.resolve(info.get("Producer"))
-            ),
+            ) if readable else None,
         }
     except _Truncated:
         return None
@@ -1745,7 +1823,9 @@ def _run_content(doc: _PdfDoc, data: bytes, resources: dict,
 def extract_pdf_text(blob: bytes | None) -> list[dict] | None:
     """Per-page extracted text. Returns None for non-PDF /
     structurally-broken / bomb blobs (S4); an EMPTY list for
-    encrypted documents (structure readable, text ciphertext); else
+    UNDECRYPTABLE encrypted documents (real user password, R5/R6 —
+    structure readable, text ciphertext; permissions-only encryption
+    with an empty user password decrypts and extracts normally); else
     one dict per page: {page, text, n_chars, unmapped_chars}. A page
     whose own content stream is damaged yields text=None (pages
     after it still extract) — distinguishable from a genuinely blank
@@ -1757,7 +1837,8 @@ def extract_pdf_text(blob: bytes | None) -> list[dict] | None:
         return None
     try:
         doc = _PdfDoc(blob[h:] if h else blob)
-        if doc.trailer.get("Encrypt") is not None:
+        if doc.trailer.get("Encrypt") is not None and doc.crypt is None:
+            # undecryptable (real password / R5/R6): structure only
             return []
         pages = _walk_pages(doc)
         out = []
@@ -1815,7 +1896,13 @@ def _ser(obj) -> bytes:
         for c in obj:
             if c in b"()\\":
                 out.append(0x5C)
-            out.append(c)
+                out.append(c)
+            elif c == 0x0D:
+                out += b"\\r"  # raw EOLs normalize to LF on read —
+            elif c == 0x0A:
+                out += b"\\n"  # escape so binary strings round-trip
+            else:
+                out.append(c)
         out += b")"
         return bytes(out)
     if isinstance(obj, str):
@@ -1868,6 +1955,9 @@ def encode_pdf(
     title: str | None = None,
     producer: str | None = None,
     line_height: float = 14.0,
+    encrypt: str | None = None,
+    owner_pw: bytes = b"fixture-owner",
+    user_pw: bytes = b"",
 ) -> bytes:
     """Deterministic synthetic PDF: ``pages`` is a list of pages,
     each a list of text lines. Lines that fit WinAnsi (cp1252) use
@@ -1876,7 +1966,13 @@ def encode_pdf(
     exactly the two decode paths :func:`extract_pdf_text` supports.
     ``xref_stream=True`` emits the PDF 1.5 layout: non-stream
     objects packed into an /ObjStm addressed by a cross-reference
-    STREAM (Flate, PNG up-predictor) instead of a classic table."""
+    STREAM (Flate, PNG up-predictor) instead of a classic table.
+    ``encrypt`` emits a standard-security-handler document
+    ('rc4-40' → V1/R2, 'rc4-128' → V2/R3, 'aes-128' → V4/R4 AESV2
+    crypt filters): strings and stream payloads are really
+    encrypted (deterministic IVs for fixtures); the default empty
+    ``user_pw`` is the permissions-only shape the parser decrypts,
+    a non-empty one produces a document the parser must refuse."""
     objs: dict[int, object] = {}
     next_num = [1]
 
@@ -1990,12 +2086,74 @@ def encode_pdf(
             info["Producer"] = producer.encode("cp1252", "replace")
         info_ref = alloc(info)
 
+    # -- encryption (§7.6.3, fixture side) ---------------------------
+    enc_ref = None
+    fkey = None
+    id0 = b""
+    crypt_method = None
+    if encrypt is not None:
+        import hashlib
+
+        from .pdf_crypt import file_key, owner_entry, user_entry
+
+        modes = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128),
+                 "aes-128": (4, 4, 128)}
+        if encrypt not in modes:
+            raise ValueError("encrypt mode %r" % encrypt)
+        v, r_rev, nbits = modes[encrypt]
+        klen = nbits // 8
+        p_val = -44
+        id0 = hashlib.md5(
+            b"fixture-id|" + str(len(objs)).encode() + b"|"
+            + (title or "").encode("utf-8", "replace")
+        ).digest()
+        o_val = owner_entry(owner_pw, user_pw, r_rev, klen)
+        fkey = file_key(user_pw, o_val, p_val, id0, r_rev, klen)
+        u_val = user_entry(fkey, id0, r_rev)
+        crypt_method = "aes" if v == 4 else "rc4"
+        enc_dict = {
+            "Filter": Name("Standard"), "V": v, "R": r_rev,
+            "Length": nbits, "O": o_val, "U": u_val, "P": p_val,
+        }
+        if v == 4:
+            enc_dict["CF"] = {
+                "StdCF": {"CFM": Name("AESV2"), "Length": klen}
+            }
+            enc_dict["StmF"] = Name("StdCF")
+            enc_dict["StrF"] = Name("StdCF")
+        enc_ref = alloc(enc_dict)
+
+    def enc_bytes(data: bytes, num: int) -> bytes:
+        from .pdf_crypt import aes_cbc_encrypt, object_key, rc4
+
+        key = object_key(fkey, num, 0, aes=crypt_method == "aes")
+        if crypt_method == "rc4":
+            return rc4(key, data)
+        import hashlib
+
+        iv = hashlib.md5(b"fixture-iv|" + num.to_bytes(4, "big")).digest()
+        return aes_cbc_encrypt(key, data, iv)
+
+    def enc_strings(o, num: int):
+        if fkey is None or num == enc_ref.num:
+            return o
+        if isinstance(o, bytes):
+            return enc_bytes(o, num)
+        if isinstance(o, list):
+            return [enc_strings(x, num) for x in o]
+        if isinstance(o, dict):
+            return {k: enc_strings(v, num) for k, v in o.items()}
+        return o
+
     # -- serialize ---------------------------------------------------
-    def stream_bytes(num: int, d: dict, body: bytes) -> bytes:
+    def stream_bytes(num: int, d: dict, body: bytes,
+                     encrypt_body: bool = True) -> bytes:
         d = dict(d)
         if compress:
             body = zlib.compress(body, 6)
             d["Filter"] = Name("FlateDecode")
+        if fkey is not None and encrypt_body:
+            body = enc_bytes(body, num)
         d["Length"] = len(body)
         return (
             b"%d 0 obj\n" % num + _ser(d)
@@ -2012,7 +2170,8 @@ def encode_pdf(
             if isinstance(obj, tuple) and obj[0] == "stream":
                 buf += stream_bytes(num, obj[1], obj[2])
             else:
-                buf += b"%d 0 obj\n" % num + _ser(obj) + b"\nendobj\n"
+                buf += (b"%d 0 obj\n" % num
+                        + _ser(enc_strings(obj, num)) + b"\nendobj\n")
         xref_off = len(buf)
         size = max(objs) + 1
         buf += b"xref\n0 %d\n" % size
@@ -2022,13 +2181,19 @@ def encode_pdf(
         trailer = {"Size": size, "Root": catalog_ref}
         if info_ref is not None:
             trailer["Info"] = info_ref
+        if enc_ref is not None:
+            trailer["Encrypt"] = enc_ref
+            trailer["ID"] = [id0, id0]
         buf += b"trailer\n" + _ser(trailer)
         buf += b"\nstartxref\n%d\n%%%%EOF" % xref_off
         return bytes(buf)
 
-    # xref-stream layout: dict-only objects into one ObjStm
+    # xref-stream layout: dict-only objects into one ObjStm — except
+    # the Encrypt dictionary, which a reader must reach BEFORE it can
+    # decrypt the (encrypted) ObjStm, so it stays top-level
     plain = [n for n in sorted(objs)
-             if not (isinstance(objs[n], tuple))]
+             if not isinstance(objs[n], tuple)
+             and not (enc_ref is not None and n == enc_ref.num)]
     streams = [n for n in sorted(objs) if isinstance(objs[n], tuple)]
     objstm_num = next_num[0]
     next_num[0] += 1
@@ -2047,6 +2212,12 @@ def encode_pdf(
     header = b" ".join(header_parts) + b"\n"
     objstm_body = header + b"".join(body_parts)
 
+    # the Encrypt dictionary (if any) as a standalone top-level
+    # object — its own strings stay UNencrypted by definition
+    if enc_ref is not None:
+        offsets[enc_ref.num] = len(buf)
+        buf += (b"%d 0 obj\n" % enc_ref.num
+                + _ser(objs[enc_ref.num]) + b"\nendobj\n")
     for num in streams:
         offsets[num] = len(buf)
         _, d, body = objs[num]
@@ -2107,6 +2278,9 @@ def encode_pdf(
     }
     if info_ref is not None:
         xref_dict["Info"] = info_ref
+    if enc_ref is not None:
+        xref_dict["Encrypt"] = enc_ref
+        xref_dict["ID"] = [id0, id0]
     buf += (
         b"%d 0 obj\n" % xrefstm_num + _ser(xref_dict)
         + b"\nstream\n" + xref_body + b"\nendstream\nendobj\n"
@@ -2124,6 +2298,7 @@ PDF_META_SCHEMA = StructType(
         StructField("n_pages", LongType()),
         StructField("n_objects", LongType()),
         StructField("encrypted", LongType()),
+        StructField("decryptable", LongType()),
         StructField("has_xref_stream", LongType()),
         StructField("has_object_streams", LongType()),
         StructField("recovered_xref", LongType()),
@@ -2169,6 +2344,7 @@ def pdf_meta(media: DataFrame) -> DataFrame:
                         "n_pages": meta["n_pages"],
                         "n_objects": meta["n_objects"],
                         "encrypted": int(meta["encrypted"]),
+                        "decryptable": int(meta["decryptable"]),
                         "has_xref_stream": int(meta["has_xref_stream"]),
                         "has_object_streams": int(
                             meta["has_object_streams"]
@@ -2249,8 +2425,12 @@ def synthetic_pdf_corpus(docs: DataFrame) -> DataFrame:
     unicode lines on d % 4 == 1, Info strings throughout; every
     13th doc has its trailer CLIPPED (the crawl damage shape —
     exercises the recovery scan), every 17th is non-PDF garbage
-    (S4-skipped by the kernels). Same (doc_id, blob, media_type)
-    contract as the other synthetic corpora."""
+    (S4-skipped by the kernels), every 19th ≡ 11 ENCRYPTED
+    (standard security handler, empty user password, RC4-128 /
+    AES-128 alternating — every third of those carries a REAL user
+    password and must refuse text while reporting structure). Same
+    (doc_id, blob, media_type) contract as the other synthetic
+    corpora."""
 
     def kernel(batches):
         import pandas as pd
@@ -2264,12 +2444,20 @@ def synthetic_pdf_corpus(docs: DataFrame) -> DataFrame:
                         b"\x89GARBAGE not a pdf " + bytes([d % 256]) * 64
                     )
                     continue
+                encrypt = None
+                user_pw = b""
+                if d % 19 == 11:
+                    encrypt = "aes-128" if d % 2 == 0 else "rc4-128"
+                    if d % 3 == 0:
+                        user_pw = b"locked"  # undecryptable shape
                 blob = encode_pdf(
                     _corpus_pages(d),
                     compress=d % 3 != 0,
                     xref_stream=d % 2 == 1,
                     title="Synthetic %d" % d,
                     producer="amante-s-supabase-full-cloud-etl-pipeline-spark fixtures",
+                    encrypt=encrypt,
+                    user_pw=user_pw,
                 )
                 if d % 13 == 7:
                     blob = blob[:blob.rfind(b"startxref")]

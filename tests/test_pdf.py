@@ -84,7 +84,8 @@ def test_hand_built_minimal_meta_and_text():
     m = parse_pdf_meta(blob)
     assert m == {
         "version": "1.4", "n_pages": 1, "n_objects": 5,
-        "encrypted": False, "has_xref_stream": False,
+        "encrypted": False, "decryptable": False,
+        "has_xref_stream": False,
         "has_object_streams": False, "recovered_xref": False,
         "title": None, "producer": None,
     }
@@ -662,6 +663,10 @@ class TestKernels:
         assert any(not r["has_xref_stream"] for r in rows.values())
         assert any(r["recovered_xref"] for r in rows.values())
         assert {r["n_pages"] for r in rows.values()} == {1, 2, 3}
+        # encrypted docs cycle: d % 19 == 11 → 11 (rc4, empty pw)
+        # and 30 (aes, REAL pw → structure only)
+        assert rows[11]["encrypted"] and rows[11]["decryptable"]
+        assert rows[30]["encrypted"] and not rows[30]["decryptable"]
 
     def test_text_feeds_downstream_ops(self, spark):
         from pyspark.sql import functions as F
@@ -817,7 +822,7 @@ def test_encoder_xref_stream_self_entry_is_correct():
     )
     assert doc.xref[self_num] == ("n", start)
     # and the object at that offset really is the XRef stream
-    obj, num = doc._parse_indirect_at(start)
+    obj, num, _gen = doc._parse_indirect_at(start)
     assert num == self_num and str(obj.dict.get("Type")) == "XRef"
 
 
