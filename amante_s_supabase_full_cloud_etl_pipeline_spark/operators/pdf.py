@@ -718,9 +718,10 @@ class _PdfDoc:
     def _setup_decryption(self):
         """§7.6: if the trailer names an /Encrypt dictionary, try
         the EMPTY-user-password standard handler (the permissions-
-        only shape a crawl actually meets). Success arms per-object
-        decryption; any refusal (non-empty password, R5/R6, exotic
-        handler) leaves crypt None — structure parses, text is
+        only shape a crawl actually meets; R2-R4 RC4/AES-128 and
+        R5/R6 AES-256). Success arms per-object decryption; any
+        refusal (non-empty password, exotic handler, failed /Perms
+        self-check) leaves crypt None — structure parses, text is
         refused, nothing is guessed."""
         enc_ref = self.trailer.get("Encrypt")
         if enc_ref is None:
@@ -2097,7 +2098,7 @@ def encode_pdf(
         from .pdf_crypt import file_key, owner_entry, user_entry
 
         modes = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128),
-                 "aes-128": (4, 4, 128)}
+                 "aes-128": (4, 4, 128), "aes-256": (5, 6, 256)}
         if encrypt not in modes:
             raise ValueError("encrypt mode %r" % encrypt)
         v, r_rev, nbits = modes[encrypt]
@@ -2107,30 +2108,51 @@ def encode_pdf(
             b"fixture-id|" + str(len(objs)).encode() + b"|"
             + (title or "").encode("utf-8", "replace")
         ).digest()
-        o_val = owner_entry(owner_pw, user_pw, r_rev, klen)
-        fkey = file_key(user_pw, o_val, p_val, id0, r_rev, klen)
-        u_val = user_entry(fkey, id0, r_rev)
-        crypt_method = "aes" if v == 4 else "rc4"
-        enc_dict = {
-            "Filter": Name("Standard"), "V": v, "R": r_rev,
-            "Length": nbits, "O": o_val, "U": u_val, "P": p_val,
-        }
-        if v == 4:
-            enc_dict["CF"] = {
-                "StdCF": {"CFM": Name("AESV2"), "Length": klen}
+        if v == 5:
+            from .pdf_crypt import make_r6_entries
+
+            crypt_method = "aes256"
+            fkey = hashlib.sha256(b"fixture-r6-key|" + id0).digest()
+            salts = hashlib.sha256(b"fixture-r6-salts|" + id0).digest()
+            ent = make_r6_entries(fkey, user_pw, owner_pw, p_val, salts)
+            enc_dict = {
+                "Filter": Name("Standard"), "V": 5, "R": r_rev,
+                "Length": 256, "O": ent["O"], "U": ent["U"],
+                "OE": ent["OE"], "UE": ent["UE"],
+                "Perms": ent["Perms"], "P": p_val,
+                "CF": {"StdCF": {"CFM": Name("AESV3"), "Length": 32}},
+                "StmF": Name("StdCF"), "StrF": Name("StdCF"),
             }
-            enc_dict["StmF"] = Name("StdCF")
-            enc_dict["StrF"] = Name("StdCF")
+        else:
+            o_val = owner_entry(owner_pw, user_pw, r_rev, klen)
+            fkey = file_key(user_pw, o_val, p_val, id0, r_rev, klen)
+            u_val = user_entry(fkey, id0, r_rev)
+            crypt_method = "aes" if v == 4 else "rc4"
+            enc_dict = {
+                "Filter": Name("Standard"), "V": v, "R": r_rev,
+                "Length": nbits, "O": o_val, "U": u_val, "P": p_val,
+            }
+            if v == 4:
+                enc_dict["CF"] = {
+                    "StdCF": {"CFM": Name("AESV2"), "Length": klen}
+                }
+                enc_dict["StmF"] = Name("StdCF")
+                enc_dict["StrF"] = Name("StdCF")
         enc_ref = alloc(enc_dict)
 
     def enc_bytes(data: bytes, num: int) -> bytes:
+        import hashlib
+
         from .pdf_crypt import aes_cbc_encrypt, object_key, rc4
 
+        if crypt_method == "aes256":
+            iv = hashlib.md5(
+                b"fixture-iv|" + num.to_bytes(4, "big")
+            ).digest()
+            return aes_cbc_encrypt(fkey, data, iv)
         key = object_key(fkey, num, 0, aes=crypt_method == "aes")
         if crypt_method == "rc4":
             return rc4(key, data)
-        import hashlib
-
         iv = hashlib.md5(b"fixture-iv|" + num.to_bytes(4, "big")).digest()
         return aes_cbc_encrypt(key, data, iv)
 

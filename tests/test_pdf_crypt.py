@@ -119,7 +119,9 @@ def test_build_decryptor_refuses_unsupported():
     with pytest.raises(_Unsupported):
         build_decryptor({**base, "Filter": "Custom"}, b"")
     with pytest.raises(_Unsupported):
-        build_decryptor({**base, "V": 5, "R": 6}, b"")  # AES-256
+        # V5/R6 with R4-shaped entries (32-byte U, no UE) is
+        # malformed — the supported R6 path needs the 48-byte set
+        build_decryptor({**base, "V": 5, "R": 6}, b"")
     with pytest.raises(_Unsupported):
         build_decryptor(
             {**base, "CF": {"StdCF": {"CFM": "AESV3"}},
@@ -189,3 +191,100 @@ def test_encrypted_clip_shapes():
     if t2:
         for pg in t2:
             assert pg["text"] is None or "clip target" not in pg["text"]
+
+
+# ── R5/R6 AES-256 (PDF 2.0 §7.6.4) ──────────────────────────────
+
+
+def test_aes256_fips197_appendix_c3_and_fast_equals_slow():
+    import os
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import (
+        pdf_crypt as pc,
+    )
+
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert pc.aes_encrypt_block(key, pt).hex() == (
+        "8ea2b7ca516745bfeafc49904b496089"
+    )
+    assert pc.aes_decrypt_block(key, pc.aes_encrypt_block(key, pt)) == pt
+    # the T-table fast path is differentially pinned against the
+    # spec-literal round structure for both key sizes
+    for _ in range(25):
+        for klen in (16, 32):
+            k, b = os.urandom(klen), os.urandom(16)
+            assert pc.aes_encrypt_block(k, b) == (
+                pc._aes_encrypt_block_slow(k, b)
+            )
+            assert pc.aes_decrypt_block(k, b) == (
+                pc._aes_decrypt_block_slow(k, b)
+            )
+
+
+def test_r6_entries_roundtrip_and_refusals():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf_crypt import (  # noqa: E501
+        authenticate_empty_user_r56,
+        make_r6_entries,
+        perms_check,
+    )
+
+    fkey = bytes(range(32))
+    salts = bytes(range(100, 132))
+    ent = make_r6_entries(fkey, b"", b"owner-secret", -44, salts)
+    got = authenticate_empty_user_r56(ent["U"], ent["UE"], 6)
+    assert got == fkey
+    assert perms_check(fkey, ent["Perms"], -44)
+    assert not perms_check(fkey, ent["Perms"], -45)  # P mismatch
+    # real user password → validation hash differs → None
+    ent2 = make_r6_entries(fkey, b"realpw", b"owner", -44, salts)
+    assert authenticate_empty_user_r56(ent2["U"], ent2["UE"], 6) is None
+    # tampered validation salt → None
+    u = bytearray(ent["U"])
+    u[33] ^= 0x01
+    assert authenticate_empty_user_r56(bytes(u), ent["UE"], 6) is None
+
+
+def test_r5_plain_sha256_variant():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf_crypt import (  # noqa: E501
+        aes_cbc_encrypt_nopad,
+        authenticate_empty_user_r56,
+        hash_r5,
+    )
+
+    fkey = b"\x5a" * 32
+    uvs, uks = b"validsal", b"keysalt!"
+    u = hash_r5(b"", uvs) + uvs + uks
+    ue = aes_cbc_encrypt_nopad(hash_r5(b"", uks), fkey)
+    assert authenticate_empty_user_r56(u, ue, 5) == fkey
+
+
+def test_r6_encrypted_fixture_roundtrip():
+    blob = encode_pdf(
+        [["R6 page one.", "Second — line."], ["Ünïcödé ↦ r6."]],
+        compress=True, xref_stream=True, encrypt="aes-256",
+        title="R6 T",
+    )
+    assert b"R6 page one" not in blob
+    m = parse_pdf_meta(blob)
+    assert m["encrypted"] and m["decryptable"] and m["title"] == "R6 T"
+    t = extract_pdf_text(blob)
+    assert [p["text"] for p in t] == [
+        "R6 page one.\nSecond — line.", "Ünïcödé ↦ r6.",
+    ]
+
+
+def test_r6_real_password_and_tampered_perms_refuse():
+    blob = encode_pdf([["hidden r6"]], encrypt="aes-256",
+                      user_pw=b"secret")
+    m = parse_pdf_meta(blob)
+    assert m and m["encrypted"] and not m["decryptable"]
+    assert extract_pdf_text(blob) == []
+    # a tampered /Perms breaks the 'adb' echo: the derived key no
+    # longer proves itself → fail-closed refusal, never garbage
+    bb = bytearray(encode_pdf([["perm gate"]], encrypt="aes-256"))
+    i = bytes(bb).find(b"/Perms")
+    j = bytes(bb).find(b"(", i)
+    bb[j + 2] ^= 0xFF
+    m = parse_pdf_meta(bytes(bb))
+    assert m is None or not m["decryptable"]
