@@ -23,7 +23,7 @@ from ..registry import (
     register,
 )
 from .mp4 import mp4_meta, synthetic_mp4_corpus
-from .pdf import pdf_meta, pdf_text, synthetic_pdf_corpus
+from .pdf import pdf_images, pdf_meta, pdf_text, synthetic_pdf_corpus
 from .multimodal import (
     attach_media_meta,
     decode_image_features,
@@ -100,7 +100,12 @@ def pdf_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     - leg ``pdf_page``: one row per extracted page; key packs
       doc_id|page|md5(text) — the md5 makes this a FULL value pin of
       the extracted text; n = n_chars, v1 = unmapped_chars,
-      v2 = crc32(text) (second independent hash of the value)."""
+      v2 = crc32(text) (second independent hash of the value).
+    - leg ``pdf_image``: one row per image XObject per referencing
+      page (the corpus cycles raw-RGB and real DCTDecode JPEG
+      payloads); key packs doc_id|page|name|codec|dims|colorspace,
+      n = payload bytes, v1 = crc32(payload) — a full pin of the
+      extracted image bytes — and v2 = bits per component."""
     docs = (
         catalog.table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PDF_LEG_DOCS)
@@ -134,7 +139,20 @@ def pdf_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unmapped_chars").alias("v1"),
         F.crc32(F.coalesce(F.col("text"), F.lit(""))).alias("v2"),
     )
-    return doc_leg.unionByName(page_leg).orderBy("leg", "key")
+    img_leg = pdf_images(corpus).select(
+        F.lit("pdf_image").alias("leg"),
+        F.concat_ws(
+            "|", s("doc_id"), s("page"), s("name"), s("codec"),
+            s("width"), s("height"), s("colorspace"),
+        ).alias("key"),
+        F.length("blob").cast("long").alias("n"),
+        F.crc32("blob").alias("v1"),
+        F.col("bits").alias("v2"),
+    )
+    return (
+        doc_leg.unionByName(page_leg).unionByName(img_leg)
+        .orderBy("leg", "key")
+    )
 
 
 golden_table("pdf_corpus_meta", pdf_corpus_meta_leg)

@@ -1959,6 +1959,7 @@ def encode_pdf(
     encrypt: str | None = None,
     owner_pw: bytes = b"fixture-owner",
     user_pw: bytes = b"",
+    images: list | None = None,
 ) -> bytes:
     """Deterministic synthetic PDF: ``pages`` is a list of pages,
     each a list of text lines. Lines that fit WinAnsi (cp1252) use
@@ -1973,7 +1974,13 @@ def encode_pdf(
     crypt filters): strings and stream payloads are really
     encrypted (deterministic IVs for fixtures); the default empty
     ``user_pw`` is the permissions-only shape the parser decrypts,
-    a non-empty one produces a document the parser must refuse."""
+    a non-empty one produces a document the parser must refuse.
+    ``images`` (optional, one list per page) embeds image XObjects:
+    ``{"codec": "jpeg", "data": <jfif bytes>, "width", "height"}``
+    stored under /DCTDecode, or ``{"codec": "rgb"|"gray",
+    "pixels": <raw samples>, "width", "height"}`` stored raw (Flate
+    when ``compress``); each is painted via a ``Do`` in the page's
+    content stream."""
     objs: dict[int, object] = {}
     next_num = [1]
 
@@ -2039,7 +2046,7 @@ def encode_pdf(
     if f2_ref is not None:
         font_res["F2"] = f2_ref
     page_refs = []
-    for encoded in page_lines:
+    for pg_idx, encoded in enumerate(page_lines):
         ops = [b"BT"]
         y = 720.0
         cur_font = None
@@ -2058,6 +2065,46 @@ def encode_pdf(
             else:
                 ops.append(_escape_literal(payload) + b" Tj")
         ops.append(b"ET")
+        resources = {"Font": font_res}
+        page_imgs = (
+            images[pg_idx]
+            if images is not None and pg_idx < len(images)
+            else None
+        )
+        if page_imgs:
+            xo_res = {}
+            for k, spec in enumerate(page_imgs):
+                name = spec.get("name", "Im%d" % k)
+                w = int(spec["width"])
+                hh = int(spec["height"])
+                if spec["codec"] == "jpeg":
+                    d = {
+                        "Type": Name("XObject"),
+                        "Subtype": Name("Image"),
+                        "Width": w, "Height": hh,
+                        "ColorSpace": Name("DeviceRGB"),
+                        "BitsPerComponent": 8,
+                        "Filter": Name("DCTDecode"),
+                    }
+                    body = spec["data"]
+                else:
+                    d = {
+                        "Type": Name("XObject"),
+                        "Subtype": Name("Image"),
+                        "Width": w, "Height": hh,
+                        "ColorSpace": Name(
+                            "DeviceRGB" if spec["codec"] == "rgb"
+                            else "DeviceGray"
+                        ),
+                        "BitsPerComponent": 8,
+                    }
+                    body = spec["pixels"]
+                xo_res[name] = alloc(("stream", d, body))
+                ops.append(
+                    b"q %d 0 0 %d %d 100 cm /%s Do Q"
+                    % (w, hh, 100 + 80 * k, name.encode())
+                )
+            resources["XObject"] = xo_res
         content = b"\n".join(ops)
         content_ref = alloc(("stream", {}, content))
         page_refs.append(
@@ -2065,7 +2112,7 @@ def encode_pdf(
                 {
                     "Type": Name("Page"), "Parent": pages_ref,
                     "MediaBox": [0, 0, 612, 792],
-                    "Resources": {"Font": font_res},
+                    "Resources": resources,
                     "Contents": content_ref,
                 }
             )
@@ -2171,7 +2218,9 @@ def encode_pdf(
     def stream_bytes(num: int, d: dict, body: bytes,
                      encrypt_body: bool = True) -> bytes:
         d = dict(d)
-        if compress:
+        if compress and "Filter" not in d:
+            # never double-wrap a stream that already carries its
+            # codec filter (DCTDecode image payloads)
             body = zlib.compress(body, 6)
             d["Filter"] = Name("FlateDecode")
         if fkey is not None and encrypt_body:
@@ -2447,7 +2496,9 @@ def synthetic_pdf_corpus(docs: DataFrame) -> DataFrame:
     unicode lines on d % 4 == 1, Info strings throughout; every
     13th doc has its trailer CLIPPED (the crawl damage shape —
     exercises the recovery scan), every 17th is non-PDF garbage
-    (S4-skipped by the kernels), every 19th ≡ 11 ENCRYPTED
+    (S4-skipped by the kernels), every 7th ≡ 2 carries a raw-RGB
+    image XObject and ≡ 4 a real DCTDecode JPEG (operators/jpeg.py
+    encoder), every 19th ≡ 11 ENCRYPTED
     (standard security handler, empty user password, RC4-128 /
     AES-128 alternating — every third of those carries a REAL user
     password and must refuse text while reporting structure). Same
@@ -2472,6 +2523,26 @@ def synthetic_pdf_corpus(docs: DataFrame) -> DataFrame:
                     encrypt = "aes-128" if d % 2 == 0 else "rc4-128"
                     if d % 3 == 0:
                         user_pw = b"locked"  # undecryptable shape
+                images = None
+                if d % 7 == 2:
+                    rawpx = bytes(
+                        ((d * 31 + i) % 256) for i in range(6 * 4 * 3)
+                    )
+                    images = [[{"codec": "rgb", "pixels": rawpx,
+                                "width": 6, "height": 4}]]
+                elif d % 7 == 4:
+                    import numpy as np
+
+                    from .jpeg import encode_jpeg
+
+                    px = np.full(
+                        (8, 8, 3),
+                        ((d * 5) % 256, (d * 11) % 256, (d * 17) % 256),
+                        dtype=np.uint8,
+                    )
+                    images = [[{"codec": "jpeg",
+                                "data": encode_jpeg(px, quality=85),
+                                "width": 8, "height": 8}]]
                 blob = encode_pdf(
                     _corpus_pages(d),
                     compress=d % 3 != 0,
@@ -2480,6 +2551,7 @@ def synthetic_pdf_corpus(docs: DataFrame) -> DataFrame:
                     producer="amante-s-supabase-full-cloud-etl-pipeline-spark fixtures",
                     encrypt=encrypt,
                     user_pw=user_pw,
+                    images=images,
                 )
                 if d % 13 == 7:
                     blob = blob[:blob.rfind(b"startxref")]
@@ -2499,3 +2571,143 @@ def synthetic_pdf_corpus(docs: DataFrame) -> DataFrame:
     from .multimodal import _fan_out_ids
 
     return _fan_out_ids(docs).mapInPandas(kernel, schema)
+
+
+# ── §8.9 image XObjects ─────────────────────────────────────────
+
+
+def extract_pdf_images(blob: bytes | None) -> list[dict] | None:
+    """Image XObjects per page: the payloads a training pipeline
+    ships to its image-decode stage. Returns None for broken blobs
+    (S4), [] for undecryptable docs. Each dict carries the stream
+    run through its NON-image filters (so a Flate-wrapped DCT yields
+    the raw JPEG bytes) plus the classification a router needs:
+    ``codec`` is 'jpeg' (DCTDecode — decodable by operators/jpeg.py),
+    'ccitt'/'jbig2'/'jpx' (still-gated codecs, payload preserved),
+    or 'raw' (fully decoded samples, e.g. Flate RGB/Gray). A shared
+    XObject referenced by several pages emits once per referencing
+    page (usage view, deterministic)."""
+    if not blob or len(blob) < 8:
+        return None
+    h = blob[:1024].find(b"%PDF-")
+    if h < 0:
+        return None
+    codec_names = {
+        "DCTDecode": "jpeg", "DCT": "jpeg",
+        "CCITTFaxDecode": "ccitt", "CCF": "ccitt",
+        "JBIG2Decode": "jbig2", "JPXDecode": "jpx",
+    }
+    try:
+        doc = _PdfDoc(blob[h:] if h else blob)
+        if doc.trailer.get("Encrypt") is not None and doc.crypt is None:
+            return []
+        pages = _walk_pages(doc)
+        out = []
+        for i, (page, inh) in enumerate(pages):
+            res = doc.resolve(page.get("Resources", inh.get("Resources")))
+            if not isinstance(res, dict):
+                continue
+            xo = doc.resolve(res.get("XObject"))
+            if not isinstance(xo, dict):
+                continue
+            for name in sorted(xo):
+                s = doc.resolve(xo[name])
+                if not isinstance(s, Stream) or str(
+                    s.dict.get("Subtype")
+                ) != "Image":
+                    continue
+                try:
+                    data = decode_stream(s, doc, doc.budget)
+                except _Bomb:
+                    raise
+                except _Truncated:
+                    continue  # damaged image: skip it, keep the page
+                filters = doc.resolve(s.dict.get("Filter"))
+                if isinstance(filters, (Name, str)):
+                    filters = [filters]
+                codec = "raw"
+                for f in filters or []:
+                    fn = str(doc.resolve(f))
+                    if fn in codec_names:
+                        codec = codec_names[fn]
+                        break
+                cs = doc.resolve(s.dict.get("ColorSpace"))
+                if isinstance(cs, list) and cs:
+                    cs = doc.resolve(cs[0])
+                out.append(
+                    {
+                        "page": i + 1,
+                        "name": str(name),
+                        "width": int(doc.resolve(s.dict.get("Width", 0))
+                                     or 0),
+                        "height": int(doc.resolve(s.dict.get("Height", 0))
+                                      or 0),
+                        "bits": int(doc.resolve(
+                            s.dict.get("BitsPerComponent", 0)
+                        ) or 0),
+                        "colorspace": str(cs) if cs is not None else None,
+                        "codec": codec,
+                        "data": data,
+                    }
+                )
+        return out
+    except _Truncated:
+        return None
+    except (ValueError, TypeError, KeyError, struct.error,
+            RecursionError, MemoryError, OverflowError):
+        return None
+
+
+PDF_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("page", LongType()),
+        StructField("name", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bits", LongType()),
+        StructField("colorspace", StringType()),
+        StructField("codec", StringType()),
+        StructField("blob", BinaryType()),
+    ]
+)
+
+_PDF_IMAGE_COLS = [f.name for f in PDF_IMAGE_SCHEMA.fields]
+
+
+def pdf_images(media: DataFrame) -> DataFrame:
+    """One row per image XObject per referencing page — the blob
+    column feeds the jpeg/multimodal decode kernels downstream
+    (jpeg payloads are full JFIF streams). Corrupt docs emit
+    nothing (S4). Expects (doc_id, blob)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                imgs = extract_pdf_images(
+                    bytes(blob) if blob is not None else None
+                )
+                if not imgs:
+                    continue
+                for im in imgs:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page": im["page"],
+                            "name": im["name"],
+                            "width": im["width"],
+                            "height": im["height"],
+                            "bits": im["bits"],
+                            "colorspace": im["colorspace"],
+                            "codec": im["codec"],
+                            "blob": im["data"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=_PDF_IMAGE_COLS)
+
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, PDF_IMAGE_SCHEMA)

@@ -836,3 +836,119 @@ def test_encoder_survives_64k_offsets():
     assert m and m["n_pages"] == 60 and not m["recovered_xref"]
     t = extract_pdf_text(blob)
     assert t[10]["text"].startswith("Line 0 of page 10.")
+
+
+# ── §8.9 image XObjects ─────────────────────────────────────────
+
+
+def test_image_xobject_hand_built_and_jpeg_decode():
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf import (  # noqa: E501
+        extract_pdf_images,
+    )
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:8] = (200, 30, 40)
+    px[8:] = (10, 180, 90)
+    jpg = encode_jpeg(px, quality=90)
+    # hand-built: Flate-wrapped DCT (two filters) must strip the
+    # Flate and yield the raw JFIF bytes
+    wrapped = zlib.compress(jpg)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Resources "
+           b"<< /XObject << /ImA 4 0 R >> >> >>",
+        4: b"<< /Subtype /Image /Width 16 /Height 16 "
+           b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+           b"/Filter [/FlateDecode /DCTDecode] /Length %d >>\n"
+           b"stream\n" % len(wrapped) + wrapped + b"\nendstream",
+    }
+    out = extract_pdf_images(_classic_pdf(objs))
+    assert len(out) == 1
+    im = out[0]
+    assert im["codec"] == "jpeg" and im["data"] == jpg
+    dec = decode_jpeg(im["data"])
+    assert dec.shape == (16, 16, 3)
+    assert abs(int(dec[0, 0, 0]) - 200) < 16
+    assert abs(int(dec[15, 15, 1]) - 180) < 16
+
+
+def test_image_xobject_encoder_roundtrip_and_encrypted():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf import (  # noqa: E501
+        extract_pdf_images,
+    )
+
+    rawpx = bytes((i * 7) % 256 for i in range(8 * 4 * 3))
+    imgs = [[{"codec": "rgb", "pixels": rawpx, "width": 8, "height": 4}],
+            None]
+    for comp in (False, True):
+        for enc in (None, "rc4-128", "aes-128"):
+            blob = encode_pdf(
+                [["img page"], ["plain page"]],
+                compress=comp, images=imgs, encrypt=enc,
+            )
+            out = extract_pdf_images(blob)
+            assert len(out) == 1, (comp, enc)
+            assert out[0]["data"] == rawpx
+            assert out[0]["page"] == 1
+            assert out[0]["colorspace"] == "DeviceRGB"
+    # undecryptable → []
+    blob = encode_pdf([["img page"]], images=imgs[:1],
+                      encrypt="aes-128", user_pw=b"x")
+    assert extract_pdf_images(blob) == []
+
+
+def test_damaged_image_skipped_page_survives():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf import (  # noqa: E501
+        extract_pdf_images,
+    )
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Resources "
+           b"<< /XObject << /Bad 4 0 R /Good 5 0 R >> >> >>",
+        4: b"<< /Subtype /Image /Width 4 /Height 4 "
+           b"/Filter /FlateDecode /Length 8 >>\nstream\n"
+           b"\xff\xfe\xfd\xfc\xfb\xfa\xf9\xf8\nendstream",
+        5: b"<< /Subtype /Image /Width 2 /Height 1 "
+           b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+           b"/Length 2 >>\nstream\nAB\nendstream",
+    }
+    out = extract_pdf_images(_classic_pdf(objs))
+    assert [im["name"] for im in out] == ["Good"]
+    assert out[0]["data"] == b"AB"
+
+
+@pytest.mark.usefixtures("spark")
+class TestImageKernel:
+    def test_pdf_images_kernel_equals_driver(self, spark):
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf import (  # noqa: E501
+            extract_pdf_images,
+            pdf_images,
+        )
+
+        docs = spark.range(40).withColumnRenamed("id", "doc_id")
+        corpus = synthetic_pdf_corpus(docs).select("doc_id", "blob")
+        blobs = {r["doc_id"]: bytes(r["blob"])
+                 for r in corpus.collect()}
+        rows = {}
+        for r in pdf_images(corpus).collect():
+            rows.setdefault(r["doc_id"], []).append(r)
+        saw_jpeg = saw_raw = False
+        for d, blob in blobs.items():
+            imgs = extract_pdf_images(blob) or []
+            got = sorted(rows.get(d, []), key=lambda r: r["name"])
+            assert len(got) == len(imgs), d
+            for r, im in zip(got, sorted(imgs, key=lambda x: x["name"])):
+                assert bytes(r["blob"]) == im["data"]
+                assert r["codec"] == im["codec"]
+                saw_jpeg |= r["codec"] == "jpeg"
+                saw_raw |= r["codec"] == "raw"
+        assert saw_jpeg and saw_raw
