@@ -111,7 +111,15 @@ def pdf_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < _PDF_LEG_DOCS)
         .select("doc_id")
     )
-    corpus = synthetic_pdf_corpus(docs).select("doc_id", "blob")
+    # three legs consume the same fixture corpus — persist it so the
+    # per-doc PDF serialization (+ JPEG encode + real encryption)
+    # runs once, not once per leg (review catch); released by the
+    # registry's next-query hook like every tracked intermediate
+    from .cache import tracked_persist
+
+    corpus = tracked_persist(
+        synthetic_pdf_corpus(docs).select("doc_id", "blob")
+    )
 
     def s(c):
         return F.coalesce(F.col(c).cast("string"), F.lit("-"))

@@ -2603,53 +2603,78 @@ def extract_pdf_images(blob: bytes | None) -> list[dict] | None:
             return []
         pages = _walk_pages(doc)
         out = []
-        for i, (page, inh) in enumerate(pages):
-            res = doc.resolve(page.get("Resources", inh.get("Resources")))
-            if not isinstance(res, dict):
-                continue
+
+        def emit_image(s: Stream, page_no: int, name: str):
+            try:
+                data = decode_stream(s, doc, doc.budget)
+            except _Bomb:
+                raise
+            except _Truncated:
+                return  # damaged image: skip it, keep the page
+            filters = doc.resolve(s.dict.get("Filter"))
+            if isinstance(filters, (Name, str)):
+                filters = [filters]
+            codec = "raw"
+            for f in filters or []:
+                fn = str(doc.resolve(f))
+                if fn in codec_names:
+                    codec = codec_names[fn]
+                    break
+            cs = doc.resolve(s.dict.get("ColorSpace"))
+            if isinstance(cs, list) and cs:
+                cs = doc.resolve(cs[0])
+            out.append(
+                {
+                    "page": page_no,
+                    "name": name,
+                    "width": int(doc.resolve(s.dict.get("Width", 0))
+                                 or 0),
+                    "height": int(doc.resolve(s.dict.get("Height", 0))
+                                  or 0),
+                    "bits": int(doc.resolve(
+                        s.dict.get("BitsPerComponent", 0)
+                    ) or 0),
+                    "colorspace": str(cs) if cs is not None else None,
+                    "codec": codec,
+                    "data": data,
+                }
+            )
+
+        def walk_xobjects(res: dict, page_no: int, prefix: str,
+                          depth: int, seen: frozenset):
+            # images painted via Form XObjects (logo/letterhead/
+            # stamp wrappers) live in the FORM's resources — recurse
+            # like the text path does (review catch); names carry
+            # the form path so sibling forms can't collide
+            if depth > _MAX_DEPTH:
+                raise _Bomb("xobject recursion cap")
             xo = doc.resolve(res.get("XObject"))
             if not isinstance(xo, dict):
-                continue
+                return
             for name in sorted(xo):
-                s = doc.resolve(xo[name])
-                if not isinstance(s, Stream) or str(
-                    s.dict.get("Subtype")
-                ) != "Image":
+                ref = xo[name]
+                s = doc.resolve(ref)
+                if not isinstance(s, Stream):
                     continue
-                try:
-                    data = decode_stream(s, doc, doc.budget)
-                except _Bomb:
-                    raise
-                except _Truncated:
-                    continue  # damaged image: skip it, keep the page
-                filters = doc.resolve(s.dict.get("Filter"))
-                if isinstance(filters, (Name, str)):
-                    filters = [filters]
-                codec = "raw"
-                for f in filters or []:
-                    fn = str(doc.resolve(f))
-                    if fn in codec_names:
-                        codec = codec_names[fn]
-                        break
-                cs = doc.resolve(s.dict.get("ColorSpace"))
-                if isinstance(cs, list) and cs:
-                    cs = doc.resolve(cs[0])
-                out.append(
-                    {
-                        "page": i + 1,
-                        "name": str(name),
-                        "width": int(doc.resolve(s.dict.get("Width", 0))
-                                     or 0),
-                        "height": int(doc.resolve(s.dict.get("Height", 0))
-                                      or 0),
-                        "bits": int(doc.resolve(
-                            s.dict.get("BitsPerComponent", 0)
-                        ) or 0),
-                        "colorspace": str(cs) if cs is not None else None,
-                        "codec": codec,
-                        "data": data,
-                    }
-                )
+                subtype = str(s.dict.get("Subtype"))
+                if subtype == "Image":
+                    emit_image(s, page_no, prefix + str(name))
+                elif subtype == "Form":
+                    key = ref.num if isinstance(ref, Ref) else None
+                    if key is not None and key in seen:
+                        continue  # form cycle
+                    fres = doc.resolve(s.dict.get("Resources"))
+                    if isinstance(fres, dict):
+                        walk_xobjects(
+                            fres, page_no, prefix + str(name) + "/",
+                            depth + 1,
+                            seen | {key} if key is not None else seen,
+                        )
+
+        for i, (page, inh) in enumerate(pages):
+            res = doc.resolve(page.get("Resources", inh.get("Resources")))
+            if isinstance(res, dict):
+                walk_xobjects(res, i + 1, "", 0, frozenset())
         return out
     except _Truncated:
         return None

@@ -157,6 +157,8 @@ def _round_keys(key: bytes) -> list:
     and Nk=8 (AES-256, 14 rounds — the extra SubWord on i≡4 mod Nk
     per the spec). Both pinned against Appendix C vectors."""
     nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError("aes key size %d" % (nk * 4))
     nr = {4: 10, 8: 14}[nk]
     words = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
     for i in range(nk, 4 * (nr + 1)):
@@ -262,6 +264,8 @@ def _subword(t: int) -> int:
 @functools.lru_cache(maxsize=256)
 def _enc_schedule(key: bytes):
     nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError("aes key size %d" % (nk * 4))
     nr = {4: 10, 8: 14}[nk]
     w = [int.from_bytes(key[4 * i:4 * i + 4], "big") for i in range(nk)]
     for i in range(nk, 4 * (nr + 1)):
@@ -447,7 +451,9 @@ def file_key(
     h = hashlib.md5()
     h.update(_pad_password(user_pw))
     h.update(o_entry[:32])
-    h.update(struct.pack("<i", p))
+    # §7.6.3.3: low-order 32 bits of P; writers emit both the
+    # signed and unsigned renderings of the same bit pattern
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(id0)
     if r >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
@@ -508,6 +514,15 @@ def authenticate_empty_user(
 # behavior) and the derived file key is additionally gated on the
 # /Perms self-check below — wrong keys refuse, they never decrypt
 # into silent garbage.
+#
+# ADR (review finding): unlike AES/RC4, Algorithm 2.B has no
+# published known-answer vector available offline, so encoder and
+# parser could in principle co-confirm a compositional slip — the
+# failure mode would be REFUSING real-world R6 documents (never
+# mis-decrypting them, thanks to the double gate above). Until a
+# known-good real-file /U//UE//Perms triple can be pinned, the KDF
+# output is frozen in tests (test_hash_r6_frozen_pin) so any
+# accidental change to the composition is at least loud.
 
 
 def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
@@ -555,7 +570,9 @@ def perms_check(fkey: bytes, perms: bytes, p: int) -> bool:
     if len(perms) < 16 or len(fkey) != 32:
         return False
     dec = aes_decrypt_block(fkey, perms[:16])
-    return dec[9:12] == b"adb" and dec[0:4] == struct.pack("<i", p)
+    return dec[9:12] == b"adb" and dec[0:4] == struct.pack(
+        "<I", p & 0xFFFFFFFF
+    )
 
 
 def make_r6_entries(
@@ -572,7 +589,7 @@ def make_r6_entries(
     o = hash_r6(owner_pw, ovs, u) + ovs + oks
     oe = aes_cbc_encrypt_nopad(hash_r6(owner_pw, oks, u), fkey)
     perms_plain = (
-        struct.pack("<i", p) + b"\xff\xff\xff\xff"
+        struct.pack("<I", p & 0xFFFFFFFF) + b"\xff\xff\xff\xff"
         + (b"T" if encrypt_metadata else b"F") + b"adb" + b"fix!"
     )
     perms = aes_encrypt_block(fkey, perms_plain)
@@ -626,7 +643,7 @@ class Decryptor:
         return self._apply(self.stm_method, data, num, gen)
 
 
-def _cf_method(enc: dict, which: str) -> str:
+def _cf_method(enc: dict, which: str, v: int = 4) -> str:
     """Resolve a V4 crypt-filter name (/StmF or /StrF) through /CF."""
     name = str(enc.get(which, "Identity"))
     if name == "Identity":
@@ -636,13 +653,18 @@ def _cf_method(enc: dict, which: str) -> str:
     entry = cf.get(name)
     entry = entry if isinstance(entry, dict) else {}
     cfm = str(entry.get("CFM", ""))
-    if cfm == "V2":
+    # a CFM/V mismatch (AESV3 under a 16-byte V4 key, AESV2 under
+    # V5) would "work" mechanically but decrypt with the wrong
+    # cipher shape — exactly the silent-garbage case this module
+    # refuses (review catch: the V4+AESV3 shape previously
+    # mis-decrypted instead of refusing)
+    if cfm == "V2" and v < 5:
         return "rc4"
-    if cfm == "AESV2":
+    if cfm == "AESV2" and v < 5:
         return "aes"
-    if cfm == "AESV3":
+    if cfm == "AESV3" and v == 5:
         return "aes256"
-    raise _Unsupported("crypt filter %s/%s" % (name, cfm or "?"))
+    raise _Unsupported("crypt filter %s/%s/V%d" % (name, cfm or "?", v))
 
 
 def build_decryptor(enc: dict, id0: bytes) -> Decryptor:
@@ -670,7 +692,9 @@ def build_decryptor(enc: dict, id0: bytes) -> Decryptor:
             # key — without it, refuse rather than risk garbage
             raise _Unsupported("Perms self-check failed")
         return Decryptor(
-            fkey, _cf_method(enc, "StrF"), _cf_method(enc, "StmF")
+            fkey,
+            _cf_method(enc, "StrF", v=5),
+            _cf_method(enc, "StmF", v=5),
         )
     if v not in (1, 2, 4) or r not in (2, 3, 4):
         raise _Unsupported("V=%d R=%d" % (v, r))

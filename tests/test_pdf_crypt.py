@@ -288,3 +288,141 @@ def test_r6_real_password_and_tampered_perms_refuse():
     bb[j + 2] ^= 0xFF
     m = parse_pdf_meta(bytes(bb))
     assert m is None or not m["decryptable"]
+
+
+# ── review-pass regressions (second /code-review pass) ──────────
+
+
+def test_aesv3_under_v4_refuses_not_misdecrypts():
+    # a V4 doc (16-byte RC4/MD5-authenticated key) declaring CFM
+    # AESV3 previously slipped into the AES-256 path and fabricated
+    # content; it must refuse (finding 1)
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf_crypt import (  # noqa: E501
+        file_key,
+        owner_entry,
+        user_entry,
+    )
+
+    id0 = b"\x21" * 16
+    o = owner_entry(b"owner", b"", 4, 16)
+    fkey = file_key(b"", o, -44, id0, 4, 16)
+    u = user_entry(fkey, id0, 4)
+    enc = {
+        "Filter": "Standard", "V": 4, "R": 4, "Length": 128,
+        "O": o, "U": u, "P": -44,
+        "CF": {"StdCF": {"CFM": "AESV3"}},
+        "StmF": "StdCF", "StrF": "StdCF",
+    }
+    with pytest.raises(_Unsupported):
+        build_decryptor(enc, id0)
+    # and AESV2 under V5 likewise refuses
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf_crypt import (  # noqa: E501
+        _cf_method,
+    )
+
+    with pytest.raises(_Unsupported):
+        _cf_method({"CF": {"StdCF": {"CFM": "AESV2"}},
+                    "StmF": "StdCF", "StrF": "StdCF"}, "StmF", v=5)
+
+
+def test_unsigned_p_value_decrypts(monkeypatch):
+    # writers emit /P as the unsigned rendering of the same 32-bit
+    # pattern; both must authenticate and perms-check (finding 2)
+    import amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf as pdfmod
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf_crypt import (  # noqa: E501
+        make_r6_entries,
+        perms_check,
+    )
+
+    fkey = bytes(range(32))
+    ent = make_r6_entries(fkey, b"", b"o", -44, bytes(range(32)))
+    assert perms_check(fkey, ent["Perms"], -44)
+    assert perms_check(fkey, ent["Perms"], 4294967252)  # unsigned -44
+    # end-to-end: rewrite the fixture's /P to the unsigned form
+    blob = pdfmod.encode_pdf([["unsigned P"]], encrypt="aes-256")
+    mut = blob.replace(b"/P -44", b"/P 4294967252")
+    assert mut != blob
+    t = pdfmod.extract_pdf_text(mut)
+    assert t and t[0]["text"] == "unsigned P"
+    # and the rc4 modes' Algorithm 2 likewise
+    blob = pdfmod.encode_pdf([["unsigned P rc4"]], encrypt="rc4-128")
+    mut = blob.replace(b"/P -44", b"/P 4294967252")
+    t = pdfmod.extract_pdf_text(mut)
+    assert t and t[0]["text"] == "unsigned P rc4"
+
+
+def test_bad_aes_key_size_degrades_not_crashes():
+    # a crafted 40-bit-Length AESV2 doc derives a 10-byte AES key:
+    # ValueError (graceful raw passthrough), never KeyError
+    # (finding 4)
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf_crypt import (  # noqa: E501
+        aes_encrypt_block,
+    )
+
+    with pytest.raises(ValueError):
+        aes_encrypt_block(b"0123456789", b"x" * 16)
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf import (  # noqa: E501
+        encode_pdf as ep,
+        extract_pdf_text as et,
+        parse_pdf_meta as pm,
+    )
+
+    blob = ep([["short key doc"]], encrypt="aes-128")
+    # corrupt the declared key length down to 40 bits: object keys
+    # become 10 bytes → AES refuses per-string with ValueError and
+    # the parser degrades instead of dying
+    mut = blob.replace(b"/Length 128", b"/Length 40")
+    r = pm(mut)
+    assert r is None or isinstance(r, dict)
+    t = et(mut)
+    assert t is None or isinstance(t, list)
+
+
+def test_hash_r6_frozen_pin():
+    # NOT an external vector (none is available offline — see the
+    # module ADR): a frozen pin of this implementation's output so
+    # any accidental change to the Algorithm 2.B composition is loud
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf_crypt import (  # noqa: E501
+        hash_r6,
+    )
+
+    assert hash_r6(b"", b"saltsalt")[:8].hex() == "f383e1cdcd8e7e67"
+    assert hash_r6(b"pw", b"\x00" * 8, b"u" * 48)[:8].hex() == (
+        hash_r6(b"pw", b"\x00" * 8, b"u" * 48)[:8].hex()
+    )
+
+
+def test_form_nested_images_extracted():
+    # images painted via a Form XObject live in the FORM's
+    # resources — the extractor must recurse like the text path
+    # (finding 3)
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf import (  # noqa: E501
+        extract_pdf_images,
+    )
+    from tests.test_pdf import _classic_pdf
+
+    form = b"q 8 0 0 4 0 0 cm /Nested Do Q"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Resources "
+           b"<< /XObject << /Fm1 4 0 R >> >> >>",
+        4: b"<< /Subtype /Form /Resources "
+           b"<< /XObject << /Nested 5 0 R >> >> /Length %d >>\n"
+           b"stream\n" % len(form) + form + b"\nendstream",
+        5: b"<< /Subtype /Image /Width 2 /Height 1 "
+           b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+           b"/Length 2 >>\nstream\nXY\nendstream",
+    }
+    out = extract_pdf_images(_classic_pdf(objs))
+    assert len(out) == 1
+    assert out[0]["name"] == "Fm1/Nested"
+    assert out[0]["data"] == b"XY"
+    # a self-referencing form must not loop
+    objs[4] = (
+        b"<< /Subtype /Form /Resources "
+        b"<< /XObject << /Self 4 0 R /Nested 5 0 R >> >> /Length %d >>\n"
+        b"stream\n" % len(form) + form + b"\nendstream"
+    )
+    out = extract_pdf_images(_classic_pdf(objs))
+    assert [im["name"] for im in out] == ["Fm1/Nested"]
