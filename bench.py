@@ -75,6 +75,9 @@ HEADLINE = (
     # round-10: PDF structure walk + per-page text extraction (the
     # document-triage kernel) — measured the round it lands
     "pdf_text_kernel",
+    # round-10: zip/tar member listing + extraction (the landing-
+    # zone unpack step) — measured the round it lands
+    "archive_extract_kernel",
 )
 
 
@@ -243,6 +246,25 @@ def _extra_queries():
         corpus = synthetic_pdf_corpus(docs).select("doc_id", "blob")
         return pdf_text(corpus)
 
+    def archive_extract_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.archives import (  # noqa: E501
+            archive_extract,
+            synthetic_archive_corpus,
+        )
+
+        # r10: zip central-directory walk + tar header walk +
+        # member extraction (CRC-validated deflate) with the .txt
+        # suffix filter — the landing-zone unpack step (map-only);
+        # corpus is stdlib-authored, so the bench doubles as a
+        # differential
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 8000
+        )
+        corpus = synthetic_archive_corpus(docs).select("doc_id", "blob")
+        return archive_extract(corpus, suffix=".txt")
+
     def cdc_blob_chunking(spark, sf_dir):
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cdc import (
             chunk_documents,
@@ -279,6 +301,7 @@ def _extra_queries():
         "cdc_blob_chunking": cdc_blob_chunking,
         "audio_fp_kernel": audio_fp_kernel,
         "pdf_text_kernel": pdf_text_kernel,
+        "archive_extract_kernel": archive_extract_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
