@@ -68,6 +68,13 @@ class _Bomb(_Broken):
     """Resource cap tripped — refuse the whole archive."""
 
 
+class _BudgetExhausted(_Bomb):
+    """The per-ARCHIVE inflate allowance ran out — extraction of
+    this archive stops; distinct from a single lying member's cap
+    trip, which skips that member and continues (review catch: a
+    bare break on any _Bomb discarded innocent siblings)."""
+
+
 # ── ZIP (PKWARE APPNOTE §4.3) ───────────────────────────────────
 
 _EOCD_SIG = b"PK\x05\x06"
@@ -100,6 +107,15 @@ def _find_eocd(blob: bytes):
     ):
         loc = blob.rfind(_EOCD64_LOC_SIG, max(0, idx - 20), idx)
         if loc < 0 or loc + 20 > len(blob):
+            # stdlib zipfile writes a PLAIN EOCD for exactly 65535
+            # entries (its zip64 threshold is count > 65535), so a
+            # literal 0xFFFF with sane offsets is a real archive,
+            # not a redirect (review catch)
+            if cd_off != 0xFFFFFFFF and cd_size != 0xFFFFFFFF and (
+                0 <= cd_off <= len(blob)
+                and cd_off + cd_size <= len(blob)
+            ):
+                return cd_off, cd_size, n_entries
             raise _Broken("zip64 locator missing")
         e64_off = struct.unpack("<Q", blob[loc + 8:loc + 16])[0]
         if not (0 <= e64_off <= len(blob) - 56) or (
@@ -176,6 +192,14 @@ def parse_zip_members(blob: bytes) -> list[dict] | None:
                 usize = z64.get("usize", usize)
                 csize = z64.get("csize", csize)
                 hdr_off = z64.get("hdr_off", hdr_off)
+            # a compressed payload or header offset cannot exceed
+            # the blob, and a claimed size past 2^62 is hostile —
+            # refuse before the value reaches an int64 Arrow column
+            # (review catch: OverflowError killed the whole task)
+            if csize > len(blob) or hdr_off > len(blob) or (
+                usize > 1 << 62
+            ):
+                raise _Broken("zip64 size out of range")
             out.append(
                 {
                     "name": _zip_name(name, extra),
@@ -242,8 +266,7 @@ def zip_extract_member(blob: bytes, member: dict,
         return b""
     start, clen = zip_member_range(blob, member)
     raw = blob[start:start + clen]
-    cap = min(_MAX_MEMBER_INFLATE, budget[0],
-              member["size"] + 16)
+    cap = min(_MAX_MEMBER_INFLATE, member["size"] + 16)
     if member["method"] == "stored":
         data = raw
     elif member["method"] == "deflate":
@@ -253,7 +276,7 @@ def zip_extract_member(blob: bytes, member: dict,
         except zlib.error as exc:
             raise _Broken("deflate: %s" % exc)
         if len(data) > cap:
-            raise _Bomb("inflate cap")
+            raise _Bomb("inflate cap")  # member lied — skippable
     else:
         return None
     if len(data) != member["size"]:
@@ -262,11 +285,26 @@ def zip_extract_member(blob: bytes, member: dict,
         raise _Broken("crc mismatch")
     budget[0] -= len(data)
     if budget[0] < 0:
-        raise _Bomb("archive inflate cap")
+        raise _BudgetExhausted("archive inflate cap")
     return data
 
 
 # ── TAR (POSIX ustar + GNU/pax extensions) ──────────────────────
+
+
+def _verify_tar_checksum(hdr: bytes):
+    """ustar header checksum (offset 148, 8 bytes): sum of all
+    header bytes with the checksum field read as spaces. A mismatch
+    means a corrupted or misaligned header — refuse rather than
+    emit garbage member rows (review catch; matches tarfile's
+    ReadError behavior)."""
+    try:
+        want = _octal(hdr[148:156])
+    except ValueError:
+        raise _Broken("bad checksum field")
+    got = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+    if got != want:
+        raise _Broken("tar checksum mismatch")
 
 
 def _octal(field: bytes) -> int:
@@ -291,10 +329,8 @@ def parse_tar_members(blob: bytes) -> list[dict] | None:
     they describe. Returns None for non-tar/broken blobs (S4)."""
     if not blob or len(blob) < 512:
         return None
-    # tar magic: "ustar" at offset 257 of the first header
-    if blob[257:262] not in (b"ustar", b"ustar"):
-        if blob[257:263] not in (b"ustar\x00", b"ustar "):
-            return None
+    if blob[257:262] != b"ustar":
+        return None
     try:
         out = []
         p = 0
@@ -305,6 +341,7 @@ def parse_tar_members(blob: bytes) -> list[dict] | None:
             hdr = blob[p:p + 512]
             if hdr == b"\x00" * 512:
                 break  # end-of-archive marker
+            _verify_tar_checksum(hdr)
             name = hdr[0:100].split(b"\x00")[0]
             try:
                 size = _octal(hdr[124:136])
@@ -314,7 +351,6 @@ def parse_tar_members(blob: bytes) -> list[dict] | None:
             typeflag = hdr[156:157]
             prefix = hdr[345:500].split(b"\x00")[0]
             payload_off = p + 512
-            blocks = (size + 511) // 512
             if payload_off + size > len(blob):
                 raise _Broken("member past end")
             if typeflag == b"L":  # GNU longname
@@ -340,7 +376,18 @@ def parse_tar_members(blob: bytes) -> list[dict] | None:
                 mname = eff_pax.get(
                     "path", full.decode("utf-8", "replace")
                 )
-                msize = int(eff_pax.get("size", size))
+                # pax numerics may be fractional (stdlib emits
+                # mtime=....123456) and a >8 GiB member's size
+                # lives ONLY in the pax record (the ustar field is
+                # 0) — the WALK must advance by the pax-effective
+                # size or every later member misparses (review
+                # catches)
+                msize = int(float(eff_pax.get("size", size)))
+                if msize < 0 or msize > 1 << 62:
+                    raise _Broken("pax size out of range")
+                size = msize
+                if payload_off + size > len(blob):
+                    raise _Broken("member past end")
                 if len(mname) > _MAX_NAME:
                     raise _Bomb("name cap")
                 out.append(
@@ -350,14 +397,14 @@ def parse_tar_members(blob: bytes) -> list[dict] | None:
                         "offset": payload_off,
                         "is_dir": typeflag == b"5" or mname.endswith("/"),
                         "typeflag": typeflag.decode("latin-1"),
-                        "mtime": int(eff_pax.get("mtime", mtime)),
+                        "mtime": int(float(eff_pax.get("mtime", mtime))),
                     }
                 )
                 pending_name = None
                 pending_pax = {}
                 if len(out) > _MAX_MEMBERS:
                     raise _Bomb("member cap")
-            p = payload_off + blocks * 512
+            p = payload_off + ((size + 511) // 512) * 512
         return out
     except _Broken:
         return None
@@ -399,11 +446,18 @@ def tar_extract_member(blob: bytes, member: dict) -> bytes:
 # ── format dispatch ─────────────────────────────────────────────
 
 
+#: full 4-byte zip signatures a file can START with — a bare 'PK'
+#: prefix would misroute a tar whose first member is named 'PK...'
+#: (review catch)
+_ZIP_START_SIGS = (_LOCAL_SIG, _EOCD_SIG, _CD_SIG, b"PK\x06\x06",
+                   b"PK\x07\x08")
+
+
 def sniff_archive(blob: bytes) -> str | None:
     """Magic-number dispatch: 'zip' | 'tar' | 'tar.gz' | None."""
     if not blob or len(blob) < 4:
         return None
-    if blob[:2] == b"PK":
+    if blob[:4] in _ZIP_START_SIGS:
         return "zip"
     if blob[:2] == b"\x1f\x8b":
         return "tar.gz"
@@ -413,16 +467,25 @@ def sniff_archive(blob: bytes) -> str | None:
 
 
 def _gunzip(blob: bytes, budget: list) -> bytes:
+    """All gzip MEMBERS concatenated (RFC 1952 streams may be
+    `cat a.gz b.gz` — the warc.py multi-member lesson), refusing a
+    stream whose final member is cut mid-payload."""
     cap = min(_MAX_ARCHIVE_INFLATE, budget[0])
-    d = zlib.decompressobj(16 + 15)
+    out = bytearray()
+    data = blob
     try:
-        out = d.decompress(blob, cap + 1)
+        while data:
+            d = zlib.decompressobj(16 + 15)
+            out.extend(d.decompress(data, cap + 1 - len(out)))
+            if len(out) > cap:
+                raise _Bomb("gunzip cap")
+            if not d.eof:
+                raise _Broken("gzip truncated")
+            data = d.unused_data.lstrip(b"\x00")
     except zlib.error as exc:
         raise _Broken("gzip: %s" % exc)
-    if len(out) > cap:
-        raise _Bomb("gunzip cap")
     budget[0] -= len(out)
-    return out
+    return bytes(out)
 
 
 def archive_member_list(blob: bytes) -> tuple[str, list] | None:
@@ -537,17 +600,28 @@ def archive_extract(
             rows = []
             for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
                 b = bytes(blob) if blob is not None else b""
-                got = archive_member_list(b)
-                if got is None:
+                fmt = sniff_archive(b)
+                if fmt is None:
                     continue
-                fmt, members = got
                 budget = [_MAX_ARCHIVE_INFLATE]
                 source = b
                 if fmt == "tar.gz":
+                    # gunzip ONCE; list and extract from the same
+                    # inner buffer (review catch: the old shape
+                    # inflated every .tgz twice per row)
                     try:
-                        source = _gunzip(b, [_MAX_ARCHIVE_INFLATE])
+                        source = _gunzip(b, budget)
                     except _Broken:
                         continue
+                try:
+                    members = (
+                        parse_zip_members(source) if fmt == "zip"
+                        else parse_tar_members(source)
+                    )
+                except _Broken:
+                    members = None
+                if members is None:
+                    continue
                 for m in members:
                     if m["is_dir"] or m["size"] > max_member_bytes:
                         continue
@@ -560,10 +634,10 @@ def archive_extract(
                             data = zip_extract_member(source, m, budget)
                         else:
                             data = tar_extract_member(source, m)
-                    except _Bomb:
-                        break  # archive-level cap: stop this blob
+                    except _BudgetExhausted:
+                        break  # archive allowance spent: stop blob
                     except _Broken:
-                        continue  # damaged member, siblings extract
+                        continue  # damaged/lying member, siblings go
                     if data is None:
                         continue  # unsupported method — listed only
                     rows.append(

@@ -203,6 +203,10 @@ def test_tar_hand_built_ustar_header():
     hdr[136:148] = b"00000000000\x00"
     hdr[156] = ord("0")
     hdr[257:263] = b"ustar\x00"
+    # checksum (offset 148): sum of header bytes with the checksum
+    # field itself read as 8 spaces
+    csum = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+    hdr[148:156] = ("%06o" % csum).encode() + b"\x00 "
     blob = bytes(hdr) + payload + b"\x00" * (512 - len(payload)) + (
         b"\x00" * 1024
     )
@@ -210,6 +214,11 @@ def test_tar_hand_built_ustar_header():
     assert len(members) == 1
     assert members[0]["name"] == "hand.txt"
     assert tar_extract_member(blob, members[0]) == payload
+    # a corrupted size field breaks the checksum → refuse the
+    # archive instead of emitting a garbage listing
+    bad = bytearray(blob)
+    bad[125] ^= 0x01
+    assert parse_tar_members(bytes(bad)) is None
 
 
 def test_tar_gnu_base256_size_field():
@@ -350,3 +359,105 @@ class TestKernels:
         assert texts == {
             i: "Report %d body line." % i for i in range(4)
         }
+
+
+# ── review-pass regressions ─────────────────────────────────────
+
+
+def test_pax_fractional_mtime_parses():
+    # stdlib PAX_FORMAT writes mtime=....123456 (finding 1)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.PAX_FORMAT) as t:
+        ti = tarfile.TarInfo("frac.txt")
+        ti.size = 3
+        ti.mtime = 1618393453.123456
+        t.addfile(ti, io.BytesIO(b"abc"))
+    members = parse_tar_members(buf.getvalue())
+    assert members and members[0]["mtime"] == 1618393453
+
+
+def test_huge_zip64_size_refused_before_arrow():
+    # a crafted usize=2^64-1 must refuse at parse (finding 2)
+    payload = b"x"
+    crc = zlib.crc32(payload)
+    name = b"h.bin"
+    z64 = struct.pack("<HH", 0x0001, 8) + struct.pack(
+        "<Q", 0xFFFFFFFFFFFFFFFF
+    )
+    local = (b"PK\x03\x04" + struct.pack(
+        "<HHHHHIIIHH", 45, 0, 0, 0, 0, crc, len(payload),
+        0xFFFFFFFF, len(name), 0) + name + payload)
+    cd = (b"PK\x01\x02" + struct.pack(
+        "<HHHHHHIIIHHHHHII", 45, 45, 0, 0, 0, 0, crc, len(payload),
+        0xFFFFFFFF, len(name), len(z64), 0, 0, 0, 0, 0) + name + z64)
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 1, 1, len(cd), len(local), 0)
+    assert parse_zip_members(local + cd + eocd) is None
+
+
+def test_tar_named_pk_not_misrouted():
+    # a tar whose first member starts with 'PK' must sniff as tar
+    # (finding 3)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as t:
+        ti = tarfile.TarInfo("PKI/cert.pem")
+        ti.size = 4
+        t.addfile(ti, io.BytesIO(b"cert"))
+    blob = buf.getvalue()
+    assert sniff_archive(blob) == "tar"
+    fmt, members = archive_member_list(blob)
+    assert fmt == "tar" and members[0]["name"] == "PKI/cert.pem"
+
+
+def test_multi_member_gzip_and_truncated_gzip():
+    # concatenated gzip members are one valid stream (finding 4)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as t:
+        ti = tarfile.TarInfo("a.txt")
+        ti.size = 600
+        t.addfile(ti, io.BytesIO(b"A" * 600))
+    tblob = buf.getvalue()
+    half = len(tblob) // 2
+    gz = gzip.compress(tblob[:half]) + gzip.compress(tblob[half:])
+    fmt, members = archive_member_list(gz)
+    assert fmt == "tar.gz" and members[0]["name"] == "a.txt"
+    # a gzip cut mid-payload is refused, not silently shortened
+    cut = gzip.compress(tblob)[:-20]
+    assert archive_member_list(cut) is None
+
+
+def test_lying_member_skipped_siblings_extracted(spark):
+    # finding 8: one member lying about its size must not abort the
+    # rest — hand-build good + lying + good (stored members)
+    def stored(name, payload, fake_usize=None):
+        crc = zlib.crc32(payload)
+        usize = len(payload) if fake_usize is None else fake_usize
+        local = (b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH", 20, 0, 0, 0, 0, crc, len(payload),
+            usize, len(name), 0) + name + payload)
+        return local, crc, usize
+
+    parts, cds, off = [], [], 0
+    for name, payload, fake in [
+        (b"one.txt", b"first", None),
+        (b"lie.txt", b"liar!", 4),       # wrong size → _Broken skip
+        (b"two.txt", b"third", None),
+    ]:
+        local, crc, usize = stored(name, payload, fake)
+        cds.append((b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, 0, 0, 0, crc,
+            len(payload), usize, len(name), 0, 0, 0, 0, 0, off)
+            + name))
+        parts.append(local)
+        off += len(local)
+    cd = b"".join(cds)
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 3, 3, len(cd), off, 0)
+    blob = b"".join(parts) + cd + eocd
+    archives = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, blob binary"
+    )
+    out = {r["member"]: bytes(r["blob"])
+           for r in archive_extract(archives).collect()}
+    assert out == {"one.txt": b"first", "two.txt": b"third"}
