@@ -22,6 +22,7 @@ from ..registry import (
     golden_table,
     register,
 )
+from .mkv import mkv_meta, sample_mkv_keyframes, synthetic_mkv_corpus
 from .mp4 import mp4_meta, synthetic_mp4_corpus
 from .pdf import pdf_images, pdf_meta, pdf_text, synthetic_pdf_corpus
 from .multimodal import (
@@ -166,6 +167,67 @@ def pdf_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 golden_table("pdf_corpus_meta", pdf_corpus_meta_leg)
 
 
+#: corpus bound for the mkv legs — same identical-at-every-sf
+#: rationale; 120 cycles the corpus wire shapes (%2 audio track,
+#: %4 BlockGroup form, %5 unknown-size clusters, %6 cue-less,
+#: %7 matroska doctype)
+_MKV_LEG_DOCS = 120
+
+
+def mkv_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mkv legs of ``multimodal_media_meta``: the EBML container
+    walk and the keyframe byte-range resolution over the synthetic
+    WebM/Matroska corpus.
+
+    - leg ``mkv_track``: one row per track; key packs
+      doc_id|track_idx|doctype|type|codec|dims|rate|channels|
+      counts, n = n_blocks, v1 = n_cues, v2 = duration_ms.
+    - leg ``mkv_kf``: one row per every-3rd keyframe; key packs
+      doc_id|track|timestamp|laced, n = payload size, v1 =
+      crc32(payload) — a full pin of the bytes the range slices —
+      and v2 = offset."""
+    from .cache import tracked_persist
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MKV_LEG_DOCS)
+        .select("doc_id")
+    )
+    corpus = tracked_persist(
+        synthetic_mkv_corpus(docs).select("doc_id", "blob")
+    )
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    track_leg = mkv_meta(corpus).select(
+        F.lit("mkv_track").alias("leg"),
+        F.concat_ws(
+            "|", s("doc_id"), s("track_idx"), s("doctype"),
+            s("track_type"), s("codec"), s("width"), s("height"),
+            s("sample_rate"), s("channels"), s("n_clusters"),
+            s("timestamp_scale_ns"),
+        ).alias("key"),
+        F.col("n_blocks").alias("n"),
+        F.col("n_cues").alias("v1"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).alias("v2"),
+    )
+    kf_leg = sample_mkv_keyframes(corpus, every=3).select(
+        F.lit("mkv_kf").alias("leg"),
+        F.concat_ws(
+            "|", s("doc_id"), s("track_id"), s("timestamp_ms"),
+            s("laced"),
+        ).alias("key"),
+        F.col("size").alias("n"),
+        F.col("payload_crc32").alias("v1"),
+        F.col("offset").alias("v2"),
+    )
+    return track_leg.unionByName(kf_leg).orderBy("leg", "key")
+
+
+golden_table("mkv_corpus_meta", mkv_corpus_meta_leg)
+
+
 #: the live arm's SQL, shared between the registered (golden-pinned)
 #: oracle and the any-SF live-leg compare in
 #: tests/test_consolidated_live_legs.py (review catch: golden_sf pins
@@ -210,6 +272,9 @@ def blob_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT leg, key, n, v1, v2
         FROM read_parquet('{GOLDEN_DIR}/pdf_corpus_meta.parquet')
+        UNION ALL
+        SELECT leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/mkv_corpus_meta.parquet')
     ) ORDER BY leg, key
     """,
     golden_sf=DRIVER_SF,
@@ -222,13 +287,16 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode, pure JVM expressions; live SQL oracle at any sf), the
     'mp4_track' leg the per-track ISO-BMFF container walk over the
     synthetic fixture corpus (progressive + fragmented §8.8 shapes;
-    golden leg — DuckDB cannot parse MP4), and the 'pdf_doc' /
-    'pdf_page' legs the ISO 32000 structure walk + per-page text
-    extraction (golden legs; the page key's md5(text) is a full
-    value pin of the extracted text). Column meaning is
+    golden leg — DuckDB cannot parse MP4), the 'pdf_doc' /
+    'pdf_page' / 'pdf_image' legs the ISO 32000 structure walk +
+    per-page text + image-XObject extraction (golden legs; the page
+    key's md5(text) and the image leg's crc32 are full value pins),
+    and the 'mkv_track' / 'mkv_kf' legs the Matroska/WebM EBML walk
+    + keyframe byte ranges with payload CRCs. Column meaning is
     leg-dependent, documented on :func:`mp4_track_meta_leg` /
-    :func:`pdf_corpus_meta_leg`. The blob leg keeps its own any-SF
-    live differential in tests/test_consolidated_live_legs.py."""
+    :func:`pdf_corpus_meta_leg` / :func:`mkv_corpus_meta_leg`. The
+    blob leg keeps its own any-SF live differential in
+    tests/test_consolidated_live_legs.py."""
     mp4 = mp4_track_meta_leg(spark, sf_dir).select(
         F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
     )
@@ -236,6 +304,7 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         blob_meta_leg(spark, sf_dir)
         .unionByName(mp4)
         .unionByName(pdf_corpus_meta_leg(spark, sf_dir))
+        .unionByName(mkv_corpus_meta_leg(spark, sf_dir))
         .orderBy("leg", "key")
     )
 

@@ -78,6 +78,9 @@ HEADLINE = (
     # round-10: zip/tar member listing + extraction (the landing-
     # zone unpack step) — measured the round it lands
     "archive_extract_kernel",
+    # round-10: Matroska/WebM EBML walk + keyframe ranges (the mkv
+    # twin of the mp4 kernel) — measured the round it lands
+    "mkv_keyframe_kernel",
 )
 
 
@@ -246,6 +249,24 @@ def _extra_queries():
         corpus = synthetic_pdf_corpus(docs).select("doc_id", "blob")
         return pdf_text(corpus)
 
+    def mkv_keyframe_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mkv import (  # noqa: E501
+            sample_mkv_keyframes,
+            synthetic_mkv_corpus,
+        )
+
+        # r10: EBML walk + keyframe byte-range resolution + payload
+        # CRC over fixture WebM/Matroska (SimpleBlock/BlockGroup,
+        # unknown-size streaming clusters, doctype variants cycle by
+        # doc_id) — the mkv twin of mp4_keyframe_kernel (map-only)
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 8000
+        )
+        corpus = synthetic_mkv_corpus(docs).select("doc_id", "blob")
+        return sample_mkv_keyframes(corpus, every=3)
+
     def archive_extract_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
@@ -302,6 +323,7 @@ def _extra_queries():
         "audio_fp_kernel": audio_fp_kernel,
         "pdf_text_kernel": pdf_text_kernel,
         "archive_extract_kernel": archive_extract_kernel,
+        "mkv_keyframe_kernel": mkv_keyframe_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
