@@ -62,7 +62,8 @@ from pyspark.sql.types import (
 _MAX_DEPTH = 16
 _MAX_ELEMENTS = 1 << 20
 _MAX_TRACKS = 64
-_MAX_BLOCKS = 1 << 22
+# blocks are elements, so _MAX_ELEMENTS bounds them too — no
+# separate block cap (a larger one would be dead code)
 _MAX_CUES = 1 << 18
 
 # Matroska element IDs (public registry; stored ID bytes including
@@ -130,11 +131,14 @@ class _Bomb(_Truncated):
     _Truncated; tolerant handlers must re-raise it first)."""
 
 
-def _read_vint(blob: bytes, p: int, keep_marker: bool):
+def _read_vint(blob: bytes, p: int, keep_marker: bool,
+               allow_unknown: bool = True):
     """RFC 8794 §4: the leading zero bits of the first byte give
     the total width; IDs keep the marker bit, sizes strip it.
-    Returns (value, new_pos); all-ones DATA means 'unknown size'
-    (returned as -1 when stripped)."""
+    All-ones DATA means 'unknown size' (-1) — but ONLY for element
+    sizes: a (Simple)Block's track-number vint may legally be
+    all-ones (track 127 as 0xFF), so those callers pass
+    ``allow_unknown=False`` (review catch)."""
     if p >= len(blob):
         raise _Truncated("vint eof")
     first = blob[p]
@@ -149,7 +153,7 @@ def _read_vint(blob: bytes, p: int, keep_marker: bool):
         val = first & ((1 << (8 - width)) - 1)
         for i in range(1, width):
             val = (val << 8) | blob[p + i]
-        if val == (1 << (7 * width)) - 1:
+        if allow_unknown and val == (1 << (7 * width)) - 1:
             val = -1  # unknown size
     return val, p + width
 
@@ -333,8 +337,6 @@ def parse_mkv_meta(blob: bytes | None) -> dict | None:
                 ):
                     if cid in (SIMPLE_BLOCK, BLOCK_GROUP):
                         n_blocks += 1
-                        if n_blocks > _MAX_BLOCKS:
-                            raise _Bomb("block cap")
             elif eid == CUES:
                 for cid, cs, ce, _ in _elements(blob, s, e, 2, counter):
                     if cid == CUE_POINT:
@@ -368,7 +370,8 @@ def _block_header(blob: bytes, s: int, e: int):
     relative timestamp, flags byte; returns
     (track, rel_ts, flags, payload_start) or None if malformed."""
     try:
-        track, p = _read_vint(blob, s, keep_marker=False)
+        track, p = _read_vint(blob, s, keep_marker=False,
+                              allow_unknown=False)
     except _Truncated:
         return None
     if p + 3 > e:
@@ -389,28 +392,24 @@ def mkv_keyframe_ranges(blob: bytes | None, every: int = 1) -> list:
     try:
         counter = [0]
         _doctype, _v, (ss, se) = _segment_range(blob, counter)
+        # ONE walk (review catch: a scale pre-pass re-ran the full
+        # cluster scan): collect raw ticks, capture the scale when
+        # Info appears (any position), apply it when emitting
         scale = 1_000_000
-        # need the scale before walking clusters — cheap pre-pass
+        raw = []  # (track, ticks, offset, size, laced)
+        kf_seen: dict = {}
         for eid, s, e, _h in _elements(blob, ss, se, 1, counter):
             if eid == INFO:
                 for cid, cs, ce, _ in _elements(blob, s, e, 2, counter):
                     if cid == TIMESTAMP_SCALE:
                         scale = _uint(blob, cs, ce) or scale
-                break
-        out = []
-        kf_seen: dict = {}
-        n_blocks = 0
-        counter2 = [0]
-        for eid, s, e, _h in _elements(blob, ss, se, 1, counter2):
+                continue
             if eid != CLUSTER:
                 continue
             cluster_ts = 0
             for cid, cs, ce, _hb in _cluster_children(
-                blob, s, e, counter2
+                blob, s, e, counter
             ):
-                n_blocks += 1
-                if n_blocks > _MAX_BLOCKS:
-                    raise _Bomb("block cap")
                 if cid == CLUSTER_TIMESTAMP:
                     cluster_ts = _uint(blob, cs, ce)
                     continue
@@ -425,7 +424,7 @@ def mkv_keyframe_ranges(blob: bytes | None, every: int = 1) -> list:
                     block = None
                     has_ref = False
                     for gid, gs, ge, _ in _elements(
-                        blob, cs, ce, 3, counter2
+                        blob, cs, ce, 3, counter
                     ):
                         if gid == BLOCK:
                             block = (gs, ge)
@@ -444,18 +443,20 @@ def mkv_keyframe_ranges(blob: bytes | None, every: int = 1) -> list:
                 kf_seen[track] = k + 1
                 if k % every:
                     continue
-                out.append(
-                    {
-                        "track_id": track,
-                        "timestamp_ms": int(
-                            (cluster_ts + rel) * scale / 1_000_000
-                        ),
-                        "offset": payload,
-                        "size": ce - payload,
-                        "laced": int(bool(flags & 0x06)),
-                    }
+                raw.append(
+                    (track, cluster_ts + rel, payload, ce - payload,
+                     int(bool(flags & 0x06)))
                 )
-        return out
+        return [
+            {
+                "track_id": track,
+                "timestamp_ms": int(ticks * scale / 1_000_000),
+                "offset": offset,
+                "size": size,
+                "laced": laced,
+            }
+            for track, ticks, offset, size, laced in raw
+        ]
     except _Truncated:
         return []
     except (ValueError, struct.error, MemoryError, OverflowError):
@@ -476,7 +477,7 @@ def mkv_cues(blob: bytes | None) -> list:
         _doctype, _v, (ss, se) = _segment_range(blob, counter)
         scale = 1_000_000
         cluster_offsets = set()
-        cues = []
+        pending = []  # (time_ticks, track, pos) judged after pass 1
         for eid, s, e, hdr in _elements(blob, ss, se, 1, counter):
             if eid == INFO:
                 for cid, cs, ce, _ in _elements(blob, s, e, 2, counter):
@@ -507,23 +508,22 @@ def mkv_cues(blob: bytes | None) -> list:
                                     pos = _uint(blob, qs, qe)
                             entries.append((track, pos))
                     for track, pos in entries:
-                        cues.append(
-                            {
-                                "time_ms": int(
-                                    (t or 0) * scale / 1_000_000
-                                ),
-                                "track_id": track or 0,
-                                "cluster_position": (
-                                    pos if pos is not None else -1
-                                ),
-                                "position_valid": int(
-                                    pos in cluster_offsets
-                                ),
-                            }
-                        )
-                    if len(cues) > _MAX_CUES:
+                        pending.append((t, track, pos))
+                    if len(pending) > _MAX_CUES:
                         raise _Bomb("cue cap")
-        return cues
+        # judge positions AFTER the whole segment walk: in the
+        # web-optimized layout the Cues element PRECEDES the
+        # clusters, and judging in document order would flag every
+        # honest position (review catch)
+        return [
+            {
+                "time_ms": int((t or 0) * scale / 1_000_000),
+                "track_id": track or 0,
+                "cluster_position": pos if pos is not None else -1,
+                "position_valid": int(pos in cluster_offsets),
+            }
+            for t, track, pos in pending
+        ]
     except _Truncated:
         return []
     except (ValueError, struct.error, MemoryError, OverflowError):

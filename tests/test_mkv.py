@@ -316,3 +316,55 @@ class TestKernels:
         assert {r["track_type"] for r in rows} == {"video", "audio"}
         assert any(r["n_cues"] == 0 for r in rows)   # d%6==5
         assert any(r["n_cues"] > 0 for r in rows)
+
+
+# ── review-pass regressions ─────────────────────────────────────
+
+
+def test_track_127_single_byte_vint():
+    # track number 0xFF is a LEGAL all-ones data vint (127), not
+    # 'unknown' — the unknown-size rule applies to element sizes
+    # only (review catch); hand-build the SimpleBlock
+    blob, _ = _hand_built()
+    mut = bytearray(blob)
+    i = bytes(mut).find(b"\x81" + struct.pack(">h", 5) + b"\x80")
+    assert i > 0
+    mut[i] = 0xFF  # track 127, minimal width
+    kf = mkv_keyframe_ranges(bytes(mut))
+    assert len(kf) == 1 and kf[0]["track_id"] == 127
+
+
+def test_cues_before_clusters_layout_validates():
+    # the web-optimized layout places Cues BEFORE the clusters —
+    # honest positions must validate (review catch: document-order
+    # judging flagged them all)
+    info = _hb_el(0x1549A966,
+                  _hb_el(0x2AD7B1, (1_000_000).to_bytes(3, "big")))
+    track = _hb_el(
+        0x1654AE6B,
+        _hb_el(0xAE, _hb_el(0xD7, b"\x01") + _hb_el(0x83, b"\x01")
+               + _hb_el(0x86, b"V_VP9")),
+    )
+    cluster = _hb_el(
+        0x1F43B675,
+        _hb_el(0xE7, b"\x00")
+        + _hb_el(0xA3, b"\x81" + struct.pack(">h", 0) + b"\x80"
+                 + b"KF"),
+    )
+    # cues size is fixed once the position field is 4 bytes wide
+    def cues_el(pos):
+        return _hb_el(
+            0x1C53BB6B,
+            _hb_el(0xBB, _hb_el(0xB3, b"\x00")
+                   + _hb_el(0xB7, _hb_el(0xF7, b"\x01")
+                            + _hb_el(0xF1, pos.to_bytes(4, "big")))),
+        )
+
+    cues_len = len(cues_el(0))
+    pos = len(info) + len(track) + cues_len
+    body = info + track + cues_el(pos) + cluster
+    head = _hb_el(0x1A45DFA3, _hb_el(0x4282, b"webm"))
+    blob = head + _hb_el(0x18538067, body)
+    cues = mkv_cues(blob)
+    assert len(cues) == 1
+    assert cues[0]["position_valid"] == 1, cues
