@@ -1,0 +1,366 @@
+"""Office document text extraction — DOCX / PPTX / ODT as text
+sources for the curation pipeline (charter extension, SURVEY.md
+§2.10; reference analog: none — ref main.py reads xlsx only, which
+:mod:`..sources.xlsx` already covers).
+
+All three formats are ZIP containers of XML parts (ECMA-376 Office
+Open XML for docx/pptx; the OASIS OpenDocument format for odt), so
+this module is a thin, well-guarded composition of two layers that
+already exist here: the clean-room zip reader
+(:mod:`..sources.archives` — central-directory walk + CRC-validated
+member extraction) and stdlib ``xml.etree`` with the same
+DTD/ENTITY pre-parse refusal as :mod:`.sitemaps` (billion-laughs
+and external-entity shapes are refused BEFORE expat sees them).
+
+Extracted shapes (deliberate limits documented, not silent):
+
+- DOCX: one row per paragraph of ``word/document.xml`` (``w:p``;
+  runs' ``w:t`` joined, ``w:tab`` → TAB, ``w:br``/``w:cr`` → LF;
+  table cells surface as their own paragraphs in document order).
+  Headers/footers/footnotes/comments are separate parts and are NOT
+  walked (triage extracts the body; a later pass can add parts).
+- PPTX: one row per slide (``ppt/slides/slideN.xml`` in deck
+  order; ``a:t`` runs joined, paragraphs separated by LF).
+- ODT: one row per paragraph/heading of ``content.xml``
+  (``text:p``/``text:h``; ``text:tab``/``text:line-break``
+  handled, ``text:s`` expands its space count).
+
+Damaged containers follow the S4 skip contract; a damaged single
+PART yields no rows for that part while sibling parts extract. The
+``office_text`` kernel sniffs the KIND from the member listing
+(``word/document.xml`` / ``ppt/slides/`` / ODF ``mimetype``) — no
+filename extension needed, matching how a crawl actually meets
+these bytes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.archives import (
+    _Broken,
+    parse_zip_members,
+    zip_extract_member,
+)
+
+_MAX_PART_BYTES = 1 << 26     # 64 MiB of XML per part
+_MAX_TEXT_BYTES = 1 << 24     # 16 MiB extracted per document
+_MAX_ROWS = 1 << 16           # paragraphs/slides per document
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_ODT_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+
+_ODT_MIME = b"application/vnd.oasis.opendocument"
+
+
+def _safe_xml(data: bytes):
+    """Parse XML with the sitemaps.py hostile-input contract: DTD /
+    ENTITY declarations are refused before expat ever runs."""
+    head = data[:4096]
+    if b"<!DOCTYPE" in head or b"<!ENTITY" in data:
+        raise _Broken("DTD/ENTITY refused")
+    import xml.etree.ElementTree as ET
+
+    try:
+        return ET.fromstring(data)
+    except ET.ParseError as exc:
+        raise _Broken("xml: %s" % exc)
+
+
+def _zip_part(blob: bytes, members: dict, name: str) -> bytes | None:
+    m = members.get(name)
+    if m is None or m["size"] > _MAX_PART_BYTES:
+        return None
+    try:
+        return zip_extract_member(blob, m)
+    except _Broken:
+        return None
+
+
+def sniff_office(blob: bytes) -> str | None:
+    """'docx' | 'pptx' | 'odt' | None — from the zip member listing
+    (the format-defining parts), not the filename."""
+    members = parse_zip_members(blob or b"")
+    if not members:
+        return None
+    names = {m["name"] for m in members}
+    if "word/document.xml" in names:
+        return "docx"
+    if any(n.startswith("ppt/slides/slide") for n in names):
+        return "pptx"
+    if "mimetype" in names and "content.xml" in names:
+        byname = {m["name"]: m for m in members}
+        try:
+            mt = zip_extract_member(blob, byname["mimetype"])
+        except _Broken:
+            return None
+        if mt is not None and mt.startswith(_ODT_MIME):
+            return "odt"
+    return None
+
+
+def _docx_paragraph_text(p) -> str:
+    out = []
+    for node in p.iter():
+        tag = node.tag
+        if tag == _W + "t":
+            out.append(node.text or "")
+        elif tag == _W + "tab":
+            out.append("\t")
+        elif tag in (_W + "br", _W + "cr"):
+            out.append("\n")
+    return "".join(out)
+
+
+def _odt_collect(node, out: list):
+    tag = node.tag
+    if tag == _ODT_TEXT + "tab":
+        out.append("\t")
+    elif tag == _ODT_TEXT + "line-break":
+        out.append("\n")
+    elif tag == _ODT_TEXT + "s":
+        n = int(node.get(_ODT_TEXT + "c", "1") or "1")
+        out.append(" " * min(n, 1024))
+    if node.text:
+        out.append(node.text)
+    for child in node:
+        _odt_collect(child, out)
+        if child.tail:
+            out.append(child.tail)
+
+
+def _odt_paragraph_text(p) -> str:
+    out = []
+    if p.text:
+        out.append(p.text)
+    for child in p:
+        _odt_collect(child, out)
+        if child.tail:
+            out.append(child.tail)
+    return "".join(out)
+
+
+def extract_office_text(blob: bytes | None) -> list[dict] | None:
+    """Per-part text rows: {kind, part, text, n_chars}. ``part`` is
+    the paragraph index (docx/odt) or slide number (pptx). Returns
+    None for non-office / broken containers (S4); a damaged single
+    XML part contributes no rows while siblings extract."""
+    if not blob:
+        return None
+    kind = sniff_office(blob)
+    if kind is None:
+        return None
+    members = parse_zip_members(blob)
+    if members is None:
+        return None
+    byname = {m["name"]: m for m in members}
+    out = []
+    budget = [_MAX_TEXT_BYTES]
+
+    def push(part: int, text: str):
+        budget[0] -= len(text)
+        if budget[0] < 0 or len(out) >= _MAX_ROWS:
+            raise _Broken("text cap")
+        out.append(
+            {"kind": kind, "part": part, "text": text,
+             "n_chars": len(text)}
+        )
+
+    try:
+        if kind == "docx":
+            data = _zip_part(blob, byname, "word/document.xml")
+            if data is None:
+                return None
+            root = _safe_xml(data)
+            idx = 0
+            for p in root.iter(_W + "p"):
+                text = _docx_paragraph_text(p)
+                if text:
+                    push(idx, text)
+                    idx += 1
+        elif kind == "pptx":
+            slides = sorted(
+                (n for n in byname
+                 if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+                key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+            )
+            for sn, name in enumerate(slides, start=1):
+                data = _zip_part(blob, byname, name)
+                if data is None:
+                    continue  # damaged slide, siblings extract
+                try:
+                    root = _safe_xml(data)
+                except _Broken:
+                    continue
+                paras = []
+                for p in root.iter(_A + "p"):
+                    runs = [t.text or "" for t in p.iter(_A + "t")]
+                    if runs:
+                        paras.append("".join(runs))
+                if paras:
+                    push(sn, "\n".join(paras))
+        else:  # odt
+            data = _zip_part(blob, byname, "content.xml")
+            if data is None:
+                return None
+            root = _safe_xml(data)
+            idx = 0
+            for p in root.iter():
+                if p.tag in (_ODT_TEXT + "p", _ODT_TEXT + "h"):
+                    text = _odt_paragraph_text(p)
+                    if text:
+                        push(idx, text)
+                        idx += 1
+        return out
+    except _Broken:
+        return None
+    except (ValueError, MemoryError, OverflowError):
+        return None
+
+
+OFFICE_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("part", LongType()),
+        StructField("text", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+_OFFICE_COLS = [f.name for f in OFFICE_TEXT_SCHEMA.fields]
+
+
+def office_text(media: DataFrame) -> DataFrame:
+    """One row per paragraph (docx/odt) / slide (pptx) of extracted
+    text — the column the dedup/quality/lang-ID operators consume,
+    exactly like :func:`.pdf.pdf_text`. Non-office and broken blobs
+    emit nothing (S4). Expects (doc_id, blob)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                parts = extract_office_text(
+                    bytes(blob) if blob is not None else None
+                )
+                if not parts:
+                    continue
+                for r in parts:
+                    rows.append({"doc_id": int(doc_id), **r})
+            yield pd.DataFrame(rows, columns=_OFFICE_COLS)
+
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, OFFICE_TEXT_SCHEMA)
+
+
+# ── fixture writers ─────────────────────────────────────────────
+
+
+def encode_docx(paragraphs: list) -> bytes:
+    """Minimal ECMA-376 .docx: [Content_Types] + rels + document
+    body. Paragraph entries may be strings or lists of runs."""
+    import io
+    import zipfile
+
+    body = []
+    for para in paragraphs:
+        runs = [para] if isinstance(para, str) else list(para)
+        body.append(
+            "<w:p>" + "".join(
+                "<w:r><w:t xml:space=\"preserve\">%s</w:t></w:r>"
+                % _xml_escape(r)
+                for r in runs
+            ) + "</w:p>"
+        )
+    doc = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+        "<w:document xmlns:w=\"http://schemas.openxmlformats.org/"
+        "wordprocessingml/2006/main\"><w:body>%s</w:body>"
+        "</w:document>" % "".join(body)
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas."
+            "openxmlformats.org/package/2006/content-types\">"
+            "<Default Extension=\"xml\" ContentType=\"application/"
+            "xml\"/></Types>",
+        )
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def encode_pptx(slides: list) -> bytes:
+    """Minimal .pptx: one slide XML per entry (list of paragraph
+    strings)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas."
+            "openxmlformats.org/package/2006/content-types\"/>",
+        )
+        for i, paras in enumerate(slides, start=1):
+            sp = "".join(
+                "<a:p><a:r><a:t>%s</a:t></a:r></a:p>" % _xml_escape(p)
+                for p in paras
+            )
+            z.writestr(
+                "ppt/slides/slide%d.xml" % i,
+                "<?xml version=\"1.0\"?>"
+                "<p:sld xmlns:p=\"http://schemas.openxmlformats.org/"
+                "presentationml/2006/main\" xmlns:a=\"http://schemas."
+                "openxmlformats.org/drawingml/2006/main\">"
+                "<p:cSld><p:spTree>%s</p:spTree></p:cSld></p:sld>"
+                % sp,
+            )
+    return buf.getvalue()
+
+
+def encode_odt(paragraphs: list) -> bytes:
+    import io
+    import zipfile
+
+    content = (
+        "<?xml version=\"1.0\"?>"
+        "<office:document-content xmlns:office=\"urn:oasis:names:tc:"
+        "opendocument:xmlns:office:1.0\" xmlns:text=\"urn:oasis:"
+        "names:tc:opendocument:xmlns:text:1.0\"><office:body>"
+        "<office:text>%s</office:text></office:body>"
+        "</office:document-content>"
+        % "".join("<text:p>%s</text:p>" % _xml_escape(p)
+                  for p in paragraphs)
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        # ODF spec: 'mimetype' first and STORED
+        z.writestr("mimetype",
+                   "application/vnd.oasis.opendocument.text",
+                   compress_type=zipfile.ZIP_STORED)
+        z.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
