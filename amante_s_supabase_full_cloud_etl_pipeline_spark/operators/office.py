@@ -87,12 +87,7 @@ def _zip_part(blob: bytes, members: dict, name: str) -> bytes | None:
         return None
 
 
-def sniff_office(blob: bytes) -> str | None:
-    """'docx' | 'pptx' | 'odt' | None — from the zip member listing
-    (the format-defining parts), not the filename."""
-    members = parse_zip_members(blob or b"")
-    if not members:
-        return None
+def _sniff_from_members(blob: bytes, members: list) -> str | None:
     names = {m["name"] for m in members}
     if "word/document.xml" in names:
         return "docx"
@@ -107,6 +102,15 @@ def sniff_office(blob: bytes) -> str | None:
         if mt is not None and mt.startswith(_ODT_MIME):
             return "odt"
     return None
+
+
+def sniff_office(blob: bytes) -> str | None:
+    """'docx' | 'pptx' | 'odt' | None — from the zip member listing
+    (the format-defining parts), not the filename."""
+    members = parse_zip_members(blob or b"")
+    if not members:
+        return None
+    return _sniff_from_members(blob, members)
 
 
 def _docx_paragraph_text(p) -> str:
@@ -157,11 +161,13 @@ def extract_office_text(blob: bytes | None) -> list[dict] | None:
     XML part contributes no rows while siblings extract."""
     if not blob:
         return None
-    kind = sniff_office(blob)
-    if kind is None:
-        return None
     members = parse_zip_members(blob)
-    if members is None:
+    if not members:
+        return None
+    # one central-directory walk serves both the sniff and the
+    # part lookups (the kernel's hot path)
+    kind = _sniff_from_members(blob, members)
+    if kind is None:
         return None
     byname = {m["name"]: m for m in members}
     out = []
