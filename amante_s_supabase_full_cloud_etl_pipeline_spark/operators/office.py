@@ -65,9 +65,15 @@ _ODT_MIME = b"application/vnd.oasis.opendocument"
 
 def _safe_xml(data: bytes):
     """Parse XML with the sitemaps.py hostile-input contract: DTD /
-    ENTITY declarations are refused before expat ever runs."""
-    head = data[:4096]
-    if b"<!DOCTYPE" in head or b"<!ENTITY" in data:
+    ENTITY declarations are refused before expat ever runs. The scan
+    must match the part's ENCODING — a UTF-16 part interleaves NULs,
+    so a raw-bytes scan would miss the markers while expat still
+    expands the entities (review catch)."""
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        text = data.decode("utf-16", "ignore")
+        if "<!DOCTYPE" in text[:4096] or "<!ENTITY" in text:
+            raise _Broken("DTD/ENTITY refused")
+    elif b"<!DOCTYPE" in data[:4096] or b"<!ENTITY" in data:
         raise _Broken("DTD/ENTITY refused")
     import xml.etree.ElementTree as ET
 
@@ -77,12 +83,17 @@ def _safe_xml(data: bytes):
         raise _Broken("xml: %s" % exc)
 
 
-def _zip_part(blob: bytes, members: dict, name: str) -> bytes | None:
+def _zip_part(blob: bytes, members: dict, name: str,
+              budget: list) -> bytes | None:
     m = members.get(name)
     if m is None or m["size"] > _MAX_PART_BYTES:
         return None
     try:
-        return zip_extract_member(blob, m)
+        # ONE budget across every part of the document — per-call
+        # fresh budgets would let a thousand truthful 64 MiB slides
+        # inflate terabytes (review catch; the archives layer
+        # threads its budget the same way)
+        return zip_extract_member(blob, m, budget)
     except _Broken:
         return None
 
@@ -114,43 +125,61 @@ def sniff_office(blob: bytes) -> str | None:
 
 
 def _docx_paragraph_text(p) -> str:
+    """Text of ONE paragraph. Iterative (no recursion limit on
+    hostile nesting) and does NOT descend into nested ``w:p``
+    (textbox content) — those are emitted as their own rows by the
+    document walk; descending here would double-extract them
+    (review catch)."""
     out = []
-    for node in p.iter():
+    stack = list(reversed(list(p)))
+    while stack:
+        node = stack.pop()
         tag = node.tag
+        if tag == _W + "p":
+            continue  # nested paragraph: its own row
         if tag == _W + "t":
             out.append(node.text or "")
         elif tag == _W + "tab":
             out.append("\t")
         elif tag in (_W + "br", _W + "cr"):
             out.append("\n")
+        else:
+            stack.extend(reversed(list(node)))
     return "".join(out)
 
 
-def _odt_collect(node, out: list):
-    tag = node.tag
-    if tag == _ODT_TEXT + "tab":
-        out.append("\t")
-    elif tag == _ODT_TEXT + "line-break":
-        out.append("\n")
-    elif tag == _ODT_TEXT + "s":
-        n = int(node.get(_ODT_TEXT + "c", "1") or "1")
-        out.append(" " * min(n, 1024))
-    if node.text:
-        out.append(node.text)
-    for child in node:
-        _odt_collect(child, out)
-        if child.tail:
-            out.append(child.tail)
-
-
 def _odt_paragraph_text(p) -> str:
+    """Text of ONE paragraph/heading. Iterative (hostile nesting
+    can't blow the recursion limit — review catch) and does NOT
+    descend into nested ``text:p``/``text:h`` (footnote bodies,
+    frames): those are their own rows; their tails still belong to
+    this paragraph."""
     out = []
     if p.text:
         out.append(p.text)
-    for child in p:
-        _odt_collect(child, out)
-        if child.tail:
-            out.append(child.tail)
+    # stack of (node, emitted_children) — emulate the recursive
+    # text/children/tail order without recursion
+    stack = [(c, False) for c in reversed(list(p))]
+    while stack:
+        node, expanded = stack.pop()
+        if expanded:
+            if node.tail:
+                out.append(node.tail)
+            continue
+        stack.append((node, True))
+        tag = node.tag
+        if tag in (_ODT_TEXT + "p", _ODT_TEXT + "h"):
+            continue  # nested paragraph: its own row (tail kept)
+        if tag == _ODT_TEXT + "tab":
+            out.append("\t")
+        elif tag == _ODT_TEXT + "line-break":
+            out.append("\n")
+        elif tag == _ODT_TEXT + "s":
+            n = int(node.get(_ODT_TEXT + "c", "1") or "1")
+            out.append(" " * min(n, 1024))
+        if node.text:
+            out.append(node.text)
+        stack.extend((c, False) for c in reversed(list(node)))
     return "".join(out)
 
 
@@ -172,6 +201,7 @@ def extract_office_text(blob: bytes | None) -> list[dict] | None:
     byname = {m["name"]: m for m in members}
     out = []
     budget = [_MAX_TEXT_BYTES]
+    inflate_budget = [_MAX_PART_BYTES * 4]
 
     def push(part: int, text: str):
         budget[0] -= len(text)
@@ -184,7 +214,8 @@ def extract_office_text(blob: bytes | None) -> list[dict] | None:
 
     try:
         if kind == "docx":
-            data = _zip_part(blob, byname, "word/document.xml")
+            data = _zip_part(blob, byname, "word/document.xml",
+                             inflate_budget)
             if data is None:
                 return None
             root = _safe_xml(data)
@@ -196,12 +227,16 @@ def extract_office_text(blob: bytes | None) -> list[dict] | None:
                     idx += 1
         elif kind == "pptx":
             slides = sorted(
-                (n for n in byname
+                ((int(re.search(r"slide(\d+)\.xml", n).group(1)), n)
+                 for n in byname
                  if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
-                key=lambda n: int(re.search(r"(\d+)", n).group(1)),
             )
-            for sn, name in enumerate(slides, start=1):
-                data = _zip_part(blob, byname, name)
+            # part carries the slide's FILENAME number, not the
+            # enumerate position — decks with numbering gaps keep
+            # their identity (review catch)
+            for sn, name in slides:
+                data = _zip_part(blob, byname, name,
+                                 inflate_budget)
                 if data is None:
                     continue  # damaged slide, siblings extract
                 try:
@@ -216,7 +251,8 @@ def extract_office_text(blob: bytes | None) -> list[dict] | None:
                 if paras:
                     push(sn, "\n".join(paras))
         else:  # odt
-            data = _zip_part(blob, byname, "content.xml")
+            data = _zip_part(blob, byname, "content.xml",
+                             inflate_budget)
             if data is None:
                 return None
             root = _safe_xml(data)
@@ -230,7 +266,8 @@ def extract_office_text(blob: bytes | None) -> list[dict] | None:
         return out
     except _Broken:
         return None
-    except (ValueError, MemoryError, OverflowError):
+    except (ValueError, MemoryError, OverflowError,
+            RecursionError):
         return None
 
 
@@ -366,7 +403,6 @@ def encode_odt(paragraphs: list) -> bytes:
 
 
 def _xml_escape(s: str) -> str:
-    return (
-        s.replace("&", "&amp;").replace("<", "&lt;")
-        .replace(">", "&gt;")
-    )
+    from xml.sax.saxutils import escape
+
+    return escape(s)

@@ -205,3 +205,104 @@ class TestKernel:
         )
         texts = {r["text"] for r in office_text(members).collect()}
         assert texts == {"word body text", "deck text"}
+
+
+# ── review-pass regressions ─────────────────────────────────────
+
+
+def test_utf16_entity_bomb_refused():
+    # a UTF-16 part NUL-interleaves the markers — the guard must
+    # scan in the part's encoding (finding 1)
+    bomb = (
+        '<?xml version="1.0" encoding="utf-16"?>'
+        "<!DOCTYPE r [<!ENTITY a 'bbbbbbbb'>]>"
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        "<w:p><w:r><w:t>&a;&a;</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    ).encode("utf-16")  # with BOM
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", bomb)
+    assert extract_office_text(buf.getvalue()) is None
+
+
+def test_deeply_nested_odt_never_crashes():
+    # 5000 nested spans: the iterative walker must not hit the
+    # recursion limit (finding 2)
+    inner = "deep"
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:'
+        'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:'
+        'tc:opendocument:xmlns:text:1.0"><office:body><office:text>'
+        "<text:p>" + "<text:span>" * 5000 + inner
+        + "</text:span>" * 5000 + "</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype",
+                   "application/vnd.oasis.opendocument.text",
+                   compress_type=zipfile.ZIP_STORED)
+        z.writestr("content.xml", content)
+    rows = extract_office_text(buf.getvalue())
+    assert rows is not None and rows[0]["text"] == "deep"
+
+
+def test_nested_paragraphs_not_double_extracted():
+    # ODT footnote body: the nested text:p is its own row, NOT
+    # merged into the enclosing paragraph too (finding 3)
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:'
+        'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:'
+        'tc:opendocument:xmlns:text:1.0"><office:body><office:text>'
+        "<text:p>body<text:note><text:note-body>"
+        "<text:p>footnote</text:p>"
+        "</text:note-body></text:note> tail</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype",
+                   "application/vnd.oasis.opendocument.text",
+                   compress_type=zipfile.ZIP_STORED)
+        z.writestr("content.xml", content)
+    rows = extract_office_text(buf.getvalue())
+    texts = [r["text"] for r in rows]
+    assert texts == ["body tail", "footnote"], texts
+    # DOCX textbox content likewise
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        "<w:p><w:r><w:t>outer</w:t>"
+        "<w:txbxContent><w:p><w:r><w:t>boxed</w:t></w:r></w:p>"
+        "</w:txbxContent></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc)
+    rows = extract_office_text(buf.getvalue())
+    assert [r["text"] for r in rows] == ["outer", "boxed"]
+
+
+def test_pptx_numbering_gap_keeps_slide_identity():
+    # slide1 + slide3 with no slide2: parts must be [1, 3]
+    # (finding 5)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        for n, text in [(1, "one"), (3, "three")]:
+            z.writestr(
+                "ppt/slides/slide%d.xml" % n,
+                '<p:sld xmlns:p="p" xmlns:a="http://schemas.'
+                'openxmlformats.org/drawingml/2006/main">'
+                "<a:p><a:r><a:t>%s</a:t></a:r></a:p></p:sld>" % text,
+            )
+    rows = extract_office_text(buf.getvalue())
+    assert [(r["part"], r["text"]) for r in rows] == [
+        (1, "one"), (3, "three")
+    ]
