@@ -406,3 +406,68 @@ def _xml_escape(s: str) -> str:
     from xml.sax.saxutils import escape
 
     return escape(s)
+
+
+def synthetic_office_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic fixture office docs keyed on doc_id: d % 3
+    cycles docx (3-6 paragraphs) / pptx (2-4 slides) / odt, with
+    every 11th ≡ 7 non-office garbage (S4-skipped). Same
+    (doc_id, blob, media_type) contract as the other corpora."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            blobs = []
+            types = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                if d % 11 == 7:
+                    blobs.append(b"PK\x09\x09 not an office zip")
+                    types.append("application/octet-stream")
+                    continue
+                if d % 3 == 0:
+                    blobs.append(encode_docx(
+                        ["Synthetic word paragraph %d-%d with body "
+                         "text." % (d, i)
+                         for i in range(3 + d % 4)]
+                    ))
+                    types.append(
+                        "application/vnd.openxmlformats-officedocument"
+                        ".wordprocessingml.document"
+                    )
+                elif d % 3 == 1:
+                    blobs.append(encode_pptx(
+                        [["Slide %d-%d title" % (d, s),
+                          "bullet %d" % (d % 9)]
+                         for s in range(2 + d % 3)]
+                    ))
+                    types.append(
+                        "application/vnd.openxmlformats-officedocument"
+                        ".presentationml.presentation"
+                    )
+                else:
+                    blobs.append(encode_odt(
+                        ["Öpen document paragraph %d-%d." % (d, i)
+                         for i in range(2 + d % 3)]
+                    ))
+                    types.append(
+                        "application/vnd.oasis.opendocument.text"
+                    )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs,
+                 "media_type": types}
+            )
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    from .multimodal import _fan_out_ids
+
+    return _fan_out_ids(docs).mapInPandas(kernel, schema)

@@ -81,6 +81,9 @@ HEADLINE = (
     # round-10: Matroska/WebM EBML walk + keyframe ranges (the mkv
     # twin of the mp4 kernel) — measured the round it lands
     "mkv_keyframe_kernel",
+    # round-10: docx/pptx/odt text extraction (zip + guarded XML)
+    # — measured the round it lands
+    "office_text_kernel",
 )
 
 
@@ -249,6 +252,23 @@ def _extra_queries():
         corpus = synthetic_pdf_corpus(docs).select("doc_id", "blob")
         return pdf_text(corpus)
 
+    def office_text_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.office import (  # noqa: E501
+            office_text,
+            synthetic_office_corpus,
+        )
+
+        # r10: docx/pptx/odt member walk + DTD-guarded XML text
+        # extraction over the fixture corpus — the office leg of the
+        # document intake path (map-only)
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 8000
+        )
+        corpus = synthetic_office_corpus(docs).select("doc_id", "blob")
+        return office_text(corpus)
+
     def mkv_keyframe_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
@@ -324,6 +344,7 @@ def _extra_queries():
         "pdf_text_kernel": pdf_text_kernel,
         "archive_extract_kernel": archive_extract_kernel,
         "mkv_keyframe_kernel": mkv_keyframe_kernel,
+        "office_text_kernel": office_text_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
