@@ -256,10 +256,11 @@ def zip_member_range(blob: bytes, member: dict):
 
 def zip_extract_member(blob: bytes, member: dict,
                        budget: list | None = None) -> bytes | None:
-    """Materialize one member's bytes (stored/deflate); returns
-    None for methods we don't decompress (listed, not extracted)
-    and raises _Broken/_Bomb on damage. CRC-validated — a payload
-    that inflates but mismatches its directory CRC is damage."""
+    """Materialize one member's bytes (stored / deflate / bzip2 /
+    lzma — every method the stdlib can invert); returns None for
+    the rest (zstd/xz/aes: listed, not extracted) and raises
+    _Broken/_Bomb on damage. CRC-validated — a payload that
+    inflates but mismatches its directory CRC is damage."""
     if budget is None:
         budget = [_MAX_ARCHIVE_INFLATE]
     if member["is_dir"]:
@@ -277,6 +278,39 @@ def zip_extract_member(blob: bytes, member: dict,
             raise _Broken("deflate: %s" % exc)
         if len(data) > cap:
             raise _Bomb("inflate cap")  # member lied — skippable
+    elif member["method"] == "bzip2":
+        import bz2
+
+        d = bz2.BZ2Decompressor()
+        try:
+            data = d.decompress(raw, cap + 1)
+        except (OSError, ValueError, EOFError) as exc:
+            raise _Broken("bzip2: %s" % exc)
+        if len(data) > cap:
+            raise _Bomb("inflate cap")
+    elif member["method"] == "lzma":
+        # APPNOTE §5.8: a 4-byte version/props-size header precedes
+        # the raw LZMA properties + stream
+        import lzma
+
+        if len(raw) < 9:
+            raise _Broken("lzma header short")
+        psize = int.from_bytes(raw[2:4], "little")
+        props = raw[4:4 + psize]
+        if psize < 5:
+            raise _Broken("lzma props short")
+        try:
+            filt = lzma._decode_filter_properties(  # noqa: SLF001
+                lzma.FILTER_LZMA1, props
+            )
+            d = lzma.LZMADecompressor(
+                format=lzma.FORMAT_RAW, filters=[filt]
+            )
+            data = d.decompress(raw[4 + psize:], cap + 1)
+        except (lzma.LZMAError, ValueError) as exc:
+            raise _Broken("lzma: %s" % exc)
+        if len(data) > cap:
+            raise _Bomb("inflate cap")
     else:
         return None
     if len(data) != member["size"]:

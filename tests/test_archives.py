@@ -461,3 +461,20 @@ def test_lying_member_skipped_siblings_extracted(spark):
     out = {r["member"]: bytes(r["blob"])
            for r in archive_extract(archives).collect()}
     assert out == {"one.txt": b"first", "two.txt": b"third"}
+
+
+def test_zip_bzip2_and_lzma_methods_differential():
+    # methods 12 and 14: stdlib-authored, our reader inverts them
+    for method, label in [(zipfile.ZIP_BZIP2, "bzip2"),
+                          (zipfile.ZIP_LZMA, "lzma")]:
+        payload = b"stdlib method payload " * 40
+        blob = _stdlib_zip([("m.bin", payload)], compress=method)
+        members = parse_zip_members(blob)
+        assert members[0]["method"] == label
+        assert zip_extract_member(blob, members[0]) == payload
+        # corrupt the compressed stream → _Broken, never a crash
+        mut = bytearray(blob)
+        start, clen = zip_member_range(bytes(mut), members[0])
+        mut[start + clen // 2] ^= 0xFF
+        with pytest.raises(_Broken):
+            zip_extract_member(bytes(mut), members[0])
