@@ -1,0 +1,256 @@
+"""Email ingestion — ``.eml`` (RFC 5322 messages) and ``mbox``
+archives as text sources for the curation pipeline (charter
+extension, SURVEY.md §2.10; reference analog: none).
+
+Mailing-list archives and support dumps are a real training-data
+source, and they arrive exactly two ways: single RFC 5322 messages
+(eml) and ``mbox`` files concatenating thousands of them. The
+parser here is the stdlib :mod:`email` package (``policy=default``
+— the modern, header-sane API), which makes this module mostly
+PLUMBING with the hard parts delegated to a battle-tested public
+implementation; what this module adds is the corpus discipline:
+
+- :func:`split_mbox` — the ``From `` envelope-line splitter with
+  **mboxrd** unescaping (a body line matching ``>+From `` loses one
+  ``>``); member count capped.
+- :func:`extract_email` — one message → headers (subject / from /
+  to / message-id, date parsed to epoch ms) + the BODY TEXT chosen
+  the way a reader would: the first ``text/plain`` part, else
+  ``text/html`` through the in-repo HTML extractor
+  (:func:`.extraction.extract_html_record` — same tier the crawl
+  uses), walking ``multipart/*`` and nested ``message/rfc822``
+  under a depth cap; attachments are COUNTED and size-summed, never
+  decoded into the text. Extracted text is byte-capped; a
+  structurally hopeless payload yields header-only rows rather than
+  nothing (stdlib ``email`` never raises on bytes input — it
+  records defects — so S4 here means "no headers AND no body").
+- :func:`email_text` — the Arrow kernel: one row per message
+  (``msg_idx`` orders mbox members), sniffing eml vs mbox from the
+  leading bytes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAX_MESSAGES = 1 << 16       # mbox members per blob
+_MAX_PARTS = 1 << 10          # MIME parts walked per message
+_MAX_DEPTH = 16               # multipart/message nesting
+_MAX_TEXT_BYTES = 1 << 22     # 4 MiB body text per message
+
+_FROM_LINE = re.compile(rb"^From .*\r?\n", re.M)
+_MUNGED = re.compile(rb"^(>+)(From )", re.M)
+
+
+def split_mbox(blob: bytes) -> list[bytes]:
+    """Split an mbox into raw RFC 5322 messages: boundaries are
+    ``From `` ENVELOPE lines at line starts; mboxrd unescaping
+    restores ``>From`` body lines (one ``>`` stripped)."""
+    if not blob.startswith(b"From "):
+        return []
+    starts = [m.start() for m in _FROM_LINE.finditer(blob)]
+    # envelope lines only START messages; a "From " line inside a
+    # body would have been munged by a conforming writer, so every
+    # match is a boundary
+    out = []
+    for i, s in enumerate(starts):
+        if len(out) >= _MAX_MESSAGES:
+            break
+        e = starts[i + 1] if i + 1 < len(starts) else len(blob)
+        body = blob[s:e]
+        # drop the envelope line itself
+        nl = body.find(b"\n")
+        if nl < 0:
+            continue
+        msg = body[nl + 1:]
+        out.append(_unmunge(msg) if b">From " in msg else msg)
+    return out
+
+
+def _unmunge(msg: bytes) -> bytes:
+    """mboxrd: a body line of ``>+From `` loses exactly one ``>``."""
+    return _MUNGED.sub(lambda m: m.group(1)[1:] + m.group(2), msg)
+
+
+def _body_text(msg, depth: int = 0, budget: list | None = None):
+    """(text, n_parts, n_attachments, attachment_bytes) — first
+    text/plain wins; text/html funnels through the crawl's HTML
+    extractor; attachments counted not decoded."""
+    from .extraction import extract_html_record
+
+    if budget is None:
+        budget = [_MAX_PARTS]
+    if depth > _MAX_DEPTH:
+        return None, 0, 0, 0
+    n_parts = 0
+    n_att = 0
+    att_bytes = 0
+    plain = None
+    html = None
+    stack = [(msg, depth)]
+    while stack:
+        part, d = stack.pop()
+        budget[0] -= 1
+        if budget[0] < 0 or d > _MAX_DEPTH:
+            break
+        n_parts += 1
+        ctype = part.get_content_type()
+        if part.is_multipart():
+            children = list(part.iter_parts()) if hasattr(
+                part, "iter_parts"
+            ) else part.get_payload()
+            for child in reversed(children):
+                stack.append((child, d + 1))
+            continue
+        disp = (part.get_content_disposition() or "").lower()
+        filename = part.get_filename()
+        if disp == "attachment" or (
+            filename and ctype not in ("text/plain", "text/html")
+        ):
+            n_att += 1
+            try:
+                payload = part.get_payload(decode=True) or b""
+            except Exception:
+                payload = b""
+            att_bytes += len(payload)
+            continue
+        if ctype == "text/plain" and plain is None:
+            try:
+                plain = part.get_content()
+            except Exception:
+                plain = None
+        elif ctype == "text/html" and html is None:
+            try:
+                html = part.get_content()
+            except Exception:
+                html = None
+        elif ctype == "message/rfc822":
+            payload = part.get_payload()
+            if isinstance(payload, list):
+                for child in reversed(payload):
+                    stack.append((child, d + 1))
+    text = plain
+    if text is None and html is not None:
+        rec = extract_html_record(html)
+        # (title, text, n_links, link_density) tuple
+        text = rec[1] if rec else None
+    if text is not None and len(text) > _MAX_TEXT_BYTES:
+        text = text[:_MAX_TEXT_BYTES]
+    return text, n_parts, n_att, att_bytes
+
+
+def extract_email(raw: bytes | None) -> dict | None:
+    """One RFC 5322 message → headers + chosen body text. Returns
+    None only when there is neither a parseable header nor a body
+    (S4); defective-but-salvageable messages surface what parsed."""
+    if not raw or len(raw) < 8:
+        return None
+    import email
+    import email.policy
+    import email.utils
+
+    try:
+        msg = email.message_from_bytes(raw, policy=email.policy.default)
+    except Exception:
+        return None
+    if not list(msg.keys()):
+        # stdlib treats ANY bytes as a headerless message whose
+        # "body" is the input — for a corpus kernel that would turn
+        # arbitrary binary into text rows; a real message always
+        # carries at least one header
+        return None
+    subject = str(msg.get("Subject", "")) or None
+    sender = str(msg.get("From", "")) or None
+    to = str(msg.get("To", "")) or None
+    message_id = str(msg.get("Message-ID", "")) or None
+    date_ms = None
+    if msg.get("Date"):
+        try:
+            dt = email.utils.parsedate_to_datetime(str(msg["Date"]))
+            if dt is not None:
+                date_ms = int(dt.timestamp() * 1000)
+        except (ValueError, TypeError, OverflowError):
+            date_ms = None
+    try:
+        text, n_parts, n_att, att_bytes = _body_text(msg)
+    except Exception:
+        text, n_parts, n_att, att_bytes = None, 0, 0, 0
+    if not any((subject, sender, to, message_id, text)):
+        return None
+    return {
+        "subject": subject,
+        "sender": sender,
+        "to": to,
+        "message_id": message_id,
+        "date_ms": date_ms,
+        "text": text,
+        "n_parts": n_parts,
+        "n_attachments": n_att,
+        "attachment_bytes": att_bytes,
+    }
+
+
+EMAIL_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("msg_idx", LongType()),
+        StructField("subject", StringType()),
+        StructField("sender", StringType()),
+        StructField("message_id", StringType()),
+        StructField("date_ms", LongType()),
+        StructField("text", StringType()),
+        StructField("n_parts", LongType()),
+        StructField("n_attachments", LongType()),
+        StructField("attachment_bytes", LongType()),
+    ]
+)
+
+_EMAIL_COLS = [f.name for f in EMAIL_TEXT_SCHEMA.fields]
+
+
+def email_text(media: DataFrame) -> DataFrame:
+    """One row per message: a bare eml blob is one message
+    (msg_idx 0); an mbox (``From `` leading bytes) fans out in
+    archive order. Unparseable blobs emit nothing (S4). Expects
+    (doc_id, blob)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                msgs = split_mbox(b) if b.startswith(b"From ") else [b]
+                for idx, raw in enumerate(msgs):
+                    rec = extract_email(raw)
+                    if rec is None:
+                        continue
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "msg_idx": idx,
+                            "subject": rec["subject"],
+                            "sender": rec["sender"],
+                            "message_id": rec["message_id"],
+                            "date_ms": rec["date_ms"],
+                            "text": rec["text"],
+                            "n_parts": rec["n_parts"],
+                            "n_attachments": rec["n_attachments"],
+                            "attachment_bytes": rec["attachment_bytes"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=_EMAIL_COLS)
+
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, EMAIL_TEXT_SCHEMA)

@@ -1,0 +1,171 @@
+"""Email ingestion (eml / mbox on the stdlib email package):
+header decoding, body selection (plain-over-html, html through the
+crawl extractor), attachment counting, mboxrd splitting and
+unescaping, hostile shapes, and the Spark kernel."""
+
+from __future__ import annotations
+
+import pytest
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.email_text import (
+    email_text,
+    extract_email,
+    split_mbox,
+)
+
+
+def _simple_eml(subject=b"s", body=b"plain body", extra=b"") -> bytes:
+    return (
+        b"From: Alice <alice@example.org>\r\n"
+        b"To: list@example.org\r\n"
+        b"Subject: " + subject + b"\r\n"
+        b"Date: Mon, 10 Mar 2025 12:30:00 +0000\r\n"
+        b"Message-ID: <m1@example.org>\r\n" + extra +
+        b"\r\n" + body + b"\r\n"
+    )
+
+
+def test_simple_message_headers_and_body():
+    rec = extract_email(_simple_eml())
+    assert rec["subject"] == "s"
+    assert rec["sender"] == "Alice <alice@example.org>"
+    assert rec["message_id"] == "<m1@example.org>"
+    assert rec["date_ms"] == 1741609800000
+    assert rec["text"].strip() == "plain body"
+    assert rec["n_attachments"] == 0
+
+
+def test_rfc2047_encoded_subject_decodes():
+    rec = extract_email(
+        _simple_eml(subject=b"=?utf-8?q?encoded_subj=C3=A9ct?=")
+    )
+    assert rec["subject"] == "encoded subjéct"
+
+
+def test_multipart_prefers_plain_counts_attachments():
+    eml = (
+        b"From: a@b\r\nSubject: mp\r\nMIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/mixed; boundary="B1"\r\n\r\n'
+        b"--B1\r\n"
+        b'Content-Type: multipart/alternative; boundary="B2"\r\n\r\n'
+        b"--B2\r\nContent-Type: text/plain\r\n\r\n"
+        b"the plain part\r\n"
+        b"--B2\r\nContent-Type: text/html\r\n\r\n"
+        b"<p>the html part</p>\r\n"
+        b"--B2--\r\n"
+        b"--B1\r\nContent-Type: application/pdf\r\n"
+        b'Content-Disposition: attachment; filename="r.pdf"\r\n'
+        b"Content-Transfer-Encoding: base64\r\n\r\n"
+        b"SGVsbG8=\r\n"
+        b"--B1--\r\n"
+    )
+    rec = extract_email(eml)
+    assert rec["text"].strip() == "the plain part"
+    assert rec["n_attachments"] == 1
+    assert rec["attachment_bytes"] == 5  # b"Hello"
+
+
+def test_html_only_goes_through_crawl_extractor():
+    eml = (
+        b"From: x@y\r\nSubject: h\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><body><p>only html text</p>"
+        b"<script>ignored()</script></body></html>\r\n"
+    )
+    rec = extract_email(eml)
+    assert "only html text" in rec["text"]
+    assert "ignored" not in rec["text"]
+
+
+def test_base64_plain_part_decodes():
+    eml = (
+        b"From: x@y\r\nSubject: b64\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n"
+        b"Content-Transfer-Encoding: base64\r\n\r\n"
+        b"ZGVjb2RlZCBib2R5IHRleHQ=\r\n"
+    )
+    rec = extract_email(eml)
+    assert rec["text"].strip() == "decoded body text"
+
+
+def test_mbox_split_and_mboxrd_unescape():
+    mbox = (
+        b"From alice Mon Mar 10 12:30:00 2025\n"
+        b"From: a@b\nSubject: first\n\nbody1\n"
+        b"\nFrom bob Tue Mar 11 08:00:00 2025\n"
+        b"From: bob@example.org\nSubject: second\n\n"
+        b"body with\n>From munged line\n>>From double munged\n"
+    )
+    msgs = split_mbox(mbox)
+    assert len(msgs) == 2
+    r1 = extract_email(msgs[0])
+    r2 = extract_email(msgs[1])
+    assert (r1["subject"], r2["subject"]) == ("first", "second")
+    assert "\nFrom munged line" in r2["text"]
+    assert "\n>From double munged" in r2["text"]
+    assert ">>From" not in r2["text"]
+
+
+def test_non_mbox_and_garbage():
+    assert split_mbox(b"not an mbox") == []
+    assert extract_email(b"") is None
+    assert extract_email(None) is None
+    # headerless bytes with no text → S4
+    assert extract_email(b"\x00\x01\x02\x03\x04\x05\x06\x07") is None
+
+
+def test_defective_message_surfaces_what_parsed():
+    # broken MIME boundary: stdlib records defects; headers survive
+    eml = (
+        b"From: a@b\r\nSubject: broken\r\n"
+        b'Content-Type: multipart/mixed; boundary="NOPE"\r\n\r\n'
+        b"no boundary markers here at all\r\n"
+    )
+    rec = extract_email(eml)
+    assert rec is not None and rec["subject"] == "broken"
+
+
+def test_deeply_nested_multipart_capped_not_crashed():
+    inner = b"Content-Type: text/plain\r\n\r\ndeep body\r\n"
+    for depth in range(40):
+        inner = (
+            b'Content-Type: multipart/mixed; boundary="B%d"\r\n\r\n'
+            b"--B%d\r\n" % (depth, depth)
+            + inner
+            + b"\r\n--B%d--\r\n" % depth
+        )
+    eml = b"From: a@b\r\nSubject: deep\r\n" + inner
+    rec = extract_email(eml)  # must not raise; text may be absent
+    assert rec is not None and rec["subject"] == "deep"
+
+
+def test_bad_date_yields_null_not_error():
+    rec = extract_email(_simple_eml().replace(
+        b"Mon, 10 Mar 2025 12:30:00 +0000", b"not a date"
+    ))
+    assert rec is not None and rec["date_ms"] is None
+
+
+@pytest.mark.usefixtures("spark")
+class TestKernel:
+    def test_kernel_eml_and_mbox(self, spark):
+        mbox = (
+            b"From a Mon Jan 1 00:00:00 2025\n"
+            b"From: one@x\nSubject: m0\n\nmbox body zero\n"
+            b"\nFrom b Mon Jan 1 00:00:01 2025\n"
+            b"From: two@x\nSubject: m1\n\nmbox body one\n"
+        )
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(_simple_eml(subject=b"single"))),
+                (2, bytearray(mbox)),
+                (3, bytearray(b"junk not an email \x00\x01")),
+            ],
+            "doc_id long, blob binary",
+        )
+        rows = email_text(df).collect()
+        got = {(r["doc_id"], r["msg_idx"]): r for r in rows}
+        assert got[(1, 0)]["subject"] == "single"
+        assert got[(2, 0)]["subject"] == "m0"
+        assert got[(2, 1)]["subject"] == "m1"
+        assert got[(2, 1)]["text"].strip() == "mbox body one"
+        assert 3 not in {d for d, _ in got}
