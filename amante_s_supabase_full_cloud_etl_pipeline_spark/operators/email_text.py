@@ -100,10 +100,34 @@ def _body_text(msg, depth: int = 0, budget: list | None = None):
     while stack:
         part, d = stack.pop()
         budget[0] -= 1
-        if budget[0] < 0 or d > _MAX_DEPTH:
-            break
+        if budget[0] < 0:
+            break  # global part allowance spent
+        if d > _MAX_DEPTH:
+            continue  # skip THIS over-deep subtree, not its siblings
         n_parts += 1
         ctype = part.get_content_type()
+        disp = (part.get_content_disposition() or "").lower()
+        if disp == "attachment":
+            # attachments are counted never decoded into text —
+            # including attached messages (message/rfc822 is
+            # "multipart" to the stdlib, so this check must come
+            # FIRST or a forwarded mail's body leaks in)
+            n_att += 1
+            try:
+                payload = part.get_payload(decode=True)
+                if payload is None:
+                    payload = part.as_bytes()
+            except Exception:
+                payload = b""
+            att_bytes += len(payload)
+            continue
+        if ctype == "message/rfc822":
+            # inline forwarded message: its parts join the walk
+            payload = part.get_payload()
+            if isinstance(payload, list):
+                for child in reversed(payload):
+                    stack.append((child, d + 1))
+            continue
         if part.is_multipart():
             children = list(part.iter_parts()) if hasattr(
                 part, "iter_parts"
@@ -111,11 +135,8 @@ def _body_text(msg, depth: int = 0, budget: list | None = None):
             for child in reversed(children):
                 stack.append((child, d + 1))
             continue
-        disp = (part.get_content_disposition() or "").lower()
         filename = part.get_filename()
-        if disp == "attachment" or (
-            filename and ctype not in ("text/plain", "text/html")
-        ):
+        if filename and ctype not in ("text/plain", "text/html"):
             n_att += 1
             try:
                 payload = part.get_payload(decode=True) or b""
@@ -123,28 +144,33 @@ def _body_text(msg, depth: int = 0, budget: list | None = None):
                 payload = b""
             att_bytes += len(payload)
             continue
-        if ctype == "text/plain" and plain is None:
+        if ctype == "text/plain" and not (plain and plain.strip()):
             try:
-                plain = part.get_content()
+                got = part.get_content()
+                if got and (plain is None or got.strip()):
+                    plain = got
+                elif plain is None:
+                    plain = got
             except Exception:
-                plain = None
+                pass
         elif ctype == "text/html" and html is None:
             try:
                 html = part.get_content()
             except Exception:
                 html = None
-        elif ctype == "message/rfc822":
-            payload = part.get_payload()
-            if isinstance(payload, list):
-                for child in reversed(payload):
-                    stack.append((child, d + 1))
     text = plain
-    if text is None and html is not None:
+    if (text is None or not text.strip()) and html is not None:
+        # an empty/blank plain leg must not shadow a real html body
         rec = extract_html_record(html)
         # (title, text, n_links, link_density) tuple
-        text = rec[1] if rec else None
-    if text is not None and len(text) > _MAX_TEXT_BYTES:
-        text = text[:_MAX_TEXT_BYTES]
+        if rec and rec[1]:
+            text = rec[1]
+    if text is not None:
+        # the cap is BYTES (the Arrow memory budget), not chars —
+        # CJK text at 3 bytes/char would otherwise triple it
+        enc = text.encode("utf-8", "ignore")
+        if len(enc) > _MAX_TEXT_BYTES:
+            text = enc[:_MAX_TEXT_BYTES].decode("utf-8", "ignore")
     return text, n_parts, n_att, att_bytes
 
 
@@ -177,8 +203,15 @@ def extract_email(raw: bytes | None) -> dict | None:
         try:
             dt = email.utils.parsedate_to_datetime(str(msg["Date"]))
             if dt is not None:
+                if dt.tzinfo is None:
+                    # '-0000' parses NAIVE; .timestamp() would then
+                    # read the EXECUTOR's timezone — pin to UTC so
+                    # the same message hashes identically everywhere
+                    from datetime import timezone
+
+                    dt = dt.replace(tzinfo=timezone.utc)
                 date_ms = int(dt.timestamp() * 1000)
-        except (ValueError, TypeError, OverflowError):
+        except (ValueError, TypeError, OverflowError, OSError):
             date_ms = None
     try:
         text, n_parts, n_att, att_bytes = _body_text(msg)
@@ -205,6 +238,7 @@ EMAIL_TEXT_SCHEMA = StructType(
         StructField("msg_idx", LongType()),
         StructField("subject", StringType()),
         StructField("sender", StringType()),
+        StructField("to", StringType()),
         StructField("message_id", StringType()),
         StructField("date_ms", LongType()),
         StructField("text", StringType()),
@@ -241,6 +275,7 @@ def email_text(media: DataFrame) -> DataFrame:
                             "msg_idx": idx,
                             "subject": rec["subject"],
                             "sender": rec["sender"],
+                            "to": rec["to"],
                             "message_id": rec["message_id"],
                             "date_ms": rec["date_ms"],
                             "text": rec["text"],

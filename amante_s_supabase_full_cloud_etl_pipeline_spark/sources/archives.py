@@ -83,8 +83,8 @@ _EOCD64_SIG = b"PK\x06\x06"
 _CD_SIG = b"PK\x01\x02"
 _LOCAL_SIG = b"PK\x03\x04"
 
-#: compression methods we can materialize (APPNOTE §4.4.5):
-#: 0 = stored, 8 = deflate. Others (bzip2 12, lzma 14, zstd 93) are
+#: compression methods (APPNOTE §4.4.5). stored/deflate/bzip2/lzma
+#: extract (every method the stdlib can invert); zstd/xz/aes are
 #: listed with method intact and skipped by extraction.
 _METHODS = {0: "stored", 8: "deflate", 12: "bzip2", 14: "lzma",
             93: "zstd", 95: "xz", 99: "aes"}

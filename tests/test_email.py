@@ -169,3 +169,92 @@ class TestKernel:
         assert got[(2, 1)]["subject"] == "m1"
         assert got[(2, 1)]["text"].strip() == "mbox body one"
         assert 3 not in {d for d, _ in got}
+
+
+# ── review-pass regressions ─────────────────────────────────────
+
+
+def test_deep_subtree_does_not_starve_shallow_sibling():
+    # finding 1: an over-deep first child must not break the walk
+    # before its shallow text/plain sibling
+    inner = b"Content-Type: text/plain\r\n\r\ntoo deep\r\n"
+    for depth in range(20):
+        inner = (
+            b'Content-Type: multipart/mixed; boundary="D%d"\r\n\r\n'
+            b"--D%d\r\n" % (depth, depth)
+            + inner + b"\r\n--D%d--\r\n" % depth
+        )
+    eml = (
+        b"From: a@b\r\nSubject: sib\r\n"
+        b'Content-Type: multipart/mixed; boundary="TOP"\r\n\r\n'
+        b"--TOP\r\n" + inner +
+        b"\r\n--TOP\r\nContent-Type: text/plain\r\n\r\n"
+        b"the real body\r\n--TOP--\r\n"
+    )
+    rec = extract_email(eml)
+    assert rec["text"] is not None
+    assert "the real body" in rec["text"]
+
+
+def test_naive_date_pinned_to_utc(monkeypatch):
+    # finding 2: '-0000' parses naive; the result must not depend
+    # on the executor's timezone
+    import os
+    import time
+
+    eml = _simple_eml().replace(b"+0000", b"-0000")
+    monkeypatch.setenv("TZ", "America/New_York")
+    time.tzset()
+    try:
+        rec = extract_email(eml)
+    finally:
+        monkeypatch.setenv("TZ", "UTC")
+        time.tzset()
+    assert rec["date_ms"] == 1741609800000
+    del os
+
+
+def test_forwarded_attachment_counted_not_leaked():
+    # finding 3: message/rfc822 with attachment disposition must be
+    # counted, never decoded into the body
+    eml = (
+        b"From: a@b\r\nSubject: fwd\r\n"
+        b'Content-Type: multipart/mixed; boundary="M"\r\n\r\n'
+        b"--M\r\nContent-Type: text/html\r\n\r\n"
+        b"<p>outer html body</p>\r\n"
+        b"--M\r\nContent-Type: message/rfc822\r\n"
+        b"Content-Disposition: attachment\r\n\r\n"
+        b"From: secret@x\r\nSubject: inner\r\n"
+        b"Content-Type: text/plain\r\n\r\nFORWARDED SECRET\r\n"
+        b"--M--\r\n"
+    )
+    rec = extract_email(eml)
+    assert "FORWARDED SECRET" not in (rec["text"] or "")
+    assert "outer html body" in rec["text"]
+    assert rec["n_attachments"] == 1
+    # an INLINE forwarded message still contributes its body
+    eml2 = eml.replace(b"Content-Disposition: attachment\r\n", b"")
+    rec2 = extract_email(eml2)
+    assert "FORWARDED SECRET" in rec2["text"]
+
+
+def test_empty_plain_leg_falls_back_to_html():
+    # finding 4
+    eml = (
+        b"From: a@b\r\nSubject: alt\r\n"
+        b'Content-Type: multipart/alternative; boundary="A"\r\n\r\n'
+        b"--A\r\nContent-Type: text/plain\r\n\r\n\r\n"
+        b"--A\r\nContent-Type: text/html\r\n\r\n"
+        b"<p>html body here</p>\r\n--A--\r\n"
+    )
+    rec = extract_email(eml)
+    assert "html body here" in rec["text"]
+
+
+def test_text_cap_is_bytes_not_chars():
+    # finding 7: 2M CJK chars = 6 MB utf-8 — must cap at 4 MiB BYTES
+    body = ("汉" * (2 << 20)).encode("utf-8")
+    eml = (b"From: a@b\r\nSubject: cjk\r\n"
+           b"Content-Type: text/plain; charset=utf-8\r\n\r\n" + body)
+    rec = extract_email(eml)
+    assert len(rec["text"].encode("utf-8")) <= (1 << 22)
