@@ -1,0 +1,221 @@
+"""Subtitle ingestion — SRT and WebVTT cues as timed text rows
+(charter extension, SURVEY.md §2.10; reference analog: none).
+
+Subtitles are the highest-value text a video corpus carries: timed,
+aligned transcripts. The two formats a crawl meets are SubRip
+(``.srt`` — numbered blocks, ``HH:MM:SS,mmm --> HH:MM:SS,mmm``) and
+WebVTT (the W3C spec — ``WEBVTT`` signature, dot-millisecond
+timestamps with OPTIONAL hours, NOTE/STYLE/REGION blocks, cue
+settings after the arrow, ``<c>``/``<v Speaker>`` markup). Both are
+line-oriented text parsed leniently here (real subtitle files are
+overwhelmingly hand-edited and slightly wrong):
+
+- a cue with an unparseable timing line is SKIPPED, its neighbors
+  survive (the per-member analog of the S4 row contract);
+- markup tags are stripped (``<v Name>`` keeps the speaker as a
+  ``Name: `` prefix — the transcript semantics a reader sees);
+- encodings: UTF-8 (BOM tolerated) with a latin-1 fallback, the
+  real-world subtitle encoding story;
+- caps on cue count and text bytes.
+
+:func:`subtitle_text` is the Arrow kernel: one row per cue with
+``start_ms``/``end_ms`` — ready for as-of joins against the
+keyframe timestamps the mp4/mkv kernels emit (sampled frame ↔
+transcript alignment, the paired-data shape a multimodal training
+pipeline wants).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAX_CUES = 1 << 17
+_MAX_TEXT_BYTES = 1 << 22
+
+#: SRT: comma milliseconds, hours required.
+_SRT_TIME = re.compile(
+    r"(\d{1,3}):(\d{2}):(\d{2})[,.](\d{1,3})"
+)
+#: VTT: dot milliseconds, hours OPTIONAL.
+_VTT_TIME = re.compile(
+    r"(?:(\d{1,3}):)?(\d{2}):(\d{2})\.(\d{3})"
+)
+_ARROW = re.compile(r"-->")
+_TAG = re.compile(r"<[^>\n]*>")
+_VOICE = re.compile(r"<v(?:\.[^ >]*)?\s+([^>]+)>")
+
+
+def _decode(blob: bytes) -> str:
+    if blob[:3] == b"\xef\xbb\xbf":
+        blob = blob[3:]
+    try:
+        return blob.decode("utf-8")
+    except UnicodeDecodeError:
+        return blob.decode("latin-1")
+
+
+def _srt_ts(m) -> int:
+    h, mi, s, ms = m.groups()
+    return ((int(h) * 60 + int(mi)) * 60 + int(s)) * 1000 + int(
+        ms.ljust(3, "0")
+    )
+
+
+def _vtt_ts(m) -> int:
+    h, mi, s, ms = m.groups()
+    return ((int(h or 0) * 60 + int(mi)) * 60 + int(s)) * 1000 + int(ms)
+
+
+def _clean_text(lines: list) -> str:
+    out = []
+    for line in lines:
+        # <v Speaker> keeps the speaker as a transcript prefix
+        line = _VOICE.sub(lambda m: m.group(1) + ": ", line)
+        line = _TAG.sub("", line)
+        out.append(line.rstrip())
+    return "\n".join(out).strip()
+
+
+def parse_srt(blob: bytes | None) -> list[dict] | None:
+    """SubRip cues. Returns None for undecodable/empty input (S4);
+    cues with broken timing lines are skipped, neighbors survive."""
+    if not blob:
+        return None
+    text = _decode(blob)
+    if "-->" not in text:
+        return None
+    out = []
+    budget = _MAX_TEXT_BYTES
+    for block in re.split(r"\r?\n\r?\n+", text.strip()):
+        lines = [ln for ln in block.splitlines()]
+        if not lines:
+            continue
+        # index line is optional/unreliable — find the arrow line
+        ti = next(
+            (i for i, ln in enumerate(lines) if _ARROW.search(ln)),
+            None,
+        )
+        if ti is None:
+            continue
+        times = _SRT_TIME.findall(lines[ti])
+        if len(times) < 2:
+            continue
+        start = _srt_ts(_SRT_TIME.search(lines[ti]))
+        m2 = list(_SRT_TIME.finditer(lines[ti]))[1]
+        end = _srt_ts(m2)
+        body = _clean_text(lines[ti + 1:])
+        if not body:
+            continue
+        budget -= len(body)
+        if budget < 0 or len(out) >= _MAX_CUES:
+            break
+        out.append(
+            {"cue_idx": len(out), "start_ms": start, "end_ms": end,
+             "text": body}
+        )
+    return out if out else None
+
+
+def parse_vtt(blob: bytes | None) -> list[dict] | None:
+    """WebVTT cues: signature required; NOTE/STYLE/REGION blocks
+    and cue settings ignored; optional cue identifiers handled."""
+    if not blob:
+        return None
+    text = _decode(blob)
+    if not text.lstrip().startswith("WEBVTT"):
+        return None
+    out = []
+    budget = _MAX_TEXT_BYTES
+    blocks = re.split(r"\r?\n\r?\n+", text.strip())
+    for block in blocks[0:]:
+        lines = block.splitlines()
+        if not lines:
+            continue
+        first = lines[0].strip()
+        if first.startswith(("WEBVTT", "NOTE", "STYLE", "REGION")):
+            continue
+        ti = next(
+            (i for i, ln in enumerate(lines) if _ARROW.search(ln)),
+            None,
+        )
+        if ti is None:
+            continue
+        stamps = list(_VTT_TIME.finditer(lines[ti]))
+        if len(stamps) < 2:
+            continue
+        start = _vtt_ts(stamps[0])
+        end = _vtt_ts(stamps[1])
+        body = _clean_text(lines[ti + 1:])
+        if not body:
+            continue
+        budget -= len(body)
+        if budget < 0 or len(out) >= _MAX_CUES:
+            break
+        out.append(
+            {"cue_idx": len(out), "start_ms": start, "end_ms": end,
+             "text": body}
+        )
+    return out if out else None
+
+
+def sniff_subtitles(blob: bytes) -> str | None:
+    if not blob:
+        return None
+    head = blob[:512].lstrip(b"\xef\xbb\xbf \r\n")
+    if head.startswith(b"WEBVTT"):
+        return "vtt"
+    if b"-->" in blob[:4096]:
+        return "srt"
+    return None
+
+
+SUBTITLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("cue_idx", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_SUB_COLS = [f.name for f in SUBTITLE_SCHEMA.fields]
+
+
+def subtitle_text(media: DataFrame) -> DataFrame:
+    """One row per cue with millisecond timing — as-of-joinable
+    against the keyframe timestamps the mp4/mkv kernels emit.
+    Non-subtitle blobs emit nothing (S4). Expects (doc_id, blob)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                kind = sniff_subtitles(b)
+                if kind is None:
+                    continue
+                cues = parse_vtt(b) if kind == "vtt" else parse_srt(b)
+                if not cues:
+                    continue
+                for c in cues:
+                    rows.append(
+                        {"doc_id": int(doc_id), "kind": kind, **c}
+                    )
+            yield pd.DataFrame(rows, columns=_SUB_COLS)
+
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, SUBTITLE_SCHEMA)

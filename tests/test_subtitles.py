@@ -1,0 +1,147 @@
+"""Subtitle ingestion (SRT / WebVTT): hand-written cue fixtures,
+timing math, lenient damage handling, markup stripping, encodings,
+and the Spark kernel with an as-of alignment composition against
+MKV keyframe timestamps."""
+
+from __future__ import annotations
+
+import pytest
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.subtitles import (
+    parse_srt,
+    parse_vtt,
+    sniff_subtitles,
+    subtitle_text,
+)
+
+SRT = b"""1
+00:00:01,000 --> 00:00:03,500
+First subtitle line.
+Second line of same cue.
+
+2
+00:01:02,250 --> 00:01:04,000
+<i>Italic</i> and <b>bold</b> stripped.
+
+BROKEN BLOCK WITHOUT TIMES
+
+3
+01:02:03,004 --> 01:02:05,006
+After the broken one.
+"""
+
+VTT = "﻿".encode() + b"""WEBVTT - with a header comment
+
+NOTE this note block is skipped
+
+STYLE
+::cue { color: red }
+
+intro-cue-id
+00:05.000 --> 00:07.250 align:start position:10%
+<v Alice>Hello there.
+plain continuation
+
+01:02:03.400 --> 01:02:04.000
+<c.yellow>Styled</c> text.
+"""
+
+
+def test_srt_cues_timing_and_tolerance():
+    cues = parse_srt(SRT)
+    assert len(cues) == 3
+    assert cues[0]["start_ms"] == 1000 and cues[0]["end_ms"] == 3500
+    assert cues[0]["text"] == (
+        "First subtitle line.\nSecond line of same cue."
+    )
+    assert cues[1]["text"] == "Italic and bold stripped."
+    assert cues[2]["start_ms"] == 3723004
+    assert cues[2]["text"] == "After the broken one."
+
+
+def test_vtt_cues_optional_hours_and_markup():
+    cues = parse_vtt(VTT)
+    assert len(cues) == 2
+    assert cues[0]["start_ms"] == 5000 and cues[0]["end_ms"] == 7250
+    assert cues[0]["text"] == (
+        "Alice: Hello there.\nplain continuation"
+    )
+    assert cues[1]["start_ms"] == 3723400
+    assert cues[1]["text"] == "Styled text."
+
+
+def test_sniffing_and_s4():
+    assert sniff_subtitles(VTT) == "vtt"
+    assert sniff_subtitles(SRT) == "srt"
+    assert sniff_subtitles(b"just some text") is None
+    assert parse_srt(b"") is None
+    assert parse_srt(b"no arrows here") is None
+    assert parse_vtt(SRT) is None  # no WEBVTT signature
+    assert parse_srt(None) is None
+
+
+def test_latin1_fallback():
+    srt = ("1\n00:00:01,000 --> 00:00:02,000\n"
+           "caf\xe9 accent\n").encode("latin-1")
+    cues = parse_srt(srt)
+    assert cues[0]["text"] == "café accent"
+
+
+def test_truncation_sweep_never_raises():
+    for src in (SRT, VTT):
+        for cut in range(0, len(src), 17):
+            for fn in (parse_srt, parse_vtt):
+                r = fn(src[:cut])
+                assert r is None or isinstance(r, list)
+
+
+@pytest.mark.usefixtures("spark")
+class TestKernel:
+    def test_kernel_and_asof_alignment_with_mkv(self, spark):
+        from pyspark.sql import functions as F
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.asof import (  # noqa: E501
+            asof_join,
+        )
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mkv import (  # noqa: E501
+            encode_mkv,
+            sample_mkv_keyframes,
+        )
+
+        clip = encode_mkv(
+            [{"track_id": 1, "type": "video", "codec": "V_VP9"}],
+            [{"timestamp": t * 1000,
+              "blocks": [(1, 0, True, bytes([t]) * 10)]}
+             for t in range(4)],
+        )
+        srt = b"""1
+00:00:00,500 --> 00:00:01,400
+cue near one second
+
+2
+00:00:02,600 --> 00:00:03,400
+cue near three seconds
+"""
+        media = spark.createDataFrame(
+            [(7, bytearray(clip))], "doc_id long, blob binary"
+        )
+        subs = spark.createDataFrame(
+            [(7, bytearray(srt))], "doc_id long, blob binary"
+        )
+        cues = subtitle_text(subs)
+        assert cues.count() == 2
+        kf = sample_mkv_keyframes(media).select(
+            "doc_id", F.col("timestamp_ms"),
+        )
+        # each keyframe picks the latest cue that started at or
+        # before it — the frame ↔ transcript pairing
+        aligned = asof_join(
+            kf, cues.select("doc_id", "start_ms", "text"),
+            key=["doc_id"], left_ts="timestamp_ms",
+            right_ts="start_ms", right_cols=["text"],
+            direction="backward",
+        )
+        got = {r["timestamp_ms"]: r["asof_text"]
+               for r in aligned.collect()}
+        assert got[1000] == "cue near one second"
+        assert got[3000] == "cue near three seconds"
