@@ -85,6 +85,67 @@ def _clean_text(lines: list) -> str:
     return "\n".join(out).strip()
 
 
+def _timing(line: str, time_re, to_ms):
+    """Parse one timing line STRICTLY: the token before the arrow
+    and the first token after it must each FULLMATCH the stamp
+    regex — an unanchored search would silently mis-parse an
+    out-of-range field ('120:00.000' reading as 20 minutes, review
+    catch). Returns (start_ms, end_ms) or None (cue skipped)."""
+    lhs, _, rhs = line.partition("-->")
+    ltok = lhs.strip().split()
+    rtok = rhs.strip().split()
+    if not ltok or not rtok:
+        return None
+    m1 = time_re.fullmatch(ltok[-1])
+    m2 = time_re.fullmatch(rtok[0])
+    if m1 is None or m2 is None:
+        return None
+    return to_ms(m1), to_ms(m2)
+
+
+#: blocks separate on blank OR whitespace-only lines — hand-edited
+#: files leave stray spaces on separators (review catch)
+_BLOCK_SPLIT = re.compile(r"\r?\n[ \t]*\r?\n+")
+
+_VTT_COMMENT = re.compile(r"(WEBVTT|NOTE|STYLE|REGION)(\s|$)")
+
+
+def _parse_cues(text: str, time_re, to_ms, vtt: bool) -> list[dict]:
+    """ONE cue loop for both dialects (they differ only in stamp
+    syntax and comment blocks — a copy-paste twin drifted two bugs
+    apart in review)."""
+    out = []
+    budget = _MAX_TEXT_BYTES
+    for block in _BLOCK_SPLIT.split(text.strip()):
+        lines = block.splitlines()
+        if not lines:
+            continue
+        ti = next(
+            (i for i, ln in enumerate(lines) if "-->" in ln), None
+        )
+        if ti is None:
+            continue
+        if vtt and _VTT_COMMENT.match(lines[0].strip()) and ti != 1:
+            # a comment/style block (the spec forbids '-->' in
+            # comments, but CSS can contain it — a real CUE under a
+            # keyword-prefixed id has its timing on line 1)
+            continue
+        timing = _timing(lines[ti], time_re, to_ms)
+        if timing is None:
+            continue  # broken stamps: skip this cue, keep neighbors
+        body = _clean_text(lines[ti + 1:])
+        if not body:
+            continue
+        budget -= len(body.encode("utf-8", "ignore"))  # BYTES cap
+        if budget < 0 or len(out) >= _MAX_CUES:
+            break
+        out.append(
+            {"cue_idx": len(out), "start_ms": timing[0],
+             "end_ms": timing[1], "text": body}
+        )
+    return out
+
+
 def parse_srt(blob: bytes | None) -> list[dict] | None:
     """SubRip cues. Returns None for undecodable/empty input (S4);
     cues with broken timing lines are skipped, neighbors survive."""
@@ -93,35 +154,7 @@ def parse_srt(blob: bytes | None) -> list[dict] | None:
     text = _decode(blob)
     if "-->" not in text:
         return None
-    out = []
-    budget = _MAX_TEXT_BYTES
-    for block in re.split(r"\r?\n\r?\n+", text.strip()):
-        lines = [ln for ln in block.splitlines()]
-        if not lines:
-            continue
-        # index line is optional/unreliable — find the arrow line
-        ti = next(
-            (i for i, ln in enumerate(lines) if _ARROW.search(ln)),
-            None,
-        )
-        if ti is None:
-            continue
-        times = _SRT_TIME.findall(lines[ti])
-        if len(times) < 2:
-            continue
-        start = _srt_ts(_SRT_TIME.search(lines[ti]))
-        m2 = list(_SRT_TIME.finditer(lines[ti]))[1]
-        end = _srt_ts(m2)
-        body = _clean_text(lines[ti + 1:])
-        if not body:
-            continue
-        budget -= len(body)
-        if budget < 0 or len(out) >= _MAX_CUES:
-            break
-        out.append(
-            {"cue_idx": len(out), "start_ms": start, "end_ms": end,
-             "text": body}
-        )
+    out = _parse_cues(text, _SRT_TIME, _srt_ts, vtt=False)
     return out if out else None
 
 
@@ -133,37 +166,7 @@ def parse_vtt(blob: bytes | None) -> list[dict] | None:
     text = _decode(blob)
     if not text.lstrip().startswith("WEBVTT"):
         return None
-    out = []
-    budget = _MAX_TEXT_BYTES
-    blocks = re.split(r"\r?\n\r?\n+", text.strip())
-    for block in blocks[0:]:
-        lines = block.splitlines()
-        if not lines:
-            continue
-        first = lines[0].strip()
-        if first.startswith(("WEBVTT", "NOTE", "STYLE", "REGION")):
-            continue
-        ti = next(
-            (i for i, ln in enumerate(lines) if _ARROW.search(ln)),
-            None,
-        )
-        if ti is None:
-            continue
-        stamps = list(_VTT_TIME.finditer(lines[ti]))
-        if len(stamps) < 2:
-            continue
-        start = _vtt_ts(stamps[0])
-        end = _vtt_ts(stamps[1])
-        body = _clean_text(lines[ti + 1:])
-        if not body:
-            continue
-        budget -= len(body)
-        if budget < 0 or len(out) >= _MAX_CUES:
-            break
-        out.append(
-            {"cue_idx": len(out), "start_ms": start, "end_ms": end,
-             "text": body}
-        )
+    out = _parse_cues(text, _VTT_TIME, _vtt_ts, vtt=True)
     return out if out else None
 
 

@@ -145,3 +145,51 @@ cue near three seconds
                for r in aligned.collect()}
         assert got[1000] == "cue near one second"
         assert got[3000] == "cue near three seconds"
+
+
+# ── review-pass regressions ─────────────────────────────────────
+
+
+def test_whitespace_only_separator_splits_cues():
+    # hand-edited files leave a stray space on the "blank" line
+    srt = (b"1\n00:00:01,000 --> 00:00:02,000\nfirst\n \n"
+           b"2\n00:00:03,000 --> 00:00:04,000\nsecond\n")
+    cues = parse_srt(srt)
+    assert [c["text"] for c in cues] == ["first", "second"]
+    assert "-->" not in cues[0]["text"]
+
+
+def test_out_of_range_stamp_skips_not_misparses():
+    # '120:00.000' must NOT partially match as 20 minutes
+    vtt = (b"WEBVTT\n\n120:00.000 --> 121:00.000\nwrong clock\n\n"
+           b"00:05.000 --> 00:06.000\ngood cue\n")
+    cues = parse_vtt(vtt)
+    assert [c["text"] for c in cues] == ["good cue"]
+    # and a stamp with trailing junk on the token skips too
+    srt = b"1\n00:00:01,000x --> 00:00:02,000\nbad\n"
+    assert parse_srt(srt) is None
+
+
+def test_note_prefixed_cue_id_is_still_a_cue():
+    # 'NOTEWORTHY SCENE' is a cue identifier, not a comment (the
+    # spec's comment keyword requires a boundary)
+    vtt = (b"WEBVTT\n\nNOTEWORTHY SCENE\n00:05.000 --> 00:07.000\n"
+           b"hello\n\nNOTE a real comment\nwith more text\n")
+    cues = parse_vtt(vtt)
+    assert [c["text"] for c in cues] == ["hello"]
+
+
+def test_text_budget_counts_bytes():
+    # ~3 MiB of 3-byte chars per cue: the 4 MiB BYTE budget admits
+    # one cue, not three
+    big = ("汉" * (1 << 20)).encode("utf-8")
+    blocks = []
+    for i in range(3):
+        blocks.append(
+            b"%d\n00:00:0%d,000 --> 00:00:0%d,500\n" % (i, i, i)
+            + big
+        )
+    cues = parse_srt(b"\n\n".join(blocks))
+    total = sum(len(c["text"].encode("utf-8")) for c in cues)
+    assert total <= (1 << 22)
+    assert len(cues) < 3
