@@ -71,9 +71,13 @@ def _safe_xml(data: bytes):
     expands the entities (review catch)."""
     if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
         text = data.decode("utf-16", "ignore")
-        if "<!DOCTYPE" in text[:4096] or "<!ENTITY" in text:
+        # full-buffer scan for BOTH markers: a DOCTYPE pushed past
+        # any fixed window by comments/whitespace must still be
+        # refused before expat (advice catch — the old 4 KiB window
+        # let external-DTD DOCTYPEs through)
+        if "<!DOCTYPE" in text or "<!ENTITY" in text:
             raise _Broken("DTD/ENTITY refused")
-    elif b"<!DOCTYPE" in data[:4096] or b"<!ENTITY" in data:
+    elif b"<!DOCTYPE" in data or b"<!ENTITY" in data:
         raise _Broken("DTD/ENTITY refused")
     import xml.etree.ElementTree as ET
 

@@ -956,25 +956,31 @@ class _PdfDoc:
                 if isinstance(t, dict):
                     for k, v in t.items():
                         self.trailer.setdefault(k, v)
+        # ALWAYS expand discovered ObjStm containers: the reset
+        # above discarded every type-2 entry the original xref
+        # carried, so when recovery fires mid-parse (one lying
+        # offset, /Root already in the trailer) objects living
+        # inside object streams would resolve to None and a
+        # salvageable document would degrade to an S4 skip
+        # (advice catch). _load_objstm registers members with
+        # setdefault, so header-scan entries are never clobbered.
+        for num in list(self.xref):
+            entry = self.xref.get(num)
+            if not entry or entry[0] != "n":
+                continue
+            try:
+                obj = self.get(Ref(num, 0))
+            except _Bomb:
+                raise
+            except _Truncated:
+                continue
+            if isinstance(obj, Stream) and str(
+                obj.dict.get("Type")
+            ) == "ObjStm":
+                self._load_objstm(num)
         if "Root" not in self.trailer:
-            # xref-stream-only file with a clipped tail: the catalog
-            # may live INSIDE an object stream — expand any ObjStm
-            # the header scan surfaced (registers type-2 entries),
-            # then hunt for the catalog object itself
-            for num in list(self.xref):
-                entry = self.xref.get(num)
-                if not entry or entry[0] != "n":
-                    continue
-                try:
-                    obj = self.get(Ref(num, 0))
-                except _Bomb:
-                    raise
-                except _Truncated:
-                    continue
-                if isinstance(obj, Stream) and str(
-                    obj.dict.get("Type")
-                ) == "ObjStm":
-                    self._load_objstm(num)
+            # hunt for the catalog object itself (xref-stream-only
+            # file with a clipped tail)
             for num in list(self.xref):
                 try:
                     obj = self.get(Ref(num, 0))
@@ -1653,7 +1659,13 @@ class _TextSink:
               and self.parts and not self.parts[-1].endswith((" ", "\n"))):
             self.parts.append(" ")
         self.parts.append(text)
-        self.nbytes += len(text)
+        # charge UTF-8 bytes, not characters: CJK/emoji-heavy pages
+        # would otherwise materialize up to ~4x the stated byte
+        # budget before the cap trips (advice catch). isascii() is a
+        # C-speed scan, so the common Latin path stays encode-free.
+        self.nbytes += (
+            len(text) if text.isascii() else len(text.encode("utf-8"))
+        )
         if self.nbytes > _MAX_TEXT_BYTES:
             raise _Bomb("text cap")
         self.unmapped += unmapped

@@ -337,7 +337,18 @@ def _verify_tar_checksum(hdr: bytes):
     except ValueError:
         raise _Broken("bad checksum field")
     got = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
-    if got != want:
+    if got == want:
+        return
+    # historic signed-byte-sum convention (pre-POSIX tars): bytes
+    # ≥0x80 counted as negative. GNU tar and stdlib tarfile accept
+    # either sum — mirror that so real-world members the tarfile
+    # baseline would read aren't S4-skipped (advice catch).
+    signed = sum(
+        b - 256 if b >= 0x80 else b for b in hdr[:148]
+    ) + 8 * 0x20 + sum(
+        b - 256 if b >= 0x80 else b for b in hdr[156:]
+    )
+    if signed != want:
         raise _Broken("tar checksum mismatch")
 
 

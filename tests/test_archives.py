@@ -478,3 +478,40 @@ def test_zip_bzip2_and_lzma_methods_differential():
         mut[start + clen // 2] ^= 0xFF
         with pytest.raises(_Broken):
             zip_extract_member(bytes(mut), members[0])
+
+
+def test_tar_signed_byte_sum_checksum_accepted():
+    # pre-POSIX tars sum header bytes as SIGNED chars; GNU tar and
+    # stdlib tarfile accept either convention (advice catch r10) —
+    # a high-byte name under the signed sum must not S4-skip
+    payload = b"signed sum"
+    hdr = bytearray(512)
+    name = "café.txt".encode("utf-8")  # bytes >= 0x80
+    hdr[0:len(name)] = name
+    hdr[100:108] = b"0000644\x00"
+    hdr[124:136] = ("%011o" % len(payload)).encode() + b"\x00"
+    hdr[136:148] = b"00000000000\x00"
+    hdr[156] = ord("0")
+    hdr[257:263] = b"ustar\x00"
+    signed = sum(
+        b - 256 if b >= 0x80 else b for b in hdr[:148]
+    ) + 8 * 0x20 + sum(
+        b - 256 if b >= 0x80 else b for b in hdr[156:]
+    )
+    hdr[148:156] = ("%06o" % (signed & 0o777777)).encode() + b"\x00 "
+    # the unsigned sum differs (name has high bytes) — only the
+    # signed convention matches
+    assert sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:]) != signed
+    blob = bytes(hdr) + payload + b"\x00" * (512 - len(payload)) + (
+        b"\x00" * 1024
+    )
+    # differential: stdlib tarfile reads it
+    with tarfile.open(fileobj=io.BytesIO(blob)) as t:
+        assert t.getmembers()[0].size == len(payload)
+    members = parse_tar_members(blob)
+    assert len(members) == 1
+    assert tar_extract_member(blob, members[0]) == payload
+    # a checksum wrong under BOTH conventions is still refused
+    bad = bytearray(blob)
+    bad[125] ^= 0x01
+    assert parse_tar_members(bytes(bad)) is None

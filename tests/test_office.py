@@ -306,3 +306,22 @@ def test_pptx_numbering_gap_keeps_slide_identity():
     assert [(r["part"], r["text"]) for r in rows] == [
         (1, "one"), (3, "three")
     ]
+
+
+def test_doctype_past_4k_refused():
+    # a DOCTYPE pushed past 4 KiB by a leading comment used to slip
+    # the (windowed) pre-expat scan (advice catch r10) — the guard
+    # must scan the whole buffer in both encodings
+    pad = "<!-- " + "x" * 5000 + " -->"
+    payload = (
+        '<?xml version="1.0"?>' + pad
+        + '<!DOCTYPE w:document SYSTEM "http://example.com/evil.dtd">'
+        + '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body><w:p><w:r>'
+        "<w:t>hi</w:t></w:r></w:p></w:body></w:document>"
+    )
+    for data in (payload.encode("utf-8"), payload.encode("utf-16")):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", data)
+        assert extract_office_text(buf.getvalue()) is None

@@ -952,3 +952,85 @@ class TestImageKernel:
                 saw_jpeg |= r["codec"] == "jpeg"
                 saw_raw |= r["codec"] == "raw"
         assert saw_jpeg and saw_raw
+
+
+# ── r10 advice regressions ──────────────────────────────────────
+
+
+def test_text_cap_counts_utf8_bytes(monkeypatch):
+    # the cap is a BYTE budget (Arrow memory), so CJK text must be
+    # charged at its UTF-8 width, not its character count
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import (
+        pdf as pdf_mod,
+    )
+
+    s = pdf_mod._TextSink()
+    s.show("漢字", 0, 0.0, 0.0, 12.0)
+    assert s.nbytes == len("漢字".encode("utf-8")) == 6
+    monkeypatch.setattr(pdf_mod, "_MAX_TEXT_BYTES", 100)
+    s2 = pdf_mod._TextSink()
+    with pytest.raises(_Bomb):
+        # 40 chars = 120 UTF-8 bytes: a character count would pass
+        s2.show("漢" * 40, 0, 0.0, 0.0, 12.0)
+
+
+def _xrefstream_objstm_lying_catalog() -> bytes:
+    """Hand-built PDF 1.5 fixture: catalog/pages/page/font live in an
+    uncompressed ObjStm; the xref STREAM mis-types the catalog as a
+    type-1 entry whose offset points at the ObjStm header (lying), so
+    get(1) triggers _recover_scan while /Root is already known."""
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /Resources "
+           b"<< /Font << /F1 5 0 R >> >> >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+           b"/Encoding /WinAnsiEncoding >>",
+    }
+    hdr_parts, body, offs = [], b"", {}
+    for num in (1, 2, 3, 5):
+        offs[num] = len(body)
+        body += inner[num] + b" "
+    for num in (1, 2, 3, 5):
+        hdr_parts.append(b"%d %d" % (num, offs[num]))
+    objstm_hdr = b" ".join(hdr_parts) + b" "
+    objstm_data = objstm_hdr + body
+    content = b"BT /F1 11 Tf 10 10 Td (objstm recovered) Tj ET"
+
+    buf = bytearray(b"%PDF-1.5\n")
+    off4 = len(buf)
+    buf += (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream\nendobj\n")
+    off6 = len(buf)
+    buf += (b"6 0 obj\n<< /Type /ObjStm /N 4 /First %d /Length %d "
+            b">>\nstream\n" % (len(objstm_hdr), len(objstm_data))
+            + objstm_data + b"\nendstream\nendobj\n")
+    off7 = len(buf)
+    rows = {
+        0: bytes([0, 0, 0, 0]),
+        1: bytes([1]) + off6.to_bytes(2, "big") + b"\x00",  # LYING
+        2: bytes([2]) + (6).to_bytes(2, "big") + bytes([1]),
+        3: bytes([2]) + (6).to_bytes(2, "big") + bytes([2]),
+        4: bytes([1]) + off4.to_bytes(2, "big") + b"\x00",
+        5: bytes([2]) + (6).to_bytes(2, "big") + bytes([3]),
+        6: bytes([1]) + off6.to_bytes(2, "big") + b"\x00",
+        7: bytes([1]) + off7.to_bytes(2, "big") + b"\x00",
+    }
+    xdata = b"".join(rows[i] for i in range(8))
+    buf += (b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 2 1] "
+            b"/Root 1 0 R /Length %d >>\nstream\n" % len(xdata)
+            + xdata + b"\nendstream\nendobj\n")
+    buf += b"startxref\n%d\n%%%%EOF" % off7
+    return bytes(buf)
+
+
+def test_recovery_with_root_present_reexpands_objstm():
+    # advice catch r10: _recover_scan used to expand ObjStm members
+    # only on the Root-missing path, so a lying type-1 offset with
+    # /Root already in the trailer degraded a salvageable document
+    # to an S4 skip (every page-tree object lives in the ObjStm)
+    blob = _xrefstream_objstm_lying_catalog()
+    m = parse_pdf_meta(blob)
+    assert m and m["recovered_xref"] and m["n_pages"] == 1, m
+    t = extract_pdf_text(blob)
+    assert t and t[0]["text"] == "objstm recovered"
