@@ -78,7 +78,21 @@ from .cdc import (
     eligible_hashes,
     pairs_from_posting,
 )
+from .flac import decode_flac, sniff_flac
 from .multimodal import decode_wav
+
+
+def decode_audio(blob: bytes):
+    """Container dispatch for the fingerprint kernels: PCM WAV or
+    FLAC (r11 — the first compressed audio codec, clean-room per
+    RFC 9639; see :mod:`.flac` for why it is not ADR-gated) →
+    (mono float64 in [-1, 1], rate), None on damage/unknown (S4).
+    Both decoders fold channels by mean, so the SAME recording
+    stored as WAV and as FLAC yields the same samples — and
+    therefore identical fingerprints (pinned in tests)."""
+    if sniff_flac(blob):
+        return decode_flac(blob)
+    return decode_wav(blob)
 
 #: frame layout: 1024-sample Hann windows, 50% hop — at 16 kHz each
 #: frame covers 64 ms and one lands every 32 ms
@@ -190,7 +204,7 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
         for batch in batches:
             rows = []
             for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                decoded = decode_wav(
+                decoded = decode_audio(
                     bytes(blob) if blob is not None else b""
                 )
                 if decoded is None:
@@ -217,7 +231,7 @@ def audio_probes(media: DataFrame) -> DataFrame:
         for batch in batches:
             rows = []
             for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                decoded = decode_wav(
+                decoded = decode_audio(
                     bytes(blob) if blob is not None else b""
                 )
                 if decoded is None:

@@ -289,3 +289,136 @@ def email_text(media: DataFrame) -> DataFrame:
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
     ).mapInPandas(kernel, EMAIL_TEXT_SCHEMA)
+
+
+def _eml_plain(d: int) -> bytes:
+    return (
+        "From: sender%d@example.com\r\n"
+        "To: list%d@example.org\r\n"
+        "Subject: Synthetic message %d\r\n"
+        "Message-ID: <fixture-%d@example.com>\r\n"
+        "Date: Mon, 01 Jan 2024 %02d:%02d:00 +0000\r\n"
+        "MIME-Version: 1.0\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "\r\n"
+        "Plain body line one for %d.\r\n"
+        "Second line with café unicode.\r\n"
+        % (d, d % 5, d, d, d % 24, d % 60, d)
+    ).encode("utf-8")
+
+
+def _eml_multipart(d: int) -> bytes:
+    import base64
+
+    att = base64.b64encode(bytes(range(32)) * (1 + d % 3)).decode()
+    return (
+        "From: multi%d@example.com\r\n"
+        "To: dest@example.org\r\n"
+        "Subject: =?utf-8?q?Encoded_subject_%d_caf=C3=A9?=\r\n"
+        "Message-ID: <multi-%d@example.com>\r\n"
+        "Date: Tue, 02 Jan 2024 %02d:30:00 -0500\r\n"
+        "MIME-Version: 1.0\r\n"
+        "Content-Type: multipart/mixed; boundary=BB%d\r\n"
+        "\r\n"
+        "--BB%d\r\n"
+        "Content-Type: multipart/alternative; boundary=AA%d\r\n"
+        "\r\n"
+        "--AA%d\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "\r\n"
+        "\r\n"
+        "--AA%d\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+        "\r\n"
+        "<html><body><p>Html body %d with <b>markup</b>.</p>"
+        "<a href='http://example.com/%d'>link</a></body></html>\r\n"
+        "--AA%d--\r\n"
+        "--BB%d\r\n"
+        "Content-Type: application/octet-stream\r\n"
+        "Content-Disposition: attachment; filename=data%d.bin\r\n"
+        "Content-Transfer-Encoding: base64\r\n"
+        "\r\n"
+        "%s\r\n"
+        "--BB%d--\r\n"
+        % (d, d, d, d % 24, d, d, d, d, d, d, d, d, d, d, att, d)
+    ).encode("utf-8")
+
+
+def _eml_forward(d: int) -> bytes:
+    inner = _eml_plain(d + 1000).decode("utf-8")
+    return (
+        "From: fwd%d@example.com\r\n"
+        "Subject: Fwd: synthetic %d\r\n"
+        "Message-ID: <fwd-%d@example.com>\r\n"
+        "Date: Wed, 03 Jan 2024 08:%02d:00 +0000\r\n"
+        "MIME-Version: 1.0\r\n"
+        "Content-Type: message/rfc822\r\n"
+        "\r\n"
+        "%s" % (d, d, d, d % 60, inner)
+    ).encode("utf-8")
+
+
+def build_mbox(d: int) -> bytes:
+    """2+d%2 member mbox; the first body carries an mboxrd-munged
+    ``>From `` line that must unescape on read."""
+    msgs = []
+    for i in range(2 + d % 2):
+        body = "Mbox member %d-%d body.\r\n" % (d, i)
+        if i == 0:
+            body += ">From the munged line survives.\r\n"
+        msgs.append(
+            "From fixture@example Thu Jan  4 00:0%d:00 2024\n"
+            "From: mbox%d-%d@example.com\n"
+            "Subject: mbox member %d-%d\n"
+            "Message-ID: <mbox-%d-%d@example.com>\n"
+            "Date: Thu, 04 Jan 2024 %02d:00:00 +0000\n"
+            "\n"
+            "%s\n" % (i, d, i, d, i, d, i, (d + i) % 24, body)
+        )
+    return "".join(msgs).encode("utf-8")
+
+
+def synthetic_email_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic fixture eml/mbox blobs keyed on doc_id: d%4
+    cycles plain eml / multipart(html body + attachment) / mbox /
+    forwarded message/rfc822; every 11th ≡ 7 is headerless binary
+    (S4-skipped). Same (doc_id, blob, media_type) contract as the
+    other corpora."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            blobs, types = [], []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                if d % 11 == 7:
+                    blobs.append(b"\x00\x01\x02 headerless binary")
+                    types.append("application/octet-stream")
+                elif d % 4 == 0:
+                    blobs.append(_eml_plain(d))
+                    types.append("message/rfc822")
+                elif d % 4 == 1:
+                    blobs.append(_eml_multipart(d))
+                    types.append("message/rfc822")
+                elif d % 4 == 2:
+                    blobs.append(build_mbox(d))
+                    types.append("application/mbox")
+                else:
+                    blobs.append(_eml_forward(d))
+                    types.append("message/rfc822")
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs,
+                 "media_type": types}
+            )
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(kernel, schema)

@@ -120,9 +120,11 @@ def _staged_inputs(edges: DataFrame, src_col: str, dst_col: str):
     runs (review catch: a re-spelled staging once recorded phantom
     subtrees). Returns ``(nodes, weighted, n, stage)`` with
     ``nodes``/``weighted`` PERSISTED and ``n`` counted (materializing
-    them); ``stage(personalization)`` then builds the checkpointed
-    ``(nodes_p, dangling_nodes)`` leaves. The caller owns releases:
-    unpersist nodes/weighted, ``_free_checkpoint`` the leaves."""
+    them); ``stage(personalization)`` then builds ONE checkpointed
+    per-node leaf (teleport column + dangling flag) and returns
+    ``(nodes_p, dangling_nodes, aug)`` — the first two are
+    projections of ``aug``. The caller owns releases: unpersist
+    nodes/weighted, ``_free_checkpoint`` the aug leaf."""
     nodes, e = _graph(edges, src_col, dst_col)
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # edges carrying the sender's out-degree: the per-iteration join
@@ -133,15 +135,27 @@ def _staged_inputs(edges: DataFrame, src_col: str, dst_col: str):
     n = nodes.count()  # materializes the nodes persist
 
     def stage(personalization):
-        nodes_p = _teleport_vector(nodes, n, personalization)
-        # the dangling NODE SET is static — checkpoint it once, so
-        # the per-iteration dangling-mass scalar is a semi-join of
-        # the current rank vector against a leaf, never a re-run of
-        # the edge distinct + degree shuffles
-        dangling_nodes = nodes.join(
-            out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
-        ).localCheckpoint(eager=True)
-        return nodes_p, dangling_nodes
+        # ONE checkpointed frame carries BOTH static per-node inputs
+        # — the teleport column __p and the has-out-links flag whose
+        # null marks a dangling node — so staging pays a single
+        # materialization job instead of two (r11: the old separate
+        # teleport + anti-join checkpoints were ~1s of every bench
+        # pass at 50k nodes, pure job-launch). The per-iteration
+        # dangling-mass scalar is then a filter of this leaf, never
+        # a re-run of the edge distinct + degree shuffles.
+        aug = nodes.join(
+            out_deg.select(
+                F.col("src").alias("node"), F.lit(1).alias("__out")
+            ),
+            "node",
+            "left",
+        )
+        aug = _teleport_vector(aug, n, personalization)
+        nodes_p = aug.select("node", "__p")
+        dangling_nodes = aug.filter(F.col("__out").isNull()).select(
+            "node"
+        )
+        return nodes_p, dangling_nodes, aug
 
     return nodes, weighted, n, stage
 
@@ -200,7 +214,7 @@ def pagerank(
     try:
         if n == 0:
             return nodes.withColumn("rank", F.lit(0.0))
-        nodes_p, dangling_nodes = stage(personalization)
+        nodes_p, dangling_nodes, aug = stage(personalization)
         try:
             return _iterate(
                 weighted,
@@ -213,30 +227,36 @@ def pagerank(
                 _init_vector(nodes, n, init_ranks),
             )
         finally:
-            _free_checkpoint(dangling_nodes)
-            _free_checkpoint(nodes_p)
+            # nodes_p / dangling_nodes are projections of the one
+            # checkpointed aug leaf — free THAT frame (freeing a
+            # projection would unpersist a derived RDD, not the
+            # checkpoint blocks)
+            _free_checkpoint(aug)
     finally:
         weighted.unpersist()
         nodes.unpersist()
 
 
 def _teleport_vector(
-    nodes: DataFrame, n: int, personalization: DataFrame | None
+    aug: DataFrame, n: int, personalization: DataFrame | None
 ) -> DataFrame:
-    """(node, __p) — the teleport distribution as a checkpointed
-    column of the node set: uniform 1/N without personalization,
-    else the seed weights sum-merged (duplicate rows), aligned to
-    the current nodes (absent → 0), validated non-negative with a
-    positive total, and renormalized to sum 1."""
+    """``aug`` + a ``__p`` teleport column, checkpointed: uniform
+    1/N without personalization, else the seed weights sum-merged
+    (duplicate rows), aligned to the current nodes (absent → 0),
+    validated non-negative with a positive total, and renormalized
+    to sum 1. ``aug`` is the (node, __out) frame from
+    :func:`_staged_inputs`'s stage() — every other column rides
+    through, so the result is the single static per-node leaf the
+    iteration reads."""
     if personalization is None:
-        return nodes.withColumn("__p", F.lit(1.0 / n)).localCheckpoint(
+        return aug.withColumn("__p", F.lit(1.0 / n)).localCheckpoint(
             eager=True
         )
     seeds = personalization.groupBy("node").agg(
         F.sum("weight").alias("__w")
     )
-    aligned = nodes.join(seeds, "node", "left").select(
-        "node", F.coalesce(F.col("__w"), F.lit(0.0)).alias("__w")
+    aligned = aug.join(seeds, "node", "left").withColumn(
+        "__w", F.coalesce(F.col("__w"), F.lit(0.0))
     )
     aligned.persist()
     try:
@@ -264,9 +284,13 @@ def _teleport_vector(
                 "personalization must put positive weight on at "
                 "least one node of the graph"
             )
-        return aligned.select(
-            "node", (F.col("__w") / F.lit(float(row["tot"]))).alias("__p")
-        ).localCheckpoint(eager=True)
+        return (
+            aligned.withColumn(
+                "__p", F.col("__w") / F.lit(float(row["tot"]))
+            )
+            .drop("__w")
+            .localCheckpoint(eager=True)
+        )
     finally:
         aligned.unpersist()
 
@@ -389,7 +413,7 @@ def pagerank_iteration_plan(
         weighted.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     weighted.count()  # materialize, as the loop's first action does
-    nodes_p, dangling_nodes = stage(None)
+    nodes_p, dangling_nodes, _aug = stage(None)
     ranks = nodes.select(
         "node", F.lit(1.0 / n).alias("rank")
     ).localCheckpoint(eager=True)

@@ -222,3 +222,123 @@ def subtitle_text(media: DataFrame) -> DataFrame:
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
     ).mapInPandas(kernel, SUBTITLE_SCHEMA)
+
+
+def _srt_stamp(ms: int) -> str:
+    return "%02d:%02d:%02d,%03d" % (
+        ms // 3600000, ms // 60000 % 60, ms // 1000 % 60, ms % 1000
+    )
+
+
+def _vtt_stamp(ms: int, hours: bool) -> str:
+    if hours:
+        return "%02d:%02d:%02d.%03d" % (
+            ms // 3600000, ms // 60000 % 60, ms // 1000 % 60,
+            ms % 1000
+        )
+    return "%02d:%02d.%03d" % (ms // 60000, ms // 1000 % 60, ms % 1000)
+
+
+def build_srt(doc_id: int) -> bytes:
+    """One deterministic SRT file for doc_id: cue count/timing/text
+    keyed on the id; cycles BOM (d%5==0), CRLF (d%3==0), dot-millis
+    stamps (d%5==1), an UNPARSEABLE timing block every d%7==3 (its
+    neighbors must survive — the per-member S4 contract), italic
+    markup, and a latin-1 encoding leg (d%13==5)."""
+    d = doc_id
+    n = 2 + d % 4
+    blocks = []
+    t = 1000 * (1 + d % 9)
+    for i in range(n):
+        start, end = t, t + 900 + 10 * (d % 7)
+        t = end + 200
+        stamp = "%s --> %s" % (_srt_stamp(start), _srt_stamp(end))
+        if d % 5 == 1:
+            stamp = stamp.replace(",", ".")  # tolerated variant
+        if d % 7 == 3 and i == 1:
+            stamp = "not a timing line at all"
+        text = "Cue %d-%d spoken line." % (d, i)
+        if i == 0 and d % 4 == 2:
+            text = "<i>%s</i>" % text
+        if d % 13 == 5:
+            text = "Café %s" % text
+        blocks.append("%d\n%s\n%s" % (i + 1, stamp, text))
+    body = "\n\n".join(blocks) + "\n"
+    if d % 3 == 0:
+        body = body.replace("\n", "\r\n")
+    enc = "latin-1" if d % 13 == 5 else "utf-8"
+    out = body.encode(enc, "replace")
+    if d % 5 == 0:
+        out = b"\xef\xbb\xbf" + out
+    return out
+
+
+def build_vtt(doc_id: int) -> bytes:
+    """One deterministic WebVTT file: NOTE/STYLE blocks, optional
+    hours (d%3==1 drops them), cue settings after the arrow, voice
+    spans (speaker kept as a prefix), class tags, cue identifiers."""
+    d = doc_id
+    n = 2 + d % 3
+    parts = ["WEBVTT"]
+    if d % 5 == 2:
+        parts.append("STYLE\n::cue { color: lime }")
+    parts.append("NOTE synthetic fixture %d" % d)
+    hours = d % 3 != 1
+    t = 500 * (1 + d % 11)
+    for i in range(n):
+        start, end = t, t + 1100 + 10 * (d % 5)
+        t = end + 150
+        stamp = "%s --> %s" % (
+            _vtt_stamp(start, hours), _vtt_stamp(end, hours)
+        )
+        if i == 0 and d % 4 == 1:
+            stamp += " align:start position:10%"
+        text = "Vtt cue %d-%d transcript text." % (d, i)
+        if i == 0 and d % 6 == 2:
+            text = "<v Speaker %d>%s</v>" % (d % 3, text)
+        elif i == 1 and d % 6 == 4:
+            text = "<c.yellow>%s</c>" % text
+        block = "%s\n%s" % (stamp, text)
+        if d % 8 == 5:
+            block = "cue-%d-%d\n%s" % (d, i, block)  # identifier
+        parts.append(block)
+    return ("\n\n".join(parts) + "\n").encode("utf-8")
+
+
+def synthetic_subtitle_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic fixture subtitle files keyed on doc_id: d%2
+    cycles SRT/WebVTT across every wire shape the parser handles;
+    every 11th ≡ 7 is non-subtitle garbage (S4-skipped). Same
+    (doc_id, blob, media_type) contract as the other corpora."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            blobs, types = [], []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                if d % 11 == 7:
+                    blobs.append(b"\x00\x01 not subtitles at all")
+                    types.append("application/octet-stream")
+                elif d % 2 == 0:
+                    blobs.append(build_srt(d))
+                    types.append("application/x-subrip")
+                else:
+                    blobs.append(build_vtt(d))
+                    types.append("text/vtt")
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs,
+                 "media_type": types}
+            )
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(kernel, schema)

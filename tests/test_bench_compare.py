@@ -127,3 +127,31 @@ def test_cli_exit_codes(tmp_path):
         capture_output=True, text=True,
     )
     assert r.returncode == 1 and "REGRESSION" in r.stdout
+
+
+def test_load_recovers_truncated_tail(tmp_path):
+    # r10's artifact clipped the single JSON line at BOTH ends
+    # ("parsed": null) — load() must harvest the complete
+    # name:number pairs out of the raw tail and drop the clipped
+    # ones (VERDICT r10 "What's wrong" #1)
+    tail = (
+        't": "sec", "queries": {"q_full_a": 1.25, "q_full_b": 0.5, '
+        '"q_full_c": 2.0}, "spread": {"q_full_a": 0.1, "q_full_'
+    )
+    art = tmp_path / "BENCH_rX.json"
+    art.write_text(json.dumps(
+        {"n": 99, "rc": 0, "parsed": None, "tail": tail}
+    ))
+    meas = load(str(art))
+    assert meas["queries"] == {
+        "q_full_a": 1.25, "q_full_b": 0.5, "q_full_c": 2.0
+    }
+    # the spread dict was cut mid-key: only the whole pair survives
+    assert meas["spread"] == {"q_full_a": 0.1}
+    assert meas["recovered_from_tail"]
+
+
+def test_load_real_r10_artifact_recovers_31_queries():
+    meas = load(os.path.join(REPO, "BENCH_r10.json"))
+    assert len(meas["queries"]) == 31
+    assert meas["queries"]["pagerank_crawl_graph"] == 5.922

@@ -258,3 +258,86 @@ def test_text_cap_is_bytes_not_chars():
            b"Content-Type: text/plain; charset=utf-8\r\n\r\n" + body)
     rec = extract_email(eml)
     assert len(rec["text"].encode("utf-8")) <= (1 << 22)
+
+
+# ── synthetic corpus + driver-row leg (r11) ─────────────────────
+
+
+def test_corpus_deterministic_and_shape_coverage():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.email_text import (  # noqa: E501
+        _eml_forward,
+        _eml_multipart,
+        _eml_plain,
+        build_mbox,
+        extract_email,
+        split_mbox,
+    )
+
+    for d in range(120):
+        assert _eml_plain(d) == _eml_plain(d)
+        assert build_mbox(d) == build_mbox(d)
+        p = extract_email(_eml_plain(d))
+        assert p and p["date_ms"] is not None and "café" in p["text"]
+        m = extract_email(_eml_multipart(d))
+        # html-funnel body + one counted (never decoded) attachment
+        assert m and "Html body" in m["text"] and "<b>" not in m["text"]
+        assert m["n_attachments"] == 1 and m["attachment_bytes"] > 0
+        assert "café" in m["subject"]  # RFC 2047 decode
+        f = extract_email(_eml_forward(d))
+        assert f and "Plain body" in f["text"]  # message/rfc822 walk
+        msgs = split_mbox(build_mbox(d))
+        assert len(msgs) == 2 + d % 2
+        r0 = extract_email(msgs[0])
+        assert r0 and ">From the munged" not in r0["text"]
+        assert "From the munged" in r0["text"]  # mboxrd unescape
+
+
+@pytest.mark.usefixtures("spark")
+class TestCorpusKernel:
+    def test_kernel_equals_driver_over_corpus(self, spark, sf_dir):
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.email_text import (  # noqa: E501
+            _eml_forward,
+            _eml_multipart,
+            _eml_plain,
+            build_mbox,
+            email_text,
+            extract_email,
+            split_mbox,
+            synthetic_email_corpus,
+        )
+        from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+        from pyspark.sql import functions as F
+
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 60
+        )
+        got = {}
+        for r in email_text(
+            synthetic_email_corpus(docs).select("doc_id", "blob")
+        ).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["msg_idx"], r["subject"], r["message_id"],
+                 r["date_ms"], r["text"], r["n_parts"],
+                 r["n_attachments"], r["attachment_bytes"])
+            )
+        for d in range(60):
+            if d % 11 == 7:
+                assert d not in got, d  # headerless binary → S4
+                continue
+            if d % 4 == 2:
+                raws = split_mbox(build_mbox(d))
+            elif d % 4 == 0:
+                raws = [_eml_plain(d)]
+            elif d % 4 == 1:
+                raws = [_eml_multipart(d)]
+            else:
+                raws = [_eml_forward(d)]
+            want = []
+            for idx, raw in enumerate(raws):
+                rec = extract_email(raw)
+                want.append(
+                    (idx, rec["subject"], rec["message_id"],
+                     rec["date_ms"], rec["text"], rec["n_parts"],
+                     rec["n_attachments"], rec["attachment_bytes"])
+                )
+            assert sorted(got[d]) == sorted(want), d

@@ -193,3 +193,73 @@ def test_text_budget_counts_bytes():
     total = sum(len(c["text"].encode("utf-8")) for c in cues)
     assert total <= (1 << 22)
     assert len(cues) < 3
+
+
+# ── synthetic corpus + driver-row leg (r11) ─────────────────────
+
+
+def test_corpus_deterministic_and_shape_coverage():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.subtitles import (  # noqa: E501
+        build_srt,
+        build_vtt,
+        parse_srt,
+        parse_vtt,
+    )
+
+    saw_bom = saw_latin1 = saw_skip = saw_voice = saw_id = False
+    for d in range(120):
+        s1, s2 = build_srt(d), build_srt(d)
+        v1, v2 = build_vtt(d), build_vtt(d)
+        assert s1 == s2 and v1 == v2, d  # pure function of doc_id
+        cues_s, cues_v = parse_srt(s1), parse_vtt(v1)
+        assert cues_s and cues_v, d
+        saw_bom |= s1[:3] == b"\xef\xbb\xbf"
+        saw_latin1 |= d % 13 == 5 and b"Caf\xe9" in s1
+        # the broken-timing block is dropped, neighbors survive
+        if d % 7 == 3:
+            saw_skip = True
+            assert len(cues_s) == (2 + d % 4) - 1, d
+        saw_voice |= any(
+            c["text"].startswith("Speaker") for c in cues_v
+        )
+        saw_id |= b"cue-%d-0" % d in v1
+    assert saw_bom and saw_latin1 and saw_skip and saw_voice and saw_id
+
+
+@pytest.mark.usefixtures("spark")
+class TestCorpusKernel:
+    def test_kernel_equals_driver_over_corpus(self, spark, sf_dir):
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.subtitles import (  # noqa: E501
+            build_srt,
+            build_vtt,
+            parse_srt,
+            parse_vtt,
+            subtitle_text,
+            synthetic_subtitle_corpus,
+        )
+        from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+        from pyspark.sql import functions as F
+
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 60
+        )
+        got = {}
+        for r in subtitle_text(
+            synthetic_subtitle_corpus(docs).select("doc_id", "blob")
+        ).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["kind"], r["cue_idx"], r["start_ms"], r["end_ms"],
+                 r["text"])
+            )
+        for d in range(60):
+            if d % 11 == 7:
+                assert d not in got, d  # S4 garbage emits nothing
+                continue
+            kind = "srt" if d % 2 == 0 else "vtt"
+            cues = (parse_srt(build_srt(d)) if kind == "srt"
+                    else parse_vtt(build_vtt(d)))
+            assert got[d] == [
+                (kind, c["cue_idx"], c["start_ms"], c["end_ms"],
+                 c["text"])
+                for c in cues
+            ], d
