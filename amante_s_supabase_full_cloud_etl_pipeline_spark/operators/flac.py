@@ -41,7 +41,11 @@ from __future__ import annotations
 
 import struct
 
-_MAX_METADATA = 1 << 24       # one metadata block (spec: 24-bit len)
+_MAX_METADATA = 1 << 23       # one metadata block, 8 MiB (the spec
+#                               field maxes at 16 MiB-1; the tighter
+#                               bound keeps the guard LIVE — review
+#                               catch: a cap equal to the field max
+#                               can never fire)
 _MAX_CHANNELS = 8
 _MAX_BLOCKSIZE = 65_535
 _MAX_TOTAL_SAMPLES = 1 << 26  # bomb cap: ~64M samples ≈ 25 min/48kHz
@@ -493,9 +497,13 @@ def _decode_frame(blob: bytes, pos: int, info: dict):
 # ── public surface ──────────────────────────────────────────────
 
 
-def _walk_frames(b: bytes, info: dict):
+def _walk_frames(b: bytes, info: dict, keep_samples: bool = True):
     """Shared single-pass frame walk: (channel-major sample lists,
-    last frame's rate, n_frames, total_samples_decoded)."""
+    last frame's rate, n_frames, total_samples_decoded).
+    ``keep_samples=False`` decodes each frame (hopping REQUIRES it —
+    FLAC frames carry no length field) but retains nothing, so a
+    metadata-only caller's memory stays one block, not the whole
+    multi-GB PCM of a cap-sized file (review catch)."""
     nch = info["channels"]
     out = [[] for _ in range(nch)]
     total = 0
@@ -511,6 +519,8 @@ def _walk_frames(b: bytes, info: dict):
         n_frames += 1
         if total > _MAX_TOTAL_SAMPLES:
             raise _Broken("total-sample cap")
+        if not keep_samples:
+            continue
         for c in range(nch):
             out[c].extend(chans[c])
     if info["total_samples"] and total < info["total_samples"]:
@@ -530,11 +540,9 @@ def decode_flac_pcm(blob: bytes | None):
         out, rate, _n_frames, _total = _walk_frames(b, info)
         md5_ok = None
         if info["md5"] != b"\x00" * 16:
-            import hashlib
-
-            md5_ok = hashlib.md5(
-                interleaved_pcm(out, info["bits_per_sample"])
-            ).digest() == info["md5"]
+            md5_ok = _pcm_md5(
+                out, info["bits_per_sample"]
+            ) == info["md5"]
         return out, rate, info["bits_per_sample"], md5_ok
     except (_Broken, OverflowError):
         return None
@@ -597,7 +605,9 @@ def parse_flac_meta(blob: bytes | None):
     try:
         info, vorbis, pos = _walk_metadata(b)
         info["__first_frame"] = pos
-        _out, _rate, n_frames, total = _walk_frames(b, info)
+        _out, _rate, n_frames, total = _walk_frames(
+            b, info, keep_samples=False
+        )
         tags = (vorbis or {}).get("tags", {})
         return {
             "sample_rate": info["sample_rate"],

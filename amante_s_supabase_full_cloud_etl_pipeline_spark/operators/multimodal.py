@@ -21,7 +21,8 @@ REAL for uncompressed formats:
   present, JPEG dispatch prefers libjpeg for throughput except where
   golden-value parity pins the native codec (see
   :func:`decode_image_features`).
-- :func:`decode_wav` decodes RIFF/PCM16 audio (proper chunk walk,
+- :func:`decode_wav` decodes RIFF audio — integer PCM 8/16/24/32,
+  float32, EXTENSIBLE wrappers (proper chunk walk,
   stereo downmix) → waveform features; compressed audio formats
   gate exactly like compressed images.
 - :func:`split_ppm_stream`/:func:`frame_sample` treat concatenated
@@ -595,10 +596,12 @@ def encode_wav_pcm16(samples, sample_rate: int = 16_000) -> bytes:
 
 
 def decode_wav(blob: bytes):
-    """PCM16 mono/stereo WAV → (samples float64 in [-1,1], rate), or
-    None for compressed/malformed input (per-row skip, S4
-    semantics). Walks RIFF chunks properly — fmt need not precede
-    data at a fixed offset."""
+    """Mono/stereo WAV → (samples float64 in [-1,1], rate), or None
+    for compressed/malformed input (per-row skip, S4 semantics).
+    r11: the full uncompressed family — integer PCM at 8 (unsigned),
+    16, 24, and 32 bits, IEEE float32 (format 3), and
+    WAVE_FORMAT_EXTENSIBLE wrappers of both. Walks RIFF chunks
+    properly — fmt need not precede data at a fixed offset."""
     import struct
 
     import numpy as np
@@ -623,12 +626,65 @@ def decode_wav(blob: bytes):
     if fmt is None or data is None:
         return None
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16 or channels not in (1, 2):
+    if audio_format == 0xFFFE and len(b) > 0:
+        # WAVE_FORMAT_EXTENSIBLE: the real format rides the first
+        # two bytes of the 16-byte SubFormat GUID (fmt body 24:26)
+        pos2, ext = 12, None
+        while pos2 + 8 <= len(b):
+            cid2, size2 = b[pos2:pos2 + 4], struct.unpack_from(
+                "<I", b, pos2 + 4
+            )[0]
+            if cid2 == b"fmt " and size2 >= 26:
+                ext = struct.unpack_from("<H", b, pos2 + 8 + 24)[0]
+                break
+            pos2 += 8 + size2 + (size2 & 1)
+        if ext is None:
+            return None
+        audio_format = ext
+    if channels not in (1, 2) or rate <= 0:
+        return None
+    # r11: the full integer-PCM family + IEEE float (the widths a
+    # real crawl's WAVs actually arrive in), not only PCM16;
+    # compressed formats stay gated like the image codecs
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) - len(data) % (2 * channels)],
+            dtype="<i2",
+        ).astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        # 8-bit WAV is UNSIGNED with a 128 midpoint (the RIFF spec's
+        # one asymmetric width)
+        samples = (
+            np.frombuffer(
+                data[: len(data) - len(data) % channels], dtype="u1"
+            ).astype(np.float64) - 128.0
+        ) / 128.0
+    elif audio_format == 1 and bits == 24:
+        usable = len(data) - len(data) % (3 * channels)
+        tri = np.frombuffer(data[:usable], dtype="u1").reshape(-1, 3)
+        # sign-extend little-endian 3-byte ints via the i4 form
+        quad = np.zeros((tri.shape[0], 4), dtype="u1")
+        quad[:, :3] = tri
+        vals = quad.view("<i4").ravel()
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        samples = vals.astype(np.float64) / float(1 << 23)
+    elif audio_format == 1 and bits == 32:
+        samples = np.frombuffer(
+            data[: len(data) - len(data) % (4 * channels)],
+            dtype="<i4",
+        ).astype(np.float64) / float(1 << 31)
+    elif audio_format == 3 and bits == 32:
+        samples = np.frombuffer(
+            data[: len(data) - len(data) % (4 * channels)],
+            dtype="<f4",
+        ).astype(np.float64)
+        if samples.size and not np.isfinite(samples).all():
+            return None  # NaN/inf payload → damaged, not audio
+    else:
         return None  # compressed or exotic → gated like image codecs
-    samples = np.frombuffer(data[: len(data) - len(data) % (2 * channels)], dtype="<i2")
     if channels == 2:
         samples = samples.reshape(-1, 2).mean(axis=1)
-    return samples.astype(np.float64) / 32768.0, rate
+    return samples, rate
 
 
 def audio_features(samples, rate: int, round_to: int = 6):

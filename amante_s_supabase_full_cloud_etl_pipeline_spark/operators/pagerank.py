@@ -228,10 +228,8 @@ def pagerank(
             )
         finally:
             # nodes_p / dangling_nodes are projections of the one
-            # checkpointed aug leaf — free THAT frame (freeing a
-            # projection would unpersist a derived RDD, not the
-            # checkpoint blocks)
-            _free_checkpoint(aug)
+            # persisted aug frame — release THAT frame
+            aug.unpersist()
     finally:
         weighted.unpersist()
         nodes.unpersist()
@@ -240,7 +238,16 @@ def pagerank(
 def _teleport_vector(
     aug: DataFrame, n: int, personalization: DataFrame | None
 ) -> DataFrame:
-    """``aug`` + a ``__p`` teleport column, checkpointed: uniform
+    """``aug`` + a ``__p`` teleport column, PERSISTED (r11: was
+    checkpointed — but this frame is STATIC, so the lineage-growth
+    reason for checkpoints never applies, and a checkpoint's
+    LogicalRDD leaf hides size stats from Catalyst: the per-
+    iteration nodes_p⋈contribs join then ran as a SortMergeJoin
+    exchanging AND sorting BOTH sides every iteration. A persisted
+    InMemoryRelation keeps stats, so AQE broadcasts the small side
+    at bench scale and falls back to the shuffle join exactly when
+    the node table outgrows the broadcast threshold — the right
+    choice at BOTH scales, picked by size at runtime): uniform
     1/N without personalization, else the seed weights sum-merged
     (duplicate rows), aligned to the current nodes (absent → 0),
     validated non-negative with a positive total, and renormalized
@@ -249,9 +256,10 @@ def _teleport_vector(
     through, so the result is the single static per-node leaf the
     iteration reads."""
     if personalization is None:
-        return aug.withColumn("__p", F.lit(1.0 / n)).localCheckpoint(
-            eager=True
-        )
+        out = aug.withColumn("__p", F.lit(1.0 / n))
+        out.persist()
+        out.count()  # materialize now — staging cost stays staged
+        return out
     seeds = personalization.groupBy("node").agg(
         F.sum("weight").alias("__w")
     )
@@ -284,13 +292,12 @@ def _teleport_vector(
                 "personalization must put positive weight on at "
                 "least one node of the graph"
             )
-        return (
-            aligned.withColumn(
-                "__p", F.col("__w") / F.lit(float(row["tot"]))
-            )
-            .drop("__w")
-            .localCheckpoint(eager=True)
-        )
+        out = aligned.withColumn(
+            "__p", F.col("__w") / F.lit(float(row["tot"]))
+        ).drop("__w")
+        out.persist()
+        out.count()
+        return out
     finally:
         aligned.unpersist()
 

@@ -308,8 +308,9 @@ def _extra_queries():
         )
 
         # r11: eml/mbox header+body extraction (stdlib email walk +
-        # html funnel) over the fixture corpus (map-only). The 5000-row
-        # doc_id seed arrives as ONE parquet split, which would run
+        # html funnel) over the fixture corpus (map-only). The seed
+        # (doc_id < 8000 covers every sf; 5000 rows at sf0.1)
+        # arrives as ONE parquet split, which would run
         # the ~1.7 ms/message Python kernel single-threaded —
         # repartition the seed so the measurement reflects the
         # many-input-split layout any real corpus has
@@ -573,12 +574,28 @@ def run() -> None:
             times.append(time.perf_counter() - t0)
         return min(times), max(times) - min(times)
 
+    def _quiesce():
+        # r11: between rows, release the previous query's JVM garbage
+        # (broadcast blocks, shuffle files, codegen transients). As
+        # the headline set grew 13 → 34 rows, the LAST rows' timings
+        # began absorbing the whole run's accumulated heap pressure:
+        # pos_kernel_1m_orders measured 2.2-2.8 s at the tail of a
+        # full run vs 1.28 s in a fresh JVM (r11 measurement). A GC
+        # fence between rows makes each row's number depend on THAT
+        # row, not on how many rows ran before it.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
+        _quiesce()
         best, spread = force(name)
         timings[name] = round(best, 4)
         spreads[name] = round(spread, 4)
+    _quiesce()
     best, spread = pagerank_throughput(spark, sf_dir)
     timings["pagerank_crawl_graph"] = round(best, 4)
     spreads["pagerank_crawl_graph"] = round(spread, 4)

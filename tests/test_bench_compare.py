@@ -155,3 +155,32 @@ def test_load_real_r10_artifact_recovers_31_queries():
     meas = load(os.path.join(REPO, "BENCH_r10.json"))
     assert len(meas["queries"]) == 31
     assert meas["queries"]["pagerank_crawl_graph"] == 5.922
+
+
+def test_load_merges_spread_from_tail_for_two_line_format(tmp_path):
+    # r11 bench prints spread on its own earlier line; the driver's
+    # parsed final line has queries but no spread. load() must
+    # harvest spread from the tail or every bound collapses to 0
+    # and run-to-run noise flags REGRESSION (review catch)
+    tail = (
+        '{"spread":{"q1":0.5,"q2":0.1},"passes":3}\n'
+        '{"metric":"headline_query_wall_total","value":3.0,'
+        '"unit":"sec","queries":{"q1":1.0,"q2":2.0},"sf":"x"}'
+    )
+    art = tmp_path / "BENCH_rY.json"
+    art.write_text(json.dumps({
+        "n": 11, "rc": 0,
+        "parsed": {"metric": "headline_query_wall_total",
+                   "value": 3.0, "unit": "sec",
+                   "queries": {"q1": 1.0, "q2": 2.0}, "sf": "x"},
+        "tail": tail,
+    }))
+    meas = load(str(art))
+    assert meas["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert meas["spread"] == {"q1": 0.5, "q2": 0.1}
+    # a 0.02s wobble stays inside the recovered bound
+    other = tmp_path / "BENCH_rZ.json"
+    other.write_text(json.dumps(_meas(
+        {"q1": 1.02, "q2": 1.98}, {"q1": 0.3, "q2": 0.2})))
+    out = compare(meas, load(str(other)))
+    assert out["regressions"] == [] and out["improvements"] == []

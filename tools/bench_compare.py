@@ -82,6 +82,18 @@ def load(path: str) -> dict:
         if rec.get("queries"):
             rec["recovered_from_tail"] = True
             meas = rec
+    if isinstance(meas.get("queries"), dict) and not isinstance(
+        meas.get("spread"), dict
+    ) and isinstance(doc, dict) and isinstance(doc.get("tail"), str):
+        # r11+ bench output carries spread on its own EARLIER stdout
+        # line (the final parsed line holds only queries), so a
+        # driver artifact parses fine but without noise bounds —
+        # and a zero bound would flag ordinary run-to-run noise as
+        # a regression (review catch). Harvest spread from the tail.
+        rec = _recover_from_tail(doc["tail"])
+        if rec.get("spread"):
+            meas = dict(meas)
+            meas["spread"] = rec["spread"]
     if not isinstance(meas.get("queries"), dict):
         raise SystemExit(
             f"{path}: no 'queries' key (not a bench artifact, or a "
