@@ -53,14 +53,14 @@ frame rows; the pair query is the same two aggregations as the
 chunk-hash pairs — bounded buffers, no all-pairs, no driver
 collects.
 
-SCOPE LIMIT (documented, not a bug): the SAME recording stored at a
-different sample RATE is not matched — the 1024-sample frame covers
-a different time span, so frames don't align even though the band
-edges scale. The standard front-end is resampling to a canonical
-rate before fingerprinting; a clean-room polyphase resampler is a
-deliberate non-goal this round (the dominant duplicate shapes —
-volume change, re-quantization, light noise, byte-identical
-re-uploads — are covered).
+Rate mismatches (r11 — the former SCOPE LIMIT, now closed): the
+SAME recording stored at a different sample RATE does not align
+frame-for-frame, so the standard front-end is resampling to a
+canonical analysis rate before fingerprinting. The kernels take
+``canonical_rate`` (wired through :func:`decode_audio` into the
+clean-room polyphase resampler, :mod:`.resample`); cross-rate probe
+sharing is pinned quantitatively in tests. The default stays None —
+per-file-rate analysis, byte-identical goldens/benches.
 """
 
 from __future__ import annotations
@@ -82,17 +82,33 @@ from .flac import decode_flac, sniff_flac
 from .multimodal import decode_wav
 
 
-def decode_audio(blob: bytes):
+def decode_audio(blob: bytes, canonical_rate: int | None = None):
     """Container dispatch for the fingerprint kernels: PCM WAV or
     FLAC (r11 — the first compressed audio codec, clean-room per
     RFC 9639; see :mod:`.flac` for why it is not ADR-gated) →
     (mono float64 in [-1, 1], rate), None on damage/unknown (S4).
     Both decoders fold channels by mean, so the SAME recording
     stored as WAV and as FLAC yields the same samples — and
-    therefore identical fingerprints (pinned in tests)."""
-    if sniff_flac(blob):
-        return decode_flac(blob)
-    return decode_wav(blob)
+    therefore identical fingerprints (pinned in tests).
+
+    ``canonical_rate`` (r11): resample the decoded waveform to one
+    analysis rate via :mod:`.resample` — the front-end that closes
+    the module's documented rate-mismatch SCOPE LIMIT: with it, the
+    SAME recording stored at 8/16/44.1 kHz fingerprints onto shared
+    probe keys (pinned quantitatively in tests). Default None keeps
+    the historical per-file-rate behavior (golden/bench outputs
+    unchanged)."""
+    decoded = decode_flac(blob) if sniff_flac(blob) else (
+        decode_wav(blob)
+    )
+    if decoded is None or canonical_rate is None:
+        return decoded
+    samples, rate = decoded
+    if rate == canonical_rate:
+        return decoded
+    from .resample import resample
+
+    return resample(samples, rate, canonical_rate), canonical_rate
 
 #: frame layout: 1024-sample Hann windows, 50% hop — at 16 kHz each
 #: frame covers 64 ms and one lands every 32 ms
@@ -192,11 +208,15 @@ AUDIO_PROBE_SCHEMA = StructType(
 _PROBE_COLS = [f.name for f in AUDIO_PROBE_SCHEMA.fields]
 
 
-def audio_fingerprints(media: DataFrame) -> DataFrame:
+def audio_fingerprints(
+    media: DataFrame, canonical_rate: int | None = None
+) -> DataFrame:
     """Map-only Arrow kernel: one row per frame sub-fingerprint of
     each blob — (doc_id, frame_idx, fp). Corrupt / compressed / too-
     short blobs emit nothing (S4 skip, same contract as every media
-    kernel). Expects (doc_id, blob)."""
+    kernel). Expects (doc_id, blob). ``canonical_rate`` resamples
+    every decodable blob to one analysis rate (see
+    :func:`decode_audio`) so cross-rate duplicates align."""
 
     def kernel(batches):
         import pandas as pd
@@ -205,7 +225,8 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
                 decoded = decode_audio(
-                    bytes(blob) if blob is not None else b""
+                    bytes(blob) if blob is not None else b"",
+                    canonical_rate,
                 )
                 if decoded is None:
                     continue
@@ -220,10 +241,13 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     ).mapInPandas(kernel, AUDIO_FP_SCHEMA)
 
 
-def audio_probes(media: DataFrame) -> DataFrame:
+def audio_probes(
+    media: DataFrame, canonical_rate: int | None = None
+) -> DataFrame:
     """Map-only Arrow kernel: the DISTINCT multi-probe keys per blob
     — (doc_id, probe). The 33× expansion happens worker-side (never
-    a Spark explode of a driver list), S4 skip as above."""
+    a Spark explode of a driver list), S4 skip as above.
+    ``canonical_rate`` as on :func:`audio_fingerprints`."""
 
     def kernel(batches):
         import pandas as pd
@@ -232,7 +256,8 @@ def audio_probes(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
                 decoded = decode_audio(
-                    bytes(blob) if blob is not None else b""
+                    bytes(blob) if blob is not None else b"",
+                    canonical_rate,
                 )
                 if decoded is None:
                     continue

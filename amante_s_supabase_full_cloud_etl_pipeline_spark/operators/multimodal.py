@@ -680,6 +680,37 @@ def decode_wav(blob: bytes):
         ).astype(np.float64)
         if samples.size and not np.isfinite(samples).all():
             return None  # NaN/inf payload → damaged, not audio
+    elif audio_format in (6, 7) and bits == 8:
+        # ITU-T G.711 A-law (6) / µ-law (7) — telephony WAVs. The
+        # expansion is FORMULA-derived (segment/exponent/mantissa,
+        # no fixed tables), so it is not in the ADR-gated class;
+        # differential-tested against stdlib audioop.
+        codes = np.frombuffer(
+            data[: len(data) - len(data) % channels], dtype="u1"
+        )
+        if audio_format == 7:
+            # µ-law: invert, split 3-bit exponent / 4-bit mantissa,
+            # linear = ((m*2+33) << e) - 33, in quarter-steps of the
+            # 14-bit range scaled to 16-bit by audioop's convention
+            u = (~codes) & 0xFF
+            sign = u >> 7
+            e = (u >> 4) & 0x07
+            m = u & 0x0F
+            mag = (((2 * m.astype(np.int64) + 33) << e) - 33) * 4
+            vals = np.where(sign == 1, -mag, mag)
+        else:
+            # A-law: even-bit inversion (0x55), 3-bit exponent:
+            # e==0 → linear = m*2+1 (×8), else ((m*2+33) << (e-1))×8
+            a = codes ^ 0x55
+            sign = a >> 7
+            e = (a >> 4) & 0x07
+            m = (a & 0x0F).astype(np.int64)
+            mag = np.where(
+                e == 0, (2 * m + 1) * 8,
+                ((2 * m + 33) << np.maximum(e - 1, 0)) * 8,
+            )
+            vals = np.where(sign == 1, mag, -mag)
+        samples = vals.astype(np.float64) / 32768.0
     else:
         return None  # compressed or exotic → gated like image codecs
     if channels == 2:

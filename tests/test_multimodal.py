@@ -528,3 +528,31 @@ def test_wav_float32_and_extensible_and_gates():
     assert decode_wav(_wav_bytes(3, 1, 8000, 32, bad)) is None
     assert decode_wav(_wav_bytes(85, 1, 8000, 16, d16)) is None
     assert decode_wav(_wav_bytes(1, 1, 8000, 12, d16)) is None
+
+
+def test_wav_g711_exact_vs_stdlib_audioop():
+    # ITU G.711 µ-law/A-law expansion is formula-derived in
+    # decode_wav; stdlib audioop (the C reference) must agree
+    # EXACTLY over every possible code byte
+    import warnings
+
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        decode_wav,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    codes = bytes(range(256))
+    for fmt, fn in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        want = np.frombuffer(
+            fn(codes, 2), dtype="<i2"
+        ).astype(np.float64) / 32768.0
+        got = decode_wav(_wav_bytes(fmt, 1, 8000, 8, codes))
+        assert got is not None and got[1] == 8000
+        assert np.array_equal(got[0], want), fmt
+    # G.711 at a width other than 8 bits is malformed → S4
+    assert decode_wav(_wav_bytes(7, 1, 8000, 16, codes)) is None
