@@ -106,9 +106,19 @@ def decode_audio(blob: bytes, canonical_rate: int | None = None):
     samples, rate = decoded
     if rate == canonical_rate:
         return decoded
+    import numpy as np
+
     from .resample import resample
 
-    return resample(samples, rate, canonical_rate), canonical_rate
+    # clip: the Kaiser sinc has Gibbs overshoot (~9% on a step), and
+    # the documented contract is mono float64 in [-1, 1] — the
+    # fingerprinter is amplitude-invariant, but a future consumer
+    # trusting the contract (re-encode to int16, peak features)
+    # would wrap (review catch)
+    return (
+        np.clip(resample(samples, rate, canonical_rate), -1.0, 1.0),
+        canonical_rate,
+    )
 
 #: frame layout: 1024-sample Hann windows, 50% hop — at 16 kHz each
 #: frame covers 64 ms and one lands every 32 ms
@@ -297,7 +307,10 @@ def shared_audio_pairs(
 
 
 def audio_near_dup_pairs(
-    media: DataFrame, max_posting: int = 64, min_shared: int = 8
+    media: DataFrame,
+    max_posting: int = 64,
+    min_shared: int = 8,
+    canonical_rate: int | None = None,
 ) -> DataFrame:
     """End-to-end: blobs → probe keys → shared-probe pairs. The
     probe frame feeds BOTH the eligibility aggregation and the
@@ -306,9 +319,13 @@ def audio_near_dup_pairs(
     twice, the dominant cost of the audio tier (review catch).
     Released by the registry/bench cache lifecycle
     (:func:`.cache.release_tracked`); ad-hoc callers can release
-    the same way."""
+    the same way. ``canonical_rate`` (r11, review catch: the
+    capability was kernel-only) enables cross-sample-rate matching
+    — see :func:`decode_audio`."""
     from .cache import tracked_persist
 
     return shared_audio_pairs(
-        tracked_persist(audio_probes(media)), max_posting, min_shared
+        tracked_persist(audio_probes(media, canonical_rate)),
+        max_posting,
+        min_shared,
     )

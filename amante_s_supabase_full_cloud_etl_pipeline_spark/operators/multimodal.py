@@ -700,10 +700,14 @@ def decode_wav(blob: bytes):
             vals = np.where(sign == 1, -mag, mag)
         else:
             # A-law: even-bit inversion (0x55), 3-bit exponent:
-            # e==0 → linear = m*2+1 (×8), else ((m*2+33) << (e-1))×8
+            # e==0 → linear = m*2+1 (×8), else ((m*2+33) << (e-1))×8.
+            # e is widened to int64 BEFORE the -1: on uint8 it wraps
+            # to 255 and np.where evaluates both branches, so the
+            # discarded branch would execute a shift-by-255 — C UB
+            # (review catch)
             a = codes ^ 0x55
             sign = a >> 7
-            e = (a >> 4) & 0x07
+            e = ((a >> 4) & 0x07).astype(np.int64)
             m = (a & 0x0F).astype(np.int64)
             mag = np.where(
                 e == 0, (2 * m + 1) * 8,

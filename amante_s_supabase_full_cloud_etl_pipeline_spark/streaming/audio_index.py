@@ -66,6 +66,7 @@ def fold_audio_index(
     batch_id: int | None = None,
     max_posting: int = 64,
     min_shared: int = 8,
+    canonical_rate: int | None = None,
 ) -> DataFrame:
     """Process one micro-batch of (doc_id, blob): returns the
     near-dup pairs this batch surfaces — in-batch pairs plus
@@ -74,8 +75,14 @@ def fold_audio_index(
     (exactly-once via ``batch_id``). The returned frame is
     materialized BEFORE the append commits, so a batch never pairs
     with itself through the index; a replayed batch re-emits the
-    same pairs, so the pair sink must be keyed."""
-    rows = audio_probes(batch)
+    same pairs, so the pair sink must be keyed.
+
+    ``canonical_rate`` (r11): analyze every blob at one rate so
+    cross-sample-rate re-uploads collide — MUST be held constant
+    for the LIFETIME of an index (probes folded at different rates
+    never match; same contract as the chunker params on the chunk
+    index)."""
+    rows = audio_probes(batch, canonical_rate)
     rows.persist()
     try:
         stored = read_pruned_by_keys(index, rows, "probe")

@@ -313,9 +313,11 @@ def _extra_queries():
         # arrives as ONE parquet split, which would run
         # the ~1.7 ms/message Python kernel single-threaded —
         # repartition the seed so the measurement reflects the
-        # many-input-split layout any real corpus has
+        # many-input-split layout any real corpus has. Bounded at
+        # 4000 docs (covers the 44-shape corpus cycle 90x; the
+        # jpeg row's doc_id<4000 precedent)
         docs = catalog.table(spark, sf_dir, "documents").filter(
-            FF.col("doc_id") < 8000
+            FF.col("doc_id") < 4000
         ).repartition(64)
         corpus = synthetic_email_corpus(docs).select("doc_id", "blob")
         return email_text(corpus)
@@ -332,11 +334,11 @@ def _extra_queries():
         # + PCM crc32) over the fixture corpus (map-only; seed
         # repartitioned — the per-doc decode is ~7 ms of Python, so
         # a single parquet split would serialize it). Bounded at
-        # 1000 docs: the per-pass corpus ENCODE costs more than the
-        # decode being measured, and 1000 already covers every wire
-        # shape 8x over (the jpeg row's doc_id<4000 precedent)
+        # 600 docs: the per-pass corpus ENCODE costs more than the
+        # decode being measured, and 600 already covers every wire
+        # shape 5x over (the jpeg row's doc_id<4000 precedent)
         docs = catalog.table(spark, sf_dir, "documents").filter(
-            FF.col("doc_id") < 1000
+            FF.col("doc_id") < 600
         ).repartition(64)
         corpus = synthetic_flac_corpus(docs).select("doc_id", "blob")
         return flac_meta(corpus)

@@ -151,3 +151,62 @@ def test_kernel_canonical_rate_crosses_rates(spark):
         audio_probes(media), min_shared=700
     ).collect()
     assert unpaired == []
+
+
+@pytest.mark.usefixtures("spark")
+def test_end_to_end_entry_points_take_canonical_rate(spark, tmp_path):
+    # review catch: the capability must be reachable from the
+    # production APIs, not only the kernels — the batch pair entry
+    # point AND the streaming index fold
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.audio_fp import (  # noqa: E501
+        audio_near_dup_pairs,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.table_format import (  # noqa: E501
+        ParquetTable,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.audio_index import (  # noqa: E501
+        fold_audio_index,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_chirp_rec(16_000))),
+         (2, bytearray(_chirp_rec(44_100)))],
+        "doc_id long, blob binary",
+    )
+    got = audio_near_dup_pairs(
+        media, min_shared=700, canonical_rate=16_000
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+
+    # streaming: fold the 16 kHz doc first, then the 44.1 kHz
+    # re-upload in a LATER batch — discovered through the index
+    idx = ParquetTable(spark, str(tmp_path / "audio_idx"))
+    b1 = media.filter("doc_id = 1")
+    b2 = media.filter("doc_id = 2")
+    assert fold_audio_index(
+        idx, b1, batch_id=0, min_shared=700, canonical_rate=16_000
+    ).collect() == []
+    pairs = fold_audio_index(
+        idx, b2, batch_id=1, min_shared=700, canonical_rate=16_000
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_resampled_decode_clipped_to_contract():
+    # Gibbs overshoot on sharp transients must not leak past the
+    # documented [-1, 1] decode contract (review catch)
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.audio_fp import (  # noqa: E501
+        decode_audio,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        encode_wav_pcm16,
+    )
+
+    square = np.tile(
+        np.concatenate([np.full(50, 32767), np.full(50, -32768)]), 80
+    ).astype(np.int16)
+    decoded = decode_audio(
+        encode_wav_pcm16(square, 8_000), canonical_rate=16_000
+    )
+    assert decoded is not None
+    assert decoded[0].max() <= 1.0 and decoded[0].min() >= -1.0
