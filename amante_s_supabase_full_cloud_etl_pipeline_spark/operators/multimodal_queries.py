@@ -364,6 +364,44 @@ def flac_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 golden_table("flac_corpus_meta", flac_corpus_meta_leg)
 
 
+def ogg_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ogg leg of ``multimodal_media_meta`` (r11 — RFC 3533 page
+    walk + Vorbis/Opus identification): one row per logical stream
+    over the synthetic corpus (opus/vorbis/multiplexed shapes,
+    cross-page packet continuation, tags). key packs doc_id|serial|
+    codec|channels|sample_rate|pre_skip|eos|title|artist (null →
+    ``-``), n = duration_ms (-1 null), v1 = n_pages,
+    v2 = n_packets."""
+    from .ogg import ogg_meta, synthetic_ogg_corpus
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _FLAC_LEG_DOCS)
+        .select("doc_id")
+    )
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    return ogg_meta(
+        synthetic_ogg_corpus(docs).select("doc_id", "blob")
+    ).select(
+        F.lit("ogg_stream").alias("leg"),
+        F.concat_ws(
+            "|", s("doc_id"), s("serial"), s("codec"), s("channels"),
+            s("sample_rate"), s("pre_skip"),
+            F.col("eos").cast("int").cast("string"),
+            s("title"), s("artist"),
+        ).alias("key"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).alias("n"),
+        F.col("n_pages").alias("v1"),
+        F.col("n_packets").alias("v2"),
+    ).orderBy("key")
+
+
+golden_table("ogg_corpus_meta", ogg_corpus_meta_leg)
+
+
 #: the live arm's SQL, shared between the registered (golden-pinned)
 #: oracle and the any-SF live-leg compare in
 #: tests/test_consolidated_live_legs.py (review catch: golden_sf pins
@@ -417,6 +455,9 @@ def blob_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT leg, key, n, v1, v2
         FROM read_parquet('{GOLDEN_DIR}/flac_corpus_meta.parquet')
+        UNION ALL
+        SELECT leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/ogg_corpus_meta.parquet')
     ) ORDER BY leg, key
     """,
     golden_sf=DRIVER_SF,
@@ -443,7 +484,9 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-ingest sources that were pytest-only (VERDICT r10 missing
     #1) — via :func:`text_ingest_meta_leg` — and the 'flac_stream'
     leg (clean-room RFC 9639 decode with a full PCM value pin) via
-    :func:`flac_corpus_meta_leg`."""
+    :func:`flac_corpus_meta_leg`, plus the 'ogg_stream' leg (RFC
+    3533 page walk + Vorbis/Opus identification) via
+    :func:`ogg_corpus_meta_leg`."""
     mp4 = mp4_track_meta_leg(spark, sf_dir).select(
         F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
     )
@@ -454,6 +497,7 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mkv_corpus_meta_leg(spark, sf_dir))
         .unionByName(text_ingest_meta_leg(spark, sf_dir))
         .unionByName(flac_corpus_meta_leg(spark, sf_dir))
+        .unionByName(ogg_corpus_meta_leg(spark, sf_dir))
         .orderBy("leg", "key")
     )
 

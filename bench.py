@@ -93,6 +93,9 @@ HEADLINE = (
     # first compressed audio codec; VERDICT r10 missing #2) —
     # measured the round it lands
     "flac_decode_kernel",
+    # round-11: Ogg page walk + Vorbis/Opus identification (the
+    # third container next to mp4/mkv) — measured the round it lands
+    "ogg_meta_kernel",
 )
 
 
@@ -343,6 +346,24 @@ def _extra_queries():
         corpus = synthetic_flac_corpus(docs).select("doc_id", "blob")
         return flac_meta(corpus)
 
+    def ogg_meta_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.ogg import (  # noqa: E501
+            ogg_meta,
+            synthetic_ogg_corpus,
+        )
+
+        # r11: RFC 3533 page walk (CRC per page) + codec ident over
+        # the fixture corpus (map-only; seed repartitioned like the
+        # email row — page CRC is Python-side work; bounded at 1500
+        # docs, 12x over the 125-shape corpus cycle)
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 1500
+        ).repartition(64)
+        corpus = synthetic_ogg_corpus(docs).select("doc_id", "blob")
+        return ogg_meta(corpus)
+
     def mkv_keyframe_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
@@ -422,6 +443,7 @@ def _extra_queries():
         "subtitle_cue_kernel": subtitle_cue_kernel,
         "email_text_kernel": email_text_kernel,
         "flac_decode_kernel": flac_decode_kernel,
+        "ogg_meta_kernel": ogg_meta_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
