@@ -517,7 +517,14 @@ def _walk_frames(b: bytes, info: dict, keep_samples: bool = True):
         rate = hdr["rate"]
         total += hdr["blocksize"]
         n_frames += 1
-        if total > _MAX_TOTAL_SAMPLES:
+        # Bomb cap. When samples are RETAINED the cap must bound the
+        # total ints held across ALL channels (a Rice escape raw=0
+        # partition encodes 65535 zero samples in a few bits, so a
+        # tiny crafted file can otherwise grow total×nch toward
+        # executor OOM — review catch); a metadata-only walk retains
+        # nothing, so there the cap bounds CPU only.
+        retained = total * nch if keep_samples else total
+        if retained > _MAX_TOTAL_SAMPLES:
             raise _Broken("total-sample cap")
         if not keep_samples:
             continue

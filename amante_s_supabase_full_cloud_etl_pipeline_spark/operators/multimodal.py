@@ -680,6 +680,11 @@ def decode_wav(blob: bytes):
         ).astype(np.float64)
         if samples.size and not np.isfinite(samples).all():
             return None  # NaN/inf payload → damaged, not audio
+        # hot-mastered float WAVs carry |sample|>1; clip so the
+        # documented "float64 in [-1,1]" contract holds without a
+        # resample (decode_audio only clips post-resample)
+        if samples.size:
+            np.clip(samples, -1.0, 1.0, out=samples)
     elif audio_format in (6, 7) and bits == 8:
         # ITU-T G.711 A-law (6) / µ-law (7) — telephony WAVs. The
         # expansion is FORMULA-derived (segment/exponent/mantissa,

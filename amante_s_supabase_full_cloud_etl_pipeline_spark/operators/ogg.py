@@ -179,10 +179,18 @@ def _ident(first_packet: bytes):
         return "opus", {"channels": channels, "sample_rate": in_rate,
                         "granule_rate": 48_000, "pre_skip": pre_skip}
     if p[:7] == b"\x80theora" and len(p) >= 42:
-        # frame width/height ride at 14/16 as 16-bit macroblock
-        # counts ×16; the exact picture size at 17/20 is 24-bit
-        w = int.from_bytes(p[14:16], "big") * 16
-        h = int.from_bytes(p[16:18], "big") * 16
+        # Theora I spec §6.2 id-header layout after the 7-byte magic:
+        # VMAJ/VMIN/VREV at 7..9, FMBW/FMBH as 16-bit macroblock
+        # counts at 10/12 (frame size = count×16), and the exact
+        # picture size PICW/PICH as 24-bit values at 14/17. Prefer
+        # the exact picture size; fall back to the macroblock frame
+        # when a (non-conformant) header leaves PICW/PICH zero.
+        picw = int.from_bytes(p[14:17], "big")
+        pich = int.from_bytes(p[17:20], "big")
+        fmbw = int.from_bytes(p[10:12], "big") * 16
+        fmbh = int.from_bytes(p[12:14], "big") * 16
+        w = picw or fmbw
+        h = pich or fmbh
         return "theora", {"channels": 0, "sample_rate": 0,
                           "granule_rate": 0, "pre_skip": 0,
                           "width": w, "height": h}

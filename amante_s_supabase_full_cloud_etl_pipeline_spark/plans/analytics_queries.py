@@ -204,7 +204,14 @@ def point_freq_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = catalog.table(spark, sf_dir, "documents")
     cm = count_min_sketch(docs, "source", depth=4, width=2048)
-    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    # bounded collect: the query list for CM point-estimates must not
+    # assume low key cardinality — cap like every other driver-side
+    # collect in the repo (the sketch itself is cardinality-safe)
+    _CM_QUERY_CAP = 1024
+    sources = sorted(
+        r["source"]
+        for r in docs.select("source").distinct().limit(_CM_QUERY_CAP).collect()
+    )
     bound = int(math.e / cm.width * cm.n) + 1
     cm_rows = spark.createDataFrame(
         [("count_min", s, cm.estimate(s), bound) for s in sources],

@@ -321,3 +321,31 @@ class TestKernel:
             assert r["md5_state"] == 1 and md5_ok is True
             assert r["pcm_crc32"] == zlib.crc32(raw), d
             assert r["title"] == meta["title"]
+
+
+def test_sample_bomb_cap_scales_with_channel_count(monkeypatch):
+    # The retained-PCM bomb cap must bound total×nch (what decode
+    # actually holds), not per-channel totals: a Rice-escape bomb in
+    # an 8-channel stream otherwise retains 8× the cap (review
+    # catch). Metadata-only walks retain nothing, so there the cap
+    # stays a CPU bound on raw totals.
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import flac as flacmod
+
+    n = 512
+    chans = [
+        [((i * (c + 3)) % 97) - 48 for i in range(n)] for c in range(4)
+    ]
+    blob = flacmod.encode_flac(chans, blocksize=128)
+    # full decode fine under a generous cap
+    assert flacmod.decode_flac_pcm(blob) is not None
+    # cap set so total(512) <= cap but total*nch(2048) > cap:
+    # decode (retains) must refuse, meta-only walk must still pass
+    monkeypatch.setattr(flacmod, "_MAX_TOTAL_SAMPLES", 1024)
+    assert flacmod.decode_flac_pcm(blob) is None
+    info, _tags, pos = flacmod._walk_metadata(blob)
+    info["__first_frame"] = pos
+    out, _rate, n_frames, total = flacmod._walk_frames(
+        blob, info, keep_samples=False
+    )
+    assert total == n and n_frames == 4
+    assert all(not c for c in out)

@@ -556,3 +556,22 @@ def test_wav_g711_exact_vs_stdlib_audioop():
         assert np.array_equal(got[0], want), fmt
     # G.711 at a width other than 8 bits is malformed → S4
     assert decode_wav(_wav_bytes(7, 1, 8000, 16, codes)) is None
+
+
+def test_wav_float32_hot_master_clipped_to_contract():
+    # |sample|>1 float WAVs (hot masters) must come back clipped so
+    # the documented "float64 in [-1,1]" holds without a resample
+    # (review catch: only the resample path clipped before r12)
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        decode_wav,
+    )
+
+    x = np.array([0.5, 1.5, -2.0, -025e-2, 1.0], dtype="<f4")
+    r = decode_wav(_wav_bytes(3, 1, 8000, 32, x.tobytes()))
+    assert r is not None
+    samples, rate = r
+    assert rate == 8000
+    assert np.allclose(samples, [0.5, 1.0, -1.0, -0.25, 1.0])
+    assert float(np.abs(samples).max()) <= 1.0

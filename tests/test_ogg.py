@@ -167,3 +167,47 @@ def test_kernel_equals_driver(spark):
              m["duration_ms"], m["title"])
             for m in ref
         ]
+
+
+# ── r12: Theora id-header dimensions (review catch) ─────────────
+
+
+def _theora_id(fmbw_mb, fmbh_mb, picw, pich):
+    """Hand-built Theora I id header, field-by-field from spec §6.2:
+    magic, VMAJ/VMIN/VREV, FMBW/FMBH (16-bit macroblock counts),
+    PICW/PICH (24-bit exact picture size), PICX/PICY, FRN/FRD,
+    PARN/PARD, colorspace, NOMBR, quality/kfg bits."""
+    p = b"\x80theora"
+    p += bytes([3, 2, 1])                       # VMAJ VMIN VREV
+    p += fmbw_mb.to_bytes(2, "big")             # FMBW
+    p += fmbh_mb.to_bytes(2, "big")             # FMBH
+    p += picw.to_bytes(3, "big")                # PICW
+    p += pich.to_bytes(3, "big")                # PICH
+    p += bytes([0, 0])                          # PICX PICY
+    p += (30).to_bytes(4, "big")                # FRN
+    p += (1).to_bytes(4, "big")                 # FRD
+    p += (0).to_bytes(3, "big")                 # PARN
+    p += (0).to_bytes(3, "big")                 # PARD
+    p += bytes([0])                             # colorspace
+    p += (0).to_bytes(3, "big")                 # NOMBR
+    p += bytes([0, 0])                          # QUAL/KFGSHIFT/PF
+    assert len(p) == 42
+    return p
+
+
+def test_theora_id_header_dimensions():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.ogg import (  # noqa: E501
+        _ident,
+    )
+
+    # 640x480: FMBW=40, FMBH=30; exact picture size preferred
+    codec, info = _ident(_theora_id(40, 30, 640, 480))
+    assert codec == "theora"
+    assert (info["width"], info["height"]) == (640, 480)
+    # non-mod-16 picture inside a larger macroblock frame
+    codec, info = _ident(_theora_id(7, 5, 100, 70))
+    assert codec == "theora"
+    assert (info["width"], info["height"]) == (100, 70)
+    # non-conformant zero PICW/PICH → macroblock-frame fallback
+    codec, info = _ident(_theora_id(40, 30, 0, 0))
+    assert (info["width"], info["height"]) == (640, 480)
