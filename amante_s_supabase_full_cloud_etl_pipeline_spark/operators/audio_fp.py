@@ -98,9 +98,17 @@ def decode_audio(blob: bytes, canonical_rate: int | None = None):
     probe keys (pinned quantitatively in tests). Default None keeps
     the historical per-file-rate behavior (golden/bench outputs
     unchanged)."""
-    decoded = decode_flac(blob) if sniff_flac(blob) else (
-        decode_wav(blob)
-    )
+    if sniff_flac(blob):
+        decoded = decode_flac(blob)
+    else:
+        from .mp3 import sniff_mp3
+
+        if sniff_mp3(blob):
+            # identified, not decoded: Layer III Huffman decode is
+            # ADR-gated (operators/mp3.py module docstring) — an MP3
+            # is an explicit S4 here, never misparsed as PCM
+            return None
+        decoded = decode_wav(blob)
     if decoded is None or canonical_rate is None:
         return decoded
     samples, rate = decoded

