@@ -458,6 +458,14 @@ def decode_image(blob: bytes, prefer_pil: bool | None = None):
             if arr is not None:
                 return arr
         return decode_gif(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF decodes NATIVE always (r12): baseline strips/tiles,
+        # PackBits and LZW+predictor per operators/tiff.py; CCITT/
+        # JBIG2 stay ADR-gated there, so a gated page is an S4 None
+        # here rather than a PIL-dependent maybe
+        from .tiff import decode_tiff
+
+        return decode_tiff(b)
     if b[:2] == b"\xff\xd8":
         if prefer_pil is None:
             prefer_pil = pil_available()
@@ -811,9 +819,52 @@ IMAGE_FEATURE_SCHEMA = StructType(
         StructField("mean_b", DoubleType()),
         StructField("luma_mean", DoubleType()),
         StructField("luma_std", DoubleType()),
+        # r12: camera metadata — packed EXIF/TIFF-tag string (see
+        # _exif_summary), null when the blob carries none
+        StructField("exif", StringType()),
         StructField("thumb", ArrayType(DoubleType())),
     ]
 )
+
+
+def _exif_summary(blob: bytes):
+    """Camera metadata as ONE packed pipe-joined string (golden-
+    hashable, null-free inner fields via '-' sentinels):
+    make|model|datetime|exposure_us|fnumber_x100|iso|focal_mm_x10|
+    pixel_x|pixel_y|lat_e4|lon_e4. JPEGs read the APP1 Exif segment;
+    TIFFs read the SAME tags from IFD0 (+Exif/GPS sub-IFDs) — one
+    IFD parser for both (operators/tiff.py). None when absent."""
+    from .tiff import parse_exif, parse_exif_tiff, sniff_tiff
+
+    ex = None
+    if bytes(blob[:2]) == b"\xff\xd8":
+        ex = parse_exif(blob)
+    elif sniff_tiff(blob):
+        try:
+            ex = parse_exif_tiff(bytes(blob))
+        except Exception:
+            ex = None
+        if ex is not None and not any(ex.values()):
+            ex = None
+    if ex is None:
+        return None
+
+    def s(v):
+        return "-" if v in (None, "") else str(v)
+
+    def scaled(v, k):
+        return "-" if v is None else str(int(round(v * k)))
+
+    return "|".join([
+        s(ex.get("make")), s(ex.get("model")), s(ex.get("datetime")),
+        scaled(ex.get("exposure_s"), 1_000_000),
+        scaled(ex.get("fnumber"), 100),
+        s(ex.get("iso")),
+        scaled(ex.get("focal_mm"), 10),
+        s(ex.get("pixel_x")), s(ex.get("pixel_y")),
+        scaled(ex.get("gps_lat"), 10_000),
+        scaled(ex.get("gps_lon"), 10_000),
+    ])
 
 
 def _fan_out_ids(docs: "DataFrame") -> "DataFrame":
@@ -830,15 +881,21 @@ def _fan_out_ids(docs: "DataFrame") -> "DataFrame":
 
 
 def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
-    """Deterministic image corpus keyed on doc_id cycling all five
-    NATIVE codecs — doc_id % 4: 0 → 24-bit BMP, 1 → binary PPM,
+    """Deterministic image corpus keyed on doc_id cycling all six
+    NATIVE codecs — doc_id % 4: 0 → 24-bit BMP, 1 → binary PPM
+    (except doc_id % 8 == 5 → TIFF, r12 — cycling none/PackBits/LZW
+    ±predictor, both endians, strip/tile/planar layouts, with IFD0
+    camera tags so the golden pins EXIF-field extraction),
     2 → zlib PNG (except doc_id % 8 == 6 → LZW GIF, half of them
     interlaced), 3 → baseline JPEG (4:2:0, restart markers — the
-    web-norm shape; doc_id % 8 == 7 → progressive). Generated
-    worker-side in the Arrow kernel (never a driver loop), so the
-    corpus scales with the input table; the JPEG and GIF legs put
-    the native Huffman+DCT and LZW codecs on the driver-checked
-    ``multimodal_image_decode`` golden row."""
+    web-norm shape; r12: every other one carries an APP1 Exif
+    segment incl. GPS rationals; doc_id % 8 == 7 → progressive).
+    Generated worker-side in the Arrow kernel (never a driver loop),
+    so the corpus scales with the input table; the JPEG/GIF/TIFF
+    legs put the native Huffman+DCT, LZW and IFD codecs on the
+    driver-checked ``multimodal_image_decode`` golden row. TIFF is
+    lossless, so its decoded stats equal the PPM leg's for the same
+    doc_id."""
 
     def kernel(batches):
         import numpy as np
@@ -876,6 +933,28 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
                 if d % 4 == 0:
                     blobs.append(encode_bmp24(px))
                     types.append("image/bmp")
+                elif d % 8 == 5:
+                    # TIFF leg (carved from the PPM residue class so
+                    # the JPEG/GIF classes the bench filters on are
+                    # untouched). Lossless — decoded stats equal the
+                    # PPM leg's for the same pixels.
+                    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
+                        encode_tiff,
+                    )
+
+                    comp = ("none", "packbits", "lzw")[d % 3]
+                    blobs.append(encode_tiff(
+                        px,
+                        compression=comp,
+                        endian="<" if d % 2 else ">",
+                        predictor=comp != "none" and d % 5 < 2,
+                        tiled=d % 16 == 13,
+                        planar=d % 16 != 13 and d % 10 == 5,
+                        make="Cam %d" % (d % 7),
+                        model="M%d" % (d % 4),
+                        dt="2026:08:%02d 12:00:00" % (1 + d % 28),
+                    ))
+                    types.append("image/tiff")
                 elif d % 4 == 1:
                     blobs.append(encode_ppm(px))
                     types.append("image/ppm")
@@ -902,9 +981,34 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
                     )
                     types.append("image/jpeg")
                 else:
-                    blobs.append(
-                        encode_jpeg(px, quality=90, subsample=True, restart_interval=2)
-                    )
+                    j = encode_jpeg(px, quality=90, subsample=True, restart_interval=2)
+                    if d % 16 == 3:
+                        # r12: every other baseline JPEG carries an
+                        # APP1 Exif segment (incl. GPS rationals) so
+                        # the golden pins the EXIF read path through
+                        # real JPEG framing
+                        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
+                            exif_app1,
+                            insert_app1,
+                        )
+
+                        j = insert_app1(j, exif_app1(
+                            "Cam %d" % (d % 7), "M%d" % (d % 4),
+                            "2026:08:%02d 12:00:00" % (1 + d % 28),
+                            exposure=(1, 60 + d % 200),
+                            fnumber=(18 + d % 40, 10),
+                            iso=100 * (1 + d % 8),
+                            focal=(240 + d % 600, 10),
+                            pix=(w, h),
+                            gps=(
+                                (-60 + (d * 7) % 120)
+                                + (d % 100) / 100.0,
+                                (-170 + (d * 13) % 340)
+                                + (d % 50) / 50.0,
+                            ) if d % 32 == 3 else None,
+                            endian="<" if d % 2 else ">",
+                        ))
+                    blobs.append(j)
                     types.append("image/jpeg")
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"], "blob": blobs, "media_type": types}
@@ -1271,6 +1375,7 @@ def decode_image_features(media: DataFrame, round_to: int = 6) -> DataFrame:
         import pandas as pd
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+            _exif_summary,
             decode_image,
             pooled_thumb,
         )
@@ -1278,12 +1383,14 @@ def decode_image_features(media: DataFrame, round_to: int = 6) -> DataFrame:
         for batch in batches:
             out = {k: [] for k in (
                 "doc_id", "media_type", "width", "height",
-                "mean_r", "mean_g", "mean_b", "luma_mean", "luma_std", "thumb",
+                "mean_r", "mean_g", "mean_b", "luma_mean", "luma_std",
+                "exif", "thumb",
             )}
             for doc_id, mt, blob in zip(batch["doc_id"], batch["media_type"], batch["blob"]):
                 arr = decode_image(blob, prefer_pil=False)
                 if arr is None:
                     continue  # per-row skip
+                out["exif"].append(_exif_summary(bytes(blob)))
                 f64 = arr.astype(np.float64)
                 luma = 0.299 * f64[:, :, 0] + 0.587 * f64[:, :, 1] + 0.114 * f64[:, :, 2]
                 out["doc_id"].append(int(doc_id))

@@ -558,14 +558,17 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden_sf=DRIVER_SF,
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode over all five native codecs (24-bit BMP,
+    """REAL image decode over all six native codecs (24-bit BMP,
     binary PPM, zlib PNG, LZW GIF incl. interlace via operators/gif.py,
     baseline JPEG via the pure-numpy Huffman+DCT decoder in
-    operators/jpeg.py) on a worker-generated deterministic
-    corpus: per-channel means, luminance moments, width/height. The
-    8×8 pooled-thumb "resize" output is asserted in
-    tests/test_multimodal.py; doc_id < 500 keeps the corpus identical
-    across scale factors."""
+    operators/jpeg.py, and r12's TIFF 6.0 via operators/tiff.py —
+    strips/tiles/planar, PackBits and LZW+predictor, both endians) on
+    a worker-generated deterministic corpus: per-channel means,
+    luminance moments, width/height, and the packed EXIF/camera-tag
+    string (APP1 Exif on the JPEG leg, IFD0 tags on the TIFF leg —
+    value-pinned by the golden). The 8×8 pooled-thumb "resize" output
+    is asserted in tests/test_multimodal.py; doc_id < 500 keeps the
+    corpus identical across scale factors."""
     docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     feats = decode_image_features(synthetic_image_corpus(docs))
     return feats.drop("thumb").orderBy("doc_id")

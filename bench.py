@@ -99,6 +99,10 @@ HEADLINE = (
     # round-12: MPEG-audio frame walk + Xing/VBRI + ID3 tags (the
     # dominant web audio container) — measured the round it lands
     "mp3_meta_kernel",
+    # round-12: TIFF 6.0 decode (IFD walk, PackBits/LZW+predictor,
+    # strip/tile/planar) + EXIF extraction — measured the round it
+    # lands
+    "tiff_decode_kernel",
 )
 
 #: the 13-row subset matching the r1 headline set's COMPOSITION —
@@ -414,6 +418,22 @@ def _extra_queries():
         corpus = synthetic_mp3_corpus(docs).select("doc_id", "blob")
         return mp3_meta(corpus)
 
+    def tiff_decode_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+            decode_image_features,
+            synthetic_image_corpus,
+        )
+
+        # doc_id % 8 == 5 → TIFF blobs only (LZW/PackBits, tiles,
+        # planar, predictor cycling): times the native IFD walk +
+        # decompression + EXIF-tag read through the Arrow kernel
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            (FF.col("doc_id") % 8 == 5) & (FF.col("doc_id") < 8000)
+        )
+        return decode_image_features(synthetic_image_corpus(docs))
+
     def mkv_keyframe_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
@@ -495,6 +515,7 @@ def _extra_queries():
         "flac_decode_kernel": flac_decode_kernel,
         "ogg_meta_kernel": ogg_meta_kernel,
         "mp3_meta_kernel": mp3_meta_kernel,
+        "tiff_decode_kernel": tiff_decode_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
