@@ -446,6 +446,51 @@ def mp3_corpus_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 golden_table("mp3_corpus_meta", mp3_corpus_meta_leg)
 
 
+def media_triage_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triage leg of ``multimodal_media_meta`` (r12 — VERDICT r11
+    top item: the one-pass magic-sniff router): ONE row per blob of
+    the mixed corpus that interleaves EVERY fixture family by
+    doc_id % 14 (images incl. tiff, flac, ogg, mp3, mp4, mkv, pdf,
+    office, subtitles, email, archives, wav, warc, hostile garbage —
+    each family corpus's own damage rows included). Pins the full
+    classification: key packs doc_id|family|codec|parseable|width|
+    height|n_streams|detail (null → ``-``), n = duration_ms (-1
+    null), v1 = byte_length (a value pin on the corpus bytes
+    themselves), v2 = n_streams (-1 null). Hostile rows pin as
+    family 'unknown' — the never-kill-a-task contract."""
+    from .triage import synthetic_mixed_corpus, triage_media
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _FLAC_LEG_DOCS)
+        .select("doc_id")
+    )
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    # the 14-leg union stacks each leg's partitioning into hundreds
+    # of near-empty tasks; fold the few MB of blobs to one task set
+    # before classifying (values unchanged — rows are per-blob)
+    return triage_media(
+        synthetic_mixed_corpus(docs)
+        .select("doc_id", "blob").repartition(32)
+    ).select(
+        F.lit("media_triage").alias("leg"),
+        F.concat_ws(
+            "|", s("doc_id"), s("family"), s("codec"),
+            F.col("parseable").cast("int").cast("string"),
+            s("width"), s("height"), s("n_streams"), s("detail"),
+        ).alias("key"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).alias("n"),
+        F.col("byte_length").alias("v1"),
+        F.coalesce(F.col("n_streams"), F.lit(-1)).alias("v2"),
+    ).orderBy("key")
+
+
+golden_table("media_triage", media_triage_leg)
+
+
 #: the live arm's SQL, shared between the registered (golden-pinned)
 #: oracle and the any-SF live-leg compare in
 #: tests/test_consolidated_live_legs.py (review catch: golden_sf pins
@@ -505,6 +550,9 @@ def blob_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT leg, key, n, v1, v2
         FROM read_parquet('{GOLDEN_DIR}/mp3_corpus_meta.parquet')
+        UNION ALL
+        SELECT leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/media_triage.parquet')
     ) ORDER BY leg, key
     """,
     golden_sf=DRIVER_SF,
@@ -535,7 +583,9 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     3533 page walk + Vorbis/Opus identification) via
     :func:`ogg_corpus_meta_leg`. r12 adds the 'mp3_stream' leg
     (ISO 11172-3 frame walk + VBR headers + ID3 tags) via
-    :func:`mp3_corpus_meta_leg`."""
+    :func:`mp3_corpus_meta_leg` and the 'media_triage' leg (the
+    one-pass magic-sniff classifier over a corpus interleaving ALL
+    fixture families) via :func:`media_triage_leg`."""
     mp4 = mp4_track_meta_leg(spark, sf_dir).select(
         F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
     )
@@ -548,6 +598,7 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(flac_corpus_meta_leg(spark, sf_dir))
         .unionByName(ogg_corpus_meta_leg(spark, sf_dir))
         .unionByName(mp3_corpus_meta_leg(spark, sf_dir))
+        .unionByName(media_triage_leg(spark, sf_dir))
         .orderBy("leg", "key")
     )
 

@@ -103,6 +103,10 @@ HEADLINE = (
     # strip/tile/planar) + EXIF extraction — measured the round it
     # lands
     "tiff_decode_kernel",
+    # round-12: one-pass media triage (magic-sniff classifier across
+    # all ~15 blob families over the mixed corpus) — the first scan
+    # a real drop gets; measured the round it lands
+    "media_triage_kernel",
 )
 
 #: the 13-row subset matching the r1 headline set's COMPOSITION —
@@ -434,6 +438,40 @@ def _extra_queries():
         )
         return decode_image_features(synthetic_image_corpus(docs))
 
+    def media_triage_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.triage import (  # noqa: E501
+            synthetic_mixed_corpus,
+            triage_media,
+        )
+
+        # r12: the one-pass classifier over the all-family mixed
+        # corpus (1400 docs = 100 per residue class). The corpus is
+        # persisted and FORCED during construction (untimed): its
+        # generation runs 14 family ENCODERS whose costs other rows
+        # already measure — timing it here would report encoder
+        # wall as classifier wall (measured 9.9s of which <1s was
+        # triage). The timed pass reads cached blobs → the number
+        # is classifier throughput, the thing this row exists for.
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cache import (  # noqa: E501
+            tracked_persist,
+        )
+
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 1400
+        ).repartition(64)
+        # the 14-leg union stacks each leg's partitioning (14×64 ≈
+        # 900 near-empty tasks — measured 4.9s of scheduler overhead
+        # for ~0.5s of classification); repartition the ~2 MB of
+        # blobs down to 64 before caching
+        corpus = tracked_persist(
+            synthetic_mixed_corpus(docs)
+            .select("doc_id", "blob").repartition(64)
+        )
+        corpus.count()  # force: generation stays out of the timing
+        return triage_media(corpus)
+
     def mkv_keyframe_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
@@ -516,6 +554,7 @@ def _extra_queries():
         "ogg_meta_kernel": ogg_meta_kernel,
         "mp3_meta_kernel": mp3_meta_kernel,
         "tiff_decode_kernel": tiff_decode_kernel,
+        "media_triage_kernel": media_triage_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,

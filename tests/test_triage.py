@@ -1,0 +1,239 @@
+"""One-pass media triage (operators/triage.py): classifier precedence
+(office vs zip, warc vs eml vs srt, mp3 last among magics), header
+readers vs the family parsers' own answers, hostile-bytes robustness,
+the Spark kernel over the full 14-residue mixed corpus, and the
+attach_family router."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.triage import (
+    attach_family,
+    synthetic_mixed_corpus,
+    triage_blob,
+    triage_media,
+)
+
+
+def _px(seed=0, h=9, w=11):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 7 + yy * 13 + seed) % 256, (xx * 3) % 256,
+         (yy * 11 + seed) % 256], -1
+    ).astype(np.uint8)
+
+
+def test_image_codecs_with_dims():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.gif import (  # noqa: E501
+        encode_gif,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
+        encode_jpeg,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        encode_bmp24,
+        encode_png,
+        encode_ppm,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
+        encode_tiff,
+    )
+
+    px = _px()
+    for blob, codec in [
+        (encode_bmp24(px), "bmp"), (encode_ppm(px), "ppm"),
+        (encode_png(px), "png"),
+        (encode_gif((px // 32 * 32)), "gif"),
+        (encode_jpeg(px, quality=90), "jpeg"),
+        (encode_tiff(px, compression="lzw"), "tiff"),
+    ]:
+        t = triage_blob(blob)
+        assert t["codec"] == codec and t["family"] == "image", codec
+        assert t["parseable"]
+        assert (t["width"], t["height"]) == (11, 9), codec
+
+
+def test_audio_video_document_families():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.flac import (  # noqa: E501
+        build_flac_fixture,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp3 import (  # noqa: E501
+        build_mp3_fixture,
+        parse_mp3_meta,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.ogg import (  # noqa: E501
+        encode_ogg_opus,
+        encode_ogg_vorbis,
+    )
+
+    t = triage_blob(build_mp3_fixture(0))
+    ref = parse_mp3_meta(build_mp3_fixture(0))
+    assert (t["codec"], t["family"]) == ("mp3", "audio")
+    assert t["duration_ms"] == ref["duration_ms"]
+    t = triage_blob(encode_ogg_opus(n_frames=20))
+    assert (t["codec"], t["family"]) == ("ogg-opus", "audio")
+    assert t["duration_ms"] == 20 * 960 * 1000 // 48000
+    t = triage_blob(encode_ogg_vorbis(n_packets=10))
+    assert t["codec"] == "ogg-vorbis"
+    t = triage_blob(build_flac_fixture(4))
+    assert (t["codec"], t["family"]) == ("flac", "audio")
+    assert t["parseable"] and t["duration_ms"] is not None
+
+
+def test_wav_header_level():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        encode_wav_pcm16,
+    )
+
+    x = (np.sin(np.arange(16000) / 9) * 9000).astype("<i2")
+    t = triage_blob(encode_wav_pcm16(x, sample_rate=16000))
+    assert (t["codec"], t["family"]) == ("wav", "audio")
+    assert t["duration_ms"] == 1000 and t["n_streams"] == 1
+    assert "rate=16000" in t["detail"]
+
+
+def test_zip_precedence_office_xlsx_archive():
+    import io
+    import zipfile
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.office import (  # noqa: E501
+        encode_docx,
+        encode_odt,
+        encode_pptx,
+    )
+
+    t = triage_blob(encode_docx(["hello"]))
+    assert (t["codec"], t["family"]) == ("docx", "document")
+    assert triage_blob(encode_pptx([["slide"]]))["codec"] == "pptx"
+    assert triage_blob(encode_odt(["para"]))["codec"] == "odt"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        z.writestr("xl/worksheets/sheet1.xml", "<sheet/>")
+    t = triage_blob(buf.getvalue())
+    assert (t["codec"], t["family"]) == ("xlsx", "document")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", "plain")
+    t = triage_blob(buf.getvalue())
+    assert (t["codec"], t["family"]) == ("zip", "archive")
+    assert t["n_streams"] == 1
+
+
+def test_text_like_precedence():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.email_text import (  # noqa: E501
+        build_mbox,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.subtitles import (  # noqa: E501
+        build_srt,
+        build_vtt,
+    )
+
+    assert triage_blob(build_srt(1))["codec"] == "srt"
+    assert triage_blob(build_vtt(2))["codec"] == "vtt"
+    t = triage_blob(build_mbox(3))
+    assert t["codec"] == "mbox" and t["n_streams"] >= 1
+    # an eml QUOTING an srt timing line must stay eml
+    eml = (b"From: a@ex.test\r\nTo: b@ex.test\r\n"
+           b"Subject: timings\r\nMessage-ID: <1@x>\r\n\r\n"
+           b"the cue was 00:00:01,000 --> 00:00:02,000 ok?\r\n")
+    t = triage_blob(eml)
+    assert (t["codec"], t["family"]) == ("eml", "text")
+    # WARC out-ranks eml though its fields are RFC-822-shaped
+    warc = (b"WARC/1.1\r\nWARC-Type: response\r\n"
+            b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    assert triage_blob(warc)["codec"] == "warc"
+
+
+def test_mp3_is_last_and_false_syncs_stay_unknown():
+    # a blob full of 0xFF bytes has thousands of 11-bit syncs but no
+    # two CONSISTENT consecutive frames → unknown, not mp3
+    assert triage_blob(b"\xff" * 512)["family"] == "unknown"
+    # bmp needs a sane DIB size: 'BM' + garbage stays unknown
+    assert triage_blob(b"BM" + bytes(64))["family"] == "unknown"
+
+
+def test_hostile_bytes_never_raise_and_magic_only_is_unparseable():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        synthetic_mp4_corpus,  # noqa: F401 (import path exercise)
+    )
+
+    for blob in (None, b"", b"\x00", bytes(range(256)) * 8,
+                 b"%PDF-1.7 then nothing",
+                 b"\x89PNG\r\n\x1a\n then nothing",
+                 b"OggS" + bytes(40),
+                 b"\x1aE\xdf\xa3" + bytes(20)):
+        t = triage_blob(blob)
+        assert t["family"] == "unknown" or not t["parseable"], (
+            blob[:12], t
+        )
+    # truncation sweep over one real blob of each family
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.flac import (  # noqa: E501
+        build_flac_fixture,
+    )
+
+    full = build_flac_fixture(8)
+    for cut in range(0, len(full), 41):
+        triage_blob(full[:cut])  # must not raise
+
+
+class TestKernel:
+    def test_mixed_corpus_kernel_equals_driver(self, spark, sf_dir):
+        from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+        from pyspark.sql import functions as F
+
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 112
+        )
+        corpus = synthetic_mixed_corpus(docs)
+        blobs = {r["doc_id"]: bytes(r["blob"]) for r in corpus.collect()}
+        assert set(blobs) == set(range(112))
+        rows = {r["doc_id"]: r for r in triage_media(corpus).collect()}
+        # EXACTLY one row per blob, hostile rows included
+        assert set(rows) == set(range(112))
+        fams = {}
+        for d, blob in blobs.items():
+            ref = triage_blob(blob)
+            row = rows[d]
+            for k in ("family", "codec", "parseable", "width",
+                      "height", "duration_ms", "n_streams", "detail"):
+                assert row[k] == ref[k], (d, k, row[k], ref[k])
+            assert row["byte_length"] == len(blob)
+            fams.setdefault(row["family"], set()).add(row["codec"])
+        # the corpus really interleaves every family
+        assert {"image", "audio", "video", "document", "archive",
+                "web", "text", "unknown"} <= set(fams)
+        assert {"flac", "mp3", "wav"} <= fams["audio"]
+        assert {"pdf"} <= fams["document"]
+
+    def test_attach_family_router(self, spark, sf_dir):
+        from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp3 import (  # noqa: E501
+            mp3_meta,
+        )
+        from pyspark.sql import functions as F
+
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 70
+        )
+        corpus = synthetic_mixed_corpus(docs)
+        routed = attach_family(corpus)
+        assert routed.columns == ["doc_id", "blob", "family",
+                                  "codec", "parseable"]
+        # the fan-out a pipeline would do: mp3 rows → the mp3 kernel
+        mp3_rows = routed.filter(F.col("codec") == "mp3")
+        got = mp3_meta(mp3_rows.select("doc_id", "blob")).collect()
+        want_ids = {
+            r["doc_id"]
+            for r in routed.filter(F.col("codec") == "mp3").collect()
+        }
+        assert {r["doc_id"] for r in got} == want_ids and want_ids
+        # routing is consistent with triage_media
+        t = {
+            r["doc_id"]: (r["family"], r["codec"])
+            for r in triage_media(corpus).collect()
+        }
+        for r in routed.collect():
+            assert t[r["doc_id"]] == (r["family"], r["codec"])
