@@ -702,3 +702,115 @@ def synthetic_mp3_corpus(docs):
         ]
     )
     return docs.select("doc_id").mapInPandas(kernel, schema)
+
+
+# ── cover art (ID3v2 APIC / v2.2 PIC) ───────────────────────────
+
+
+def extract_cover_art(blob: bytes | None):
+    """The embedded cover image from an MP3's ID3v2 tag — id3.org's
+    APIC frame (v2.3/2.4: text-encoding byte, NUL-terminated MIME,
+    picture-type byte, encoding-dependent-NUL-terminated description,
+    image bytes) or v2.2's PIC (3-char image format instead of MIME).
+    Returns (mime, picture_type, image_bytes) for the FIRST picture
+    frame, preferring type 3 (front cover), or None. The bytes route
+    straight into ``decode_image`` — the mp3 → image composition a
+    multimodal corpus wants (every cover is an image sample with
+    provenance). Never raises (S4)."""
+    b = bytes(blob or b"")
+    if b[:3] != b"ID3" or len(b) < 10:
+        return None
+    major, _rev, flags = b[3], b[4], b[5]
+    try:
+        size = _syncsafe(b[6:10])
+    except _Broken:
+        return None
+    data = bytes(b[10:10 + min(size, _MAX_TAG_BYTES)])
+    if flags & 0x80:
+        data = data.replace(b"\xff\x00", b"\xff")
+    pics = []
+    try:
+        pos = 0
+        if flags & 0x40 and major >= 3:
+            pos = (4 + int.from_bytes(data[:4], "big")
+                   if major == 3 else _syncsafe(data[:4]))
+        while pos < len(data):
+            if data[pos] == 0:
+                break
+            if major == 2:
+                fid = data[pos:pos + 3]
+                fsize = int.from_bytes(data[pos + 3:pos + 6], "big")
+                body = data[pos + 6:pos + 6 + fsize]
+                pos += 6 + fsize
+                is_pic = fid == b"PIC"
+            else:
+                fid = data[pos:pos + 4]
+                raw = data[pos + 4:pos + 8]
+                fsize = (_syncsafe(raw) if major >= 4
+                         else int.from_bytes(raw, "big"))
+                body = data[pos + 10:pos + 10 + fsize]
+                pos += 10 + fsize
+                is_pic = fid == b"APIC"
+            if fsize <= 0 or len(body) < fsize or not is_pic:
+                continue
+            enc = body[0]
+            if major == 2:
+                # PIC: enc(1) + format(3, e.g. 'JPG'/'PNG') + type(1)
+                fmt = body[1:4].decode("latin-1").strip().lower()
+                mime = {"jpg": "image/jpeg", "png": "image/png"}.get(
+                    fmt, "image/" + fmt
+                )
+                rest = body[4:]
+            else:
+                nul = body.find(b"\x00", 1)
+                if nul < 0:
+                    continue
+                mime = body[1:nul].decode("latin-1", "replace")
+                rest = body[nul + 1:]
+            if not rest:
+                continue
+            pic_type = rest[0]
+            rest = rest[1:]
+            # description terminator: UTF-16 encodings use 2-byte NULs
+            if enc in (1, 2):
+                d_end = rest.find(b"\x00\x00")
+                # the pair must be 2-byte aligned for UTF-16 units
+                while d_end > 0 and d_end % 2:
+                    d_end = rest.find(b"\x00\x00", d_end + 1)
+                img = rest[d_end + 2:] if d_end >= 0 else b""
+                # a BOM'd UTF-16 description of odd half-pairs can
+                # leave one stray NUL before the payload
+                if img[:1] == b"\x00":
+                    img = img[1:]
+            else:
+                d_end = rest.find(b"\x00")
+                img = rest[d_end + 1:] if d_end >= 0 else b""
+            if img:
+                pics.append((mime, pic_type, bytes(img)))
+    except (IndexError, UnicodeDecodeError):
+        pass
+    if not pics:
+        return None
+    front = [p for p in pics if p[1] == 3]
+    return front[0] if front else pics[0]
+
+
+def _encode_apic(mime: str, pic_type: int, img: bytes,
+                 major: int = 3, desc: str = "cover") -> bytes:
+    """Fixture APIC/PIC frame for the encoder tests."""
+    if major == 2:
+        fmt = {"image/jpeg": b"JPG", "image/png": b"PNG"}.get(
+            mime, b"???"
+        )
+        body = b"\x00" + fmt + bytes([pic_type]) + (
+            desc.encode("latin-1") + b"\x00"
+        ) + img
+        return b"PIC" + len(body).to_bytes(3, "big") + body
+    body = b"\x00" + mime.encode("latin-1") + b"\x00" + bytes(
+        [pic_type]
+    ) + desc.encode("latin-1") + b"\x00" + img
+    size = (
+        bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        if major >= 4 else len(body).to_bytes(4, "big")
+    )
+    return b"APIC" + size + b"\x00\x00" + body

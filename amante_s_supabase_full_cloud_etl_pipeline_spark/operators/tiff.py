@@ -973,3 +973,62 @@ def tiff_meta(media):
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
     ).mapInPandas(kernel, schema)
+
+
+def apply_exif_orientation(arr, orientation: int | None):
+    """Apply the EXIF/TIFF Orientation tag (274) to a decoded
+    (h, w, c) array — the transform every camera-photo pipeline
+    needs before features/thumbnails make sense. The 8 spec values
+    (TIFF 6.0 p.36 / EXIF 2.3): 1 = as stored; 2 = mirrored
+    horizontally; 3 = rotated 180°; 4 = mirrored vertically;
+    5 = transposed (mirror + 90° CW); 6 = rotated 90° CW;
+    7 = transverse (mirror + 270° CW); 8 = rotated 270° CW.
+    Unknown/None orientations return the array unchanged (cameras
+    that omit the tag mean 1). Pure numpy views + one copy."""
+    import numpy as np
+
+    if orientation in (None, 1):
+        return arr
+    if orientation == 2:
+        return np.ascontiguousarray(arr[:, ::-1])
+    if orientation == 3:
+        return np.ascontiguousarray(arr[::-1, ::-1])
+    if orientation == 4:
+        return np.ascontiguousarray(arr[::-1, :])
+    if orientation == 5:
+        return np.ascontiguousarray(np.swapaxes(arr, 0, 1))
+    if orientation == 6:
+        # 90° clockwise: transpose then mirror horizontally
+        return np.ascontiguousarray(np.swapaxes(arr, 0, 1)[:, ::-1])
+    if orientation == 7:
+        return np.ascontiguousarray(np.swapaxes(arr, 0, 1)[::-1, ::-1])
+    if orientation == 8:
+        return np.ascontiguousarray(np.swapaxes(arr, 0, 1)[::-1, :])
+    return arr
+
+
+def decode_oriented(blob: bytes | None):
+    """decode + orientation in one call: the camera-correct pixels
+    for a JPEG (APP1 Exif Orientation) or TIFF (IFD0 tag 274), the
+    plain decode for everything else. None on S4 like
+    ``decode_image``. The GOLDEN image path deliberately stays
+    as-stored (decode_image_features) — orientation is a consumer
+    choice, and applying it there would re-pin every committed
+    value; this entry point is the consumer choice made callable."""
+    from .multimodal import decode_image
+
+    b = bytes(blob or b"")
+    arr = decode_image(b, prefer_pil=False)
+    if arr is None:
+        return None
+    orientation = None
+    try:
+        if b[:2] == b"\xff\xd8":
+            ex = parse_exif(b)
+            orientation = ex.get("orientation") if ex else None
+        elif sniff_tiff(b):
+            meta = parse_tiff_meta(b)
+            orientation = meta[0].get("orientation") if meta else None
+    except Exception:
+        orientation = None
+    return apply_exif_orientation(arr, orientation)

@@ -246,3 +246,68 @@ class TestKernel:
         ).collect()
         ids = {r["doc_id"] for r in out}
         assert ids == {d for d in range(44) if d % 11 != 7}
+
+
+def test_cover_art_extraction_and_image_composition():
+    import numpy as np
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
+        encode_jpeg,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp3 import (  # noqa: E501
+        _encode_apic,
+        extract_cover_art,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        decode_image,
+        encode_png,
+    )
+
+    yy, xx = np.mgrid[0:12, 0:10]
+    px = np.stack([(xx * 9) % 256, (yy * 7) % 256,
+                   (xx + yy) % 256], -1).astype(np.uint8)
+    cover = encode_jpeg(px, quality=90)
+
+    def mp3_with(frames: bytes, major: int = 3) -> bytes:
+        # splice raw frames into an ID3v2 tag ahead of real audio
+        size = len(frames) + 32
+        ss = bytes((size >> s) & 0x7F for s in (21, 14, 7, 0))
+        tag = b"ID3" + bytes([major, 0, 0]) + ss + frames + b"\x00" * 32
+        return tag + encode_mp3(n_frames=4)
+
+    # v2.3 APIC front cover → exact bytes back, and they DECODE
+    for major in (2, 3, 4):
+        blob = mp3_with(
+            _encode_apic("image/jpeg", 3, cover, major=major),
+            major=major,
+        )
+        got = extract_cover_art(blob)
+        assert got is not None, major
+        mime, ptype, img = got
+        assert mime == "image/jpeg" and ptype == 3
+        assert img == cover, major
+        assert decode_image(img, prefer_pil=False) is not None
+        # the tagged file still walks as a normal MP3
+        assert parse_mp3_meta(blob)["n_frames"] == 4
+    # front cover (type 3) preferred over an icon (type 1)
+    png = encode_png(px)
+    both = mp3_with(
+        _encode_apic("image/png", 1, png)
+        + _encode_apic("image/jpeg", 3, cover)
+    )
+    assert extract_cover_art(both)[1] == 3
+    only_icon = mp3_with(_encode_apic("image/png", 1, png))
+    mime, ptype, img = extract_cover_art(only_icon)
+    assert (mime, ptype, img) == ("image/png", 1, png)
+    # no tag / no APIC / damage → None, never a raise
+    assert extract_cover_art(encode_mp3(n_frames=4)) is None
+    assert extract_cover_art(
+        encode_mp3(n_frames=4, id3v2={"title": "x"})
+    ) is None
+    full = both
+    for i in range(0, min(len(full), 400), 11):
+        dam = bytearray(full)
+        dam[i] ^= 0x7F
+        extract_cover_art(bytes(dam))
+    for cut in range(0, min(len(full), 400), 17):
+        extract_cover_art(full[:cut])

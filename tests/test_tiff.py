@@ -360,3 +360,95 @@ class TestKernel:
         # TIFF is lossless: stats equal the PPM leg's pixels for the
         # same generator (doc 5's pixels == what PPM would hold)
         assert feats[5]["width"] == 8 + 5 % 9
+
+
+def test_exif_orientation_transforms():
+    # a 2×3 asymmetric ramp makes every one of the 8 transforms
+    # distinguishable; values worked by hand from the spec's
+    # "0th row is the visual <X> side" table
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
+        apply_exif_orientation,
+    )
+
+    a = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+    # stored:
+    #   0 1 2
+    #   3 4 5
+    got = {
+        k: apply_exif_orientation(a, k)[:, :, 0].tolist()
+        for k in range(1, 9)
+    }
+    assert got[1] == [[0, 1, 2], [3, 4, 5]]
+    assert got[2] == [[2, 1, 0], [5, 4, 3]]          # mirror H
+    assert got[3] == [[5, 4, 3], [2, 1, 0]]          # rot 180
+    assert got[4] == [[3, 4, 5], [0, 1, 2]]          # mirror V
+    assert got[5] == [[0, 3], [1, 4], [2, 5]]        # transpose
+    assert got[6] == [[3, 0], [4, 1], [5, 2]]        # rot 90 CW
+    assert got[7] == [[5, 2], [4, 1], [3, 0]]        # transverse
+    assert got[8] == [[2, 5], [1, 4], [0, 3]]        # rot 270 CW
+    # inverses: applying the rotation pairs round-trips
+    for k, inv in ((6, 8), (8, 6), (3, 3), (2, 2), (4, 4)):
+        assert np.array_equal(
+            apply_exif_orientation(apply_exif_orientation(a, k), inv),
+            a,
+        ), k
+    assert apply_exif_orientation(a, None) is a
+    assert apply_exif_orientation(a, 99) is a
+
+
+def test_decode_oriented_end_to_end():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
+        encode_jpeg,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        decode_image,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
+        apply_exif_orientation,
+        decode_oriented,
+    )
+
+    px = _px(h=16, w=24)  # asymmetric so rotation shows
+    j = encode_jpeg(px, quality=95)
+    stored = decode_image(j, prefer_pil=False)
+    # orientation 6 spliced in → decode_oriented rotates 90 CW
+    j6 = insert_app1(j, _app1_with_orientation(6))
+    arr = decode_oriented(j6)
+    assert arr.shape == (24, 16, 3)
+    assert np.array_equal(arr, apply_exif_orientation(stored, 6))
+    # TIFF path: tag 274 on the IFD
+    t = encode_tiff(px)
+    t8 = _tiff_with_orientation(t, 8)
+    arr = decode_oriented(t8)
+    assert arr.shape[:2] == (24, 16)
+    assert np.array_equal(
+        arr, apply_exif_orientation(decode_tiff(t8), 8)
+    )
+    # no orientation → identity with plain decode
+    assert np.array_equal(decode_oriented(j), stored)
+    assert decode_oriented(b"junk") is None
+
+
+def _app1_with_orientation(o: int) -> bytes:
+    """exif_app1 writes Orientation=1; patch the SHORT in place."""
+    seg = bytearray(exif_app1("C", "M", "2026:01:01 00:00:00"))
+    idx = seg.find(struct.pack("<HHI", 274, 3, 1))
+    assert idx > 0
+    seg[idx + 8:idx + 10] = struct.pack("<H", o)
+    return bytes(seg)
+
+
+def _tiff_with_orientation(t: bytes, o: int) -> bytes:
+    """Append-free patch: encode_tiff writes no Orientation tag, so
+    splice is overkill — rebuild via make-tag patching is fiddly;
+    instead patch a tag the fixture DOES write? Simpler: hand-add by
+    regenerating with make= so the IFD exists, then overwrite the
+    DATETIME tag id with 274/SHORT/value. Kept minimal: replace the
+    Make tag (271, ASCII) entry's header with Orientation SHORT."""
+    b = bytearray(encode_tiff(_px(h=16, w=24), make="x"))
+    idx = bytes(b).find(struct.pack("<HH", 271, 2))
+    assert idx > 0
+    b[idx:idx + 12] = struct.pack("<HHI", 274, 3, 1) + struct.pack(
+        "<HH", o, 0
+    )
+    return bytes(b)
