@@ -646,13 +646,58 @@ def _e_rat(en, *pairs):
     return out
 
 
+#: EXIF thumbnail pointers (IFD1): JPEGInterchangeFormat / -Length
+T_THUMB_OFF, T_THUMB_LEN = 513, 514
+
+
+def exif_thumbnail(jpeg: bytes | None):
+    """The IFD1-embedded preview JPEG from a camera photo's APP1 —
+    tags 513/514 point (APP1-TIFF-relative) at a complete small
+    JPEG, the cheap preview a triage/catalog layer wants WITHOUT
+    decoding the main image. Returns the thumbnail bytes or None
+    (no APP1 / no IFD1 / no pointer / out of range — never
+    raises)."""
+    b = bytes(jpeg or b"")
+    if b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker in (0xDA, 0xD9):
+                return None
+            (seglen,) = struct.unpack_from(">H", b, pos + 2)
+            if marker == 0xE1 and b[pos + 4:pos + 10] == b"Exif\x00\x00":
+                body = b[pos + 10:pos + 2 + seglen]
+                _en, pages = _walk_ifds(body)
+                if len(pages) < 2:
+                    return None
+                off = _first(pages[1], T_THUMB_OFF)
+                ln = _first(pages[1], T_THUMB_LEN)
+                if not off or not ln or off + ln > len(body):
+                    return None
+                thumb = bytes(body[off:off + ln])
+                return thumb if thumb[:2] == b"\xff\xd8" else None
+            pos += 2 + seglen
+    except (_Broken, struct.error):
+        return None
+    return None
+
+
 def exif_app1(make: str, model: str, dt: str,
               exposure=(1, 125), fnumber=(28, 10), iso: int = 200,
               focal=(50, 1), pix=(0, 0),
-              gps=None, endian: str = "<") -> bytes:
+              gps=None, endian: str = "<",
+              thumbnail: bytes | None = None) -> bytes:
     """A complete JPEG APP1 Exif segment (marker + length + payload)
     carrying IFD0 + Exif sub-IFD (+ GPS when given as (lat, lon)
-    floats) — spliceable right after SOI by :func:`insert_app1`."""
+    floats; + an IFD1 thumbnail when ``thumbnail`` carries JPEG
+    bytes) — spliceable right after SOI by :func:`insert_app1`."""
     en = endian
 
     def tiff_body():
@@ -705,14 +750,37 @@ def exif_app1(make: str, model: str, dt: str,
             ]
             gps_block = _build_ifd_block(gps_entries, en, gps_base)
             real.append((T_GPS_IFD, 4, 1, _e_long(en, gps_base)))
-        ifd0 = _build_ifd_block(real, en, ifd0_base)
+        # IFD1 (thumbnail): sits after the GPS block; its two LONG
+        # pointer tags reference the raw JPEG bytes appended last
+        ifd1_block = b""
+        thumb_bytes = b""
+        next_ifd = 0
+        if thumbnail is not None:
+            ifd1_base = gps_base + len(gps_block)
+            dry1 = [
+                (T_THUMB_OFF, 4, 1, _e_long(en, 0)),
+                (T_THUMB_LEN, 4, 1, _e_long(en, len(thumbnail))),
+            ]
+            ifd1_len = len(_build_ifd_block(dry1, en, ifd1_base))
+            thumb_off = ifd1_base + ifd1_len
+            ifd1_block = _build_ifd_block(
+                [
+                    (T_THUMB_OFF, 4, 1, _e_long(en, thumb_off)),
+                    (T_THUMB_LEN, 4, 1, _e_long(en, len(thumbnail))),
+                ],
+                en,
+                ifd1_base,
+            )
+            thumb_bytes = bytes(thumbnail)
+            next_ifd = ifd1_base
+        ifd0 = _build_ifd_block(real, en, ifd0_base, next_ifd=next_ifd)
         assert len(ifd0) == ifd0_len and n0 == len(real)
         hdr = (b"II*\x00" if en == "<" else b"MM\x00*") + struct.pack(
             en + "I", 8
         )
         return hdr + ifd0 + _build_ifd_block(
             exif_entries, en, exif_base
-        ) + gps_block
+        ) + gps_block + ifd1_block + thumb_bytes
 
     payload = b"Exif\x00\x00" + tiff_body()
     return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload

@@ -452,3 +452,49 @@ def _tiff_with_orientation(t: bytes, o: int) -> bytes:
         "<HH", o, 0
     )
     return bytes(b)
+
+
+def test_exif_ifd1_thumbnail_round_trip():
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
+        encode_jpeg,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        decode_image,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
+        exif_thumbnail,
+    )
+
+    main_px = _px(h=32, w=48)
+    thumb_px = _px(h=8, w=12, seed=5)
+    thumb = encode_jpeg(thumb_px, quality=80)
+    for endian in ("<", ">"):
+        j = insert_app1(
+            encode_jpeg(main_px, quality=90),
+            exif_app1("C", "M", "2026:01:01 00:00:00",
+                      thumbnail=thumb, endian=endian),
+        )
+        got = exif_thumbnail(j)
+        assert got == thumb, endian
+        # the preview decodes without touching the main image
+        assert decode_image(got, prefer_pil=False).shape == (8, 12, 3)
+        # main-image metadata and decode are unaffected
+        assert parse_exif(j)["make"] == "C"
+        assert decode_image(j, prefer_pil=False).shape == (32, 48, 3)
+    # absent thumbnail / absent APP1 / damage → None, never a raise
+    j_plain = insert_app1(
+        encode_jpeg(main_px, quality=90),
+        exif_app1("C", "M", "2026:01:01 00:00:00"),
+    )
+    assert exif_thumbnail(j_plain) is None
+    assert exif_thumbnail(encode_jpeg(main_px, quality=90)) is None
+    withthumb = insert_app1(
+        encode_jpeg(main_px, quality=90),
+        exif_app1("C", "M", "2026:01:01 00:00:00", thumbnail=thumb),
+    )
+    for i in range(0, 700, 13):
+        dam = bytearray(withthumb)
+        dam[i] ^= 0x3C
+        exif_thumbnail(bytes(dam))
+    for cut in range(0, 700, 19):
+        exif_thumbnail(withthumb[:cut])
