@@ -185,25 +185,33 @@ def _decode_text(payload: bytes):
         return None
 
 
-def parse_id3v2(b: bytes):
-    """(tags dict, id3 major version, total tag bytes incl. header/
-    footer) or ({}, None, 0) when no tag leads the buffer. A damaged
-    tag body yields whatever frames parsed; the returned size always
-    honors the header's declared span so the frame walk can resume
-    after it."""
+def _iter_id3_frames(b: bytes):
+    """THE ID3v2 frame walk, shared by :func:`parse_id3v2` and
+    :func:`extract_cover_art` (review catch: two diverging copies).
+    Yields (frame_id str, body bytes) after version-correct
+    unsynchronisation, and finally returns via StopIteration the
+    (major, total_tag_bytes) — callers use :func:`_id3_frames`.
+
+    Unsynchronisation semantics differ BY MAJOR (review catch —
+    the old whole-tag scheme was only self-consistent with our own
+    fixtures): in v2.3 the FF 00 stuffing is applied to the complete
+    assembled tag, so frame sizes count DE-unsynchronised bytes —
+    undo globally, then walk. In v2.4 stuffing is per FRAME (header
+    flag 0x80 = all frames; else each frame's format-flag bit 0x02)
+    and the syncsafe frame sizes count the ON-WIRE stuffed bytes —
+    walk the wire, de-stuff each body after slicing."""
     if b[:3] != b"ID3" or len(b) < 10:
-        return {}, None, 0
+        return None, 0
     major, _rev, flags = b[3], b[4], b[5]
     try:
         size = _syncsafe(b[6:10])
     except _Broken:
-        return {}, None, 0
+        return None, 0
     total = 10 + size + (10 if major >= 4 and flags & 0x10 else 0)
     data = bytes(b[10:10 + min(size, _MAX_TAG_BYTES)])
-    if flags & 0x80:
-        # unsynchronisation: FF 00 on the wire means FF
+    if flags & 0x80 and major <= 3:
+        # v2.2/2.3: whole-tag unsynchronisation
         data = data.replace(b"\xff\x00", b"\xff")
-    tags: dict = {}
     try:
         pos = 0
         if flags & 0x40 and major >= 3:
@@ -221,7 +229,7 @@ def parse_id3v2(b: bytes):
                 fsize = int.from_bytes(data[pos + 3:pos + 6], "big")
                 body = data[pos + 6:pos + 6 + fsize]
                 pos += 6 + fsize
-                key = _ID3_FRAMES_V22.get(fid)
+                unsync = False
             else:
                 fid = data[pos:pos + 4].decode("latin-1")
                 raw = data[pos + 4:pos + 8]
@@ -229,20 +237,51 @@ def parse_id3v2(b: bytes):
                     _syncsafe(raw) if major >= 4
                     else int.from_bytes(raw, "big")
                 )
+                fflags2 = data[pos + 9] if pos + 10 <= len(data) else 0
                 body = data[pos + 10:pos + 10 + fsize]
                 pos += 10 + fsize
-                key = _ID3_FRAMES.get(fid)
+                unsync = major >= 4 and bool(
+                    flags & 0x80 or fflags2 & 0x02
+                )
             if fsize < 0 or len(body) < fsize:
                 break
-            if key is not None and key not in tags:
-                tags[key] = _decode_text(body)
+            if unsync:
+                body = body.replace(b"\xff\x00", b"\xff")
+            yield fid, body
     except (_Broken, UnicodeDecodeError, IndexError):
         pass
-    return (
-        {k: v for k, v in tags.items() if v is not None},
-        major,
-        total,
-    )
+    return major, total
+
+
+def _id3_frames(b: bytes):
+    """Materialized form of :func:`_iter_id3_frames`:
+    ([(fid, body), ...], major, total_tag_bytes)."""
+    frames = []
+    gen = _iter_id3_frames(b)
+    try:
+        while True:
+            frames.append(next(gen))
+    except StopIteration as stop:
+        major, total = stop.value if stop.value else (None, 0)
+    return frames, major, total
+
+
+def parse_id3v2(b: bytes):
+    """(tags dict, id3 major version, total tag bytes incl. header/
+    footer) or ({}, None, 0) when no tag leads the buffer. A damaged
+    tag body yields whatever frames parsed; the returned size always
+    honors the header's declared span so the frame walk can resume
+    after it."""
+    frames, major, total = _id3_frames(b)
+    key_map = _ID3_FRAMES_V22 if major == 2 else _ID3_FRAMES
+    tags: dict = {}
+    for fid, body in frames:
+        key = key_map.get(fid)
+        if key is not None and key not in tags:
+            val = _decode_text(body)
+            if val is not None:
+                tags[key] = val
+    return tags, major, total
 
 
 def parse_id3v1(b: bytes):
@@ -310,9 +349,10 @@ def _parse_vbri(b: bytes, frame_pos: int):
 def _find_sync(b: bytes, start: int):
     """First position ≥ start with a valid frame header CONFIRMED by
     a second consecutive valid header of the same version/layer/rate
-    (or a single frame ending exactly at EOF) — the standard
-    false-sync refusal. None when no such point exists within the
-    scan bound."""
+    (or a single frame ending exactly at EOF — possibly through the
+    fixed 128-byte ID3v1 trailer, review catch: a one-frame tagged
+    stream was S4-dropped) — the standard false-sync refusal. None
+    when no such point exists within the scan bound."""
     end = min(len(b) - 4, start + _MAX_SYNC_SCAN)
     pos = start
     while pos <= end:
@@ -325,7 +365,9 @@ def _find_sync(b: bytes, start: int):
             pos += 1
             continue
         after = pos + hdr["frame_len"]
-        if after == len(b):
+        if after == len(b) or (
+            after + 128 == len(b) and b[after:after + 3] == b"TAG"
+        ):
             return pos
         peer = _frame_header(b, after)
         if peer is not None and (
@@ -432,7 +474,9 @@ def sniff_mp3(blob: bytes) -> bool:
         if hdr is None:
             continue
         after = pos + hdr["frame_len"]
-        if after == len(b):
+        if after == len(b) or (
+            after + 128 == len(b) and b[after:after + 3] == b"TAG"
+        ):
             return True
         peer = _frame_header(b, after)
         if peer is not None and peer["version"] == hdr["version"] and (
@@ -448,6 +492,10 @@ def sniff_mp3(blob: bytes) -> bool:
 
 def _encode_id3v2(tags: dict, major: int = 3,
                   unsync: bool = False) -> bytes:
+    """Version-correct unsynchronisation (review catch): v2.2/2.3
+    stuff the WHOLE assembled tag (frame sizes count de-stuffed
+    bytes); v2.4 stuffs PER FRAME with on-wire syncsafe sizes and
+    the frame format-flag bit 0x02 — what real v2.4 writers emit."""
     frames = b""
     ids = _ID3_FRAMES_V22 if major == 2 else _ID3_FRAMES
     rev = {v: k for k, v in ids.items()}
@@ -464,16 +512,24 @@ def _encode_id3v2(tags: dict, major: int = 3,
             body = b"\x00" + val.encode("latin-1", "replace")
         if major == 2:
             frames += fid.encode() + len(body).to_bytes(3, "big") + body
-        else:
-            size = (
-                bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
-                if major >= 4 else len(body).to_bytes(4, "big")
+        elif major >= 4:
+            fflags = 0
+            if unsync:
+                body = body.replace(b"\xff", b"\xff\x00")
+                fflags = 0x02
+            size = bytes(
+                (len(body) >> s) & 0x7F for s in (21, 14, 7, 0)
             )
+            frames += fid.encode() + size + bytes([0, fflags]) + body
+        else:
+            size = len(body).to_bytes(4, "big")
             frames += fid.encode() + size + b"\x00\x00" + body
     flags = 0
-    if unsync:
+    if unsync and major <= 3:
         frames = frames.replace(b"\xff", b"\xff\x00")
         flags |= 0x80
+    elif unsync:
+        flags |= 0x80  # v2.4: header flag mirrors all-frames unsync
     size = len(frames) + 64  # padding
     ss = bytes((size >> s) & 0x7F for s in (21, 14, 7, 0))
     return (
@@ -716,43 +772,16 @@ def extract_cover_art(blob: bytes | None):
     frame, preferring type 3 (front cover), or None. The bytes route
     straight into ``decode_image`` — the mp3 → image composition a
     multimodal corpus wants (every cover is an image sample with
-    provenance). Never raises (S4)."""
+    provenance). Never raises (S4). Shares :func:`_iter_id3_frames`
+    with the tag reader (review catch: a second hand-rolled walk had
+    already started drifting)."""
     b = bytes(blob or b"")
-    if b[:3] != b"ID3" or len(b) < 10:
-        return None
-    major, _rev, flags = b[3], b[4], b[5]
-    try:
-        size = _syncsafe(b[6:10])
-    except _Broken:
-        return None
-    data = bytes(b[10:10 + min(size, _MAX_TAG_BYTES)])
-    if flags & 0x80:
-        data = data.replace(b"\xff\x00", b"\xff")
+    frames, major, _total = _id3_frames(b)
     pics = []
-    try:
-        pos = 0
-        if flags & 0x40 and major >= 3:
-            pos = (4 + int.from_bytes(data[:4], "big")
-                   if major == 3 else _syncsafe(data[:4]))
-        while pos < len(data):
-            if data[pos] == 0:
-                break
-            if major == 2:
-                fid = data[pos:pos + 3]
-                fsize = int.from_bytes(data[pos + 3:pos + 6], "big")
-                body = data[pos + 6:pos + 6 + fsize]
-                pos += 6 + fsize
-                is_pic = fid == b"PIC"
-            else:
-                fid = data[pos:pos + 4]
-                raw = data[pos + 4:pos + 8]
-                fsize = (_syncsafe(raw) if major >= 4
-                         else int.from_bytes(raw, "big"))
-                body = data[pos + 10:pos + 10 + fsize]
-                pos += 10 + fsize
-                is_pic = fid == b"APIC"
-            if fsize <= 0 or len(body) < fsize or not is_pic:
-                continue
+    for fid, body in frames:
+        if fid not in ("APIC", "PIC") or not body:
+            continue
+        try:
             enc = body[0]
             if major == 2:
                 # PIC: enc(1) + format(3, e.g. 'JPG'/'PNG') + type(1)
@@ -787,8 +816,8 @@ def extract_cover_art(blob: bytes | None):
                 img = rest[d_end + 1:] if d_end >= 0 else b""
             if img:
                 pics.append((mime, pic_type, bytes(img)))
-    except (IndexError, UnicodeDecodeError):
-        pass
+        except (IndexError, UnicodeDecodeError):
+            continue
     if not pics:
         return None
     front = [p for p in pics if p[1] == 3]

@@ -140,7 +140,12 @@ def sniff_tiff(blob: bytes) -> bool:
 
 def _walk_ifds(b: bytes):
     """All IFDs in file order → list of (tag dict) with the shared
-    caps. The ENTRY to every TIFF read path."""
+    caps. The ENTRY to every TIFF read path. LENIENT past the first
+    page (review catch: the documented surface-the-prefix contract):
+    a damaged IFD mid-chain stops the walk and returns what parsed —
+    a multi-page scan truncated mid-file keeps its valid leading
+    pages. A broken FIRST IFD (or a non-TIFF prologue) still raises,
+    so structural garbage stays an S4 None at the callers."""
     en = _endian(b)
     if en is None or len(b) < 8:
         raise _Broken("not tiff")
@@ -151,7 +156,12 @@ def _walk_ifds(b: bytes):
         if off in seen:
             raise _Broken("ifd cycle")
         seen.add(off)
-        ifd, off = _read_ifd(b, en, off)
+        try:
+            ifd, off = _read_ifd(b, en, off)
+        except (_Broken, struct.error):
+            if not pages:
+                raise
+            break  # lenient: surface the prefix
         pages.append(ifd)
     return en, pages
 
@@ -334,9 +344,16 @@ def decode_tiff(blob: bytes | None):
         ifd = pages[0]
         w = _first(ifd, T_WIDTH)
         h = _first(ifd, T_HEIGHT)
-        if not w or not h or w * h > _MAX_PIXELS:
+        # attacker-controlled tags can carry ANY field type: demand
+        # integral dims (a FLOAT-typed width reached shape/slice
+        # arithmetic as a float — review catch)
+        if not isinstance(w, int) or not isinstance(h, int):
+            return None
+        if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
             return None
         spp = _first(ifd, T_SPP, 1)
+        if not isinstance(spp, int) or not 1 <= spp <= 8:
+            return None
         bits = ifd.get(T_BITS, [1])
         photo = _first(ifd, T_PHOTOMETRIC, 1)
         compression = _first(ifd, T_COMPRESSION, 1)
@@ -395,6 +412,10 @@ def decode_tiff(blob: bytes | None):
             if offs is None or cnts is None or len(offs) != len(cnts):
                 return None
             rps = _first(ifd, T_ROWS_PER_STRIP, h)
+            # RowsPerStrip=0 (or a junk type) reached the strip-count
+            # division — review catch; the spec default is "all rows"
+            if not isinstance(rps, int) or rps <= 0:
+                rps = h
             if planar == 2 and spp > 1:
                 # planar strips: strips cycle channel-major
                 strips_per_ch = (h + rps - 1) // rps
@@ -465,9 +486,22 @@ def decode_tiff(blob: bytes | None):
             if photo == 0:
                 g = 255 - g
             return np.stack([g, g, g], axis=-1)
+        if spp == 2:
+            # gray + alpha: channel 0 is the luminance (review
+            # catch: the :3 slice leaked a 2-channel array through
+            # the documented (h, w, 3) contract)
+            g = raster.reshape(h, w, 2)[:, :, 0]
+            if photo == 0:
+                g = 255 - g
+            return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
         img = raster.reshape(h, w, spp)
         return np.ascontiguousarray(img[:, :, :3])
-    except (_Broken, struct.error, ValueError):
+    except (_Broken, struct.error, ValueError, TypeError,
+            ZeroDivisionError, IndexError, OverflowError,
+            MemoryError):
+        # the never-raises S4 contract holds against arbitrary tag
+        # values, not just the exception classes we anticipated
+        # (review catch: ZeroDivisionError/TypeError escaped)
         return None
 
 
@@ -558,16 +592,19 @@ def parse_exif_tiff(b: bytes):
         gps, _ = _read_ifd(b, en, gptr)
 
         def dms(vals, ref, neg):
-            if not vals or len(vals) < 3 or ref is None:
+            if not vals or len(vals) < 3 or not ref:
                 return None
             d = sum(
                 (n / den if den else 0.0) / 60 ** i
                 for i, (n, den) in enumerate(vals[:3])
             )
-            return -d if ref in neg else d
+            # first-letter compare: `'' in 'Ss'` is True (empty
+            # string is a substring of everything), which silently
+            # FLIPPED the hemisphere on an empty ref — review catch
+            return -d if ref[:1].upper() == neg else d
 
-        out["gps_lat"] = dms(gps.get(G_LAT), gps.get(G_LAT_REF), "Ss")
-        out["gps_lon"] = dms(gps.get(G_LON), gps.get(G_LON_REF), "Ww")
+        out["gps_lat"] = dms(gps.get(G_LAT), gps.get(G_LAT_REF), "S")
+        out["gps_lon"] = dms(gps.get(G_LON), gps.get(G_LON_REF), "W")
     return out
 
 
@@ -575,28 +612,13 @@ def parse_exif(jpeg: bytes | None):
     """EXIF dict from a JPEG's APP1 segment, or None when the blob
     is not a JPEG / carries no Exif APP1 / the TIFF body is broken
     (S4 — never raises)."""
-    b = bytes(jpeg or b"")
-    if b[:2] != b"\xff\xd8":
-        return None
-    pos = 2
     try:
-        while pos + 4 <= len(b):
-            if b[pos] != 0xFF:
-                return None
-            marker = b[pos + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                pos += 2
-                continue
-            if marker in (0xDA, 0xD9):  # scan/EOI: no APP1 found
-                return None
-            (seglen,) = struct.unpack_from(">H", b, pos + 2)
-            if marker == 0xE1 and b[pos + 4:pos + 10] == b"Exif\x00\x00":
-                body = b[pos + 10:pos + 2 + seglen]
-                return parse_exif_tiff(body)
-            pos += 2 + seglen
+        body = _find_exif_app1(bytes(jpeg or b""))
+        if body is None:
+            return None
+        return parse_exif_tiff(body)
     except (_Broken, struct.error):
         return None
-    return None
 
 
 # ── writers (fixture encoder + EXIF APP1 builder) ───────────────
@@ -650,6 +672,30 @@ def _e_rat(en, *pairs):
 T_THUMB_OFF, T_THUMB_LEN = 513, 514
 
 
+def _find_exif_app1(jpeg: bytes):
+    """The TIFF-structured body of a JPEG's ``Exif\\0\\0`` APP1
+    segment, or None — THE marker scan, shared by :func:`parse_exif`
+    and :func:`exif_thumbnail` (review catch: two copies)."""
+    b = jpeg
+    if b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # scan/EOI: no APP1 found
+            return None
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        if marker == 0xE1 and b[pos + 4:pos + 10] == b"Exif\x00\x00":
+            return b[pos + 10:pos + 2 + seglen]
+        pos += 2 + seglen
+    return None
+
+
 def exif_thumbnail(jpeg: bytes | None):
     """The IFD1-embedded preview JPEG from a camera photo's APP1 —
     tags 513/514 point (APP1-TIFF-relative) at a complete small
@@ -657,36 +703,23 @@ def exif_thumbnail(jpeg: bytes | None):
     decoding the main image. Returns the thumbnail bytes or None
     (no APP1 / no IFD1 / no pointer / out of range — never
     raises)."""
-    b = bytes(jpeg or b"")
-    if b[:2] != b"\xff\xd8":
-        return None
-    pos = 2
     try:
-        while pos + 4 <= len(b):
-            if b[pos] != 0xFF:
-                return None
-            marker = b[pos + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                pos += 2
-                continue
-            if marker in (0xDA, 0xD9):
-                return None
-            (seglen,) = struct.unpack_from(">H", b, pos + 2)
-            if marker == 0xE1 and b[pos + 4:pos + 10] == b"Exif\x00\x00":
-                body = b[pos + 10:pos + 2 + seglen]
-                _en, pages = _walk_ifds(body)
-                if len(pages) < 2:
-                    return None
-                off = _first(pages[1], T_THUMB_OFF)
-                ln = _first(pages[1], T_THUMB_LEN)
-                if not off or not ln or off + ln > len(body):
-                    return None
-                thumb = bytes(body[off:off + ln])
-                return thumb if thumb[:2] == b"\xff\xd8" else None
-            pos += 2 + seglen
+        body = _find_exif_app1(bytes(jpeg or b""))
+        if body is None:
+            return None
+        _en, pages = _walk_ifds(body)
+        if len(pages) < 2:
+            return None
+        off = _first(pages[1], T_THUMB_OFF)
+        ln = _first(pages[1], T_THUMB_LEN)
+        if not isinstance(off, int) or not isinstance(ln, int):
+            return None
+        if off <= 0 or ln <= 0 or off + ln > len(body):
+            return None
+        thumb = bytes(body[off:off + ln])
+        return thumb if thumb[:2] == b"\xff\xd8" else None
     except (_Broken, struct.error):
         return None
-    return None
 
 
 def exif_app1(make: str, model: str, dt: str,

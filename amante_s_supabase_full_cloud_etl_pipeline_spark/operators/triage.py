@@ -330,29 +330,23 @@ def _triage(b: bytes) -> dict:
                             meta["version"],
                             int(meta["encrypted"])))
         return _out("pdf", False)
-    # 6) MPEG audio LAST among binary magics: the bare 11-bit frame
-    # sync is the weakest signature here (two-frame confirmation
-    # inside sniff_mp3 keeps arbitrary binaries out)
+    # 6) HEAD-ANCHORED MPEG audio: an ID3 prologue or an immediate
+    # confirmed frame sync is a strong signature and must out-rank
+    # the text sniffs (an mp3 whose tag text QUOTES '-->' or a
+    # header-shaped line is still an mp3)
     from .mp3 import parse_mp3_meta, sniff_mp3
 
-    mp3 = parse_mp3_meta(b)
-    if mp3 is not None:
-        # the walk itself is the detector (its bounded sync scan
-        # finds junk-prefixed streams the head-only sniff cannot),
-        # and its two-consecutive-frame confirmation keeps false
-        # syncs out
-        return _out("mp3", True,
-                    duration_ms=mp3["duration_ms"],
-                    n_streams=mp3["channels"],
-                    detail="v%s L%d %s" % (
-                        mp3["version"], mp3["layer"],
-                        mp3["vbr_tag"] or
-                        ("vbr" if mp3["vbr"] else "cbr")))
     if sniff_mp3(b):
-        # ID3-prologued but unwalkable: identified, broken
-        return _out("mp3", False)
+        mp3 = parse_mp3_meta(b)
+        if mp3 is not None:
+            return _mp3_out(mp3)
+        return _out("mp3", False)  # identified, broken
     # 7) text-likes: WARC before email (a WARC record IS RFC-822ish
-    # named fields), subtitles after both
+    # named fields), subtitles after both. These STRONG text
+    # prologues out-rank the junk-tolerant interior mp3 sync scan
+    # below — a WARC/eml whose PAYLOAD embeds MPEG frames is a web/
+    # text blob, not audio (review catch: the deep walk ran first
+    # and claimed such blobs)
     if b[:5] == b"WARC/":
         n = b.count(b"WARC/1", 0, 1 << 20)
         return _out("warc", True, n_streams=n)
@@ -378,7 +372,23 @@ def _triage(b: bytes) -> dict:
         cues = parse_srt(b)
         return _out("srt", bool(cues),
                     n_streams=len(cues) if cues else None)
+    # 8) junk-prefixed MPEG audio, LAST: the bounded interior sync
+    # scan finds streams behind leading garbage the head sniff
+    # cannot — ordered after every stronger prologue above
+    mp3 = parse_mp3_meta(b)
+    if mp3 is not None:
+        return _mp3_out(mp3)
     return dict(_EMPTY)
+
+
+def _mp3_out(mp3: dict) -> dict:
+    return _out("mp3", True,
+                duration_ms=mp3["duration_ms"],
+                n_streams=mp3["channels"],
+                detail="v%s L%d %s" % (
+                    mp3["version"], mp3["layer"],
+                    mp3["vbr_tag"] or
+                    ("vbr" if mp3["vbr"] else "cbr")))
 
 
 _EML_HEADERS = (b"received:", b"from:", b"subject:", b"message-id:",

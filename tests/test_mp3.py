@@ -311,3 +311,66 @@ def test_cover_art_extraction_and_image_composition():
         extract_cover_art(bytes(dam))
     for cut in range(0, min(len(full), 400), 17):
         extract_cover_art(full[:cut])
+
+
+# ── r12 review-pass regressions ─────────────────────────────────
+
+
+def test_single_frame_with_id3v1_trailer_parses():
+    # a one-frame tagged stream was S4-dropped: the lone frame ends
+    # 128 bytes before EOF at the 'TAG' trailer (review catch)
+    b = encode_mp3(n_frames=1, id3v1={"title": "only one"})
+    m = parse_mp3_meta(b)
+    assert m is not None and m["n_frames"] == 1
+    assert m["has_id3v1"] and m["title"] == "only one"
+    assert sniff_mp3(b)
+    # bare single frame at EOF still parses (pre-existing behavior)
+    assert parse_mp3_meta(encode_mp3(n_frames=1))["n_frames"] == 1
+    # but a single frame followed by arbitrary junk stays refused
+    assert parse_mp3_meta(
+        encode_mp3(n_frames=1) + b"\x00" * 100
+    ) is None
+
+
+def test_id3v24_per_frame_unsynchronisation():
+    # v2.4 stuffs per frame with ON-WIRE syncsafe sizes (review
+    # catch: the old whole-tag scheme mis-walked real v2.4 files —
+    # an FF-bearing early frame shifted every later frame). The
+    # encoder now emits the real-writer shape; a tag whose FIRST
+    # frame carries 0xFF bytes must still yield the LATER text
+    # frames.
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp3 import (  # noqa: E501
+        _encode_apic,
+        _id3_frames,
+        extract_cover_art,
+    )
+
+    # hand-assemble a v2.4 tag: APIC with raw 0xFF runs (per-frame
+    # unsync, flag bit 0x02) followed by TIT2/TPE1
+    img = b"\xff\xd8" + b"\xff\xe0\x00\x10" + b"\xff" * 40 + b"\xd9"
+    apic_body = (b"\x00image/jpeg\x00\x03cover\x00" + img).replace(
+        b"\xff", b"\xff\x00"
+    )
+    size = bytes((len(apic_body) >> s) & 0x7F for s in (21, 14, 7, 0))
+    apic = b"APIC" + size + bytes([0, 0x02]) + apic_body
+    tit_body = b"\x03after-pic\x00"
+    tit = b"TIT2" + bytes(
+        (len(tit_body) >> s) & 0x7F for s in (21, 14, 7, 0)
+    ) + b"\x00\x00" + tit_body
+    frames = apic + tit
+    ss = bytes((len(frames) >> s) & 0x7F for s in (21, 14, 7, 0))
+    tag = b"ID3\x04\x00\x00" + ss + frames
+    blob = tag + encode_mp3(n_frames=3)
+    m = parse_mp3_meta(blob)
+    assert m is not None and m["title"] == "after-pic"
+    got = extract_cover_art(blob)
+    assert got is not None
+    mime, ptype, out_img = got
+    assert mime == "image/jpeg" and ptype == 3 and out_img == img
+    # the shared iterator yields both frames de-stuffed
+    fr, major, _ = _id3_frames(blob)
+    assert major == 4 and [f[0] for f in fr] == ["APIC", "TIT2"]
+    # encoder round trip: v2.4 unsync with FF-prone UTF-8 text
+    b2 = encode_mp3(n_frames=4, id3v2={"title": "ÿÿ mark"},
+                    id3v2_major=4, id3v2_unsync=True)
+    assert parse_mp3_meta(b2)["title"] == "ÿÿ mark"

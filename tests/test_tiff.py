@@ -498,3 +498,104 @@ def test_exif_ifd1_thumbnail_round_trip():
         exif_thumbnail(bytes(dam))
     for cut in range(0, 700, 19):
         exif_thumbnail(withthumb[:cut])
+
+
+# ── r12 review-pass regressions ─────────────────────────────────
+
+
+def test_hostile_tag_values_never_raise():
+    # RowsPerStrip=0 with planar config reached a division (review
+    # catch); FLOAT-typed width reached shape arithmetic; spp wilder
+    # than reality. All must be S4 Nones or valid decodes — never
+    # exceptions.
+    base = encode_tiff(_px(), planar=True)
+
+    def patch_tag(b, tag, typ, cnt, val4):
+        buf = bytearray(b)
+        for t in (3, 4):
+            for c in (1, 3):
+                idx = bytes(buf).find(struct.pack("<HHI", tag, t, c))
+                if idx >= 0:
+                    buf[idx:idx + 12] = struct.pack(
+                        "<HHI", tag, typ, cnt
+                    ) + val4
+                    return bytes(buf)
+        raise AssertionError("tag %d not found" % tag)
+
+    dam = patch_tag(base, 278, 3, 1, struct.pack("<HH", 0, 0))
+    decode_tiff(dam)  # rps=0: must not raise
+    dam = patch_tag(base, 256, 11, 1, struct.pack("<f", 17.0))
+    assert decode_tiff(dam) is None  # float width → S4
+    dam = patch_tag(base, 277, 3, 1, struct.pack("<HH", 200, 0))
+    assert decode_tiff(dam) is None  # absurd spp → S4
+    meta = parse_tiff_meta(dam)
+    assert meta is not None  # meta walk still surfaces structure
+
+
+def test_spp2_gray_alpha_decodes_to_rgb():
+    # hand-build a 2×2 gray+alpha TIFF: the decode contract is
+    # (h, w, 3) — channel 0 is luminance, alpha dropped
+    pix = bytes([10, 255, 20, 128, 30, 0, 40, 64])  # g,a pairs
+    out = b"II*\x00" + struct.pack("<I", 16)
+    out += pix
+    entries = [
+        (256, 3, 1, struct.pack("<HH", 2, 0)),
+        (257, 3, 1, struct.pack("<HH", 2, 0)),
+        (258, 3, 2, struct.pack("<HH", 8, 8)),
+        (259, 3, 1, struct.pack("<HH", 1, 0)),
+        (262, 3, 1, struct.pack("<HH", 1, 0)),
+        (273, 4, 1, struct.pack("<I", 8)),
+        (277, 3, 1, struct.pack("<HH", 2, 0)),
+        (278, 3, 1, struct.pack("<HH", 2, 0)),
+        (279, 4, 1, struct.pack("<I", 8)),
+    ]
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt) + val
+    out += struct.pack("<I", 0)
+    arr = decode_tiff(out)
+    assert arr is not None and arr.shape == (2, 2, 3)
+    assert arr[:, :, 0].ravel().tolist() == [10, 20, 30, 40]
+    assert np.array_equal(arr[:, :, 0], arr[:, :, 1])
+
+
+def test_damaged_second_ifd_surfaces_first_page():
+    # the documented lenient-prefix contract (review catch: any
+    # damaged IFD dropped the whole file)
+    full = encode_tiff(_px(), extra_pages=1, make="X")
+    meta = parse_tiff_meta(full)
+    assert len(meta) == 2
+    # corrupt the SECOND IFD's entry count: find its offset via the
+    # first IFD's next pointer
+    en_pages = struct.unpack_from("<I", full, 4)[0]
+    n0 = struct.unpack_from("<H", full, en_pages)[0]
+    (second_off,) = struct.unpack_from(
+        "<I", full, en_pages + 2 + 12 * n0
+    )
+    dam = bytearray(full)
+    dam[second_off:second_off + 2] = struct.pack("<H", 60000)
+    meta = parse_tiff_meta(bytes(dam))
+    assert meta is not None and len(meta) == 1  # prefix survives
+    assert decode_tiff(bytes(dam)) is not None  # page 0 decodes
+
+
+def test_gps_empty_ref_does_not_flip_sign():
+    # '' in 'Ss' is True — an empty/NUL GPS ref silently negated the
+    # coordinate (review catch); now it yields None, and one-letter
+    # refs keep exact semantics
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
+        encode_jpeg,
+    )
+
+    j = insert_app1(
+        encode_jpeg(_px(), quality=90),
+        exif_app1("C", "M", "2026:01:01 00:00:00", gps=(10.5, 20.25)),
+    )
+    # patch the GPSLatitudeRef ASCII 'N\x00' to '\x00\x00'
+    b = bytearray(j)
+    idx = bytes(b).find(struct.pack("<HHI", 1, 2, 2) + b"N\x00\x00\x00")
+    assert idx > 0
+    b[idx + 8] = 0
+    ex = parse_exif(bytes(b))
+    assert ex is not None and ex["gps_lat"] is None
+    assert abs(ex["gps_lon"] - 20.25) < 1e-4  # untouched ref intact

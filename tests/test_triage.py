@@ -237,3 +237,50 @@ class TestKernel:
         }
         for r in routed.collect():
             assert t[r["doc_id"]] == (r["family"], r["codec"])
+
+
+# ── r12 review-pass regressions ─────────────────────────────────
+
+
+def test_text_prologues_outrank_embedded_mpeg_payloads():
+    # a WARC/eml whose PAYLOAD carries MPEG frames is web/text, not
+    # audio (review catch: the junk-tolerant interior sync scan ran
+    # before the text prologues and claimed such blobs)
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp3 import (  # noqa: E501
+        encode_mp3,
+    )
+
+    mp3 = encode_mp3(n_frames=8)
+    warc = (
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://ex.test/a.mp3\r\n"
+        b"Content-Type: application/http\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(mp3)
+    ) + mp3 + b"\r\n\r\n"
+    t = triage_blob(warc)
+    assert (t["family"], t["codec"]) == ("web", "warc"), t
+    eml = (
+        b"From: a@ex.test\r\nTo: b@ex.test\r\n"
+        b"Subject: song\r\nMessage-ID: <1@x>\r\n\r\n"
+    ) + mp3
+    t = triage_blob(eml)
+    assert (t["family"], t["codec"]) == ("text", "eml"), t
+    # mbox likewise
+    t = triage_blob(b"From x@y Mon Jan  1 00:00:00 2026\r\n"
+                    b"Subject: s\r\n\r\n" + mp3)
+    assert t["codec"] == "mbox", t
+    # head-anchored mp3s (ID3 or immediate sync) STILL out-rank the
+    # text sniffs: a tag whose title quotes an srt arrow stays mp3
+    quoted = encode_mp3(
+        n_frames=6, id3v2={"title": "from 00:01 --> 00:02"}
+    )
+    t = triage_blob(quoted)
+    assert t["codec"] == "mp3" and t["parseable"], t
+    # and junk-prefixed mp3s (no text-y prologue) still classify via
+    # the LAST-resort interior scan
+    t = triage_blob(encode_mp3(n_frames=6, junk_prefix=300))
+    assert t["codec"] == "mp3" and t["parseable"], t
+    # a single-frame ID3v1-tagged stream classifies (the _find_sync
+    # trailer fix, end-to-end)
+    t = triage_blob(encode_mp3(n_frames=1, id3v1={"title": "x"}))
+    assert t["codec"] == "mp3" and t["parseable"], t
