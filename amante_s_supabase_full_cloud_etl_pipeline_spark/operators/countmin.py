@@ -93,15 +93,23 @@ def count_min_sketch(
         if seen:
             yield pd.DataFrame({"cells": [cells.tolist()]})
 
-    parts = (
+    # second-level reduce (r12 advice): the per-partition summaries
+    # are cell-wise summed IN SPARK (posexplode → hash-agg with
+    # map-side combine), so the driver collects exactly d·w cell
+    # totals however many partitions the scan had — O(d×w) driver
+    # work in corpus AND cluster size, matching the repo's
+    # "driver work is O(1) in corpus size" discipline.
+    merged = (
         df.select(F.col(col).cast("string").alias("_v"))
         .mapInPandas(partial, _SKETCH_SCHEMA)
+        .select(F.posexplode("cells").alias("_j", "_c"))
+        .groupBy("_j")
+        .agg(F.sum("_c").alias("_c"))
         .collect()
     )
     total = [0] * (d * w)
-    for r in parts:
-        for j, v in enumerate(r["cells"]):
-            total[j] += v
+    for r in merged:
+        total[r["_j"]] = r["_c"]
     # n = every counted increment / depth (each row increments d cells)
     n = sum(total) // d if d else 0
     return CountMin(d, w, n, tuple(total))

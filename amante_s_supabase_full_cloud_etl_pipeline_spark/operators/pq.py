@@ -85,17 +85,25 @@ def _train_ivfpq(
     vec_col: str,
     seed: int,
     train_fraction: float,
+    max_train_rows: int,
 ):
     """(coarse (n_lists,d), codebooks (m,n_codes,d/m)) from a bounded
     deterministic sample — the only driver-side step, same contract
-    as ivf_topk's quantizer fit."""
+    as ivf_topk's quantizer fit: fraction-filtered, then hard-capped
+    at ``max_train_rows`` by xxhash64 order so the collect is O(cap)
+    whatever the corpus size; the final by-id sort keeps X's row
+    order (and so the pinned codebooks) unchanged when the cap does
+    not bite."""
     import numpy as np
 
+    from .similarity import quantizer_train_sample
+
     sample_rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .filter(
-            F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(10_000))
-            < F.lit(int(train_fraction * 10_000))
+        quantizer_train_sample(
+            corpus.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            ),
+            "_id", seed, train_fraction, max_train_rows,
         )
         .orderBy("_id")
         .collect()
@@ -128,6 +136,7 @@ def ivfpq_topk(
     round_to: int = 6,
     seed: int = 42,
     train_fraction: float = 0.25,
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF-PQ with exact
     re-ranking. Returns (query_id, neighbor_id, score, rank) with
@@ -137,8 +146,12 @@ def ivfpq_topk(
 
     from .similarity import cosine
 
+    from .similarity import MAX_TRAIN_ROWS
+
     coarse, books = _train_ivfpq(
-        corpus, n_lists, m, n_codes, id_col, vec_col, seed, train_fraction
+        corpus, n_lists, m, n_codes, id_col, vec_col, seed,
+        train_fraction,
+        MAX_TRAIN_ROWS if max_train_rows is None else max_train_rows,
     )
     dim = coarse.shape[1]
     ds = dim // m

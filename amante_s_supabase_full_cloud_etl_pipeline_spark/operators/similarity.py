@@ -176,6 +176,38 @@ def nearest_lists_expr(centroids: list[list[float]], vec: Column, n: int) -> Col
     return F.slice(F.array_sort(dists), 1, n).getField("list_id")
 
 
+#: absolute ceiling on rows collected for quantizer training —
+#: driver memory is bounded BY CONSTRUCTION whatever the corpus size
+#: or ``train_fraction`` (r12 advice: a fraction alone grows linearly
+#: with the corpus). ~50k × d floats is MBs, and k-means needs no
+#: more than 10⁵-ish points for a 16-256-way coarse quantizer.
+MAX_TRAIN_ROWS = 50_000
+
+
+def quantizer_train_sample(
+    df: DataFrame,
+    id_col: str,
+    seed: int,
+    train_fraction: float,
+    max_train_rows: int,
+) -> DataFrame:
+    """THE quantizer sampling contract, shared by IVF and IVF-PQ:
+    deterministic hash-fraction filter (partitioning-independent,
+    same scan) then an absolute xxhash64-ordered ``limit`` — Spark
+    plans it as TakeOrderedAndProject (per-partition top-N, no full
+    sort), so the later driver collect is O(max_train_rows) by
+    construction. When the cap does not bite, the kept set equals
+    the plain fraction filter (existing pins unchanged)."""
+    return (
+        df.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+            < F.lit(int(train_fraction * 10_000))
+        )
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed + 1)), id_col)
+        .limit(int(max_train_rows))
+    )
+
+
 def fit_coarse_centroids(
     corpus: DataFrame,
     n_lists: int = 16,
@@ -183,11 +215,16 @@ def fit_coarse_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     train_fraction: float = 0.25,
+    max_train_rows: int = MAX_TRAIN_ROWS,
 ) -> list[list[float]]:
     """Deterministic coarse-quantizer fit (pyspark.ml KMeans on a
     hash-selected sample, single sorted partition — bit-deterministic
     centroids on any cluster layout; see ivf_topk docstring for the
-    scale reasoning on ``train_fraction``)."""
+    scale reasoning on ``train_fraction``). The fraction-selected
+    sample is then capped at ``max_train_rows`` by xxhash64 order
+    (TakeOrderedAndProject — no full sort, pseudo-random keep set,
+    deterministic on any partitioning); when the cap does not bite
+    the kept set — and therefore every existing pin — is unchanged."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -195,9 +232,8 @@ def fit_coarse_centroids(
         F.col(id_col), array_to_vector(F.col(vec_col)).alias("_v")
     )
     train = (
-        with_vec.filter(
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
-            < F.lit(int(train_fraction * 10_000))
+        quantizer_train_sample(
+            with_vec, id_col, seed, train_fraction, max_train_rows
         )
         .select(F.col(id_col), "_v")
         .coalesce(1)
@@ -256,6 +292,7 @@ def ivf_topk(
     round_to: int = 6,
     seed: int = 42,
     train_fraction: float = 0.25,
+    max_train_rows: int = MAX_TRAIN_ROWS,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (pyspark.ml, seeded)
     partitions the corpus into ``n_lists`` inverted lists; each query
@@ -269,15 +306,17 @@ def ivf_topk(
     The quantizer trains on a ``train_fraction`` sample selected by a
     deterministic hash of the id — partitioning-independent (same
     sample on any cluster layout, unlike ``df.sample``) and computed
-    in the same scan, no extra pass. At 100 TB set ``train_fraction``
-    so the sample lands in the 10⁵–10⁶ range: k-means iterations must
-    never scan the corpus.
+    in the same scan, no extra pass, then hard-capped at
+    ``max_train_rows`` (xxhash64-ordered limit) so the driver-side
+    collect is O(cap) BY CONSTRUCTION — at 100 TB the fraction is a
+    tuning knob, not a safety valve.
     """
     # Fit comments live in fit_coarse_centroids (single sorted
     # partition on a hash-selected bounded sample → bit-deterministic
     # centroids on any layout, as the golden pin requires).
     centroids = fit_coarse_centroids(
-        corpus, n_lists, id_col, vec_col, seed, train_fraction
+        corpus, n_lists, id_col, vec_col, seed, train_fraction,
+        max_train_rows,
     )
 
     def nearest_lists(vec: Column, n: int) -> Column:

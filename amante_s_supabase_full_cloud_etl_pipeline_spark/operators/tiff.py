@@ -508,10 +508,27 @@ def decode_tiff(blob: bytes | None):
 # ── metadata walk (Spark kernel's core) ─────────────────────────
 
 
+def _meta_int(v):
+    """Hostile-retype guard: a tag the writer declared ASCII/FLOAT/
+    RATIONAL where we expect an integer must become None, never a
+    str/float/list that later dies at pandas→Arrow serialization in
+    the LongType kernel schema (the one failure triage_blob's
+    try/except cannot catch)."""
+    if isinstance(v, bool) or not isinstance(v, int):
+        return None
+    return v
+
+
+def _meta_str(v):
+    return v if isinstance(v, str) else None
+
+
 def parse_tiff_meta(blob: bytes | None):
     """One dict per page (list), or None for non-TIFF / broken-
     before-first-IFD input (S4). A damaged later IFD surfaces the
-    prefix (lenient reader)."""
+    prefix (lenient reader). Every emitted value is type-coerced
+    (int-or-None / str-or-None) so retyped hostile tags cannot
+    poison the Arrow schema downstream."""
     b = bytes(blob or b"")
     if _endian(b) is None:
         return None
@@ -523,25 +540,32 @@ def parse_tiff_meta(blob: bytes | None):
     for i, ifd in enumerate(ifds):
         try:
             exif_ptr = _first(ifd, T_EXIF_IFD)
+            bits = ifd.get(T_BITS, [1])
+            if not isinstance(bits, (list, tuple)):
+                bits = [bits]
+            bits = [x for x in (_meta_int(v) for v in bits)
+                    if x is not None] or [1]
             pages.append({
                 "page": i,
-                "width": _first(ifd, T_WIDTH),
-                "height": _first(ifd, T_HEIGHT),
-                "bits": ifd.get(T_BITS, [1]),
-                "samples_per_pixel": _first(ifd, T_SPP, 1),
-                "compression": _first(ifd, T_COMPRESSION, 1),
-                "photometric": _first(ifd, T_PHOTOMETRIC),
-                "predictor": _first(ifd, T_PREDICTOR, 1),
+                "width": _meta_int(_first(ifd, T_WIDTH)),
+                "height": _meta_int(_first(ifd, T_HEIGHT)),
+                "bits": bits,
+                "samples_per_pixel":
+                    _meta_int(_first(ifd, T_SPP)) or 1,
+                "compression":
+                    _meta_int(_first(ifd, T_COMPRESSION)) or 1,
+                "photometric":
+                    _meta_int(_first(ifd, T_PHOTOMETRIC)),
+                "predictor":
+                    _meta_int(_first(ifd, T_PREDICTOR)) or 1,
                 "tiled": T_TILE_OFFSETS in ifd,
                 "n_segments": len(
                     ifd.get(T_TILE_OFFSETS, ifd.get(T_STRIP_OFFSETS, []))
                 ),
-                "make": _first(ifd, T_MAKE) if isinstance(
-                    ifd.get(T_MAKE), str
-                ) else ifd.get(T_MAKE),
-                "model": ifd.get(T_MODEL),
-                "datetime": ifd.get(T_DATETIME),
-                "orientation": _first(ifd, T_ORIENTATION),
+                "make": _meta_str(ifd.get(T_MAKE)),
+                "model": _meta_str(ifd.get(T_MODEL)),
+                "datetime": _meta_str(ifd.get(T_DATETIME)),
+                "orientation": _meta_int(_first(ifd, T_ORIENTATION)),
                 "has_exif_ifd": exif_ptr is not None,
             })
         except (_Broken, struct.error):
@@ -553,10 +577,19 @@ def parse_tiff_meta(blob: bytes | None):
 
 
 def _rat(v):
-    if not v:
+    try:
+        if not v:
+            return None
+        num, den = v[0]
+        if not isinstance(num, (int, float)) or not isinstance(
+            den, (int, float)
+        ):
+            return None
+        return None if den == 0 else num / den
+    except (TypeError, ValueError):
+        # hostile retype: RATIONAL rewritten as SHORT/FLOAT/ASCII
+        # makes v[0] a scalar/char — not camera data, not a crash
         return None
-    num, den = v[0]
-    return None if den == 0 else num / den
 
 
 def parse_exif_tiff(b: bytes):
@@ -568,36 +601,44 @@ def parse_exif_tiff(b: bytes):
         raise _Broken("no ifd0")
     ifd0 = pages[0]
     out = {
-        "make": ifd0.get(T_MAKE),
-        "model": ifd0.get(T_MODEL),
-        "orientation": _first(ifd0, T_ORIENTATION),
-        "datetime": ifd0.get(T_DATETIME),
+        "make": _meta_str(ifd0.get(T_MAKE)),
+        "model": _meta_str(ifd0.get(T_MODEL)),
+        "orientation": _meta_int(_first(ifd0, T_ORIENTATION)),
+        "datetime": _meta_str(ifd0.get(T_DATETIME)),
         "exposure_s": None, "fnumber": None, "iso": None,
         "datetime_original": None, "focal_mm": None,
         "pixel_x": None, "pixel_y": None,
         "gps_lat": None, "gps_lon": None,
     }
-    ptr = _first(ifd0, T_EXIF_IFD)
+    ptr = _meta_int(_first(ifd0, T_EXIF_IFD))
     if ptr:
         sub, _ = _read_ifd(b, en, ptr)
         out["exposure_s"] = _rat(sub.get(E_EXPOSURE))
         out["fnumber"] = _rat(sub.get(E_FNUMBER))
-        out["iso"] = _first(sub, E_ISO)
-        out["datetime_original"] = sub.get(E_DT_ORIG)
+        out["iso"] = _meta_int(_first(sub, E_ISO))
+        out["datetime_original"] = _meta_str(sub.get(E_DT_ORIG))
         out["focal_mm"] = _rat(sub.get(E_FOCAL))
-        out["pixel_x"] = _first(sub, E_PIX_X)
-        out["pixel_y"] = _first(sub, E_PIX_Y)
-    gptr = _first(ifd0, T_GPS_IFD)
+        out["pixel_x"] = _meta_int(_first(sub, E_PIX_X))
+        out["pixel_y"] = _meta_int(_first(sub, E_PIX_Y))
+    gptr = _meta_int(_first(ifd0, T_GPS_IFD))
     if gptr:
         gps, _ = _read_ifd(b, en, gptr)
 
         def dms(vals, ref, neg):
-            if not vals or len(vals) < 3 or not ref:
+            ref = _meta_str(ref)
+            if not vals or not isinstance(vals, (list, tuple)) \
+                    or len(vals) < 3 or not ref:
                 return None
-            d = sum(
-                (n / den if den else 0.0) / 60 ** i
-                for i, (n, den) in enumerate(vals[:3])
-            )
+            d = 0.0
+            for i, pair in enumerate(vals[:3]):
+                if not isinstance(pair, (list, tuple)) \
+                        or len(pair) != 2:
+                    return None
+                n, den = pair
+                if not isinstance(n, (int, float)) \
+                        or not isinstance(den, (int, float)):
+                    return None
+                d += (n / den if den else 0.0) / 60 ** i
             # first-letter compare: `'' in 'Ss'` is True (empty
             # string is a substring of everything), which silently
             # FLIPPED the hemisphere on an empty ref — review catch
@@ -617,7 +658,8 @@ def parse_exif(jpeg: bytes | None):
         if body is None:
             return None
         return parse_exif_tiff(body)
-    except (_Broken, struct.error):
+    except (_Broken, struct.error, TypeError, ValueError,
+            IndexError, OverflowError):
         return None
 
 

@@ -206,12 +206,17 @@ def point_freq_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm = count_min_sketch(docs, "source", depth=4, width=2048)
     # bounded collect: the query list for CM point-estimates must not
     # assume low key cardinality — cap like every other driver-side
-    # collect in the repo (the sketch itself is cardinality-safe)
+    # collect in the repo (the sketch itself is cardinality-safe).
+    # orderBy BEFORE limit (r12 advice): distinct().limit(N) keeps an
+    # ARBITRARY subset once cardinality exceeds the cap, making the
+    # golden-pinned query list partitioning-dependent; ordering first
+    # makes the kept set the deterministic N smallest sources.
     _CM_QUERY_CAP = 1024
-    sources = sorted(
+    sources = [
         r["source"]
-        for r in docs.select("source").distinct().limit(_CM_QUERY_CAP).collect()
-    )
+        for r in docs.select("source").distinct()
+        .orderBy("source").limit(_CM_QUERY_CAP).collect()
+    ]
     bound = int(math.e / cm.width * cm.n) + 1
     cm_rows = spark.createDataFrame(
         [("count_min", s, cm.estimate(s), bound) for s in sources],

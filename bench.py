@@ -778,6 +778,7 @@ def run() -> None:
                 {
                     "metric": "headline_query_wall_total",
                     "value": total,
+                    "basis": "baseline_set_13",
                     "full_total": full_total,
                     "baseline_set": list(BASELINE_SET),
                     "unit": "sec",
@@ -808,6 +809,10 @@ def run() -> None:
             {
                 "metric": "headline_query_wall_total",
                 "value": total,
+                # r12 advice: "value" switched basis (all-rows →
+                # 13-row gate set) in r12; the explicit basis field
+                # keeps cross-round tooling from misreading old files
+                "basis": "baseline_set_13",
                 "full_total": full_total,
                 "unit": "sec",
                 "queries": timings,

@@ -104,7 +104,59 @@ def test_codes_are_m_small_ints(spark, emb):
         _train_ivfpq,
     )
 
-    coarse, books = _train_ivfpq(emb, 8, 8, 16, "vec_id", "embedding", 42, 0.25)
+    coarse, books = _train_ivfpq(
+        emb, 8, 8, 16, "vec_id", "embedding", 42, 0.25, 50_000
+    )
     assert coarse.shape[0] == 8 and books.shape == (8, 16, coarse.shape[1] // 8)
     # the index stores m=8 ints per vector instead of dim floats
     assert coarse.shape[1] >= 32
+
+
+def test_quantizer_train_collect_is_o_cap(spark):
+    """r12 advice: fraction-based training samples grow linearly with
+    the corpus; the absolute cap must bound the collect BY
+    CONSTRUCTION. Corpus 10× the cap → exactly cap rows kept,
+    identically on any partitioning; cap-not-biting keeps the plain
+    fraction-filter set (so existing pins are untouched)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.similarity import (  # noqa: E501
+        quantizer_train_sample,
+    )
+
+    cap = 32
+    df = spark.range(cap * 10).select(
+        F.col("id").alias("_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double")
+                  for i in range(4)]).alias("_v"),
+    )
+    kept = quantizer_train_sample(df, "_id", 42, 1.0, cap)
+    assert kept.count() == cap
+    a = sorted(r["_id"] for r in kept.collect())
+    b = sorted(
+        r["_id"]
+        for r in quantizer_train_sample(
+            df.repartition(13), "_id", 42, 1.0, cap
+        ).collect()
+    )
+    assert a == b  # partitioning-independent keep set
+    # cap not biting → identical to the plain fraction filter
+    loose = quantizer_train_sample(df, "_id", 42, 0.1, cap * 100)
+    plain = df.filter(
+        F.pmod(F.xxhash64(F.col("_id"), F.lit(42)), F.lit(10_000))
+        < F.lit(1_000)
+    )
+    assert sorted(r["_id"] for r in loose.collect()) == sorted(
+        r["_id"] for r in plain.collect()
+    )
+
+
+def test_ivfpq_respects_train_cap(spark, emb, queries):
+    # a biting cap still yields a working index with exact re-ranked
+    # scores (quality may differ; the contract — exact cosine on the
+    # winners, k rows per query — must not)
+    got = ivfpq_topk(emb, queries, k=3, n_lists=4, m=8, n_codes=8,
+                     max_train_rows=40)
+    per_q = {}
+    for r in got.collect():
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) == 3

@@ -599,3 +599,130 @@ def test_gps_empty_ref_does_not_flip_sign():
     ex = parse_exif(bytes(b))
     assert ex is not None and ex["gps_lat"] is None
     assert abs(ex["gps_lon"] - 20.25) < 1e-4  # untouched ref intact
+
+
+# ── r13: hostile tag RETYPING (the Arrow-serialization hole) ────
+
+
+def _hand_tiff(entries, pix=b"\x00\x00\x00\x00"):
+    """Minimal little-endian TIFF: pixels at 8, IFD right after."""
+    out = b"II*\x00" + struct.pack("<I", 8 + len(pix)) + pix
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack("<HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0")
+    out += struct.pack("<I", 0)
+    return out
+
+
+def _gray_entries(retype=None):
+    """Valid 2×2 gray-8 IFD; ``retype`` = {tag: (typ, cnt, raw4)}
+    overrides — the hostile writer rewriting a tag's TYPE field."""
+    base = {
+        256: (3, 1, struct.pack("<HH", 2, 0)),
+        257: (3, 1, struct.pack("<HH", 2, 0)),
+        258: (3, 1, struct.pack("<HH", 8, 0)),
+        259: (3, 1, struct.pack("<HH", 1, 0)),
+        262: (3, 1, struct.pack("<HH", 1, 0)),
+        273: (4, 1, struct.pack("<I", 8)),
+        277: (3, 1, struct.pack("<HH", 1, 0)),
+        278: (3, 1, struct.pack("<HH", 2, 0)),
+        279: (4, 1, struct.pack("<I", 4)),
+    }
+    base.update(retype or {})
+    return [(tag, t, c, v) for tag, (t, c, v) in base.items()]
+
+
+# every hostile variant: tag → retyped (typ, cnt, raw4)
+_RETYPES = {
+    "width_ascii": {256: (2, 3, b"ab\x00\x00")},
+    "width_float": {256: (11, 1, struct.pack("<f", 17.5))},
+    "height_rational_ptr": {257: (5, 1, struct.pack("<I", 8))},
+    "make_short": {271: (3, 2, struct.pack("<HH", 65, 66))},
+    "model_float": {272: (11, 1, struct.pack("<f", 1.25))},
+    "datetime_short": {306: (3, 1, struct.pack("<HH", 9, 0))},
+    "orientation_ascii": {274: (2, 2, b"6\x00\x00\x00")},
+    "bits_ascii": {258: (2, 2, b"8\x00\x00\x00")},
+    "spp_float": {277: (11, 1, struct.pack("<f", 3.0))},
+    "compression_ascii": {259: (2, 2, b"5\x00\x00\x00")},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_RETYPES))
+def test_retyped_tags_yield_typed_meta_never_str_or_float(name):
+    # ADVICE r12 (high): Width retyped ASCII gave width='ab', which
+    # passed triage_blob's try/except but DIED at pandas→Arrow in
+    # the LongType kernel schema. parse_tiff_meta must coerce every
+    # emitted value to its declared kernel type (int/str) or None.
+    blob = _hand_tiff(_gray_entries(_RETYPES[name]))
+    meta = parse_tiff_meta(blob)
+    if meta is None:
+        return  # S4 drop is fine; a wrong TYPE is not
+    for page in meta:
+        for k in ("width", "height", "samples_per_pixel",
+                  "compression", "photometric", "predictor",
+                  "n_segments", "orientation", "page"):
+            assert page[k] is None or (
+                isinstance(page[k], int)
+                and not isinstance(page[k], bool)
+            ), (name, k, page[k])
+        for k in ("make", "model", "datetime"):
+            assert page[k] is None or isinstance(page[k], str), (
+                name, k, page[k])
+        assert isinstance(page["bits"], list) and all(
+            isinstance(x, int) for x in page["bits"]), (name, page)
+        for k in ("tiled", "has_exif_ifd"):
+            assert isinstance(page[k], bool), (name, k)
+    # triage forwards meta[0] width/height into its LongType schema
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.triage import (  # noqa: E501
+        triage_blob,
+    )
+
+    t = triage_blob(blob)
+    for k in ("width", "height", "duration_ms", "n_streams"):
+        assert t[k] is None or (
+            isinstance(t[k], int) and not isinstance(t[k], bool)
+        ), (name, k, t[k])
+
+
+def test_retyped_exif_tags_never_raise_and_stay_typed():
+    # EXIF sub-IFD rationals retyped as SHORT/ASCII reach _rat/dms;
+    # the JPEG APP1 path must neither raise nor emit wrong types.
+    px = _px(16, 16)
+    j = insert_app1(
+        encode_jpeg_for_exif(px),
+        exif_app1("C", "M", "2026:01:01 00:00:00",
+                  gps=(14.5995, 120.9842)),
+    )
+    # retype every RATIONAL(5)/SRATIONAL(10) entry in the APP1 to
+    # SHORT, then every ASCII(2) to FLOAT — byte-surgery sweep
+    for src_typ, dst_typ in ((5, 3), (10, 3), (2, 11), (3, 2)):
+        b = bytearray(j)
+        i = 0
+        while i + 12 <= len(b):
+            tag, typ = struct.unpack_from("<HH", b, i)
+            if typ == src_typ and 256 <= tag <= 0xA500:
+                struct.pack_into("<H", b, i + 2, dst_typ)
+            i += 2
+        ex = parse_exif(bytes(b))  # must not raise
+        if ex is None:
+            continue
+        for k in ("make", "model", "datetime", "datetime_original"):
+            assert ex[k] is None or isinstance(ex[k], str), (
+                src_typ, k, ex[k])
+        for k in ("exposure_s", "fnumber", "focal_mm",
+                  "gps_lat", "gps_lon"):
+            assert ex[k] is None or isinstance(ex[k], float), (
+                src_typ, k, ex[k])
+        for k in ("iso", "pixel_x", "pixel_y", "orientation"):
+            assert ex[k] is None or (
+                isinstance(ex[k], int)
+                and not isinstance(ex[k], bool)
+            ), (src_typ, k, ex[k])
+
+
+def encode_jpeg_for_exif(px):
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
+        encode_jpeg,
+    )
+
+    return encode_jpeg(px, quality=90)
