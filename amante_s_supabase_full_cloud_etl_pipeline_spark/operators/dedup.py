@@ -313,9 +313,6 @@ def simhash_near_pairs(
     for recall WITHOUT widening the candidate verification beyond
     pairs that actually share a probed slot. Higher probe_bits are
     deliberately unsupported: the fan-out grows as C(band_bits, k)."""
-    if probe_bits not in (0, 1):
-        raise ValueError("probe_bits must be 0 (exact bands) or 1 (multi-probe)")
-    band_bits = 64 // bands
     sigs = tracked_persist(
         shingle_set(docs, 3, text_col, id_col)
         .select(
@@ -325,12 +322,49 @@ def simhash_near_pairs(
         .select(F.col(id_col), simhash_from_hashes(F.col("_hashes")).alias("sig"))
         # cache below the filter: see minhash_candidates note
     ).filter(F.col("sig").isNotNull())
+    return banded_hamming_pairs(
+        sigs, max_hamming=max_hamming, bands=bands,
+        probe_bits=probe_bits, id_col=id_col,
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 4,
+    probe_bits: int = 0,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_posting: int | None = None,
+) -> DataFrame:
+    """THE banded-Hamming blocking machinery, shared by every 64-bit
+    perceptual-signature tier (text SimHash via
+    :func:`simhash_near_pairs`, image dHash via
+    ``operators/image_fp.py`` — r13). ``sigs`` carries (id, 64-bit
+    sig); returns (id_a, id_b, hamming ≤ max_hamming) candidate
+    pairs found by band-slice collision then exact verification —
+    never all-pairs. Semantics and the probe cost model are
+    documented on :func:`simhash_near_pairs` (pigeonhole recall 1.0
+    at hamming ≤ bands-1, doubled to 2·bands-1 by probe_bits=1).
+
+    ``max_posting`` (r13) adds the repo's ubiquity-cap contract
+    (:func:`..operators.cdc.eligible_hashes` semantics) at the band
+    SLOT level: a (band, band_val) slot carried by more than
+    ``max_posting`` docs on the exact side is dropped from BOTH join
+    sides before the explode — at 100 TB a degenerate slot (every
+    all-black thumbnail hashes identically) is boilerplate, not a
+    dup signal, and the cap bounds each join group's fan-out by
+    construction."""
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 (exact bands) or 1 (multi-probe)")
+    band_bits = 64 // bands
+    sig = F.col(sig_col)
 
     def band_structs(flips: tuple[int, ...]) -> Column:
         """(band, band_val ^ flip) structs; flip=0 is the exact slot."""
         slices = []
         for b in range(bands):
-            raw = F.shiftrightunsigned(F.col("sig"), b * band_bits).bitwiseAND(
+            raw = F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(
                 F.lit((1 << band_bits) - 1)
             )
             for flip in flips:
@@ -345,15 +379,24 @@ def simhash_near_pairs(
     exact = (0,)
     probed = exact if probe_bits == 0 else exact + tuple(1 << j for j in range(band_bits))
     a = (
-        sigs.select(id_col, "sig", F.explode(band_structs(exact)).alias("bb"))
-        .select(id_col, "sig", "bb.band", "bb.band_val")
+        sigs.select(id_col, sig_col, F.explode(band_structs(exact)).alias("bb"))
+        .select(id_col, sig_col, "bb.band", "bb.band_val")
         .toDF("id_a", "sig_a", "band", "band_val")
     )
     b = (
-        sigs.select(id_col, "sig", F.explode(band_structs(probed)).alias("bb"))
-        .select(id_col, "sig", "bb.band", "bb.band_val")
+        sigs.select(id_col, sig_col, F.explode(band_structs(probed)).alias("bb"))
+        .select(id_col, sig_col, "bb.band", "bb.band_val")
         .toDF("id_b", "sig_b", "band", "band_val")
     )
+    if max_posting is not None:
+        ok_slots = (
+            a.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_posting)
+            .select("band", "band_val")
+        )
+        a = a.join(ok_slots, ["band", "band_val"], "left_semi")
+        b = b.join(ok_slots, ["band", "band_val"], "left_semi")
     return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))

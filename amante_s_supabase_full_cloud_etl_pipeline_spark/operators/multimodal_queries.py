@@ -490,6 +490,135 @@ def media_triage_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 golden_table("media_triage", media_triage_leg)
 
+
+def mixed_drop_census_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end mixed-drop anchor (r13 — VERDICT r12 #8: the
+    triage→router→family-kernel COMPOSITION was pinned per-stage but
+    the fan-out itself lived only in examples/mixed_drop.py). Two row
+    shapes on one leg:
+
+    - ``census|family|codec|parseable`` — the drop census a data
+      team reads first: blob count (n) and total bytes (v1) per
+      class, over the same mod-16 mixed corpus as the media_triage
+      leg (so the two legs cross-check each other);
+    - ``fanout-mp3|doc_id|version|vbr_tag`` — ONE family routed all
+      the way through: ``attach_family`` → ``codec == 'mp3'`` filter
+      → the real :func:`mp3_meta` kernel, pinning duration_ms (n),
+      n_frames (v1) and sample_rate (v2) per routed doc. This gates
+      the ROUTER's composition — a misrouted or dropped row changes
+      the key set, a misparsed one changes the values."""
+    from .mp3 import mp3_meta
+    from .triage import (
+        attach_family,
+        synthetic_mixed_corpus,
+        triage_media,
+    )
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _FLAC_LEG_DOCS)
+        .select("doc_id")
+    )
+    drop = (
+        synthetic_mixed_corpus(docs)
+        .select("doc_id", "blob").repartition(32)
+    )
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    census = (
+        triage_media(drop)
+        .groupBy("family", "codec", "parseable")
+        .agg(
+            F.count(F.lit(1)).alias("blobs"),
+            F.sum("byte_length").alias("bytes"),
+        )
+        .select(
+            F.lit("mixed_drop").alias("leg"),
+            F.concat_ws(
+                "|", F.lit("census"), s("family"), s("codec"),
+                F.col("parseable").cast("int").cast("string"),
+            ).alias("key"),
+            F.col("blobs").alias("n"),
+            F.col("bytes").alias("v1"),
+            F.lit(-1).cast("long").alias("v2"),
+        )
+    )
+    fanned = mp3_meta(
+        attach_family(drop)
+        .filter(F.col("codec") == "mp3")
+        .select("doc_id", "blob")
+    ).select(
+        F.lit("mixed_drop").alias("leg"),
+        F.concat_ws(
+            "|", F.lit("fanout-mp3"), s("doc_id"), s("version"),
+            s("vbr_tag"),
+        ).alias("key"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).alias("n"),
+        F.coalesce(F.col("n_frames"), F.lit(-1)).alias("v1"),
+        F.coalesce(F.col("sample_rate"), F.lit(-1)).alias("v2"),
+    )
+    return census.unionByName(fanned).orderBy("key")
+
+
+golden_table("mixed_drop_census", mixed_drop_census_leg)
+
+#: image near-dup corpus bound: 12 duplicate groups × 6 variants
+_IMG_FP_DOCS = 72
+
+
+def image_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image near-dup leg (r13 — VERDICT r12 TOP item: the one
+    modality with no perceptual pairing). Two row shapes:
+
+    - ``sig|doc_id`` — the 64-bit dHash (n) and aHash (v1) of every
+      decoded variant, plus packed dims (v2 = width·10⁵ + height):
+      FULL value pins on the perceptual signatures themselves;
+    - ``pair|id_a|id_b`` — every near-dup pair found by the banded
+      blocking (4×16-bit slices + 1-bit multi-probe + slot cap) with
+      its dHash (n) / aHash (v1) Hamming distances and the duplicate
+      group (v2). The fixture corpus interleaves PNG originals with
+      JPEG re-encodes (q=85/40/75), a half-size PPM resample and a
+      brightness-shifted BMP — cross-codec perceptual duplicates by
+      construction; tests/test_image_fp.py pins the per-transform
+      invariance bounds this leg freezes into the driver gate."""
+    from .image_fp import (
+        image_near_dup_pairs,
+        image_signatures,
+        synthetic_near_dup_image_corpus,
+    )
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _IMG_FP_DOCS)
+        .select("doc_id")
+    )
+    corpus = synthetic_near_dup_image_corpus(docs)
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    sig_rows = image_signatures(corpus).select(
+        F.lit("image_near_dup").alias("leg"),
+        F.concat_ws("|", F.lit("sig"), s("doc_id")).alias("key"),
+        F.col("dhash").alias("n"),
+        F.col("ahash").alias("v1"),
+        (F.col("width") * 100000 + F.col("height")).alias("v2"),
+    )
+    pair_rows = image_near_dup_pairs(corpus).select(
+        F.lit("image_near_dup").alias("leg"),
+        F.concat_ws("|", F.lit("pair"), s("id_a"), s("id_b"))
+        .alias("key"),
+        F.col("dhash_hamming").cast("long").alias("n"),
+        F.col("ahash_hamming").cast("long").alias("v1"),
+        (F.col("id_a") / F.lit(6)).cast("long").alias("v2"),
+    )
+    return sig_rows.unionByName(pair_rows).orderBy("key")
+
+
+golden_table("image_near_dup", image_near_dup_leg)
+
 #: cross-rate corpus bound: 60 docs = 20 recordings × 3 rates
 _CANON_LEG_DOCS = 60
 
@@ -610,6 +739,12 @@ def blob_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT leg, key, n, v1, v2
         FROM read_parquet('{GOLDEN_DIR}/audio_canon.parquet')
+        UNION ALL
+        SELECT leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/mixed_drop_census.parquet')
+        UNION ALL
+        SELECT leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/image_near_dup.parquet')
     ) ORDER BY leg, key
     """,
     golden_sf=DRIVER_SF,
@@ -644,7 +779,14 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass magic-sniff classifier over a corpus interleaving ALL
     fixture families) via :func:`media_triage_leg`, and the
     'audio_canon' leg (cross-rate fingerprinting through the
-    canonical-rate resampler) via :func:`audio_canon_leg`."""
+    canonical-rate resampler) via :func:`audio_canon_leg`. r13 adds
+    the 'mixed_drop' leg — the triage census PLUS one family routed
+    end-to-end through attach_family into its real kernel — via
+    :func:`mixed_drop_census_leg`, extends the mixed corpus with
+    data-drop formats (parquet/jsonl/csv/json/txt) and bare-gzip
+    wraps, and adds the 'image_near_dup' leg — perceptual
+    dHash/aHash signatures and banded cross-codec duplicate pairs —
+    via :func:`image_near_dup_leg`."""
     mp4 = mp4_track_meta_leg(spark, sf_dir).select(
         F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
     )
@@ -659,6 +801,8 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mp3_corpus_meta_leg(spark, sf_dir))
         .unionByName(media_triage_leg(spark, sf_dir))
         .unionByName(audio_canon_leg(spark, sf_dir))
+        .unionByName(mixed_drop_census_leg(spark, sf_dir))
+        .unionByName(image_near_dup_leg(spark, sf_dir))
         .orderBy("leg", "key")
     )
 

