@@ -450,7 +450,8 @@ def media_triage_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The triage leg of ``multimodal_media_meta`` (r12 — VERDICT r11
     top item: the one-pass magic-sniff router): ONE row per blob of
     the mixed corpus that interleaves EVERY fixture family by
-    doc_id % 14 (images incl. tiff, flac, ogg, mp3, mp4, mkv, pdf,
+    doc_id % 18 (images incl. tiff, flac, ogg, mp3, mp4, mkv, pdf,
+    data drops + bare-gzip wraps, HEIF stills, MJPEG AVIs,
     office, subtitles, email, archives, wav, warc, hostile garbage —
     each family corpus's own damage rows included). Pins the full
     classification: key packs doc_id|family|codec|parseable|width|
@@ -499,7 +500,7 @@ def mixed_drop_census_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``census|family|codec|parseable`` — the drop census a data
       team reads first: blob count (n) and total bytes (v1) per
-      class, over the same mod-16 mixed corpus as the media_triage
+      class, over the same mod-18 mixed corpus as the media_triage
       leg (so the two legs cross-check each other);
     - ``fanout-mp3|doc_id|version|vbr_tag`` — ONE family routed all
       the way through: ``attach_family`` → ``codec == 'mp3'`` filter

@@ -59,6 +59,10 @@ _FAMILY = {
     "parquet": "data", "jsonl": "data", "json": "data", "csv": "data",
     "gzip": "archive",
     "txt": "text",
+    # r13: HEIF stills are IMAGES (phone-camera default), AVI the
+    # legacy RIFF video container
+    "heic": "image", "avif": "image",
+    "avi": "video",
 }
 
 _EMPTY = {
@@ -285,7 +289,26 @@ def _triage(b: bytes) -> dict:
             return _out("jpeg", True, sof[0], sof[1],
                         n_streams=sof[2])
         return _out("jpeg", False)
-    # 3) audio containers
+    # 3) RIFF family: AVI video (r13) sniffed by its own form type,
+    # then WAVE audio
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from .avi import parse_avi_meta
+
+        avi = parse_avi_meta(b)
+        if avi:
+            vid = next(
+                (st for st in avi["streams"]
+                 if st["type"] == "vids"), {},
+            )
+            return _out(
+                "avi", True, avi["width"], avi["height"],
+                duration_ms=avi["duration_ms"],
+                n_streams=avi["n_streams"],
+                detail="comp=%s frames=%s" % (
+                    vid.get("compression") or "-",
+                    avi["total_frames"]),
+            )
+        return _out("avi", False)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         hdr = _wav_header(b)
         if hdr:
@@ -329,8 +352,26 @@ def _triage(b: bytes) -> dict:
                         first.get("width"), first.get("height"),
                         duration_ms=dur, n_streams=len(meta))
         return _out("ogg-unknown", False)
-    # 4) video containers
+    # 4) video containers — but HEIF brands are still IMAGES inside
+    # the same ISO-BMFF wrapper (r13): route them by item metadata,
+    # not track metadata (a heic has zero tracks and used to triage
+    # as a broken-ish mp4)
     if len(b) >= 12 and b[4:8] == b"ftyp":
+        from .heif import parse_heif_meta, sniff_heif
+
+        hcodec = sniff_heif(b)
+        if hcodec is not None:
+            hm = parse_heif_meta(b)
+            if hm:
+                return _out(
+                    hcodec, True, hm["width"], hm["height"],
+                    n_streams=hm["n_items"],
+                    detail="brand=%s items=%s%s" % (
+                        hm["brand"], hm["item_types"] or "-",
+                        " rot=%d" % hm["rotation"]
+                        if hm["rotation"] else ""),
+                )
+            return _out(hcodec, False)
         from .mp4 import parse_mp4_meta
 
         meta = parse_mp4_meta(b)
@@ -709,8 +750,8 @@ def attach_family(media):
 
 
 #: mixed-corpus interleave modulus (r13: 14 → 16 for the data-drop
-#: and bare-gzip legs)
-_MIX_MOD = 16
+#: and bare-gzip legs, → 18 for the HEIF-still and AVI legs)
+_MIX_MOD = 18
 
 
 def synthetic_mixed_corpus(docs):
@@ -720,7 +761,9 @@ def synthetic_mixed_corpus(docs):
     4 mp4, 5 mkv, 6 pdf, 7 office, 8 subtitles, 9 email,
     10 archives, 11 wav, 12 warc, 13 hostile/truncated garbage,
     14 data drops (parquet/jsonl/csv/json/txt — r13), 15 bare-gzip
-    wraps incl. a budget-probing bomb and a truncated member (r13).
+    wraps incl. a budget-probing bomb and a truncated member (r13),
+    16 HEIF stills (heic/avif, rotation/Exif items, truncation —
+    r13), 17 MJPEG AVIs incl. torn tails (r13).
     Each family corpus ALSO carries its own garbage rows — those
     must triage as 'unknown', never kill the task. Built as a union
     of the existing builders (no new format knowledge), one
@@ -774,6 +817,8 @@ def synthetic_mixed_corpus(docs):
         leg(13, _garbage_corpus),
         leg(14, _data_corpus),
         leg(15, _gzip_corpus),
+        leg(16, _heif_corpus),
+        leg(17, _avi_leg_corpus),
     ]
     out = legs[0]
     for other in legs[1:]:
@@ -1052,3 +1097,49 @@ def _gzip_corpus(ids):
         StructField("blob", BinaryType()),
     ])
     return ids.mapInPandas(kernel, schema)
+
+
+def _heif_corpus(ids):
+    """HEIF-still leg (r13): heic/avif cycling rotation and Exif
+    items; d % 5 == 4 truncates inside meta (identified, not
+    parseable)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from .heif import encode_heif
+
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                codec = ("heic", "avif")[d % 2]
+                blob = encode_heif(
+                    64 + 16 * (d % 5), 48 + 16 * (d % 3), codec,
+                    rotation=(None, 90, 180, 270)[d % 4],
+                    with_exif=(d % 3 == 0),
+                )
+                if d % 5 == 4:
+                    blob = blob[: len(blob) // 2]
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs}
+            )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("blob", BinaryType()),
+    ])
+    return ids.mapInPandas(kernel, schema)
+
+
+def _avi_leg_corpus(ids):
+    from .avi import synthetic_avi_corpus
+
+    return synthetic_avi_corpus(ids)
