@@ -361,3 +361,104 @@ def encode_heif(width: int, height: int, codec: str = "heic",
     meta_children = hdlr + pitm + iinf + iloc_box(file_off) + iprp
     meta = _full(b"meta", 0, 0, meta_children)
     return ftyp + meta + mdat
+
+
+# ── Spark surface ───────────────────────────────────────────────
+
+HEIF_META_SCHEMA = None  # built lazily below (keeps pyspark import
+#                          out of the pure-parser fast path)
+
+
+def _schema():
+    global HEIF_META_SCHEMA
+    if HEIF_META_SCHEMA is None:
+        from pyspark.sql.types import (
+            BooleanType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        HEIF_META_SCHEMA = StructType([
+            StructField("doc_id", LongType()),
+            StructField("brand", StringType()),
+            StructField("codec", StringType()),
+            StructField("primary_item", LongType()),
+            StructField("n_items", LongType()),
+            StructField("item_types", StringType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("rotation", LongType()),
+            StructField("has_exif", BooleanType()),
+            StructField("primary_bytes", LongType()),
+        ])
+    return HEIF_META_SCHEMA
+
+
+def heif_meta(media):
+    """Map-only Arrow kernel: one row per HEIF/AVIF still —
+    (doc_id, brand, codec, primary_item, n_items, item_types, width,
+    height, rotation, has_exif, primary_bytes). Non-HEIF / broken
+    blobs emit nothing (S4). Expects (doc_id, blob)."""
+    from pyspark.sql import functions as F
+
+    schema = _schema()
+    cols = [f.name for f in schema.fields]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                m = parse_heif_meta(
+                    bytes(blob) if blob is not None else b""
+                )
+                if m is None:
+                    continue
+                rows.append({"doc_id": int(doc_id), **m})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(kernel, schema)
+
+
+def synthetic_heif_corpus(docs):
+    """(doc_id, blob): deterministic HEIF stills — heic/avif cycling
+    dimensions, rotation and Exif items; d % 5 == 4 truncates inside
+    meta (identified, not parseable). The triage mixed corpus's HEIF
+    leg delegates here."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                codec = ("heic", "avif")[d % 2]
+                blob = encode_heif(
+                    64 + 16 * (d % 5), 48 + 16 * (d % 3), codec,
+                    rotation=(None, 90, 180, 270)[d % 4],
+                    with_exif=(d % 3 == 0),
+                )
+                if d % 5 == 4:
+                    blob = blob[: len(blob) // 2]
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs}
+            )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("blob", BinaryType()),
+    ])
+    return docs.select("doc_id").mapInPandas(kernel, schema)

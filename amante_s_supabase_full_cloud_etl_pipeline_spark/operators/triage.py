@@ -1102,41 +1102,10 @@ def _gzip_corpus(ids):
 def _heif_corpus(ids):
     """HEIF-still leg (r13): heic/avif cycling rotation and Exif
     items; d % 5 == 4 truncates inside meta (identified, not
-    parseable)."""
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    parseable). Delegates to the family module's corpus builder."""
+    from .heif import synthetic_heif_corpus
 
-    def kernel(batches):
-        import pandas as pd
-
-        from .heif import encode_heif
-
-        for batch in batches:
-            blobs = []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                codec = ("heic", "avif")[d % 2]
-                blob = encode_heif(
-                    64 + 16 * (d % 5), 48 + 16 * (d % 3), codec,
-                    rotation=(None, 90, 180, 270)[d % 4],
-                    with_exif=(d % 3 == 0),
-                )
-                if d % 5 == 4:
-                    blob = blob[: len(blob) // 2]
-                blobs.append(blob)
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs}
-            )
-
-    schema = StructType([
-        StructField("doc_id", LongType()),
-        StructField("blob", BinaryType()),
-    ])
-    return ids.mapInPandas(kernel, schema)
+    return synthetic_heif_corpus(ids)
 
 
 def _avi_leg_corpus(ids):

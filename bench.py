@@ -115,6 +115,10 @@ HEADLINE = (
     # banded Hamming pairs across codec families) — measured the
     # round it lands
     "image_near_dup_pairs",
+    # round-13: HEIF/AVIF item-level metadata walk (meta/iinf/iloc/
+    # ipma/ispe through the shared ISO-BMFF machinery) — measured
+    # the round it lands
+    "heif_meta_kernel",
 )
 
 #: the 13-row subset matching the r1 headline set's COMPOSITION —
@@ -500,6 +504,22 @@ def _extra_queries():
         )
         return _pairs(synthetic_near_dup_image_corpus(docs))
 
+    def heif_meta_kernel(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.heif import (  # noqa: E501
+            heif_meta,
+            synthetic_heif_corpus,
+        )
+
+        # r13: the ISO-BMFF item walk over the heic/avif fixture
+        # corpus (dims/rotation/Exif/truncation cycle by doc_id) —
+        # map-only; seed repartitioned like the other byte-walk rows
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 8000
+        ).repartition(64)
+        return heif_meta(synthetic_heif_corpus(docs))
+
     def transcript_align(spark, sf_dir):
         # r12: the exact composition examples/transcript_align.py
         # ships — two map-only extraction kernels + the partition-
@@ -603,6 +623,7 @@ def _extra_queries():
         "media_triage_kernel": media_triage_kernel,
         "transcript_align": transcript_align,
         "image_near_dup_pairs": image_near_dup_pairs,
+        "heif_meta_kernel": heif_meta_kernel,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,

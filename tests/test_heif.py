@@ -88,3 +88,37 @@ def test_meta_absent_is_none():
     blob = struct.pack(">I", 16) + b"ftypheic" + struct.pack(
         ">I", 0) + b"heic"[:4]
     assert parse_heif_meta(blob[:16]) is None
+
+
+def test_kernel_equals_driver(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark import catalog
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.heif import (
+        heif_meta,
+        synthetic_heif_corpus,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 30
+    )
+    corpus = synthetic_heif_corpus(docs)
+    blobs = {r["doc_id"]: bytes(r["blob"]) for r in corpus.collect()}
+    rows = {r["doc_id"]: r for r in heif_meta(corpus).collect()}
+    assert blobs  # corpus non-empty
+    for d, blob in blobs.items():
+        ref = parse_heif_meta(blob)
+        if ref is None:
+            assert d not in rows
+            continue
+        r = rows[d]
+        for k in ("brand", "codec", "n_items", "item_types",
+                  "width", "height", "has_exif"):
+            assert r[k] == ref[k], (d, k)
+        assert r["rotation"] == ref["rotation"]
+    # truncated rows (d % 5 == 4) are S4-dropped by the kernel,
+    # exactly as the driver-side parser drops them
+    dropped = [d for d in blobs if d not in rows]
+    assert dropped and all(
+        parse_heif_meta(blobs[d]) is None for d in dropped
+    )
