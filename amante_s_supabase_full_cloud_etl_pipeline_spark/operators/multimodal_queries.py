@@ -620,6 +620,63 @@ def image_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 golden_table("image_near_dup", image_near_dup_leg)
 
+#: video near-dup corpus bound: 40 docs = 10 clips × 4 variants
+_VID_FP_DOCS = 40
+
+
+def video_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video near-dup leg (r13 — completes the near-dup family
+    across every modality: text, embeddings, audio, images, and now
+    video via the AVI/MJPEG pixel path). Two row shapes:
+
+    - ``fh|doc_id|frame_idx`` — the 64-bit dHash of every sampled
+      decoded frame (n): a FULL value pin on the container walk +
+      JPEG decode + pooled hash per frame;
+    - ``pair|doc_a|doc_b`` — every near-dup pair from the band-probe
+      posting machinery with shared_probes (n) and
+      round(shared_frac·1000) (v1). The fixture corpus is 10 clips
+      × 4 variants (q85 original, q40 re-encode, +18 brightness,
+      truncated half-length); tests/test_video_fp.py pins the
+      per-frame invariance bounds this leg freezes into the gate.
+      v2 = the duplicate group on both shapes."""
+    from .video_fp import (
+        _VARIANTS,
+        synthetic_near_dup_video_corpus,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _VID_FP_DOCS)
+        .select("doc_id")
+    )
+    corpus = synthetic_near_dup_video_corpus(docs)
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    fh_rows = video_frame_hashes(corpus).select(
+        F.lit("video_near_dup").alias("leg"),
+        F.concat_ws("|", F.lit("fh"), s("doc_id"), s("frame_idx"))
+        .alias("key"),
+        F.col("dhash").alias("n"),
+        F.lit(-1).cast("long").alias("v1"),
+        (F.col("doc_id") / F.lit(_VARIANTS)).cast("long").alias("v2"),
+    )
+    pair_rows = video_near_dup_pairs(corpus).select(
+        F.lit("video_near_dup").alias("leg"),
+        F.concat_ws("|", F.lit("pair"), s("doc_a"), s("doc_b"))
+        .alias("key"),
+        F.col("shared_probes").cast("long").alias("n"),
+        F.round(F.col("shared_frac") * 1000).cast("long").alias("v1"),
+        (F.col("doc_a") / F.lit(_VARIANTS)).cast("long").alias("v2"),
+    )
+    return fh_rows.unionByName(pair_rows).orderBy("key")
+
+
+golden_table("video_near_dup", video_near_dup_leg)
+
 #: cross-rate corpus bound: 60 docs = 20 recordings × 3 rates
 _CANON_LEG_DOCS = 60
 
@@ -746,6 +803,9 @@ def blob_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT leg, key, n, v1, v2
         FROM read_parquet('{GOLDEN_DIR}/image_near_dup.parquet')
+        UNION ALL
+        SELECT leg, key, n, v1, v2
+        FROM read_parquet('{GOLDEN_DIR}/video_near_dup.parquet')
     ) ORDER BY leg, key
     """,
     golden_sf=DRIVER_SF,
@@ -787,7 +847,9 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-drop formats (parquet/jsonl/csv/json/txt) and bare-gzip
     wraps, and adds the 'image_near_dup' leg — perceptual
     dHash/aHash signatures and banded cross-codec duplicate pairs —
-    via :func:`image_near_dup_leg`."""
+    via :func:`image_near_dup_leg` — plus the 'video_near_dup' leg
+    (per-frame dHashes through the AVI/MJPEG pixel path and the
+    band-probe pair machinery) via :func:`video_near_dup_leg`."""
     mp4 = mp4_track_meta_leg(spark, sf_dir).select(
         F.lit("mp4_track").alias("leg"), "key", "n", "v1", "v2"
     )
@@ -804,6 +866,7 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audio_canon_leg(spark, sf_dir))
         .unionByName(mixed_drop_census_leg(spark, sf_dir))
         .unionByName(image_near_dup_leg(spark, sf_dir))
+        .unionByName(video_near_dup_leg(spark, sf_dir))
         .orderBy("leg", "key")
     )
 

@@ -119,6 +119,10 @@ HEADLINE = (
     # ipma/ispe through the shared ISO-BMFF machinery) — measured
     # the round it lands
     "heif_meta_kernel",
+    # round-13: perceptual video near-dup (AVI walk → MJPEG frame
+    # decode → per-frame dHash band probes → capped-posting pairs)
+    # — measured the round it lands
+    "video_near_dup_pairs",
 )
 
 #: the 13-row subset matching the r1 headline set's COMPOSITION —
@@ -504,6 +508,25 @@ def _extra_queries():
         )
         return _pairs(synthetic_near_dup_image_corpus(docs))
 
+    def video_near_dup_pairs(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.video_fp import (  # noqa: E501
+            synthetic_near_dup_video_corpus,
+        )
+        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.video_fp import (  # noqa: E501
+            video_near_dup_pairs as _vpairs,
+        )
+
+        # r13: 60 duplicate groups × 4 variants (q85/q40/bright/
+        # truncated MJPEG clips, ~5 frames each ≈ 1.2k JPEG decodes);
+        # timed FULL-CALL like the image row — encode + walk +
+        # decode + hash + posting pairs
+        docs = catalog.table(spark, sf_dir, "documents").filter(
+            FF.col("doc_id") < 240
+        )
+        return _vpairs(synthetic_near_dup_video_corpus(docs))
+
     def heif_meta_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
@@ -624,6 +647,7 @@ def _extra_queries():
         "transcript_align": transcript_align,
         "image_near_dup_pairs": image_near_dup_pairs,
         "heif_meta_kernel": heif_meta_kernel,
+        "video_near_dup_pairs": video_near_dup_pairs,
         "bm25_docs_topk": bm25_docs_topk,
         "jpeg_decode_kernel": jpeg_decode_kernel,
         "gif_decode_kernel": gif_decode_kernel,
