@@ -278,19 +278,48 @@ def avi_frame_index(blob: bytes | None, stream: int = 0):
         return None
 
 
-def mjpeg_frames(blob: bytes | None, every: int = 1):
+def mjpeg_frames(
+    blob: bytes | None,
+    every: int = 1,
+    sample_ms: float | None = None,
+):
     """Decoded (h, w, 3) numpy frames of an MJPEG AVI's first video
-    stream, every ``every``-th frame — each chunk is a JPEG
-    bitstream routed through operators/jpeg.py. None (S4) for
-    non-AVI; per-frame damage skips just that frame."""
+    stream — each chunk is a JPEG bitstream routed through
+    operators/jpeg.py. None (S4) for non-AVI; per-frame damage skips
+    just that frame.
+
+    Sampling: ``every`` strides by INDEX. ``sample_ms`` (r13 — the
+    video tier's canonical front-end) strides by WALL-CLOCK using
+    the container's frame rate: frame k of the sample is the stored
+    frame nearest t = k·sample_ms, so the SAME clip stored at a
+    different fps yields the same sampled content (duplicate
+    indices are emitted once). Falls back to index striding when
+    the header carries no usable rate."""
     idx = avi_frame_index(blob)
     if idx is None:
         return None
     from .multimodal import decode_image
 
     b = bytes(blob or b"")
+    picked = idx[::max(1, every)]
+    if sample_ms is not None and sample_ms > 0 and idx:
+        meta = parse_avi_meta(blob)
+        fps = meta.get("fps") if meta else None
+        if fps:
+            # frames per sample slot; slots denser than frames →
+            # every frame is some slot's nearest (bounded: one pass
+            # over k = 0..n_slots, never a tiny-step spin)
+            step = sample_ms * fps / 1000.0
+            if step <= 1.0:
+                picked = idx
+            else:
+                n_slots = int((len(idx) - 1) / step) + 1
+                picked = [
+                    idx[round(k * step)] for k in range(n_slots)
+                    if round(k * step) < len(idx)
+                ]
     out = []
-    for off, size, _kf in idx[::max(1, every)]:
+    for off, size, _kf in picked:
         arr = decode_image(b[off:off + size], prefer_pil=False)
         if arr is not None:
             out.append(arr)

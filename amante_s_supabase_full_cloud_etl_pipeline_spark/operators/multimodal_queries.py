@@ -622,6 +622,8 @@ golden_table("image_near_dup", image_near_dup_leg)
 
 #: video near-dup corpus bound: 40 docs = 10 clips × 4 variants
 _VID_FP_DOCS = 40
+#: cross-fps corpus bound: 18 docs = 6 scenes × 3 frame rates
+_VID_CANON_DOCS = 18
 
 
 def video_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,10 +639,17 @@ def video_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(shared_frac·1000) (v1). The fixture corpus is 10 clips
       × 4 variants (q85 original, q40 re-encode, +18 brightness,
       truncated half-length); tests/test_video_fp.py pins the
-      per-frame invariance bounds this leg freezes into the gate.
-      v2 = the duplicate group on both shapes."""
+      per-frame invariance bounds this leg freezes into the gate;
+    - ``canon|doc_id|frame_idx`` — the wall-clock-sampled
+      (``sample_ms=250``) frame hashes of the CROSS-FPS corpus
+      (6 scenes × 8/12/24 fps renderings): all three rates of a
+      scene pin IDENTICAL hash sequences — the canonical front-end
+      frozen into the driver gate, the video twin of 'audio_canon'.
+
+      v2 = the duplicate group on every shape."""
     from .video_fp import (
         _VARIANTS,
+        synthetic_cross_fps_corpus,
         synthetic_near_dup_video_corpus,
         video_frame_hashes,
         video_near_dup_pairs,
@@ -655,6 +664,22 @@ def video_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def s(c):
         return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    canon_docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _VID_CANON_DOCS)
+        .select("doc_id")
+    )
+    canon_rows = video_frame_hashes(
+        synthetic_cross_fps_corpus(canon_docs), sample_ms=250
+    ).select(
+        F.lit("video_near_dup").alias("leg"),
+        F.concat_ws("|", F.lit("canon"), s("doc_id"), s("frame_idx"))
+        .alias("key"),
+        F.col("dhash").alias("n"),
+        F.lit(-1).cast("long").alias("v1"),
+        (F.col("doc_id") / F.lit(3)).cast("long").alias("v2"),
+    )
 
     fh_rows = video_frame_hashes(corpus).select(
         F.lit("video_near_dup").alias("leg"),
@@ -672,7 +697,10 @@ def video_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("shared_frac") * 1000).cast("long").alias("v1"),
         (F.col("doc_a") / F.lit(_VARIANTS)).cast("long").alias("v2"),
     )
-    return fh_rows.unionByName(pair_rows).orderBy("key")
+    return (
+        fh_rows.unionByName(pair_rows).unionByName(canon_rows)
+        .orderBy("key")
+    )
 
 
 golden_table("video_near_dup", video_near_dup_leg)

@@ -53,14 +53,17 @@ collects. At 100 TB the signature table at rest is ~32 bytes per
 sampled frame, and re-ingest joins against it without touching
 pixels.
 
-SCOPE LIMIT (documented, like the audio tier's former rate limit):
-frame sampling is by INDEX, not timestamp — the same clip stored at
-a different frame RATE aligns only partially (surviving duplicate
-frames still collide, but the guarantee weakens). The canonical
-front-end (sample by wall-clock using the container fps, the video
-analog of ``canonical_rate``) is the natural next step and slots in
-at :func:`video_probes`'s sampling line without changing pair
-semantics.
+Frame-RATE mismatches (the video analog of the audio tier's former
+rate limit, closed the same round it was identified): by default
+sampling strides by INDEX, so the same clip stored at a different
+fps aligns only partially. Passing ``sample_ms`` to any kernel
+switches to WALL-CLOCK sampling via the container's frame rate
+(:func:`..operators.avi.mjpeg_frames`): frame k of the sample is
+the stored frame nearest t = k·sample_ms, so an 8/12/24 fps
+rendering of the same scene hashes onto the same probe keys —
+pinned value-exactly by the cross-fps fixture corpus
+(:func:`synthetic_cross_fps_corpus`) in tests and the driver
+golden leg. Pair semantics are unchanged.
 """
 
 from __future__ import annotations
@@ -114,13 +117,18 @@ def frame_probe_keys(dhash: int) -> list[int]:
     ]
 
 
-def video_frame_hashes(media: DataFrame, every: int = 1) -> DataFrame:
+def video_frame_hashes(
+    media: DataFrame,
+    every: int = 1,
+    sample_ms: float | None = None,
+) -> DataFrame:
     """Map-only Arrow kernel: (doc_id, blob) → one row per sampled
     MJPEG frame — (doc_id, frame_idx, dhash). This is ALSO the
     engine's video-frame pixel-decode kernel: each emitted row
     witnessed a full container-walk + JPEG decode. Non-AVI / broken
     blobs emit nothing; torn tails emit their decodable prefix (S4,
-    the avi module's contract)."""
+    the avi module's contract). ``sample_ms`` switches to wall-clock
+    sampling (module doc; frame_idx then numbers sample slots)."""
 
     def kernel(batches):
         import pandas as pd
@@ -135,7 +143,7 @@ def video_frame_hashes(media: DataFrame, every: int = 1) -> DataFrame:
                 # the container walk + JPEG decode both live there
                 frames = mjpeg_frames(
                     bytes(blob) if blob is not None else b"",
-                    every=every,
+                    every=every, sample_ms=sample_ms,
                 )
                 if not frames:
                     continue
@@ -152,10 +160,15 @@ def video_frame_hashes(media: DataFrame, every: int = 1) -> DataFrame:
     ).mapInPandas(kernel, VIDEO_FRAME_HASH_SCHEMA)
 
 
-def video_probes(media: DataFrame, every: int = 1) -> DataFrame:
+def video_probes(
+    media: DataFrame,
+    every: int = 1,
+    sample_ms: float | None = None,
+) -> DataFrame:
     """Map-only Arrow kernel: the DISTINCT band probe keys per video
     — (doc_id, probe). The ≤4× expansion happens worker-side; S4
-    skip as on :func:`video_frame_hashes`."""
+    skip as on :func:`video_frame_hashes`. ``sample_ms`` switches to
+    wall-clock sampling — the cross-fps duplicate path."""
 
     def kernel(batches):
         import pandas as pd
@@ -168,7 +181,7 @@ def video_probes(media: DataFrame, every: int = 1) -> DataFrame:
             for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
                 frames = mjpeg_frames(
                     bytes(blob) if blob is not None else b"",
-                    every=every,
+                    every=every, sample_ms=sample_ms,
                 )
                 keys: set[int] = set()
                 for arr in frames or []:
@@ -242,6 +255,7 @@ def video_near_dup_pairs(
     max_posting: int = 64,
     min_shared: int = 6,
     min_shared_frac: float = 0.5,
+    sample_ms: float | None = None,
 ) -> DataFrame:
     """End-to-end: AVI blobs → sampled-frame dHash band probes →
     shared-probe pairs. The probe frame feeds BOTH the eligibility
@@ -250,7 +264,7 @@ def video_near_dup_pairs(
     decode twice — the dominant cost). Released by the registry/
     bench cache lifecycle."""
     return shared_video_pairs(
-        tracked_persist(video_probes(media, every)),
+        tracked_persist(video_probes(media, every, sample_ms)),
         max_posting,
         min_shared,
         min_shared_frac,
@@ -323,6 +337,58 @@ def synthetic_near_dup_video_corpus(docs: DataFrame) -> DataFrame:
                 group, v = d // _VARIANTS, d % _VARIANTS
                 blobs.append(
                     _encode_variant(_clip_frames(group), v)
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs}
+            )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("blob", BinaryType()),
+    ])
+    return _fan_out_ids(docs.select("doc_id")).mapInPandas(
+        kernel, schema
+    )
+
+
+def synthetic_cross_fps_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic CROSS-FPS video corpus for the wall-clock
+    sampling path (the video twin of the audio tier's
+    ``synthetic_cross_rate_corpus``): docs group in threes —
+    d // 3 picks a one-second panning scene (the image tier's
+    synthetic photo translating 48 px/s), d % 3 renders it
+    INDEPENDENTLY at 8 / 12 / 24 fps. The pan puts an integral
+    pixel shift at every stored frame of every rate, so frames at
+    the same wall-clock instant are pixel-identical across rates —
+    sampling with ``sample_ms=250`` must therefore hash all three
+    rows of a group onto IDENTICAL probe sets, which the golden leg
+    pins value-exactly. Worker-side generation, (doc_id, blob)."""
+    from .multimodal import _fan_out_ids
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .avi import encode_avi
+        from .image_fp import _base_image
+        from .jpeg import encode_jpeg
+
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                g, fps = d // 3, (8, 12, 24)[d % 3]
+                base = _base_image(g)
+                jpegs = []
+                for i in range(fps):  # 1 s of video
+                    shift = 48 * i // fps  # integral at 8/12/24
+                    fr = np.roll(base, shift=shift, axis=1)
+                    jpegs.append(encode_jpeg(fr, quality=85))
+                blobs.append(
+                    encode_avi(
+                        jpegs, base.shape[1], base.shape[0],
+                        fps=fps, with_idx1=True,
+                    )
                 )
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"], "blob": blobs}

@@ -158,3 +158,50 @@ def test_torn_tail_keeps_prefix_keys(spark, corpus):
     for r in video_probes(df).collect():
         got.setdefault(r["doc_id"], set()).add(r["probe"])
     assert got.get(99) and got[99] <= got[0]
+
+
+def test_cross_fps_wall_clock_sampling(spark, sf_dir):
+    """The canonical front-end: 8/12/24 fps renderings of the same
+    scene sampled at 250 ms hash onto IDENTICAL frame sequences and
+    pair with each other (closing the index-stride scope limit)."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.video_fp import (  # noqa: E501
+        synthetic_cross_fps_corpus,
+        video_near_dup_pairs,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 9  # 3 scenes × 3 rates
+    )
+    corpus = synthetic_cross_fps_corpus(docs)
+    hashes: dict[int, list[tuple[int, int]]] = {}
+    for r in video_frame_hashes(corpus, sample_ms=250).collect():
+        hashes.setdefault(r["doc_id"], []).append(
+            (r["frame_idx"], r["dhash"])
+        )
+    for g in range(3):
+        seqs = [sorted(hashes[g * 3 + v]) for v in range(3)]
+        assert len(seqs[0]) == 4
+        assert seqs[0] == seqs[1] == seqs[2], g
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in video_near_dup_pairs(
+            corpus, sample_ms=250
+        ).collect()
+    }
+    for g in range(3):
+        ids = [g * 3 + v for v in range(3)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert (a, b) in pairs, (a, b)
+        assert all(
+            x // 3 == y // 3 for x, y in pairs
+        )
+
+
+def test_sample_ms_denser_than_frames_keeps_all(spark, corpus):
+    """sample_ms below the frame interval degrades to every frame —
+    the bounded step<=1 path."""
+    _, blobs = corpus
+    all_frames = mjpeg_frames(blobs[0])
+    dense = mjpeg_frames(blobs[0], sample_ms=1)
+    assert len(dense) == len(all_frames)
