@@ -143,21 +143,22 @@ def image_signatures(media: DataFrame) -> DataFrame:
     ).mapInPandas(kernel, IMAGE_SIG_SCHEMA)
 
 
-def image_near_dup_pairs(
-    media: DataFrame,
+def signature_near_dup_pairs(
+    sigs: DataFrame,
     max_hamming: int = 10,
     bands: int = 4,
     probe_bits: int = 1,
     max_posting: int = 1024,
 ) -> DataFrame:
-    """(id_a, id_b, dhash_hamming, ahash_hamming) candidate pairs:
-    dHash banded blocking + exact verification via the shared
-    :func:`..operators.dedup.banded_hamming_pairs`, then the aHash
-    distance attached for the caller's second opinion (a pair the
-    two hashes DISAGREE about is usually a gradient-free image —
-    inspect, don't auto-drop). Signatures are persisted: the pair
-    join reads them twice (blocking + ahash attach)."""
-    sigs = tracked_persist(image_signatures(media))
+    """The pair machinery over an already-computed signature frame
+    (doc_id, dhash, ahash) — factored out (r13) so the streaming
+    image index's stored view shares the batch semantics by
+    construction: dHash banded blocking + exact verification via the
+    shared :func:`..operators.dedup.banded_hamming_pairs`, then the
+    aHash distance attached for the caller's second opinion (a pair
+    the two hashes DISAGREE about is usually a gradient-free image —
+    inspect, don't auto-drop). Caller persists ``sigs`` if they were
+    expensive (the join reads them multiple times)."""
     pairs = (
         # sig column named for the shared machinery
         sigs.select(F.col("doc_id"), F.col("dhash").alias("sig"))
@@ -176,6 +177,23 @@ def image_near_dup_pairs(
                 F.col("ahash_a").bitwiseXOR(F.col("ahash_b"))
             ).alias("ahash_hamming"),
         )
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 10,
+    bands: int = 4,
+    probe_bits: int = 1,
+    max_posting: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, dhash_hamming, ahash_hamming) candidate pairs
+    from blobs: decode + hash (:func:`image_signatures`, persisted —
+    the pair join reads the signatures twice), then
+    :func:`signature_near_dup_pairs`."""
+    return signature_near_dup_pairs(
+        tracked_persist(image_signatures(media)),
+        max_hamming, bands, probe_bits, max_posting,
     )
 
 
