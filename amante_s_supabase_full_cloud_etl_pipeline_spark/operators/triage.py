@@ -371,11 +371,21 @@ def _triage(b: bytes) -> dict:
                         " rot=%d" % hm["rotation"]
                         if hm["rotation"] else ""),
                 )
-            return _out(hcodec, False)
+            # brand says still, but no parseable item structure —
+            # fall THROUGH to the movie walk before claiming a
+            # broken image (self-review r13: a movie merely LISTING
+            # a HEIF compatible brand — motion photos, mixed files
+            # — was stolen from the track path and reported as a
+            # broken heic; a parse failure on both sides still
+            # reports the still codec, keeping the truncated-heif
+            # golden rows byte-stable)
         from .mp4 import parse_mp4_meta
 
         meta = parse_mp4_meta(b)
-        if meta:
+        # with a HEIF brand present, the movie walk wins only when
+        # it finds ACTUAL tracks (motion photos / mixed files); its
+        # lenient zero-track parse of a torn still is not a movie
+        if meta and (hcodec is None or meta["n_tracks"]):
             v = next(
                 (t for t in meta["tracks"]
                  if t.get("width")), None
@@ -387,7 +397,7 @@ def _triage(b: bytes) -> dict:
                         n_streams=meta["n_tracks"],
                         detail="brand=%s frags=%d" % (
                             meta["brand"], meta["n_fragments"]))
-        return _out("mp4", False)
+        return _out(hcodec or "mp4", False)
     if b[:4] == b"\x1aE\xdf\xa3":
         from .mkv import parse_mkv_meta
 

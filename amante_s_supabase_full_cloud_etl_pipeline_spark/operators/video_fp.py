@@ -147,10 +147,14 @@ def video_frame_hashes(
                 )
                 if not frames:
                     continue
+                # wall-clock mode numbers sample SLOTS; index mode
+                # numbers stored frames (every is ignored by the
+                # sampler, so don't let it scale slot numbers)
+                mult = 1 if sample_ms is not None else every
                 for i, arr in enumerate(frames):
                     rows.append({
                         "doc_id": int(doc_id),
-                        "frame_idx": i * every,
+                        "frame_idx": i * mult,
                         "dhash": dhash64(arr),
                     })
             yield pd.DataFrame(rows, columns=_FH_COLS)

@@ -5,9 +5,10 @@ persistent cross-batch tier).
 
 A persistent ParquetTable holds, per ingested image, its 64-bit
 dHash/aHash and the dHash's EXACT band slots packed as
-``slot = (band << 16) | band_val`` — the same blocking the batch
-tier's :func:`..operators.dedup.banded_hamming_pairs` uses (4 ×
-16-bit slices). Each micro-batch:
+``slot = (band << band_bits) | band_val`` with ``band_bits =
+64 // bands`` — derived exactly as the batch tier's
+:func:`..operators.dedup.banded_hamming_pairs` derives its slices
+(4 × 16 bits by default). Each micro-batch:
 
 1. decodes + hashes its blobs in the one Arrow kernel
    (:func:`..operators.image_fp.image_signatures`);
@@ -57,32 +58,39 @@ from ..operators.image_fp import (
 )
 from ..sources.table_format import ParquetTable, read_pruned_by_keys
 
-_BAND_BITS = 16
-
 
 def _slot_rows(
     sigs: DataFrame, bands: int, probe_bits: int
 ) -> DataFrame:
     """(doc_id, slot, dhash, ahash) rows — exact slots, plus the
-    one-bit flips when ``probe_bits=1`` (flips stay inside the low
-    16 value bits, so the packed band id is preserved)."""
+    one-bit flips when ``probe_bits=1``. The slice width is derived
+    EXACTLY as the batch machinery derives it (``64 // bands`` —
+    self-review catch: a hard-coded 16 silently desynchronized the
+    fold's blocking from ``banded_hamming_pairs`` at any
+    ``bands != 4``, breaking the no-miss guarantee for hash pairs
+    whose differing bits spread 2-per-16-bit-slice); flips stay
+    inside the low value bits, so the packed band id is
+    preserved."""
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits must be 0 or 1")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    band_bits = 64 // bands
     sig = F.col("dhash")
 
     def slots() -> Column:
         flips = (0,) if probe_bits == 0 else tuple(
-            [0] + [1 << j for j in range(_BAND_BITS)]
+            [0] + [1 << j for j in range(band_bits)]
         )
         out = []
         for b in range(bands):
-            raw = F.shiftrightunsigned(sig, b * _BAND_BITS).bitwiseAND(
-                F.lit((1 << _BAND_BITS) - 1)
+            raw = F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
             )
             for flip in flips:
                 out.append(
                     raw.bitwiseXOR(F.lit(flip))
-                    + F.lit(b << _BAND_BITS)
+                    + F.lit(b << band_bits)
                 )
         return F.array(*out)
 

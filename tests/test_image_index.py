@@ -198,3 +198,29 @@ def test_empty_and_corrupt_batches_are_safe(spark, tmp_path):
     )
     assert fold_image_index(index, junk, batch_id=1).count() == 0
     assert index.current_version() == 0 or index.read().count() == 0
+
+
+def test_slot_rows_track_banded_slicing(spark):
+    """Self-review regression: the fold's slot derivation must use
+    band_bits = 64 // bands exactly like banded_hamming_pairs — a
+    hard-coded 16 broke the no-miss guarantee at bands != 4 for
+    hash pairs whose differing bits spread 2 per 16-bit slice."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.streaming.image_index import (  # noqa: E501
+        _slot_rows,
+    )
+
+    dhash = 0x0123456789ABCDEF
+    sigs = spark.createDataFrame(
+        [(1, dhash, 0)], "doc_id long, dhash long, ahash long"
+    )
+    for bands in (2, 4, 8):
+        bb = 64 // bands
+        got = {
+            r["slot"] for r in _slot_rows(sigs, bands, 1).collect()
+        }
+        want = set()
+        for b in range(bands):
+            raw = (dhash >> (b * bb)) & ((1 << bb) - 1)
+            for flip in [0] + [1 << j for j in range(bb)]:
+                want.add((b << bb) | (raw ^ flip))
+        assert got == want, bands

@@ -446,3 +446,43 @@ def test_data_probes_do_not_steal_existing_families():
 
     t = triage_blob(encode_mp3(n_frames=6, junk_prefix=300))
     assert t["codec"] == "mp3" and t["parseable"], t
+
+
+def test_heif_compat_brand_does_not_steal_movies():
+    """Self-review r13: a MOVIE whose ftyp merely lists a HEIF
+    compatible brand (motion photos, mixed files) must route through
+    the track walk, not be claimed as a broken image; a torn still
+    whose zero-track structure the lenient movie walk would parse
+    must stay a broken heic/avif."""
+    import struct
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.heif import (  # noqa: E501
+        encode_heif,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (  # noqa: E501
+        encode_mp4,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.triage import (  # noqa: E501
+        _triage,
+    )
+
+    mv = encode_mp4([{
+        "handler": "vide", "codec": "avc1",
+        "samples": [b"x" * 40, b"y" * 44],
+        "width": 320, "height": 240,
+    }])
+    m = bytearray(mv)
+    (sz,) = struct.unpack_from(">I", m, 0)
+    with_compat = (
+        struct.pack(">I", sz + 4) + bytes(m[4:sz]) + b"heic"
+        + bytes(m[sz:])
+    )
+    r = _triage(with_compat)
+    assert (r["codec"], r["parseable"]) == ("mp4", True)
+    assert r["n_streams"] == 1
+
+    torn = encode_heif(96, 64, "avif", rotation=90)
+    torn = torn[: len(torn) // 2]
+    r = _triage(torn)
+    assert (r["codec"], r["parseable"]) == ("avif", False)
+    assert r["family"] == "image"
