@@ -624,6 +624,8 @@ golden_table("image_near_dup", image_near_dup_leg)
 _VID_FP_DOCS = 40
 #: cross-fps corpus bound: 18 docs = 6 scenes × 3 frame rates
 _VID_CANON_DOCS = 18
+#: cross-container corpus bound: 12 docs = 6 clips × {avi, gif}
+_VID_XC_DOCS = 12
 
 
 def video_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,11 +646,16 @@ def video_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``sample_ms=250``) frame hashes of the CROSS-FPS corpus
       (6 scenes × 8/12/24 fps renderings): all three rates of a
       scene pin IDENTICAL hash sequences — the canonical front-end
-      frozen into the driver gate, the video twin of 'audio_canon'.
+      frozen into the driver gate, the video twin of 'audio_canon';
+    - ``xc…`` — the CROSS-CONTAINER corpus (6 posterized clips each
+      as MJPEG AVI and animated GIF): per-frame hashes of BOTH
+      renderings plus the pair rows — the same animation in two
+      containers pairs through the ordinary probe machinery.
 
       v2 = the duplicate group on every shape."""
     from .video_fp import (
         _VARIANTS,
+        synthetic_cross_container_corpus,
         synthetic_cross_fps_corpus,
         synthetic_near_dup_video_corpus,
         video_frame_hashes,
@@ -697,8 +704,31 @@ def video_near_dup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("shared_frac") * 1000).cast("long").alias("v1"),
         (F.col("doc_a") / F.lit(_VARIANTS)).cast("long").alias("v2"),
     )
+    xc_docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _VID_XC_DOCS)
+        .select("doc_id")
+    )
+    xc_corpus = synthetic_cross_container_corpus(xc_docs)
+    xc_fh = video_frame_hashes(xc_corpus).select(
+        F.lit("video_near_dup").alias("leg"),
+        F.concat_ws("|", F.lit("xcfh"), s("doc_id"), s("frame_idx"))
+        .alias("key"),
+        F.col("dhash").alias("n"),
+        F.lit(-1).cast("long").alias("v1"),
+        (F.col("doc_id") / F.lit(2)).cast("long").alias("v2"),
+    )
+    xc_pairs = video_near_dup_pairs(xc_corpus).select(
+        F.lit("video_near_dup").alias("leg"),
+        F.concat_ws("|", F.lit("xcpair"), s("doc_a"), s("doc_b"))
+        .alias("key"),
+        F.col("shared_probes").cast("long").alias("n"),
+        F.round(F.col("shared_frac") * 1000).cast("long").alias("v1"),
+        (F.col("doc_a") / F.lit(2)).cast("long").alias("v2"),
+    )
     return (
         fh_rows.unionByName(pair_rows).unionByName(canon_rows)
+        .unionByName(xc_fh).unionByName(xc_pairs)
         .orderBy("key")
     )
 

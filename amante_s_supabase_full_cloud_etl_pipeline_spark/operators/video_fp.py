@@ -106,6 +106,32 @@ VIDEO_PROBE_SCHEMA = StructType([
 _PROBE_COLS = [f.name for f in VIDEO_PROBE_SCHEMA.fields]
 
 
+def decode_video_frames(
+    blob: bytes,
+    every: int = 1,
+    sample_ms: float | None = None,
+):
+    """Container dispatch for the video kernels (r13 — the video
+    twin of audio's ``decode_audio``): MJPEG AVI via
+    :func:`..operators.avi.mjpeg_frames` (supports both index and
+    wall-clock sampling) or animated GIF via
+    :func:`..operators.gif.decode_gif_frames` (full disposal
+    compositing; index stride only — per-frame GCE delays are not
+    threaded into a wall clock, documented scope note). Returns a
+    list of (h, w, 3) arrays, empty/None on damage (S4). The SAME
+    animation stored as an MJPEG AVI and as a GIF decodes to
+    near-identical canvases — measured ≤2 dHash bits per frame on
+    the posterized fixture clips — so cross-CONTAINER duplicates
+    pair through the ordinary probe machinery."""
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_frames
+
+        return decode_gif_frames(blob, every=max(1, every))
+    from .avi import mjpeg_frames
+
+    return mjpeg_frames(blob, every=every, sample_ms=sample_ms)
+
+
 def frame_probe_keys(dhash: int) -> list[int]:
     """The ≤4 probe keys of one frame hash: (band << 16) | band_val
     per 16-bit slice of the signed-64 dHash. Driver-side reference
@@ -123,25 +149,26 @@ def video_frame_hashes(
     sample_ms: float | None = None,
 ) -> DataFrame:
     """Map-only Arrow kernel: (doc_id, blob) → one row per sampled
-    MJPEG frame — (doc_id, frame_idx, dhash). This is ALSO the
-    engine's video-frame pixel-decode kernel: each emitted row
-    witnessed a full container-walk + JPEG decode. Non-AVI / broken
-    blobs emit nothing; torn tails emit their decodable prefix (S4,
-    the avi module's contract). ``sample_ms`` switches to wall-clock
+    frame of an MJPEG AVI or animated GIF — (doc_id, frame_idx,
+    dhash). This is ALSO the engine's video-frame pixel-decode
+    kernel: each emitted row witnessed a full container walk +
+    pixel decode (:func:`decode_video_frames`). Unknown / broken
+    blobs emit nothing; torn AVI tails emit their decodable prefix
+    (S4, the avi module's contract; GIF damage is whole-row per the
+    gif module's). ``sample_ms`` switches to wall-clock
     sampling (module doc; frame_idx then numbers sample slots)."""
 
     def kernel(batches):
         import pandas as pd
 
-        from .avi import mjpeg_frames
         from .image_fp import dhash64
 
         for batch in batches:
             rows = []
             for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                # mjpeg_frames returns DECODED (h, w, 3) arrays —
-                # the container walk + JPEG decode both live there
-                frames = mjpeg_frames(
+                # DECODED (h, w, 3) arrays — container walk + pixel
+                # decode both live in the dispatcher (AVI or GIF)
+                frames = decode_video_frames(
                     bytes(blob) if blob is not None else b"",
                     every=every, sample_ms=sample_ms,
                 )
@@ -177,13 +204,12 @@ def video_probes(
     def kernel(batches):
         import pandas as pd
 
-        from .avi import mjpeg_frames
         from .image_fp import dhash64
 
         for batch in batches:
             rows = []
             for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                frames = mjpeg_frames(
+                frames = decode_video_frames(
                     bytes(blob) if blob is not None else b"",
                     every=every, sample_ms=sample_ms,
                 )
@@ -394,6 +420,61 @@ def synthetic_cross_fps_corpus(docs: DataFrame) -> DataFrame:
                         fps=fps, with_idx1=True,
                     )
                 )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "blob": blobs}
+            )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("blob", BinaryType()),
+    ])
+    return _fan_out_ids(docs.select("doc_id")).mapInPandas(
+        kernel, schema
+    )
+
+
+def synthetic_cross_container_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic CROSS-CONTAINER video corpus: docs group in
+    twos — d // 2 picks a 5-frame POSTERIZED panning clip (levels of
+    48 keep the color census ≤256 for the GIF palette), d % 2
+    renders it as an MJPEG AVI (q85) or as an animated GIF (global
+    palette, full-coverage frames). The same animation in two
+    containers must pair through the ordinary probe machinery
+    (measured ≤2 dHash bits per frame between the JPEG and palette
+    renderings). Worker-side generation, (doc_id, blob)."""
+    from .multimodal import _fan_out_ids
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .avi import encode_avi
+        from .gif import encode_gif_animation
+        from .image_fp import _base_image
+        from .jpeg import encode_jpeg
+
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                g = d // 2
+                base = _base_image(g)
+                post = ((base // 48) * 48 + 24).astype(np.uint8)
+                frames = [
+                    np.roll(post, shift=4 * i, axis=1)
+                    for i in range(5)
+                ]
+                if d % 2 == 0:
+                    blob = encode_avi(
+                        [encode_jpeg(f, quality=85) for f in frames],
+                        post.shape[1], post.shape[0],
+                        fps=12, with_idx1=True,
+                    )
+                else:
+                    blob = encode_gif_animation(
+                        [{"pixels": f} for f in frames]
+                    )
+                blobs.append(blob)
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"], "blob": blobs}
             )

@@ -205,3 +205,57 @@ def test_sample_ms_denser_than_frames_keeps_all(spark, corpus):
     all_frames = mjpeg_frames(blobs[0])
     dense = mjpeg_frames(blobs[0], sample_ms=1)
     assert len(dense) == len(all_frames)
+
+
+def test_cross_container_gif_avi_pairing(spark, sf_dir):
+    """The same animation stored as an MJPEG AVI and as an animated
+    GIF pairs through the ordinary probe machinery (measured ≤2
+    dHash bits per frame between the JPEG and palette renderings);
+    unrelated clips stay apart."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.video_fp import (  # noqa: E501
+        synthetic_cross_container_corpus,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 8  # 4 clips × {avi, gif}
+    )
+    corpus = synthetic_cross_container_corpus(docs)
+    hashes: dict[int, list[int]] = {}
+    for r in video_frame_hashes(corpus).collect():
+        hashes.setdefault(r["doc_id"], []).append(
+            (r["frame_idx"], r["dhash"])
+        )
+    for g in range(4):
+        avi = [h for _, h in sorted(hashes[g * 2])]
+        gif = [h for _, h in sorted(hashes[g * 2 + 1])]
+        assert len(avi) == len(gif) == 5
+        assert max(_ham(a, b) for a, b in zip(avi, gif)) <= 3, g
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in video_near_dup_pairs(corpus).collect()
+    }
+    for g in range(4):
+        assert (g * 2, g * 2 + 1) in pairs, g
+    assert all(a // 2 == b // 2 for a, b in pairs)
+
+
+def test_gif_damage_is_whole_row(spark):
+    """A corrupt GIF animation emits nothing (the gif module's
+    whole-row S4 contract), and non-video bytes stay silent."""
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.gif import (  # noqa: E501
+        encode_gif_animation,
+    )
+    import numpy as np
+
+    frames = [
+        {"pixels": np.full((16, 16, 3), 24 + 48 * i, dtype=np.uint8)}
+        for i in range(3)
+    ]
+    good = encode_gif_animation(frames)
+    df = spark.createDataFrame(
+        [(1, good), (2, good[: len(good) // 2]),
+         (3, b"GIF89a" + b"\xff" * 16)],
+        "doc_id long, blob binary",
+    )
+    got = {r["doc_id"] for r in video_frame_hashes(df).collect()}
+    assert got == {1}
