@@ -1403,6 +1403,14 @@ def decode_image_features(media: DataFrame, round_to: int = 6) -> DataFrame:
                 out["luma_mean"].append(round(float(luma.mean()), round_to))
                 out["luma_std"].append(round(float(luma.std()), round_to))
                 out["thumb"].append([round(float(v), round_to) for v in pooled_thumb(arr).ravel()])
-            yield pd.DataFrame(out)
+            # an ALL-skipped batch must not yield pd.DataFrame(out):
+            # pandas types empty list columns float64, and Arrow
+            # cannot convert an empty float64 column to the thumb's
+            # array<double> — the task dies (self-review r13,
+            # surfaced when HEIF stills joined the image family and
+            # made fully-undecodable batches common; the S4 contract
+            # is per-ROW skip, never a task death)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, IMAGE_FEATURE_SCHEMA)

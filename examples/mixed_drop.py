@@ -114,7 +114,33 @@ def main(sf_dir: str) -> None:
     print(f"  pdf pages extracted:   {rows(pdf_pages)}")
     print(f"  images decoded:        {rows(images)}")
 
-    # ── 3. what could NOT be placed (the honest remainder) ──────
+    # ── 3. perceptual dedup on the routed families (r13) ────────
+    # the payoff composition: the SAME router columns feed the
+    # near-dup tiers — images to dHash/aHash banded pairing, videos
+    # (MJPEG AVI + animated GIF through one dispatcher) to
+    # frame-hash band probes. On a real drop these are the first
+    # curation decisions after the census.
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.image_fp import (  # noqa: E501,E402
+        image_near_dup_pairs,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.video_fp import (  # noqa: E501,E402
+        video_near_dup_pairs,
+    )
+
+    img_pairs = image_near_dup_pairs(
+        routed.filter(F.col("family") == "image")
+        .filter(~F.col("codec").isin("heic", "avif"))  # ADR-gated px
+        .select("doc_id", "blob")
+    ).count()
+    vid_pairs = video_near_dup_pairs(
+        routed.filter(F.col("codec").isin("avi", "gif"))
+        .select("doc_id", "blob")
+    ).count()
+    print("=== perceptual near-dup pass over the routed drop ===")
+    print(f"  image candidate pairs: {img_pairs}")
+    print(f"  video candidate pairs: {vid_pairs}")
+
+    # ── 4. what could NOT be placed (the honest remainder) ──────
     unknowns = triage.filter(F.col("family") == "unknown").count()
     print(f"  unclassifiable blobs:  {unknowns} (surfaced, not dropped)")
     spark.stop()

@@ -575,3 +575,39 @@ def test_wav_float32_hot_master_clipped_to_contract():
     assert rate == 8000
     assert np.allclose(samples, [0.5, 1.0, -1.0, -0.25, 1.0])
     assert float(np.abs(samples).max()) <= 1.0
+
+
+def test_image_features_all_undecodable_batch_is_safe(spark):
+    """Self-review r13: a partition whose every blob is undecodable
+    (HEIF stills route to the image family but their payload decode
+    is codec-gated) used to die at Arrow serialization — pandas
+    types an empty dict-of-lists float64, which cannot convert to
+    the thumb array<double>. The contract is per-ROW skip."""
+    from pyspark.sql import functions as F
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.heif import (  # noqa: E501
+        encode_heif,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        decode_image_features,
+        encode_bmp24,
+    )
+    import numpy as np
+
+    rows = [
+        (1, encode_heif(64, 48, "heic")),
+        (2, encode_heif(64, 48, "avif")),
+        (3, b"\x00not an image"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, blob binary"
+    ).withColumn("media_type", F.lit("image/*")).repartition(4)
+    assert decode_image_features(df).count() == 0
+    # mixed batch still emits the decodable row
+    px = np.full((8, 8, 3), 128, dtype=np.uint8)
+    rows.append((4, encode_bmp24(px)))
+    df2 = spark.createDataFrame(
+        rows, "doc_id long, blob binary"
+    ).withColumn("media_type", F.lit("image/*")).coalesce(1)
+    got = decode_image_features(df2).collect()
+    assert [r["doc_id"] for r in got] == [4]
