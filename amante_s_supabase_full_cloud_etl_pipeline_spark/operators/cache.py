@@ -25,11 +25,28 @@ from pyspark.sql import DataFrame
 _LIVE: list[DataFrame] = []
 
 
-def tracked_persist(df: DataFrame) -> DataFrame:
+def tracked_persist(df: DataFrame, eager: bool = True) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK default level) and track it for
-    deferred release."""
+    deferred release.
+
+    ``eager`` (default, r13 — optimization round, guide §5): run a
+    ``count()`` so the cache MATERIALIZES before the caller's plan
+    fans out. Every site persists a frame precisely because several
+    subtrees consume it (self-join sides, eligibility + posting
+    reads, multi-leg unions) — but a lazy persist only fills the
+    cache as partitions are FIRST scanned, and AQE launches the
+    consuming query stages CONCURRENTLY: each racing stage computes
+    the still-uncached partitions itself, so an expensive upstream
+    (Arrow decode kernel, WARC parse, shingle pipeline) runs once
+    PER CONSUMER instead of once. Measured on image_near_dup_pairs:
+    six concurrent consumers, 33 CPU-seconds on the signature stage
+    vs ~3 for one kernel pass — the eager count() (one cheap job)
+    collapses that multiplicity. Pass ``eager=False`` only when the
+    consumers are known to run in sequential actions."""
     df.persist()
     _LIVE.append(df)
+    if eager:
+        df.count()
     return df
 
 

@@ -132,46 +132,77 @@ def _staged_inputs(edges: DataFrame, src_col: str, dst_col: str):
     :func:`pagerank_iteration_plan` (the PLANS.md artifact), so the
     dumped plan can never drift from the frame the loop actually
     runs (review catch: a re-spelled staging once recorded phantom
-    subtrees). Returns ``(nodes, weighted, n, stage)`` with
-    ``nodes``/``weighted`` PERSISTED and ``n`` counted (materializing
-    them); ``stage(personalization)`` then builds ONE checkpointed
-    per-node leaf (teleport column + dangling flag) and returns
-    ``(nodes_p, dangling_nodes, aug)`` — the first two are
-    projections of ``aug``. The caller owns releases: unpersist
-    nodes/weighted, ``_free_checkpoint`` the aug leaf."""
-    nodes, e = _graph(edges, src_col, dst_col)
+    subtrees). Returns ``(nodes, weighted, n, stage, release)``:
+    ``weighted`` and the (node, __out) leaf are PERSISTED and the
+    leaf counted (one materialization job); ``nodes`` is a projection
+    of that leaf; ``stage(personalization)`` attaches the teleport
+    column and returns ``(nodes_p, dangling_nodes, aug_p)`` — all
+    projections of persisted frames; ``release()`` unpersists
+    everything staging (or stage()) persisted.
+
+    r13 (optimization round; guide §5 caching + §1.2 job count): the
+    previous staging persisted AND counted ``nodes`` and then
+    ``stage()`` built the (node, __out, __p) frame with a SECOND
+    persist + count — two materialization jobs and a double-cached
+    node table per full call. The (node, __out) join is now the one
+    persisted per-node leaf: its count materializes staging, the
+    uniform-teleport column is a literal PROJECTION of it (nothing
+    new to cache), and only the personalization path (which must
+    normalize data-dependent weights) still pays its own persist.
+
+    The RAW endpoint frame is persisted too (r13; guide §5 caching —
+    reuse where recomputation is expensive): the node set and the
+    edge set are two different aggregations OF THE SAME INPUT, and
+    without a cache each one re-runs the whole upstream — for the
+    crawl graph that upstream is the ``extract_links`` Python kernel
+    over every fetched page, and for the bench fixture the synthetic
+    generator (measured: the two generation passes were ~48 of the
+    ~60 CPU-seconds of a full 50k-node bench call). One
+    MEMORY_AND_DISK persist makes the upstream run once; release()
+    drops it with the rest."""
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    raw.persist()
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = raw.filter(F.col("src") != F.col("dst")).distinct()
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # edges carrying the sender's out-degree: the per-iteration join
     # then only touches the rank vector
     weighted = e.join(out_deg, "src")
     weighted.persist()
-    nodes.persist()
-    n = nodes.count()  # materializes the nodes persist
+    # ONE persisted static per-node leaf: node + has-out-links flag
+    # (null __out marks a dangling node). The has-out-links set is
+    # the distinct src column OF THE PERSISTED weighted frame — the
+    # old shape joined out_deg directly, which re-ran the edge
+    # distinct + degree shuffles a second time outside weighted's
+    # cache (the aug job and weighted's first materialization each
+    # paid them); reading through weighted makes aug.count() below
+    # the single staging job that materializes BOTH caches, and the
+    # per-iteration dangling-mass scalar a filter of this leaf.
+    aug = nodes.join(
+        weighted.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("__out", F.lit(1)),
+        "node",
+        "left",
+    )
+    aug.persist()
+    n = aug.count()
+    persisted = [raw, weighted, aug]
 
     def stage(personalization):
-        # ONE checkpointed frame carries BOTH static per-node inputs
-        # — the teleport column __p and the has-out-links flag whose
-        # null marks a dangling node — so staging pays a single
-        # materialization job instead of two (r11: the old separate
-        # teleport + anti-join checkpoints were ~1s of every bench
-        # pass at 50k nodes, pure job-launch). The per-iteration
-        # dangling-mass scalar is then a filter of this leaf, never
-        # a re-run of the edge distinct + degree shuffles.
-        aug = nodes.join(
-            out_deg.select(
-                F.col("src").alias("node"), F.lit(1).alias("__out")
-            ),
-            "node",
-            "left",
-        )
-        aug = _teleport_vector(aug, n, personalization)
-        nodes_p = aug.select("node", "__p")
-        dangling_nodes = aug.filter(F.col("__out").isNull()).select(
-            "node"
-        )
-        return nodes_p, dangling_nodes, aug
+        return _teleport_vector(aug, n, personalization, persisted)
 
-    return nodes, weighted, n, stage
+    def release():
+        for df in persisted:
+            df.unpersist()
+
+    return aug.select("node"), weighted, n, stage, release
 
 
 def pagerank(
@@ -218,62 +249,50 @@ def pagerank(
     graph's nodes (ValueError otherwise — an all-zero teleport has
     no stationary interpretation); renormalized over the CURRENT
     node set, absent nodes get 0. Iteration cost is unchanged: p
-    rides as a column of the static node frame — no extra join,
+    rides as a column of the rank vector itself — no extra join,
     still one job per iteration."""
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    nodes, weighted, n, stage = _staged_inputs(
+    nodes, weighted, n, stage, release = _staged_inputs(
         edges, src_col, dst_col
     )
     try:
         if n == 0:
             return nodes.withColumn("rank", F.lit(0.0))
-        nodes_p, dangling_nodes, aug = stage(personalization)
-        try:
-            return _iterate(
-                weighted,
-                nodes_p,
-                dangling_nodes,
-                alpha,
-                max_iters,
-                tol,
-                on_iteration,
-                _init_vector(nodes, n, init_ranks),
-            )
-        finally:
-            # nodes_p / dangling_nodes are projections of the one
-            # persisted aug frame — release THAT frame
-            aug.unpersist()
+        aug_p = stage(personalization)
+        return _iterate(
+            weighted,
+            alpha,
+            max_iters,
+            tol,
+            on_iteration,
+            _init_vector(aug_p, n, init_ranks),
+        ).select("node", "rank")
     finally:
-        weighted.unpersist()
-        nodes.unpersist()
+        # everything staging persisted (weighted, the per-node leaf,
+        # and the personalization vector when one was built)
+        release()
 
 
 def _teleport_vector(
-    aug: DataFrame, n: int, personalization: DataFrame | None
+    aug: DataFrame,
+    n: int,
+    personalization: DataFrame | None,
+    persisted: list,
 ) -> DataFrame:
-    """``aug`` + a ``__p`` teleport column, PERSISTED (r11: was
-    checkpointed — but this frame is STATIC, so the lineage-growth
-    reason for checkpoints never applies, and a checkpoint's
-    LogicalRDD leaf hides size stats from Catalyst: the per-
-    iteration nodes_p⋈contribs join then ran as a SortMergeJoin
-    exchanging AND sorting BOTH sides every iteration. A persisted
-    InMemoryRelation keeps stats, so AQE broadcasts the small side
-    at bench scale and falls back to the shuffle join exactly when
-    the node table outgrows the broadcast threshold — the right
-    choice at BOTH scales, picked by size at runtime): uniform
-    1/N without personalization, else the seed weights sum-merged
-    (duplicate rows), aligned to the current nodes (absent → 0),
-    validated non-negative with a positive total, and renormalized
-    to sum 1. ``aug`` is the (node, __out) frame from
-    :func:`_staged_inputs`'s stage() — every other column rides
-    through, so the result is the single static per-node leaf the
-    iteration reads."""
+    """``aug`` + a ``__p`` teleport column: uniform 1/N without
+    personalization — a literal PROJECTION of the already-persisted
+    (node, __out) leaf, nothing new cached or counted (r13; the r11
+    shape persisted + counted this frame a second time) — else the
+    seed weights sum-merged (duplicate rows), aligned to the current
+    nodes (absent → 0), validated non-negative with a positive
+    total, renormalized to sum 1, and persisted (appended to
+    ``persisted`` so the caller's release() owns it; r11 note: a
+    persisted InMemoryRelation keeps size stats where a checkpoint's
+    LogicalRDD leaf hides them, so AQE picks broadcast-vs-shuffle
+    by ACTUAL size at both scales)."""
     if personalization is None:
-        out = aug.withColumn("__p", F.lit(1.0 / n))
-        out.persist()
-        out.count()  # materialize now — staging cost stays staged
-        return out
+        return aug.withColumn("__p", F.lit(1.0 / n))
     seeds = personalization.groupBy("node").agg(
         F.sum("weight").alias("__w")
     )
@@ -310,6 +329,7 @@ def _teleport_vector(
             "__p", F.col("__w") / F.lit(float(row["tot"]))
         ).drop("__w")
         out.persist()
+        persisted.append(out)  # released by the caller's release()
         out.count()
         return out
     finally:
@@ -317,7 +337,7 @@ def _teleport_vector(
 
 
 def _init_vector(
-    nodes: DataFrame, n: int, init_ranks: DataFrame | None
+    aug_p: DataFrame, n: int, init_ranks: DataFrame | None
 ) -> DataFrame:
     """The iteration's starting vector, localCheckpoint'ed (see the
     comment in :func:`_iterate` for why checkpoint, not persist):
@@ -327,10 +347,18 @@ def _init_vector(
     invariant (ranks sum → 1) starts exact rather than merely
     converging back. A degenerate all-zero init divides by 1 and
     still converges — the affine map restores total mass
-    geometrically."""
+    geometrically.
+
+    The vector carries the RIDE-ALONG static columns (__p, __out) of
+    ``aug_p`` — see :func:`_iteration_body`. The COLD vector is a
+    literal projection of the staged per-node leaf (already
+    persisted, flat lineage) — checkpointing it again bought nothing
+    but one more eager job per call (r13); the WARM vector keeps its
+    checkpoint because its lineage runs through the caller's
+    previous frame."""
     if init_ranks is None:
-        return nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-            eager=True
+        return aug_p.select(
+            "node", F.lit(1.0 / n).alias("rank"), "__p", "__out"
         )
     # sum-merge duplicate node rows first: a caller handing a
     # unioned / un-distinct'ed vector would otherwise fan out
@@ -348,9 +376,11 @@ def _init_vector(
         | (F.abs(F.col("__prev")) == float("inf")),
         F.lit(None),
     ).otherwise(F.col("__prev"))
-    warm = nodes.join(prev, "node", "left").select(
+    warm = aug_p.join(prev, "node", "left").select(
         "node",
         F.coalesce(finite_prev, F.lit(1.0 / n)).alias("rank"),
+        "__p",
+        "__out",
     )
     # persist: the renormalization agg AND the checkpoint job below
     # both consume this frame (same reason hits() persists unnorm)
@@ -366,6 +396,8 @@ def _init_vector(
                 (
                     F.col("rank") / F.coalesce(F.col("__s"), F.lit(1.0))
                 ).alias("rank"),
+                "__p",
+                "__out",
             )
             .localCheckpoint(eager=True)
         )
@@ -373,39 +405,74 @@ def _init_vector(
         warm.unpersist()
 
 
-def _iteration_body(weighted, nodes_p, dangling_nodes, alpha, ranks):
-    """ONE rank update, un-checkpointed: equi-join of the rank
-    vector onto the degree-weighted edges + hash agg by dst, the
-    dangling mass as a ONE-ROW agg (semi-join against the static
-    checkpointed set) ridden in as a broadcast scalar crossJoin
-    instead of a driver collect — the iteration is then a SINGLE job
-    (the eager checkpoint), not a scalar job + a checkpoint job; at
-    bench scale the per-iteration wall is job-launch dominated, so
-    halving the job count halves the iteration. Teleport and
-    dangling redistribution both land on the static __p column
-    (uniform 1/N, or the personalization seeds) — for uniform p this
-    is exactly the classic (1-alpha)/N + alpha·dm/N within one ulp."""
-    contribs = (
-        weighted.join(ranks.withColumnRenamed("node", "src"), "src")
-        .groupBy(F.col("dst").alias("node"))
-        .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("__in"))
+def _iteration_body(weighted, alpha, ranks):
+    """ONE rank update, un-checkpointed, reading ONLY the persisted
+    edge table and the previous vector. ``ranks`` is the RIDE-ALONG
+    vector (node, rank, __p, __out): the static teleport weight and
+    has-out-links flag travel WITH the checkpoint, so the iteration
+    never touches the node table again — the dangling mass is a
+    one-row agg over a FILTER of the previous vector (no semi-join,
+    no second scan source), ridden in as a broadcast scalar
+    crossJoin instead of a driver collect. Teleport and dangling
+    redistribution both land on __p (uniform 1/N, or the
+    personalization seeds) — for uniform p this is the classic
+    (1-alpha)/N + alpha·dm/N within one ulp.
+
+    r13 (optimization round; guide §2.4 "remove shuffles outright" +
+    §2.3 "shuffle keys and metadata instead of payloads"): the
+    previous body aggregated the contributions FIRST and then
+    LEFT-JOINED the result onto a static node frame — AQE ran that
+    join as a per-iteration SortMergeJoin (both sides exchanged AND
+    sorted, every iteration; plans/r13/pagerank_crawl_graph_before
+    .txt), and the dangling mass needed a semi-join against a second
+    static frame. Every node appears in the vector exactly once, so
+    ``coalesce(agg, 0) + teleport`` is algebraically a sum over the
+    UNION of the contribution rows and one teleport row per node —
+    which needs only THE aggregation exchange the contribs already
+    paid (map-side partials bound the shuffle at one row per node
+    per partition); the static columns survive the aggregation as
+    ``max()`` because exactly one union row per node (the teleport
+    row) carries them non-null. The join, its exchange, both sorts,
+    and the semi-join disappear from the steady state; the vector
+    widens by ~9 bytes/row — a fraction of one avoided node-table
+    join at any scale. Float caveat: α now multiplies per-edge
+    instead of once per node-sum, an associativity change of the
+    usual ~1-ulp order — the same order the module doc already
+    documents for partitioning-dependent double sums (rows-only
+    driver check + tolerance differentials; the one value-hashed
+    consumer, crawl_front_half, rounds ranks to 1e-6, six orders
+    above it)."""
+    contribs = weighted.join(
+        ranks.select(F.col("node").alias("src"), "rank"), "src"
+    ).select(
+        F.col("dst").alias("node"),
+        (F.lit(alpha) * F.col("rank") / F.col("out_deg")).alias("part"),
+        F.lit(None).cast("double").alias("__p"),
+        F.lit(None).cast("int").alias("__out"),
     )
     dangling = F.broadcast(
-        ranks.join(dangling_nodes, "node", "left_semi").agg(
+        ranks.filter(F.col("__out").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
     )
+    teleport = ranks.crossJoin(dangling).select(
+        "node",
+        (
+            (F.lit(1.0 - alpha) + F.lit(alpha) * F.col("__dm"))
+            * F.col("__p")
+        ).alias("part"),
+        "__p",
+        "__out",
+    )
     return (
-        nodes_p.join(contribs, "node", "left")
-        .crossJoin(dangling)
-        .select(
-            "node",
-            (
-                (F.lit(1.0 - alpha) + F.lit(alpha) * F.col("__dm"))
-                * F.col("__p")
-                + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
-            ).alias("rank"),
+        contribs.unionByName(teleport)
+        .groupBy("node")
+        .agg(
+            F.sum("part").alias("rank"),
+            F.max("__p").alias("__p"),
+            F.max("__out").alias("__out"),
         )
+        .select("node", "rank", "__p", "__out")
     )
 
 
@@ -424,21 +491,21 @@ def pagerank_iteration_plan(
     inputs come from the loop's own :func:`_staged_inputs` (review
     catch: a re-spelled staging once recorded phantom subtrees the
     loop never executes): ``weighted`` persisted and materialized
-    (InMemoryRelation), ``nodes_p`` / ``dangling_nodes`` / the rank
-    vector checkpointed leaves. The persisted/checkpointed inputs are
-    deliberately NOT released — the returned frame references them;
-    plan-dump processes are short-lived."""
-    nodes, weighted, n, stage = _staged_inputs(edges, src_col, dst_col)
+    (InMemoryRelation), the ride-along rank vector a checkpointed
+    leaf. The persisted/checkpointed inputs are deliberately NOT
+    released — the returned frame references them; plan-dump
+    processes are short-lived."""
+    nodes, weighted, n, stage, release = _staged_inputs(
+        edges, src_col, dst_col
+    )
     if n == 0:
-        nodes.unpersist()
-        weighted.unpersist()
+        release()
         return nodes.withColumn("rank", F.lit(0.0))
-    weighted.count()  # materialize, as the loop's first action does
-    nodes_p, dangling_nodes, _aug = stage(None)
-    ranks = nodes.select(
-        "node", F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint(eager=True)
-    return _iteration_body(weighted, nodes_p, dangling_nodes, alpha, ranks)
+    # staging's aug.count() already materialized BOTH persisted
+    # frames (aug reads through weighted since r13) — no extra job
+    aug_p = stage(None)
+    ranks = _init_vector(aug_p, n, None).localCheckpoint(eager=True)
+    return _iteration_body(weighted, alpha, ranks)
 
 
 #: convergence-delta check interval (see the r12 note in _iterate):
@@ -450,8 +517,6 @@ DELTA_CHECK_EVERY = 2
 
 def _iterate(
     weighted,
-    nodes_p,
-    dangling_nodes,
     alpha,
     max_iters,
     tol,
@@ -460,7 +525,8 @@ def _iterate(
 ):
 
     # each iteration's rank vector is localCheckpoint'ed (ranks
-    # arrives already checkpointed from _init_vector): the blocks
+    # arrives from _init_vector as a cached-leaf projection cold or
+    # a checkpoint warm): the blocks
     # make the next iteration read materialized data, and — the part
     # persist() alone does NOT give — the LOGICAL plan truncates to a
     # leaf, so 20 iterations cost 20 flat plans instead of one
@@ -489,15 +555,15 @@ def _iterate(
     # most one iteration, and ranks are bit-identical always.
     for _it in range(max_iters):
         new_ranks = _iteration_body(
-            weighted, nodes_p, dangling_nodes, alpha, ranks
+            weighted, alpha, ranks
         ).localCheckpoint(eager=True)
         check = tol > 0 and (
             (_it + 1) % DELTA_CHECK_EVERY == 0 or _it == max_iters - 1
         )
         if check:
             delta = (
-                new_ranks.withColumnRenamed("rank", "__new")
-                .join(ranks, "node")
+                new_ranks.select("node", F.col("rank").alias("__new"))
+                .join(ranks.select("node", "rank"), "node")
                 .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))))
                 .collect()[0][0]
             )
