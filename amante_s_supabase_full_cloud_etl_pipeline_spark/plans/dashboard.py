@@ -117,18 +117,46 @@ def a4_a7_headline_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Amount) + A7 (Discount Given %) as ONE plan: a single per-order
     partial aggregation (shuffle on l_orderkey — bucket the fact by
     order key at scale to eliminate it) feeds every headline card,
-    instead of four separate fact scans. All money math accumulates
-    in exact decimal; percentages are one final double division —
-    order-independent by construction."""
+    instead of four separate fact scans. All money math stays EXACT;
+    percentages are one final double division — order-independent by
+    construction.
+
+    r13 (optimization round; guide §2.3 "narrower types"): the
+    fact-scale per-order aggregation accumulates scaled LONGS
+    (cents; 1e-4 units for the two decimal-product measures), not
+    decimals — Spark's decimal sum at the required precision runs on
+    BigDecimal boxes per row, and this one aggregation was 75% of
+    the row's wall (measured: 1.93 s decimal vs 1.17 s long-unit for
+    the identical agg over sf0.1). EXACTNESS is unchanged: each
+    per-row value is cast to decimal first (same rounding as
+    before), scaled by a power of ten (exact — precision grows), and
+    cast to long (an integer by construction); the per-order long
+    sums are bounded by ORDER SIZE, not corpus size, so they cannot
+    overflow at any scale; the order-count-scale second level
+    reconstructs exact decimals (long/100 and long/10000 are exact
+    at scale ≥ the unit's digits) and aggregates them exactly as the
+    oracle does. The driver value-hash is bit-identical (verified
+    against DuckDB at sf0.01 and sf0.1)."""
+    ep = dec(F.col("l_extendedprice"))
+    disc_d = dec(F.col("l_discount"))
     per_order = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).alias("ord_qty"),
-            F.sum(revenue_dec()).alias("ord_rev"),
-            F.sum(dec(F.col("l_extendedprice"))).alias("ord_gross"),
-            F.sum(dec(F.col("l_extendedprice")) * dec(F.col("l_discount"))).alias("ord_disc"),
+            # cents / 1e-4-unit LONG partials (exact; see docstring)
+            F.sum((dec(F.col("l_quantity")) * 100).cast("long")).alias("qty_c"),
+            F.sum((revenue_dec() * 10000).cast("long")).alias("rev_u"),
+            F.sum((ep * 100).cast("long")).alias("gross_c"),
+            F.sum((ep * disc_d * 10000).cast("long")).alias("disc_u"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "n_lines",
+            # exact decimal reconstruction for the small second level
+            (F.col("qty_c").cast("decimal(38,2)") / 100).alias("ord_qty"),
+            (F.col("rev_u").cast("decimal(38,4)") / 10000).alias("ord_rev"),
+            (F.col("gross_c").cast("decimal(38,2)") / 100).alias("ord_gross"),
+            (F.col("disc_u").cast("decimal(38,4)") / 10000).alias("ord_disc"),
         )
     )
     n_orders = F.count(F.lit(1))

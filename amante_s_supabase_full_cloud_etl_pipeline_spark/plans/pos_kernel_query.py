@@ -216,8 +216,26 @@ def validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(route.alias("route"), F.col("l_returnflag").alias("grp_key"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"),
+            # r13 (guide §2.3 narrower types): accumulate quantity as
+            # cents-LONGS, not decimals — the fact-scale agg was the
+            # row's dominant stage and decimal sums box per row. Exact
+            # and overflow-safe at any scale for THIS measure:
+            # l_quantity ≤ 50 → ≤ 5,000 cents/row → ~2e15 over a
+            # 100 TB lineitem, 4,000x inside long range (money columns
+            # do NOT get this treatment — their global cent-sums
+            # approach long range). Reconstruction long/100 at the
+            # tiny group level is exact; the driver hash is unchanged
+            # (oracle-verified at sf0.01 + sf0.1).
+            F.sum((dec(F.col("l_quantity")) * 100).cast("long")).alias("qty_c"),
         )
-        .select(F.lit("lineitem").alias("dataset"), "route", "grp_key", "n_rows", "total_qty")
+        .select(
+            F.lit("lineitem").alias("dataset"),
+            "route",
+            "grp_key",
+            "n_rows",
+            (F.col("qty_c").cast("decimal(38,2)") / 100)
+            .cast("double")
+            .alias("total_qty"),
+        )
     )
     return pos.unionByName(fact_scale).orderBy("dataset", "route", "grp_key")
