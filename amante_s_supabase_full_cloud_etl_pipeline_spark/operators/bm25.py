@@ -36,7 +36,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cache import tracked_persist
 from .text import tokens
 from .topk import grouped_topk
 
@@ -58,18 +57,9 @@ def index_rows(tokenized: DataFrame) -> tuple[DataFrame, DataFrame]:
     """((term, doc_id, tf), (doc_id, dl)) from a
     :func:`tokenized_terms` frame — the df-less index rows the
     streaming fold appends per micro-batch; :func:`build_index` adds
-    the denormalized df on top.
-
-    ``dl`` is derived from ``tf`` (Σ tf per doc ≡ the doc's token
-    count, exactly), not from ``tokenized`` (r13, guide §2.4/§2.3):
-    aggregating the raw token frame a second time re-ran the whole
-    tokenize pass (lower + regex split + explode over every
-    document) and shuffled one row PER TOKEN a second time — the tf
-    aggregation has already paid that pass once and reduced it to
-    one row per (term, doc), so the length sum rides the reduced
-    frame instead."""
+    the denormalized df on top."""
     tf = tokenized.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl = tokenized.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     return tf, dl
 
 
@@ -86,20 +76,8 @@ def build_index(
     term — a window-free groupBy + co-partitioned join at index-build
     time, amortized over every query that probes the stored index.
     doc_stats: (doc_id, dl) token lengths. Store both bucketed by
-    their key for probe-side co-location at scale.
-
-    ``tf`` is tracked-persisted (r13, guide §5): three consumers
-    (the per-term df aggregation, the postings join, and the
-    doc-length sum) would otherwise each re-run the tokenize +
-    (term, doc) aggregation — exchange reuse does not fire across
-    these subtrees (ReusedExchange=0 in the dumped plans). At rest
-    this frame IS the stored index, so caching it during the build
-    is the in-memory analog of what a 100 TB deployment does on
-    disk."""
+    their key for probe-side co-location at scale."""
     tf, doc_stats = index_rows(tokenized_terms(docs, text_col, id_col))
-    # registering tf in the cache manager makes doc_stats' subtree
-    # (dl sums the same plan) hit the cache too
-    tf = tracked_persist(tf)
     term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     postings = tf.join(term_df, "term")
     return postings, doc_stats
