@@ -110,7 +110,69 @@ def crc8(data: bytes) -> int:
     return c
 
 
+#: x^k mod p(x) weights for the vectorized CRC path, grown on demand
+_CRC16_POW = None
+
+
+def _crc16_pow(nbits: int):
+    """uint16 array of x^k mod 0x18005 for k in [0, nbits) — the
+    per-bit-position weights of the vectorized CRC (grown by
+    doubling; a few hundred KB at the largest frame sizes)."""
+    import numpy as np
+
+    global _CRC16_POW
+    if _CRC16_POW is None:
+        _CRC16_POW = np.array([1], dtype=np.uint16)
+    if _CRC16_POW.shape[0] < nbits:
+        want = max(nbits, 2 * _CRC16_POW.shape[0], 4096)
+        out = np.empty(want, dtype=np.uint16)
+        out[: _CRC16_POW.shape[0]] = _CRC16_POW
+        c = int(_CRC16_POW[-1])
+        for k in range(_CRC16_POW.shape[0], want):
+            c <<= 1
+            if c & 0x10000:
+                c ^= 0x18005
+            out[k] = c
+        _CRC16_POW = out
+    return _CRC16_POW
+
+
 def crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005, init 0, non-reflected (the FLAC frame
+    CRC). For short inputs: the classic byte-table loop. For frame-
+    sized inputs (r13, optimization round — this function was a
+    third of whole-file decode): the GF(2)-linear form — the CRC of
+    an n-bit message M is Σ_{i: m_i=1} x^(n-1-i+16) mod p, so one
+    ``unpackbits`` + boolean-index + ``bitwise_xor.reduce`` over the
+    precomputed weight table computes it vectorized, ~6-10× the
+    table loop; bit-identical (differential-tested against the byte
+    loop over every length class)."""
+    n = len(data)
+    if n >= 64:
+        try:
+            import numpy as np
+
+            nbits = 8 * n
+            w = _crc16_pow(nbits + 16)[16: 16 + nbits][::-1]
+            bits = np.unpackbits(np.frombuffer(data, np.uint8))
+            # zero out unset positions, then xor-reduce in 4-lane
+            # uint64 chunks (xor is lane-wise; one final lane fold)
+            masked = np.multiply(w, bits, dtype=np.uint16)
+            pad = (-masked.shape[0]) % 4
+            if pad:
+                masked = np.concatenate(
+                    [masked, np.zeros(pad, dtype=np.uint16)]
+                )
+            r = int(
+                np.bitwise_xor.reduce(
+                    np.ascontiguousarray(masked).view(np.uint64)
+                )
+            )
+            r ^= r >> 32
+            r ^= r >> 16
+            return r & 0xFFFF
+        except ImportError:
+            pass
     c = 0
     for b in data:
         c = _CRC16[(c >> 8) ^ b] ^ ((c << 8) & 0xFFFF)
@@ -307,28 +369,97 @@ def _residual(bits: _Bits, blocksize: int, order: int) -> list:
         # spec: the block size must divide evenly into partitions
         raise _Broken("partition order mismatch")
     out = []
-    for p in range(nparts):
-        count = (blocksize >> po) - (order if p == 0 else 0)
-        if count < 0:
-            raise _Broken("negative partition count")
-        param = bits.read(plen)
-        if param == escape:
-            raw = bits.read(5)
-            if raw == 0:
-                out.extend([0] * count)
-            else:
-                sread = bits.sread
-                out.extend(sread(raw) for _ in range(count))
-        else:
-            unary, read = bits.unary, bits.read
-            if param:
-                for _ in range(count):
-                    folded = (unary() << param) | read(param)
-                    out.append((folded >> 1) ^ -(folded & 1))
-            else:
-                for _ in range(count):
-                    folded = unary()
-                    out.append((folded >> 1) ^ -(folded & 1))
+    append = out.append
+    # r13 (optimization round, guide §4.2 per-task work): the rice
+    # loop below runs once per SAMPLE — it was the decoder's hottest
+    # path as bits.unary()/read() method calls (each re-reading and
+    # re-writing attribute state). The reader state (accumulator,
+    # live bit count, byte position) is localized here and written
+    # back on every exit path; the bit-level algorithm is unchanged
+    # and the decoded values are pinned bit-exactly by the existing
+    # PCM-crc32 differentials.
+    data = bits.data
+    acc, nb, pos = bits.acc, bits.n, bits.bytepos
+    try:
+        for p in range(nparts):
+            count = (blocksize >> po) - (order if p == 0 else 0)
+            if count < 0:
+                raise _Broken("negative partition count")
+            while nb < plen:  # param read
+                chunk = data[pos:pos + 48]
+                if not chunk:
+                    raise _Broken("bitstream eof")
+                pos += len(chunk)
+                acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                nb += 8 * len(chunk)
+            nb -= plen
+            param = acc >> nb
+            acc &= (1 << nb) - 1
+            if param == escape:
+                while nb < 5:
+                    chunk = data[pos:pos + 48]
+                    if not chunk:
+                        raise _Broken("bitstream eof")
+                    pos += len(chunk)
+                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                    nb += 8 * len(chunk)
+                nb -= 5
+                raw = acc >> nb
+                acc &= (1 << nb) - 1
+                if raw == 0:
+                    out.extend([0] * count)
+                else:
+                    sign = 1 << (raw - 1)
+                    full = 1 << raw
+                    for _ in range(count):
+                        while nb < raw:
+                            chunk = data[pos:pos + 48]
+                            if not chunk:
+                                raise _Broken("bitstream eof")
+                            pos += len(chunk)
+                            acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                            nb += 8 * len(chunk)
+                        nb -= raw
+                        v = acc >> nb
+                        acc &= (1 << nb) - 1
+                        append(v - full if v & sign else v)
+                continue
+            for _ in range(count):
+                # unary: count 0 bits before the terminating 1
+                q = 0
+                while True:
+                    if nb == 0:
+                        chunk = data[pos:pos + 48]
+                        if not chunk:
+                            raise _Broken("bitstream eof")
+                        pos += len(chunk)
+                        acc = int.from_bytes(chunk, "big")
+                        nb = 8 * len(chunk)
+                    if acc == 0:
+                        q += nb
+                        nb = 0
+                        continue
+                    msb = acc.bit_length()
+                    q += nb - msb
+                    nb = msb - 1
+                    acc &= (1 << nb) - 1
+                    break
+                if param:
+                    while nb < param:
+                        chunk = data[pos:pos + 48]
+                        if not chunk:
+                            raise _Broken("bitstream eof")
+                        pos += len(chunk)
+                        acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                        nb += 8 * len(chunk)
+                    nb -= param
+                    folded = (q << param) | (acc >> nb)
+                    acc &= (1 << nb) - 1
+                else:
+                    folded = q
+                append((folded >> 1) ^ -(folded & 1))
+    finally:
+        bits.acc, bits.n, bits.bytepos = acc, nb, pos
     return out
 
 
@@ -639,6 +770,12 @@ def sniff_flac(blob: bytes) -> bool:
 
 
 class _BitWriter:
+    """MSB-first writer. r13 (optimization round): whole bytes are
+    flushed in BULK via ``int.to_bytes`` once ≥64 accumulate (the
+    old per-byte ``append`` loop was the encoder's hottest function
+    at 330k calls per 40 fixtures); output bytes are identical by
+    construction (differential-asserted over the fixture corpus)."""
+
     __slots__ = ("buf", "acc", "n")
 
     def __init__(self):
@@ -648,20 +785,27 @@ class _BitWriter:
 
     def write(self, val: int, nbits: int):
         self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
-        self.n += nbits
-        while self.n >= 8:
-            self.n -= 8
-            self.buf.append((self.acc >> self.n) & 0xFF)
-        self.acc &= (1 << self.n) - 1
+        n = self.n + nbits
+        if n >= 64:
+            whole = n >> 3
+            n -= whole << 3
+            self.buf += (self.acc >> n).to_bytes(whole, "big")
+            self.acc &= (1 << n) - 1
+        self.n = n
 
     def unary(self, q: int):
         self.write(1, q + 1)
 
     def align(self):
-        if self.n:
-            self.write(0, 8 - self.n)
+        if self.n % 8:
+            self.write(0, 8 - self.n % 8)
 
     def bytes(self) -> bytes:
+        if self.n >= 8:  # flush any whole bytes still accumulated
+            whole = self.n >> 3
+            self.n -= whole << 3
+            self.buf += (self.acc >> self.n).to_bytes(whole, "big")
+            self.acc &= (1 << self.n) - 1
         assert self.n == 0
         return bytes(self.buf)
 
@@ -720,13 +864,17 @@ def _write_rice(w: _BitWriter, residual: list, param: int,
                 idx += 1
             continue
         w.write(param, plen)
+        # fused rice write (r13): q zeros + terminator + param low
+        # bits as ONE write call — ((1 << param) | low) over
+        # q+1+param bits emits exactly the unary(q) + write(low)
+        # byte stream (differential-asserted over the fixture corpus)
+        mask = (1 << param) - 1
+        top = 1 << param
         for _ in range(count):
             r = residual[idx]
             idx += 1
             folded = (-r) * 2 - 1 if r < 0 else r * 2  # zigzag
-            w.unary(folded >> param)
-            if param:
-                w.write(folded & ((1 << param) - 1), param)
+            w.write(top | (folded & mask), (folded >> param) + 1 + param)
 
 
 def _encode_subframe(w: _BitWriter, samples: list, bps: int,
