@@ -81,6 +81,12 @@ def _unmunge(msg: bytes) -> bytes:
     return _MUNGED.sub(lambda m: m.group(1)[1:] + m.group(2), msg)
 
 
+class _Unsupported(Exception):
+    """Raised by the fast-path parser whenever the message leaves the
+    envelope of shapes whose policy.default equivalence is verified;
+    the caller re-parses with the stdlib path. Never user-visible."""
+
+
 def _body_text(msg, depth: int = 0, budget: list | None = None):
     """(text, n_parts, n_attachments, attachment_bytes) — first
     text/plain wins; text/html funnels through the crawl's HTML
@@ -117,6 +123,8 @@ def _body_text(msg, depth: int = 0, budget: list | None = None):
                 payload = part.get_payload(decode=True)
                 if payload is None:
                     payload = part.as_bytes()
+            except _Unsupported:
+                raise
             except Exception:
                 payload = b""
             att_bytes += len(payload)
@@ -140,6 +148,8 @@ def _body_text(msg, depth: int = 0, budget: list | None = None):
             n_att += 1
             try:
                 payload = part.get_payload(decode=True) or b""
+            except _Unsupported:
+                raise
             except Exception:
                 payload = b""
             att_bytes += len(payload)
@@ -151,11 +161,15 @@ def _body_text(msg, depth: int = 0, budget: list | None = None):
                     plain = got
                 elif plain is None:
                     plain = got
+            except _Unsupported:
+                raise
             except Exception:
                 pass
         elif ctype == "text/html" and html is None:
             try:
                 html = part.get_content()
+            except _Unsupported:
+                raise
             except Exception:
                 html = None
     text = plain
@@ -177,17 +191,44 @@ def _body_text(msg, depth: int = 0, budget: list | None = None):
 def extract_email(raw: bytes | None) -> dict | None:
     """One RFC 5322 message → headers + chosen body text. Returns
     None only when there is neither a parseable header nor a body
-    (S4); defective-but-salvageable messages surface what parsed."""
+    (S4); defective-but-salvageable messages surface what parsed.
+
+    r14 (optimization round, guide §4.2): messages inside the
+    verified fast-path envelope (ASCII unfolded headers, plain or
+    single-encoded-word values, simple MIME parameters, the common
+    transfer encodings) parse through :func:`_fast_message` — a
+    byte-level parser exposing the same ``Message``-API subset the
+    extraction walk uses, with semantics differentially pinned
+    against ``policy=default`` (tests/test_email.py). ANYTHING
+    outside that envelope raises :class:`_Unsupported` and the whole
+    message re-parses on the stdlib path, so output is identical by
+    construction for unsupported shapes and differentially verified
+    for supported ones."""
     if not raw or len(raw) < 8:
         return None
+    try:
+        return _extract_from(_fast_message(raw))
+    except _Unsupported:
+        return _extract_stdlib(raw)
+
+
+def _extract_stdlib(raw: bytes) -> dict | None:
+    """The reference path: stdlib email with policy.default."""
     import email
     import email.policy
-    import email.utils
 
     try:
         msg = email.message_from_bytes(raw, policy=email.policy.default)
     except Exception:
         return None
+    return _extract_from(msg)
+
+
+def _extract_from(msg) -> dict | None:
+    """Headers + body selection over a parsed message (stdlib
+    ``EmailMessage`` or fast-path :class:`_Part` — same API)."""
+    import email.utils
+
     if not list(msg.keys()):
         # stdlib treats ANY bytes as a headerless message whose
         # "body" is the input — for a corpus kernel that would turn
@@ -215,6 +256,8 @@ def extract_email(raw: bytes | None) -> dict | None:
             date_ms = None
     try:
         text, n_parts, n_att, att_bytes = _body_text(msg)
+    except _Unsupported:
+        raise
     except Exception:
         text, n_parts, n_att, att_bytes = None, 0, 0, 0
     if not any((subject, sender, to, message_id, text)):
@@ -230,6 +273,349 @@ def extract_email(raw: bytes | None) -> dict | None:
         "n_attachments": n_att,
         "attachment_bytes": att_bytes,
     }
+
+
+# ── fast-path message parser (r14, guide §4.2) ──────────────────
+#
+# The stdlib path costs ~1.2 ms/message, 85% of it in the
+# policy.default header registry (every .get()/get_content_type()
+# re-runs the RFC 5322 grammar) and the FeedParser line loop. The
+# corpus and virtually all real mail is plain ASCII headers + simple
+# MIME — for THAT envelope the parser below produces bit-identical
+# extraction output (differential test over the full fixture corpus
+# + hostile shapes + truncation fuzz) at ~15x the speed. Every
+# guard failure raises _Unsupported → the message re-parses on the
+# stdlib path, so unsupported shapes are identical by construction.
+
+#: header name: RFC 5322 field-name (printable US-ASCII sans ':'),
+#: additionally rejecting embedded spaces (policy.default DROPS a
+#: "Name : v" header entirely — ambiguous, so such lines fall back)
+_NAME_OK = re.compile(rb"[\x21-\x39\x3b-\x7e]+$")
+#: header value: printable ASCII (no tabs/controls — those change
+#: unstructured-parse whitespace semantics; fall back)
+_VALUE_OK = re.compile(rb"[\x20-\x7e]*$")
+_CTYPE_RE = re.compile(
+    r"\s*([A-Za-z0-9!#$&^_.+-]+)/([A-Za-z0-9!#$&^_.+-]+)\s*(;.*)?$",
+    re.S,
+)
+_DISP_RE = re.compile(r"\s*([A-Za-z0-9!#$&^_.+-]+)\s*(;.*)?$", re.S)
+_PARAM_RE = re.compile(
+    r';\s*([A-Za-z0-9!#$&^_.+-]+)\s*=\s*(?:"([^"\\]*)"|([^;\s"]*))\s*'
+)
+#: one whole-value encoded word (the only RFC 2047 shape fast-pathed)
+_EW_RE = re.compile(r"=\?[^?]+\?[qQbB]\?[^?\s]*\?=$")
+#: bare addr-spec / "Words <addr-spec>" that policy.default
+#: round-trips verbatim (verified: dots in display names, double
+#: spaces, quoting and multi-address lists all re-serialize
+#: differently → excluded)
+_ADDR_SPEC = r"[A-Za-z0-9_+-]+(?:\.[A-Za-z0-9_+-]+)*@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*"
+_ADDR_RE = re.compile(_ADDR_SPEC + "$")
+_NAME_ADDR_RE = re.compile(
+    r"[A-Za-z0-9_-]+(?: [A-Za-z0-9_-]+)* <" + _ADDR_SPEC + ">$"
+)
+_MSGID_RE = re.compile(r"<[A-Za-z0-9._+-]+@[A-Za-z0-9._-]+>$")
+_KNOWN_CTE = ("", "7bit", "8bit", "binary", "base64", "quoted-printable")
+#: charsets whose decode the fast path performs itself; anything
+#: else (incl. unknown charsets, which must raise LookupError
+#: upstream) falls back
+_KNOWN_CHARSETS = (
+    "ascii", "us-ascii", "utf-8", "utf8",
+    "latin-1", "latin1", "iso-8859-1", "windows-1252", "cp1252",
+)
+
+
+class _Part:
+    """Parsed message node exposing the Message-API subset the
+    extraction walk uses; every accessor either matches
+    policy.default semantics exactly or raises _Unsupported."""
+
+    __slots__ = (
+        "_headers", "_ctype", "_maintype", "_params",
+        "_disp", "_disp_params", "_cte", "_body", "_children",
+    )
+
+    def keys(self):
+        return [n for n, _ in self._headers]
+
+    def get(self, name, default=None):
+        name = name.lower()
+        for n, v in self._headers:
+            if n == name:
+                return _decode_header(name, v)
+        return default
+
+    def __getitem__(self, name):
+        return self.get(name)
+
+    def is_multipart(self):
+        return self._children is not None
+
+    def get_content_type(self):
+        return self._ctype
+
+    def get_content_disposition(self):
+        return self._disp
+
+    def get_filename(self):
+        fn = self._disp_params.get("filename")
+        if fn is None:
+            fn = self._params.get("name")
+        if fn is None:
+            return None
+        if '"' in fn or fn.startswith("<"):
+            raise _Unsupported  # utils.unquote would re-unquote
+        return fn.strip()
+
+    def iter_parts(self):
+        return iter(self._children or ())
+
+    def get_payload(self, i=None, decode=False):
+        if self._children is not None:
+            return None if decode else self._children
+        if not decode:
+            raise _Unsupported  # walk never reads leaves undecoded
+        body = self._body
+        if self._cte == "base64":
+            from email._encoded_words import decode_b
+
+            # exact stdlib path: newline-stripped, defect-tolerant
+            return decode_b(b"".join(body.splitlines()))[0]
+        if self._cte == "quoted-printable":
+            import quopri
+
+            return quopri.decodestring(body)
+        return body
+
+    def get_content(self):
+        # contentmanager.get_text_content (the only route the walk
+        # takes: text/plain and text/html leaves), errors='replace'
+        data = self.get_payload(decode=True)
+        charset = self._params.get("charset", "ascii")
+        if charset.lower() not in _KNOWN_CHARSETS:
+            raise _Unsupported  # incl. stdlib's LookupError behavior
+        return data.decode(charset, errors="replace")
+
+    def as_bytes(self):
+        raise _Unsupported  # policy re-serialization: stdlib only
+
+
+def _decode_header(name, value):
+    """policy.default decoded form of the five fetched headers."""
+    if name == "subject":
+        if "=?" not in value:
+            return value
+        if not _EW_RE.match(value):
+            raise _Unsupported
+        from email import _encoded_words as _ew
+
+        try:
+            text, charset, lang, defects = _ew.decode(value)
+        except Exception:
+            raise _Unsupported
+        if defects or charset.lower() not in _KNOWN_CHARSETS:
+            raise _Unsupported
+        return text
+    if name in ("from", "to"):
+        if _ADDR_RE.match(value) or _NAME_ADDR_RE.match(value):
+            return value
+        raise _Unsupported
+    if name == "message-id":
+        if _MSGID_RE.match(value):
+            return value
+        raise _Unsupported
+    if name == "date":
+        # DateHeader keeps the source text verbatim (verified incl.
+        # unparseable values); parsing happens downstream either way
+        return value
+    raise _Unsupported
+
+
+def _fast_message(raw: bytes) -> _Part:
+    if raw.replace(b"\r\n", b"").find(b"\r") != -1:
+        raise _Unsupported  # bare-CR line endings: stdlib only
+    return _parse_part(raw, top=True)
+
+
+def _parse_part(raw: bytes, top: bool = False) -> _Part:
+    headers: list[tuple[str, str]] = []
+    pos = 0
+    n = len(raw)
+    body = b""
+    first = True
+    while pos <= n:
+        nl = raw.find(b"\n", pos)
+        end = n if nl < 0 else nl
+        line = raw[pos:end]
+        if line.endswith(b"\r"):
+            line = line[:-1]
+        if not line:
+            # blank separator: body is everything after it
+            body = raw[nl + 1:] if nl >= 0 else b""
+            break
+        if first and top and line.startswith(b"From "):
+            # mbox envelope line: FeedParser skips it at the root
+            first = False
+            if nl < 0:
+                break
+            pos = nl + 1
+            continue
+        first = False
+        c = line.find(b":")
+        if c <= 0:
+            if c == 0 or line[:1] in (b" ", b"\t"):
+                # empty field name (policy DROPS the line and keeps
+                # parsing headers) / folded header / stray FWS line
+                raise _Unsupported
+            # non-header line ends the header block and STARTS the
+            # body (MissingHeaderBodySeparator — line included)
+            body = raw[pos:]
+            break
+        name = line[:c]
+        if not _NAME_OK.match(name):
+            # a colon-bearing line with an invalid field name is
+            # DROPPED (not body-starting) by policy.default —
+            # ambiguous enough to punt
+            raise _Unsupported
+        value = line[c + 1:]
+        if not _VALUE_OK.match(value):
+            raise _Unsupported  # non-ASCII / control bytes / tabs
+        headers.append(
+            (
+                name.decode("ascii").lower(),
+                value.lstrip(b" \t").decode("ascii"),
+            )
+        )
+        if nl < 0:
+            break
+        pos = nl + 1
+
+    def _first(hname):
+        for hn, hv in headers:
+            if hn == hname:
+                return hv
+        return None
+
+    ct = _first("content-type")
+    if ct is None:
+        maintype, subtype, params = "text", "plain", {}
+    else:
+        m = _CTYPE_RE.match(ct)
+        if not m:
+            raise _Unsupported  # malformed: policy recovery differs
+        maintype = m.group(1).lower()
+        subtype = m.group(2).lower()
+        params = _parse_params(m.group(3))
+
+    disp_raw = _first("content-disposition")
+    disp, disp_params = None, {}
+    if disp_raw is not None:
+        m = _DISP_RE.match(disp_raw)
+        if not m:
+            raise _Unsupported
+        disp = m.group(1).lower()
+        disp_params = _parse_params(m.group(2))
+
+    cte_raw = _first("content-transfer-encoding")
+    cte = (cte_raw or "").strip().lower()
+    if cte not in _KNOWN_CTE:
+        raise _Unsupported  # uuencode variants etc.: stdlib only
+
+    part = _Part()
+    part._headers = headers
+    part._maintype = maintype
+    part._ctype = maintype + "/" + subtype
+    part._params = params
+    part._disp = disp
+    part._disp_params = disp_params
+    part._cte = cte
+    part._children = None
+    part._body = b""
+
+    if maintype == "multipart":
+        if subtype == "digest":
+            raise _Unsupported  # children default to message/rfc822
+        boundary = params.get("boundary")
+        if not boundary:
+            raise _Unsupported
+        pieces = _split_multipart(body, boundary)
+        if pieces is None:
+            # start boundary never found: stdlib leaves the payload
+            # as a non-multipart string (defect); body text walk
+            # then skips it exactly like a leaf of multipart ctype
+            part._body = body
+        else:
+            part._children = [_parse_part(p) for p in pieces]
+    elif maintype == "message":
+        # FeedParser nests a sub-message for EVERY message/* subtype
+        # except delivery-status (whose payload is header blocks)
+        if subtype == "delivery-status":
+            raise _Unsupported
+        if cte in ("base64", "quoted-printable"):
+            raise _Unsupported  # encoded nested message: stdlib
+        part._children = [_parse_part(body)]
+    else:
+        part._body = body
+    return part
+
+
+def _parse_params(rest: str | None) -> dict:
+    params: dict[str, str] = {}
+    if rest is None:
+        return params
+    pos = 0
+    n = len(rest)
+    while pos < n:
+        m = _PARAM_RE.match(rest, pos)
+        if not m:
+            if rest[pos:].strip() in ("", ";"):
+                break
+            raise _Unsupported  # RFC 2231 / backslashes / junk
+        name = m.group(1).lower()
+        if name.endswith("*") or name in params:
+            raise _Unsupported  # 2231 continuation / duplicates
+        params[name] = m.group(2) if m.group(2) is not None else m.group(3)
+        pos = m.end()
+    return params
+
+
+#: boundary line per FeedParser: the WHOLE line is ``--b``, an
+#: optional terminal ``--``, optional linear whitespace
+def _split_multipart(body: bytes, boundary: str) -> list[bytes] | None:
+    try:
+        bb = re.escape(boundary.encode("ascii"))
+    except UnicodeEncodeError:
+        raise _Unsupported
+    pat = re.compile(
+        rb"(?:\A|(?<=\n))--" + bb + rb"(--)?[ \t]*(?:\r?\n|\Z)"
+    )
+    it = pat.finditer(body)
+    start_m = next(it, None)
+    if start_m is None:
+        return None
+    if start_m.group(1):
+        raise _Unsupported  # close boundary with no start boundary
+    pieces = []
+    start = start_m.end()
+    closed = False
+    for m in it:
+        pieces.append(_strip_one_nl(body[start:m.start()]))
+        start = m.end()
+        if m.group(1):
+            closed = True
+            break  # epilogue ignored
+    if not closed:
+        # CloseBoundaryNotFound: the tail (minus one terminator, the
+        # same rule as boundary-terminated parts) is the last part
+        pieces.append(_strip_one_nl(body[start:]))
+    return pieces
+
+
+def _strip_one_nl(piece: bytes) -> bytes:
+    if piece.endswith(b"\r\n"):
+        return piece[:-2]
+    if piece.endswith(b"\n"):
+        return piece[:-1]
+    return piece
 
 
 EMAIL_TEXT_SCHEMA = StructType(

@@ -260,6 +260,88 @@ def test_text_cap_is_bytes_not_chars():
     assert len(rec["text"].encode("utf-8")) <= (1 << 22)
 
 
+# ── fast-path vs stdlib differential (r14) ──────────────────────
+
+
+def test_fast_path_matches_stdlib_differential():
+    """extract_email routes through the guarded fast parser; this
+    pins its equivalence to the stdlib policy.default path over the
+    corpus shapes, the hostile fixtures above, and truncation /
+    byte-flip / insertion / line-ending fuzz. Outcomes compare
+    EXCEPTIONS too (some malformed headers make the stdlib registry
+    itself raise — the fast path must mirror, not mask, that)."""
+    import random
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import (
+        email_text as et,
+    )
+
+    def outcome(fn, raw):
+        try:
+            return ("ok", fn(raw))
+        except Exception as e:  # noqa: BLE001 — parity includes raises
+            return ("raise", type(e).__name__)
+
+    cases = []
+    for d in range(260):
+        if d % 11 == 7:
+            cases.append(b"\x00\x01\x02 headerless binary")
+        elif d % 4 == 0:
+            cases.append(et._eml_plain(d))
+        elif d % 4 == 1:
+            cases.append(et._eml_multipart(d))
+        elif d % 4 == 2:
+            cases.extend(et.split_mbox(et.build_mbox(d)))
+        else:
+            cases.append(et._eml_forward(d))
+    rnd = random.Random(20260818)
+    base = [
+        et._eml_plain(3),
+        et._eml_multipart(5),
+        et._eml_forward(9),
+        et.split_mbox(et.build_mbox(6))[0],
+    ]
+    for b in base:
+        for _ in range(120):
+            cases.append(b[: rnd.randrange(1, len(b))])
+        for _ in range(120):
+            i = rnd.randrange(len(b))
+            nb = bytearray(b)
+            nb[i] = rnd.randrange(256)
+            cases.append(bytes(nb))
+        for _ in range(60):
+            i = rnd.randrange(len(b))
+            cases.append(b[:i] + bytes([rnd.randrange(256)]) + b[i:])
+            cases.append(b[:i] + b"\r\n" + b[i:])
+        cases.append(b.replace(b"\r\n", b"\n"))
+    for raw in cases:
+        if not raw or len(raw) < 8:
+            continue
+        assert outcome(et.extract_email, raw) == outcome(
+            et._extract_stdlib, raw
+        ), raw[:200]
+
+
+def test_fast_path_covers_the_corpus():
+    # the speedup only exists if corpus shapes do NOT fall back
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators import (
+        email_text as et,
+    )
+
+    for d in (0, 1, 3, 4, 5, 9, 12, 13):
+        raws = (
+            [et._eml_plain(d)] if d % 4 == 0
+            else [et._eml_multipart(d)] if d % 4 == 1
+            else [et._eml_forward(d)]
+        )
+        for raw in raws:
+            # raises _Unsupported if the fast envelope regressed
+            rec = et._extract_from(et._fast_message(raw))
+            assert rec is not None
+    for raw in et.split_mbox(et.build_mbox(6)):
+        assert et._extract_from(et._fast_message(raw)) is not None
+
+
 # ── synthetic corpus + driver-row leg (r11) ─────────────────────
 
 
