@@ -35,11 +35,27 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "par
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: inferred parquet schema per file path (r14, guide §6 metadata
+#: caching): ``spark.read.parquet`` reads footers to infer the schema
+#: at FRAME CONSTRUCTION time — ~0.1 s per table per query build, the
+#: dominant untimed cost the r14 bench-window fix surfaced. Schemas
+#: are a property of the files (immutable test data), not of any
+#: query's result, so caching them is table-metadata discipline (the
+#: same class as Spark's own FileStatusCache), not result caching.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Lazy — no IO until an action runs."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F

@@ -637,44 +637,63 @@ EMAIL_TEXT_SCHEMA = StructType(
 _EMAIL_COLS = [f.name for f in EMAIL_TEXT_SCHEMA.fields]
 
 
+def _extract_kernel(batches):
+    """mapInPandas body of :func:`email_text` (module-level so the
+    fused composition can reuse it). Null blobs are skipped in-kernel
+    with the same outcome as the frame-level filter (b"" → S4)."""
+    import pandas as pd
+
+    for batch in batches:
+        rows = []
+        for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+            b = bytes(blob) if blob is not None else b""
+            msgs = split_mbox(b) if b.startswith(b"From ") else [b]
+            for idx, raw in enumerate(msgs):
+                rec = extract_email(raw)
+                if rec is None:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "msg_idx": idx,
+                        "subject": rec["subject"],
+                        "sender": rec["sender"],
+                        "to": rec["to"],
+                        "message_id": rec["message_id"],
+                        "date_ms": rec["date_ms"],
+                        "text": rec["text"],
+                        "n_parts": rec["n_parts"],
+                        "n_attachments": rec["n_attachments"],
+                        "attachment_bytes": rec["attachment_bytes"],
+                    }
+                )
+        yield pd.DataFrame(rows, columns=_EMAIL_COLS)
+
+
 def email_text(media: DataFrame) -> DataFrame:
     """One row per message: a bare eml blob is one message
     (msg_idx 0); an mbox (``From `` leading bytes) fans out in
     archive order. Unparseable blobs emit nothing (S4). Expects
     (doc_id, blob)."""
-
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                b = bytes(blob) if blob is not None else b""
-                msgs = split_mbox(b) if b.startswith(b"From ") else [b]
-                for idx, raw in enumerate(msgs):
-                    rec = extract_email(raw)
-                    if rec is None:
-                        continue
-                    rows.append(
-                        {
-                            "doc_id": int(doc_id),
-                            "msg_idx": idx,
-                            "subject": rec["subject"],
-                            "sender": rec["sender"],
-                            "to": rec["to"],
-                            "message_id": rec["message_id"],
-                            "date_ms": rec["date_ms"],
-                            "text": rec["text"],
-                            "n_parts": rec["n_parts"],
-                            "n_attachments": rec["n_attachments"],
-                            "attachment_bytes": rec["attachment_bytes"],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=_EMAIL_COLS)
-
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, EMAIL_TEXT_SCHEMA)
+    ).mapInPandas(_extract_kernel, EMAIL_TEXT_SCHEMA)
+
+
+def email_text_from_docs(docs: DataFrame) -> DataFrame:
+    """Corpus synthesis + message extraction in ONE Python hop
+    (guide §4.1 via :mod:`.fuse`): bit-identical rows to
+    ``email_text(synthetic_email_corpus(docs).select(...))`` — the
+    corpus frames never cross the JVM boundary. The two-stage form's
+    blob-null filter is vacuous here (the corpus kernel never emits
+    null blobs)."""
+    from .fuse import fused_pandas
+
+    return fused_pandas(
+        docs.filter(F.col("doc_id").isNotNull()).select("doc_id"),
+        (_corpus_kernel, _extract_kernel),
+        EMAIL_TEXT_SCHEMA,
+    )
 
 
 def _eml_plain(d: int) -> bytes:
@@ -764,40 +783,41 @@ def build_mbox(d: int) -> bytes:
     return "".join(msgs).encode("utf-8")
 
 
+def _corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_email_corpus`."""
+    import pandas as pd
+
+    for batch in batches:
+        blobs, types = [], []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            if d % 11 == 7:
+                blobs.append(b"\x00\x01\x02 headerless binary")
+                types.append("application/octet-stream")
+            elif d % 4 == 0:
+                blobs.append(_eml_plain(d))
+                types.append("message/rfc822")
+            elif d % 4 == 1:
+                blobs.append(_eml_multipart(d))
+                types.append("message/rfc822")
+            elif d % 4 == 2:
+                blobs.append(build_mbox(d))
+                types.append("application/mbox")
+            else:
+                blobs.append(_eml_forward(d))
+                types.append("message/rfc822")
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs,
+             "media_type": types}
+        )
+
+
 def synthetic_email_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic fixture eml/mbox blobs keyed on doc_id: d%4
     cycles plain eml / multipart(html body + attachment) / mbox /
     forwarded message/rfc822; every 11th ≡ 7 is headerless binary
     (S4-skipped). Same (doc_id, blob, media_type) contract as the
     other corpora."""
-
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            blobs, types = [], []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                if d % 11 == 7:
-                    blobs.append(b"\x00\x01\x02 headerless binary")
-                    types.append("application/octet-stream")
-                elif d % 4 == 0:
-                    blobs.append(_eml_plain(d))
-                    types.append("message/rfc822")
-                elif d % 4 == 1:
-                    blobs.append(_eml_multipart(d))
-                    types.append("message/rfc822")
-                elif d % 4 == 2:
-                    blobs.append(build_mbox(d))
-                    types.append("application/mbox")
-                else:
-                    blobs.append(_eml_forward(d))
-                    types.append("message/rfc822")
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs,
-                 "media_type": types}
-            )
-
     from pyspark.sql.types import BinaryType
 
     schema = StructType(
@@ -807,4 +827,4 @@ def synthetic_email_corpus(docs: DataFrame) -> DataFrame:
             StructField("media_type", StringType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(kernel, schema)
+    return docs.select("doc_id").mapInPandas(_corpus_kernel, schema)

@@ -164,6 +164,13 @@ def _staged_inputs(edges: DataFrame, src_col: str, dst_col: str):
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     raw.persist()
+    # materialize NOW (r14, ADVICE r13 finding 2): aug.count() below
+    # reaches raw through two independent subtrees (node-union side
+    # and weighted side) whose stages the scheduler launches
+    # concurrently — against a still-cold cache each stage computes
+    # the expensive upstream (extract_links for the crawl graph)
+    # itself; one cheap count makes it run exactly once
+    raw.count()
     nodes = (
         raw.select(F.col("src").alias("node"))
         .unionByName(raw.select(F.col("dst").alias("node")))

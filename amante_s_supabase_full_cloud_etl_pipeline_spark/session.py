@@ -57,11 +57,28 @@ def get_spark(app_name: str = "amante-spark-engine") -> SparkSession:
         return configure(active)
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Worker daemon with numpy/pandas/pyarrow pre-imported: forked
+    # workers inherit them (guide §4.5 applied to the interpreter —
+    # ~0.35 s import chain per fresh fork otherwise, and the worker
+    # pool churns under chained Python stages). Static conf, so it
+    # applies only to sessions THIS factory creates; the package
+    # parent rides executorEnv.PYTHONPATH so the daemon module
+    # resolves regardless of the launching process's cwd.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        .config(
+            "spark.python.daemon.module",
+            "amante_s_supabase_full_cloud_etl_pipeline_spark.fastdaemon",
+        )
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            pkg_parent + (os.pathsep + py_path if py_path else ""),
+        )
     )
     for k, v in DEFAULT_CONF.items():
         builder = builder.config(k, v)

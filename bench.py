@@ -5,7 +5,10 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <dir>}
 
 Each query is forced end-to-end with the noop sink (full execution,
-no driver collect cost). Every query gets one un-timed warm-up pass
+no driver collect cost). The timed window covers frame CONSTRUCTION
+plus the action (r14, ADVICE r13: eager persist sites materialize
+work at construction time — a post-build-only timer would let that
+work escape the window). Every query gets one un-timed warm-up pass
 before its timed pass: the first execution of a plan pays Catalyst
 analysis + whole-stage codegen + C1/C2 JIT (2-10s of one-off compile
 observed on the larger kernels), which a long-lived engine session
@@ -362,8 +365,7 @@ def _extra_queries():
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.email_text import (  # noqa: E501
-            email_text,
-            synthetic_email_corpus,
+            email_text_from_docs,
         )
 
         # r11: eml/mbox header+body extraction (stdlib email walk +
@@ -375,11 +377,13 @@ def _extra_queries():
         # many-input-split layout any real corpus has. Bounded at
         # 4000 docs (covers the 44-shape corpus cycle 90x; the
         # jpeg row's doc_id<4000 precedent)
+        # r14: corpus synthesis + extraction fused into ONE Python
+        # hop (guide §4.1, operators/fuse.py) — same rows, one fewer
+        # JVM↔Python round trip per task
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 4000
         ).repartition(64)
-        corpus = synthetic_email_corpus(docs).select("doc_id", "blob")
-        return email_text(corpus)
+        return email_text_from_docs(docs)
 
     def flac_decode_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
@@ -485,8 +489,21 @@ def _extra_queries():
             synthetic_mixed_corpus(docs)
             .select("doc_id", "blob").repartition(64)
         )
-        corpus.count()  # force: generation stays out of the timing
-        return triage_media(corpus)
+
+        # r14: with the timed window now covering frame construction
+        # (see force()), this row's documented exclusion — corpus
+        # GENERATION runs 14 family encoders whose costs other rows
+        # already measure; timing it here would report encoder wall
+        # as classifier wall — moves to an explicit untimed-setup
+        # protocol: the setup above runs once (eager tracked_persist
+        # materializes the blobs; released when the next row starts),
+        # and each timed pass rebuilds only the classifier frame.
+        def per_pass():
+            return triage_media(corpus)
+
+        return per_pass
+
+    media_triage_kernel.untimed_setup = True
 
     def image_near_dup_pairs(spark, sf_dir):
         from pyspark.sql import functions as FF
@@ -782,13 +799,29 @@ def run() -> None:
         return wrapped
 
     def force(name: str) -> tuple[float, float]:
+        fn = query_fn(name)
+        built = fn(spark, sf_dir)
+        # an untimed-setup row (media_triage_kernel) returns a
+        # per-pass frame BUILDER instead of a frame: fn itself ran
+        # that row's documented untimed corpus setup (see the row's
+        # comment) and each pass rebuilds only the measured frame
+        mk = built if callable(built) else None
         # warm-up pass: pays one-off Catalyst/codegen/JIT compile
-        query_fn(name)(spark, sf_dir).write.mode("overwrite").format(
+        (mk() if mk else built).write.mode("overwrite").format(
             "noop"
         ).save()
         # each timed pass is a FRESH invocation: the registry wrapper
         # releases any caches the prior pass persisted, so data is
         # fully recomputed — only the code is warm, never the data.
+        # r14 (ADVICE r13 finding 1): the timer now starts BEFORE the
+        # frame is built, not after — eager persist sites
+        # (operators/cache.py tracked_persist) materialize expensive
+        # upstreams during DataFrame construction, and timing only
+        # the post-build action let that work escape the measured
+        # window. The timed quantity is build + full noop execution;
+        # cross-round deltas against r13-and-earlier numbers on
+        # tracked_persist rows must account for the window change
+        # (OPTIMIZATION_r14.md records both windows for those rows).
         # Min of 3 timed passes rides out background-JIT stragglers;
         # the (max - min) spread is reported so cross-round deltas are
         # falsifiable against measurement noise (VERDICT r3 asked for
@@ -796,8 +829,8 @@ def run() -> None:
         # turned out unverifiable).
         times = []
         for _ in range(3):
-            df = query_fn(name)(spark, sf_dir)
             t0 = time.perf_counter()
+            df = mk() if mk else fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             times.append(time.perf_counter() - t0)
         return min(times), max(times) - min(times)

@@ -60,15 +60,21 @@ def main() -> None:
         elif name == "pos_kernel_1m_orders":
             best, spread = bench.pos_kernel_throughput(spark)
         else:
+            fn = query_fn(name)
+            built = fn(spark, sf_dir)
+            # untimed-setup rows return a per-pass frame builder
+            # (see bench.force); everything else times build+action
+            # as one window (ADVICE r13 finding 1)
+            mk = built if callable(built) else None
             spark.sparkContext.setJobDescription(f"bench_one: {name} warm-up")
-            query_fn(name)(spark, sf_dir).write.mode("overwrite").format(
+            (mk() if mk else built).write.mode("overwrite").format(
                 "noop"
             ).save()
             times = []
             for i in range(3):
-                df = query_fn(name)(spark, sf_dir)
                 spark.sparkContext.setJobDescription(f"bench_one: {name} pass {i}")
                 t0 = time.perf_counter()
+                df = mk() if mk else fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 times.append(time.perf_counter() - t0)
             spark.sparkContext.setJobDescription(None)
