@@ -267,6 +267,14 @@ def audio_probes(
     a Spark explode of a driver list), S4 skip as above.
     ``canonical_rate`` as on :func:`audio_fingerprints`."""
 
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(_probe_kernel(canonical_rate), AUDIO_PROBE_SCHEMA)
+
+
+def _probe_kernel(canonical_rate):
+    """mapInPandas body factory for :func:`audio_probes`."""
+
     def kernel(batches):
         import pandas as pd
 
@@ -283,9 +291,23 @@ def audio_probes(
                     rows.append({"doc_id": int(doc_id), "probe": v})
             yield pd.DataFrame(rows, columns=_PROBE_COLS)
 
-    return media.filter(
-        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, AUDIO_PROBE_SCHEMA)
+    return kernel
+
+
+def audio_probes_from_docs(
+    docs: DataFrame, canonical_rate=None
+) -> DataFrame:
+    """WAV corpus synthesis + probe extraction in ONE Python hop
+    (guide §4.1 via :mod:`.fuse`) — bit-identical rows to
+    ``audio_probes(synthetic_audio_corpus(docs).select(...))``."""
+    from .fuse import fused_pandas
+    from .multimodal import _audio_corpus_kernel, _fan_out_ids
+
+    return fused_pandas(
+        _fan_out_ids(docs.filter(F.col("doc_id").isNotNull())),
+        (_audio_corpus_kernel, _probe_kernel(canonical_rate)),
+        AUDIO_PROBE_SCHEMA,
+    )
 
 
 def shared_audio_pairs(

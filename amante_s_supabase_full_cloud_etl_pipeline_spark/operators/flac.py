@@ -1096,60 +1096,102 @@ def flac_meta(media):
             StructField("pcm_crc32", LongType()),
         ]
     )
-    cols = [f.name for f in schema.fields]
-
-    def kernel(batches):
-        import pandas as pd
-
-        import hashlib
-
-        for batch in batches:
-            rows = []
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                b = bytes(blob) if blob is not None else b""
-                # ONE decode pass serves metadata, frame count, MD5
-                # verdict AND the value-pin CRC (the first cut ran
-                # parse_flac_meta + decode_flac_pcm back to back —
-                # two full decodes — and packed PCM with a per-sample
-                # loop; together 2.5x the kernel's wall)
-                try:
-                    info, vorbis, pos = _walk_metadata(b)
-                    info["__first_frame"] = pos
-                    chans, _rate, n_frames, _tot = _walk_frames(
-                        b, info
-                    )
-                except (_Broken, OverflowError):
-                    continue
-                pcm = interleaved_pcm(
-                    chans, info["bits_per_sample"]
-                )
-                md5_ok = None
-                if info["md5"] != b"\x00" * 16:
-                    md5_ok = (
-                        hashlib.md5(pcm).digest() == info["md5"]
-                    )
-                tags = (vorbis or {}).get("tags", {})
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "sample_rate": info["sample_rate"],
-                        "channels": info["channels"],
-                        "bits_per_sample": info["bits_per_sample"],
-                        "total_samples": info["total_samples"],
-                        "n_frames": n_frames,
-                        "title": tags.get("title"),
-                        "artist": tags.get("artist"),
-                        "md5_state": (
-                            -1 if md5_ok is None else int(md5_ok)
-                        ),
-                        "pcm_crc32": zlib.crc32(pcm),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=cols)
-
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, schema)
+    ).mapInPandas(_meta_kernel, schema)
+
+
+def _flac_meta_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("channels", LongType()),
+            StructField("bits_per_sample", LongType()),
+            StructField("total_samples", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("title", StringType()),
+            StructField("artist", StringType()),
+            StructField("md5_state", LongType()),
+            StructField("pcm_crc32", LongType()),
+        ]
+    )
+
+
+def _meta_kernel(batches):
+    """mapInPandas body of :func:`flac_meta` (module-level so the
+    fused composition can reuse it; null blobs S4-skip in-kernel)."""
+    import hashlib
+    import zlib
+
+    import pandas as pd
+
+    cols = [f.name for f in _flac_meta_schema().fields]
+    for batch in batches:
+        rows = []
+        for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+            b = bytes(blob) if blob is not None else b""
+            # ONE decode pass serves metadata, frame count, MD5
+            # verdict AND the value-pin CRC (the first cut ran
+            # parse_flac_meta + decode_flac_pcm back to back —
+            # two full decodes — and packed PCM with a per-sample
+            # loop; together 2.5x the kernel's wall)
+            try:
+                info, vorbis, pos = _walk_metadata(b)
+                info["__first_frame"] = pos
+                chans, _rate, n_frames, _tot = _walk_frames(
+                    b, info
+                )
+            except (_Broken, OverflowError):
+                continue
+            pcm = interleaved_pcm(
+                chans, info["bits_per_sample"]
+            )
+            md5_ok = None
+            if info["md5"] != b"\x00" * 16:
+                md5_ok = (
+                    hashlib.md5(pcm).digest() == info["md5"]
+                )
+            tags = (vorbis or {}).get("tags", {})
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "sample_rate": info["sample_rate"],
+                    "channels": info["channels"],
+                    "bits_per_sample": info["bits_per_sample"],
+                    "total_samples": info["total_samples"],
+                    "n_frames": n_frames,
+                    "title": tags.get("title"),
+                    "artist": tags.get("artist"),
+                    "md5_state": (
+                        -1 if md5_ok is None else int(md5_ok)
+                    ),
+                    "pcm_crc32": zlib.crc32(pcm),
+                }
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def flac_meta_from_docs(docs):
+    """Corpus synthesis + full decode in ONE Python hop (guide §4.1
+    via :mod:`.fuse`) — bit-identical rows to
+    ``flac_meta(synthetic_flac_corpus(docs).select(...))``."""
+    from pyspark.sql import functions as F
+
+    from .fuse import fused_pandas
+
+    return fused_pandas(
+        docs.filter(F.col("doc_id").isNotNull()).select("doc_id"),
+        (_flac_corpus_kernel, _meta_kernel),
+        _flac_meta_schema(),
+    )
 
 
 def build_flac_fixture(d: int) -> bytes:
@@ -1232,24 +1274,6 @@ def synthetic_flac_corpus(docs):
         StructType,
     )
 
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            blobs, types = [], []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                if d % 11 == 7:
-                    blobs.append(b"\x00\x01 not a flac stream")
-                    types.append("application/octet-stream")
-                else:
-                    blobs.append(build_flac_fixture(d))
-                    types.append("audio/flac")
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs,
-                 "media_type": types}
-            )
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -1257,4 +1281,24 @@ def synthetic_flac_corpus(docs):
             StructField("media_type", StringType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(kernel, schema)
+    return docs.select("doc_id").mapInPandas(_flac_corpus_kernel, schema)
+
+
+def _flac_corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_flac_corpus`."""
+    import pandas as pd
+
+    for batch in batches:
+        blobs, types = [], []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            if d % 11 == 7:
+                blobs.append(b"\x00\x01 not a flac stream")
+                types.append("application/octet-stream")
+            else:
+                blobs.append(build_flac_fixture(d))
+                types.append("audio/flac")
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs,
+             "media_type": types}
+        )

@@ -403,26 +403,42 @@ def heif_meta(media):
     blobs emit nothing (S4). Expects (doc_id, blob)."""
     from pyspark.sql import functions as F
 
-    schema = _schema()
-    cols = [f.name for f in schema.fields]
-
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                m = parse_heif_meta(
-                    bytes(blob) if blob is not None else b""
-                )
-                if m is None:
-                    continue
-                rows.append({"doc_id": int(doc_id), **m})
-            yield pd.DataFrame(rows, columns=cols)
-
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, schema)
+    ).mapInPandas(_meta_kernel, _schema())
+
+
+def _meta_kernel(batches):
+    """mapInPandas body of :func:`heif_meta` (module-level so the
+    fused composition can reuse it; null blobs S4-skip in-kernel)."""
+    import pandas as pd
+
+    cols = [f.name for f in _schema().fields]
+    for batch in batches:
+        rows = []
+        for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+            m = parse_heif_meta(
+                bytes(blob) if blob is not None else b""
+            )
+            if m is None:
+                continue
+            rows.append({"doc_id": int(doc_id), **m})
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def heif_meta_from_docs(docs):
+    """Corpus synthesis + item walk in ONE Python hop (guide §4.1
+    via :mod:`.fuse`) — bit-identical rows to
+    ``heif_meta(synthetic_heif_corpus(docs))``."""
+    from pyspark.sql import functions as F
+
+    from .fuse import fused_pandas
+
+    return fused_pandas(
+        docs.filter(F.col("doc_id").isNotNull()).select("doc_id"),
+        (_heif_corpus_kernel, _meta_kernel),
+        _schema(),
+    )
 
 
 def synthetic_heif_corpus(docs):
@@ -437,28 +453,30 @@ def synthetic_heif_corpus(docs):
         StructType,
     )
 
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            blobs = []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                codec = ("heic", "avif")[d % 2]
-                blob = encode_heif(
-                    64 + 16 * (d % 5), 48 + 16 * (d % 3), codec,
-                    rotation=(None, 90, 180, 270)[d % 4],
-                    with_exif=(d % 3 == 0),
-                )
-                if d % 5 == 4:
-                    blob = blob[: len(blob) // 2]
-                blobs.append(blob)
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs}
-            )
-
     schema = StructType([
         StructField("doc_id", LongType()),
         StructField("blob", BinaryType()),
     ])
-    return docs.select("doc_id").mapInPandas(kernel, schema)
+    return docs.select("doc_id").mapInPandas(_heif_corpus_kernel, schema)
+
+
+def _heif_corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_heif_corpus`."""
+    import pandas as pd
+
+    for batch in batches:
+        blobs = []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            codec = ("heic", "avif")[d % 2]
+            blob = encode_heif(
+                64 + 16 * (d % 5), 48 + 16 * (d % 3), codec,
+                rotation=(None, 90, 180, 270)[d % 4],
+                with_exif=(d % 3 == 0),
+            )
+            if d % 5 == 4:
+                blob = blob[: len(blob) // 2]
+            blobs.append(blob)
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs}
+        )

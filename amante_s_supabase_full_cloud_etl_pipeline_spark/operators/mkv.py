@@ -782,6 +782,14 @@ def sample_mkv_keyframes(media: DataFrame, every: int = 1) -> DataFrame:
     CRC32 of the payload the range slices (the proof the range
     landed on the frame). Corrupt blobs emit nothing (S4)."""
 
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(_keyframe_kernel(every), MKV_KEYFRAME_SCHEMA)
+
+
+def _keyframe_kernel(every: int):
+    """mapInPandas body factory for :func:`sample_mkv_keyframes`."""
+
     def kernel(batches):
         import zlib
 
@@ -806,9 +814,24 @@ def sample_mkv_keyframes(media: DataFrame, every: int = 1) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=_MKV_KF_COLS)
 
-    return media.filter(
-        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, MKV_KEYFRAME_SCHEMA)
+    return kernel
+
+
+def mkv_keyframes_from_docs(
+    docs: DataFrame, every: int = 1, n_clusters: int = 4
+) -> DataFrame:
+    """Corpus synthesis + keyframe sampling in ONE Python hop (guide
+    §4.1 via :mod:`.fuse`) — bit-identical rows to
+    ``sample_mkv_keyframes(synthetic_mkv_corpus(docs).select(...),
+    every)``."""
+    from .fuse import fused_pandas
+    from .multimodal import _fan_out_ids
+
+    return fused_pandas(
+        _fan_out_ids(docs.filter(F.col("doc_id").isNotNull())),
+        (_mkv_corpus_kernel(n_clusters), _keyframe_kernel(every)),
+        MKV_KEYFRAME_SCHEMA,
+    )
 
 
 def synthetic_mkv_corpus(docs: DataFrame, n_clusters: int = 4) -> DataFrame:
@@ -818,6 +841,23 @@ def synthetic_mkv_corpus(docs: DataFrame, n_clusters: int = 4) -> DataFrame:
     (streaming-shape) clusters on d % 5 == 3, matroska doctype on
     d % 7 == 1, a Cues index except d % 6 == 5. Same
     (doc_id, blob, media_type) contract as the other corpora."""
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    from .multimodal import _fan_out_ids
+
+    return _fan_out_ids(docs).mapInPandas(
+        _mkv_corpus_kernel(n_clusters), schema
+    )
+
+
+def _mkv_corpus_kernel(n_clusters: int):
+    """mapInPandas body factory for :func:`synthetic_mkv_corpus`."""
 
     def kernel(batches):
         import pandas as pd
@@ -876,13 +916,4 @@ def synthetic_mkv_corpus(docs: DataFrame, n_clusters: int = 4) -> DataFrame:
                  "media_type": ["video/webm"] * len(blobs)}
             )
 
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("blob", BinaryType()),
-            StructField("media_type", StringType()),
-        ]
-    )
-    from .multimodal import _fan_out_ids
-
-    return _fan_out_ids(docs).mapInPandas(kernel, schema)
+    return kernel

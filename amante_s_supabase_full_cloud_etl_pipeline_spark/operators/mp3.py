@@ -656,28 +656,77 @@ def mp3_meta(media):
             StructField("album", StringType()),
         ]
     )
-    cols = [f.name for f in schema.fields]
-
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                meta = parse_mp3_meta(
-                    bytes(blob) if blob is not None else b""
-                )
-                if meta is None:
-                    continue
-                rows.append(
-                    {"doc_id": int(doc_id),
-                     **{k: meta.get(k) for k in cols if k != "doc_id"}}
-                )
-            yield pd.DataFrame(rows, columns=cols)
-
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, schema)
+    ).mapInPandas(_meta_kernel, schema)
+
+
+def _mp3_meta_schema():
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("version", StringType()),
+            StructField("layer", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("channels", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("bitrate_kbps", LongType()),
+            StructField("vbr", BooleanType()),
+            StructField("vbr_tag", StringType()),
+            StructField("tag_frames", LongType()),
+            StructField("has_crc", BooleanType()),
+            StructField("id3v2_major", LongType()),
+            StructField("has_id3v1", BooleanType()),
+            StructField("title", StringType()),
+            StructField("artist", StringType()),
+            StructField("album", StringType()),
+        ]
+    )
+
+
+def _meta_kernel(batches):
+    """mapInPandas body of :func:`mp3_meta` (module-level so the
+    fused composition can reuse it; null blobs S4-skip in-kernel)."""
+    import pandas as pd
+
+    cols = [f.name for f in _mp3_meta_schema().fields]
+    for batch in batches:
+        rows = []
+        for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+            meta = parse_mp3_meta(
+                bytes(blob) if blob is not None else b""
+            )
+            if meta is None:
+                continue
+            rows.append(
+                {"doc_id": int(doc_id),
+                 **{k: meta.get(k) for k in cols if k != "doc_id"}}
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def mp3_meta_from_docs(docs):
+    """Corpus synthesis + frame walk in ONE Python hop (guide §4.1
+    via :mod:`.fuse`) — bit-identical rows to
+    ``mp3_meta(synthetic_mp3_corpus(docs).select(...))``."""
+    from pyspark.sql import functions as F
+
+    from .fuse import fused_pandas
+
+    return fused_pandas(
+        docs.filter(F.col("doc_id").isNotNull()).select("doc_id"),
+        (_mp3_corpus_kernel, _meta_kernel),
+        _mp3_meta_schema(),
+    )
 
 
 def build_mp3_fixture(d: int) -> bytes:
@@ -732,24 +781,6 @@ def synthetic_mp3_corpus(docs):
         StructType,
     )
 
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            blobs, types = [], []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                if d % 11 == 7:
-                    blobs.append(b"\x00\x01 not mpeg audio \xff\xfb")
-                    types.append("application/octet-stream")
-                else:
-                    blobs.append(build_mp3_fixture(d))
-                    types.append("audio/mpeg")
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs,
-                 "media_type": types}
-            )
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -757,7 +788,27 @@ def synthetic_mp3_corpus(docs):
             StructField("media_type", StringType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(kernel, schema)
+    return docs.select("doc_id").mapInPandas(_mp3_corpus_kernel, schema)
+
+
+def _mp3_corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_mp3_corpus`."""
+    import pandas as pd
+
+    for batch in batches:
+        blobs, types = [], []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            if d % 11 == 7:
+                blobs.append(b"\x00\x01 not mpeg audio \xff\xfb")
+                types.append("application/octet-stream")
+            else:
+                blobs.append(build_mp3_fixture(d))
+                types.append("audio/mpeg")
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs,
+             "media_type": types}
+        )
 
 
 # ── cover art (ID3v2 APIC / v2.2 PIC) ───────────────────────────

@@ -1678,6 +1678,15 @@ def sample_mp4_keyframes(media: DataFrame, every: int = 1) -> DataFrame:
     stage would consume instead of the whole blob. Corrupt blobs and
     out-of-blob ranges emit nothing (S4). Expects (doc_id, blob)."""
 
+    return media.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(_keyframe_kernel(every), KEYFRAME_SCHEMA)
+
+
+def _keyframe_kernel(every: int):
+    """mapInPandas body factory for :func:`sample_mp4_keyframes`
+    (module-level so the fused composition can reuse it)."""
+
     def kernel(batches):
         import zlib
 
@@ -1704,9 +1713,24 @@ def sample_mp4_keyframes(media: DataFrame, every: int = 1) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=_KF_COLS)
 
-    return media.filter(
-        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, KEYFRAME_SCHEMA)
+    return kernel
+
+
+def mp4_keyframes_from_docs(
+    docs: DataFrame, every: int = 1, n_samples: int = 12
+) -> DataFrame:
+    """Corpus synthesis + keyframe sampling in ONE Python hop (guide
+    §4.1 via :mod:`.fuse`) — bit-identical rows to
+    ``sample_mp4_keyframes(synthetic_mp4_corpus(docs).select(...),
+    every)``."""
+    from .fuse import fused_pandas
+    from .multimodal import _fan_out_ids
+
+    return fused_pandas(
+        _fan_out_ids(docs.filter(F.col("doc_id").isNotNull())),
+        (_mp4_corpus_kernel(n_samples), _keyframe_kernel(every)),
+        KEYFRAME_SCHEMA,
+    )
 
 
 MP4_SEGMENT_SCHEMA = StructType(
@@ -1779,6 +1803,23 @@ def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
     deterministic presentation duration — cycling the wire shapes
     the parser must hold. Same (doc_id, blob, media_type) contract
     as the other synthetic corpora in :mod:`.multimodal`."""
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    from .multimodal import _fan_out_ids
+
+    return _fan_out_ids(docs).mapInPandas(
+        _mp4_corpus_kernel(n_samples), schema
+    )
+
+
+def _mp4_corpus_kernel(n_samples: int):
+    """mapInPandas body factory for :func:`synthetic_mp4_corpus`."""
 
     def kernel(batches):
         import pandas as pd
@@ -1868,13 +1909,4 @@ def synthetic_mp4_corpus(docs: DataFrame, n_samples: int = 12) -> DataFrame:
                  "media_type": ["video/mp4"] * len(blobs)}
             )
 
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("blob", BinaryType()),
-            StructField("media_type", StringType()),
-        ]
-    )
-    from .multimodal import _fan_out_ids
-
-    return _fan_out_ids(docs).mapInPandas(kernel, schema)
+    return kernel

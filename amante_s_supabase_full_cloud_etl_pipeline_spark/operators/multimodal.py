@@ -897,123 +897,6 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
     lossless, so its decoded stats equal the PPM leg's for the same
     doc_id."""
 
-    def kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        # import inside the kernel: resolution happens on the
-        # executor against the package zip session.configure ships
-        # via addPyFile (works even when the driver cwd ≠ repo)
-        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.gif import (  # noqa: E501
-            encode_gif,
-        )
-        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
-            encode_jpeg,
-        )
-        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
-            encode_bmp24,
-            encode_png,
-            encode_ppm,
-        )
-
-        for batch in batches:
-            blobs, types = [], []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 + d % 9, 6 + d % 7
-                yy, xx = np.mgrid[0:h, 0:w]
-                px = np.stack(
-                    [
-                        (xx * 7 + yy * 13 + d) % 256,
-                        (xx * 3 + d * 5) % 256,
-                        (yy * 11 + d * 3) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                if d % 4 == 0:
-                    blobs.append(encode_bmp24(px))
-                    types.append("image/bmp")
-                elif d % 8 == 5:
-                    # TIFF leg (carved from the PPM residue class so
-                    # the JPEG/GIF classes the bench filters on are
-                    # untouched). Lossless — decoded stats equal the
-                    # PPM leg's for the same pixels.
-                    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
-                        encode_tiff,
-                    )
-
-                    comp = ("none", "packbits", "lzw")[d % 3]
-                    blobs.append(encode_tiff(
-                        px,
-                        compression=comp,
-                        endian="<" if d % 2 else ">",
-                        predictor=comp != "none" and d % 5 < 2,
-                        tiled=d % 16 == 13,
-                        planar=d % 16 != 13 and d % 10 == 5,
-                        make="Cam %d" % (d % 7),
-                        model="M%d" % (d % 4),
-                        dt="2026:08:%02d 12:00:00" % (1 + d % 28),
-                    ))
-                    types.append("image/tiff")
-                elif d % 4 == 1:
-                    blobs.append(encode_ppm(px))
-                    types.append("image/ppm")
-                elif d % 8 == 6:
-                    # GIF leg (carved from the PNG residue class so
-                    # the JPEG class — which the bench filters on —
-                    # is untouched). These synthetic frames are all
-                    # ≤ 192 px so the ≤256-color palette constraint
-                    # always holds; every other one interlaced. GIF
-                    # is lossless, so decoded stats equal the PNG
-                    # leg's for the same doc_id.
-                    blobs.append(encode_gif(px, interlace=d % 16 == 6))
-                    types.append("image/gif")
-                elif d % 4 == 2:
-                    blobs.append(encode_png(px))
-                    types.append("image/png")
-                elif d % 8 == 7:
-                    # progressive SOF2 leg: same quantized coefficients
-                    # as sequential → identical decoded pixels, so the
-                    # committed golden is unchanged while the Annex G
-                    # path sits on the driver-checked row
-                    blobs.append(
-                        encode_jpeg(px, quality=90, subsample=True, progressive=True)
-                    )
-                    types.append("image/jpeg")
-                else:
-                    j = encode_jpeg(px, quality=90, subsample=True, restart_interval=2)
-                    if d % 16 == 3:
-                        # r12: every other baseline JPEG carries an
-                        # APP1 Exif segment (incl. GPS rationals) so
-                        # the golden pins the EXIF read path through
-                        # real JPEG framing
-                        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
-                            exif_app1,
-                            insert_app1,
-                        )
-
-                        j = insert_app1(j, exif_app1(
-                            "Cam %d" % (d % 7), "M%d" % (d % 4),
-                            "2026:08:%02d 12:00:00" % (1 + d % 28),
-                            exposure=(1, 60 + d % 200),
-                            fnumber=(18 + d % 40, 10),
-                            iso=100 * (1 + d % 8),
-                            focal=(240 + d % 600, 10),
-                            pix=(w, h),
-                            gps=(
-                                (-60 + (d * 7) % 120)
-                                + (d % 100) / 100.0,
-                                (-170 + (d * 13) % 340)
-                                + (d % 50) / 50.0,
-                            ) if d % 32 == 3 else None,
-                            endian="<" if d % 2 else ">",
-                        ))
-                    blobs.append(j)
-                    types.append("image/jpeg")
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs, "media_type": types}
-            )
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -1021,7 +904,126 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
             StructField("media_type", StringType()),
         ]
     )
-    return _fan_out_ids(docs).mapInPandas(kernel, schema)
+    return _fan_out_ids(docs).mapInPandas(_image_corpus_kernel, schema)
+
+
+def _image_corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_image_corpus`."""
+    import numpy as np
+    import pandas as pd
+
+    # import inside the kernel: resolution happens on the
+    # executor against the package zip session.configure ships
+    # via addPyFile (works even when the driver cwd ≠ repo)
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.gif import (  # noqa: E501
+        encode_gif,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.jpeg import (  # noqa: E501
+        encode_jpeg,
+    )
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        encode_bmp24,
+        encode_png,
+        encode_ppm,
+    )
+
+    for batch in batches:
+        blobs, types = [], []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 9, 6 + d % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (xx * 7 + yy * 13 + d) % 256,
+                    (xx * 3 + d * 5) % 256,
+                    (yy * 11 + d * 3) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            if d % 4 == 0:
+                blobs.append(encode_bmp24(px))
+                types.append("image/bmp")
+            elif d % 8 == 5:
+                # TIFF leg (carved from the PPM residue class so
+                # the JPEG/GIF classes the bench filters on are
+                # untouched). Lossless — decoded stats equal the
+                # PPM leg's for the same pixels.
+                from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
+                    encode_tiff,
+                )
+
+                comp = ("none", "packbits", "lzw")[d % 3]
+                blobs.append(encode_tiff(
+                    px,
+                    compression=comp,
+                    endian="<" if d % 2 else ">",
+                    predictor=comp != "none" and d % 5 < 2,
+                    tiled=d % 16 == 13,
+                    planar=d % 16 != 13 and d % 10 == 5,
+                    make="Cam %d" % (d % 7),
+                    model="M%d" % (d % 4),
+                    dt="2026:08:%02d 12:00:00" % (1 + d % 28),
+                ))
+                types.append("image/tiff")
+            elif d % 4 == 1:
+                blobs.append(encode_ppm(px))
+                types.append("image/ppm")
+            elif d % 8 == 6:
+                # GIF leg (carved from the PNG residue class so
+                # the JPEG class — which the bench filters on —
+                # is untouched). These synthetic frames are all
+                # ≤ 192 px so the ≤256-color palette constraint
+                # always holds; every other one interlaced. GIF
+                # is lossless, so decoded stats equal the PNG
+                # leg's for the same doc_id.
+                blobs.append(encode_gif(px, interlace=d % 16 == 6))
+                types.append("image/gif")
+            elif d % 4 == 2:
+                blobs.append(encode_png(px))
+                types.append("image/png")
+            elif d % 8 == 7:
+                # progressive SOF2 leg: same quantized coefficients
+                # as sequential → identical decoded pixels, so the
+                # committed golden is unchanged while the Annex G
+                # path sits on the driver-checked row
+                blobs.append(
+                    encode_jpeg(px, quality=90, subsample=True, progressive=True)
+                )
+                types.append("image/jpeg")
+            else:
+                j = encode_jpeg(px, quality=90, subsample=True, restart_interval=2)
+                if d % 16 == 3:
+                    # r12: every other baseline JPEG carries an
+                    # APP1 Exif segment (incl. GPS rationals) so
+                    # the golden pins the EXIF read path through
+                    # real JPEG framing
+                    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.tiff import (  # noqa: E501
+                        exif_app1,
+                        insert_app1,
+                    )
+
+                    j = insert_app1(j, exif_app1(
+                        "Cam %d" % (d % 7), "M%d" % (d % 4),
+                        "2026:08:%02d 12:00:00" % (1 + d % 28),
+                        exposure=(1, 60 + d % 200),
+                        fnumber=(18 + d % 40, 10),
+                        iso=100 * (1 + d % 8),
+                        focal=(240 + d % 600, 10),
+                        pix=(w, h),
+                        gps=(
+                            (-60 + (d * 7) % 120)
+                            + (d % 100) / 100.0,
+                            (-170 + (d * 13) % 340)
+                            + (d % 50) / 50.0,
+                        ) if d % 32 == 3 else None,
+                        endian="<" if d % 2 else ">",
+                    ))
+                blobs.append(j)
+                types.append("image/jpeg")
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs, "media_type": types}
+        )
 
 
 AUDIO_FEATURE_SCHEMA = StructType(
@@ -1041,31 +1043,6 @@ def synthetic_audio_corpus(docs: DataFrame) -> DataFrame:
     mix, amplitude/frequency derived from the id). Worker-side
     generation like the image corpus."""
 
-    def kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
-            encode_wav_pcm16,
-        )
-
-        rate = 8_000
-        for batch in batches:
-            blobs = []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                n = rate // 4 + (d % 5) * rate // 10  # 0.25-0.65 s
-                t = np.arange(n, dtype=np.float64) / rate
-                f0 = 110.0 + (d % 40) * 10.0
-                wave = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(
-                    2 * np.pi * 2 * f0 * t + d % 7
-                )
-                blobs.append(encode_wav_pcm16((wave * 20_000).astype(np.int16), rate))
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs,
-                 "media_type": ["audio/wav"] * len(blobs)}
-            )
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -1073,7 +1050,34 @@ def synthetic_audio_corpus(docs: DataFrame) -> DataFrame:
             StructField("media_type", StringType()),
         ]
     )
-    return _fan_out_ids(docs).mapInPandas(kernel, schema)
+    return _fan_out_ids(docs).mapInPandas(_audio_corpus_kernel, schema)
+
+
+def _audio_corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_audio_corpus`."""
+    import numpy as np
+    import pandas as pd
+
+    from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
+        encode_wav_pcm16,
+    )
+
+    rate = 8_000
+    for batch in batches:
+        blobs = []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            n = rate // 4 + (d % 5) * rate // 10  # 0.25-0.65 s
+            t = np.arange(n, dtype=np.float64) / rate
+            f0 = 110.0 + (d % 40) * 10.0
+            wave = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(
+                2 * np.pi * 2 * f0 * t + d % 7
+            )
+            blobs.append(encode_wav_pcm16((wave * 20_000).astype(np.int16), rate))
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs,
+             "media_type": ["audio/wav"] * len(blobs)}
+        )
 
 
 def decode_audio_features(media: DataFrame) -> DataFrame:
@@ -1370,6 +1374,14 @@ def decode_image_features(media: DataFrame, round_to: int = 6) -> DataFrame:
     cross-environment bit-parity should decode via
     :func:`decode_image`'s default (PIL-first when available)."""
 
+    return media.mapInPandas(
+        _image_feature_kernel(round_to), IMAGE_FEATURE_SCHEMA
+    )
+
+
+def _image_feature_kernel(round_to: int):
+    """mapInPandas body factory for :func:`decode_image_features`."""
+
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -1413,4 +1425,21 @@ def decode_image_features(media: DataFrame, round_to: int = 6) -> DataFrame:
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
-    return media.mapInPandas(kernel, IMAGE_FEATURE_SCHEMA)
+    return kernel
+
+
+def image_features_from_docs(
+    docs: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Corpus synthesis + native decode in ONE Python hop (guide
+    §4.1 via :mod:`.fuse`) — bit-identical rows to
+    ``decode_image_features(synthetic_image_corpus(docs))``."""
+    from pyspark.sql import functions as F
+
+    from .fuse import fused_pandas
+
+    return fused_pandas(
+        _fan_out_ids(docs.filter(F.col("doc_id").isNotNull())),
+        (_image_corpus_kernel, _image_feature_kernel(round_to)),
+        IMAGE_FEATURE_SCHEMA,
+    )

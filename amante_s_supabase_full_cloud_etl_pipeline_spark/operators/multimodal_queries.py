@@ -27,9 +27,8 @@ from .mp4 import mp4_meta, synthetic_mp4_corpus
 from .pdf import pdf_images, pdf_meta, pdf_text, synthetic_pdf_corpus
 from .multimodal import (
     attach_media_meta,
-    decode_image_features,
     documents_as_media,
-    synthetic_image_corpus,
+    image_features_from_docs,
 )
 
 
@@ -258,9 +257,13 @@ def text_ingest_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
       (null → ``-`` sentinel); n = date_ms (-1 for null — a NULL
       numeric is a driver hash hazard), v1 = crc32(text),
       v2 = UTF-8 byte length of the body."""
-    from .email_text import email_text, synthetic_email_corpus
-    from .office import office_text, synthetic_office_corpus
-    from .subtitles import subtitle_text, synthetic_subtitle_corpus
+    # r14: each text-ingest corpus has exactly ONE consumer leg, so
+    # corpus synthesis + extraction fuse into one Python hop per leg
+    # (guide §4.1, operators/fuse.py) — rows identical by the fused
+    # variants' differential contract
+    from .email_text import email_text_from_docs
+    from .office import office_text_from_docs
+    from .subtitles import subtitle_text_from_docs
 
     docs = (
         catalog.table(spark, sf_dir, "documents")
@@ -271,9 +274,7 @@ def text_ingest_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def s(c):
         return F.coalesce(F.col(c).cast("string"), F.lit("-"))
 
-    office_leg = office_text(
-        synthetic_office_corpus(docs).select("doc_id", "blob")
-    ).select(
+    office_leg = office_text_from_docs(docs).select(
         F.lit("office_text").alias("leg"),
         F.concat_ws(
             "|", s("doc_id"), s("kind"), s("part"), F.md5("text")
@@ -282,9 +283,7 @@ def text_ingest_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("text").alias("v1"),
         F.octet_length("text").cast("long").alias("v2"),
     )
-    sub_leg = subtitle_text(
-        synthetic_subtitle_corpus(docs).select("doc_id", "blob")
-    ).select(
+    sub_leg = subtitle_text_from_docs(docs).select(
         F.lit("subtitle_cue").alias("leg"),
         F.concat_ws(
             "|", s("doc_id"), s("kind"), s("cue_idx"), F.md5("text")
@@ -293,9 +292,7 @@ def text_ingest_meta_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_ms").alias("v1"),
         F.crc32("text").alias("v2"),
     )
-    email_leg = email_text(
-        synthetic_email_corpus(docs).select("doc_id", "blob")
-    ).select(
+    email_leg = email_text_from_docs(docs).select(
         F.lit("email_msg").alias("leg"),
         F.concat_ws(
             "|", s("doc_id"), s("msg_idx"), s("subject"), s("sender"),
@@ -947,5 +944,6 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests/test_multimodal.py; doc_id < 500 keeps the
     corpus identical across scale factors."""
     docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    feats = decode_image_features(synthetic_image_corpus(docs))
+    # r14: corpus + decode fused into one Python hop (fuse.py)
+    feats = image_features_from_docs(docs)
     return feats.drop("thumb").orderBy("doc_id")

@@ -288,30 +288,46 @@ OFFICE_TEXT_SCHEMA = StructType(
 _OFFICE_COLS = [f.name for f in OFFICE_TEXT_SCHEMA.fields]
 
 
+def _office_kernel(batches):
+    """mapInPandas body of :func:`office_text` (module-level so the
+    fused composition can reuse it; null blobs S4-skip in-kernel)."""
+    import pandas as pd
+
+    for batch in batches:
+        rows = []
+        for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+            parts = extract_office_text(
+                bytes(blob) if blob is not None else None
+            )
+            if not parts:
+                continue
+            for r in parts:
+                rows.append({"doc_id": int(doc_id), **r})
+        yield pd.DataFrame(rows, columns=_OFFICE_COLS)
+
+
 def office_text(media: DataFrame) -> DataFrame:
     """One row per paragraph (docx/odt) / slide (pptx) of extracted
     text — the column the dedup/quality/lang-ID operators consume,
     exactly like :func:`.pdf.pdf_text`. Non-office and broken blobs
     emit nothing (S4). Expects (doc_id, blob)."""
-
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                parts = extract_office_text(
-                    bytes(blob) if blob is not None else None
-                )
-                if not parts:
-                    continue
-                for r in parts:
-                    rows.append({"doc_id": int(doc_id), **r})
-            yield pd.DataFrame(rows, columns=_OFFICE_COLS)
-
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, OFFICE_TEXT_SCHEMA)
+    ).mapInPandas(_office_kernel, OFFICE_TEXT_SCHEMA)
+
+
+def office_text_from_docs(docs: DataFrame) -> DataFrame:
+    """Corpus synthesis + extraction in ONE Python hop (guide §4.1
+    via :mod:`.fuse`) — bit-identical rows to
+    ``office_text(synthetic_office_corpus(docs).select(...))``."""
+    from .fuse import fused_pandas
+    from .multimodal import _fan_out_ids
+
+    return fused_pandas(
+        _fan_out_ids(docs.filter(F.col("doc_id").isNotNull())),
+        (_office_corpus_kernel, _office_kernel),
+        OFFICE_TEXT_SCHEMA,
+    )
 
 
 # ── fixture writers ─────────────────────────────────────────────
@@ -412,13 +428,7 @@ def _xml_escape(s: str) -> str:
     return escape(s)
 
 
-def synthetic_office_corpus(docs: DataFrame) -> DataFrame:
-    """Deterministic fixture office docs keyed on doc_id: d % 3
-    cycles docx (3-6 paragraphs) / pptx (2-4 slides) / odt, with
-    every 11th ≡ 7 non-office garbage (S4-skipped). Same
-    (doc_id, blob, media_type) contract as the other corpora."""
-
-    def kernel(batches):
+def _office_corpus_kernel(batches):
         import pandas as pd
 
         for batch in batches:
@@ -463,6 +473,12 @@ def synthetic_office_corpus(docs: DataFrame) -> DataFrame:
                  "media_type": types}
             )
 
+
+def synthetic_office_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic fixture office docs keyed on doc_id: d % 3
+    cycles docx (3-6 paragraphs) / pptx (2-4 slides) / odt, with
+    every 11th ≡ 7 non-office garbage (S4-skipped). Same
+    (doc_id, blob, media_type) contract as the other corpora."""
     from pyspark.sql.types import BinaryType
 
     schema = StructType(
@@ -474,4 +490,4 @@ def synthetic_office_corpus(docs: DataFrame) -> DataFrame:
     )
     from .multimodal import _fan_out_ids
 
-    return _fan_out_ids(docs).mapInPandas(kernel, schema)
+    return _fan_out_ids(docs).mapInPandas(_office_corpus_kernel, schema)

@@ -450,34 +450,81 @@ def ogg_meta(media):
         ]
     )
     cols = [f.name for f in schema.fields]
-
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                meta = parse_ogg_meta(
-                    bytes(blob) if blob is not None else b""
-                )
-                if meta is None:
-                    continue
-                for m in meta:
-                    rows.append(
-                        {
-                            "doc_id": int(doc_id),
-                            **{
-                                k: m.get(k)
-                                for k in cols
-                                if k != "doc_id"
-                            },
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=cols)
-
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, schema)
+    ).mapInPandas(_meta_kernel, schema)
+
+
+def _ogg_meta_schema():
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("serial", LongType()),
+            StructField("codec", StringType()),
+            StructField("channels", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("pre_skip", LongType()),
+            StructField("n_pages", LongType()),
+            StructField("n_packets", LongType()),
+            StructField("eos", BooleanType()),
+            StructField("duration_ms", LongType()),
+            StructField("title", StringType()),
+            StructField("artist", StringType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+
+
+def _meta_kernel(batches):
+    """mapInPandas body of :func:`ogg_meta` (module-level so the
+    fused composition can reuse it; null blobs S4-skip in-kernel)."""
+    import pandas as pd
+
+    cols = [f.name for f in _ogg_meta_schema().fields]
+    for batch in batches:
+        rows = []
+        for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+            meta = parse_ogg_meta(
+                bytes(blob) if blob is not None else b""
+            )
+            if meta is None:
+                continue
+            for m in meta:
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        **{
+                            k: m.get(k)
+                            for k in cols
+                            if k != "doc_id"
+                        },
+                    }
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def ogg_meta_from_docs(docs):
+    """Corpus synthesis + page walk in ONE Python hop (guide §4.1
+    via :mod:`.fuse`) — bit-identical rows to
+    ``ogg_meta(synthetic_ogg_corpus(docs).select(...))``."""
+    from pyspark.sql import functions as F
+
+    from .fuse import fused_pandas
+
+    return fused_pandas(
+        docs.filter(F.col("doc_id").isNotNull()).select("doc_id"),
+        (_ogg_corpus_kernel, _meta_kernel),
+        _ogg_meta_schema(),
+    )
 
 
 def build_ogg_fixture(d: int) -> bytes:
@@ -520,24 +567,6 @@ def synthetic_ogg_corpus(docs):
         StructType,
     )
 
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            blobs, types = [], []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                if d % 11 == 7:
-                    blobs.append(b"\x00\x01 not an ogg stream")
-                    types.append("application/octet-stream")
-                else:
-                    blobs.append(build_ogg_fixture(d))
-                    types.append("audio/ogg")
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs,
-                 "media_type": types}
-            )
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -545,4 +574,24 @@ def synthetic_ogg_corpus(docs):
             StructField("media_type", StringType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(kernel, schema)
+    return docs.select("doc_id").mapInPandas(_ogg_corpus_kernel, schema)
+
+
+def _ogg_corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_ogg_corpus`."""
+    import pandas as pd
+
+    for batch in batches:
+        blobs, types = [], []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            if d % 11 == 7:
+                blobs.append(b"\x00\x01 not an ogg stream")
+                types.append("application/octet-stream")
+            else:
+                blobs.append(build_ogg_fixture(d))
+                types.append("audio/ogg")
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs,
+             "media_type": types}
+        )

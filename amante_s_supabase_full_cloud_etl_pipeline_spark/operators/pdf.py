@@ -2451,32 +2451,49 @@ def pdf_text(media: DataFrame) -> DataFrame:
     ciphertext); a damaged single page emits text=NULL while its
     siblings extract. Expects (doc_id, blob)."""
 
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                pages = extract_pdf_text(
-                    bytes(blob) if blob is not None else None
-                )
-                if not pages:
-                    continue
-                for pg in pages:
-                    rows.append(
-                        {
-                            "doc_id": int(doc_id),
-                            "page": pg["page"],
-                            "text": pg["text"],
-                            "n_chars": pg["n_chars"],
-                            "unmapped_chars": pg["unmapped_chars"],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=_PDF_TEXT_COLS)
-
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, PDF_TEXT_SCHEMA)
+    ).mapInPandas(_text_kernel, PDF_TEXT_SCHEMA)
+
+
+def _text_kernel(batches):
+    """mapInPandas body of :func:`pdf_text` (module-level so the
+    fused composition can reuse it; null blobs S4-skip in-kernel)."""
+    import pandas as pd
+
+    for batch in batches:
+        rows = []
+        for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+            pages = extract_pdf_text(
+                bytes(blob) if blob is not None else None
+            )
+            if not pages:
+                continue
+            for pg in pages:
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "page": pg["page"],
+                        "text": pg["text"],
+                        "n_chars": pg["n_chars"],
+                        "unmapped_chars": pg["unmapped_chars"],
+                    }
+                )
+        yield pd.DataFrame(rows, columns=_PDF_TEXT_COLS)
+
+
+def pdf_text_from_docs(docs: DataFrame) -> DataFrame:
+    """Corpus synthesis + per-page extraction in ONE Python hop
+    (guide §4.1 via :mod:`.fuse`) — bit-identical rows to
+    ``pdf_text(synthetic_pdf_corpus(docs).select(...))``."""
+    from .fuse import fused_pandas
+    from .multimodal import _fan_out_ids
+
+    return fused_pandas(
+        _fan_out_ids(docs.filter(F.col("doc_id").isNotNull())),
+        (_pdf_corpus_kernel, _text_kernel),
+        PDF_TEXT_SCHEMA,
+    )
 
 
 def _corpus_pages(d: int) -> list:
@@ -2517,62 +2534,6 @@ def synthetic_pdf_corpus(docs: DataFrame) -> DataFrame:
     (doc_id, blob, media_type) contract as the other synthetic
     corpora."""
 
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            blobs = []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                if d % 17 == 5:
-                    blobs.append(
-                        b"\x89GARBAGE not a pdf " + bytes([d % 256]) * 64
-                    )
-                    continue
-                encrypt = None
-                user_pw = b""
-                if d % 19 == 11:
-                    encrypt = "aes-128" if d % 2 == 0 else "rc4-128"
-                    if d % 3 == 0:
-                        user_pw = b"locked"  # undecryptable shape
-                images = None
-                if d % 7 == 2:
-                    rawpx = bytes(
-                        ((d * 31 + i) % 256) for i in range(6 * 4 * 3)
-                    )
-                    images = [[{"codec": "rgb", "pixels": rawpx,
-                                "width": 6, "height": 4}]]
-                elif d % 7 == 4:
-                    import numpy as np
-
-                    from .jpeg import encode_jpeg
-
-                    px = np.full(
-                        (8, 8, 3),
-                        ((d * 5) % 256, (d * 11) % 256, (d * 17) % 256),
-                        dtype=np.uint8,
-                    )
-                    images = [[{"codec": "jpeg",
-                                "data": encode_jpeg(px, quality=85),
-                                "width": 8, "height": 8}]]
-                blob = encode_pdf(
-                    _corpus_pages(d),
-                    compress=d % 3 != 0,
-                    xref_stream=d % 2 == 1,
-                    title="Synthetic %d" % d,
-                    producer="amante-s-supabase-full-cloud-etl-pipeline-spark fixtures",
-                    encrypt=encrypt,
-                    user_pw=user_pw,
-                    images=images,
-                )
-                if d % 13 == 7:
-                    blob = blob[:blob.rfind(b"startxref")]
-                blobs.append(blob)
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs,
-                 "media_type": ["application/pdf"] * len(blobs)}
-            )
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -2582,7 +2543,65 @@ def synthetic_pdf_corpus(docs: DataFrame) -> DataFrame:
     )
     from .multimodal import _fan_out_ids
 
-    return _fan_out_ids(docs).mapInPandas(kernel, schema)
+    return _fan_out_ids(docs).mapInPandas(_pdf_corpus_kernel, schema)
+
+
+def _pdf_corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_pdf_corpus`."""
+    import pandas as pd
+
+    for batch in batches:
+        blobs = []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            if d % 17 == 5:
+                blobs.append(
+                    b"\x89GARBAGE not a pdf " + bytes([d % 256]) * 64
+                )
+                continue
+            encrypt = None
+            user_pw = b""
+            if d % 19 == 11:
+                encrypt = "aes-128" if d % 2 == 0 else "rc4-128"
+                if d % 3 == 0:
+                    user_pw = b"locked"  # undecryptable shape
+            images = None
+            if d % 7 == 2:
+                rawpx = bytes(
+                    ((d * 31 + i) % 256) for i in range(6 * 4 * 3)
+                )
+                images = [[{"codec": "rgb", "pixels": rawpx,
+                            "width": 6, "height": 4}]]
+            elif d % 7 == 4:
+                import numpy as np
+
+                from .jpeg import encode_jpeg
+
+                px = np.full(
+                    (8, 8, 3),
+                    ((d * 5) % 256, (d * 11) % 256, (d * 17) % 256),
+                    dtype=np.uint8,
+                )
+                images = [[{"codec": "jpeg",
+                            "data": encode_jpeg(px, quality=85),
+                            "width": 8, "height": 8}]]
+            blob = encode_pdf(
+                _corpus_pages(d),
+                compress=d % 3 != 0,
+                xref_stream=d % 2 == 1,
+                title="Synthetic %d" % d,
+                producer="amante-s-supabase-full-cloud-etl-pipeline-spark fixtures",
+                encrypt=encrypt,
+                user_pw=user_pw,
+                images=images,
+            )
+            if d % 13 == 7:
+                blob = blob[:blob.rfind(b"startxref")]
+            blobs.append(blob)
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs,
+             "media_type": ["application/pdf"] * len(blobs)}
+        )
 
 
 # ── §8.9 image XObjects ─────────────────────────────────────────

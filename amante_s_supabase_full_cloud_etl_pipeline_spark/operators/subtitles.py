@@ -195,33 +195,48 @@ SUBTITLE_SCHEMA = StructType(
 _SUB_COLS = [f.name for f in SUBTITLE_SCHEMA.fields]
 
 
+def _cue_kernel(batches):
+    """mapInPandas body of :func:`subtitle_text` (module-level so the
+    fused composition can reuse it; null blobs S4-skip in-kernel)."""
+    import pandas as pd
+
+    for batch in batches:
+        rows = []
+        for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+            b = bytes(blob) if blob is not None else b""
+            kind = sniff_subtitles(b)
+            if kind is None:
+                continue
+            cues = parse_vtt(b) if kind == "vtt" else parse_srt(b)
+            if not cues:
+                continue
+            for c in cues:
+                rows.append(
+                    {"doc_id": int(doc_id), "kind": kind, **c}
+                )
+        yield pd.DataFrame(rows, columns=_SUB_COLS)
+
+
 def subtitle_text(media: DataFrame) -> DataFrame:
     """One row per cue with millisecond timing — as-of-joinable
     against the keyframe timestamps the mp4/mkv kernels emit.
     Non-subtitle blobs emit nothing (S4). Expects (doc_id, blob)."""
-
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                b = bytes(blob) if blob is not None else b""
-                kind = sniff_subtitles(b)
-                if kind is None:
-                    continue
-                cues = parse_vtt(b) if kind == "vtt" else parse_srt(b)
-                if not cues:
-                    continue
-                for c in cues:
-                    rows.append(
-                        {"doc_id": int(doc_id), "kind": kind, **c}
-                    )
-            yield pd.DataFrame(rows, columns=_SUB_COLS)
-
     return media.filter(
         F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, SUBTITLE_SCHEMA)
+    ).mapInPandas(_cue_kernel, SUBTITLE_SCHEMA)
+
+
+def subtitle_text_from_docs(docs: DataFrame) -> DataFrame:
+    """Corpus synthesis + cue parse in ONE Python hop (guide §4.1
+    via :mod:`.fuse`) — bit-identical rows to
+    ``subtitle_text(synthetic_subtitle_corpus(docs).select(...))``."""
+    from .fuse import fused_pandas
+
+    return fused_pandas(
+        docs.filter(F.col("doc_id").isNotNull()).select("doc_id"),
+        (_subtitle_corpus_kernel, _cue_kernel),
+        SUBTITLE_SCHEMA,
+    )
 
 
 def _srt_stamp(ms: int) -> str:
@@ -305,33 +320,34 @@ def build_vtt(doc_id: int) -> bytes:
     return ("\n\n".join(parts) + "\n").encode("utf-8")
 
 
+def _subtitle_corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_subtitle_corpus`."""
+    import pandas as pd
+
+    for batch in batches:
+        blobs, types = [], []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            if d % 11 == 7:
+                blobs.append(b"\x00\x01 not subtitles at all")
+                types.append("application/octet-stream")
+            elif d % 2 == 0:
+                blobs.append(build_srt(d))
+                types.append("application/x-subrip")
+            else:
+                blobs.append(build_vtt(d))
+                types.append("text/vtt")
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs,
+             "media_type": types}
+        )
+
+
 def synthetic_subtitle_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic fixture subtitle files keyed on doc_id: d%2
     cycles SRT/WebVTT across every wire shape the parser handles;
     every 11th ≡ 7 is non-subtitle garbage (S4-skipped). Same
     (doc_id, blob, media_type) contract as the other corpora."""
-
-    def kernel(batches):
-        import pandas as pd
-
-        for batch in batches:
-            blobs, types = [], []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                if d % 11 == 7:
-                    blobs.append(b"\x00\x01 not subtitles at all")
-                    types.append("application/octet-stream")
-                elif d % 2 == 0:
-                    blobs.append(build_srt(d))
-                    types.append("application/x-subrip")
-                else:
-                    blobs.append(build_vtt(d))
-                    types.append("text/vtt")
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs,
-                 "media_type": types}
-            )
-
     from pyspark.sql.types import BinaryType
 
     schema = StructType(
@@ -341,4 +357,6 @@ def synthetic_subtitle_corpus(docs: DataFrame) -> DataFrame:
             StructField("media_type", StringType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(kernel, schema)
+    return docs.select("doc_id").mapInPandas(
+        _subtitle_corpus_kernel, schema
+    )

@@ -638,6 +638,16 @@ def archive_extract(
     bombs its budget is skipped while its siblings extract (the
     per-member analog of the S4 row contract)."""
 
+    return archives.filter(
+        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
+    ).mapInPandas(
+        _extract_kernel(max_member_bytes, suffix), ARCHIVE_PAYLOAD_SCHEMA
+    )
+
+
+def _extract_kernel(max_member_bytes: int, suffix):
+    """mapInPandas body factory for :func:`archive_extract`."""
+
     def kernel(batches):
         import pandas as pd
 
@@ -696,9 +706,26 @@ def archive_extract(
                     )
             yield pd.DataFrame(rows, columns=_PAYLOAD_COLS)
 
-    return archives.filter(
-        F.col("doc_id").isNotNull() & F.col("blob").isNotNull()
-    ).mapInPandas(kernel, ARCHIVE_PAYLOAD_SCHEMA)
+    return kernel
+
+
+def archive_extract_from_docs(
+    docs: DataFrame,
+    max_member_bytes: int = 1 << 24,
+    suffix: str | None = None,
+) -> DataFrame:
+    """Corpus synthesis + member extraction in ONE Python hop (guide
+    §4.1 via operators/fuse.py) — bit-identical rows to
+    ``archive_extract(synthetic_archive_corpus(docs).select(...),
+    suffix=suffix)``."""
+    from ..operators.fuse import fused_pandas
+    from ..operators.multimodal import _fan_out_ids
+
+    return fused_pandas(
+        _fan_out_ids(docs.filter(F.col("doc_id").isNotNull())),
+        (_archive_corpus_kernel, _extract_kernel(max_member_bytes, suffix)),
+        ARCHIVE_PAYLOAD_SCHEMA,
+    )
 
 
 def synthetic_archive_corpus(docs: DataFrame) -> DataFrame:
@@ -710,61 +737,6 @@ def synthetic_archive_corpus(docs: DataFrame) -> DataFrame:
     (S4-skipped). Same (doc_id, blob, media_type) contract as the
     other synthetic corpora."""
 
-    def kernel(batches):
-        import gzip
-        import io
-        import tarfile
-        import zipfile
-
-        import pandas as pd
-
-        for batch in batches:
-            blobs = []
-            types = []
-            for doc_id in batch["doc_id"]:
-                d = int(doc_id)
-                if d % 3 == 0:
-                    buf = io.BytesIO()
-                    with zipfile.ZipFile(
-                        buf, "w", zipfile.ZIP_DEFLATED
-                    ) as z:
-                        for i in range(5):
-                            z.writestr(
-                                "doc%d/part%d.txt" % (d, i),
-                                ("archive member text %d-%d "
-                                 % (d, i)) * 12,
-                            )
-                        z.writestr("doc%d/meta.bin" % d,
-                                   bytes([d % 256]) * 64)
-                    blobs.append(buf.getvalue())
-                    types.append("application/zip")
-                elif d % 3 == 1:
-                    buf = io.BytesIO()
-                    with tarfile.open(fileobj=buf, mode="w") as t:
-                        for i in range(3):
-                            payload = (
-                                b"tar member %d-%d " % (d, i)
-                            ) * 15
-                            ti = tarfile.TarInfo(
-                                "doc%d/m%d.txt" % (d, i)
-                            )
-                            ti.size = len(payload)
-                            t.addfile(ti, io.BytesIO(payload))
-                    blob = buf.getvalue()
-                    if d % 2 == 1:
-                        blob = gzip.compress(blob, 6)
-                        types.append("application/gzip")
-                    else:
-                        types.append("application/x-tar")
-                    blobs.append(blob)
-                else:
-                    blobs.append(b"\x7fGARBAGE" + bytes([d % 256]) * 50)
-                    types.append("application/octet-stream")
-            yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "blob": blobs,
-                 "media_type": types}
-            )
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -774,4 +746,62 @@ def synthetic_archive_corpus(docs: DataFrame) -> DataFrame:
     )
     from ..operators.multimodal import _fan_out_ids
 
-    return _fan_out_ids(docs).mapInPandas(kernel, schema)
+    return _fan_out_ids(docs).mapInPandas(_archive_corpus_kernel, schema)
+
+
+def _archive_corpus_kernel(batches):
+    """mapInPandas body of :func:`synthetic_archive_corpus`."""
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    import pandas as pd
+
+    for batch in batches:
+        blobs = []
+        types = []
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            if d % 3 == 0:
+                buf = io.BytesIO()
+                with zipfile.ZipFile(
+                    buf, "w", zipfile.ZIP_DEFLATED
+                ) as z:
+                    for i in range(5):
+                        z.writestr(
+                            "doc%d/part%d.txt" % (d, i),
+                            ("archive member text %d-%d "
+                             % (d, i)) * 12,
+                        )
+                    z.writestr("doc%d/meta.bin" % d,
+                               bytes([d % 256]) * 64)
+                blobs.append(buf.getvalue())
+                types.append("application/zip")
+            elif d % 3 == 1:
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as t:
+                    for i in range(3):
+                        payload = (
+                            b"tar member %d-%d " % (d, i)
+                        ) * 15
+                        ti = tarfile.TarInfo(
+                            "doc%d/m%d.txt" % (d, i)
+                        )
+                        ti.size = len(payload)
+                        t.addfile(ti, io.BytesIO(payload))
+                blob = buf.getvalue()
+                if d % 2 == 1:
+                    blob = gzip.compress(blob, 6)
+                    types.append("application/gzip")
+                else:
+                    types.append("application/x-tar")
+                blobs.append(blob)
+            else:
+                blobs.append(b"\x7fGARBAGE" + bytes([d % 256]) * 50)
+                types.append("application/octet-stream")
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "blob": blobs,
+             "media_type": types}
+        )
+

@@ -225,16 +225,16 @@ def _extra_queries():
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
-            decode_image_features,
-            synthetic_image_corpus,
+            image_features_from_docs,
         )
 
         # doc_id % 4 == 3 → JPEG blobs only: times the native
         # Huffman+DCT decode path through the Arrow kernel
+        # (r14: corpus + decode fused into one Python hop)
         docs = catalog.table(spark, sf_dir, "documents").filter(
             (FF.col("doc_id") % 4 == 3) & (FF.col("doc_id") < 4000)
         )
-        return decode_image_features(synthetic_image_corpus(docs))
+        return image_features_from_docs(docs)
 
     def gif_decode_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
@@ -249,14 +249,13 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             (FF.col("doc_id") % 8 == 6) & (FF.col("doc_id") < 8000)
         )
-        return decode_image_features(synthetic_image_corpus(docs))
+        return image_features_from_docs(docs)
 
     def mp4_keyframe_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp4 import (
-            sample_mp4_keyframes,
-            synthetic_mp4_corpus,
+            mp4_keyframes_from_docs,
         )
 
         # container walk + keyframe byte-range resolution + payload
@@ -267,8 +266,8 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 8000
         )
-        corpus = synthetic_mp4_corpus(docs).select("doc_id", "blob")
-        return sample_mp4_keyframes(corpus, every=3)
+        # r14: corpus + walk fused into one Python hop (fuse.py)
+        return mp4_keyframes_from_docs(docs, every=3)
 
     from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.crawl_queries import (
         front_half_pages,
@@ -289,10 +288,7 @@ def _extra_queries():
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.audio_fp import (  # noqa: E501
-            audio_probes,
-        )
-        from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
-            synthetic_audio_corpus,
+            audio_probes_from_docs,
         )
 
         # r10: RIFF decode → framed rFFT → 16-bit band-sign prints →
@@ -301,15 +297,14 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 8000
         )
-        corpus = synthetic_audio_corpus(docs).select("doc_id", "blob")
-        return audio_probes(corpus)
+        # r14: corpus + probes fused into one Python hop (fuse.py)
+        return audio_probes_from_docs(docs)
 
     def pdf_text_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.pdf import (  # noqa: E501
-            pdf_text,
-            synthetic_pdf_corpus,
+            pdf_text_from_docs,
         )
 
         # r10: ISO 32000 structure walk + per-page text extraction
@@ -320,15 +315,14 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 8000
         )
-        corpus = synthetic_pdf_corpus(docs).select("doc_id", "blob")
-        return pdf_text(corpus)
+        # r14: corpus + extraction fused into one Python hop
+        return pdf_text_from_docs(docs)
 
     def office_text_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.office import (  # noqa: E501
-            office_text,
-            synthetic_office_corpus,
+            office_text_from_docs,
         )
 
         # r10: docx/pptx/odt member walk + DTD-guarded XML text
@@ -337,15 +331,14 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 8000
         )
-        corpus = synthetic_office_corpus(docs).select("doc_id", "blob")
-        return office_text(corpus)
+        # r14: corpus + extraction fused into one Python hop
+        return office_text_from_docs(docs)
 
     def subtitle_cue_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.subtitles import (  # noqa: E501
-            subtitle_text,
-            synthetic_subtitle_corpus,
+            subtitle_text_from_docs,
         )
 
         # r11: SRT/WebVTT cue parse over the fixture corpus — the
@@ -356,10 +349,8 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 8000
         )
-        corpus = synthetic_subtitle_corpus(docs).select(
-            "doc_id", "blob"
-        )
-        return subtitle_text(corpus)
+        # r14: corpus + cue parse fused into one Python hop
+        return subtitle_text_from_docs(docs)
 
     def email_text_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
@@ -389,8 +380,7 @@ def _extra_queries():
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.flac import (  # noqa: E501
-            flac_meta,
-            synthetic_flac_corpus,
+            flac_meta_from_docs,
         )
 
         # r11: full FLAC decode (Rice residuals + predictors + CRCs
@@ -403,15 +393,14 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 600
         ).repartition(64)
-        corpus = synthetic_flac_corpus(docs).select("doc_id", "blob")
-        return flac_meta(corpus)
+        # r14: corpus + decode fused into one Python hop
+        return flac_meta_from_docs(docs)
 
     def ogg_meta_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.ogg import (  # noqa: E501
-            ogg_meta,
-            synthetic_ogg_corpus,
+            ogg_meta_from_docs,
         )
 
         # r11: RFC 3533 page walk (CRC per page) + codec ident over
@@ -421,15 +410,14 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 1500
         ).repartition(64)
-        corpus = synthetic_ogg_corpus(docs).select("doc_id", "blob")
-        return ogg_meta(corpus)
+        # r14: corpus + page walk fused into one Python hop
+        return ogg_meta_from_docs(docs)
 
     def mp3_meta_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mp3 import (  # noqa: E501
-            mp3_meta,
-            synthetic_mp3_corpus,
+            mp3_meta_from_docs,
         )
 
         # r12: ISO 11172-3 frame walk + VBR headers + ID3 tags over
@@ -439,15 +427,14 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 1500
         ).repartition(64)
-        corpus = synthetic_mp3_corpus(docs).select("doc_id", "blob")
-        return mp3_meta(corpus)
+        # r14: corpus + frame walk fused into one Python hop
+        return mp3_meta_from_docs(docs)
 
     def tiff_decode_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (  # noqa: E501
-            decode_image_features,
-            synthetic_image_corpus,
+            image_features_from_docs,
         )
 
         # doc_id % 8 == 5 → TIFF blobs only (LZW/PackBits, tiles,
@@ -456,7 +443,7 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             (FF.col("doc_id") % 8 == 5) & (FF.col("doc_id") < 8000)
         )
-        return decode_image_features(synthetic_image_corpus(docs))
+        return image_features_from_docs(docs)
 
     def media_triage_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
@@ -548,8 +535,7 @@ def _extra_queries():
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.heif import (  # noqa: E501
-            heif_meta,
-            synthetic_heif_corpus,
+            heif_meta_from_docs,
         )
 
         # r13: the ISO-BMFF item walk over the heic/avif fixture
@@ -558,7 +544,8 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 8000
         ).repartition(64)
-        return heif_meta(synthetic_heif_corpus(docs))
+        # r14: corpus + item walk fused into one Python hop
+        return heif_meta_from_docs(docs)
 
     def transcript_align(spark, sf_dir):
         # r12: the exact composition examples/transcript_align.py
@@ -582,8 +569,7 @@ def _extra_queries():
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mkv import (  # noqa: E501
-            sample_mkv_keyframes,
-            synthetic_mkv_corpus,
+            mkv_keyframes_from_docs,
         )
 
         # r10: EBML walk + keyframe byte-range resolution + payload
@@ -593,15 +579,14 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 8000
         )
-        corpus = synthetic_mkv_corpus(docs).select("doc_id", "blob")
-        return sample_mkv_keyframes(corpus, every=3)
+        # r14: corpus + walk fused into one Python hop
+        return mkv_keyframes_from_docs(docs, every=3)
 
     def archive_extract_kernel(spark, sf_dir):
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.sources.archives import (  # noqa: E501
-            archive_extract,
-            synthetic_archive_corpus,
+            archive_extract_from_docs,
         )
 
         # r10: zip central-directory walk + tar header walk +
@@ -612,8 +597,8 @@ def _extra_queries():
         docs = catalog.table(spark, sf_dir, "documents").filter(
             FF.col("doc_id") < 8000
         )
-        corpus = synthetic_archive_corpus(docs).select("doc_id", "blob")
-        return archive_extract(corpus, suffix=".txt")
+        # r14: corpus + extraction fused into one Python hop
+        return archive_extract_from_docs(docs, suffix=".txt")
 
     def cdc_blob_chunking(spark, sf_dir):
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.cdc import (
