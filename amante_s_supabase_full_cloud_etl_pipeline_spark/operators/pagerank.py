@@ -171,36 +171,15 @@ def _staged_inputs(edges: DataFrame, src_col: str, dst_col: str):
     # the expensive upstream (extract_links for the crawl graph)
     # itself; one cheap count makes it run exactly once
     raw.count()
-    nodes = (
-        raw.select(F.col("src").alias("node"))
-        .unionByName(raw.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    e = raw.filter(F.col("src") != F.col("dst")).distinct()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # edges carrying the sender's out-degree: the per-iteration join
-    # then only touches the rank vector
-    weighted = e.join(out_deg, "src")
-    weighted.persist()
-    # ONE persisted static per-node leaf: node + has-out-links flag
-    # (null __out marks a dangling node). The has-out-links set is
-    # the distinct src column OF THE PERSISTED weighted frame — the
-    # old shape joined out_deg directly, which re-ran the edge
-    # distinct + degree shuffles a second time outside weighted's
-    # cache (the aug job and weighted's first materialization each
-    # paid them); reading through weighted makes aug.count() below
-    # the single staging job that materializes BOTH caches, and the
-    # per-iteration dangling-mass scalar a filter of this leaf.
-    aug = nodes.join(
-        weighted.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("__out", F.lit(1)),
-        "node",
-        "left",
-    )
-    aug.persist()
-    n = aug.count()
-    persisted = [raw, weighted, aug]
+    persisted = [raw]
+    staged = _stage_keyed(raw, persisted, hashed=True)
+    if staged is None:
+        # xxhash64 collided two node names (detected by comparing row
+        # count to distinct-key count on the cached leaf) —
+        # astronomically rare, but silently merging two pages would
+        # be a wrong fixed point, so rebuild keyed by the strings
+        staged = _stage_keyed(raw, persisted, hashed=False)
+    weighted, aug, n = staged
 
     def stage(personalization):
         return _teleport_vector(aug, n, personalization, persisted)
@@ -209,7 +188,77 @@ def _staged_inputs(edges: DataFrame, src_col: str, dst_col: str):
         for df in persisted:
             df.unpersist()
 
-    return aug.select("node"), weighted, n, stage, release
+    return (
+        aug.select(F.col("__name").alias("node")),
+        weighted,
+        n,
+        stage,
+        release,
+    )
+
+
+def _stage_keyed(raw, persisted: list, hashed: bool):
+    """Build ``(weighted, aug, n)`` with the iteration key ``node``
+    being ``xxhash64(name)`` (hashed=True) or the name string itself.
+
+    r14 (VERDICT r13 #5; guide §2.3 narrower shuffle keys): every
+    per-EDGE exchange — the edge-set distinct, the out-degree
+    aggregation, the degree join, and each iteration's rank join +
+    contribution aggregation — now moves an 8-byte long instead of a
+    URL-sized string. The string survives as ``__name`` on the
+    per-NODE leaf and rides the rank vector exactly like __p/__out
+    (one non-null carrier row per node through the union-agg), so it
+    never travels with the per-edge rows and the final vector needs
+    no restore join. Collisions cannot corrupt results: the node
+    leaf keeps one row per distinct NAME, so a collision surfaces as
+    count > countDistinct(key) — checked inside the same staging
+    materialization job — and the caller falls back to string keys.
+
+    The has-out-links flag reads through the persisted weighted
+    frame so ONE staging job materializes both caches (r13 shape)."""
+    key = (
+        (lambda c: F.xxhash64(F.col(c)))
+        if hashed
+        else (lambda c: F.col(c))
+    )
+    nodes = (
+        raw.select(F.col("src").alias("__name"))
+        .unionByName(raw.select(F.col("dst").alias("__name")))
+        .distinct()
+        .select(key("__name").alias("node"), "__name")
+    )
+    e = (
+        raw.select(key("src").alias("src"), key("dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # edges carrying the sender's out-degree: the per-iteration join
+    # then only touches the rank vector
+    weighted = e.join(out_deg, "src")
+    weighted.persist()
+    # ONE persisted static per-node leaf: key + name + has-out-links
+    # flag (null __out marks a dangling node)
+    aug = nodes.join(
+        weighted.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("__out", F.lit(1)),
+        "node",
+        "left",
+    )
+    aug.persist()
+    # one job materializes raw→weighted→aug AND carries the
+    # collision check (rows vs distinct keys over the same leaf)
+    row = aug.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.col("node")).alias("k"),
+    ).collect()[0]
+    if hashed and row["n"] != row["k"]:
+        weighted.unpersist()
+        aug.unpersist()
+        return None
+    persisted.extend([weighted, aug])
+    return weighted, aug, int(row["n"])
 
 
 def pagerank(
@@ -274,7 +323,7 @@ def pagerank(
             tol,
             on_iteration,
             _init_vector(aug_p, n, init_ranks),
-        ).select("node", "rank")
+        ).select(F.col("__name").alias("node"), "rank")
     finally:
         # everything staging persisted (weighted, the per-node leaf,
         # and the personalization vector when one was built)
@@ -300,10 +349,13 @@ def _teleport_vector(
     by ACTUAL size at both scales)."""
     if personalization is None:
         return aug.withColumn("__p", F.lit(1.0 / n))
+    # seeds are keyed by the node NAME (the public contract);
+    # the leaf's iteration key may be the hashed form, so align on
+    # the ride-along __name column (r14)
     seeds = personalization.groupBy("node").agg(
         F.sum("weight").alias("__w")
-    )
-    aligned = aug.join(seeds, "node", "left").withColumn(
+    ).withColumnRenamed("node", "__name")
+    aligned = aug.join(seeds, "__name", "left").withColumn(
         "__w", F.coalesce(F.col("__w"), F.lit(0.0))
     )
     aligned.persist()
@@ -365,15 +417,18 @@ def _init_vector(
     previous frame."""
     if init_ranks is None:
         return aug_p.select(
-            "node", F.lit(1.0 / n).alias("rank"), "__p", "__out"
+            "node", F.lit(1.0 / n).alias("rank"), "__p", "__out",
+            "__name",
         )
     # sum-merge duplicate node rows first: a caller handing a
     # unioned / un-distinct'ed vector would otherwise fan out
     # through the left join and double-count that node's OUTGOING
-    # rank every iteration — a silently wrong fixed point
+    # rank every iteration — a silently wrong fixed point.
+    # Warm vectors are keyed by node NAME (the public contract);
+    # align on the ride-along __name column (r14).
     prev = init_ranks.groupBy("node").agg(
         F.sum("rank").alias("__prev")
-    )
+    ).withColumnRenamed("node", "__name")
     # non-finite previous ranks (NaN/inf from a poisoned upstream)
     # repair to the cold 1/N — sound because the init vector affects
     # only convergence speed, never the fixed point; letting a NaN
@@ -383,11 +438,12 @@ def _init_vector(
         | (F.abs(F.col("__prev")) == float("inf")),
         F.lit(None),
     ).otherwise(F.col("__prev"))
-    warm = aug_p.join(prev, "node", "left").select(
+    warm = aug_p.join(prev, "__name", "left").select(
         "node",
         F.coalesce(finite_prev, F.lit(1.0 / n)).alias("rank"),
         "__p",
         "__out",
+        "__name",
     )
     # persist: the renormalization agg AND the checkpoint job below
     # both consume this frame (same reason hits() persists unnorm)
@@ -405,6 +461,7 @@ def _init_vector(
                 ).alias("rank"),
                 "__p",
                 "__out",
+                "__name",
             )
             .localCheckpoint(eager=True)
         )
@@ -456,6 +513,7 @@ def _iteration_body(weighted, alpha, ranks):
         (F.lit(alpha) * F.col("rank") / F.col("out_deg")).alias("part"),
         F.lit(None).cast("double").alias("__p"),
         F.lit(None).cast("int").alias("__out"),
+        F.lit(None).cast("string").alias("__name"),
     )
     dangling = F.broadcast(
         ranks.filter(F.col("__out").isNull()).agg(
@@ -470,6 +528,7 @@ def _iteration_body(weighted, alpha, ranks):
         ).alias("part"),
         "__p",
         "__out",
+        "__name",
     )
     return (
         contribs.unionByName(teleport)
@@ -478,8 +537,9 @@ def _iteration_body(weighted, alpha, ranks):
             F.sum("part").alias("rank"),
             F.max("__p").alias("__p"),
             F.max("__out").alias("__out"),
+            F.max("__name").alias("__name"),
         )
-        .select("node", "rank", "__p", "__out")
+        .select("node", "rank", "__p", "__out", "__name")
     )
 
 

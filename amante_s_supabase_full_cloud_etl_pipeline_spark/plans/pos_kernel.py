@@ -159,8 +159,25 @@ def transform_pos(raw: DataFrame, spark: SparkSession) -> DataFrame:
     fact rows (columns = :data:`FACT_COLUMNS`). Validation split is a
     separate operator (operators.validate) so fact/quarantine share
     one evaluation."""
+    # r14 (optimization round; guide §8 "decide with small rows" /
+    # §2.3): every F1-F12 extraction column AND the P4 keep-predicate
+    # is a pure function of product_token, and POS tokens are MENU
+    # items — cardinality is the menu (tens to thousands), not the
+    # order count (millions to billions at 100 TB). The ~15-regex
+    # chain therefore runs once per DISTINCT token (a map-side-
+    # partial distinct that shuffles only the tiny token set) and
+    # re-attaches by an equi-join that AQE broadcasts at any
+    # realistic menu size — 15 M Java-regex executions at 1 M orders
+    # collapse to one per distinct token. Values are bit-identical:
+    # the expressions are unchanged, merely evaluated once per
+    # distinct input (they are deterministic per token — pinned by
+    # the pos_kernel_fact / validation_routing oracle rows).
     tok = F.col("product_token")
-    df = explode_products(raw).withColumns(
+    exploded = explode_products(raw).withColumn(
+        "payment_type",
+        payment_type_expr(F.col("Cash"), F.col("Gcash")),  # F14
+    )
+    tok_dim = exploded.select("product_token").distinct().withColumns(
         {
             "size": title_case(extract_or_null(tok, SIZE_PATTERN)),  # F1
             "variation": title_case(extract_or_null(tok, VARIATION_PATTERN)),  # F2
@@ -174,22 +191,27 @@ def transform_pos(raw: DataFrame, spark: SparkSession) -> DataFrame:
                 extract_or_null(tok, QTY_PATTERN).try_cast("double"), F.lit(1.0)
             ),
             "clean_item": clean_item_expr(tok),  # F7-F12
-            "payment_type": payment_type_expr(F.col("Cash"), F.col("Gcash")),  # F14
+            # P4 null-item filter, as its cheap equivalent predicate:
+            # clean_item is null ⇔ target item whose flavor
+            # alternation missed (F10 null-propagating concat);
+            # non-targets always yield a string. The flavor-miss test
+            # is a pure rlike: extract_or_null(tok, P).isNull() ⇔
+            # NOT tok.rlike(P) because every alternation branch
+            # captures a non-empty string.
+            "__tok_keep": ~(
+                tok.rlike(TARGET_MASK_PATTERN)
+                & ~tok.rlike(TARGET_FLAVOR_PATTERN)
+            ),
         }
     )
-
-    # P4 null-item filter, as its cheap equivalent predicate:
-    # clean_item is null ⇔ target item whose flavor alternation missed
-    # (F10 null-propagating concat); non-targets always yield a
-    # string. Filtering on clean_item itself would get pushed below
-    # the projection with the whole F7-F12 expression substituted in —
-    # evaluated twice per row (measured ~25% of kernel time). The
-    # flavor-miss test is a pure rlike (early-exit match, no capture
-    # group materialization): extract_or_null(tok, P).isNull() ⇔
-    # NOT tok.rlike(P) because every alternation branch captures a
-    # non-empty string.
-    df = df.filter(
-        ~(tok.rlike(TARGET_MASK_PATTERN) & ~tok.rlike(TARGET_FLAVOR_PATTERN))
+    # the token dim is menu-sized by domain semantics (see above) —
+    # hint it explicitly: its size ESTIMATE after a distinct over an
+    # unknown-cardinality column is garbage, and a sort-merge join
+    # here would shuffle the whole wide fact (measured 8x the kernel)
+    df = (
+        exploded.join(F.broadcast(tok_dim), "product_token", "left")
+        .filter(F.col("__tok_keep"))
+        .drop("__tok_keep")
     )
 
     # M1/M2: dict-map lookups as broadcast left joins (SURVEY.md §2.5).

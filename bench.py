@@ -240,8 +240,7 @@ def _extra_queries():
         from pyspark.sql import functions as FF
 
         from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.multimodal import (
-            decode_image_features,
-            synthetic_image_corpus,
+            image_features_from_docs,
         )
 
         # doc_id % 8 == 6 → GIF blobs only (half interlaced): times
