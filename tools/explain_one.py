@@ -65,6 +65,10 @@ def main() -> None:
         else:
             fn = extra.get(name) or registry.QUERIES[name]
             df = fn(spark, sf_dir)
+            if callable(df):
+                # untimed-setup row (see bench.force): the builder
+                # returns a per-pass frame factory
+                df = df()
         pre = io.StringIO()
         with redirect_stdout(pre):
             df.explain("formatted")
