@@ -35,12 +35,10 @@ from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.asof import (  # 
     asof_join,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.mkv import (  # noqa: E402
-    sample_mkv_keyframes,
-    synthetic_mkv_corpus,
+    mkv_keyframes_from_docs,
 )
 from amante_s_supabase_full_cloud_etl_pipeline_spark.operators.subtitles import (  # noqa: E402
-    subtitle_text,
-    synthetic_subtitle_corpus,
+    subtitle_text_from_docs,
 )
 
 
@@ -52,15 +50,16 @@ def align_transcripts(spark, sf_dir: str, n_docs: int = 400):
         F.col("doc_id") < n_docs
     )
     # 60 clusters ≈ 12 s of timeline per clip — overlapping the cue
-    # fixtures' 0.5–12 s spans, so the alignment has real work
-    kf = sample_mkv_keyframes(
-        synthetic_mkv_corpus(docs, n_clusters=60).select(
-            "doc_id", "blob"
-        )
-    ).select("doc_id", "track_id", "timestamp_ms", "offset", "size")
-    cues = subtitle_text(
-        synthetic_subtitle_corpus(docs).select("doc_id", "blob")
-    ).select("doc_id", "start_ms", "end_ms", "text")
+    # fixtures' 0.5–12 s spans, so the alignment has real work.
+    # r14: both legs use the fused one-Python-hop corpus+kernel
+    # variants (operators/fuse.py) — bit-identical rows, one fewer
+    # JVM↔Python round trip per task per leg.
+    kf = mkv_keyframes_from_docs(docs, n_clusters=60).select(
+        "doc_id", "track_id", "timestamp_ms", "offset", "size"
+    )
+    cues = subtitle_text_from_docs(docs).select(
+        "doc_id", "start_ms", "end_ms", "text"
+    )
     return asof_join(
         kf,
         cues,
